@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver-side collect of bulk data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries: the flagship analyzer pipeline + scan/agg/join breadth
+# + (as added) the extension operators
+HEADLINE = [
+    "a1_error_stats",
+    "a1_first_example",
+    "n2_classify",
+    "u1_union_filters",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from kafka_dead_letter_analyzer_spark import get_spark
+    from kafka_dead_letter_analyzer_spark import queries as Q
+
+    spark = get_spark(app_name="kdla-bench")
+    qs = Q.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    # warm the JVM + parquet footers once with the cheapest query
+    _force(qs["a1_error_stats"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):  # 2 runs, keep the best: JIT/GC noise dominates
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_headline_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""The full analyzer dataflow — batch equivalent of
+``DeadLetterAnalyzerTopology.buildTopology()``
+(DeadLetterAnalyzerTopology.java:139-158, wiring diagram SURVEY.md §3.2):
+
+    streamDeadLetters   S1→S2; branches F1 | (F2→P1) | (F2→P3) | (F2→P2); U1
+      each header branch error-captured (E1) → E2("Error converting errors
+      to dead letters") → error topic (E3)
+    enrichWithContext   E1(N1); errors → E2("Error analyzing dead letter")
+      ├ main out:  K1 → M1 → O1
+    aggregate           K3 → R1(implicit Exchange) → A1
+      ├ stats:     M2 → K2 → O2
+      └ examples:  M3 → M4 → K2 → O3
+
+Input: a ``RAW_ENVELOPE``-shaped DataFrame (one row per consumed record,
+batch or streaming — the same column program runs under ``readStream``).
+
+Scale notes:
+- The four dialect branches are four filters over ONE scan; Catalyst merges
+  the shared subplan and pushes each branch's predicate into it. No data is
+  duplicated — only matching rows flow.
+- The only shuffle in the whole topology is the hash Exchange under A1
+  (exactly mirroring the reference's single repartition topic, R1).
+- Parsing/classification is pure codegen'd column work — no Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import parsers as P
+from kafka_dead_letter_analyzer_spark.operators.aggregate import (
+    error_statistics,
+    first_examples,
+)
+from kafka_dead_letter_analyzer_spark.operators.enrich import enrich_with_context
+from kafka_dead_letter_analyzer_spark.operators.errors import (
+    ERROR_COL,
+    error_to_dead_letter,
+    split_errors,
+    union_all,
+)
+from kafka_dead_letter_analyzer_spark.operators.project import (
+    to_error_examples,
+    to_error_topic,
+    to_full_dead_letters,
+    to_full_error_statistics,
+)
+from kafka_dead_letter_analyzer_spark.functions.headers import headers_to_map
+
+ENVELOPE_COLS = ["topic", "partition", "offset", "timestamp", "key"]
+
+CONVERT_ERROR_DESC = "Error converting errors to dead letters"  # Topology.java:133
+ANALYZE_ERROR_DESC = "Error analyzing dead letter"  # Topology.java:120
+AGGREGATE_ERROR_DESC = "Error aggregating dead letters"  # Topology.java:214
+
+
+@dataclass
+class TopologyOutputs:
+    """The four output streams (O1-O4)."""
+
+    full_dead_letters: DataFrame
+    error_statistics: DataFrame
+    error_examples: DataFrame
+    error_topic: DataFrame
+    # intermediate (exposed for tests / feedback iteration)
+    enriched: DataFrame
+
+
+def stream_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S1/S2 + F1/F2 + P1-P3 + U1: normalize every input record into a
+    ``dead_letter`` struct; returns ``(dead_letters, conversion_errors)``.
+
+    Branch semantics: union of independent filters — NOT if/elif — a record
+    carrying two dialects' headers is normalized twice
+    (DeadLetterAnalyzerTopology.java:164-180, SURVEY.md §2.2 note).
+    """
+    with_map = raw.withColumn("headers_map", headers_to_map("headers"))
+    hmap = F.col("headers_map")
+    value_text = F.col("value_text")
+    record_ts = F.col("timestamp")
+
+    # F1: Avro dialect — the value already IS a DeadLetter (infallible).
+    avro = (
+        with_map.filter(P.is_avro_dialect(F.col("value_deadletter")))
+        .select(*ENVELOPE_COLS, F.col("value_deadletter").alias("dead_letter"))
+    )
+
+    ok_branches = [avro]
+    err_branches = []
+    for predicate, parser in (
+        (P.is_streams_dialect, P.parse_streams),
+        (P.is_native_dialect, P.parse_native),
+        (P.is_connect_dialect, P.parse_connect),
+    ):
+        dead_letter, error = parser(hmap, value_text, record_ts)
+        # project value + error channel in one pass (error refers to the
+        # header map, which is dropped here)
+        branch = with_map.filter(predicate(hmap)).select(
+            *ENVELOPE_COLS,
+            value_text,
+            dead_letter.alias("dead_letter"),
+            error.alias(ERROR_COL),
+        )
+        ok, bad = split_errors(branch)
+        ok_branches.append(ok.drop("value_text"))
+        # E2: captured parse failure -> DeadLetter (input_value = raw value)
+        err_branches.append(
+            to_error_topic(
+                error_to_dead_letter(bad, CONVERT_ERROR_DESC, F.col("value_text"))
+            )
+        )
+
+    dead_letters = union_all(ok_branches)
+    conversion_errors = union_all(err_branches)
+    return dead_letters, conversion_errors
+
+
+def build_topology(raw: DataFrame) -> TopologyOutputs:
+    """Wire the complete dataflow over a RAW_ENVELOPE frame."""
+    dead_letters, conversion_errors = stream_dead_letters(raw)
+
+    # N1 under E1; failures -> "Error analyzing dead letter" (E2/E3)
+    enriched_all = enrich_with_context(dead_letters)
+    enriched, analyze_bad = split_errors(enriched_all)
+    analysis_errors = to_error_topic(
+        error_to_dead_letter(
+            analyze_bad.drop("context", "error_key"),
+            ANALYZE_ERROR_DESC,
+            F.to_json(F.col("dead_letter")),
+        )
+    )
+
+    # A1 (the single shuffle) + sink projections
+    stats = to_full_error_statistics(error_statistics(enriched))
+    examples = to_error_examples(first_examples(enriched))
+    full = to_full_dead_letters(enriched)
+
+    error_topic = conversion_errors.unionByName(analysis_errors)
+    return TopologyOutputs(
+        full_dead_letters=full,
+        error_statistics=stats,
+        error_examples=examples,
+        error_topic=error_topic,
+        enriched=enriched,
+    )
+
+
+def error_feedback_pass(outputs: TopologyOutputs, error_topic_name: str = "analyzer-dead-letters") -> TopologyOutputs:
+    """E3 batch analog: the error topic matches the input pattern, so failed
+    records re-enter the analyzer (README.md:47-48; e2e test
+    DeadLetterAnalyzerTopologyTest.java:320-383 shows one level).
+
+    Re-ingests the error-topic rows as Avro-dialect records (their value IS
+    a DeadLetter) and runs the topology once more. By construction this
+    reaches a fixpoint in one pass: re-ingested dead letters skip parsing,
+    and every engine-synthesized cause carries a non-null stack trace.
+    """
+    errs = outputs.error_topic.select(
+        F.lit(error_topic_name).alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.col("kafka_key").alias("key"),
+        F.col("dead_letter").alias("value_deadletter"),
+        F.lit(None).cast("string").alias("value_text"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+    )
+    return build_topology(errs)

@@ -1,0 +1,418 @@
+"""Declared queries for the driver harness (__spark_entry__.py contract).
+
+One entry per implemented operator from SURVEY.md §2, phrased over the
+driver's synthetic tables (TESTDATA.md) using the capability mapping of
+FIXTURES.md §6: ``events.event_type`` stands in for the ``(topic, type)``
+aggregation key, ``documents.text`` for stack traces, ``events.props`` for
+header-style extraction.
+
+Every Spark query has a DuckDB oracle in ORACLE_SQL with IDENTICAL column
+names (the driver sorts columns by name before hashing). Determinism rules:
+- doubles are never accumulated (sum/avg) — money math is cast to
+  DECIMAL(18,2) first, which is exact and associative on both engines;
+- timestamps cross the boundary as formatted strings (N3), never as raw
+  timestamp values;
+- every LIMIT has a unique total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.functions.classify import (
+    classify_stack_trace,
+    classify_stack_trace_sql,
+)
+from kafka_dead_letter_analyzer_spark.functions.formatting import (
+    TS_PATTERN,
+    TS_PATTERN_SQL,
+    format_timestamp,
+)
+from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# A1 + M2 + K2 + N3 — the flagship: per-key error statistics
+# (ErrorAggregatingProcessor.java:38-102, Result.java:43-51)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_error_stats",
+    f"""
+    SELECT 'events:' || event_type AS kafka_key,
+           CAST(count(*) AS INTEGER) AS count,
+           strftime(min(ts), '{TS_PATTERN_SQL}') AS created,
+           strftime(max(ts), '{TS_PATTERN_SQL}') AS updated,
+           'events' AS topic,
+           event_type AS type
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a1_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running stats per (topic, type): count / created=min / updated=max."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("count"),
+            F.min("ts").alias("_created"),
+            F.max("ts").alias("_updated"),
+        )
+        .select(
+            F.format_string("%s:%s", F.lit("events"), F.col("event_type")).alias(
+                "kafka_key"
+            ),
+            "count",
+            format_timestamp("_created").alias("created"),
+            format_timestamp("_updated").alias("updated"),
+            F.lit("events").alias("topic"),
+            F.col("event_type").alias("type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 first-example + M3/M4 (ErrorAggregatingProcessor.java:59-65,
+# Result.java:39-41) — deterministic batch order (ts, event_id)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_first_example",
+    f"""
+    SELECT 'events:' || event_type AS kafka_key,
+           event_id AS example_offset,
+           strftime(ts, '{TS_PATTERN_SQL}') AS example_timestamp,
+           CAST(user_id AS VARCHAR) AS example_key,
+           event_type AS type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a1_first_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First record per key — min_by over (ts, offset), one partial-agg
+    shuffle (no window sort; SURVEY.md §2.8 batch refinement)."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("ts"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("event_type")
+        .agg(F.min_by(payload, order_key).alias("example"))
+        .select(
+            F.format_string("%s:%s", F.lit("events"), F.col("event_type")).alias(
+                "kafka_key"
+            ),
+            F.col("example.offset").alias("example_offset"),
+            format_timestamp("example.ts").alias("example_timestamp"),
+            F.col("example.key").alias("example_key"),
+            F.col("event_type").alias("type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2 — stack-trace classification regexes over documents.text
+# (StackTraceClassifier.java:36-67)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "n2_classify",
+    f"""
+    SELECT doc_id, {classify_stack_trace_sql('text')} AS error_type
+    FROM documents
+    """,
+)
+def n2_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", classify_stack_trace("text").alias("error_type"))
+
+
+# ---------------------------------------------------------------------------
+# K1 — elastic document key {topic}+{partition}+{offset}
+# (KeyedDeadLetterWithContext.java:51-54)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "k1_elastic_key",
+    """
+    SELECT event_id,
+           printf('%s+%d+%d', event_type, user_id, event_id) AS kafka_key
+    FROM events
+    """,
+)
+def k1_elastic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.format_string("%s+%d+%d", "event_type", "user_id", "event_id").alias(
+            "kafka_key"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N3 — sink timestamp formatting (Formatter.java:42-65, UTC-pinned)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "n3_ts_format",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_PATTERN_SQL}') AS ts_str FROM events
+    """,
+)
+def n3_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_id", F.date_format("ts", TS_PATTERN).alias("ts_str"))
+
+
+# ---------------------------------------------------------------------------
+# F2 + U1 — union of independent (non-exclusive) filter branches
+# (DeadLetterAnalyzerTopology.java:164-184)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "u1_union_filters",
+    """
+    SELECT event_id, 'high_value' AS branch FROM events WHERE value > 150
+    UNION ALL
+    SELECT event_id, 'error' AS branch FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'purchase' AS branch FROM events WHERE event_type = 'purchase'
+    """,
+)
+def u1_union_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics merge of overlapping branches — a record can match
+    several (SURVEY.md §2.2 note: union of filters, never if/elif)."""
+    events = load_table(spark, sf_dir, "events")
+    b1 = events.filter(F.col("value") > 150).select(
+        "event_id", F.lit("high_value").alias("branch")
+    )
+    b2 = events.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("branch")
+    )
+    b3 = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("purchase").alias("branch")
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+# ---------------------------------------------------------------------------
+# P2 — Connect description synthesis
+# (ConnectDeadLetterParser.java:84-85)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p2_connect_description",
+    """
+    SELECT event_id,
+           printf('Error in stage %s (%s) in %s[%d]',
+                  upper(event_type), props, 'sink-connector', user_id) AS description
+    FROM events
+    """,
+)
+def p2_connect_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.format_string(
+            "Error in stage %s (%s) in %s[%d]",
+            F.upper("event_type"),
+            F.col("props"),
+            F.lit("sink-connector"),
+            F.col("user_id"),
+        ).alias("description"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — null-fallback description synthesis with [unknown] defaults
+# (NativeStreamsDeadLetterParser.java:73-75)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p3_native_description",
+    """
+    SELECT event_id,
+           printf('Error in processor node %s in task %s',
+                  coalesce(nullif(event_type, 'click'), '[unknown]'),
+                  CAST(user_id AS VARCHAR)) AS description
+    FROM events
+    """,
+)
+def p3_native_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.format_string(
+            "Error in processor node %s in task %s",
+            F.coalesce(F.nullif("event_type", F.lit("click")), F.lit("[unknown]")),
+            F.col("user_id").cast("string"),
+        ).alias("description"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — header-style scalar extraction: string payload -> typed value
+# (HeaderHelper.java:36-52; props JSON stands in for header bytes)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p4_header_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def p4_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1 — context enrichment projection (ContextEnricher.java:49-73)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "n1_context_enrich",
+    f"""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           event_id AS offset,
+           CAST(event_id % 32 AS INTEGER) AS partition,
+           strftime(ts, '{TS_PATTERN_SQL}') AS timestamp,
+           'events' AS topic
+    FROM events
+    """,
+)
+def n1_context_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 32).cast("int").alias("partition"),
+        format_timestamp("ts").alias("timestamp"),
+        F.lit("events").alias("topic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine breadth: TPC-H-style scan-agg and join queries (beyond reference
+# surface — the reference has no joins; these exercise the Spark engine the
+# extensions are built on and anchor the benchmark).
+# Money math in DECIMAL(18,2): exact + associative on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: broadcast the small filtered dimension (customer) so
+    the fact scans stay shuffle-free until the final aggregation."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

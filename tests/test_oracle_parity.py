@@ -1,0 +1,84 @@
+"""Local replica of the driver's t2 correctness gate: every declared query
+must match its DuckDB oracle at a small scale factor — row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    # decimals -> str so Spark Decimal and duckdb Decimal compare equal
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    return v
+
+
+def _rowset(rows, cols):
+    # driver sorts columns by name before hashing -> do the same
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    s, d = _rowset(spark_rows, spark_cols), _rowset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b][:5]
+    assert s == d, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_runnable_callable(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
