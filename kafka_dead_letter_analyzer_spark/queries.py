@@ -416,3 +416,200 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+# ===========================================================================
+# North-star extension queries (BASELINE.json): dedup, similarity search,
+# text analysis, multimodal — each a first-class declared operator.
+# ===========================================================================
+
+from kafka_dead_letter_analyzer_spark.operators import dedup as D  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import multimodal as MM  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import similarity as S  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import text as TX  # noqa: E402
+
+
+@_register(
+    "x_text_stats",
+    f"""
+    SELECT doc_id,
+           {TX.token_count_sql('text')} AS n_tokens,
+           {TX.wordpiece_count_sql('text')} AS n_wordpieces,
+           {TX.lang_id_sql('text')} AS pred_lang,
+           {TX.quality_features_sql('text')['mean_token_len']} AS mean_token_len,
+           {TX.quality_features_sql('text')['punct_ratio']} AS punct_ratio,
+           {TX.quality_features_sql('text')['stopword_ratio']} AS stopword_ratio,
+           {TX.fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/wordpiece counts, language-ID heuristic,
+    quality ratios, content fingerprint — one narrow codegen'd projection."""
+    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x_lang_quality_agg",
+    f"""
+    SELECT {TX.lang_id_sql('text')} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x_lang_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicted-language corpus stats (grouped aggregation over the
+    language-ID operator; exact integer aggregates only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            TX.lang_id("text").alias("pred_lang"),
+            TX.token_count("text").alias("_tok"),
+            "n_chars",
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@_register(
+    "x_dedup_exact",
+    f"""
+    SELECT {TX.fingerprint_sql('text')} AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS INTEGER) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content fingerprint: min-id representative
+    per content group + copy count."""
+    return D.dedup_exact_normalized(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(lower(text), i, 3)
+                            for i in range(1, length(text) - 1)]) AS grams
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS inter_size,
+           CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS INTEGER) AS union_size
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.grams, b.grams)) * 4
+          >= (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) * 1
+    """,
+)
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard pairs (j >= 1/4) on a bounded subset —
+    integer set sizes only, bit-identical across engines."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=1,
+        threshold_den=4,
+        max_id=200,
+    )
+
+
+@_register(
+    "x_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(
+             list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                       for i in range(1, len(e.embedding) + 1)])
+             / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding]))
+                * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.qv]))),
+             6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 to the vec_id=0 embedding (ANN
+    correctness baseline; TakeOrdered plan, no shuffle of vectors)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    return S.cosine_topk(embs, list(row["embedding"]), k=10)
+
+
+@_register(
+    "x_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_hash
+    FROM documents
+    """,
+)
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas feature extraction (decode stubbed; byte stats + hash are
+    real and oracle-checked)."""
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.extract_media_features(media).select(
+        "media_id", "n_bytes", "payload_hash"
+    )
+
+
+# --- rows-only declared operators (no SQL-expressible oracle: LSH uses
+# engine-native xxhash64; the driver records the weaker rows-only check) ---
+
+
+@_register("x_dedup_minhash")
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (banded bucket join; verified with
+    exact Jaccard on shingle sets)."""
+    return D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@_register("x_dedup_simhash")
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming <= 3 via pigeonhole banding)."""
+    return D.dedup_near_simhash(load_table(spark, sf_dir, "documents"))
+
+
+@_register("x_cosine_topk_lsh")
+def x_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH bucket probe (scale path of
+    x_cosine_topk)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    return S.cosine_topk_lsh(embs, list(row["embedding"]), k=10, planes=6, multiprobe=1)
+
+
+@_register("x_dedup_embedding")
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs among LSH-bucket candidates.
+    (threshold tuned to the synthetic embeddings' similarity range so the
+    operator produces verifiable output; production would use ~0.95)"""
+    return S.dedup_near_embedding(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, planes=4
+    )
+
+
+@_register("x_knn_join")
+def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: top-3 neighbors per vector among same-LSH-bucket
+    candidates (bounded window rank after one bucket-key shuffle)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_topk_join(embs, embs, k=3, planes=4)

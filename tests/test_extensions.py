@@ -1,0 +1,234 @@
+"""Extension-operator tests: text analysis, dedup family, similarity search,
+multimodal plumbing (SURVEY.md §7.6 / BASELINE.json north star)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import dedup as D
+from kafka_dead_letter_analyzer_spark.operators import multimodal as MM
+from kafka_dead_letter_analyzer_spark.operators import similarity as S
+from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("",), ("   ",), ("one",), ("a  b",)], "t: string"
+    )
+    got = [r[0] for r in df.select(TX.token_count("t")).collect()]
+    assert got == [3, 0, 0, 1, 2]
+
+
+def test_lang_id_known_samples(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat est dans la maison pour le chien",),
+            ("el perro es una mascota que vive con la familia",),
+            ("zzz qqq xxx",),
+        ],
+        "t: string",
+    )
+    got = [r[0] for r in df.select(TX.lang_id("t")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello world",), ("HELLO  world.",), ("different",)],
+        "t: string",
+    )
+    got = [r[0] for r in df.select(TX.fingerprint("t")).collect()]
+    assert got[0] == got[1] == got[2]
+    assert got[3] != got[0]
+
+
+def test_text_stats_runs_on_documents(docs):
+    row = TX.text_stats(docs).first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Some Text"), (2, "some text"), (3, "SOME, text!"), (4, "other")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in D.dedup_exact_normalized(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_finds_planted_near_duplicates(spark, docs):
+    """A doc with one word changed out of ~50 must pair with its source at
+    high jaccard; unrelated docs must not appear at threshold 0.8."""
+    base = docs.limit(3).collect()
+    mutated = []
+    for i, r in enumerate(base):
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"
+        mutated.append((10_000 + r["doc_id"], " ".join(words)))
+    planted = spark.createDataFrame(mutated, "doc_id: long, text: string")
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = D.dedup_near_minhash(corpus, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in base:
+        assert (r["doc_id"], 10_000 + r["doc_id"]) in found
+    for r in pairs:
+        # every reported pair is genuinely similar
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """LSH candidate jaccards must equal exact jaccard on the same shingle
+    definition (the verification step IS exact — no approximation there)."""
+    sub = docs.filter(F.col("doc_id") < 100)
+    pairs = D.dedup_near_minhash(sub, threshold=0.2)
+    g = sub.select(
+        F.col("doc_id").alias("_id"),
+        D.token_shingles(F.col("text"), 3).alias("_g"),
+    )
+    left = g.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    right = g.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    exact = (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    # candidates reported by LSH carry the exact jaccard value
+    for k, v in got.items():
+        assert want[k] == v
+    # recall: 16 bands x 4 rows at j>=0.5 is near-certain; at 0.2 partial
+    high = {k for k, v in want.items() if v >= 0.5}
+    assert high.issubset(set(got)), "high-similarity pair missed by LSH"
+
+
+def test_simhash_identical_and_near_texts(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),
+        (3, "the quick brown fox jumps over the lazy cat again and again today"),
+        (4, "completely unrelated words about spark sql engines and columnar io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.dedup_near_simhash(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical -> hamming 0
+    assert (1, 3) in pairs  # one-word change -> small hamming
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_integer_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef"), (3, "xyzuvw")], "doc_id: long, text: string"
+    )
+    rows = D.ngram_jaccard_pairs(df, threshold_num=1, threshold_den=2).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["inter_size"] == r["union_size"] == 4  # abcdef -> 4 distinct 3-grams
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_self_is_first(spark, embs):
+    [row] = embs.filter(F.col("vec_id") == 7).select("embedding").collect()
+    top = S.cosine_topk(embs, list(row["embedding"]), k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embs):
+    """ANN with multiprobe must recover a decent fraction of the exact
+    top-10 (and always contains the query itself)."""
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    q = list(row["embedding"])
+    exact = {r["vec_id"] for r in S.cosine_topk(embs, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.cosine_topk_lsh(embs, q, k=10, planes=4, multiprobe=1).collect()}
+    assert 0 in approx
+    assert len(exact & approx) >= 3  # recall >= 0.3 at 4 planes on randoms
+
+
+def test_knn_join_rank_bounded(spark, embs):
+    out = S.pairwise_topk_join(embs.limit(100), embs.limit(100), k=3, planes=3)
+    pdf = out.toPandas()
+    assert (pdf.groupby("id_a")["rank"].max() <= 3).all()
+    assert (pdf["id_a"] != pdf["id_b"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_roundtrip(docs):
+    media = MM.documents_as_media(docs.limit(50))
+    feats = MM.extract_media_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["payload_hash"]) == 32
+        assert len(r["feature"]) == 3
+
+
+def test_media_strict_decoder_is_stubbed(docs):
+    media = MM.documents_as_media(docs.limit(1))
+    out = MM.extract_media_features(media, decoder=MM.strict_decoder)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, None, ("video", "mp4", None, None, 3500))],
+        MM.MEDIA_COLUMNS,
+    )
+    rows = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in rows] == [
+        (0, 0),
+        (1, 1000),
+        (2, 2000),
+    ]
