@@ -1,0 +1,33 @@
+"""Structured Streaming layer: the reference's native execution mode.
+
+The batch operators (plans/topology.py) are pure column programs, so they
+run unchanged under ``readStream``; this package adds only what genuinely
+differs in streaming:
+
+- ``kafka``: source/sink wiring (subscribePattern, includeHeaders, the S2
+  brute-force decode cascade, sink encodings, the E3 error-topic loop).
+- ``engine``: the stateful pieces — update-mode statistics and the
+  arrival-order first-example operator (``applyInPandasWithState``).
+"""
+
+from kafka_dead_letter_analyzer_spark.streaming.engine import (
+    StreamingTopology,
+    build_streaming_topology,
+    streaming_error_statistics,
+    streaming_first_examples,
+)
+from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+    decode_kafka_records,
+    kafka_sink_projection,
+    read_dead_letter_stream,
+)
+
+__all__ = [
+    "StreamingTopology",
+    "build_streaming_topology",
+    "streaming_error_statistics",
+    "streaming_first_examples",
+    "decode_kafka_records",
+    "kafka_sink_projection",
+    "read_dead_letter_stream",
+]

@@ -1,0 +1,242 @@
+"""Structured Streaming layer tests (no broker needed).
+
+- The Kafka decode cascade (S2) is a column program over the Kafka source's
+  fixed schema, exercised here on batch frames of that shape.
+- The stateful operators run under a real streaming engine via the file
+  source (multi-micro-batch) + memory sink: update-mode statistics must
+  converge to the batch result, and first-example must follow ARRIVAL order
+  (the reference's semantics, ErrorAggregatingProcessor.java:59-65) — not
+  timestamp order — across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.schemas import RAW_ENVELOPE
+from kafka_dead_letter_analyzer_spark.sources import fixtures as FX
+from kafka_dead_letter_analyzer_spark.streaming import (
+    build_streaming_topology,
+    decode_kafka_records,
+    kafka_sink_projection,
+)
+from kafka_dead_letter_analyzer_spark.plans.topology import build_topology
+
+UTC = dt.timezone.utc
+
+KAFKA_SHAPE = (
+    "key binary, value binary, "
+    "headers array<struct<key:string,value:binary>>, "
+    "topic string, partition int, offset bigint, timestamp timestamp"
+)
+
+
+def _kafka_row(value: bytes, topic="my-dead-letters", offset=0, key=b"k"):
+    return (
+        key,
+        value,
+        [("h", b"v")],
+        topic,
+        0,
+        offset,
+        dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=UTC),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 decode cascade
+# ---------------------------------------------------------------------------
+
+
+def test_decode_cascade_json_deadletter(spark):
+    dl = FX.dead_letter_value()
+    df = spark.createDataFrame(
+        [_kafka_row(json.dumps(dl).encode())], schema=KAFKA_SHAPE
+    )
+    [row] = decode_kafka_records(df, use_avro=False).collect()
+    assert row["value_deadletter"]["description"] == "Error in map"
+    assert row["value_deadletter"]["cause"]["error_class"] == "java.lang.RuntimeException"
+    assert row["value_text"] == json.dumps(dl)
+    assert row["key"] == "k"
+    assert row["topic"] == "my-dead-letters"
+
+
+def test_decode_cascade_falls_back_to_text(spark):
+    df = spark.createDataFrame(
+        [
+            _kafka_row(b"just some text", offset=1),
+            # valid JSON but NOT the DeadLetter shape -> not a dead letter
+            _kafka_row(b'{"id": 7}', offset=2),
+            # JSON missing required cause -> not a dead letter
+            _kafka_row(b'{"description": "x"}', offset=3),
+        ],
+        schema=KAFKA_SHAPE,
+    )
+    rows = {r["offset"]: r for r in decode_kafka_records(df, use_avro=False).collect()}
+    assert all(rows[o]["value_deadletter"] is None for o in (1, 2, 3))
+    assert rows[1]["value_text"] == "just some text"
+    assert rows[2]["value_text"] == '{"id": 7}'
+
+
+def test_decoded_records_flow_through_topology(spark):
+    """Kafka-shaped input -> decode -> full batch topology end-to-end."""
+    dl = FX.dead_letter_value()
+    df = spark.createDataFrame(
+        [_kafka_row(json.dumps(dl).encode())], schema=KAFKA_SHAPE
+    )
+    out = build_topology(decode_kafka_records(df, use_avro=False))
+    [stats] = out.error_statistics.collect()
+    assert stats["count"] == 1
+    assert stats["type"] == "com.example.App.run(App.java:12)"
+    assert out.error_topic.count() == 0
+
+
+def test_kafka_sink_projection_shape(spark):
+    df = spark.createDataFrame(
+        [("t:x", 3, "a")], "kafka_key string, count int, type string"
+    )
+    [row] = kafka_sink_projection(df).collect()
+    assert row["key"] == "t:x"
+    assert json.loads(row["value"]) == {"count": 3, "type": "a"}
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful operators (file source, memory sink)
+# ---------------------------------------------------------------------------
+
+
+def _write_envelopes(spark, path: str, rows) -> None:
+    FX.raw_frame(spark, rows).write.mode("append").parquet(path)
+
+
+def _run_updates(spark, src_dir: str, out_df_name: str, name: str, batches):
+    """Feed `batches` (lists of envelope rows) through the streaming
+    topology one micro-batch at a time; return the memory-sink rows."""
+    _write_envelopes(spark, src_dir, batches[0])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src_dir)
+    topo = build_streaming_topology(raw)
+    q = (
+        getattr(topo, out_df_name)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for batch in batches[1:]:
+            _write_envelopes(spark, src_dir, batch)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+@pytest.fixture()
+def ts():
+    def at(minute: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, 12, minute, 0, tzinfo=UTC)
+
+    return at
+
+
+def test_streaming_stats_converge_to_batch(spark, tmp_path, ts):
+    batch1 = [
+        FX.envelope(offset=0, timestamp=ts(5), value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, timestamp=ts(1), value_deadletter=FX.dead_letter_value()),
+    ]
+    batch2 = [
+        FX.envelope(offset=2, timestamp=ts(9), value_deadletter=FX.dead_letter_value()),
+    ]
+    rows = _run_updates(
+        spark, str(tmp_path / "src"), "error_statistics", "stats_sink", [batch1, batch2]
+    )
+    # update mode re-emits the key each batch; the LAST emission per key
+    # (max count) is the converged value — compare with the batch plan
+    final = {}
+    for r in rows:
+        if r["kafka_key"] not in final or r["count"] > final[r["kafka_key"]]["count"]:
+            final[r["kafka_key"]] = r
+    batch_out = build_topology(
+        FX.raw_frame(spark, batch1 + batch2)
+    ).error_statistics.collect()
+    assert len(batch_out) == len(final) == 1
+    expect = batch_out[0]
+    got = final[expect["kafka_key"]]
+    assert (got["count"], got["created"], got["updated"]) == (
+        expect["count"],
+        expect["created"],
+        expect["updated"],
+    ) == (3, "2024-01-01T12:01:00.000", "2024-01-01T12:09:00.000")
+
+
+def test_streaming_first_example_is_arrival_order(spark, tmp_path, ts):
+    """Batch 1 carries a LATER timestamp than batch 2 — arrival order must
+    win (the reference keeps the first record it SEES), and the key emits
+    exactly once."""
+    batch1 = [
+        FX.envelope(offset=10, key="late-but-first", timestamp=ts(30),
+                    value_deadletter=FX.dead_letter_value()),
+    ]
+    batch2 = [
+        FX.envelope(offset=1, key="early-but-second", timestamp=ts(1),
+                    value_deadletter=FX.dead_letter_value()),
+    ]
+    rows = _run_updates(
+        spark, str(tmp_path / "src"), "error_examples", "examples_sink", [batch1, batch2]
+    )
+    assert len(rows) == 1  # second arrival emits nothing
+    [row] = rows
+    assert row["example"]["key"] == "late-but-first"
+    assert row["example"]["offset"] == 10
+    assert row["example"]["timestamp"] == "2024-01-01T12:30:00.000"
+    assert row["example"]["dead_letter"]["description"] == "Error in map"
+    assert row["kafka_key"] == "my-dead-letters:com.example.App.run(App.java:12)"
+
+
+def test_streaming_first_example_intra_batch_tiebreak(spark, tmp_path, ts):
+    """Within ONE micro-batch there is no meaningful arrival order —
+    (ts, offset) breaks the tie deterministically (same refinement as the
+    batch operator, SURVEY.md §7.4)."""
+    batch = [
+        FX.envelope(offset=7, key="later", timestamp=ts(20),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=3, key="earlier", timestamp=ts(2),
+                    value_deadletter=FX.dead_letter_value()),
+    ]
+    rows = _run_updates(
+        spark, str(tmp_path / "src"), "error_examples", "examples_sink2", [batch]
+    )
+    [row] = rows
+    assert row["example"]["key"] == "earlier"
+
+
+def test_streaming_full_output_appends(spark, tmp_path, ts):
+    batch = [
+        FX.envelope(offset=0, timestamp=ts(0), value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, timestamp=ts(1), value_deadletter=FX.dead_letter_value()),
+    ]
+    src = str(tmp_path / "src")
+    _write_envelopes(spark, src, batch)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    topo = build_streaming_topology(raw)
+    q = (
+        topo.full_dead_letters.writeStream.format("memory")
+        .queryName("full_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("full_sink").collect()
+    assert len(rows) == 2
+    assert {r["kafka_key"] for r in rows} == {
+        "my-dead-letters+0+0",
+        "my-dead-letters+0+1",
+    }
