@@ -25,6 +25,8 @@ HEADLINE = [
     "a1_first_example",
     "n2_classify",
     "u1_union_filters",
+    "m1_topology_main",
+    "e3_feedback_stats",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "x_text_stats",

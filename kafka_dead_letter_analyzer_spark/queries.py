@@ -613,3 +613,234 @@ def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (bounded window rank after one bucket-key shuffle)."""
     embs = load_table(spark, sf_dir, "embeddings")
     return S.pairwise_topk_join(embs, embs, k=3, planes=4)
+
+
+# ===========================================================================
+# Full-machinery queries: the remaining SURVEY.md §2 operators exercised
+# end-to-end (decode cascade S2, parser+error-split P1/E1/E2, the complete
+# topology M1, and the E3 feedback loop), phrased over `events`.
+# ===========================================================================
+
+from kafka_dead_letter_analyzer_spark.functions import headers as H  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import parsers as P  # noqa: E402
+from kafka_dead_letter_analyzer_spark.plans.topology import (  # noqa: E402
+    build_topology,
+    error_feedback_pass,
+)
+from kafka_dead_letter_analyzer_spark.streaming.kafka import (  # noqa: E402
+    decode_kafka_records,
+)
+
+
+@_register(
+    "s2_decode_cascade",
+    """
+    SELECT event_id,
+           event_type = 'error' AS is_dead_letter,
+           CASE WHEN event_type = 'error' THEN 'Error in ' || event_type END
+             AS description,
+           CASE WHEN event_type = 'error' THEN 'java.lang.RuntimeException' END
+             AS error_class
+    FROM events
+    """,
+)
+def s2_decode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+F1: brute-force decode over Kafka-shaped binary records.
+
+    'error' events carry a JSON DeadLetter payload (parses -> struct);
+    everything else carries its raw props JSON (valid JSON but NOT the
+    DeadLetter shape -> falls through to text). The oracle asserts the
+    cascade's classification outcome per record."""
+    events = load_table(spark, sf_dir, "events")
+    dl_json = F.to_json(
+        F.struct(
+            F.concat(F.lit("Error in "), F.col("event_type")).alias("description"),
+            F.struct(
+                F.lit("java.lang.RuntimeException").alias("error_class")
+            ).alias("cause"),
+        )
+    )
+    val = F.when(F.col("event_type") == "error", dl_json).otherwise(F.col("props"))
+    kafka_shaped = events.select(
+        F.encode(F.concat(F.lit("k"), F.col("event_id").cast("string")), "UTF-8").alias("key"),
+        F.encode(val, "UTF-8").alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit("events-dead-letters").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(kafka_shaped, use_avro=False)
+    return decoded.select(
+        F.col("offset").alias("event_id"),
+        F.col("value_deadletter").isNotNull().alias("is_dead_letter"),
+        F.col("value_deadletter.description").alias("description"),
+        F.col("value_deadletter.cause.error_class").alias("error_class"),
+    )
+
+
+@_register(
+    "p1_streams_parse",
+    f"""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN event_id % 7 != 0
+                THEN 'Could not process ' || event_type END AS description,
+           CASE WHEN event_id % 7 != 0 THEN event_id END AS origin_offset,
+           CASE WHEN event_id % 7 = 0
+                THEN 'Missing required header {H.STREAMS_DESCRIPTION}'
+           END AS error_message
+    FROM events
+    """,
+)
+def p1_streams_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P4+E1+E2: bakdata-Streams header parsing with reference error
+    semantics over synthesized header multimaps.
+
+    Every 7th record omits the required description header (-> error branch
+    with the reference's message, HeaderHelper.java:58-60); every 5th
+    record carries the legacy faulty offset header instead of the real one
+    (-> the coalesce fallback of StreamsDeadLetterParser.java:57-60 must
+    recover the same offset)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def hdr(name: Column | str, value: Column) -> Column:
+        name_col = F.lit(name) if isinstance(name, str) else name
+        return F.struct(
+            name_col.alias("key"), F.encode(value, "UTF-8").alias("value")
+        )
+
+    offset_hdr_name = F.when(
+        F.col("event_id") % 5 == 0, F.lit(H.STREAMS_FAULTY_OFFSET)
+    ).otherwise(F.lit(H.STREAMS_OFFSET))
+    full = F.array(
+        hdr(H.STREAMS_PARTITION, (F.col("user_id") % 4).cast("string")),
+        hdr(H.STREAMS_TOPIC, F.concat(F.lit("orig-"), F.col("event_type"))),
+        hdr(offset_hdr_name, F.col("event_id").cast("string")),
+        hdr(H.STREAMS_DESCRIPTION, F.concat(F.lit("Could not process "), F.col("event_type"))),
+        hdr(H.STREAMS_EXCEPTION_CLASS_NAME, F.lit("java.lang.RuntimeException")),
+        hdr(H.STREAMS_EXCEPTION_MESSAGE, F.col("props")),
+        hdr(
+            H.STREAMS_EXCEPTION_STACK_TRACE,
+            F.concat(
+                F.lit("java.lang.RuntimeException: fail\n\tat com.example.H.handle(H.java:1)\n")
+            ),
+        ),
+    )
+    headers = F.when(
+        F.col("event_id") % 7 == 0,
+        F.filter(full, lambda x: x["key"] != H.STREAMS_DESCRIPTION),
+    ).otherwise(full)
+    hmap = H.headers_to_map(headers)
+    dead_letter, error = P.parse_streams(hmap, F.col("props"), F.col("ts"))
+    ok = error.isNull()
+    return events.select(
+        "event_id",
+        F.when(ok, F.lit("ok")).otherwise(F.lit("error")).alias("status"),
+        F.when(ok, dead_letter["description"]).alias("description"),
+        F.when(ok, dead_letter["offset"]).alias("origin_offset"),
+        F.when(~ok, error["message"]).alias("error_message"),
+    )
+
+
+def _events_envelope(events: DataFrame) -> DataFrame:
+    """events rows -> RAW_ENVELOPE carrying an Avro-dialect DeadLetter value.
+
+    Every 11th record has a NULL stack trace, which N1 cannot classify ->
+    routed to the error topic with "Error analyzing dead letter"
+    (ContextEnricher.java:39, DeadLetterAnalyzerTopology.java:120)."""
+    trace = F.concat(
+        F.lit("java.lang.RuntimeException: fail "),
+        F.col("event_type"),
+        F.lit("\n\tat com.example."),
+        F.col("event_type"),
+        F.lit(".handle(Handler.java:"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(")\n"),
+    )
+    dl = F.struct(
+        F.col("props").cast("string").alias("input_value"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.concat(F.lit("orig-"), F.col("event_type")).alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.concat(F.lit("Error processing "), F.col("event_type")).alias("description"),
+        F.struct(
+            F.lit("java.lang.RuntimeException").alias("error_class"),
+            F.concat(F.lit("fail "), F.col("event_type")).alias("message"),
+            F.when(F.col("event_id") % 11 != 0, trace).alias("stack_trace"),
+        ).alias("cause"),
+        F.col("ts").alias("input_timestamp"),
+    )
+    return events.select(
+        F.lit("events-dead-letters").alias("topic"),
+        (F.col("user_id") % 2).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key"),
+        dl.alias("value_deadletter"),
+        F.lit(None).cast("string").alias("value_text"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+    )
+
+
+@_register(
+    "m1_topology_main",
+    f"""
+    SELECT 'events-dead-letters+' || (user_id % 2) || '+' || event_id AS kafka_key,
+           'k' || event_id AS key,
+           event_id AS offset,
+           CAST(user_id % 2 AS INTEGER) AS partition,
+           strftime(ts, '{TS_PATTERN_SQL}') AS timestamp,
+           'events-dead-letters' AS topic,
+           'com.example.' || event_type || '.handle(Handler.java:'
+             || (user_id % 5) || ')' AS type,
+           props AS input_value,
+           'Error processing ' || event_type AS description
+    FROM events
+    WHERE event_id % 11 != 0
+    """,
+)
+def m1_topology_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE topology (S->F->N1->E1->M1/K1), main output flattened.
+
+    Records with a NULL stack trace (every 11th) must be absent here — they
+    took the error branch. The classified type, elastic document key, and
+    formatted timestamp are all asserted against the oracle."""
+    out = build_topology(_events_envelope(load_table(spark, sf_dir, "events")))
+    f = out.full_dead_letters
+    return f.select(
+        "kafka_key",
+        "key",
+        "offset",
+        "partition",
+        "timestamp",
+        "topic",
+        "type",
+        F.col("dead_letter.input_value").alias("input_value"),
+        F.col("dead_letter.description").alias("description"),
+    )
+
+
+@_register(
+    "e3_feedback_stats",
+    """
+    SELECT 'analyzer-dead-letters:java.util.NoSuchElementException' AS kafka_key,
+           CAST(count(*) AS INTEGER) AS count,
+           'analyzer-dead-letters' AS topic,
+           'java.util.NoSuchElementException' AS type
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def e3_feedback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: the analyzer's own failures re-enter it and are analyzed.
+
+    Pass 1 routes null-stack-trace records to the error topic
+    ("Error analyzing dead letter" dead letters with a synthetic
+    NoSuchElementException cause); the feedback pass re-ingests that topic
+    and must classify every one of them (self-analysis e2e,
+    DeadLetterAnalyzerTopologyTest.java:320-383). Timestamp columns are
+    excluded: feedback arrival time is not a function of the data."""
+    out1 = build_topology(_events_envelope(load_table(spark, sf_dir, "events")))
+    out2 = error_feedback_pass(out1)
+    return out2.error_statistics.select("kafka_key", "count", "topic", "type")

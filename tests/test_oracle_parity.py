@@ -50,7 +50,8 @@ def _norm(v):
 def _rowset(rows, cols):
     # driver sorts columns by name before hashing -> do the same
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # sort by repr: order-insensitive compare that tolerates None/mixed types
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
