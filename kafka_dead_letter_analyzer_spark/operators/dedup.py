@@ -316,11 +316,24 @@ def ngram_jaccard_pairs(
     threshold_den: int = 4,
     max_id: int | None = None,
 ) -> DataFrame:
-    """All-pairs exact Jaccard over character n-gram sets.
+    """Exact pairwise Jaccard over character n-gram sets.
 
-    O(n²) by design — bound the input (``max_id``) or use it only to verify
-    LSH candidates. The broadcast self-join keeps it shuffle-free on
-    bounded subsets.
+    Two physical strategies behind one result contract (strategy picked by
+    whether the caller bounded the input):
+
+    - bounded (``max_id`` set — the LSH-verification / oracle use): all
+      pairs via a broadcast self-join; gram sets pre-hashed to int64 with
+      xxhash64 so the per-pair ``array_intersect`` compares primitive longs
+      instead of strings (set sizes are preserved — a size change needs a
+      64-bit collision *within one doc's gram set*, ~2^-64).
+    - unbounded (the 100 TB path): inverted index — explode distinct grams,
+      self-join keyed on the gram, COUNT matches per id-pair (= exact
+      intersection size), derive union from per-doc set sizes. No per-pair
+      array materialization; map-side partial counting collapses each
+      posting block before the pair shuffle. Pairs sharing zero grams are
+      (correctly) absent. At real scale add a document-frequency cap on
+      ultra-common grams to bound posting fan-out; it is not applied here
+      because the operator doubles as an exactness oracle.
 
     Outputs exact integer set sizes (inter_size, union_size) and filters by
     the rational threshold via integer cross-multiplication
@@ -333,17 +346,44 @@ def ngram_jaccard_pairs(
     g = base.select(
         F.col(id_col).alias("_id"), char_ngrams(F.col(text_col), n).alias("_g")
     )
-    left = g.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
-    right = g.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
-    pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size("g_a") + F.size("g_b") - inter
-    return (
-        pairs.select(
+
+    if max_id is not None:
+        hashed = g.select(
+            "_id", F.transform("_g", lambda x: F.xxhash64(x)).alias("_h")
+        )
+        left = hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
+        right = hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))
+        pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+        inter = F.size(F.array_intersect("h_a", "h_b"))
+        union = F.size("h_a") + F.size("h_b") - inter
+        return pairs.select(
             "id_a",
             "id_b",
             inter.cast("int").alias("inter_size"),
             union.cast("int").alias("union_size"),
+        ).filter(
+            F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+        )
+
+    sizes = g.select("_id", F.size("_g").alias("_n"))
+    postings = g.select("_id", F.explode("_g").alias("gram"))
+    inter = (
+        postings.alias("a")
+        .join(postings.alias("b"), on="gram")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("int").alias("inter_size"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_size"))
+            .cast("int")
+            .alias("union_size"),
         )
         .filter(
             F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num

@@ -40,7 +40,6 @@ from kafka_dead_letter_analyzer_spark.operators.errors import (
     ERROR_COL,
     error_to_dead_letter,
     split_errors,
-    union_all,
 )
 from kafka_dead_letter_analyzer_spark.operators.project import (
     to_error_examples,
@@ -76,45 +75,65 @@ def stream_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     Branch semantics: union of independent filters — NOT if/elif — a record
     carrying two dialects' headers is normalized twice
     (DeadLetterAnalyzerTopology.java:164-180, SURVEY.md §2.2 note).
+
+    Plan shape (scale): the four dialect branches are computed in ONE pass.
+    Each branch's normalization is a conditional array element (NULL unless
+    that branch's predicate fires) and the matched elements are exploded.
+    Catalyst does NOT merge four ``filter``+``union`` branches over the
+    same source into one scan — the naive translation reads the source four
+    times; this shape reads it once while preserving the exact
+    union-of-filters bag semantics (a two-dialect record still yields two
+    rows). The reference's four in-memory processor branches have no scan
+    to duplicate; a 100 TB parquet/Kafka scan does.
     """
     with_map = raw.withColumn("headers_map", headers_to_map("headers"))
     hmap = F.col("headers_map")
     value_text = F.col("value_text")
     record_ts = F.col("timestamp")
+    no_error = F.lit(None).cast("struct<error_class:string,message:string>")
+
+    def candidate(dead_letter: Column, error: Column) -> Column:
+        return F.struct(dead_letter.alias("dead_letter"), error.alias("err"))
 
     # F1: Avro dialect — the value already IS a DeadLetter (infallible).
-    avro = (
-        with_map.filter(P.is_avro_dialect(F.col("value_deadletter")))
-        .select(*ENVELOPE_COLS, F.col("value_deadletter").alias("dead_letter"))
-    )
-
-    ok_branches = [avro]
-    err_branches = []
+    branches = [
+        F.when(
+            P.is_avro_dialect(F.col("value_deadletter")),
+            candidate(F.col("value_deadletter"), no_error),
+        )
+    ]
     for predicate, parser in (
         (P.is_streams_dialect, P.parse_streams),
         (P.is_native_dialect, P.parse_native),
         (P.is_connect_dialect, P.parse_connect),
     ):
         dead_letter, error = parser(hmap, value_text, record_ts)
-        # project value + error channel in one pass (error refers to the
-        # header map, which is dropped here)
-        branch = with_map.filter(predicate(hmap)).select(
+        branches.append(F.when(predicate(hmap), candidate(dead_letter, error)))
+
+    # explode all four candidate slots, then drop the unmatched (NULL) ones
+    # with a codegen'd Filter — cheaper than an interpreted higher-order
+    # array filter before the explode
+    exploded = (
+        with_map.select(
             *ENVELOPE_COLS,
             value_text,
-            dead_letter.alias("dead_letter"),
-            error.alias(ERROR_COL),
+            F.explode(F.array(*branches)).alias("_cand"),
         )
-        ok, bad = split_errors(branch)
-        ok_branches.append(ok.drop("value_text"))
-        # E2: captured parse failure -> DeadLetter (input_value = raw value)
-        err_branches.append(
-            to_error_topic(
-                error_to_dead_letter(bad, CONVERT_ERROR_DESC, F.col("value_text"))
-            )
+        .filter(F.col("_cand").isNotNull())
+        .select(
+            *ENVELOPE_COLS,
+            "value_text",
+            F.col("_cand.dead_letter").alias("dead_letter"),
+            F.col("_cand.err").alias(ERROR_COL),
         )
+    )
 
-    dead_letters = union_all(ok_branches)
-    conversion_errors = union_all(err_branches)
+    ok, bad = split_errors(exploded)
+    dead_letters = ok.drop("value_text")
+    # E2: captured parse failure -> DeadLetter (input_value = raw value)
+    conversion_errors = to_error_topic(
+        error_to_dead_letter(bad, CONVERT_ERROR_DESC, F.col("value_text"))
+    )
     return dead_letters, conversion_errors
 
 
