@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the physical plans that make the engine
+scale-correct, asserted so they cannot silently regress.
+
+These inspect ``explain('formatted')`` output — cheap (no execution) and
+exactly what a reviewer would check by hand (PushedFilters, ReadSchema
+pruning, broadcast joins, scan counts, codegen coverage).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def Q():
+    from kafka_dead_letter_analyzer_spark import queries
+
+    return queries
+
+
+def test_q1_filter_pushed_to_scan(spark, Q):
+    s = plan_of(Q.tpch_q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+
+
+def test_q1_column_pruning(spark, Q):
+    s = plan_of(Q.tpch_q1_pricing_summary(spark, SF))
+    # ReadSchema must NOT include unused wide columns like l_comment
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("l_comment" not in l for l in read_schema)
+
+
+def test_q3_broadcasts_dimension_join(spark, Q):
+    s = plan_of(Q.tpch_q3_top_orders(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_topology_main_is_single_scan_no_shuffle(spark, Q):
+    """The full analyzer dataflow (dialect routing -> parse -> enrich ->
+    main output) must be ONE scan with NO exchange — dialect branches are
+    computed per-record in one pass (plans/topology.py), and nothing before
+    the A1 aggregation requires a shuffle."""
+    s = plan_of(Q.m1_topology_main(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Exchange" not in tree, tree
+
+
+def test_error_stats_single_shuffle(spark, Q):
+    """A1 stats: exactly one hash-partition Exchange (the reference's one
+    repartition topic, R1) with partial aggregation before it."""
+    s = plan_of(Q.a1_error_stats(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Exchange") == 1, tree
+    assert "HashAggregate" in s
+
+
+def test_first_example_uses_partial_agg_not_window(spark, Q):
+    """First-per-group is min_by (partial-aggregable, one shuffle) — not a
+    window sort, which would full-sort every partition at scale."""
+    s = plan_of(Q.a1_first_example(spark, SF))
+    assert "Window" not in s
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_dedup_exact_is_one_shuffle_with_partial_agg(spark, Q):
+    s = plan_of(Q.x_dedup_exact(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_text_stats_is_narrow(spark, Q):
+    """Pure per-row projection: no exchange anywhere."""
+    s = plan_of(Q.x_text_stats(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert "Exchange" not in tree, tree
+
+
+def test_cosine_topk_is_take_ordered(spark, Q):
+    """Exact top-k compiles to TakeOrderedAndProject: per-task k-row heaps,
+    no global sort, no shuffle of vector data."""
+    s = plan_of(Q.x_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in s
+    tree = s[: s.find("(1) ")]
+    assert "Exchange" not in tree, tree
