@@ -176,8 +176,17 @@ def error_feedback_pass(outputs: TopologyOutputs, error_topic_name: str = "analy
     a DeadLetter) and runs the topology once more. By construction this
     reaches a fixpoint in one pass: re-ingested dead letters skip parsing,
     and every engine-synthesized cause carries a non-null stack trace.
+
+    The error-topic frame is persisted at the loop boundary: in streaming,
+    E3 crosses the broker — a real materialization point — and the batch
+    analog re-consumes the (tiny) error stream for every pass-2 output;
+    persisting reproduces that boundary instead of re-running the whole
+    pass-1 lineage per consumer.
     """
-    errs = outputs.error_topic.select(
+    from pyspark import StorageLevel
+
+    errors_materialized = outputs.error_topic.persist(StorageLevel.MEMORY_AND_DISK)
+    errs = errors_materialized.select(
         F.lit(error_topic_name).alias("topic"),
         F.lit(0).cast("int").alias("partition"),
         F.monotonically_increasing_id().alias("offset"),
