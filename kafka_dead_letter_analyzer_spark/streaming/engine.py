@@ -167,6 +167,66 @@ class StreamingTopology:
     error_topic: DataFrame  # append; loops back via the broker (E3)
 
 
+def start_stateless_outputs(
+    raw_stream: DataFrame,
+    write_full,
+    write_errors,
+    checkpoint_dir: str,
+    query_name: str = "dead-letter-analyzer-stateless",
+):
+    """Run BOTH stateless outputs (O1 full feed + O4 error topic) from ONE
+    consumption of the source.
+
+    Four independent ``writeStream`` queries would each re-read the Kafka
+    source and re-run the dialect routing — 4x broker egress at scale.
+    ``foreachBatch`` gives the per-micro-batch hook to persist the shared
+    normalization once and fan out to any number of batch writers, the
+    streaming analog of the reference computing all outputs in one
+    topology pass. The stateful outputs (stats, examples) stay in their
+    own queries: they need Spark-managed state stores, which foreachBatch
+    does not provide.
+
+    ``write_full`` / ``write_errors`` are callables ``(DataFrame,
+    batch_id) -> None`` (e.g. Kafka/parquet batch writers).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out = _stateless_outputs(batch_df)
+            write_full(out[0], batch_id)
+            write_errors(out[1], batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _stateless_outputs(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(full_dead_letters, error_topic) for one batch of raw envelopes."""
+    dead_letters, conversion_errors = stream_dead_letters(raw)
+    enriched_all = enrich_with_context(dead_letters)
+    enriched, analyze_bad = split_errors(enriched_all)
+    analysis_errors = to_error_topic(
+        error_to_dead_letter(
+            analyze_bad.drop("context", "error_key"),
+            ANALYZE_ERROR_DESC,
+            F.to_json(F.col("dead_letter")),
+        )
+    )
+    return (
+        to_full_dead_letters(enriched),
+        conversion_errors.unionByName(analysis_errors),
+    )
+
+
 def build_streaming_topology(raw_stream: DataFrame) -> StreamingTopology:
     """Wire the complete dataflow over a streaming RAW_ENVELOPE frame.
 

@@ -240,3 +240,41 @@ def test_streaming_full_output_appends(spark, tmp_path, ts):
         "my-dead-letters+0+0",
         "my-dead-letters+0+1",
     }
+
+
+def test_foreachbatch_stateless_outputs_single_consumption(spark, tmp_path, ts):
+    """One foreachBatch query produces BOTH stateless outputs (full feed +
+    error topic) — shared normalization, single source consumption."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        start_stateless_outputs,
+    )
+
+    good = FX.envelope(offset=0, timestamp=ts(0),
+                       value_deadletter=FX.dead_letter_value())
+    bad = FX.envelope(  # null stack trace -> N1 failure -> error topic
+        offset=1, key="bad", timestamp=ts(1),
+        value_deadletter=FX.dead_letter_value(stack_trace=None))
+    src = str(tmp_path / "src")
+    _write_envelopes(spark, src, [good, bad])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+
+    collected = {}
+
+    def sink(name):
+        def write(df, batch_id):
+            collected.setdefault(name, []).extend(df.collect())
+        return write
+
+    q = start_stateless_outputs(
+        raw, sink("full"), sink("errors"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    [full] = collected["full"]
+    assert full["kafka_key"] == "my-dead-letters+0+0"
+    [err] = collected["errors"]
+    assert err["dead_letter"]["description"] == "Error analyzing dead letter"
+    assert err["kafka_key"] == "bad"
