@@ -268,8 +268,17 @@ def dedup_near_simhash(
     Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair within
     Hamming <= 3 agrees exactly on >= 1 band, so a 4-way band-equality join
     finds all such pairs without O(n²). Returns (id_a, id_b, hamming).
+
+    The (id, simhash) frame is persisted: both sides of the band self-join
+    consume it, and it is 16 bytes/doc — persisting beats re-running the
+    tokenize+hash+vote lineage twice (same rationale as
+    :func:`dedup_near_minhash`).
     """
-    sh = simhash64_frame(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    sh = simhash64_frame(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # static 4-band unroll (shift amounts must be python ints)
     band_structs = F.array(
         *[

@@ -110,14 +110,20 @@ def stream_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         dead_letter, error = parser(hmap, value_text, record_ts)
         branches.append(F.when(predicate(hmap), candidate(dead_letter, error)))
 
-    # explode all four candidate slots, then drop the unmatched (NULL) ones
-    # with a codegen'd Filter — cheaper than an interpreted higher-order
-    # array filter before the explode
+    # Each candidate slot is evaluated exactly once per record (guarded by
+    # its dialect predicate); unmatched (NULL) slots are dropped by a
+    # codegen'd Filter after the explode — cheaper than an interpreted
+    # higher-order array filter before it.
+    with_candidates = with_map.select(
+        *ENVELOPE_COLS,
+        value_text,
+        F.array(*branches).alias("_cands"),
+    )
     exploded = (
-        with_map.select(
+        with_candidates.select(
             *ENVELOPE_COLS,
-            value_text,
-            F.explode(F.array(*branches)).alias("_cand"),
+            "value_text",
+            F.explode("_cands").alias("_cand"),
         )
         .filter(F.col("_cand").isNotNull())
         .select(

@@ -733,13 +733,21 @@ def p1_streams_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(full)
     hmap = H.headers_to_map(headers)
     dead_letter, error = P.parse_streams(hmap, F.col("props"), F.col("ts"))
-    ok = error.isNull()
-    return events.select(
+    # Two-step projection: the parse trees are referenced by several
+    # conditional output columns, and Spark's subexpression elimination
+    # skips conditionally-evaluated expressions — aliasing them in their
+    # own Project keeps CollapseProject from re-inlining the expensive
+    # trees per referencing column (measured 4x without this).
+    parsed = events.select(
+        "event_id", dead_letter.alias("_dl"), error.alias("_err")
+    )
+    ok = F.col("_err").isNull()
+    return parsed.select(
         "event_id",
         F.when(ok, F.lit("ok")).otherwise(F.lit("error")).alias("status"),
-        F.when(ok, dead_letter["description"]).alias("description"),
-        F.when(ok, dead_letter["offset"]).alias("origin_offset"),
-        F.when(~ok, error["message"]).alias("error_message"),
+        F.when(ok, F.col("_dl.description")).alias("description"),
+        F.when(ok, F.col("_dl.offset")).alias("origin_offset"),
+        F.when(~ok, F.col("_err.message")).alias("error_message"),
     )
 
 
