@@ -26,9 +26,14 @@ WORDPIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
-    t = F.trim(F.col(text) if isinstance(text, str) else text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_RE)))
+    """Whitespace token count; 0 for empty/blank strings.
+
+    Counts ``\\S+`` runs rather than splitting: ``trim``-then-``split``
+    miscounts strings that are blank-but-not-space (``"\\n"`` -> 2) because
+    SQL ``trim`` strips only spaces.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
 
 
 def wordpiece_count(text: Column | str) -> Column:
@@ -38,10 +43,7 @@ def wordpiece_count(text: Column | str) -> Column:
 
 
 def token_count_sql(col: str) -> str:
-    return (
-        f"CASE WHEN trim({col}) = '' THEN 0 "
-        f"ELSE len(string_split_regex(trim({col}), '{WS_RE}')) END"
-    )
+    return f"len(regexp_extract_all({col}, '\\S+'))"
 
 
 def wordpiece_count_sql(col: str) -> str:

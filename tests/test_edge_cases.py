@@ -1,0 +1,162 @@
+"""Differential edge-case tests: the engine's scalar operators vs direct
+Python reimplementations of the reference semantics, over one batch of
+adversarial inputs (empty strings, unicode, exotic whitespace, regex
+metacharacters, huge values). One Spark job per operator family.
+
+The Python oracles are deliberately independent reimplementations of the
+reference logic (StackTraceClassifier.java:36-67, HeaderHelper.java:36-64,
+token semantics of operators/text.py) — differential testing, not
+self-comparison.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+NASTY = [
+    "",
+    " ",
+    "\n",
+    "\t",
+    "\n\n\n",
+    "x",
+    "j",  # single char, matches EXCEPTION_RE
+    "java.lang.RuntimeException",
+    "java.lang.RuntimeException: boom",
+    "java.lang.RuntimeException: boom\n\tat com.example.App.run(App.java:12)",
+    "\tat com.example.App.run(App.java:12)",  # frame on first line
+    "\tat com.example.App.run(App.java:12)\n\tat other.Frame.go(Frame.java:1)",
+    "NoColonFirstLine\n\tat a.b.C.d(C.java:9)",
+    "ünïcödé exception: ärger\nzweite zeile",
+    "$Lambda$123/0x00: weird\n\tat a.B.c(B.java:3)",
+    "a: b\n\tat not_a_frame(",
+    "(parens) first [brackets]",
+    "multi word first line with trailing tab\t\nsecond",
+    "x" * 10_000,
+    "line1\r\nline2",  # carriage return is NOT a split char in either impl
+    "  leading spaces\n\tat p.Q.r(Q.java:5)",
+    "\tat bad.java:12)\nfallback.Class",
+    "日本語のエラー: 失敗\n\tat jp.co.Ex.run(Ex.java:7)",
+]
+
+# re.ASCII: Java regex \w is ASCII-only (no UNICODE_CHARACTER_CLASS) — the
+# reference's semantics, which Spark (Java regex) and DuckDB (RE2) share.
+STACK_FRAME_RE = re.compile(r"(?:\n|^)\tat ([.\w]+\(\w+.java:\d+\))(?:\n|$)", re.ASCII)
+EXCEPTION_RE = re.compile(r"^([.\w$]+).*", re.ASCII)
+
+
+def classify_py(st: str) -> str:
+    """Reference StackTraceClassifier.java:42-45 reimplemented directly."""
+    first = st.split("\n")[0]
+    m = STACK_FRAME_RE.search(st)
+    if m and m.group(1):
+        return m.group(1)
+    m = EXCEPTION_RE.match(first)
+    if m and m.group(1):
+        return m.group(1)
+    return first
+
+
+def token_count_py(t: str) -> int:
+    return len(t.split())  # == count of \S+ runs
+
+
+@pytest.fixture(scope="module")
+def nasty_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(NASTY)], "i int, s string"
+    )
+
+
+def test_classifier_matches_reference_reimplementation(spark, nasty_df):
+    from kafka_dead_letter_analyzer_spark.functions.classify import (
+        classify_stack_trace,
+    )
+
+    got = {
+        r["i"]: r["c"]
+        for r in nasty_df.select("i", classify_stack_trace("s").alias("c")).collect()
+    }
+    for i, s in enumerate(NASTY):
+        assert got[i] == classify_py(s), f"case {i}: {s[:60]!r}"
+
+
+def test_classifier_null_input_is_null(spark):
+    from kafka_dead_letter_analyzer_spark.functions.classify import (
+        classify_stack_trace,
+    )
+
+    df = spark.createDataFrame([(None,)], "s string")
+    [row] = df.select(classify_stack_trace("s").alias("c")).collect()
+    assert row["c"] is None
+
+
+def test_token_count_matches_python(spark, nasty_df):
+    from kafka_dead_letter_analyzer_spark.operators.text import token_count
+
+    got = {
+        r["i"]: r["n"]
+        for r in nasty_df.select("i", token_count("s").alias("n")).collect()
+    }
+    for i, s in enumerate(NASTY):
+        assert got[i] == token_count_py(s), f"case {i}: {s[:60]!r}"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    """Same content modulo case/punctuation/whitespace -> same fingerprint;
+    different content -> different."""
+    from kafka_dead_letter_analyzer_spark.operators.text import fingerprint
+
+    variants = [
+        "Hello, World! 42",
+        "hello world 42",
+        "HELLO... world?! 42",
+        "  hello\tworld\n42  ",
+    ]
+    other = "hello world 43"
+    df = spark.createDataFrame([(s,) for s in variants + [other]], "s string")
+    fps = [r["f"] for r in df.select(fingerprint("s").alias("f")).collect()]
+    assert len(set(fps[:4])) == 1
+    assert fps[4] != fps[0]
+
+
+def test_header_multimap_last_wins(spark):
+    """Duplicate header keys: the LAST occurrence wins
+    (HeaderHelper.java:54-56), including a later null value shadowing an
+    earlier non-null one."""
+    from kafka_dead_letter_analyzer_spark.functions.headers import (
+        header_string,
+        headers_to_map,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([("k", b"first"), ("k", b"second")],),
+            ([("k", b"value"), ("k", None)],),
+            ([("k", None), ("k", b"recovered")],),
+        ],
+        "headers array<struct<key:string,value:binary>>",
+    )
+    hm = headers_to_map("headers")
+    rows = df.select(header_string(hm, "k").alias("v")).collect()
+    assert [r["v"] for r in rows] == ["second", None, "recovered"]
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    """All-zero scores -> 'und'; equal nonzero scores -> alphabetically
+    first language (documented determinism rule)."""
+    from kafka_dead_letter_analyzer_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("zzz qqq xxx",),  # no stopwords at all
+            ("the der",),  # en and de tie at 1 -> 'de' (alphabetical)
+            ("",),
+        ],
+        "s string",
+    )
+    rows = df.select(lang_id("s").alias("l")).collect()
+    assert [r["l"] for r in rows] == ["und", "de", "und"]
