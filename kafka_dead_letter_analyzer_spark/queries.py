@@ -852,3 +852,17 @@ def e3_feedback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = build_topology(_events_envelope(load_table(spark, sf_dir, "events")))
     out2 = error_feedback_pass(out1)
     return out2.error_statistics.select("kafka_key", "count", "topic", "type")
+
+
+@_register("x_winnow_near_dups")
+def x_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) near-duplicate pairs: k-gram rolling hashes
+    -> per-window minima sketch -> inverted-index self-join counting shared
+    fingerprints (Schleimer et al., SIGMOD'03). Engine-hash based ->
+    rows-only check; correctness pinned by planted-duplicate tests.
+    (max_df/min_shared tuned to the synthetic corpus, which is template
+    generated and extremely repetitive — 834 distinct fingerprints across
+    5000 sf0.1 docs, median document frequency 287.)"""
+    return TX.winnow_near_dups(
+        load_table(spark, sf_dir, "documents"), min_shared=3, max_df=100
+    )

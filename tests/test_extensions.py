@@ -232,3 +232,43 @@ def test_frame_sample_plan(spark):
         (1, 1000),
         (2, 2000),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a long substring share at
+    least one fingerprint — and here, heavily-overlapping docs share many,
+    while unrelated docs share (essentially) none."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "PREFIX added. " + base),  # same content, shifted
+            (3, "completely different words about astronomy and telescopes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+        for r in TX.winnow_near_dups(docs, min_shared=1).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 5  # shifted copy shares most fingerprints
+    assert pairs.get((1, 3), 0) <= 1
+    assert pairs.get((2, 3), 0) <= 1
+
+
+def test_winnow_short_document_sketch(spark):
+    """Documents shorter than k chars still sketch (whole-text hash)."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "")], "doc_id bigint, text string"
+    )
+    sk = docs.select(
+        "doc_id", TX.winnow_fingerprints("text").alias("s")
+    ).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sk}
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 1
+    assert len(by_id[3]) == 1
