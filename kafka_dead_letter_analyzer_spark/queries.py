@@ -866,3 +866,17 @@ def x_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_near_dups(
         load_table(spark, sf_dir, "documents"), min_shared=3, max_df=100
     )
+
+
+@_register("x_cosine_topk_ivf")
+def x_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF: deterministic-sample k-means coarse quantizer,
+    nprobe-cell pruned exact ranking (the third ANN tier next to
+    brute-force and LSH). Engine-side fit -> rows-only check; recall vs
+    the exact search is pinned in tests."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    centroids = S.fit_ivf_centroids(embs, n_centroids=16, sample_size=1024)
+    return S.cosine_topk_ivf(
+        embs, list(row["embedding"]), centroids, k=10, nprobe=4
+    )

@@ -272,3 +272,52 @@ def test_winnow_short_document_sketch(spark):
     by_id = {r["doc_id"]: r["s"] for r in sk}
     assert by_id[1] == by_id[2] and len(by_id[1]) == 1
     assert len(by_id[3]) == 1
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_against_exact(spark, embs):
+    [row] = embs.filter(F.col("vec_id") == 7).select("embedding").collect()
+    q = list(row["embedding"])
+    exact = {r["vec_id"] for r in S.cosine_topk(embs, q, k=10).collect()}
+    cents = S.fit_ivf_centroids(embs, n_centroids=8, sample_size=256)
+    approx = {
+        r["vec_id"]
+        for r in S.cosine_topk_ivf(embs, q, cents, k=10, nprobe=4).collect()
+    }
+    # half the cells probed -> expect solid (not perfect) recall
+    assert len(exact & approx) >= 5
+    # full probe == exact search
+    full = {
+        r["vec_id"]
+        for r in S.cosine_topk_ivf(embs, q, cents, k=10, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_fit_is_deterministic(spark, embs):
+    import numpy as np
+
+    c1 = S.fit_ivf_centroids(embs, n_centroids=8, sample_size=256)
+    c2 = S.fit_ivf_centroids(embs, n_centroids=8, sample_size=256)
+    assert np.array_equal(c1, c2)
+
+
+def test_frame_sample_plan_expands_by_duration(spark):
+    media = spark.createDataFrame(
+        [
+            (1, None, ("video", "fake", None, None, 3500)),
+            (2, None, ("video", "fake", None, None, 0)),
+        ],
+        "media_id bigint, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>",
+    )
+    rows = MM.frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000]
+    assert by_id[2] == [0]
