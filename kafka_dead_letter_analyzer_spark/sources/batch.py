@@ -30,7 +30,28 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable SQL confs defensively.
+
+    The driver harness may hand us a SparkSession built without
+    session.py's defaults; without these, reading events.parquet
+    (TIMESTAMP NANOS) throws PARQUET_TYPE_ILLEGAL, header-map collapse
+    loses last-wins semantics, and sink timestamp strings follow the host
+    zone instead of UTC. All three are runtime-settable; setting them is
+    idempotent and free."""
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf removed/renamed in a future version: proceed
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): read as long ns (legacy conf in
     # session.py) and truncate to micros with integer division — float math
