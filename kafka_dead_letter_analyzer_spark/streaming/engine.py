@@ -153,6 +153,97 @@ def streaming_first_examples(enriched: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-record stats emission (exact reference cadence)
+# ---------------------------------------------------------------------------
+
+_STATS_IN = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("offset", T.LongType(), True),
+    ]
+)
+
+_STATS_OUT = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("created", T.TimestampType(), False),
+        T.StructField("updated", T.TimestampType(), False),
+    ]
+)
+
+_STATS_STATE = T.StructType(
+    [
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("created", T.TimestampType(), False),
+        T.StructField("updated", T.TimestampType(), False),
+    ]
+)
+
+
+def _per_record_stats_fn(key, pdfs, state) -> Iterator:
+    """Reference emission cadence: ONE stats row per input record
+    (ErrorAggregatingProcessor.java:90-91 — state written back and a
+    Result forwarded for every record). Rows within a micro-batch are
+    processed in (ts, offset) order for determinism."""
+    import pandas as pd
+
+    count, created, updated = state.get if state.exists else (0, None, None)
+    out_rows = []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts", "offset"], kind="stable").iterrows():
+            ts = row["ts"]
+            count += 1
+            created = ts if created is None or ts < created else created
+            updated = ts if updated is None or ts > updated else updated
+            out_rows.append(
+                {
+                    "topic": key[0],
+                    "type": key[1],
+                    "count": count,
+                    "created": created,
+                    "updated": updated,
+                }
+            )
+    if not out_rows:
+        return
+    state.update((count, created, updated))
+    yield pd.DataFrame(out_rows)
+
+
+def streaming_error_statistics_per_record(enriched: DataFrame) -> DataFrame:
+    """A1 stats with the reference's exact one-output-per-input cadence
+    (vs. :func:`streaming_error_statistics`, which emits the converged
+    value per key per micro-batch — same final state, fewer rows). Use
+    this when downstream consumes the full update stream rather than
+    upserting. Output: FullErrorStatistics sink rows."""
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.col("context.timestamp").alias("ts"),
+        F.col("context.offset").alias("offset"),
+    )
+    out = keyed.groupBy("topic", "type").applyInPandasWithState(
+        _per_record_stats_fn,
+        outputStructType=_STATS_OUT,
+        stateStructType=_STATS_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return out.select(
+        stats_key(F.col("topic"), F.col("type")).alias("kafka_key"),
+        F.col("count"),
+        format_timestamp(F.col("created")).alias("created"),
+        format_timestamp(F.col("updated")).alias("updated"),
+        "topic",
+        "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full streaming topology
 # ---------------------------------------------------------------------------
 

@@ -278,3 +278,52 @@ def test_foreachbatch_stateless_outputs_single_consumption(spark, tmp_path, ts):
     [err] = collected["errors"]
     assert err["dead_letter"]["description"] == "Error analyzing dead letter"
     assert err["kafka_key"] == "bad"
+
+
+def test_per_record_stats_cadence(spark, tmp_path, ts):
+    """The exact-cadence stats operator emits ONE row per input record with
+    the running aggregate (reference behavior,
+    ErrorAggregatingProcessor.java:90-91) — across micro-batches."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.errors import split_errors
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_error_statistics_per_record,
+    )
+
+    batch1 = [
+        FX.envelope(offset=0, timestamp=ts(5), value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, timestamp=ts(1), value_deadletter=FX.dead_letter_value()),
+    ]
+    batch2 = [
+        FX.envelope(offset=2, timestamp=ts(9), value_deadletter=FX.dead_letter_value()),
+    ]
+    src = str(tmp_path / "src")
+    _write_envelopes(spark, src, batch1)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched, _ = split_errors(enrich_with_context(dead_letters))
+    q = (
+        streaming_error_statistics_per_record(enriched)
+        .writeStream.format("memory")
+        .queryName("stats_cadence")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_envelopes(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(spark.table("stats_cadence").collect(), key=lambda r: r["count"])
+    assert [r["count"] for r in rows] == [1, 2, 3]  # one emission per record
+    assert rows[0]["created"] == "2024-01-01T12:01:00.000"  # (ts,offset) order
+    assert rows[1]["created"] == "2024-01-01T12:01:00.000"
+    assert rows[1]["updated"] == "2024-01-01T12:05:00.000"
+    assert rows[2]["updated"] == "2024-01-01T12:09:00.000"  # state carried over
