@@ -13,7 +13,9 @@ differs in streaming:
 from kafka_dead_letter_analyzer_spark.streaming.engine import (
     StreamingTopology,
     build_streaming_topology,
+    start_stateless_outputs,
     streaming_error_statistics,
+    streaming_error_statistics_per_record,
     streaming_first_examples,
 )
 from kafka_dead_letter_analyzer_spark.streaming.kafka import (
@@ -25,7 +27,9 @@ from kafka_dead_letter_analyzer_spark.streaming.kafka import (
 __all__ = [
     "StreamingTopology",
     "build_streaming_topology",
+    "start_stateless_outputs",
     "streaming_error_statistics",
+    "streaming_error_statistics_per_record",
     "streaming_first_examples",
     "decode_kafka_records",
     "kafka_sink_projection",
