@@ -880,3 +880,74 @@ def x_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(
         embs, list(row["embedding"]), centroids, k=10, nprobe=4
     )
+
+
+@_register(
+    "x_stats_rollup",
+    """
+    SELECT coalesce(event_type, '<all>') AS type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), '<all>') AS origin_partition,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(user_id % 4 AS VARCHAR))
+    """,
+)
+def x_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical stats (dashboard surface): per (type, origin-partition)
+    counts with ROLLUP subtotals per type and a grand total. One shuffle;
+    Spark expands grouping sets map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("event_type"),
+            (F.col("user_id") % 4).cast("string").alias("origin_partition"),
+        )
+        .rollup("event_type", "origin_partition")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("type"),
+            F.coalesce(F.col("origin_partition"), F.lit("<all>")).alias(
+                "origin_partition"
+            ),
+            F.col("n"),
+        )
+    )
+
+
+@_register(
+    "x_top_types_per_topic",
+    """
+    SELECT * FROM (
+      SELECT event_type AS type,
+             CAST(user_id % 4 AS INTEGER) AS origin_partition,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY count(*) DESC, CAST(user_id % 4 AS INTEGER)
+             ) AS rank
+      FROM events
+      GROUP BY event_type, CAST(user_id % 4 AS INTEGER)
+    ) WHERE rank <= 2
+    """,
+)
+def x_top_types_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 origin partitions per error type by volume (windowed top-k
+    after aggregation — the window runs over |types x partitions| grouped
+    rows, never the raw stream; deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    grouped = (
+        events.groupBy(
+            F.col("event_type").alias("type"),
+            (F.col("user_id") % 4).cast("int").alias("origin_partition"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("type").orderBy(
+        F.col("n").desc(), F.col("origin_partition")
+    )
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+    )
