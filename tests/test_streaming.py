@@ -327,3 +327,48 @@ def test_per_record_stats_cadence(spark, tmp_path, ts):
     assert rows[1]["created"] == "2024-01-01T12:01:00.000"
     assert rows[1]["updated"] == "2024-01-01T12:05:00.000"
     assert rows[2]["updated"] == "2024-01-01T12:09:00.000"  # state carried over
+
+
+def test_first_example_state_survives_restart(spark, tmp_path, ts):
+    """Stop the query, restart from the SAME checkpoint, feed the same key
+    again — the state store must restore and the key must NOT re-emit
+    (exactly-once example semantics across restarts)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, key="first", timestamp=ts(1),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+
+    collected: list = []
+
+    def start():
+        raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+        topo = build_streaming_topology(raw)
+        return (
+            topo.error_examples.writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(collected) == 1 and collected[0]["example"]["key"] == "first"
+
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=5, key="second-arrival", timestamp=ts(2),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # restored state: same (topic, type) key -> nothing new emitted
+    assert len(collected) == 1
