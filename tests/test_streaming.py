@@ -372,3 +372,31 @@ def test_first_example_state_survives_restart(spark, tmp_path, ts):
         q2.stop()
     # restored state: same (topic, type) key -> nothing new emitted
     assert len(collected) == 1
+
+
+def test_claim_check_roundtrip(spark, tmp_path):
+    """Large values detour through the blob store and resolve back;
+    small values pass through inline; rewrite is idempotent."""
+    from kafka_dead_letter_analyzer_spark.streaming.large_message import (
+        MARKER,
+        claim_check_reads,
+        claim_check_writes,
+    )
+
+    big = "x" * 5000
+    df = spark.createDataFrame(
+        [(1, "small"), (2, big), (3, None)], "id int, value string"
+    )
+    blob_dir = str(tmp_path / "blobs")
+    wrapped = claim_check_writes(df, threshold=1000, blob_dir=blob_dir)
+    rows = {r["id"]: r["value"] for r in wrapped.collect()}
+    assert rows[1] == "small"
+    assert rows[2].startswith(MARKER)
+    assert rows[3] is None
+    # idempotent: second pass creates no extra blobs
+    claim_check_writes(df, threshold=1000, blob_dir=blob_dir).collect()
+    import os
+    assert len(os.listdir(blob_dir)) == 1
+
+    restored = {r["id"]: r["value"] for r in claim_check_reads(wrapped).collect()}
+    assert restored == {1: "small", 2: big, 3: None}
