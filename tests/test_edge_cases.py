@@ -160,3 +160,37 @@ def test_lang_id_deterministic_tiebreak(spark):
     )
     rows = df.select(lang_id("s").alias("l")).collect()
     assert [r["l"] for r in rows] == ["und", "de", "und"]
+
+
+def test_wordpiece_count_matches_python(spark, nasty_df):
+    from kafka_dead_letter_analyzer_spark.operators.text import (
+        WORDPIECE_RE,
+        wordpiece_count,
+    )
+
+    got = {
+        r["i"]: r["n"]
+        for r in nasty_df.select("i", wordpiece_count("s").alias("n")).collect()
+    }
+    pat = re.compile(WORDPIECE_RE, re.ASCII)  # Java \s / class semantics
+    for i, s in enumerate(NASTY):
+        assert got[i] == len(pat.findall(s)), f"case {i}: {s[:60]!r}"
+
+
+def test_quality_ratios_bounded_and_safe(spark, nasty_df):
+    """Ratios never NaN/negative, even for empty/blank/huge inputs."""
+    from kafka_dead_letter_analyzer_spark.operators.text import quality_features
+
+    feats = quality_features("s")
+    rows = nasty_df.select(
+        "i",
+        feats["mean_token_len"].alias("mtl"),
+        feats["punct_ratio"].alias("pr"),
+        feats["stopword_ratio"].alias("sr"),
+    ).collect()
+    assert len(rows) == len(NASTY)
+    for r in rows:
+        for c in ("mtl", "pr", "sr"):
+            v = r[c]
+            assert v is not None and v == v and v >= 0, (r["i"], c, v)
+        assert r["pr"] <= 1.0
