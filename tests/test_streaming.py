@@ -400,3 +400,38 @@ def test_claim_check_roundtrip(spark, tmp_path):
 
     restored = {r["id"]: r["value"] for r in claim_check_reads(wrapped).collect()}
     assert restored == {1: "small", 2: big, 3: None}
+
+
+def test_structured_key_stringified_through_topology(spark):
+    """Mirror of the reference's shouldReadAvroKey e2e
+    (DeadLetterAnalyzerTopologyTest.java:636-675): a structured record key
+    arrives as bytes, is stringified at decode (P5), flows into
+    context.key on the main output AND into the example — all three
+    outputs keyed consistently; no dead letters produced."""
+    dl = FX.dead_letter_value(
+        input_value="foo",
+        description="description",
+        stack_trace=(
+            "org.jdbi.v3.core.ConnectionException: "
+            "java.sql.SQLTransientConnectionException\n"
+            "\tat org.jdbi.v3.core.Jdbi.open(Jdbi.java:319)\n"
+        ),
+    )
+    df = spark.createDataFrame(
+        [_kafka_row(json.dumps(dl).encode(), key=b'{"id":1}')],
+        schema=KAFKA_SHAPE,
+    )
+    out = build_topology(decode_kafka_records(df, use_avro=False))
+
+    [full] = out.full_dead_letters.collect()
+    assert full["kafka_key"] == "my-dead-letters+0+0"
+    assert full["key"] == '{"id":1}'
+    assert full["type"] == "org.jdbi.v3.core.Jdbi.open(Jdbi.java:319)"
+
+    [stats] = out.error_statistics.collect()
+    assert stats["kafka_key"] == (
+        "my-dead-letters:org.jdbi.v3.core.Jdbi.open(Jdbi.java:319)"
+    )
+    [example] = out.error_examples.collect()
+    assert example["example"]["key"] == '{"id":1}'
+    assert out.error_topic.count() == 0
