@@ -466,11 +466,10 @@ def x_lang_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-ID operator; exact integer aggregates only)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            TX.lang_id("text").alias("pred_lang"),
-            TX.token_count("text").alias("_tok"),
-            "n_chars",
+        TX.with_lang_id(
+            docs.select("text", TX.token_count("text").alias("_tok"), "n_chars")
         )
+        .drop("text")
         .groupBy("pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
