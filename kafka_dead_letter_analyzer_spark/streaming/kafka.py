@@ -134,7 +134,11 @@ def decode_kafka_records(
         use_avro = _avro_usable(kafka_df.sparkSession)
 
     value_text = F.col("value").cast("string")
-    attempts = []
+    # Two-step projection: each parse attempt is materialized ONCE in its
+    # own Project; the validity predicate references it 3x and the value a
+    # 4th time — inlined, the parse would re-run per reference
+    # (subexpression elimination skips conditional branches).
+    parse_cols = {"_json": F.from_json(value_text, DEAD_LETTER)}
     if use_avro:
         from pyspark.sql.avro.functions import from_avro
 
@@ -142,21 +146,30 @@ def decode_kafka_records(
         is_wire = (F.length("value") > 5) & (
             F.expr("substring(value, 1, 1)") == F.lit(bytes([0]))
         )
-        avro_parsed = from_avro(
-            F.when(is_wire, wire_payload), _dead_letter_avro_schema(), {"mode": "PERMISSIVE"}
+        parse_cols["_avro"] = from_avro(
+            F.when(is_wire, wire_payload),
+            _dead_letter_avro_schema(),
+            {"mode": "PERMISSIVE"},
         )
-        attempts.append(F.when(_is_dead_letter(avro_parsed), avro_parsed))
-    json_parsed = F.from_json(value_text, DEAD_LETTER)
-    attempts.append(F.when(_is_dead_letter(json_parsed), json_parsed))
 
-    return kafka_df.select(
+    parsed = kafka_df.select(
+        "topic", "partition", "offset", "timestamp", "key", "headers",
+        value_text.alias("value_text"),
+        *[c.alias(name) for name, c in parse_cols.items()],
+    )
+    attempts = []
+    if use_avro:
+        attempts.append(F.when(_is_dead_letter(F.col("_avro")), F.col("_avro")))
+    attempts.append(F.when(_is_dead_letter(F.col("_json")), F.col("_json")))
+
+    return parsed.select(
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
         F.col("timestamp"),
         F.col("key").cast("string").alias("key"),
         F.coalesce(*attempts).alias("value_deadletter"),
-        value_text.alias("value_text"),
+        F.col("value_text"),
         F.col("headers"),
     )
 
