@@ -138,3 +138,44 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def fake_resizer(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """Deterministic resize stand-in: real implementation would decode,
+    resample, and re-encode (PIL/ffmpeg). The fake keeps plumbing honest —
+    output depends on payload AND target size, and is idempotent."""
+    if payload is None:
+        return None
+    marker = f"resized:{width}x{height}:".encode()
+    # strip any prior marker (whatever its dimensions) before re-marking
+    body = payload.split(b":", 2)[2] if payload.startswith(b"resized:") else payload
+    return marker + body[: max(width * height // 64, 1)]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes | None, int, int], bytes | None] = fake_resizer,
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (mapInPandas; constant
+    memory per task). Output schema == MEDIA_COLUMNS with payload replaced
+    and meta.width/height updated — downstream operators are unchanged.
+    Inject a real codec via ``resizer`` in production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for m in pdf["meta"]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [resizer(p, width, height) for p in pdf["payload"]],
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_COLUMNS)

@@ -321,3 +321,16 @@ def test_frame_sample_plan_expands_by_duration(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert sorted(by_id[1]) == [0, 1000, 2000]
     assert by_id[2] == [0]
+
+
+def test_resize_media_plumbing(spark, docs):
+    media = MM.documents_as_media(docs.limit(10))
+    resized = MM.resize_media(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 32
+        assert bytes(r["payload"]).startswith(b"resized:32x32:")
+    # idempotent: resizing a resized payload does not stack markers
+    again = MM.resize_media(resized, 32, 32).collect()
+    assert [bytes(r["payload"]) for r in again] == [bytes(r["payload"]) for r in rows]
