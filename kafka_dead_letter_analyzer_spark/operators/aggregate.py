@@ -72,3 +72,37 @@ def first_examples(enriched: DataFrame) -> DataFrame:
             F.col("example.dead_letter").alias("dead_letter"),
         )
     )
+
+
+def error_statistics_salted(enriched: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """A1 stats with explicit key salting — the skew-mitigation variant.
+
+    A single exploding error type (the realistic hot key: one bug storm)
+    funnels every row through one reducer in the plain groupBy. Salting
+    splits the hot key across ``salt_buckets`` partial aggregates and
+    re-combines: count is summed; created/updated are min/max of partials
+    (all three are associative, so the two-phase result is EXACTLY the
+    one-phase result — verified by test against :func:`error_statistics`).
+
+    AQE's skew handling covers joins but not aggregation hot keys; partial
+    (map-side) aggregation usually absorbs them, but when one key's
+    post-combine volume still dominates (many distinct map partitions, one
+    reducer), this is the standard fix. Cost: one extra (tiny) shuffle over
+    |keys| x salt_buckets rows.
+    """
+    salted = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.col("context.timestamp").alias("ts"),
+        (F.spark_partition_id() % salt_buckets).alias("_salt"),
+    )
+    partial = salted.groupBy("topic", "type", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("ts").alias("_min"),
+        F.max("ts").alias("_max"),
+    )
+    return partial.groupBy("topic", "type").agg(
+        F.sum("_cnt").cast("int").alias("count"),
+        F.min("_min").alias("created"),
+        F.max("_max").alias("updated"),
+    )

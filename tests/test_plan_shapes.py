@@ -97,3 +97,55 @@ def test_cosine_topk_is_take_ordered(spark, Q):
     assert "TakeOrderedAndProject" in s
     tree = s[: s.find("(1) ")]
     assert "Exchange" not in tree, tree
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, Q):
+    """Co-located join via bucketing: two tables bucketed+sorted on the
+    join key join WITHOUT any Exchange — the 100 TB answer for repeated
+    large-large joins (pay the shuffle once at write time)."""
+    import uuid
+
+    events = Q.load_table(spark, SF, "events")
+    suffix = uuid.uuid4().hex[:8]
+    for name in (f"ev_a_{suffix}", f"ev_b_{suffix}"):
+        (
+            events.write.bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # disable broadcast so only bucketing can avoid the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"ev_a_{suffix}").join(
+            spark.table(f"ev_b_{suffix}"), on="user_id"
+        )
+        s = plan_of(joined)
+        tree = s[: s.find("(1) ")]
+        assert "SortMergeJoin" in s
+        assert "Exchange" not in tree, tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        for name in (f"ev_a_{suffix}", f"ev_b_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_salted_agg_two_phase_shape(spark, Q):
+    """The salted A1 variant plans exactly two aggregation exchanges
+    (partial over salted keys, final over real keys)."""
+    from kafka_dead_letter_analyzer_spark.operators.aggregate import (
+        error_statistics_salted,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import build_topology
+    import kafka_dead_letter_analyzer_spark.sources.fixtures as FX
+
+    enriched = build_topology(
+        FX.raw_frame(
+            spark, [FX.envelope(value_deadletter=FX.dead_letter_value())]
+        )
+    ).enriched
+    s = plan_of(error_statistics_salted(enriched))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Exchange") == 2, tree

@@ -239,3 +239,25 @@ def test_non_exclusive_dialect_routing(spark):
     # stats see both as one (topic, type) key with count 2
     [stats] = _rows(out.error_statistics)
     assert stats["count"] == 2
+
+
+def test_salted_stats_equal_plain_stats(spark):
+    """The salted two-phase aggregation is bit-identical to the one-phase
+    plan (count/min/max are associative)."""
+    from kafka_dead_letter_analyzer_spark.operators.aggregate import (
+        error_statistics,
+        error_statistics_salted,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import build_topology
+    import kafka_dead_letter_analyzer_spark.sources.fixtures as FX2
+
+    rows = [
+        FX2.envelope(offset=i, timestamp=None, value_deadletter=FX2.dead_letter_value())
+        for i in range(50)
+    ]
+    enriched = build_topology(FX2.raw_frame(spark, rows)).enriched
+    plain = {(r["topic"], r["type"]): (r["count"], r["created"], r["updated"])
+             for r in error_statistics(enriched).collect()}
+    salted = {(r["topic"], r["type"]): (r["count"], r["created"], r["updated"])
+              for r in error_statistics_salted(enriched, salt_buckets=8).collect()}
+    assert plain == salted and len(plain) == 1
