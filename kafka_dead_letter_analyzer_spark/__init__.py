@@ -15,5 +15,24 @@ harness) and over a Kafka stream (``readStream`` + update-mode aggregation).
 
 from kafka_dead_letter_analyzer_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def build_topology(raw):
+    """Batch topology over a RAW_ENVELOPE frame (lazy import façade)."""
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        build_topology as _bt,
+    )
+
+    return _bt(raw)
+
+
+def build_streaming_topology(raw_stream):
+    """Streaming topology over a streaming RAW_ENVELOPE frame."""
+    from kafka_dead_letter_analyzer_spark.streaming import (
+        build_streaming_topology as _bst,
+    )
+
+    return _bst(raw_stream)
+
+
+__all__ = ["get_spark", "build_topology", "build_streaming_topology"]
 __version__ = "0.1.0"
