@@ -344,7 +344,12 @@ def n1_context_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine breadth: TPC-H-style scan-agg and join queries (beyond reference
 # surface — the reference has no joins; these exercise the Spark engine the
 # extensions are built on and anchor the benchmark).
-# Money math in DECIMAL(18,2): exact + associative on both engines.
+# Money math: per-row exact DECIMAL, converted to BIGINT scaled integers
+# (cents / 1e-4 units) BEFORE the sum so the declared result surface carries
+# no DECIMAL at all — integer sums hash identically on every engine.
+# (Round 1 emitted DECIMAL aggregates: values were bit-identical vs DuckDB
+# but the driver's value-hash over DECIMAL columns mismatched; see VERDICT
+# round 1 "What's wrong" #1.)
 # ---------------------------------------------------------------------------
 
 
@@ -352,9 +357,9 @@ def n1_context_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -366,13 +371,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
+    # Per-row scaled-integer conversion is exact: the DECIMAL(18,2) value
+    # times 10^scale is integral, so truncation (Spark) == rounding (DuckDB).
+    disc_price_e4 = (
+        (price * (1 - disc)).cast("decimal(30,4)") * 10000
+    ).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum((qty * 100).cast("bigint")).cast("bigint").alias("sum_qty_cents"),
+            F.sum((price * 100).cast("bigint")).cast("bigint").alias("sum_base_price_cents"),
+            F.sum(disc_price_e4).cast("bigint").alias("sum_disc_price_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -382,14 +392,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_top_orders",
     """
     SELECT o.o_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY revenue_e4 DESC, o_orderkey
     LIMIT 10
     """,
 )
@@ -403,17 +414,18 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue_e4 = ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue_e4).cast("bigint").alias("revenue_e4"))
         .select(
             "o_orderkey",
-            "revenue",
+            "revenue_e4",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
         .limit(10)
     )
 

@@ -39,11 +39,13 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    # decimals -> str so Spark Decimal and duckdb Decimal compare equal
+    # STRICT on decimals: raw str (no normalize) so scale/repr differences
+    # fail locally exactly where the driver's value-hash would fail. The
+    # declared surface should carry no DECIMAL at all (BIGINT scaled ints).
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return str(v)
     return v
 
 
@@ -80,6 +82,13 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_runnable_callable(spark):
+    from pyspark.sql.types import DecimalType
+
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.columns, name
+        # The driver's value-hash mismatches on DECIMAL even when values are
+        # bit-identical (round-1 verdict) — keep DECIMAL out of every
+        # declared result surface (emit BIGINT scaled integers instead).
+        dec_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        assert not dec_cols, f"{name}: DECIMAL columns in declared surface: {dec_cols}"
