@@ -201,12 +201,31 @@ def read_dead_letter_stream(
 
 def kafka_sink_projection(sink_df: DataFrame, key_col: str = "kafka_key") -> DataFrame:
     """Project a sink frame to the Kafka writer contract: ``key`` = the
-    reference's derived document key (K1/K2/K4), ``value`` = JSON of every
-    other column (O1-O4 payloads)."""
+    reference's derived document key (K1/K2/K4), ``value`` = JSON of the
+    sink *record* (O1-O4 payloads).
+
+    A payload of several columns is one record with those fields (O1-O3:
+    FullDeadLetterWithContext / FullErrorStatistics / ErrorExample). A
+    payload that is exactly ONE struct column — the error topic's bare
+    DeadLetter (O4, to_error_topic) — is the record itself and is encoded
+    UNWRAPPED: ``{"description": ...}``, not ``{"dead_letter": {...}}``.
+    The reference serializes the DeadLetter record directly as the error
+    topic value (DeadLetterAnalyzerTopology.java:107-111), and
+    ``decode_kafka_records`` parses values against the top-level DeadLetter
+    schema — wrapping would break the E3 broker feedback loop: re-consumed
+    error-topic records would match no dialect and be dropped silently.
+    """
+    from pyspark.sql.types import StructType
+
     payload_cols = [c for c in sink_df.columns if c != key_col]
+    payload_types = {f.name: f.dataType for f in sink_df.schema.fields}
+    if len(payload_cols) == 1 and isinstance(payload_types[payload_cols[0]], StructType):
+        value = F.to_json(F.col(payload_cols[0]))
+    else:
+        value = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
     return sink_df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("value"),
+        value.alias("value"),
     )
 
 

@@ -104,6 +104,82 @@ def test_kafka_sink_projection_shape(spark):
     assert json.loads(row["value"]) == {"count": 3, "type": "a"}
 
 
+def test_error_topic_sink_value_is_unwrapped_dead_letter(spark):
+    """O4's value must be the DeadLetter record itself, not
+    {"dead_letter": {...}} — the decoder parses top-level fields."""
+    from kafka_dead_letter_analyzer_spark.operators.errors import (
+        error_to_dead_letter,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.project import to_error_topic
+    from kafka_dead_letter_analyzer_spark.plans.topology import CONVERT_ERROR_DESC
+
+    raw = FX.raw_frame(
+        spark, [FX.envelope(key="k1", value_text="not a dead letter", headers=[])]
+    )
+    bad = raw.withColumn(
+        "_error",
+        F.struct(
+            F.lit("ConversionException").alias("error_class"),
+            F.lit("no dialect matched").alias("message"),
+        ),
+    )
+    err_frame = to_error_topic(error_to_dead_letter(bad, CONVERT_ERROR_DESC, F.col("value_text")))
+    [row] = kafka_sink_projection(err_frame).collect()
+    payload = json.loads(row["value"])
+    assert "dead_letter" not in payload
+    assert payload["description"] == CONVERT_ERROR_DESC
+    assert payload["cause"]["message"] == "no dialect matched"
+
+
+def test_e3_broker_roundtrip_error_topic_reenters_decoder(spark):
+    """Broker-free E3 loop closure: to_error_topic -> kafka_sink_projection
+    -> (simulated Kafka hop) -> decode_kafka_records must re-parse the
+    record as a DeadLetter (value_deadletter non-null, fields intact) —
+    the reference's self-analysis e2e
+    (DeadLetterAnalyzerTopologyTest.java shouldProcessDeadLettersFromAnalyzer)."""
+    from kafka_dead_letter_analyzer_spark.operators.errors import (
+        error_to_dead_letter,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.project import to_error_topic
+    from kafka_dead_letter_analyzer_spark.plans.topology import CONVERT_ERROR_DESC
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        decode_kafka_records,
+    )
+
+    raw = FX.raw_frame(
+        spark, [FX.envelope(key="k1", value_text="garbage payload", headers=[])]
+    )
+    bad = raw.withColumn(
+        "_error",
+        F.struct(
+            F.lit("ConversionException").alias("error_class"),
+            F.lit("no dialect matched").alias("message"),
+        ),
+    )
+    wire = kafka_sink_projection(
+        to_error_topic(error_to_dead_letter(bad, CONVERT_ERROR_DESC, F.col("value_text")))
+    )
+    # Simulate the broker hop: the written (key, value) strings come back
+    # as binary columns with fresh record metadata, no headers.
+    consumed = wire.select(
+        F.lit("analyzer-dead-letters").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(7).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(None)
+        .cast("array<struct<key:string,value:binary>>")
+        .alias("headers"),
+    )
+    [row] = decode_kafka_records(consumed, use_avro=False).collect()
+    dl = row["value_deadletter"]
+    assert dl is not None, "re-consumed error-topic record was not recognized"
+    assert dl["description"] == CONVERT_ERROR_DESC
+    assert dl["cause"]["message"] == "no dialect matched"
+    assert dl["input_value"] == "garbage payload"
+
+
 # ---------------------------------------------------------------------------
 # Streaming stateful operators (file source, memory sink)
 # ---------------------------------------------------------------------------
