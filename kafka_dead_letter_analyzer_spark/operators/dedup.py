@@ -60,7 +60,10 @@ def dedup_exact_normalized(
 
 
 def _tokens(text: Column) -> Column:
-    t = F.trim(F.lower(text))
+    # NULL text normalizes to the empty token list (never [""]): a NULL/blank
+    # doc must have an EMPTY shingle set, or every such doc collides in every
+    # minhash band with all other empty docs, inflating the candidate join.
+    t = F.trim(F.lower(F.coalesce(text, F.lit(""))))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -68,7 +71,8 @@ def _tokens(text: Column) -> Column:
 
 def token_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined). Documents shorter than k
-    tokens contribute their whole token sequence as one shingle."""
+    tokens contribute their whole token sequence as one shingle; NULL/blank
+    documents contribute the EMPTY set (no signature bucket collisions)."""
     toks = _tokens(text)
     n = F.size(toks)
     shingled = F.transform(
@@ -76,17 +80,26 @@ def token_shingles(text: Column, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
+    return F.array_distinct(
+        F.when(n >= k, shingled)
+        .when(n > 0, whole)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the normalized text."""
-    t = F.lower(text)
+    """Distinct character n-grams of the normalized text. Sub-n-char docs
+    fall back to the whole text as one gram; NULL -> empty set."""
+    t = F.lower(F.coalesce(text, F.lit("")))
     ln = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), ln - (n - 1)), lambda i: t.substr(i, F.lit(n))
     )
-    return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(t)))
+    return F.array_distinct(
+        F.when(ln >= n, grams)
+        .when(ln > 0, F.array(t))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def shingle_hashes(shingles: Column) -> Column:
@@ -180,10 +193,18 @@ def dedup_near_minhash(
     from pyspark import StorageLevel
 
     bands_of = _minhash_band_udf(num_hashes, bands)
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        shingle_hashes(token_shingles(F.col(text_col), shingle_k)).alias("_hashes"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(token_shingles(F.col(text_col), shingle_k)).alias(
+                "_hashes"
+            ),
+        )
+        # NULL/blank docs have the empty shingle set: no signature, no
+        # candidacy (they'd otherwise all band-collide on the empty input).
+        .filter(F.size("_hashes") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = base.select("_id", bands_of("_hashes").alias("_bands"))
     ex = banded.select("_id", F.posexplode("_bands").alias("band", "bucket"))
 

@@ -334,3 +334,67 @@ def test_resize_media_plumbing(spark, docs):
     # idempotent: resizing a resized payload does not stack markers
     again = MM.resize_media(resized, 32, 32).collect()
     assert [bytes(r["payload"]) for r in again] == [bytes(r["payload"]) for r in rows]
+
+
+def test_shingles_null_and_blank_are_empty_sets(spark):
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        char_ngrams,
+        token_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "ab"), (5, "one two")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["sh"], r["ng"])
+        for r in df.select(
+            "doc_id",
+            token_shingles(F.col("text")).alias("sh"),
+            char_ngrams(F.col("text")).alias("ng"),
+        ).collect()
+    }
+    assert rows[1] == ([], [])       # NULL -> empty sets, not [""]
+    assert rows[2] == ([], [])       # blank -> empty sets
+    # token shingles trim (whitespace-only == blank); char n-grams do NOT
+    # trim (and the x_ngram_jaccard oracle mirrors that), so 3 spaces is
+    # one whitespace gram.
+    assert rows[3] == ([], ["   "])
+    assert rows[4] == (["ab"], ["ab"])  # sub-k fallback: whole text
+    assert rows[5][0] == ["one two"]
+
+
+def test_minhash_ignores_null_and_blank_docs(spark):
+    from kafka_dead_letter_analyzer_spark.operators.dedup import dedup_near_minhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_near_minhash(df).collect()}
+    # empty docs never become candidates of each other; the real dup pair is found
+    assert pairs == {(4, 5)}
+
+
+def test_knn_join_two_table_keeps_equal_ids(spark, embs):
+    """exclude_self=False: a genuine two-table join must not drop a right
+    row merely because its id equals the left id."""
+    left = embs.limit(5)
+    out = S.pairwise_topk_join(
+        left, embs, k=3, planes=0, exclude_self=False
+    ).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for a, rows in by_a.items():
+        # rank 1 is the vector itself (cosine 1.0) when ids overlap
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["id_b"] == a and top["cosine_sim"] == 1.0
+
+
+def test_lsh_probe_all_equals_bruteforce(spark, embs):
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    q = list(row["embedding"])
+    exact = S.cosine_topk(embs, q, k=10).collect()
+    full = S.cosine_topk_lsh(embs, q, k=10, planes=6, probe_all=True).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
