@@ -37,6 +37,7 @@ class AnalyzerConfig:
     batch_input: str | None = None
     batch_output: str | None = None
     schema_registry_url: str | None = None  # accepted, unused without spark-avro
+    rocksdb_state_store: bool = False  # reference store choice (Topology.java:220-226)
 
     @property
     def app_id(self) -> str:
@@ -72,6 +73,12 @@ def parse_args(argv: list[str] | None = None) -> AnalyzerConfig:
     p.add_argument("--checkpoint-dir", default="/tmp/dead-letter-analyzer-checkpoints")
     p.add_argument("--batch-input", help="RAW_ENVELOPE parquet dir (batch mode)")
     p.add_argument("--batch-output", help="output dir for batch mode")
+    p.add_argument(
+        "--rocksdb-state-store",
+        action="store_true",
+        help="use the RocksDB streaming state store (the reference's store; "
+        "recommended for large per-error-type state)",
+    )
     a = p.parse_args(argv)
 
     extra = {}
@@ -88,6 +95,7 @@ def parse_args(argv: list[str] | None = None) -> AnalyzerConfig:
         batch_input=a.batch_input,
         batch_output=a.batch_output,
         schema_registry_url=a.schema_registry_url,
+        rocksdb_state_store=a.rocksdb_state_store,
     )
 
 
@@ -157,7 +165,9 @@ def main(argv: list[str] | None = None) -> None:
     from kafka_dead_letter_analyzer_spark.session import get_spark
 
     config = parse_args(argv)
-    spark = get_spark(app_name=config.app_id)
+    spark = get_spark(
+        app_name=config.app_id, rocksdb_state_store=config.rocksdb_state_store or None
+    )
     if config.batch_input:
         if not config.batch_output:
             raise SystemExit("--batch-output is required with --batch-input")

@@ -21,22 +21,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "dead-letter-analyzer-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state_store: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster pass ``None`` with a pre-configured environment and only the
     SQL confs below are applied.
+
+    ``rocksdb_state_store`` (or env ``SPARK_GRAFT_ROCKSDB=1``) switches
+    streaming state to the RocksDB provider — the reference's store choice
+    (DeadLetterAnalyzerTopology.java:220-226, Materialized.as(...) over
+    RocksDB-backed KeyValueStore). Off by default: the HDFS-backed in-memory
+    store is fine for test-sized state, RocksDB is the large-keyspace
+    (per-error-type cardinality at 100 TB) durability/memory answer.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    if rocksdb_state_store is None:
+        rocksdb_state_store = os.environ.get("SPARK_GRAFT_ROCKSDB", "") == "1"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -52,6 +67,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

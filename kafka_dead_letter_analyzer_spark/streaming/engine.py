@@ -188,30 +188,44 @@ def _per_record_stats_fn(key, pdfs, state) -> Iterator:
     """Reference emission cadence: ONE stats row per input record
     (ErrorAggregatingProcessor.java:90-91 — state written back and a
     Result forwarded for every record). Rows within a micro-batch are
-    processed in (ts, offset) order for determinism."""
+    processed in (ts, offset) order for determinism.
+
+    The per-record running count/min/max are vectorized (cumulative
+    pandas ops over the sorted frame — the output is irreducibly
+    row-shaped, the computation need not be)."""
     import pandas as pd
 
     count, created, updated = state.get if state.exists else (0, None, None)
-    out_rows = []
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts", "offset"], kind="stable").iterrows():
-            ts = row["ts"]
-            count += 1
-            created = ts if created is None or ts < created else created
-            updated = ts if updated is None or ts > updated else updated
-            out_rows.append(
-                {
-                    "topic": key[0],
-                    "type": key[1],
-                    "count": count,
-                    "created": created,
-                    "updated": updated,
-                }
-            )
-    if not out_rows:
+    batches = [
+        pdf.sort_values(["ts", "offset"], kind="stable") for pdf in pdfs if len(pdf)
+    ]
+    if not batches:
         return
-    state.update((count, created, updated))
-    yield pd.DataFrame(out_rows)
+    allb = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+    ts = allb["ts"]
+    if created is not None:
+        created = pd.Timestamp(created)
+    if updated is not None:
+        updated = pd.Timestamp(updated)
+    run_created = ts.cummin() if created is None else ts.cummin().clip(upper=created)
+    run_updated = ts.cummax() if updated is None else ts.cummax().clip(lower=updated)
+    out = pd.DataFrame(
+        {
+            "topic": key[0],
+            "type": key[1],
+            "count": count + pd.RangeIndex(1, len(allb) + 1),
+            "created": run_created.reset_index(drop=True),
+            "updated": run_updated.reset_index(drop=True),
+        }
+    )
+    state.update(
+        (
+            int(out["count"].iloc[-1]),
+            out["created"].iloc[-1].to_pydatetime(),
+            out["updated"].iloc[-1].to_pydatetime(),
+        )
+    )
+    yield out
 
 
 def streaming_error_statistics_per_record(enriched: DataFrame) -> DataFrame:

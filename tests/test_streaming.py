@@ -511,3 +511,66 @@ def test_structured_key_stringified_through_topology(spark):
     [example] = out.error_examples.collect()
     assert example["example"]["key"] == '{"id":1}'
     assert out.error_topic.count() == 0
+
+
+def test_first_example_state_survives_restart_rocksdb(spark, tmp_path, ts):
+    """Same recovery semantics under the RocksDB state-store provider — the
+    reference's store durability choice (DeadLetterAnalyzerTopology.java:
+    220-226). Asserts RocksDB actually engaged via the state operator's
+    rocksdb* custom metrics, then restores the default provider."""
+    from kafka_dead_letter_analyzer_spark.session import ROCKSDB_PROVIDER
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=0, key="first", timestamp=ts(1),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+
+        collected: list = []
+        progress: list = []
+
+        def start():
+            raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+            topo = build_streaming_topology(raw)
+            return (
+                topo.error_examples.writeStream.foreachBatch(
+                    lambda df, bid: collected.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.processAllAvailable()
+            progress.append(q.lastProgress)
+        finally:
+            q.stop()
+        assert len(collected) == 1 and collected[0]["example"]["key"] == "first"
+        ops = progress[-1]["stateOperators"]
+        assert ops and any(
+            k.startswith("rocksdb") for k in ops[0]["customMetrics"]
+        ), "RocksDB provider did not engage"
+
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=5, key="second-arrival", timestamp=ts(2),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # RocksDB-restored state: same (topic, type) key -> no re-emission
+        assert len(collected) == 1
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
