@@ -53,10 +53,18 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     _force(qs["a1_error_stats"](spark, SF_DIR))
 
+    # cold = first execution (includes whole-stage-codegen compilation of
+    # the query's expression trees); warm = best of the remaining runs
+    # (steady-state execution). Round-over-round comparisons should read
+    # "queries"/"value" (warm); "queries_cold" isolates compile cost.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
-        for _ in range(2):  # 2 runs, keep the best: JIT/GC noise dominates
+        for _ in range(2):
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -68,6 +76,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

