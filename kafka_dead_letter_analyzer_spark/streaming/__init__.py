@@ -17,6 +17,7 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     streaming_error_statistics,
     streaming_error_statistics_per_record,
     streaming_first_examples,
+    streaming_windowed_statistics,
 )
 from kafka_dead_letter_analyzer_spark.streaming.kafka import (
     decode_kafka_records,
@@ -31,6 +32,7 @@ __all__ = [
     "streaming_error_statistics",
     "streaming_error_statistics_per_record",
     "streaming_first_examples",
+    "streaming_windowed_statistics",
     "decode_kafka_records",
     "kafka_sink_projection",
     "read_dead_letter_stream",

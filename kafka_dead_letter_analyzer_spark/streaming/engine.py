@@ -258,6 +258,53 @@ def streaming_error_statistics_per_record(enriched: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermarked windowed statistics (dashboard rollup at stream time)
+# ---------------------------------------------------------------------------
+
+
+def streaming_windowed_statistics(
+    enriched: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(window, topic, type) error counts with a watermark for late
+    data — the time-bucketed dashboard surface next to the reference's
+    all-time statistics (an extension: the reference has no windowing).
+
+    Event time is the origin record timestamp (``context.timestamp``).
+    APPEND output mode: a window's row is emitted exactly once, when the
+    watermark (max seen event time - ``watermark``) passes the window end —
+    downstream receives FINALIZED per-window counts, records later than the
+    watermark are dropped deterministically, and — the 100 TB point — the
+    state store only ever holds open windows x live keys, bounded by the
+    watermark horizon instead of growing with stream lifetime.
+    """
+    keyed = (
+        enriched.select(
+            F.col("error_key.topic").alias("topic"),
+            F.col("error_key.type").alias("type"),
+            F.col("context.timestamp").alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    agg = keyed.groupBy(F.window("ts", window_duration), "topic", "type").agg(
+        F.count(F.lit(1)).cast("int").alias("count"),
+        F.min("ts").alias("created"),
+        F.max("ts").alias("updated"),
+    )
+    return agg.select(
+        stats_key(F.col("topic"), F.col("type")).alias("kafka_key"),
+        format_timestamp(F.col("window.start")).alias("window_start"),
+        format_timestamp(F.col("window.end")).alias("window_end"),
+        F.col("count"),
+        format_timestamp(F.col("created")).alias("created"),
+        format_timestamp(F.col("updated")).alias("updated"),
+        "topic",
+        "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full streaming topology
 # ---------------------------------------------------------------------------
 

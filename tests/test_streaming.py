@@ -215,7 +215,9 @@ def _run_updates(spark, src_dir: str, out_df_name: str, name: str, batches):
 @pytest.fixture()
 def ts():
     def at(minute: int) -> dt.datetime:
-        return dt.datetime(2024, 1, 1, 12, minute, 0, tzinfo=UTC)
+        return dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=UTC) + dt.timedelta(
+            minutes=minute
+        )
 
     return at
 
@@ -574,3 +576,67 @@ def test_first_example_state_survives_restart_rocksdb(spark, tmp_path, ts):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prior)
+
+
+def test_windowed_stats_append_finalizes_on_watermark(spark, tmp_path, ts):
+    """Watermarked windowed stats: a window's row appears only after the
+    watermark passes its end; too-late records are dropped; counts are
+    finalized per (window, topic, type)."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_windowed_statistics,
+    )
+
+    src = str(tmp_path / "src")
+
+    # batch 1: two records inside the 12:00-13:00 window
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, timestamp=ts(5),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, timestamp=ts(20),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    out = streaming_windowed_statistics(
+        enrich_with_context(dead_letters),
+        window_duration="1 hour",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark has not passed 13:00 -> nothing finalized yet
+        assert spark.table("win_stats").count() == 0
+        # batch 2: an event at 14:30 pushes the watermark to 14:20 > 13:00
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=2, timestamp=ts(150),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q.processAllAvailable()
+        # one more empty-advance batch lets Spark emit the closed window
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=3, timestamp=ts(151),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("win_stats").collect()
+        assert len(rows) == 1, rows
+        [w] = rows
+        assert w["count"] == 2
+        assert w["window_start"] == "2024-01-01T12:00:00.000"
+        assert w["window_end"] == "2024-01-01T13:00:00.000"
+        assert w["created"] == "2024-01-01T12:05:00.000"
+        assert w["updated"] == "2024-01-01T12:20:00.000"
+    finally:
+        q.stop()
