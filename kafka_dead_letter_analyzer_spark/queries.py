@@ -430,6 +430,98 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-only filter+aggregate (TPC-H Q6 shape on the 1996 window):
+    every predicate reaches the parquet scan, no shuffle at all (the
+    grouped-less aggregate is a partial+final over map outputs).
+    Discount compared in exact integer cents, revenue in e4 units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    disc_cents = (disc * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc_cents.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(((price * disc).cast("decimal(30,4)") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, nation
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join pipeline (TPC-H Q5 shape, 1996/ASIA): the three
+    dimension tables (supplier, nation, region) broadcast so the two fact
+    scans shuffle only for the fact-fact join and the final aggregation —
+    the canonical star-join plan at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue_e4 = ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_e4).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("nation"))
+    )
+
+
 # ===========================================================================
 # North-star extension queries (BASELINE.json): dedup, similarity search,
 # text analysis, multimodal — each a first-class declared operator.
@@ -488,6 +580,54 @@ def x_lang_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_tok").cast("bigint").alias("total_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@_register(
+    "x_quality_filter_agg",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {TX.lang_id_sql('text')} AS pred_lang,
+             {TX.token_count_sql('text')} AS n_tokens,
+             {TX.quality_features_sql('text')['stopword_ratio']} AS stopword_ratio
+      FROM documents
+    )
+    SELECT pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM scored
+    WHERE n_tokens >= 20 AND stopword_ratio > 0.05
+    GROUP BY pred_lang
+    """,
+)
+def x_quality_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline quality gate as a query: score every document
+    (language ID, token count, stopword ratio), KEEP docs passing the
+    thresholds, aggregate the retained corpus per language. One narrow
+    scan, predicates on scored columns, one shuffle for the final agg —
+    the shape of a 100 TB pre-training filter pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    scored = TX.with_lang_id(
+        docs.select(
+            "doc_id",
+            "text",
+            TX.token_count("text").alias("n_tokens"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") > 0.05)
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
         )
     )
 

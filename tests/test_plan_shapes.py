@@ -188,3 +188,21 @@ def test_ngram_unbounded_path_has_no_nested_loop_join(spark, Q):
     s = plan_of(ngram_jaccard_pairs(docs))  # max_id=None -> unbounded path
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_q6_all_predicates_reach_the_scan(spark, Q):
+    """Scan-only filter+agg: the date range pushes into the parquet scan
+    and no join of any kind appears."""
+    s = plan_of(Q.tpch_q6_forecast_revenue(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in s
+    assert "GreaterThanOrEqual(l_shipdate" in s and "LessThan(l_shipdate" in s
+    assert "Join" not in s
+
+
+def test_q5_star_join_broadcasts_dimensions(spark, Q):
+    """Six-table star join: dimension sides broadcast, no nested-loop or
+    cartesian fallback anywhere."""
+    s = plan_of(Q.tpch_q5_local_supplier_volume(spark, SF))
+    assert s.count("BroadcastHashJoin") >= 3, s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
