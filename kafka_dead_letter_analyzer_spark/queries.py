@@ -1108,12 +1108,66 @@ def e3_feedback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out2.error_statistics.select("kafka_key", "count", "topic", "type")
 
 
-@_register("x_winnow_near_dups")
+# The winnowing rolling hash is plain polynomial arithmetic mod 2^64
+# (base 1000003 over the normalized text's ASCII codes) — unlike the
+# xxhash64-based operators it IS reproducible in SQL: DuckDB HUGEINT
+# carries the 5-term polynomial exactly, one mod folds it to uint64, and a
+# CASE maps to the signed int64 the engine emits. Window minima, distinct,
+# df-cap and the pair count are then ordinary relational steps. Constants
+# inline: 1000003^4..^1; 2^64; 2^63. NOTE the short-doc branch must stay
+# integer-typed — a ** (double) expression there would poison the CASE's
+# unified type and silently destroy 64-bit precision.
+_WINNOW_B = 1_000_003
+_WINNOW_SQL = rf"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN
+          [coalesce(list_sum([ord(t[j])
+                    * ([1, {_WINNOW_B}, {_WINNOW_B**2}, {_WINNOW_B**3}][len(t) - j + 1])::HUGEINT
+                    for j in range(1, len(t) + 1)]), 0) % {2**64}::HUGEINT]
+        ELSE
+          [(ord(t[i]) * {_WINNOW_B**4}::HUGEINT + ord(t[i+1]) * {_WINNOW_B**3}::HUGEINT
+            + ord(t[i+2]) * {_WINNOW_B**2}::HUGEINT + ord(t[i+3]) * {_WINNOW_B}::HUGEINT
+            + ord(t[i+4])) % {2**64}::HUGEINT
+           for i in range(1, len(t) - 3)]
+        END AS rh
+      FROM norm
+    ), mins AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(rh) < 4 THEN [list_min(rh)]
+               ELSE [list_min(rh[i:i+3]) for i in range(1, len(rh) - 2)] END
+        ) AS fps
+      FROM h
+    ), postings AS (
+      SELECT doc_id,
+             CAST(CASE WHEN fp >= {2**63}::HUGEINT THEN fp - {2**64}::HUGEINT
+                       ELSE fp END AS BIGINT) AS fingerprint
+      FROM mins, unnest(fps) AS u(fp)
+    ), rare AS (
+      SELECT fingerprint FROM postings GROUP BY fingerprint HAVING count(*) <= 100
+    ), p AS (
+      SELECT postings.doc_id, postings.fingerprint
+      FROM postings JOIN rare USING (fingerprint)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INTEGER) AS shared_fingerprints
+    FROM p a JOIN p b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """
+
+
+@_register("x_winnow_near_dups", _WINNOW_SQL)
 def x_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) near-duplicate pairs: k-gram rolling hashes
     -> per-window minima sketch -> inverted-index self-join counting shared
-    fingerprints (Schleimer et al., SIGMOD'03). Engine-hash based ->
-    rows-only check; correctness pinned by planted-duplicate tests.
+    fingerprints (Schleimer et al., SIGMOD'03). Oracle-checked end-to-end:
+    the polynomial hash, window minima, df-cap and pair counts are all
+    reproduced exactly in DuckDB SQL (see _WINNOW_SQL).
     (max_df/min_shared tuned to the synthetic corpus, which is template
     generated and extremely repetitive — 834 distinct fingerprints across
     5000 sf0.1 docs, median document frequency 287.)"""
