@@ -266,15 +266,39 @@ def _simhash_udf():
     return simhash_of
 
 
+def md5_token_hash64(token: Column) -> Column:
+    """64-bit token hash from the md5 hex prefix, as signed int64.
+
+    Strictly slower than ``xxhash64`` (the scale default) but REPRODUCIBLE
+    outside the engine — DuckDB/Python compute the identical value from
+    ``md5(token)[:16]`` — which makes simhash built on it oracle-checkable
+    end-to-end."""
+    u = F.conv(F.substring(F.md5(token), 1, 16), 16, 10).cast("decimal(20,0)")
+    half = F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+    full = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+    return F.when(u >= half, u - full).otherwise(u).cast("long")
+
+
 def simhash64_frame(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=F.xxhash64,
 ) -> DataFrame:
-    """(id, simhash) frame: token hashing JVM-side, bit votes vectorized."""
+    """(id, simhash) frame: token hashing JVM-side, bit votes vectorized.
+    NULL/blank documents (empty token lists) are dropped — they carry no
+    signal and would otherwise all collide on fingerprint 0."""
     simhash_of = _simhash_udf()
     toks = _tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("_id"),
-        simhash_of(F.transform(toks, lambda t: F.xxhash64(t)).alias("_h")).alias("_sh"),
+    return (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "_id",
+            simhash_of(
+                F.transform(F.col("_toks"), lambda t: token_hash(t)).alias("_h")
+            ).alias("_sh"),
+        )
     )
 
 
@@ -283,6 +307,7 @@ def dedup_near_simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -297,7 +322,7 @@ def dedup_near_simhash(
     """
     from pyspark import StorageLevel
 
-    sh = simhash64_frame(docs, id_col, text_col).persist(
+    sh = simhash64_frame(docs, id_col, text_col, token_hash).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # static 4-band unroll (shift amounts must be python ints)

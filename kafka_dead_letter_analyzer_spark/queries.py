@@ -781,14 +781,64 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x_dedup_simhash")
+# SimHash oracle: rebuild the 64-bit fingerprint in DuckDB from the same
+# md5-prefix token hashes the declared query uses (dedup.md5_token_hash64),
+# take per-bit +-1 votes over ALL tokens (duplicates vote repeatedly, like
+# the engine), then emit every pair with Hamming distance <= 3 — which is
+# EXACTLY the engine's answer, because pigeonhole banding has guaranteed
+# recall for Hamming <= max_hamming (4 bands of 16 bits).
+_HEX_POWS = ", ".join(str(16 ** (16 - i)) for i in range(1, 17))
+_BIT_POWS = ", ".join(str(2**b) for b in range(64))
+_SIMHASH_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tk FROM t WHERE len(toks) > 0
+    ), h AS (
+      SELECT doc_id,
+             list_sum([(strpos('0123456789abcdef', md5(tk)[i]) - 1)::HUGEINT
+                       * ([{_HEX_POWS}][i])::HUGEINT for i in range(1, 17)]) AS hu
+      FROM tok
+    ), votes AS (
+      -- relational bit votes (doc x token x bit rows, columnar-vectorized):
+      -- ~10x faster in DuckDB than nested list comprehensions per doc
+      SELECT doc_id, b,
+             sum(CASE WHEN (hu // ([{_BIT_POWS}][b + 1])::HUGEINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(0, 64) r(b)
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN ([{_BIT_POWS}][b + 1])::HUGEINT
+                      ELSE 0::HUGEINT END) AS u
+      FROM votes GROUP BY 1
+    ), f AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= {2**63}::HUGEINT THEN u - {2**64}::HUGEINT
+                       ELSE u END AS BIGINT) AS sh
+      FROM fp
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM f a, f b WHERE a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """
+
+
+@_register("x_dedup_simhash", _SIMHASH_SQL)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (Hamming <= 3 via pigeonhole banding).
-    Rows-only: the 64-bit fingerprint is built from engine-native xxhash64
-    token hashes, which no oracle engine reproduces; the banding guarantee
-    (recall 1.0 for Hamming <= 3) and planted-dup behavior are pinned in
-    tests/test_extensions.py."""
-    return D.dedup_near_simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash near-duplicate pairs (Hamming <= 3 via pigeonhole banding —
+    guaranteed full recall, so the banded join's answer IS the all-pairs
+    answer). Declared configuration uses the md5-prefix token hash so the
+    fingerprint is reproducible in DuckDB (oracle-checked end-to-end);
+    xxhash64 remains the cheaper scale default, pinned by pytest."""
+    return D.dedup_near_simhash(
+        load_table(spark, sf_dir, "documents"), token_hash=D.md5_token_hash64
+    )
 
 
 @_register("x_cosine_topk_lsh", _COSINE_TOPK_SQL)
