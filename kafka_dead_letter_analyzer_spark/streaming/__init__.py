@@ -16,6 +16,7 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     start_stateless_outputs,
     streaming_error_statistics,
     streaming_error_statistics_per_record,
+    streaming_dedup_records,
     streaming_first_examples,
     streaming_windowed_statistics,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "start_stateless_outputs",
     "streaming_error_statistics",
     "streaming_error_statistics_per_record",
+    "streaming_dedup_records",
     "streaming_first_examples",
     "streaming_windowed_statistics",
     "decode_kafka_records",

@@ -258,6 +258,31 @@ def streaming_error_statistics_per_record(enriched: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Redelivery dedup (exactly-once record identity at the source edge)
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup_records(raw: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop redelivered Kafka records by their (topic, partition, offset)
+    identity — consumer rebalances and producer retries both re-emit
+    records the analyzer has already seen, and every downstream stat would
+    double-count them.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the identity triple and
+    EVICTS each key once the watermark passes it — state is bounded by the
+    redelivery horizon (``watermark``), not stream lifetime, which is what
+    makes source-edge dedup viable at 100 TB (plain ``dropDuplicates`` on
+    a stream accumulates keys forever). An extension: the reference relies
+    on Kafka Streams' at-least-once semantics and idempotent upserting
+    downstream (README.md:116); this gives the same end state with exact
+    intermediate counts.
+    """
+    return raw.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["topic", "partition", "offset"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermarked windowed statistics (dashboard rollup at stream time)
 # ---------------------------------------------------------------------------
 

@@ -230,3 +230,52 @@ def test_confluent_framing_strip_via_spark(spark, schema):
     assert row["is_wire"] is True
     # and the stripped payload decodes to the golden record
     assert avro_decode(io.BytesIO(bytes(row["p"])), schema) == GOLDEN
+
+
+# ---------------------------------------------------------------------------
+# Property-based: every combination of present/absent optionals round-trips
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=80,
+    )
+    _opt_text = st.none() | _text
+    _record = st.fixed_dictionaries(
+        {
+            "input_value": _opt_text,
+            "partition": st.none() | st.integers(-(2**31), 2**31 - 1),
+            "topic": _opt_text,
+            "offset": st.none() | st.integers(-(2**63), 2**63 - 1),
+            "description": _text,
+            "cause": st.fixed_dictionaries(
+                {
+                    "error_class": _opt_text,
+                    "message": _opt_text,
+                    "stack_trace": _opt_text,
+                }
+            ),
+            "input_timestamp": st.none() | st.integers(0, 2**53),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rec=_record, schema_id=st.integers(0, 2**32 - 1))
+    def test_any_deadletter_roundtrips_through_the_wire(rec, schema_id):
+        """Encode -> Confluent-frame -> strip 5 bytes -> decode restores the
+        record exactly, for every optional-field combination and arbitrary
+        utf-8 content (multi-byte chars exercise the length prefixes)."""
+        schema = json.loads(_dead_letter_avro_schema())
+        payload = _encode(rec, schema)
+        framed = confluent_frame(payload, schema_id)
+        assert framed[0] == 0 and len(framed) == len(payload) + 5
+        assert avro_decode(io.BytesIO(framed[5:]), schema) == rec

@@ -640,3 +640,37 @@ def test_windowed_stats_append_finalizes_on_watermark(spark, tmp_path, ts):
         assert w["updated"] == "2024-01-01T12:20:00.000"
     finally:
         q.stop()
+
+
+def test_streaming_dedup_drops_redelivered_records(spark, tmp_path, ts):
+    """Redelivered (topic, partition, offset) identities are emitted once,
+    including redeliveries arriving in LATER micro-batches while the key
+    is still within the watermark horizon."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_dedup_records,
+    )
+
+    src = str(tmp_path / "src")
+    dup = FX.envelope(offset=0, timestamp=ts(1),
+                      value_deadletter=FX.dead_letter_value())
+    other = FX.envelope(offset=1, timestamp=ts(2),
+                        value_deadletter=FX.dead_letter_value())
+    _write_envelopes(spark, src, [dup, dup, other])  # in-batch duplicate
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    q = (
+        streaming_dedup_records(raw, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("dedup_sink").count() == 2
+        _write_envelopes(spark, src, [dup])  # cross-batch redelivery
+        q.processAllAvailable()
+        rows = spark.table("dedup_sink").collect()
+        assert len(rows) == 2
+        assert {r["offset"] for r in rows} == {0, 1}
+    finally:
+        q.stop()
