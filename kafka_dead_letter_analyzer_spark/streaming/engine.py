@@ -196,12 +196,15 @@ def _per_record_stats_fn(key, pdfs, state) -> Iterator:
     import pandas as pd
 
     count, created, updated = state.get if state.exists else (0, None, None)
-    batches = [
-        pdf.sort_values(["ts", "offset"], kind="stable") for pdf in pdfs if len(pdf)
-    ]
+    batches = [pdf for pdf in pdfs if len(pdf)]
     if not batches:
         return
-    allb = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+    # sort AFTER concatenating: a key's micro-batch may span several Arrow
+    # chunks, and per-chunk sorting would leave the concatenation unordered
+    # across chunk boundaries (non-deterministic emission order)
+    allb = (
+        pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+    ).sort_values(["ts", "offset"], kind="stable")
     ts = allb["ts"]
     if created is not None:
         created = pd.Timestamp(created)
