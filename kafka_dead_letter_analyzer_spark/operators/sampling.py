@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-dependent PER PARTITIONING — repartition the input
+and the sample changes, which is unacceptable for reproducible dataset
+builds. These operators derive the keep/drop decision from a HASH OF THE
+ROW KEY, so the sample is a pure function of the data: stable across
+partitionings, cluster sizes, retries, and engines (the md5-based rank is
+reproduced bit-for-bit by the DuckDB oracles in queries.py).
+
+- ``hash_bernoulli_sample``: keep a row iff the first 8 hex digits of
+  ``md5(key || ':' || salt)`` (a uniform 32-bit integer) fall below
+  ``rate * 2^32``. Pure projection + filter — no shuffle, pushes down to
+  the scan's post-filter, scales trivially.
+- ``stratified_quota``: exactly ``k`` rows per stratum (e.g. per
+  language), chosen by md5 rank — a uniform random-but-deterministic
+  quota. One shuffle on the stratum column for the rank window; at scale
+  prefer heavy strata pre-filtering with ``hash_bernoulli_sample`` at
+  ~2k/|stratum| to cut the sorted volume (documented two-phase pattern),
+  which keeps the window input per stratum O(k) with high probability.
+
+md5 (not xxhash64) is deliberate: it is the cross-engine-reproducible
+choice (NOTES.md md5-prefix trick); xxhash64 would be cheaper JVM-side
+but has no DuckDB analog, and sampling decisions are worth pinning to an
+engine-independent function so a dataset build can be audited anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_uniform_u32", "hash_bernoulli_sample", "stratified_quota"]
+
+
+def hash_uniform_u32(key: Column, salt: str = "") -> Column:
+    """Uniform deterministic 32-bit integer from a row key: first 8 hex
+    digits of md5(key[:salt]) as a BIGINT in [0, 2^32)."""
+    tagged = F.concat(key.cast("string"), F.lit(f":{salt}")) if salt else key.cast(
+        "string"
+    )
+    return F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_bernoulli_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row with probability ``rate``, decided by the row key
+    alone — reproducible under any repartitioning. Filter-only plan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * (1 << 32))
+    return df.filter(hash_uniform_u32(F.col(key), salt) < threshold)
+
+
+def stratified_quota(
+    df: DataFrame, stratum: str, key: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, selected by md5
+    rank over the row key (ties broken by the key itself, so the result
+    is total-order deterministic). Adds ``sample_rank`` (1-based)."""
+    order_hash = F.md5(
+        F.concat(F.col(key).cast("string"), F.lit(f":{salt}"))
+        if salt
+        else F.col(key).cast("string")
+    )
+    w = Window.partitionBy(stratum).orderBy(order_hash, F.col(key))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

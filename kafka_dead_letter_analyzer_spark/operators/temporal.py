@@ -1,0 +1,217 @@
+"""Temporal join/window operators: as-of join, session windows, range join.
+
+The reference engine is a Kafka-Streams topology and has no temporal join
+surface; these are the extension operators a training-data/event pipeline
+needs (build brief: "as-of join, range join, hypertable rollup" as
+operators Spark lacks natively). All three are expressed as compositions
+of built-in DataFrame ops — no Python in the hot path — and each is
+designed around ONE hash-partition shuffle so the plan survives a 100 TB
+input:
+
+- ``asof_join``: the classic union + running-``last(ignorenulls)`` window
+  dialect. Both sides are unioned into one relation, hash-partitioned by
+  key ONCE, sorted by (ts, side-tag), and each left row picks up the most
+  recent right payload with ``last(_rpayload, ignorenulls=True)`` over
+  ``rowsBetween(unboundedPreceding, currentRow)``. Cost at scale: one
+  Exchange + one in-partition sort, identical to the cost of the
+  aggregation Spark would plan for a plain ``groupBy`` — there is no
+  per-row probe and no broadcast requirement on either side. DuckDB's
+  ``ASOF JOIN`` is the oracle (queries.py).
+- ``sessionize``: gaps-and-islands with window functions (lag -> boundary
+  flag -> running sum). One shuffle on the session key; boundary
+  comparisons are integer microsecond math so engines agree exactly.
+- ``session_stats``: the same sessions via Spark's native
+  ``F.session_window`` aggregation. A new session starts iff the gap
+  EXCEEDS ``gap`` (an event landing exactly at the previous session's
+  end merges); ``sessionize`` mirrors this inclusive boundary, so the
+  two paths agree row-for-row (pinned in tests/test_temporal.py).
+- ``range_join_bucketed``: interval join (point ts IN [start, end]) as an
+  equi-join on (key, time-bucket): intervals are exploded to the buckets
+  they cover, the join is a plain hash join on (key, bucket), and the
+  precise bound filter runs post-join. At scale this avoids the
+  BroadcastNestedLoopJoin Spark plans for a bare range predicate; bucket
+  width trades explode factor against join selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "session_stats",
+    "range_join_bucketed",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (ties at equal
+    timestamps match, like DuckDB/kdb as-of semantics).
+
+    Right rows must be unique per (key, ts) — with duplicates the winner
+    is unspecified (same caveat as DuckDB's ASOF JOIN).
+
+    Output: all left columns plus every non-key right column (right's ts
+    surfaced as ``asof_ts``). ``how='inner'`` drops unmatched left rows.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"asof_join: overlapping non-key columns {sorted(clash)}")
+
+    # one relation, one shuffle: (key, ts, tag, left-payload, right-payload)
+    lpay = F.struct(*[F.col(c) for c in lcols]).alias("_lpay")
+    rpay = F.struct(
+        F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in rcols]
+    ).alias("_rpay")
+    lpay_t = left.select(lpay).schema[0].dataType.simpleString()
+    rpay_t = right.select(rpay).schema[0].dataType.simpleString()
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        lpay,
+        F.lit(None).cast(rpay_t).alias("_rpay"),
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(lpay_t).alias("_lpay"),
+        rpay,
+    )
+    # right (tag 0) sorts before left (tag 1) at equal ts => ties match
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        l2.unionByName(r2)
+        .withColumn("_picked", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if how == "inner":
+        joined = joined.filter(F.col("_picked").isNotNull())
+    return joined.select(
+        *[F.col(f"_lpay.{c}").alias(c) for c in lcols],
+        F.col("_picked.asof_ts").alias("asof_ts"),
+        *[F.col(f"_picked.{c}").alias(c) for c in rcols],
+    )
+
+
+def _gap_boundary(ts_col: str, key_cols: list[str], order_cols: list[str], gap_us: int) -> Column:
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # inclusive boundary: F.session_window merges an event landing exactly
+    # at the previous session's end (gap == `gap`), so a new session
+    # starts only when the gap EXCEEDS `gap` (verified empirically in
+    # tests/test_temporal.py::test_session_stats_matches_sessionize)
+    return F.when(
+        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
+    ).otherwise(0)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a per-key session index (1-based, in time order) to every
+    row: a new session starts when the gap since the previous row EXCEEDS
+    ``gap_us`` microseconds (F.session_window's inclusive boundary).
+    Integer microsecond math -> bit-identical to the DuckDB
+    gaps-and-islands oracle. One shuffle on ``key``; the two stacked
+    windows share a single partitioning + sort."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    boundary = _gap_boundary(ts_col, [key], order, gap_us)
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_idx", F.sum(boundary).over(wrun))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session-window aggregation
+    (``F.session_window``): one partial-aggregating shuffle, no row-level
+    window sort — this is the form to prefer at scale and the one the
+    streaming engine shares. Emits (key, session_start, session_end,
+    n_events) where start/end are the min/max event timestamps."""
+    gap_expr = f"INTERVAL {gap_us} MICROSECOND"
+    return (
+        df.groupBy(key, F.session_window(F.col(ts_col), gap_expr).alias("_w"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_w")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_us: int = 3_600 * 1_000_000,
+) -> DataFrame:
+    """Join point rows to the intervals containing them
+    (``start <= ts <= end``, same key) as an EQUI-join.
+
+    Intervals explode to every ``bucket_us``-wide time bucket they touch;
+    points map to their single bucket; the join key is (key, bucket) and
+    the exact bound check is a post-join filter. Catalyst plans a plain
+    hash join (shuffled or broadcast) instead of the
+    BroadcastNestedLoopJoin it would use for a bare range predicate —
+    the difference between O(|L|·|R|) compares and O(|L| + |R|·spread)
+    at 100 TB. Inner-join semantics; a point in k overlapping intervals
+    yields k rows.
+    """
+    lb = left.withColumn(
+        "_bucket", (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / bucket_us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (lb[on] == ib[on])
+        & (lb["_bucket"] == ib["_bucket"])
+        & (lb[ts_col] >= ib[start_col])
+        & (lb[ts_col] <= ib[end_col])
+    )
+    out = lb.join(ib, cond, "inner")
+    return out.select(
+        *[lb[c] for c in left.columns],
+        *[ib[c] for c in intervals.columns if c not in (on,)],
+    )

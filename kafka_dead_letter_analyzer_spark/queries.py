@@ -742,8 +742,9 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact token-3-shingle Jaccard pairs (j >= 0.5), mirroring token_shingles
 # (dedup.py): trim+lower, split on \s+, 3-token shingles joined by one
 # space, whole-doc fallback under 3 tokens, empty set for blank docs.
-_MINHASH_JACCARD_SQL = r"""
-    WITH t AS (
+# Shared CTE prefix + pair-select so the cluster oracle (x_dup_clusters)
+# can build its recursive CTE on the exact same verified pair set.
+_MINHASH_CTES = r"""t AS (
       SELECT doc_id,
              CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
                   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
@@ -758,14 +759,19 @@ _MINHASH_JACCARD_SQL = r"""
                     ELSE []::VARCHAR[] END) AS sh
       FROM t
       WHERE len(toks) > 0
-    )
-    SELECT id_a, id_b, jaccard FROM (
+    )"""
+
+_MINHASH_PAIRS_SELECT = """SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / greatest(len(a.sh) + len(b.sh)
                               - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
       FROM s a, s b WHERE a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.5
+    ) WHERE jaccard >= 0.5"""
+
+_MINHASH_JACCARD_SQL = f"""
+    WITH {_MINHASH_CTES}
+    {_MINHASH_PAIRS_SELECT}
     """
 
 
@@ -1308,4 +1314,274 @@ def x_top_types_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grouped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join, session windows,
+# bucketed range join — oracle = DuckDB's native ASOF JOIN / window SQL, so
+# the engine's composition dialects are checked against a first-class
+# implementation of the semantics.
+# ---------------------------------------------------------------------------
+
+from kafka_dead_letter_analyzer_spark.operators import graph as G  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import sampling as SA  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import temporal as T  # noqa: E402
+
+
+@_register(
+    "x_asof_hourly_snapshot",
+    f"""
+    WITH snap AS (
+      SELECT event_type, date_trunc('hour', ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_in_hour
+      FROM events GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.event_type,
+           strftime(l.ts, '{TS_PATTERN_SQL}') AS ts_s,
+           strftime(r.valid_from, '{TS_PATTERN_SQL}') AS asof_from,
+           r.n_in_hour
+    FROM events l
+    ASOF LEFT JOIN snap r
+      ON l.event_type = r.event_type AND l.ts >= r.valid_from
+    """,
+)
+def x_asof_hourly_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the most recent hourly per-type
+    snapshot (greatest valid_from <= ts). Engine = the union + running
+    last(ignorenulls) dialect (one shuffle, one sort); oracle = DuckDB's
+    native ASOF JOIN over the same snapshot table."""
+    events = load_table(spark, sf_dir, "events")
+    snap = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("valid_from")
+    ).agg(F.count(F.lit(1)).alias("n_in_hour"))
+    joined = T.asof_join(
+        events.select("event_id", "event_type", "ts"),
+        snap,
+        on="event_type",
+        left_ts="ts",
+        right_ts="valid_from",
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        format_timestamp("ts").alias("ts_s"),
+        format_timestamp("asof_ts").alias("asof_from"),
+        "n_in_hour",
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@_register(
+    "x_session_stats",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_PATTERN_SQL}') AS session_start,
+           strftime(max(ts), '{TS_PATTERN_SQL}') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def x_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates (30-minute inactivity gap) via Spark's
+    NATIVE session-window aggregation — one partial-agg shuffle, no
+    row-level window sort. Oracle = gaps-and-islands SQL with the same
+    inclusive integer-microsecond boundary (new session iff gap > 30 min;
+    an event exactly at the previous session's end merges), which is
+    F.session_window's merge rule; the row-level sessionize() dialect is
+    pinned equal in tests/test_temporal.py."""
+    events = load_table(spark, sf_dir, "events")
+    return T.session_stats(
+        events, key="user_id", ts_col="ts", gap_us=_SESSION_GAP_US
+    ).select(
+        "user_id",
+        format_timestamp("session_start").alias("session_start"),
+        format_timestamp("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+@_register(
+    "x_range_join",
+    f"""
+    WITH iv AS (
+      SELECT event_type,
+             min(ts) AS start, min(ts) + INTERVAL 2 HOUR AS "end",
+             'head' AS window_tag
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT event_type,
+             max(ts) - INTERVAL 2 HOUR AS start, max(ts) AS "end",
+             'tail' AS window_tag
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           strftime(e.ts, '{TS_PATTERN_SQL}') AS ts_s, iv.window_tag
+    FROM events e JOIN iv
+      ON e.event_type = iv.event_type
+     AND e.ts >= iv.start AND e.ts <= iv."end"
+    """,
+)
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (events inside each type's first/last
+    2-hour window) executed as an EQUI-join on (key, hour-bucket) with
+    exploded interval buckets — a hash join Catalyst can shuffle or
+    broadcast, instead of the O(|L|*|R|) BroadcastNestedLoopJoin a bare
+    range predicate plans. Oracle = the plain range join in DuckDB."""
+    events = load_table(spark, sf_dir, "events")
+    two_hours = F.expr("INTERVAL 2 HOURS")
+    head = events.groupBy("event_type").agg(F.min("ts").alias("start")).select(
+        "event_type",
+        "start",
+        (F.col("start") + two_hours).alias("end"),
+        F.lit("head").alias("window_tag"),
+    )
+    tail = events.groupBy("event_type").agg(F.max("ts").alias("end")).select(
+        "event_type",
+        (F.col("end") - two_hours).alias("start"),
+        "end",
+        F.lit("tail").alias("window_tag"),
+    )
+    joined = T.range_join_bucketed(
+        events.select("event_id", "event_type", "ts"),
+        head.unionByName(tail),
+        on="event_type",
+        ts_col="ts",
+        start_col="start",
+        end_col="end",
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        format_timestamp("ts").alias("ts_s"),
+        "window_tag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment: connected components over the verified
+# minhash pair set (operators/graph.py). Oracle: DuckDB recursive CTE
+# propagating min labels along the SAME pairs the minhash oracle derives.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_dup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    )
+    SELECT id AS doc_id, min(lab) AS component FROM cc GROUP BY id
+    """,
+)
+def x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pair output: connected components (min-label
+    propagation, localCheckpoint per round) over the exact-verified
+    minhash pair set — the canonical-doc assignment a dedup pipeline
+    actually consumes. Oracle: recursive-CTE label propagation over the
+    identical pair set in DuckDB."""
+    pairs = D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )
+    return G.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py): md5-rank quota per
+# stratum — reproducible under any partitioning, and bit-identical in
+# DuckDB (same md5 hex ordering).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_stratified_sample",
+    """
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: 25 docs per language, chosen by md5 rank
+    of doc_id — a deterministic uniform draw, stable across partitionings
+    and engines (df.sample() is neither). One shuffle on the stratum."""
+    return SA.stratified_quota(
+        load_table(spark, sf_dir, "documents"),
+        stratum="lang",
+        key="doc_id",
+        k=25,
+    ).select("doc_id", "lang", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Large-message wire protocol (streaming/large_message.py): byte-flag
+# encode -> decode round-trip over real binary values, with the backed
+# flag surfaced. Oracle: identity + the threshold predicate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_large_message_roundtrip",
+    """
+    SELECT doc_id, text AS text_out,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE octet_length(encode(text)) > 256 END AS backed
+    FROM documents
+    """,
+)
+def x_large_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bakdata byte-flag large-message wire protocol, end to end: encode
+    (values > 256 bytes content-addressed into the blob store, 0x01+URI on
+    the wire; small values 0x00+payload) then decode back — the declared
+    result must be the identity, plus the wire 'backed' flag read
+    JVM-side off the encoded bytes. Oracle: the identity projection with
+    the same threshold predicate."""
+    from kafka_dead_letter_analyzer_spark.streaming import large_message as LM
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("value")
+    )
+    encoded = LM.wire_encode(
+        docs, value_col="value", threshold=256,
+        blob_dir="/tmp/kdla-large-messages",
+    ).withColumn("backed", LM.wire_backed_flag("value"))
+    decoded = LM.wire_decode(encoded, value_col="value")
+    return decoded.select(
+        "doc_id", F.col("value").cast("string").alias("text_out"), "backed"
     )

@@ -1,0 +1,303 @@
+"""Unit tests for the temporal operators (as-of join, sessions, range
+join), connected components, deterministic sampling, and the
+large-message wire protocol."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import graph as G
+from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+from kafka_dead_letter_analyzer_spark.operators import temporal as T
+from kafka_dead_letter_analyzer_spark.streaming import large_message as LM
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+        minutes=minute, seconds=second
+    )
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1), ("a", _ts(10), 2), ("a", _ts(0), 3), ("b", _ts(7), 4)],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), "r1"), ("a", _ts(10), "r2"), ("b", _ts(9), "r3")],
+        "k string, ts timestamp, payload string",
+    )
+    out = {
+        r["lid"]: (r["payload"], r["asof_ts"])
+        for r in T.asof_join(left, right, on="k").collect()
+    }
+    assert out[1] == ("r1", _ts(1))
+    assert out[2] == ("r2", _ts(10))  # tie at equal ts matches
+    assert out[3] == (None, None)  # no right row at or before
+    assert out[4] == (None, None)  # right row is after
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1), ("a", _ts(5), 2)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(3), "x")], "k string, ts timestamp, payload string"
+    )
+    rows = T.asof_join(left, right, on="k", how="inner").collect()
+    assert [(r["lid"], r["payload"]) for r in rows] == [(2, "x")]
+
+
+def test_asof_join_rejects_column_clash(spark):
+    df = spark.createDataFrame([("a", _ts(0), 1)], "k string, ts timestamp, v int")
+    with pytest.raises(ValueError, match="overlapping"):
+        T.asof_join(df, df, on="k")
+
+
+def test_asof_join_single_exchange(spark):
+    """The union dialect must cost ONE hash partitioning, not one per side."""
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(0), "x")], "k string, ts timestamp, payload string"
+    )
+    plan = (
+        T.asof_join(left, right, on="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# sessionize / session_stats
+# ---------------------------------------------------------------------------
+
+
+def _session_events(spark):
+    rows = [
+        # user 1: two sessions split by a 31-minute gap
+        (1, _ts(0), 10),
+        (1, _ts(10), 11),
+        (1, _ts(41), 12),
+        # user 2: gap of exactly 30 min -> inclusive boundary => MERGES
+        # (F.session_window semantics, mirrored by sessionize)
+        (2, _ts(0), 20),
+        (2, _ts(30), 21),
+        # user 3: gap of 30 min + 1 s -> new session
+        (3, _ts(0), 30),
+        (3, _ts(30, 1), 31),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+
+
+def test_sessionize_islands(spark):
+    out = T.sessionize(
+        _session_events(spark), key="user_id", tiebreak="event_id"
+    ).collect()
+    idx = {r["event_id"]: r["session_idx"] for r in out}
+    assert (idx[10], idx[11], idx[12]) == (1, 1, 2)
+    assert (idx[20], idx[21]) == (1, 1)  # exact-gap boundary merges
+    assert (idx[30], idx[31]) == (1, 2)
+
+
+def test_session_stats_matches_sessionize(spark):
+    """The native F.session_window aggregation and the gaps-and-islands
+    dialect must describe the same sessions."""
+    ev = _session_events(spark)
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in T.session_stats(ev, key="user_id").collect()
+    }
+    islands = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            T.sessionize(ev, key="user_id", tiebreak="event_id")
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("session_idx")
+            .collect()
+        )
+    }
+    assert native == islands and len(native) == 5
+
+
+# ---------------------------------------------------------------------------
+# range_join_bucketed
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    events = spark.createDataFrame(
+        [("a", _ts(m), m) for m in range(0, 240, 7)]
+        + [("b", _ts(m), 1000 + m) for m in range(0, 240, 13)],
+        "k string, ts timestamp, eid int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", _ts(10), _ts(70), "w1"),
+            ("a", _ts(60), _ts(65), "w2"),  # overlaps w1: point in both -> 2 rows
+            ("b", _ts(200), _ts(300), "w3"),
+            ("a", _ts(500), _ts(600), "w4"),  # matches nothing
+        ],
+        "k string, start timestamp, end timestamp, tag string",
+    )
+    fast = T.range_join_bucketed(
+        events, intervals, on="k", start_col="start", end_col="end",
+        bucket_us=17 * 60 * 1_000_000,  # deliberately unaligned bucket width
+    )
+    naive = events.join(
+        intervals,
+        (events["k"] == intervals["k"])
+        & (events["ts"] >= intervals["start"])
+        & (events["ts"] <= intervals["end"]),
+    ).select(events["eid"], intervals["tag"])
+    assert (
+        sorted((r["eid"], r["tag"]) for r in fast.select("eid", "tag").collect())
+        == sorted((r["eid"], r["tag"]) for r in naive.collect())
+    )
+
+
+def test_range_join_bucketed_no_nested_loop(spark):
+    events = spark.createDataFrame(
+        [("a", _ts(1), 1)], "k string, ts timestamp, eid int"
+    )
+    intervals = spark.createDataFrame(
+        [("a", _ts(0), _ts(5), "w")],
+        "k string, start timestamp, end timestamp, tag string",
+    )
+    plan = (
+        T.range_join_bucketed(events, intervals, on="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected_components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["component"] for r in G.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_chain_and_cycle(spark):
+    # a 9-node chain (forces multi-round propagation) plus a 4-cycle
+    chain = [(i, i + 1) for i in range(10, 19)]
+    cycle = [(30, 31), (31, 32), (32, 33), (33, 30)]
+    pairs = spark.createDataFrame(chain + cycle, "id_a bigint, id_b bigint")
+    got = {
+        r["id"]: r["component"] for r in G.connected_components(pairs).collect()
+    }
+    assert all(got[i] == 10 for i in range(10, 20))
+    assert all(got[i] == 30 for i in range(30, 34))
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in SA.hash_bernoulli_sample(df, "k", 0.25).collect()}
+    b = {
+        r["k"]
+        for r in SA.hash_bernoulli_sample(df.repartition(13), "k", 0.25).collect()
+    }
+    assert a == b
+    assert 0.18 < len(a) / 2000 < 0.32  # roughly the requested rate
+
+
+def test_hash_sample_salt_changes_draw(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in SA.hash_bernoulli_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in SA.hash_bernoulli_sample(df, "k", 0.25, salt="s2").collect()}
+    assert a != b
+
+
+def test_stratified_quota_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    out = SA.stratified_quota(df, stratum="lang", key="doc_id", k=20).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_lang["big"]) == list(range(1, 21))  # capped at k
+    assert sorted(by_lang["small"]) == list(range(1, 11))  # whole stratum
+
+
+# ---------------------------------------------------------------------------
+# large-message wire protocol
+# ---------------------------------------------------------------------------
+
+
+def test_wire_roundtrip_and_flags(spark, tmp_path):
+    blob_dir = str(tmp_path / "blobs")
+    small = b"s" * 10
+    exact = b"e" * 64  # == threshold -> inline (strict >)
+    big = b"B" * 65
+    df = spark.createDataFrame(
+        [(1, small), (2, exact), (3, big), (4, None)], "id int, value binary"
+    )
+    enc = LM.wire_encode(df, threshold=64, blob_dir=blob_dir).withColumn(
+        "backed", LM.wire_backed_flag("value")
+    )
+    enc_rows = {r["id"]: r for r in enc.collect()}
+    assert bytes(enc_rows[1]["value"]) == b"\x00" + small
+    assert bytes(enc_rows[2]["value"]) == b"\x00" + exact
+    assert bytes(enc_rows[3]["value"])[0] == LM.FLAG_BACKED
+    assert enc_rows[4]["value"] is None and enc_rows[4]["backed"] is None
+    assert (enc_rows[1]["backed"], enc_rows[3]["backed"]) == (False, True)
+    # exactly one content-addressed blob was written
+    assert len(os.listdir(blob_dir)) == 1
+
+    dec = {r["id"]: r["value"] for r in LM.wire_decode(enc).collect()}
+    assert bytes(dec[1]) == small
+    assert bytes(dec[2]) == exact
+    assert bytes(dec[3]) == big
+    assert dec[4] is None
+
+
+def test_wire_encode_idempotent_blobs(spark, tmp_path):
+    """Retried writes of identical oversized payloads reuse one object."""
+    blob_dir = str(tmp_path / "blobs")
+    payload = b"x" * 100
+    df = spark.createDataFrame(
+        [(i, payload) for i in range(5)], "id int, value binary"
+    )
+    LM.wire_encode(df, threshold=10, blob_dir=blob_dir).collect()
+    LM.wire_encode(df, threshold=10, blob_dir=blob_dir).collect()
+    assert len(os.listdir(blob_dir)) == 1
+
+
+def test_wire_decode_rejects_unknown_flag(spark):
+    df = spark.createDataFrame([(1, b"\x07junk")], "id int, value binary")
+    with pytest.raises(Exception, match="unknown large-message flag"):
+        LM.wire_decode(df).collect()
