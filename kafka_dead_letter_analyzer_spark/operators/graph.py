@@ -53,9 +53,18 @@ def connected_components(
     round changes no label (checked with a single count aggregate, the
     only driver-side action per round).
     """
+    # both directions in ONE scan of the pair lineage (a union would run
+    # the upstream candidate-generation pipeline once per branch)
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .persist()
     )
