@@ -61,22 +61,43 @@ def main() -> None:
         except Exception:
             pass
 
-    # cold = first execution (includes whole-stage-codegen compilation of
-    # the query's expression trees); warm = best of the remaining runs
-    # (steady-state execution). Round-over-round comparisons should read
-    # "queries"/"value" (warm); "queries_cold" isolates compile cost.
+    # Three tiers per query:
+    # - cold: fresh plan construction + first execution (includes
+    #   whole-stage-codegen compile of the expression trees);
+    # - warm ("queries"/"value", the headline, comparable round-over-round):
+    #   best of 2 full re-invocations — re-CONSTRUCTS the DataFrame each
+    #   time, so it includes the Python/py4j plan-building cost (measured:
+    #   ~85% of e3_feedback_stats' warm time is construction, not data);
+    # - exec ("queries_exec"/"value_exec"): best of 2 re-executions of the
+    #   cold-constructed DataFrame — the pure data-path cost, i.e. the
+    #   component that scales with SF on a cluster. Queries that
+    #   materialize mid-plan (persist/localCheckpoint: e3_feedback_stats,
+    #   x_dup_clusters) re-read their materialization here by design —
+    #   that boundary is part of their execution contract.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    execs: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
+        df = qs[name](spark, SF_DIR)
+        _force(df)
         cold[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(df)
+            best = min(best, time.perf_counter() - t0)
+        execs[name] = round(best, 3)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop per-invocation persisted intermediates (e3's error-topic
+        # boundary, minhash signatures) so later queries aren't skewed by
+        # accumulated executor-memory cache
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -86,6 +107,8 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
+        "queries_exec": execs,
+        "value_exec": round(sum(execs.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
