@@ -333,6 +333,52 @@ def streaming_windowed_statistics(
 
 
 # ---------------------------------------------------------------------------
+# Session-window statistics (error-burst detection at stream time)
+# ---------------------------------------------------------------------------
+
+
+def streaming_session_statistics(
+    enriched: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(topic, type) error SESSIONS: consecutive errors closer than
+    ``gap`` merge into one burst; a quiet period longer than ``gap`` closes
+    it. The streaming half of ``operators/temporal.py::session_stats`` —
+    same native ``F.session_window`` aggregation, same inclusive merge
+    boundary, so a batch backfill and the live stream produce identical
+    sessions for the same data.
+
+    APPEND mode: a session row is emitted exactly once, when the watermark
+    passes its close — downstream sees finalized bursts (start, end,
+    count). State: only OPEN sessions per live key, evicted at the
+    watermark horizon; session rows merge in the store as events arrive,
+    so state size tracks burst count, not event count — the property that
+    keeps this viable on an unbounded 100 TB/day stream.
+    """
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.col("context.timestamp").alias("ts"),
+    ).withWatermark("ts", watermark)
+    agg = keyed.groupBy(
+        F.session_window(F.col("ts"), gap).alias("_w"), "topic", "type"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("count"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return agg.select(
+        stats_key(F.col("topic"), F.col("type")).alias("kafka_key"),
+        format_timestamp(F.col("session_start")).alias("session_start"),
+        format_timestamp(F.col("session_end")).alias("session_end"),
+        F.col("count"),
+        "topic",
+        "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full streaming topology
 # ---------------------------------------------------------------------------
 

@@ -674,3 +674,65 @@ def test_streaming_dedup_drops_redelivered_records(spark, tmp_path, ts):
         assert {r["offset"] for r in rows} == {0, 1}
     finally:
         q.stop()
+
+
+def test_session_stats_append_finalizes_on_gap(spark, tmp_path, ts):
+    """Session-window stats: events closer than the gap merge into one
+    burst; the session row is emitted once, only after the watermark
+    passes the session close (last event + gap)."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_session_statistics,
+    )
+
+    src = str(tmp_path / "src")
+
+    # burst: 12:05 and 12:20 (15-min gap < 30 min -> one session,
+    # closing at 12:50)
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, timestamp=ts(5),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, timestamp=ts(20),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    out = streaming_session_statistics(
+        enrich_with_context(dead_letters),
+        gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_stats")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark (12:20 - 10min) has not passed the session close -> open
+        assert spark.table("session_stats").count() == 0
+        # 14:30 pushes the watermark to 14:20 > 12:50 -> burst finalizes
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=2, timestamp=ts(150),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q.processAllAvailable()
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=3, timestamp=ts(151),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("session_stats").collect()
+        assert len(rows) == 1, rows
+        [s] = rows
+        assert s["count"] == 2
+        assert s["session_start"] == "2024-01-01T12:05:00.000"
+        assert s["session_end"] == "2024-01-01T12:20:00.000"
+    finally:
+        q.stop()
