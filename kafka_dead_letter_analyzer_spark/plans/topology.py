@@ -51,6 +51,16 @@ from kafka_dead_letter_analyzer_spark.functions.headers import headers_to_map
 
 ENVELOPE_COLS = ["topic", "partition", "offset", "timestamp", "key"]
 
+# The dialect-candidate array is a pure function of FIXED column names
+# (headers_map / value_text / timestamp / value_deadletter), so its whole
+# unresolved expression tree — several thousand py4j Column constructions —
+# is built once per process and reused. Unresolved Columns are immutable
+# and bind to a DataFrame only at select() time, so reuse across plans
+# (and across SparkSessions within one JVM) is sound. Measured: plan
+# CONSTRUCTION was ~75% of the analyzer queries' warm wall time at sf0.1
+# (the data path is ~0.4 s); this cache removes ~0.7 s per invocation.
+_CANDIDATES_CACHE: list = []
+
 CONVERT_ERROR_DESC = "Error converting errors to dead letters"  # Topology.java:133
 ANALYZE_ERROR_DESC = "Error analyzing dead letter"  # Topology.java:120
 AGGREGATE_ERROR_DESC = "Error aggregating dead letters"  # Topology.java:214
@@ -87,28 +97,31 @@ def stream_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     to duplicate; a 100 TB parquet/Kafka scan does.
     """
     with_map = raw.withColumn("headers_map", headers_to_map("headers"))
-    hmap = F.col("headers_map")
-    value_text = F.col("value_text")
-    record_ts = F.col("timestamp")
-    no_error = F.lit(None).cast("struct<error_class:string,message:string>")
 
-    def candidate(dead_letter: Column, error: Column) -> Column:
-        return F.struct(dead_letter.alias("dead_letter"), error.alias("err"))
+    if not _CANDIDATES_CACHE:
+        hmap = F.col("headers_map")
+        value_text = F.col("value_text")
+        record_ts = F.col("timestamp")
+        no_error = F.lit(None).cast("struct<error_class:string,message:string>")
 
-    # F1: Avro dialect — the value already IS a DeadLetter (infallible).
-    branches = [
-        F.when(
-            P.is_avro_dialect(F.col("value_deadletter")),
-            candidate(F.col("value_deadletter"), no_error),
-        )
-    ]
-    for predicate, parser in (
-        (P.is_streams_dialect, P.parse_streams),
-        (P.is_native_dialect, P.parse_native),
-        (P.is_connect_dialect, P.parse_connect),
-    ):
-        dead_letter, error = parser(hmap, value_text, record_ts)
-        branches.append(F.when(predicate(hmap), candidate(dead_letter, error)))
+        def candidate(dead_letter: Column, error: Column) -> Column:
+            return F.struct(dead_letter.alias("dead_letter"), error.alias("err"))
+
+        # F1: Avro dialect — the value already IS a DeadLetter (infallible).
+        branches = [
+            F.when(
+                P.is_avro_dialect(F.col("value_deadletter")),
+                candidate(F.col("value_deadletter"), no_error),
+            )
+        ]
+        for predicate, parser in (
+            (P.is_streams_dialect, P.parse_streams),
+            (P.is_native_dialect, P.parse_native),
+            (P.is_connect_dialect, P.parse_connect),
+        ):
+            dead_letter, error = parser(hmap, value_text, record_ts)
+            branches.append(F.when(predicate(hmap), candidate(dead_letter, error)))
+        _CANDIDATES_CACHE.append(F.array(*branches).alias("_cands"))
 
     # Each candidate slot is evaluated exactly once per record (guarded by
     # its dialect predicate); unmatched (NULL) slots are dropped by a
@@ -116,8 +129,8 @@ def stream_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     # higher-order array filter before it.
     with_candidates = with_map.select(
         *ENVELOPE_COLS,
-        value_text,
-        F.array(*branches).alias("_cands"),
+        F.col("value_text"),
+        _CANDIDATES_CACHE[0],
     )
     exploded = (
         with_candidates.select(
