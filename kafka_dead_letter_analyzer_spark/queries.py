@@ -1605,3 +1605,32 @@ def x_large_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", F.col("value").cast("string").alias("text_out"), "backed"
     )
+
+
+_HEX8_POWS = ", ".join(str(16 ** (8 - i)) for i in range(1, 9))
+_HASH_RATE = 0.3
+_HASH_THRESHOLD = int(_HASH_RATE * (1 << 32))
+
+
+@_register(
+    "x_hash_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(doc_id AS VARCHAR))[i]) - 1)
+                       * ([{_HEX8_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) AS h
+      FROM documents
+    ) WHERE h < {_HASH_THRESHOLD}
+    """,
+)
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate 0.3) by md5 of the row key —
+    the keep/drop decision is a pure function of the data, so the sample
+    is identical under any partitioning, retry, or engine (oracle
+    recomputes the same 32-bit hash from md5 hex in DuckDB). Filter-only
+    plan: no shuffle, evaluated at the scan."""
+    return SA.hash_bernoulli_sample(
+        load_table(spark, sf_dir, "documents"), key="doc_id", rate=_HASH_RATE
+    ).select("doc_id", "lang")
