@@ -434,3 +434,36 @@ def test_connected_components_matches_union_find(spark, seed):
         for m in members:
             want[m] = lab
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_connected_components_star_matches_union_find(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 80, size=(100, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["id"]: r["component"]
+        for r in G.connected_components_star(pairs).collect()
+    }
+    plain = {
+        r["id"]: r["component"] for r in G.connected_components(pairs).collect()
+    }
+    assert got == plain
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 64-node chain has diameter 63: plain propagation needs 63 rounds,
+    star contraction must close it within its 30-round bound (O(log n))."""
+    chain = [(i, i + 1) for i in range(100, 163)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    got = {
+        r["id"]: r["component"]
+        for r in G.connected_components_star(pairs).collect()
+    }
+    assert got == {i: 100 for i in range(100, 164)}
