@@ -206,3 +206,49 @@ def test_q5_star_join_broadcasts_dimensions(spark, Q):
     assert s.count("BroadcastHashJoin") >= 3, s
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_hash_sample_is_filter_only_no_shuffle(spark, Q):
+    s = plan_of(Q.x_hash_sample(spark, SF))
+    assert "Exchange" not in s  # pure scan + filter + project
+    # only the sampled columns are read
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("text" not in l for l in read_schema)
+
+
+def test_stratified_sample_is_single_shuffle(spark, Q):
+    import re
+
+    s = plan_of(Q.x_stratified_sample(spark, SF))
+    # exactly one Exchange node (the rank window's hash partitioning)
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
+
+
+def test_asof_join_query_is_single_data_exchange(spark, Q):
+    # union dialect: ONE hash partitioning over the unioned relation (the
+    # snapshot agg side carries its own partial-agg exchange; the as-of
+    # pick itself must not add more than these two)
+    s = plan_of(Q.x_asof_hourly_snapshot(spark, SF))
+    assert s.count("Exchange hashpartitioning") <= 2
+    assert "Cartesian" not in s and "NestedLoop" not in s
+
+
+def test_range_join_query_plans_hash_join(spark, Q):
+    s = plan_of(Q.x_range_join(spark, SF))
+    assert "NestedLoop" not in s and "Cartesian" not in s
+
+
+def test_session_stats_uses_native_session_window_agg(spark, Q):
+    s = plan_of(Q.x_session_stats(spark, SF))
+    # native session-window aggregation, not a row-level Window sort
+    assert "session_window" in s
+    assert "Window" not in s.replace("session_window", "")
+
+
+def test_large_message_small_path_one_python_eval(spark, Q):
+    import re
+
+    # encode + decode are each ONE Arrow-batched python stage; no shuffle
+    s = plan_of(Q.x_large_message_roundtrip(spark, SF))
+    assert "Exchange" not in s
+    assert len(re.findall(r"\(\d+\) MapInPandas", s)) == 2
