@@ -261,6 +261,120 @@ def streaming_error_statistics_per_record(enriched: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TTL'd statistics via the state-v2 API (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+
+def state_v2_available() -> bool:
+    """True iff the transformWithStateInPandas runtime can start: the API
+    exists AND its protobuf-based state protocol is importable."""
+    try:
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+class _TtlStatsProcessor:
+    """Per-(topic, type) running stats with state TTL — the scale-hardened
+    variant of A1's aggregate. The reference's RocksDB store (and our
+    default stats path) keeps every key forever; with a TTL, a key whose
+    error type has gone quiet for ``ttl`` is evicted and restarts from
+    zero on its next occurrence — state size tracks the ACTIVE error-type
+    set, which is what keeps an always-on analyzer bounded over months.
+
+    Implemented on the state-v2 ``StatefulProcessor`` API: value state
+    declared with ``ttlDurationMs``; the store (RocksDB required by
+    transformWithState) enforces expiry — no timer bookkeeping in Python.
+    Lazily subclasses StatefulProcessor at construction so importing this
+    module never requires the v2 API to exist (older PySpark).
+
+    Availability: the state-v2 worker protocol needs ``google.protobuf``
+    (``pyspark.sql.streaming.proto``); check :func:`state_v2_available`
+    before wiring this into a query — in containers without protobuf the
+    query fails at stream start, not at plan time.
+    """
+
+    def __new__(cls, ttl_ms: int):
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class _Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "stats", _STATS_STATE, ttlDurationMs=ttl_ms
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                import pandas as pd
+
+                count, created, updated = (
+                    self._state.get() if self._state.exists() else (0, None, None)
+                )
+                n, mn, mx = 0, None, None
+                for pdf in rows:
+                    if not len(pdf):
+                        continue
+                    n += len(pdf)
+                    bmn, bmx = pdf["ts"].min(), pdf["ts"].max()
+                    mn = bmn if mn is None else min(mn, bmn)
+                    mx = bmx if mx is None else max(mx, bmx)
+                if n == 0:
+                    return
+                if created is not None:
+                    mn = min(mn, pd.Timestamp(created))
+                if updated is not None:
+                    mx = max(mx, pd.Timestamp(updated))
+                count += n
+                self._state.update(
+                    (int(count), mn.to_pydatetime(), mx.to_pydatetime())
+                )
+                yield pd.DataFrame(
+                    {
+                        "topic": [key[0]],
+                        "type": [key[1]],
+                        "count": [count],
+                        "created": [mn],
+                        "updated": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _Impl()
+
+
+def streaming_error_statistics_ttl(
+    enriched: DataFrame, ttl_ms: int = 30 * 24 * 3_600 * 1_000
+) -> DataFrame:
+    """A1 stats on the state-v2 engine with per-key TTL (default 30 days):
+    FullErrorStatistics rows in update cadence; keys idle longer than the
+    TTL are evicted by the store and restart on next arrival. Requires the
+    RocksDB state-store provider (``get_spark(rocksdb_state_store=True)``
+    or ``SPARK_GRAFT_ROCKSDB=1``)."""
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.col("context.timestamp").alias("ts"),
+    )
+    out = keyed.groupBy("topic", "type").transformWithStateInPandas(
+        _TtlStatsProcessor(ttl_ms),
+        outputStructType=_STATS_OUT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    return out.select(
+        stats_key(F.col("topic"), F.col("type")).alias("kafka_key"),
+        F.col("count"),
+        format_timestamp(F.col("created")).alias("created"),
+        format_timestamp(F.col("updated")).alias("updated"),
+        "topic",
+        "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Redelivery dedup (exactly-once record identity at the source edge)
 # ---------------------------------------------------------------------------
 

@@ -736,3 +736,115 @@ def test_session_stats_append_finalizes_on_gap(spark, tmp_path, ts):
         assert s["session_end"] == "2024-01-01T12:20:00.000"
     finally:
         q.stop()
+
+
+def test_ttl_stats_accumulate_and_expire(spark, tmp_path, ts):
+    """State-v2 TTL stats: counts accumulate across micro-batches while the
+    key is live; after the TTL passes with no arrivals, the store evicts
+    the key and the next arrival restarts from zero."""
+    import time as _time
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        state_v2_available,
+    )
+
+    if not state_v2_available():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf "
+            "(absent in this container)"
+        )
+
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.session import ROCKSDB_PROVIDER
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_error_statistics_ttl,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        src = str(tmp_path / "src")
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=0, timestamp=ts(1),
+                        value_deadletter=FX.dead_letter_value()),
+            FX.envelope(offset=1, timestamp=ts(2),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+        dead_letters, _ = stream_dead_letters(raw)
+        out = streaming_error_statistics_ttl(
+            enrich_with_context(dead_letters), ttl_ms=2_000
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ttl_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.table("ttl_stats").collect()
+            assert [r["count"] for r in rows] == [2]
+            assert rows[0]["created"] == "2024-01-01T12:01:00.000"
+            assert rows[0]["updated"] == "2024-01-01T12:02:00.000"
+
+            # within TTL: accumulates
+            _write_envelopes(spark, src, [
+                FX.envelope(offset=2, timestamp=ts(3),
+                            value_deadletter=FX.dead_letter_value()),
+            ])
+            q.processAllAvailable()
+            counts = sorted(r["count"] for r in spark.table("ttl_stats").collect())
+            assert counts == [2, 3]
+
+            # idle past the 2s TTL: key evicted, restart from zero
+            _time.sleep(4)
+            _write_envelopes(spark, src, [
+                FX.envelope(offset=3, timestamp=ts(10),
+                            value_deadletter=FX.dead_letter_value()),
+            ])
+            q.processAllAvailable()
+            counts = sorted(r["count"] for r in spark.table("ttl_stats").collect())
+            assert counts == [1, 2, 3], "expired key did not restart"
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+
+
+def test_ttl_stats_plan_builds_without_state_v2_runtime(spark, tmp_path, ts):
+    """The TTL-stats operator must at least PLAN everywhere (the protobuf
+    dependency is a stream-start requirement, not a plan-time one), with
+    the FullErrorStatistics column contract."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_error_statistics_ttl,
+    )
+
+    src = str(tmp_path / "src")
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, timestamp=ts(1),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    out = streaming_error_statistics_ttl(enrich_with_context(dead_letters))
+    assert out.columns == [
+        "kafka_key", "count", "created", "updated", "topic", "type",
+    ]
+    assert out.isStreaming
