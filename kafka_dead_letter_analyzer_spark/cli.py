@@ -16,8 +16,10 @@ reproduces that surface:
   tests exercise.
 
 ``--schema-registry-url`` is accepted for CLI compatibility; Avro decode
-engages only when spark-avro is on the classpath (documented divergence —
-the claim-check large-message serde is a non-goal, SURVEY.md §7.5).
+engages only when spark-avro is on the classpath (documented divergence).
+The large-message serde (claim-check pattern + bakdata byte-flag wire
+protocol) lives in ``streaming/large_message.py`` — apply ``wire_decode``
+after the S2 cascade when input topics carry large-message-encoded values.
 """
 
 from __future__ import annotations

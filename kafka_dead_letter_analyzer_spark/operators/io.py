@@ -1,0 +1,57 @@
+"""Output sizing — the small-files problem at 100 TB.
+
+A 100 TB job writing through ``spark.sql.shuffle.partitions`` tasks emits
+one file per task per partition directory: tens of thousands of tiny
+parquet files that throttle every downstream scan (footer reads dominate)
+and metastore. The fix is sizing the write by DATA VOLUME, not task count.
+
+``write_sized`` plans the repartition from Catalyst's own size estimate of
+the optimized plan (``sizeInBytes`` — the same statistic AQE plans with),
+so the file count tracks the data: ``ceil(estimated_bytes /
+target_file_bytes)`` output tasks, each additionally capped by
+``maxRecordsPerFile`` as the safety net for estimate error. A round-robin
+``repartition(n)`` (not coalesce) is used deliberately: coalesce folds
+into upstream stages and can starve their parallelism; the extra shuffle
+is the documented price of well-sized output, and at 100 TB it is noise
+next to the scan it prevents downstream.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+__all__ = ["estimated_plan_bytes", "write_sized"]
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the DataFrame's optimized plan (the
+    statistic AQE and join-strategy selection use). Conservative for
+    filters it cannot estimate; exact for bare scans."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    max_records_per_file: int | None = 5_000_000,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` sized to ~``target_file_bytes`` per output file
+    (default 256 MiB — the scan-friendly parquet sweet spot: big enough to
+    amortize footers, small enough for task-level parallelism). Returns
+    the planned file count.
+
+    Note the estimate is of the IN-MEMORY plan size; parquet compresses
+    2-5x below it, so files land under the target — the failure mode this
+    guards against is thousands-of-tiny-files, not slightly-small files.
+    """
+    n = max(1, math.ceil(estimated_plan_bytes(df) / target_file_bytes))
+    writer = df.repartition(n).write.format(format).mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+    return n

@@ -467,3 +467,34 @@ def test_connected_components_star_long_chain(spark):
         for r in G.connected_components_star(pairs).collect()
     }
     assert got == {i: 100 for i in range(100, 164)}
+
+
+# ---------------------------------------------------------------------------
+# output sizing
+# ---------------------------------------------------------------------------
+
+
+def test_write_sized_plans_file_count_from_volume(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators import io as IO
+
+    df = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 100) AS pad"
+    )
+    est = IO.estimated_plan_bytes(df)
+    # computed columns are estimated at type-default widths (scans get
+    # exact file-size stats); the row count must still be reflected
+    assert est > 50_000 * 8
+
+    # target ~1/4 of the estimate -> >= 4 planned files, all non-tiny
+    out = str(tmp_path / "sized")
+    n = IO.write_sized(df, out, target_file_bytes=est // 4)
+    files = [p for p in os.listdir(out) if p.endswith(".parquet")]
+    assert n >= 4 and len(files) == n
+
+    # huge target -> exactly one file
+    out2 = str(tmp_path / "one")
+    assert IO.write_sized(df, out2, target_file_bytes=10 * est) == 1
+    assert len([p for p in os.listdir(out2) if p.endswith(".parquet")]) == 1
+
+    # round-trips losslessly
+    assert spark.read.parquet(out).count() == 50_000
