@@ -53,10 +53,16 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "left",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``on`` key (ties at equal
     timestamps match, like DuckDB/kdb as-of semantics).
+
+    ``tolerance_us`` bounds the lookback: a match older than
+    ``tolerance_us`` microseconds is treated as no match (pandas
+    ``merge_asof(tolerance=...)`` semantics) — for joins against feeds
+    that go stale, e.g. a quote older than a second is not a quote.
 
     Right rows must be unique per (key, ts) — with duplicates the winner
     is unspecified (same caveat as DuckDB's ASOF JOIN).
@@ -104,6 +110,14 @@ def asof_join(
         .withColumn("_picked", F.last("_rpay", ignorenulls=True).over(w))
         .filter(F.col("_tag") == 1)
     )
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col("_picked.asof_ts"))
+        ) <= int(tolerance_us)
+        joined = joined.withColumn(
+            "_picked", F.when(fresh, F.col("_picked"))
+        )
     if how == "inner":
         joined = joined.filter(F.col("_picked").isNotNull())
     return joined.select(

@@ -1634,3 +1634,36 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.hash_bernoulli_sample(
         load_table(spark, sf_dir, "documents"), key="doc_id", rate=_HASH_RATE
     ).select("doc_id", "lang")
+
+
+@_register(
+    "x_session_rows",
+    f"""
+    SELECT event_id, user_id,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    """,
+)
+def x_session_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session assignment (the per-row dialect next to
+    x_session_stats' aggregated one): every event tagged with its 1-based
+    per-user session index. Two stacked window functions sharing ONE
+    partitioning+sort; integer-microsecond boundary math is bit-identical
+    in the DuckDB islands oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return T.sessionize(
+        events.select("event_id", "user_id", "ts"),
+        key="user_id",
+        ts_col="ts",
+        gap_us=_SESSION_GAP_US,
+        tiebreak="event_id",
+    ).select("event_id", "user_id", "session_idx")

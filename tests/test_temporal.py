@@ -498,3 +498,25 @@ def test_write_sized_plans_file_count_from_volume(spark, tmp_path):
 
     # round-trips losslessly
     assert spark.read.parquet(out).count() == 50_000
+
+
+def test_asof_join_tolerance_drops_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1), ("a", _ts(60), 2)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(9), "fresh-for-1")], "k string, ts timestamp, payload string"
+    )
+    out = {
+        r["lid"]: r["payload"]
+        for r in T.asof_join(
+            left, right, on="k", tolerance_us=5 * 60 * 1_000_000
+        ).collect()
+    }
+    assert out[1] == "fresh-for-1"  # 1 min old: within tolerance
+    assert out[2] is None  # 51 min old: stale -> no match
+    # inner join also drops the stale row
+    rows = T.asof_join(
+        left, right, on="k", how="inner", tolerance_us=5 * 60 * 1_000_000
+    ).collect()
+    assert [r["lid"] for r in rows] == [1]
