@@ -1667,3 +1667,56 @@ def x_session_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_us=_SESSION_GAP_US,
         tiebreak="event_id",
     ).select("event_id", "user_id", "session_idx")
+
+
+@_register(
+    "x_corpus_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nn AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM nn
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM cc GROUP BY id),
+    drops AS (SELECT id FROM comp WHERE id != component),
+    kept AS (
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id NOT IN (SELECT id FROM drops)
+    )
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM kept
+    ) WHERE rn <= 25
+    """,
+)
+def x_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus pass, composed from this engine's
+    own operators: minhash near-dup pairs (exact-verified) -> connected
+    components -> drop every non-canonical cluster member (keep min
+    doc_id) -> deterministic 25-per-language quota sample of the deduped
+    corpus. One declared query so the driver checks the whole composition,
+    not just the parts; at 100 TB each stage keeps its own documented
+    scale shape (banded candidate join; id-only CC iterations; md5-rank
+    window over the surviving rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(docs, num_hashes=64, bands=32, threshold=0.5)
+    comp = G.connected_components(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    return SA.stratified_quota(kept, stratum="lang", key="doc_id", k=25).select(
+        "doc_id", "lang", "sample_rank"
+    )
