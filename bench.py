@@ -49,6 +49,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    # dev/test subset: SPARK_GRAFT_BENCH_QUERIES=a,b,c limits the sweep
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        names = [n for n in names if n in wanted]
 
     # Warm the JVM + parquet footers WITHOUT executing any timed query:
     # running a real query here would make its first timed run (recorded
