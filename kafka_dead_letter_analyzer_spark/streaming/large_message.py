@@ -107,6 +107,52 @@ def claim_check_reads(
 # ---------------------------------------------------------------------------
 
 
+def encode_wire_value(
+    v: bytes | None,
+    threshold: int,
+    blob_dir: str,
+    uri_prefix: str = "file://",
+) -> bytes | None:
+    """Pure per-value encoder (one wire record): ``0x00 + payload`` at or
+    under ``threshold`` bytes, else write the blob (content-addressed,
+    idempotent) and return ``0x01 + utf8(uri)``. Exposed module-level so
+    the protocol is testable without Spark (property tests)."""
+    if v is None:
+        return None
+    payload = bytes(v)
+    if len(payload) <= threshold:
+        return bytes([FLAG_NOT_BACKED]) + payload
+    os.makedirs(blob_dir, exist_ok=True)
+    digest = hashlib.sha256(payload).hexdigest()
+    path = os.path.join(blob_dir, f"{digest}.blob")
+    if not os.path.exists(path):  # content-addressed: idempotent
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    return bytes([FLAG_BACKED]) + f"{uri_prefix}{path}".encode("utf-8")
+
+
+def decode_wire_value(v: bytes | None) -> bytes | None:
+    """Pure per-value decoder, inverse of :func:`encode_wire_value`.
+    Unknown flag bytes raise (matches the serde: reject, don't guess)."""
+    if v is None:
+        return None
+    raw = bytes(v)
+    if not raw:
+        raise ValueError("large-message value is empty (no flag byte)")
+    flag, rest = raw[0], raw[1:]
+    if flag == FLAG_NOT_BACKED:
+        return rest
+    if flag == FLAG_BACKED:
+        uri = rest.decode("utf-8")
+        if uri.startswith("file://"):
+            uri = uri[len("file://"):]
+        with open(uri, "rb") as f:
+            return f.read()
+    raise ValueError(f"unknown large-message flag byte {flag:#x}")
+
+
 def wire_encode(
     df: DataFrame,
     value_col: str = "value",
@@ -115,38 +161,23 @@ def wire_encode(
     uri_prefix: str = "file://",
 ) -> DataFrame:
     """Encode a BINARY column into bakdata byte-flag wire format: small
-    values become ``0x00 + value`` (pure JVM concat for the common case);
-    values larger than ``threshold`` bytes are written to the blob store
-    and become ``0x01 + utf8(uri)``.
+    values become ``0x00 + value``; values larger than ``threshold``
+    bytes are written to the blob store and become ``0x01 + utf8(uri)``.
 
     Single pass, Arrow-batched; filesystem IO happens only for the
     oversized minority inside each batch. NULL values stay NULL (the
     serde's null passthrough)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        made_dir = False
         for pdf in batches:
-            out = []
-            for v in pdf[value_col]:
-                if v is None:
-                    out.append(None)
-                elif len(v) <= threshold:
-                    out.append(bytes([FLAG_NOT_BACKED]) + bytes(v))
-                else:
-                    if not made_dir:
-                        os.makedirs(blob_dir, exist_ok=True)
-                        made_dir = True
-                    payload = bytes(v)
-                    digest = hashlib.sha256(payload).hexdigest()
-                    path = os.path.join(blob_dir, f"{digest}.blob")
-                    if not os.path.exists(path):  # content-addressed: idempotent
-                        tmp = f"{path}.tmp.{os.getpid()}"
-                        with open(tmp, "wb") as f:
-                            f.write(payload)
-                        os.replace(tmp, path)
-                    uri = f"{uri_prefix}{path}"
-                    out.append(bytes([FLAG_BACKED]) + uri.encode("utf-8"))
-            yield pdf.assign(**{value_col: out})
+            yield pdf.assign(
+                **{
+                    value_col: [
+                        encode_wire_value(v, threshold, blob_dir, uri_prefix)
+                        for v in pdf[value_col]
+                    ]
+                }
+            )
 
     return df.mapInPandas(run, schema=df.schema)
 
@@ -158,26 +189,9 @@ def wire_decode(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for v in pdf[value_col]:
-                if v is None:
-                    out.append(None)
-                    continue
-                raw = bytes(v)
-                if not raw:
-                    raise ValueError("large-message value is empty (no flag byte)")
-                flag, rest = raw[0], raw[1:]
-                if flag == FLAG_NOT_BACKED:
-                    out.append(rest)
-                elif flag == FLAG_BACKED:
-                    uri = rest.decode("utf-8")
-                    if uri.startswith("file://"):
-                        uri = uri[len("file://"):]
-                    with open(uri, "rb") as f:
-                        out.append(f.read())
-                else:
-                    raise ValueError(f"unknown large-message flag byte {flag:#x}")
-            yield pdf.assign(**{value_col: out})
+            yield pdf.assign(
+                **{value_col: [decode_wire_value(v) for v in pdf[value_col]]}
+            )
 
     return df.mapInPandas(run, schema=df.schema)
 

@@ -520,3 +520,33 @@ def test_asof_join_tolerance_drops_stale_matches(spark):
         left, right, on="k", how="inner", tolerance_us=5 * 60 * 1_000_000
     ).collect()
     assert [r["lid"] for r in rows] == [1]
+
+
+def test_wire_value_roundtrip_property(tmp_path):
+    """Property test of the pure per-value wire codec (no Spark): any
+    byte string round-trips; the flag byte is exactly the threshold
+    predicate; identical payloads share one blob object."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob_dir = str(tmp_path / "blobs")
+
+    @settings(max_examples=300, deadline=None)
+    @given(v=st.one_of(st.none(), st.binary(max_size=64)), thr=st.integers(0, 48))
+    def check(v, thr):
+        enc = LM.encode_wire_value(v, thr, blob_dir)
+        if v is None:
+            assert enc is None
+            return
+        assert enc[0] == (LM.FLAG_BACKED if len(v) > thr else LM.FLAG_NOT_BACKED)
+        assert LM.decode_wire_value(enc) == v
+
+    check()
+    # every blob on disk is content-addressed: re-encoding adds nothing
+    import os as _os
+
+    before = set(_os.listdir(blob_dir)) if _os.path.isdir(blob_dir) else set()
+    LM.encode_wire_value(b"\x01" * 60, 10, blob_dir)
+    LM.encode_wire_value(b"\x01" * 60, 10, blob_dir)
+    after = set(_os.listdir(blob_dir)) if _os.path.isdir(blob_dir) else set()
+    assert before <= after and len(after - before) <= 1
