@@ -16,7 +16,9 @@ input:
   Exchange + one in-partition sort, identical to the cost of the
   aggregation Spark would plan for a plain ``groupBy`` — there is no
   per-row probe and no broadcast requirement on either side. DuckDB's
-  ``ASOF JOIN`` is the oracle (queries.py).
+  ``ASOF JOIN`` is the oracle (queries.py). For hot keys whose events
+  would overwhelm one window task, ``asof_join_sliced`` bounds task size
+  by time-slicing (identical output, differential-tested).
 - ``sessionize``: gaps-and-islands with window functions (lag -> boundary
   flag -> running sum). One shuffle on the session key; boundary
   comparisons are integer microsecond math so engines agree exactly.
@@ -40,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "asof_join_sliced",
     "sessionize",
     "session_stats",
     "range_join_bucketed",
@@ -228,4 +231,101 @@ def range_join_bucketed(
     return out.select(
         *[lb[c] for c in left.columns],
         *[ib[c] for c in intervals.columns if c not in (on,)],
+    )
+
+
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+    tolerance_us: int | None = None,
+    slice_us: int = 24 * 3_600 * 1_000_000,
+) -> DataFrame:
+    """:func:`asof_join` with bounded task size for HOT KEYS.
+
+    The plain union dialect windows over ``partitionBy(key)`` — at 100 TB
+    a hot key (one entity with billions of events) lands in ONE task. This
+    variant additionally slices time into ``slice_us`` buckets:
+
+    1. in-slice pick: the running ``last(ignorenulls)`` window runs per
+       (key, slice) — task size is bounded by slice width, not key volume;
+    2. carry-forward: per (key, slice), the latest right payload in the
+       slice is aggregated (``max_by``, partial-aggregable), and a second
+       window over the per-slice rows (|slices| rows per key, tiny) carries
+       the latest payload from STRICTLY EARLIER slices;
+    3. every left row takes ``coalesce(in-slice pick, carry)``.
+
+    Output is identical to :func:`asof_join` (differential-tested); cost is
+    two extra bounded shuffles — the price of skew immunity.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join_sliced: how must be 'left'/'inner', got {how!r}")
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"asof_join_sliced: overlapping non-key columns {sorted(clash)}")
+
+    lpay = F.struct(*[F.col(c) for c in lcols]).alias("_lpay")
+    rpay = F.struct(
+        F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in rcols]
+    ).alias("_rpay")
+    lpay_t = left.select(lpay).schema[0].dataType.simpleString()
+    rpay_t = right.select(rpay).schema[0].dataType.simpleString()
+    sl = (F.unix_micros(F.col("_ts")) / int(slice_us)).cast("long").alias("_slice")
+    l2 = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"), lpay, F.lit(None).cast(rpay_t).alias("_rpay"),
+    ).withColumn("_slice", sl)
+    r2 = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"), F.lit(None).cast(lpay_t).alias("_lpay"), rpay,
+    ).withColumn("_slice", sl)
+    u = l2.unionByName(r2)
+
+    w_in = (
+        Window.partitionBy("_k", "_slice")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked_in = u.withColumn("_pick", F.last("_rpay", ignorenulls=True).over(w_in))
+
+    # latest right payload per (key, slice); carried into LATER slices
+    slice_last = (
+        u.filter(F.col("_tag") == 0)
+        .groupBy("_k", "_slice")
+        .agg(F.max_by("_rpay", "_ts").alias("_slice_pick"))
+    )
+    all_slices = u.select("_k", "_slice").distinct()
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_slices.join(slice_last, ["_k", "_slice"], "left")
+        .withColumn("_carry", F.last("_slice_pick", ignorenulls=True).over(w_carry))
+        .select("_k", "_slice", "_carry")
+    )
+
+    joined = (
+        picked_in.filter(F.col("_tag") == 1)
+        .join(carry, ["_k", "_slice"], "left")
+        .withColumn("_picked", F.coalesce(F.col("_pick"), F.col("_carry")))
+    )
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col("_picked.asof_ts"))
+        ) <= int(tolerance_us)
+        joined = joined.withColumn("_picked", F.when(fresh, F.col("_picked")))
+    if how == "inner":
+        joined = joined.filter(F.col("_picked").isNotNull())
+    return joined.select(
+        *[F.col(f"_lpay.{c}").alias(c) for c in lcols],
+        F.col("_picked.asof_ts").alias("asof_ts"),
+        *[F.col(f"_picked.{c}").alias(c) for c in rcols],
     )

@@ -550,3 +550,52 @@ def test_wire_value_roundtrip_property(tmp_path):
     LM.encode_wire_value(b"\x01" * 60, 10, blob_dir)
     after = set(_os.listdir(blob_dir)) if _os.path.isdir(blob_dir) else set()
     assert before <= after and len(after - before) <= 1
+
+
+@pytest.mark.parametrize("slice_minutes", [1, 7, 60, 100000])
+def test_asof_join_sliced_equals_plain(spark, slice_minutes):
+    """The skew-immune sliced dialect must return exactly the plain
+    dialect's answer for any slice width (including slices far smaller
+    and far larger than the data's time range)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    lrows = _random_events(rng, 250, ["a", "b", "only-left"])
+    # unique right (k, ts): with duplicates the winner is unspecified in
+    # BOTH dialects (documented operator caveat), so the comparison could
+    # legitimately differ
+    seen = {}
+    for k, ts, rid in _random_events(rng, 90, ["a", "b", "only-right"]):
+        seen[(k, ts)] = (k, ts, f"r{rid}")
+    rrows = list(seen.values())
+    left = spark.createDataFrame(lrows, "k string, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, payload string")
+
+    plain = {
+        (r["lid"], r["payload"], r["asof_ts"])
+        for r in T.asof_join(left, right, on="k").collect()
+    }
+    sliced = {
+        (r["lid"], r["payload"], r["asof_ts"])
+        for r in T.asof_join_sliced(
+            left, right, on="k", slice_us=slice_minutes * 60 * 1_000_000
+        ).collect()
+    }
+    assert sliced == plain
+
+    # tolerance + inner must agree too
+    tol = 40 * 60 * 1_000_000
+    plain_i = {
+        (r["lid"], r["payload"])
+        for r in T.asof_join(
+            left, right, on="k", how="inner", tolerance_us=tol
+        ).collect()
+    }
+    sliced_i = {
+        (r["lid"], r["payload"])
+        for r in T.asof_join_sliced(
+            left, right, on="k", how="inner", tolerance_us=tol,
+            slice_us=slice_minutes * 60 * 1_000_000,
+        ).collect()
+    }
+    assert sliced_i == plain_i
