@@ -53,6 +53,9 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:
         wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = wanted - set(qs)
+        if unknown:  # a typo would silently change what "value" measures
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
         names = [n for n in names if n in wanted]
 
     # Warm the JVM + parquet footers WITHOUT executing any timed query:

@@ -51,7 +51,10 @@ def connected_components(
 
     ``max_iterations`` is a safety bound; the loop exits as soon as a
     round changes no label (checked with a single count aggregate, the
-    only driver-side action per round).
+    only driver-side action per round). Exhausting the bound WITHOUT
+    convergence raises — silently returning mid-propagation labels would
+    hand a dedup pipeline wrong canonical ids. Diameter > 50 graphs
+    should use :func:`connected_components_star` (O(log n) rounds).
     """
     # both directions in ONE scan of the pair lineage (a union would run
     # the upstream candidate-generation pipeline once per branch)
@@ -73,6 +76,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iterations):
         offered = (
             edges.join(labels, edges["s"] == labels["id"], "inner")
@@ -93,8 +97,15 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the bound) — raise "
+            "max_iterations or use connected_components_star"
+        )
     return labels.select(F.col("id"), F.col("lab").alias("component"))
 
 
@@ -148,11 +159,13 @@ def connected_components_star(
     nothing (checked via count — edges after small-star are exactly the
     (member -> center) map when converged).
     """
+    # localCheckpoint (not persist): materialized once, truncates the pair
+    # lineage, and leaves nothing cached behind after the call
     nodes = (
         pairs.select(F.col(src).alias("id"))
         .union(pairs.select(F.col(dst).alias("id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     edges = (
         pairs.select(
@@ -168,6 +181,7 @@ def connected_components_star(
     )
     edges = edges.localCheckpoint(eager=True)
     prev_count = -1
+    converged = False
     for _ in range(max_iterations):
         # large-star needs both directions; small-star output is directed
         # (s, d<=s), so rebuild the symmetric view first
@@ -179,9 +193,16 @@ def connected_components_star(
         n = contracted.count()
         if n == prev_count and contracted.exceptAll(edges).isEmpty():
             edges = contracted
+            converged = True
             break
         prev_count = n
         edges = contracted
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — the post-loop star-arc mapping would be wrong on a "
+            "mid-contraction edge set; raise max_iterations"
+        )
     # converged: edges are (member, center) star arcs; every node not a
     # source is its own center
     comp = edges.select(F.col("s").alias("id"), F.col("d").alias("component"))

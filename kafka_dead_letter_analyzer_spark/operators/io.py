@@ -39,6 +39,7 @@ def write_sized(
     max_records_per_file: int | None = 5_000_000,
     format: str = "parquet",
     mode: str = "overwrite",
+    max_files: int = 100_000,
 ) -> int:
     """Write ``df`` sized to ~``target_file_bytes`` per output file
     (default 256 MiB — the scan-friendly parquet sweet spot: big enough to
@@ -48,8 +49,15 @@ def write_sized(
     Note the estimate is of the IN-MEMORY plan size; parquet compresses
     2-5x below it, so files land under the target — the failure mode this
     guards against is thousands-of-tiny-files, not slightly-small files.
+
+    ``max_files`` caps the plan: Catalyst's estimate is unreliable upward
+    for stat-less plans (join fallbacks multiply the sides; some leaves
+    default to Long.MaxValue), and an uncapped ceil() would ask for more
+    shuffle partitions than Spark can launch. When the cap engages,
+    ``maxRecordsPerFile`` still bounds individual file size.
     """
     n = max(1, math.ceil(estimated_plan_bytes(df) / target_file_bytes))
+    n = min(n, max_files)
     writer = df.repartition(n).write.format(format).mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

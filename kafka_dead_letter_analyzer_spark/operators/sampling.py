@@ -8,9 +8,10 @@ partitionings, cluster sizes, retries, and engines (the md5-based rank is
 reproduced bit-for-bit by the DuckDB oracles in queries.py).
 
 - ``hash_bernoulli_sample``: keep a row iff the first 8 hex digits of
-  ``md5(key || ':' || salt)`` (a uniform 32-bit integer) fall below
-  ``rate * 2^32``. Pure projection + filter — no shuffle, pushes down to
-  the scan's post-filter, scales trivially.
+  ``md5(key)`` (unsalted; ``md5(key || ':' || salt)`` when a salt is
+  given) — a uniform 32-bit integer — fall below ``rate * 2^32``. Pure
+  projection + filter — no shuffle, pushes down to the scan's
+  post-filter, scales trivially.
 - ``stratified_quota``: exactly ``k`` rows per stratum (e.g. per
   language), chosen by md5 rank — a uniform random-but-deterministic
   quota. One shuffle on the stratum column for the rank window; at scale
@@ -32,13 +33,24 @@ from pyspark.sql import functions as F
 __all__ = ["hash_uniform_u32", "hash_bernoulli_sample", "stratified_quota"]
 
 
+def _salted_key(key: Column, salt: str) -> Column:
+    """The hashed key string: ``key`` bare when unsalted (keeps the draw
+    reproducible from md5(key) alone — the DuckDB oracles and docs depend
+    on this), ``key + ':' + salt`` when a salt is given. The single
+    definition both samplers share — change the scheme HERE only."""
+    return (
+        F.concat(key.cast("string"), F.lit(f":{salt}"))
+        if salt
+        else key.cast("string")
+    )
+
+
 def hash_uniform_u32(key: Column, salt: str = "") -> Column:
     """Uniform deterministic 32-bit integer from a row key: first 8 hex
-    digits of md5(key[:salt]) as a BIGINT in [0, 2^32)."""
-    tagged = F.concat(key.cast("string"), F.lit(f":{salt}")) if salt else key.cast(
-        "string"
+    digits of md5(salted key) as a BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(_salted_key(key, salt)), 1, 8), 16, 10).cast(
+        "bigint"
     )
-    return F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
 
 
 def hash_bernoulli_sample(
@@ -58,11 +70,7 @@ def stratified_quota(
     """Exactly ``min(k, |stratum|)`` rows per stratum, selected by md5
     rank over the row key (ties broken by the key itself, so the result
     is total-order deterministic). Adds ``sample_rank`` (1-based)."""
-    order_hash = F.md5(
-        F.concat(F.col(key).cast("string"), F.lit(f":{salt}"))
-        if salt
-        else F.col(key).cast("string")
-    )
+    order_hash = F.md5(_salted_key(F.col(key), salt))
     w = Window.partitionBy(stratum).orderBy(order_hash, F.col(key))
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

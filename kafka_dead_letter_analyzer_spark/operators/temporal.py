@@ -49,6 +49,27 @@ __all__ = [
 ]
 
 
+def _asof_check_columns(
+    opname: str, left: DataFrame, right: DataFrame, on: str, right_ts: str
+) -> tuple[list[str], list[str], None]:
+    """Shared column validation: no non-key overlap, and the generated
+    output column ``asof_ts`` must not collide with either input (a left
+    ``asof_ts`` — e.g. from a previous as-of join — would emit two
+    same-named columns; a right one would make ``_picked.asof_ts``
+    ambiguous). Rename before chaining."""
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"{opname}: overlapping non-key columns {sorted(clash)}")
+    if "asof_ts" in lcols or "asof_ts" in rcols:
+        raise ValueError(
+            f"{opname}: 'asof_ts' is the reserved output column — rename it "
+            "on the input (e.g. from a previous as-of join) before joining"
+        )
+    return lcols, rcols, None
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -75,11 +96,7 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
-    lcols = left.columns
-    rcols = [c for c in right.columns if c not in (on, right_ts)]
-    clash = set(rcols) & set(lcols)
-    if clash:
-        raise ValueError(f"asof_join: overlapping non-key columns {sorted(clash)}")
+    lcols, rcols, _ = _asof_check_columns("asof_join", left, right, on, right_ts)
 
     # one relation, one shuffle: (key, ts, tag, left-payload, right-payload)
     lpay = F.struct(*[F.col(c) for c in lcols]).alias("_lpay")
@@ -263,11 +280,9 @@ def asof_join_sliced(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join_sliced: how must be 'left'/'inner', got {how!r}")
-    lcols = left.columns
-    rcols = [c for c in right.columns if c not in (on, right_ts)]
-    clash = set(rcols) & set(lcols)
-    if clash:
-        raise ValueError(f"asof_join_sliced: overlapping non-key columns {sorted(clash)}")
+    lcols, rcols, _ = _asof_check_columns(
+        "asof_join_sliced", left, right, on, right_ts
+    )
 
     lpay = F.struct(*[F.col(c) for c in lcols]).alias("_lpay")
     rpay = F.struct(

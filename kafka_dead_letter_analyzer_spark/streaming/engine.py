@@ -276,7 +276,7 @@ def state_v2_available() -> bool:
     return True
 
 
-class _TtlStatsProcessor:
+def make_ttl_stats_processor(ttl_ms: int):
     """Per-(topic, type) running stats with state TTL — the scale-hardened
     variant of A1's aggregate. The reference's RocksDB store (and our
     default stats path) keeps every key forever; with a TTL, a key whose
@@ -295,54 +295,52 @@ class _TtlStatsProcessor:
     before wiring this into a query — in containers without protobuf the
     query fails at stream start, not at plan time.
     """
+    from pyspark.sql.streaming import StatefulProcessor
 
-    def __new__(cls, ttl_ms: int):
-        from pyspark.sql.streaming import StatefulProcessor
+    class _Impl(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "stats", _STATS_STATE, ttlDurationMs=ttl_ms
+            )
 
-        class _Impl(StatefulProcessor):
-            def init(self, handle) -> None:
-                self._state = handle.getValueState(
-                    "stats", _STATS_STATE, ttlDurationMs=ttl_ms
-                )
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
 
-            def handleInputRows(self, key, rows, timer_values):
-                import pandas as pd
+            count, created, updated = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            n, mn, mx = 0, None, None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                bmn, bmx = pdf["ts"].min(), pdf["ts"].max()
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            if n == 0:
+                return
+            if created is not None:
+                mn = min(mn, pd.Timestamp(created))
+            if updated is not None:
+                mx = max(mx, pd.Timestamp(updated))
+            count += n
+            self._state.update(
+                (int(count), mn.to_pydatetime(), mx.to_pydatetime())
+            )
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]],
+                    "type": [key[1]],
+                    "count": [count],
+                    "created": [mn],
+                    "updated": [mx],
+                }
+            )
 
-                count, created, updated = (
-                    self._state.get() if self._state.exists() else (0, None, None)
-                )
-                n, mn, mx = 0, None, None
-                for pdf in rows:
-                    if not len(pdf):
-                        continue
-                    n += len(pdf)
-                    bmn, bmx = pdf["ts"].min(), pdf["ts"].max()
-                    mn = bmn if mn is None else min(mn, bmn)
-                    mx = bmx if mx is None else max(mx, bmx)
-                if n == 0:
-                    return
-                if created is not None:
-                    mn = min(mn, pd.Timestamp(created))
-                if updated is not None:
-                    mx = max(mx, pd.Timestamp(updated))
-                count += n
-                self._state.update(
-                    (int(count), mn.to_pydatetime(), mx.to_pydatetime())
-                )
-                yield pd.DataFrame(
-                    {
-                        "topic": [key[0]],
-                        "type": [key[1]],
-                        "count": [count],
-                        "created": [mn],
-                        "updated": [mx],
-                    }
-                )
+        def close(self) -> None:
+            pass
 
-            def close(self) -> None:
-                pass
-
-        return _Impl()
+    return _Impl()
 
 
 def streaming_error_statistics_ttl(
@@ -359,7 +357,7 @@ def streaming_error_statistics_ttl(
         F.col("context.timestamp").alias("ts"),
     )
     out = keyed.groupBy("topic", "type").transformWithStateInPandas(
-        _TtlStatsProcessor(ttl_ms),
+        make_ttl_stats_processor(ttl_ms),
         outputStructType=_STATS_OUT,
         outputMode="Update",
         timeMode="ProcessingTime",

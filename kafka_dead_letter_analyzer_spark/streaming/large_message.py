@@ -133,9 +133,28 @@ def encode_wire_value(
     return bytes([FLAG_BACKED]) + f"{uri_prefix}{path}".encode("utf-8")
 
 
-def decode_wire_value(v: bytes | None) -> bytes | None:
+def _file_resolver(uri: str) -> bytes:
+    """Default blob resolver: ``file://`` (and bare) paths only. Other
+    schemes raise a clear error instead of a confusing open() failure —
+    if you encoded with a custom ``uri_prefix`` (s3://, gs://), pass a
+    matching ``resolver`` to :func:`wire_decode`."""
+    if "://" in uri and not uri.startswith("file://"):
+        scheme = uri.split("://", 1)[0]
+        raise ValueError(
+            f"no blob resolver for URI scheme {scheme!r} — pass "
+            "resolver= to wire_decode/decode_wire_value"
+        )
+    if uri.startswith("file://"):
+        uri = uri[len("file://"):]
+    with open(uri, "rb") as f:
+        return f.read()
+
+
+def decode_wire_value(v: bytes | None, resolver=_file_resolver) -> bytes | None:
     """Pure per-value decoder, inverse of :func:`encode_wire_value`.
-    Unknown flag bytes raise (matches the serde: reject, don't guess)."""
+    Unknown flag bytes raise (matches the serde: reject, don't guess);
+    ``resolver(uri) -> bytes`` fetches backed payloads (default:
+    local/file:// paths)."""
     if v is None:
         return None
     raw = bytes(v)
@@ -145,11 +164,7 @@ def decode_wire_value(v: bytes | None) -> bytes | None:
     if flag == FLAG_NOT_BACKED:
         return rest
     if flag == FLAG_BACKED:
-        uri = rest.decode("utf-8")
-        if uri.startswith("file://"):
-            uri = uri[len("file://"):]
-        with open(uri, "rb") as f:
-            return f.read()
+        return resolver(rest.decode("utf-8"))
     raise ValueError(f"unknown large-message flag byte {flag:#x}")
 
 
@@ -182,15 +197,23 @@ def wire_encode(
     return df.mapInPandas(run, schema=df.schema)
 
 
-def wire_decode(df: DataFrame, value_col: str = "value") -> DataFrame:
+def wire_decode(
+    df: DataFrame, value_col: str = "value", resolver=_file_resolver
+) -> DataFrame:
     """Decode bakdata byte-flag wire format back to the raw BINARY value,
-    fetching backed payloads from their URIs. Unknown flag bytes raise
-    (matches the serde, which rejects rather than guesses)."""
+    fetching backed payloads via ``resolver(uri) -> bytes`` (default:
+    local/file:// paths — match it to wire_encode's ``uri_prefix``).
+    Unknown flag bytes raise (matches the serde, which rejects rather
+    than guesses)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pdf.assign(
-                **{value_col: [decode_wire_value(v) for v in pdf[value_col]]}
+                **{
+                    value_col: [
+                        decode_wire_value(v, resolver) for v in pdf[value_col]
+                    ]
+                }
             )
 
     return df.mapInPandas(run, schema=df.schema)

@@ -599,3 +599,42 @@ def test_asof_join_sliced_equals_plain(spark, slice_minutes):
         ).collect()
     }
     assert sliced_i == plain_i
+
+
+def test_connected_components_raises_when_bound_exceeded(spark):
+    """Exhausting max_iterations without convergence must raise, not
+    silently return mid-propagation labels."""
+    chain = [(i, i + 1) for i in range(0, 12)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(pairs, max_iterations=3)
+
+
+def test_asof_join_reserves_asof_ts_name(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(0), _ts(0))], "k string, ts timestamp, asof_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(0), "x")], "k string, ts timestamp, payload string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        T.asof_join(left, right, on="k")
+    with pytest.raises(ValueError, match="reserved"):
+        T.asof_join_sliced(left, right, on="k")
+
+
+def test_wire_decode_unknown_scheme_raises_clearly():
+    enc = bytes([LM.FLAG_BACKED]) + b"s3://bucket/obj"
+    with pytest.raises(ValueError, match="no blob resolver for URI scheme 's3'"):
+        LM.decode_wire_value(enc)
+    # custom resolver handles it
+    assert LM.decode_wire_value(enc, resolver=lambda uri: b"payload") == b"payload"
+
+
+def test_write_sized_caps_file_count(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators import io as IO
+
+    df = spark.range(0, 1000)
+    out = str(tmp_path / "capped")
+    n = IO.write_sized(df, out, target_file_bytes=1, max_files=3)
+    assert n == 3
