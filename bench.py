@@ -1,7 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-2 verdict: the driver captures only the LAST
+~2,000 chars of stdout, and round 2's 3,767-char single line failed to
+parse there):
+- per-query tier dicts go to an EARLIER stdout line (prefixed
+  "DETAIL ") and to ./BENCH_DETAIL.json;
+- the FINAL stdout line is one compact JSON object {"metric", "value",
+  "value_cold", "value_exec", "unit", "sf"} (+ "queries" only while it
+  still fits under the capture window), asserted < 1,900 chars in
+  tests/test_bench.py.
+
+Tiers: SPARK_GRAFT_BENCH_TIERS=cold,warm,exec (default all) — CI can run
+exec-only in seconds; the driver's default run measures all three.
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver-side collect of bulk data).
@@ -82,45 +93,82 @@ def main() -> None:
     #   materialize mid-plan (persist/localCheckpoint: e3_feedback_stats,
     #   x_dup_clusters) re-read their materialization here by design —
     #   that boundary is part of their execution contract.
+    tiers = {
+        t.strip()
+        for t in os.environ.get("SPARK_GRAFT_BENCH_TIERS", "cold,warm,exec").split(",")
+        if t.strip()
+    }
+    unknown_tiers = tiers - {"cold", "warm", "exec"}
+    if unknown_tiers:
+        raise SystemExit(f"unknown bench tiers: {sorted(unknown_tiers)}")
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     execs: dict[str, float] = {}
     for name in names:
+        # the first construct+force is the cold measurement — it happens
+        # regardless of tier selection because exec needs a built DataFrame
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         _force(df)
-        cold[name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(df)
-            best = min(best, time.perf_counter() - t0)
-        execs[name] = round(best, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        if "cold" in tiers:
+            cold[name] = round(time.perf_counter() - t0, 3)
+        if "exec" in tiers:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(df)
+                best = min(best, time.perf_counter() - t0)
+            execs[name] = round(best, 3)
+        if "warm" in tiers:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         # drop per-invocation persisted intermediates (e3's error-topic
         # boundary, minhash signatures) so later queries aren't skewed by
         # accumulated executor-memory cache
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "total_headline_query_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
+    detail = {
         "queries": timings,
         "queries_cold": cold,
-        "value_cold": round(sum(cold.values()), 3),
         "queries_exec": execs,
-        "value_exec": round(sum(execs.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # per-query detail: earlier stdout line + file — NOT the final line
+    print("DETAIL " + json.dumps(detail))
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(format_final_line(timings, cold, execs, sf))
     spark.stop()
+
+
+def format_final_line(timings, cold, execs, sf) -> str:
+    """The compact final stdout line the driver parses. Guaranteed under
+    the driver's ~2,000-char stdout-tail capture: the per-query warm dict
+    is included only while the line stays short (round-2 postmortem: a
+    3,767-char line lost the round's bench record)."""
+    headline = timings or execs or cold  # warm is the headline tier
+    out = {
+        "metric": "total_headline_query_seconds",
+        "value": round(sum(headline.values()), 3),
+        "unit": "sec",
+        "value_cold": round(sum(cold.values()), 3),
+        "value_exec": round(sum(execs.values()), 3),
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(dict(out, queries=timings))
+    if len(line) >= 1800:
+        line = json.dumps(out)
+    return line
 
 
 if __name__ == "__main__":

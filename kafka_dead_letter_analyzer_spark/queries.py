@@ -1640,8 +1640,9 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_session_rows",
     f"""
     SELECT event_id, user_id,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_idx
     FROM (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -1,9 +1,13 @@
-"""bench.py output contract: the driver records its single JSON line as
-BENCH_r{N}.json — a malformed line or missing field silently drops the
-round's performance record, so pin the contract here.
+"""bench.py output contract: the driver records bench output as
+BENCH_r{N}.json but captures only the LAST ~2,000 chars of stdout — a
+long final line loses the round's performance record (round 2:
+"parsed": null from a 3,767-char line). Pin the contract here:
+per-query detail on earlier lines + BENCH_DETAIL.json, compact final
+JSON line < 1,900 chars even at the full declared query surface.
 
-Runs in a subprocess (bench owns and stops its SparkSession) on a
-three-query subset at sf0.001 to keep it cheap.
+The subprocess test runs a three-query subset at sf0.001 to keep it
+cheap; the length guarantee is tested directly against every declared
+query name via bench.format_final_line.
 """
 
 from __future__ import annotations
@@ -14,9 +18,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
-def test_bench_emits_one_valid_json_line():
+def test_bench_emits_parseable_final_line_and_detail():
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -31,18 +36,80 @@ def test_bench_emits_one_valid_json_line():
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    json_lines = [
-        l for l in out.stdout.splitlines() if l.startswith("{")
-    ]
-    assert len(json_lines) == 1, out.stdout[-2000:]
-    d = json.loads(json_lines[0])
+    lines = out.stdout.splitlines()
+
+    # the driver's view: last line of the stdout tail must be the record
+    final = lines[-1]
+    assert final.startswith("{"), out.stdout[-2000:]
+    assert len(final) < 1900
+    d = json.loads(final)
     assert d["metric"] == "total_headline_query_seconds"
     assert d["unit"] == "sec"
     assert d["sf"] == 0.001
+    assert d["value"] >= 0 and d["value_cold"] >= 0 and d["value_exec"] >= 0
+
+    # per-query tiers live on the DETAIL line and in BENCH_DETAIL.json
+    detail_lines = [l for l in lines if l.startswith("DETAIL ")]
+    assert len(detail_lines) == 1
+    detail = json.loads(detail_lines[0][len("DETAIL "):])
     for tier in ("queries", "queries_cold", "queries_exec"):
-        assert set(d[tier]) == {
+        assert set(detail[tier]) == {
             "a1_error_stats", "x_dedup_exact", "x_hash_sample"
         }
-        assert all(v >= 0 for v in d[tier].values())
-    assert d["value"] == round(sum(d["queries"].values()), 3)
-    assert d["value_cold"] == round(sum(d["queries_cold"].values()), 3)
+        assert all(v >= 0 for v in detail[tier].values())
+    assert d["value"] == round(sum(detail["queries"].values()), 3)
+    assert d["value_cold"] == round(sum(detail["queries_cold"].values()), 3)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        assert json.load(f) == detail
+
+
+def test_final_line_short_at_full_query_surface():
+    """Even with every declared query (worst-case warm dict size), the
+    final line must fit the driver's 2,000-char tail window with margin;
+    format_final_line drops the per-query dict when it would not."""
+    import bench
+    import __spark_entry__ as entry_mod
+
+    names = sorted(entry_mod.queries().keys())
+    # worst-case float width: hundreds of seconds, 3 decimals
+    t = {n: 123.456 for n in names}
+    line = bench.format_final_line(t, dict(t), dict(t), "0.1")
+    assert len(line) < 1900, len(line)
+    d = json.loads(line)
+    assert d["value"] == round(sum(t.values()), 3)
+
+    # pathological surface (many long names) must trigger the compact form
+    huge = {f"x_{'q' * 60}_{i}": 1.0 for i in range(100)}
+    line = bench.format_final_line(huge, dict(huge), dict(huge), "0.1")
+    assert len(line) < 1900
+    assert "queries" not in json.loads(line)
+
+
+def test_bench_tiers_env_var():
+    """SPARK_GRAFT_BENCH_TIERS=exec runs the cheap tier only; the final
+    line's value falls back to the exec sum."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="x_hash_sample",
+        SPARK_GRAFT_BENCH_TIERS="exec",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    final = out.stdout.splitlines()[-1]
+    d = json.loads(final)
+    detail_line = [l for l in out.stdout.splitlines() if l.startswith("DETAIL ")][0]
+    detail = json.loads(detail_line[len("DETAIL "):])
+    assert detail["queries"] == {} and detail["queries_cold"] == {}
+    assert set(detail["queries_exec"]) == {"x_hash_sample"}
+    assert d["value"] == d["value_exec"] == round(
+        sum(detail["queries_exec"].values()), 3
+    )
+    assert d["value_cold"] == 0

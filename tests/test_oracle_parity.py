@@ -76,6 +76,28 @@ def test_query_matches_oracle(spark, duck, name):
     assert s == d, f"{name}: value mismatch, first diffs: {mismatches}"
 
 
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT")
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_output_types_driver_safe(duck, name):
+    """The driver's value-hash is TYPE-sensitive: DuckDB HUGEINT/DECIMAL/
+    UINT* columns hash differently from Spark's BIGINT/DOUBLE even when
+    every value is identical (round-1 DECIMAL reds, round-2 x_session_rows
+    HUGEINT red). The value-compare above can't see this (Python ints
+    compare equal), so pin the oracle's declared output types directly."""
+    rows = duck.execute(f"DESCRIBE {entry_mod.oracle_sql()[name]}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if any(b in typ.upper() for b in _BANNED_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle output columns with driver-hash-unsafe types {bad}; "
+        "CAST to BIGINT/DOUBLE in the oracle SQL"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
