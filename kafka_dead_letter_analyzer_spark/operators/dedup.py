@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 
 from kafka_dead_letter_analyzer_spark.operators.text import fingerprint
 
+# Unresolved-Column / pandas-UDF memo. The shingle->hash trees are deep
+# higher-order-function expressions whose CONSTRUCTION costs ~2 s of py4j
+# round-trips per call (measured at sf0.1: plan building, not execution,
+# dominated dedup_near_minhash's warm time — same finding as the round-2
+# topology caches). Unresolved Columns are immutable and bind per-plan at
+# select(), so trees that are pure functions of fixed column names are
+# built once per process and reused across queries.
+_MEMO: dict = {}
+
+
+def _memo(key, build):
+    c = _MEMO.get(key)
+    if c is None:
+        c = _MEMO[key] = build()
+    return c
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -123,6 +139,10 @@ def _minhash_band_udf(num_hashes: int, bands: int):
     import pandas as pd
     from pyspark.sql import functions as SF
 
+    memoized = _MEMO.get(("band_udf", num_hashes, bands))
+    if memoized is not None:
+        return memoized
+
     rows_per_band = num_hashes // bands
 
     def _splitmix(seed: np.uint64, n: int) -> np.ndarray:
@@ -159,6 +179,7 @@ def _minhash_band_udf(num_hashes: int, bands: int):
                 out.append(acc.astype(np.int64).tolist())
         return pd.Series(out)
 
+    _MEMO[("band_udf", num_hashes, bands)] = bands_of
     return bands_of
 
 
@@ -193,12 +214,14 @@ def dedup_near_minhash(
     from pyspark import StorageLevel
 
     bands_of = _minhash_band_udf(num_hashes, bands)
+    hashes_col = _memo(
+        ("shingle_hashes", text_col, shingle_k),
+        lambda: shingle_hashes(token_shingles(F.col(text_col), shingle_k)),
+    )
     base = (
         docs.select(
             F.col(id_col).alias("_id"),
-            shingle_hashes(token_shingles(F.col(text_col), shingle_k)).alias(
-                "_hashes"
-            ),
+            hashes_col.alias("_hashes"),
         )
         # NULL/blank docs have the empty shingle set: no signature, no
         # candidacy (they'd otherwise all band-collide on the empty input).
@@ -247,6 +270,10 @@ def _simhash_udf():
     import pandas as pd
     from pyspark.sql import functions as SF
 
+    memoized = _MEMO.get("simhash_udf")
+    if memoized is not None:
+        return memoized
+
     @SF.pandas_udf("bigint")
     def simhash_of(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=np.int64)
@@ -263,6 +290,7 @@ def _simhash_udf():
             out[i] = np.int64(fp.astype(np.int64))
         return pd.Series(out)
 
+    _MEMO["simhash_udf"] = simhash_of
     return simhash_of
 
 
@@ -289,15 +317,17 @@ def simhash64_frame(
     NULL/blank documents (empty token lists) are dropped — they carry no
     signal and would otherwise all collide on fingerprint 0."""
     simhash_of = _simhash_udf()
-    toks = _tokens(F.col(text_col))
+    toks = _memo(("tokens", text_col), lambda: _tokens(F.col(text_col)))
+    hashed = _memo(
+        ("token_hashes", token_hash),
+        lambda: F.transform(F.col("_toks"), lambda t: token_hash(t)),
+    )
     return (
         docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .select(
             "_id",
-            simhash_of(
-                F.transform(F.col("_toks"), lambda t: token_hash(t)).alias("_h")
-            ).alias("_sh"),
+            simhash_of(hashed.alias("_h")).alias("_sh"),
         )
     )
 
@@ -398,13 +428,18 @@ def ngram_jaccard_pairs(
     base = docs
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
-    g = base.select(
-        F.col(id_col).alias("_id"), char_ngrams(F.col(text_col), n).alias("_g")
+    grams_col = _memo(
+        ("char_ngrams", text_col, n), lambda: char_ngrams(F.col(text_col), n)
     )
+    g = base.select(F.col(id_col).alias("_id"), grams_col.alias("_g"))
 
     if max_id is not None:
         hashed = g.select(
-            "_id", F.transform("_g", lambda x: F.xxhash64(x)).alias("_h")
+            "_id",
+            _memo(
+                "gram_hashes",
+                lambda: F.transform(F.col("_g"), lambda x: F.xxhash64(x)),
+            ).alias("_h"),
         )
         left = hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
         right = hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))

@@ -38,6 +38,21 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "connected_components_star"]
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpointed DataFrame's cached
+    blocks. ``localCheckpoint`` pins its RDD blocks in executor storage
+    until GC and Spark exposes no public API to drop them (``spark.
+    catalog.clearCache()`` only covers SQL-cached relations), so iterative
+    algorithms would otherwise accumulate one generation of blocks per
+    round. Reaches the checkpointed RDD through the analyzed LogicalRDD;
+    silently a no-op where the internal API is unavailable (Spark
+    Connect)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -49,12 +64,21 @@ def connected_components(
     appear in ``pairs`` are emitted (singletons are their own component
     trivially and would dominate the output).
 
-    ``max_iterations`` is a safety bound; the loop exits as soon as a
-    round changes no label (checked with a single count aggregate, the
-    only driver-side action per round). Exhausting the bound WITHOUT
+    ``max_iterations`` is a safety bound on PROPAGATION HOPS; the loop
+    exits as soon as a hop changes no label. Exhausting the bound WITHOUT
     convergence raises — silently returning mid-propagation labels would
     hand a dedup pipeline wrong canonical ids. Diameter > 50 graphs
     should use :func:`connected_components_star` (O(log n) rounds).
+
+    Driver-round-trip economy: each loop iteration applies TWO
+    propagation hops inside one checkpointed plan and checks convergence
+    only on the second hop's change flag. That is sound — propagation is
+    a monotone fixpoint, so a hop that changes nothing guarantees every
+    later hop changes nothing — and it halves the per-hop driver actions
+    (one checkpoint job + one cheap count over local checkpointed blocks
+    per TWO hops). Each iteration also frees the previous iteration's
+    checkpoint blocks, so executor storage stays at one generation
+    regardless of round count.
     """
     # both directions in ONE scan of the pair lineage (a union would run
     # the upstream candidate-generation pipeline once per branch)
@@ -76,24 +100,28 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    converged = False
-    for _ in range(max_iterations):
+    def _hop(lab_df: DataFrame) -> DataFrame:
         offered = (
-            edges.join(labels, edges["s"] == labels["id"], "inner")
+            edges.join(lab_df, edges["s"] == lab_df["id"], "inner")
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("lab").alias("offered"))
         )
-        new_labels = (
-            labels.join(offered, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("offered"), F.col("lab"))
-                ).alias("lab"),
-                (F.col("offered") < F.col("lab")).alias("_changed"),
-            )
+        return lab_df.join(offered, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("offered"), F.col("lab"))
+            ).alias("lab"),
+            (F.col("offered") < F.col("lab")).alias("_changed"),
         )
+
+    converged = False
+    prev_ckpt = labels
+    for _ in range(0, max_iterations, 2):
+        # two hops per checkpointed plan; convergence read from the SECOND
+        new_labels = _hop(_hop(labels).drop("_changed"))
         new_labels = new_labels.localCheckpoint(eager=True)
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -192,10 +220,12 @@ def connected_components_star(
         contracted = contracted.localCheckpoint(eager=True)
         n = contracted.count()
         if n == prev_count and contracted.exceptAll(edges).isEmpty():
+            _free_checkpoint(edges)
             edges = contracted
             converged = True
             break
         prev_count = n
+        _free_checkpoint(edges)
         edges = contracted
     if not converged:
         raise RuntimeError(

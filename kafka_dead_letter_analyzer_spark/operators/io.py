@@ -25,10 +25,16 @@ from pyspark.sql import DataFrame
 __all__ = ["estimated_plan_bytes", "write_sized"]
 
 
-def estimated_plan_bytes(df: DataFrame) -> int:
+def estimated_plan_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for the DataFrame's optimized plan (the
     statistic AQE and join-strategy selection use). Conservative for
-    filters it cannot estimate; exact for bare scans."""
+    filters it cannot estimate; exact for bare scans.
+
+    Returns ``None`` when the JVM-internal plan is unreachable — under
+    Spark Connect there is no ``_jdf`` (the plan lives server-side), so
+    callers must degrade to a configured default rather than crash."""
+    if not hasattr(df, "_jdf"):
+        return None
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
@@ -55,8 +61,16 @@ def write_sized(
     default to Long.MaxValue), and an uncapped ceil() would ask for more
     shuffle partitions than Spark can launch. When the cap engages,
     ``maxRecordsPerFile`` still bounds individual file size.
+
+    Under Spark Connect the size estimate is unavailable (no ``_jdf``);
+    the write then falls back to the session's shuffle-partition count,
+    with ``maxRecordsPerFile`` as the per-file bound.
     """
-    n = max(1, math.ceil(estimated_plan_bytes(df) / target_file_bytes))
+    est = estimated_plan_bytes(df)
+    if est is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    else:
+        n = max(1, math.ceil(est / target_file_bytes))
     n = min(n, max_files)
     writer = df.repartition(n).write.format(format).mode(mode)
     if max_records_per_file:

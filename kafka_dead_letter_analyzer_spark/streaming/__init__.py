@@ -18,7 +18,9 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     streaming_error_statistics_per_record,
     streaming_dedup_records,
     streaming_first_examples,
+    streaming_session_statistics,
     streaming_windowed_statistics,
+    streaming_error_statistics_ttl,
 )
 from kafka_dead_letter_analyzer_spark.streaming.kafka import (
     decode_kafka_records,
@@ -34,7 +36,9 @@ __all__ = [
     "streaming_error_statistics_per_record",
     "streaming_dedup_records",
     "streaming_first_examples",
+    "streaming_session_statistics",
     "streaming_windowed_statistics",
+    "streaming_error_statistics_ttl",
     "decode_kafka_records",
     "kafka_sink_projection",
     "read_dead_letter_stream",
