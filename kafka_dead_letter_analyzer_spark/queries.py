@@ -952,6 +952,7 @@ from kafka_dead_letter_analyzer_spark.plans.topology import (  # noqa: E402
     error_feedback_pass,
 )
 from kafka_dead_letter_analyzer_spark.streaming.kafka import (  # noqa: E402
+    avro_wire_encode_udf,
     decode_kafka_records,
 )
 
@@ -1000,6 +1001,80 @@ def s2_decode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_deadletter").isNotNull().alias("is_dead_letter"),
         F.col("value_deadletter.description").alias("description"),
         F.col("value_deadletter.cause.error_class").alias("error_class"),
+    )
+
+
+@_register(
+    "s2_avro_wire",
+    """
+    SELECT event_id,
+           (event_id % 3 != 0) AS is_avro,
+           CASE WHEN event_id % 3 != 0
+                THEN 'Error in ' || event_type END AS description,
+           CASE WHEN event_id % 3 != 0
+                THEN 'java.lang.RuntimeException' END AS error_class,
+           CASE WHEN event_id % 3 != 0 THEN props END AS message,
+           CASE WHEN event_id % 3 != 0
+                THEN 'orig-' || event_type END AS origin_topic,
+           CASE WHEN event_id % 3 != 0 THEN event_id END AS origin_offset,
+           CASE WHEN event_id % 3 != 0
+                THEN CAST(epoch_ms(ts) AS BIGINT) END AS input_ts_ms
+    FROM events
+    """,
+)
+def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Avro tier EXECUTED over real Confluent-framed wire bytes.
+
+    Two-thirds of the events are Avro-encoded DeadLetters (the engine's
+    own spec-subset codec, functions/avro_codec.py — the byte layout the
+    reference's Schema-Registry serde writes, pinned in
+    tests/test_avro_wire.py); the rest carry raw props text, which must
+    fall through the Avro tier without error. The oracle recomputes every
+    decoded field — including the timestamp-millis round trip — straight
+    from `events`, so a framing, union-order, or field-order defect in
+    either codec direction flips this red.
+
+    Scale note: this exercises the FALLBACK tier (Arrow-batched Python
+    codec); on a cluster with the spark-avro jar the same cascade runs
+    the JVM `from_avro` branch (decode_kafka_records use_avro=True)."""
+    events = load_table(spark, sf_dir, "events")
+    enc = avro_wire_encode_udf()
+    dl_json = F.to_json(
+        F.struct(
+            F.col("event_type").alias("input_value"),
+            (F.col("user_id") % 4).cast("int").alias("partition"),
+            F.concat(F.lit("orig-"), F.col("event_type")).alias("topic"),
+            F.col("event_id").alias("offset"),
+            F.concat(F.lit("Error in "), F.col("event_type")).alias("description"),
+            F.struct(
+                F.lit("java.lang.RuntimeException").alias("error_class"),
+                F.col("props").alias("message"),
+            ).alias("cause"),
+            F.unix_millis(F.col("ts")).alias("input_timestamp"),
+        )
+    )
+    val = F.when(F.col("event_id") % 3 != 0, enc(dl_json)).otherwise(
+        F.encode(F.col("props"), "UTF-8")
+    )
+    kafka_shaped = events.select(
+        F.encode(F.col("event_id").cast("string"), "UTF-8").alias("key"),
+        val.alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit("events-dead-letters").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(kafka_shaped, use_avro="python")
+    return decoded.select(
+        F.col("offset").alias("event_id"),
+        F.col("value_deadletter").isNotNull().alias("is_avro"),
+        F.col("value_deadletter.description").alias("description"),
+        F.col("value_deadletter.cause.error_class").alias("error_class"),
+        F.col("value_deadletter.cause.message").alias("message"),
+        F.col("value_deadletter.topic").alias("origin_topic"),
+        F.col("value_deadletter.offset").alias("origin_offset"),
+        F.unix_millis(F.col("value_deadletter.input_timestamp")).alias("input_ts_ms"),
     )
 
 

@@ -53,12 +53,22 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): read as long ns (legacy conf in
-    # session.py) and truncate to micros with integer division — float math
-    # would lose precision at 1.7e18 ns. DuckDB's TIMESTAMP_NS formats to the
-    # same millisecond strings, so oracles agree.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timestamp normalization: the driver regenerates the synthetic tables
+    # per round and the parquet writer's physical timestamp type has varied
+    # (TIMESTAMP(NANOS) in round 2; TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # -> TIMESTAMP_NTZ in round 3). The engine's contract is one session-zone
+    # TimestampType (UTC, set above) everywhere — half the temporal surface
+    # (unix_micros, session_window, lag over micros) requires it, and the
+    # DuckDB oracle's naive timestamps carry the same UTC wall values.
+    for col_name, dtype in df.dtypes:
+        if name == "events" and col_name == "ts" and dtype == "bigint":
+            # NANOS read as long ns (legacy conf): truncate to micros with
+            # integer division — float math would lose precision at 1.7e18.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # naive UTC wall time -> session-zone timestamp; with the session
+            # pinned to UTC this changes the type, not the instant.
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

