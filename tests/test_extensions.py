@@ -398,3 +398,51 @@ def test_lsh_probe_all_equals_bruteforce(spark, embs):
     exact = S.cosine_topk(embs, q, k=10).collect()
     full = S.cosine_topk_lsh(embs, q, k=10, planes=6, probe_all=True).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_minhash_banding_full_recall_on_gate_corpora(spark, sf_dir):
+    """Pin the zero-miss claim of the x_dedup_minhash configuration
+    (num_hashes=64, bands=32 => r=2) on BOTH corpora the external gate
+    runs (sf0.001 smoke, sf0.01 oracle). Banded-LSH recall is only
+    probabilistic (a j~0.5 pair is missed with prob (1-j^2)^32 ~ 1e-4),
+    and the oracle is an exact all-pairs set — so a regenerated corpus
+    could silently flip the query red on one missed candidate. This test
+    computes the exact pair set from the ENGINE's own shingle sets
+    (isolating banding recall from tokenizer parity, which the DuckDB
+    oracle already covers) and asserts the engine returns every pair.
+    x_dup_clusters and x_corpus_dedup_pipeline inherit this pair set."""
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            D.shingle_hashes(D.token_shingles(F.col("text"), 3)).alias("h"),
+        )
+        .filter(F.size("h") > 0)
+        .collect()
+    )
+    sets = {r["doc_id"]: frozenset(r["h"]) for r in base}
+    ids = sorted(sets)
+    exact = set()
+    for i, a in enumerate(ids):
+        sa, la = sets[a], len(sets[a])
+        for b in ids[i + 1:]:
+            sb, lb = sets[b], len(sets[b])
+            # upper bound j <= min/max: prune pairs that cannot reach 0.5
+            if 2 * min(la, lb) < max(la, lb):
+                continue
+            inter = len(sa & sb)
+            if round(inter / (la + lb - inter), 6) >= 0.5:
+                exact.add((a, b))
+    engine = {
+        (r["id_a"], r["id_b"])
+        for r in D.dedup_near_minhash(
+            docs, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert engine == exact

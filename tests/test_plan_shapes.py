@@ -252,3 +252,38 @@ def test_large_message_small_path_one_python_eval(spark, Q):
     s = plan_of(Q.x_large_message_roundtrip(spark, SF))
     assert "Exchange" not in s
     assert len(re.findall(r"\(\d+\) MapInPandas", s)) == 2
+
+
+def test_session_rows_two_windows_share_one_sort_and_exchange(spark, Q):
+    """x_session_rows stacks two row-level windows (gap flag -> running
+    session index) over the SAME (user_id, ts) ordering: Catalyst must
+    plan ONE Exchange + ONE Sort feeding both Window nodes — a second
+    sort/shuffle per window would double the cost of every islands-style
+    sessionization at scale."""
+    import re
+
+    s = plan_of(Q.x_session_rows(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
+    assert len(re.findall(r"\(\d+\) Sort", s)) == 1, s
+    assert len(re.findall(r"\(\d+\) Window", s)) == 2, s
+
+
+def test_corpus_pipeline_exchanges_carry_no_text_or_signatures(spark, Q):
+    """End-to-end corpus pass (minhash pairs -> CC -> drop non-canonical ->
+    quota sample): the final composed plan's shuffles must move only
+    ids / lang / rank — never the document text or signature arrays (the
+    heavy columns stay partition-local; candidate generation's own pins
+    are in test_minhash_candidate_shuffle_carries_no_signatures). Also
+    pins the sample's rank pushdown: a partial WindowGroupLimit BEFORE
+    the final Exchange bounds what the quota shuffle moves."""
+    import re
+
+    s = plan_of(Q.x_corpus_dedup_pipeline(spark, SF))
+    blocks = re.findall(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s)
+    assert blocks, s
+    for b in blocks:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "text" not in input_line, b
+        assert "_hashes" not in input_line and "_sig" not in input_line, b
+    # rank pushdown: partial + final WindowGroupLimit around the exchange
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s

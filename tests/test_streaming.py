@@ -738,6 +738,109 @@ def test_session_stats_append_finalizes_on_gap(spark, tmp_path, ts):
         q.stop()
 
 
+class _FakeValueState:
+    """Mimics the state-v2 ValueState surface the processor touches."""
+
+    def __init__(self, ttl_ms):
+        self.ttl_ms = ttl_ms
+        self._value = None
+
+    def exists(self):
+        return self._value is not None
+
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def evict(self):  # simulate the store's TTL expiry
+        self._value = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        state = _FakeValueState(ttlDurationMs)
+        self.states[name] = state
+        return state
+
+
+def _ttl_rows(pdfs):
+    return iter(pdfs)
+
+
+def test_ttl_processor_merge_logic_without_worker_protocol(ts):
+    """The TTL stats processor's aggregation contract, driven directly
+    through handleInputRows with a mocked handle/state — the merge
+    semantics (count sum, created=min, updated=max, one update-mode row
+    per input batch, restart-from-zero after eviction) are exactly
+    ErrorAggregatingProcessor.java:51-74's, and must hold independent of
+    the state-v2 worker protocol (which needs google.protobuf and
+    RocksDB — environment-gated e2e below)."""
+    import pandas as pd
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        make_ttl_stats_processor,
+    )
+
+    proc = make_ttl_stats_processor(ttl_ms=12_345)
+    handle = _FakeHandle()
+    proc.init(handle)
+    # the TTL is declared on the state, not tracked in Python
+    assert handle.states["stats"].ttl_ms == 12_345
+
+    key = ("topic-a", "type-a")
+    t1, t2, t3 = ts(0), ts(5), ts(10)
+
+    # batch 1: two rows (split across two pdfs to exercise the inner merge)
+    out1 = list(
+        proc.handleInputRows(
+            key,
+            _ttl_rows([pd.DataFrame({"ts": [t2]}), pd.DataFrame({"ts": [t1]})]),
+            None,
+        )
+    )
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row["topic"], row["type"], row["count"]) == ("topic-a", "type-a", 2)
+    assert row["created"] == pd.Timestamp(t1) and row["updated"] == pd.Timestamp(t2)
+
+    # batch 2 merges with surviving state: count 3, created keeps min
+    out2 = list(
+        proc.handleInputRows(key, _ttl_rows([pd.DataFrame({"ts": [t3]})]), None)
+    )
+    row = out2[0].iloc[0]
+    assert row["count"] == 3
+    assert row["created"] == pd.Timestamp(t1) and row["updated"] == pd.Timestamp(t3)
+
+    # an out-of-order batch never regresses updated / advances created
+    out3 = list(
+        proc.handleInputRows(key, _ttl_rows([pd.DataFrame({"ts": [t2]})]), None)
+    )
+    row = out3[0].iloc[0]
+    assert row["count"] == 4
+    assert row["created"] == pd.Timestamp(t1) and row["updated"] == pd.Timestamp(t3)
+
+    # empty batch: no output, state untouched
+    assert (
+        list(proc.handleInputRows(key, _ttl_rows([pd.DataFrame({"ts": []})]), None))
+        == []
+    )
+    assert handle.states["stats"].get()[0] == 4
+
+    # TTL eviction (the store's job): next arrival restarts from zero
+    handle.states["stats"].evict()
+    out4 = list(
+        proc.handleInputRows(key, _ttl_rows([pd.DataFrame({"ts": [t3]})]), None)
+    )
+    row = out4[0].iloc[0]
+    assert row["count"] == 1
+    assert row["created"] == pd.Timestamp(t3) and row["updated"] == pd.Timestamp(t3)
+
+
 def test_ttl_stats_accumulate_and_expire(spark, tmp_path, ts):
     """State-v2 TTL stats: counts accumulate across micro-batches while the
     key is live; after the TTL passes with no arrivals, the store evicts
