@@ -27,8 +27,22 @@ from kafka_dead_letter_analyzer_spark.streaming.kafka import (
     kafka_sink_projection,
     read_dead_letter_stream,
 )
+from kafka_dead_letter_analyzer_spark.streaming.large_message import (
+    claim_check_reads,
+    claim_check_writes,
+    header_decode,
+    header_encode,
+    wire_decode,
+    wire_encode,
+)
 
 __all__ = [
+    "claim_check_reads",
+    "claim_check_writes",
+    "header_decode",
+    "header_encode",
+    "wire_decode",
+    "wire_encode",
     "StreamingTopology",
     "build_streaming_topology",
     "start_stateless_outputs",

@@ -225,3 +225,140 @@ def wire_backed_flag(value):
     col = F.col(value) if isinstance(value, str) else value
     return F.substring(col, 1, 1) == F.lit(bytes([FLAG_BACKED]))
 
+
+# ---------------------------------------------------------------------------
+# Header-flag dialect: the serde's second wire mode (kafka-large-message-
+# serde `HeaderLargeMessagePayloadProtocol`). The backed/not-backed flag
+# travels as a Kafka HEADER instead of the value's first byte, and the
+# record value is the bare payload (not backed) or the bare UTF-8 URI
+# (backed) — no prefix byte. Both dialects share the blob store, the
+# content-addressed writer, and the resolver, so a stream encoded in
+# either mode decodes to identical payloads (property-tested).
+#
+# Offline caveat (documented divergence risk): the flag header NAME is
+# configurable here and defaults to the serde's documented key; if an
+# interop deployment uses a custom header, pass `flag_header`. A record
+# with NO flag header decodes as a bare non-backed payload — headers-mode
+# topics always carry the header for serde-written records, and this
+# default makes plain-producer records pass through unharmed.
+# ---------------------------------------------------------------------------
+
+HEADER_FLAG_KEY = "__large_message_flags"
+
+
+def encode_header_value(
+    v: bytes | None,
+    threshold: int,
+    blob_dir: str,
+    uri_prefix: str = "file://",
+) -> tuple[bytes | None, list[tuple[str, bytes]]]:
+    """Pure per-value encoder for the header-flag dialect: returns
+    ``(value, extra_headers)``. Small values pass through bare with a
+    not-backed flag header; oversized values are blob-written (same
+    content-addressed store as the byte-flag dialect) and replaced by the
+    bare URI bytes with a backed flag header. Null -> (None, []) — the
+    serde's null passthrough writes no header."""
+    if v is None:
+        return None, []
+    payload = bytes(v)
+    if len(payload) <= threshold:
+        return payload, [(HEADER_FLAG_KEY, bytes([FLAG_NOT_BACKED]))]
+    # reuse the byte-flag writer for the blob + URI, then strip its prefix
+    prefixed = encode_wire_value(payload, threshold, blob_dir, uri_prefix)
+    return prefixed[1:], [(HEADER_FLAG_KEY, bytes([FLAG_BACKED]))]
+
+
+def decode_header_value(
+    v: bytes | None,
+    headers,
+    resolver=_file_resolver,
+    flag_header: str = HEADER_FLAG_KEY,
+) -> bytes | None:
+    """Pure per-value decoder for the header-flag dialect. ``headers`` is
+    the Kafka header multimap as an iterable of (key, value) pairs (or
+    structs/dicts with ``key``/``value``); LAST occurrence of the flag
+    header wins — the same last-wins rule the engine's P4 header
+    extraction implements (reference HeaderHelper.java:54-56). Unknown
+    flag bytes raise; no flag header -> bare payload."""
+    if v is None:
+        return None
+    if headers is None:
+        headers = ()  # no `or ()`: numpy arrays have no truth value
+    flag = None
+    for h in headers:
+        if isinstance(h, dict):
+            k, hv = h.get("key"), h.get("value")
+        elif hasattr(h, "key"):
+            k, hv = h.key, h.value
+        else:
+            k, hv = h
+        if k == flag_header:
+            flag = None if hv is None else bytes(hv)
+    if flag is None:
+        return bytes(v)
+    if flag == bytes([FLAG_NOT_BACKED]):
+        return bytes(v)
+    if flag == bytes([FLAG_BACKED]):
+        return resolver(bytes(v).decode("utf-8"))
+    raise ValueError(f"unknown large-message flag header value {flag!r}")
+
+
+def header_encode(
+    df: DataFrame,
+    value_col: str = "value",
+    headers_col: str = "headers",
+    threshold: int = 1024 * 1024,
+    blob_dir: str = "/tmp/large-messages",
+    uri_prefix: str = "file://",
+) -> DataFrame:
+    """Encode a BINARY column into the header-flag dialect: the value
+    becomes the bare payload or bare URI, and the flag header is APPENDED
+    to ``headers_col`` (Kafka's header multimap keeps duplicates; append
+    preserves any pre-existing occurrence while making ours the
+    last-wins winner). Single Arrow-batched pass, same shape as
+    :func:`wire_encode`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, headers = [], []
+            for v, hs in zip(pdf[value_col], pdf[headers_col]):
+                nv, extra = encode_header_value(
+                    v, threshold, blob_dir, uri_prefix
+                )
+                values.append(nv)
+                if not extra:  # null passthrough: headers untouched
+                    headers.append(hs)
+                else:
+                    base = list(hs) if hs is not None else []
+                    headers.append(
+                        base + [{"key": k, "value": hv} for k, hv in extra]
+                    )
+            yield pdf.assign(**{value_col: values, headers_col: headers})
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def header_decode(
+    df: DataFrame,
+    value_col: str = "value",
+    headers_col: str = "headers",
+    resolver=_file_resolver,
+    flag_header: str = HEADER_FLAG_KEY,
+) -> DataFrame:
+    """Decode the header-flag dialect back to the raw BINARY value (the
+    inverse of :func:`header_encode`; shares the resolver with
+    :func:`wire_decode`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(
+                **{
+                    value_col: [
+                        decode_header_value(v, hs, resolver, flag_header)
+                        for v, hs in zip(pdf[value_col], pdf[headers_col])
+                    ]
+                }
+            )
+
+    return df.mapInPandas(run, schema=df.schema)
+

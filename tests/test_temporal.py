@@ -303,6 +303,104 @@ def test_wire_decode_rejects_unknown_flag(spark):
         LM.wire_decode(df).collect()
 
 
+HDR_SHAPE = (
+    "id int, value binary, headers array<struct<key:string,value:binary>>"
+)
+
+
+def test_header_dialect_roundtrip(spark, tmp_path):
+    """Header-flag dialect: flag travels as a Kafka header, value is the
+    bare payload/URI. Pre-existing headers survive; the flag header is
+    appended (last-wins); decode restores every payload."""
+    blob_dir = str(tmp_path / "blobs")
+    small, big = b"s" * 10, b"B" * 65
+    df = spark.createDataFrame(
+        [
+            (1, small, [("other", b"x")]),
+            (2, big, None),
+            (3, None, None),
+        ],
+        HDR_SHAPE,
+    )
+    enc = LM.header_encode(df, threshold=64, blob_dir=blob_dir)
+    rows = {r["id"]: r for r in enc.collect()}
+    assert bytes(rows[1]["value"]) == small  # bare, no prefix byte
+    hdrs1 = [(h["key"], bytes(h["value"])) for h in rows[1]["headers"]]
+    assert hdrs1 == [
+        ("other", b"x"),
+        (LM.HEADER_FLAG_KEY, bytes([LM.FLAG_NOT_BACKED])),
+    ]
+    assert bytes(rows[2]["value"]).startswith(b"file://")  # bare URI
+    assert [(h["key"], bytes(h["value"])) for h in rows[2]["headers"]] == [
+        (LM.HEADER_FLAG_KEY, bytes([LM.FLAG_BACKED]))
+    ]
+    assert rows[3]["value"] is None and rows[3]["headers"] is None
+
+    dec = {r["id"]: r["value"] for r in LM.header_decode(enc).collect()}
+    assert bytes(dec[1]) == small and bytes(dec[2]) == big and dec[3] is None
+
+
+def test_header_and_byte_dialects_share_blob_store(spark, tmp_path):
+    """The same oversized payload encoded in BOTH dialects writes ONE
+    content-addressed blob, and both decode paths resolve it to the same
+    bytes — the two wire modes are views over one store."""
+    blob_dir = str(tmp_path / "blobs")
+    payload = b"Z" * 200
+    bf = spark.createDataFrame([(1, payload)], "id int, value binary")
+    hf = spark.createDataFrame([(1, payload, None)], HDR_SHAPE)
+    out_bf = LM.wire_decode(
+        LM.wire_encode(bf, threshold=10, blob_dir=blob_dir)
+    ).collect()
+    out_hf = LM.header_decode(
+        LM.header_encode(hf, threshold=10, blob_dir=blob_dir)
+    ).collect()
+    assert len(os.listdir(blob_dir)) == 1
+    assert bytes(out_bf[0]["value"]) == bytes(out_hf[0]["value"]) == payload
+
+
+def test_header_decode_edge_cases(tmp_path):
+    """Pure decoder: no flag header -> bare payload passthrough; duplicate
+    flag headers -> LAST wins (P4's multimap rule); unknown flag raises."""
+    assert LM.decode_header_value(b"plain", None) == b"plain"
+    assert LM.decode_header_value(b"plain", [("other", b"x")]) == b"plain"
+    # last-wins: earlier backed flag overridden by final not-backed
+    v = LM.decode_header_value(
+        b"payload",
+        [
+            (LM.HEADER_FLAG_KEY, bytes([LM.FLAG_BACKED])),
+            (LM.HEADER_FLAG_KEY, bytes([LM.FLAG_NOT_BACKED])),
+        ],
+    )
+    assert v == b"payload"
+    with pytest.raises(ValueError, match="unknown large-message flag"):
+        LM.decode_header_value(b"x", [(LM.HEADER_FLAG_KEY, b"\x07")])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=300),
+        threshold=st.integers(0, 300),
+    )
+    def test_both_dialects_are_identities_and_agree(payload, threshold, tmp_path_factory):
+        """Property: for any payload/threshold, byte-flag and header-flag
+        encode->decode are identities AND agree on backed-ness."""
+        blob_dir = str(tmp_path_factory.mktemp("blobs"))
+        bf = LM.encode_wire_value(payload, threshold, blob_dir)
+        hv, hh = LM.encode_header_value(payload, threshold, blob_dir)
+        assert LM.decode_wire_value(bf) == payload
+        assert LM.decode_header_value(hv, hh) == payload
+        backed_bf = bf[0] == LM.FLAG_BACKED
+        backed_hf = hh[0][1] == bytes([LM.FLAG_BACKED])
+        assert backed_bf == backed_hf == (len(payload) > threshold)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 # ---------------------------------------------------------------------------
 # Differential tests on randomized data: the Spark dialects vs independent
 # reference implementations (pandas merge_asof / a per-key Python loop).
