@@ -53,32 +53,67 @@ def _free_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _driver_union_find(edge_rows) -> list:
+    """Min-label union-find over collected (s, d) edge rows. Invariant:
+    a tree's root is the minimum id of its component (unions always
+    attach the larger root under the smaller), so root == component
+    label with no extra pass. Path-halving keeps it near-linear."""
+
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for s, d in edge_rows:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    driver_pair_limit: int | None = 1_000_000,
 ) -> DataFrame:
     """Resolve an undirected pair table to ``(id, component)`` where
     ``component`` is the minimum id reachable from ``id``. Only ids that
     appear in ``pairs`` are emitted (singletons are their own component
     trivially and would dominate the output).
 
-    ``max_iterations`` is a safety bound on PROPAGATION HOPS; the loop
-    exits as soon as a hop changes no label. Exhausting the bound WITHOUT
-    convergence raises — silently returning mid-propagation labels would
-    hand a dedup pipeline wrong canonical ids. Diameter > 50 graphs
-    should use :func:`connected_components_star` (O(log n) rounds).
+    Two physical strategies behind one contract:
 
-    Driver-round-trip economy: each loop iteration applies TWO
-    propagation hops inside one checkpointed plan and checks convergence
-    only on the second hop's change flag. That is sound — propagation is
-    a monotone fixpoint, so a hop that changes nothing guarantees every
-    later hop changes nothing — and it halves the per-hop driver actions
-    (one checkpoint job + one cheap count over local checkpointed blocks
-    per TWO hops). Each iteration also frees the previous iteration's
-    checkpoint blocks, so executor storage stays at one generation
-    regardless of round count.
+    - **Bounded driver union-find** (when the deduped edge count is at
+      most ``2 * driver_pair_limit``): collect the id-only edge list and
+      label components in-process. This is the same bounded-driver-action
+      class as the IVF fit sample — 1M id pairs is ~32 MB — and replaces
+      per-round distributed jobs with ONE collect, which is strictly
+      faster for the small-to-medium dup graphs banded LSH emits. The
+      distributed path stays differential-tested against this one.
+    - **Iterative min-label propagation** (above the bound, or
+      ``driver_pair_limit=None``): the 100 TB shape. ``max_iterations``
+      bounds PROPAGATION HOPS; the loop exits as soon as a hop changes no
+      label. Exhausting the bound WITHOUT convergence raises — silently
+      returning mid-propagation labels would hand a dedup pipeline wrong
+      canonical ids. Diameter > 50 graphs should use
+      :func:`connected_components_star` (O(log n) rounds).
+
+    Driver-round-trip economy (iterative path): each loop iteration
+    applies TWO propagation hops inside one checkpointed plan and checks
+    convergence only on the second hop's change flag. That is sound —
+    propagation is a monotone fixpoint, so a hop that changes nothing
+    guarantees every later hop changes nothing — and it halves the
+    per-hop driver actions. Each iteration also frees the previous
+    iteration's checkpoint blocks, so executor storage stays at one
+    generation regardless of round count.
     """
     # both directions in ONE scan of the pair lineage (a union would run
     # the upstream candidate-generation pipeline once per branch)
@@ -95,6 +130,31 @@ def connected_components(
         .distinct()
         .persist()
     )
+
+    if driver_pair_limit is not None:
+        # count() also materializes the persist the iterative path needs,
+        # so the probe costs one upstream pass either way
+        n_edges = edges.count()
+        if n_edges <= 2 * driver_pair_limit:
+            spark = pairs.sparkSession
+            from pyspark.sql import types as T
+
+            id_type = pairs.schema[src].dataType
+            # collect, not toLocalIterator: the set is bounded by contract
+            # and toLocalIterator schedules one sequential job PER
+            # PARTITION (measured 10x slower on 32 partitions)
+            labels = _driver_union_find(
+                (r["s"], r["d"]) for r in edges.collect()
+            )
+            edges.unpersist()
+            schema = T.StructType(
+                [
+                    T.StructField("id", id_type, False),
+                    T.StructField("component", id_type, False),
+                ]
+            )
+            return spark.createDataFrame(labels, schema)
+
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "lab", F.col("id")
     )

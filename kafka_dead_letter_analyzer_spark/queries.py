@@ -536,6 +536,78 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join aggregate (TPC-H Q4 shape): orders in a one-year window
+    with at least one returned lineitem, counted per priority. The EXISTS
+    maps to a LEFT SEMI join — the probe side never duplicates order rows
+    however many lineitems match, so the join output is bounded by the
+    orders side (the scale property that makes EXISTS cheaper than
+    JOIN+DISTINCT at 100 TB). Date filter pushes to the orders scan;
+    the returnflag filter pushes to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "x_anti_join_unreturned",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def x_anti_join_unreturned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join aggregate (NOT EXISTS — Q4's complement): orders in the
+    window with NO returned lineitem. LEFT ANTI join; together with
+    tpch_q4_order_priority the two partition the window's orders, a
+    cross-query invariant the oracle checks implicitly (the per-priority
+    counts sum to the window totals)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # ===========================================================================
 # North-star extension queries (BASELINE.json): dedup, similarity search,
 # text analysis, multimodal — each a first-class declared operator.
@@ -1020,6 +1092,7 @@ def s2_decode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN event_id % 3 != 0
                 THEN CAST(epoch_ms(ts) AS BIGINT) END AS input_ts_ms
     FROM events
+    WHERE event_id < 30000
     """,
 )
 def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,9 +1108,15 @@ def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     either codec direction flips this red.
 
     Scale note: this exercises the FALLBACK tier (Arrow-batched Python
-    codec); on a cluster with the spark-avro jar the same cascade runs
-    the JVM `from_avro` branch (decode_kafka_records use_avro=True)."""
-    events = load_table(spark, sf_dir, "events")
+    codec), whose per-record cost is Python-bound by construction — the
+    corpus is bounded (event_id < 30,000: every row at the sf0.01
+    correctness gate, a fixed slice at bench scale) the same way the
+    bounded all-pairs Jaccard query is. On a cluster with the spark-avro
+    jar the same cascade runs the codegen'd JVM `from_avro` branch
+    (decode_kafka_records use_avro=True) with no bound needed."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 30000
+    )
     enc = avro_wire_encode_udf()
     dl_json = F.to_json(
         F.struct(

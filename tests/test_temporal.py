@@ -496,7 +496,13 @@ def test_sessionize_matches_python_loop(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_connected_components_matches_union_find(spark, seed):
+@pytest.mark.parametrize(
+    "driver_pair_limit", [1_000_000, None], ids=["driver-path", "iterative-path"]
+)
+def test_connected_components_matches_union_find(spark, seed, driver_pair_limit):
+    """BOTH physical strategies (bounded driver union-find / iterative
+    min-label propagation) against an independent reference union-find —
+    the two paths must be indistinguishable behind the contract."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -507,7 +513,10 @@ def test_connected_components_matches_union_find(spark, seed):
     ]
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {
-        r["id"]: r["component"] for r in G.connected_components(pairs).collect()
+        r["id"]: r["component"]
+        for r in G.connected_components(
+            pairs, driver_pair_limit=driver_pair_limit
+        ).collect()
     }
 
     parent = {}
@@ -705,7 +714,7 @@ def test_connected_components_raises_when_bound_exceeded(spark):
     chain = [(i, i + 1) for i in range(0, 12)]
     pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        G.connected_components(pairs, max_iterations=3)
+        G.connected_components(pairs, max_iterations=3, driver_pair_limit=None)
 
 
 def test_asof_join_reserves_asof_ts_name(spark):
