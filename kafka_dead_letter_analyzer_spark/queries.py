@@ -719,6 +719,57 @@ def x_quality_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_token_vocab_topk",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    ), c AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks
+      WHERE token != ''
+      GROUP BY lang, token
+    )
+    SELECT lang, token, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, token) AS INTEGER) AS rnk
+    FROM c
+    QUALIFY rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def x_token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-k most frequent tokens per language — the
+    corpus-statistics pass a tokenizer-training pipeline runs first.
+
+    Scale shape: explode(tokens) is a narrow generator (no shuffle);
+    the (lang, token) count partial-aggregates map-side before its ONE
+    hash exchange — at 100 TB the combiner collapses each partition's
+    token stream to its local vocabulary before anything moves; the
+    top-k window then runs over the already-aggregated (small) count
+    table, with WindowGroupLimit pruning rank > k before the final
+    exchange. Ties broken by token text for determinism."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
+
+
+@_register(
     "x_dedup_exact",
     f"""
     SELECT {TX.fingerprint_sql('text')} AS fingerprint,

@@ -287,3 +287,25 @@ def test_corpus_pipeline_exchanges_carry_no_text_or_signatures(spark, Q):
         assert "_hashes" not in input_line and "_sig" not in input_line, b
     # rank pushdown: partial + final WindowGroupLimit around the exchange
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
+
+
+def test_token_vocab_combines_map_side_before_the_token_shuffle(spark, Q):
+    """x_token_vocab_topk: the exploded token stream must partial-aggregate
+    BEFORE its hash exchange (map-side combine collapses each partition's
+    token stream to its local vocabulary — the property that makes a
+    vocabulary pass feasible at 100 TB), and the per-lang top-k must prune
+    with a partial WindowGroupLimit before the window's exchange."""
+    import re
+
+    s = plan_of(Q.x_token_vocab_topk(spark, SF))
+    # explode is a narrow Generate: it appears exactly once, upstream of
+    # every Exchange (plan prints top-down: Generate's node id is minimal)
+    nodes = re.findall(r"\((\d+)\) (\w+)", s)
+    gen = [int(i) for i, n in nodes if n == "Generate"]
+    exch = [int(i) for i, n in nodes if n == "Exchange"]
+    aggs = [int(i) for i, n in nodes if n == "HashAggregate"]
+    assert len(gen) == 1
+    assert all(g < e for g in gen for e in exch), s
+    # partial agg below the first exchange, final above it
+    assert min(aggs) < min(exch) < max(aggs), s
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
