@@ -719,6 +719,127 @@ def x_quality_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_pii_redact_stats",
+    r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_emails > 0 OR n_numbers > 0)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_numbers) AS BIGINT) AS total_numbers,
+           CAST(sum(len_delta) AS BIGINT) AS total_len_delta
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(lower(text),
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(lower(text), '\d{6,}')) AS n_numbers,
+             length(lower(text)) - length(
+               regexp_replace(
+                 regexp_replace(lower(text),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+                 '\d{6,}', '<num>', 'g')) AS len_delta
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    GROUP BY lang
+    """,
+)
+def x_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email-like and long-digit
+    spans per document, aggregated per language — the compliance filter
+    a pre-training pipeline runs before anything else touches the text.
+
+    Pure codegen projections (regexp_extract_all / regexp_replace are
+    JVM built-ins; the regexes are restricted to the syntax subset Java
+    and RE2 agree on), one partial-agg shuffle. At 100 TB this is a
+    narrow scan-shaped pass — the same shape as the quality gate."""
+    em = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    num = r"\d{6,}"
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.lower(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(t, em, "<email>"), num, "<num>"
+    )
+    scored = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(t, F.lit(em), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(num), F.lit(0))).alias("n_numbers"),
+        (F.length(t) - F.length(red)).alias("len_delta"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if((F.col("n_emails") > 0) | (F.col("n_numbers") > 0)).alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_numbers").cast("bigint").alias("total_numbers"),
+        F.sum("len_delta").cast("bigint").alias("total_len_delta"),
+    )
+
+
+@_register(
+    "x_pack_chunks",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST({TX.token_count_sql('text')} AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL
+    ), runs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum_tokens - n_tokens) // 4096 AS chunk_id
+    FROM runs
+    ORDER BY lang, doc_id
+    """,
+)
+def x_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents (per language, in
+    deterministic doc_id order) to fixed 4,096-token training chunks by
+    running token count — the packing pass that turns a filtered corpus
+    into context-window-sized training sequences. A document straddling
+    a boundary belongs to the chunk where it starts (greedy sequential
+    packing).
+
+    One window over ONE sort+exchange per language partition; the token
+    count is a codegen projection, so the data moved is (id, lang, n) —
+    never the text. DuckDB types the running sum HUGEINT, hence the
+    explicit BIGINT cast in the oracle (round-2 session_rows lesson)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("(cum_tokens - n_tokens) div 4096").alias("chunk_id"),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+@_register(
     "x_token_vocab_topk",
     r"""
     WITH toks AS (

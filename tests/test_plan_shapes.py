@@ -309,3 +309,29 @@ def test_token_vocab_combines_map_side_before_the_token_shuffle(spark, Q):
     # partial agg below the first exchange, final above it
     assert min(aggs) < min(exch) < max(aggs), s
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
+
+
+def test_pii_redact_is_single_shuffle_scan_shape(spark, Q):
+    """x_pii_redact_stats: regex scoring is a codegen projection over the
+    scan; exactly ONE exchange (the per-lang partial agg) and the text
+    column must not cross it (only counters move)."""
+    import re
+
+    s = plan_of(Q.x_pii_redact_stats(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
+    [block] = re.findall(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s)
+    input_line = next(l for l in block.splitlines() if l.startswith("Input"))
+    assert "text" not in input_line, block
+
+
+def test_pack_chunks_moves_ids_not_text(spark, Q):
+    """x_pack_chunks: the packing window sorts (id, lang, n_tokens) — the
+    token count is projected BEFORE the exchange so document text never
+    shuffles; one data exchange + the final presentation sort."""
+    import re
+
+    s = plan_of(Q.x_pack_chunks(spark, SF))
+    for block in re.findall(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s):
+        input_line = next(l for l in block.splitlines() if l.startswith("Input"))
+        assert "text" not in input_line, block
+    assert len(re.findall(r"\(\d+\) Window", s)) == 1, s
