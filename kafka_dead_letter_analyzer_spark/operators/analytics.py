@@ -1,0 +1,126 @@
+"""Distributed analytics primitives: exact percentiles, rolling
+range-frame aggregates, grouped vector centroids.
+
+These extend the analyzer's aggregation surface (SURVEY.md §2.8's A1
+family) with the ops a monitoring/training-data pipeline reaches for
+next: latency percentiles per error key, rolling error rates, and
+per-group embedding centroids for corpus analysis.
+
+Scale notes are on each function; none collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Nearest-rank percentile targets as exact integer fractions (num, den):
+# rank = ceil(num * n / den) computed in integer arithmetic so Spark and
+# any oracle agree bit-for-bit (float p * n rounds differently at the
+# margins; (num*n + den - 1) div den never does).
+DEFAULT_PERCENTILES: Mapping[str, tuple[int, int]] = {
+    "p50": (1, 2),
+    "p90": (9, 10),
+    "p99": (99, 100),
+}
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key: str | Sequence[str],
+    value_col: str,
+    tiebreak: str,
+    percentiles: Mapping[str, tuple[int, int]] = DEFAULT_PERCENTILES,
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group, sort-based.
+
+    The value at rank ceil(p*n) in the (value, tiebreak) order is the
+    answer — an actual element of the column, never an interpolation, so
+    the result is engine-portable and type-preserving.
+
+    Plan shape: ONE hash Exchange on the group key. The ordered window
+    computes row_number and (via an unbounded frame on the same spec) the
+    group size in a single Window operator; the following groupBy(key)
+    reuses the window's hash partitioning, so EnsureRequirements inserts
+    no second shuffle (pinned in tests/test_plan_shapes.py). At 100 TB
+    the cost is the one sort — the same envelope as any per-key window —
+    and skewed keys take the usual salting answer. For sketch-based
+    speed at relaxed accuracy, compose `F.percentile_approx` instead;
+    the differential test bounds its error against this exact path.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(value_col, tiebreak)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = df.select(
+        *keys,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+    )
+    aggs = []
+    for name, (num, den) in percentiles.items():
+        target = F.expr(f"({num} * _n + {den - 1}) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == target, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def rolling_range_sum(
+    daily: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    preceding: int,
+    alias: str,
+) -> DataFrame:
+    """Rolling sum over a RANGE frame of the integer order column.
+
+    RANGE (not ROWS) so gaps in the series are windowed correctly — a
+    day with no predecessor rows still looks back `preceding` units of
+    *time*, not rows. Input should already be one row per (key, order)
+    (pre-aggregated), so the window's state per group is bounded by the
+    frame width, not the raw row count.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    return daily.withColumn(alias, F.sum(value_col).over(w).cast("bigint"))
+
+
+def grouped_centroid_sums(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group element-wise vector sums as scaled integers.
+
+    Emits one row per (key, pos): sum of floor(element * scale) plus the
+    group count — the exact, associative formulation of a centroid
+    (mean = sum_scaled / (n * scale)). Floats are floored to scaled
+    BIGINT *before* the sum because float addition is order-dependent
+    and a distributed sum has no deterministic order; integer sums are
+    associative, so the result is partition-count-independent and
+    engine-portable.
+
+    Plan shape: posexplode multiplies rows by the dimension map-side,
+    then partial aggregation combines to at most |keys| * dim rows per
+    task before the single hash Exchange — the shuffle carries the
+    combined partials, not the exploded elements (pinned in
+    tests/test_plan_shapes.py).
+    """
+    return (
+        df.select(key, F.posexplode(vec_col).alias("pos", "_val"))
+        .groupBy(key, "pos")
+        .agg(
+            F.sum(F.floor(F.col("_val").cast("double") * scale))
+            .cast("bigint")
+            .alias("sum_scaled"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

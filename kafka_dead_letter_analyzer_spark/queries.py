@@ -2047,3 +2047,286 @@ def x_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.stratified_quota(kept, stratum="lang", key="doc_id", k=25).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions (operators/analytics.py): exact percentiles,
+# outer-join histograms, decorrelated subqueries, pivot, rolling windows,
+# vector centroids, distinct aggregation. Each a capability class the
+# reference's monitoring consumers reach for next (SURVEY.md §2.8 A1 is
+# count/min/max only).
+# ---------------------------------------------------------------------------
+
+from kafka_dead_letter_analyzer_spark.operators import analytics as AN  # noqa: E402
+
+
+@_register(
+    "x_latency_percentiles",
+    """
+    SELECT event_type,
+           max(CASE WHEN rn = (1 * n + 1) // 2 THEN value END) AS p50,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    GROUP BY event_type
+    """,
+)
+def x_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of `value` per event type — the
+    latency-distribution rollup next to A1's count/min/max. Rank targets
+    are integer arithmetic (ceil(p*n) = (num*n+den-1) div den), so the
+    selected element is bit-identical in any engine; the emitted value is
+    a raw table element, never an interpolation. ONE Exchange: the
+    ordered window and the following groupBy share the event_type hash
+    partitioning (plan-pinned)."""
+    events = load_table(spark, sf_dir, "events")
+    return AN.exact_percentiles(
+        events.select("event_type", "value", "event_id"),
+        key="event_type",
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including the
+    zero-order customers (the outer-join + null-aware count class).
+    Spark plan pre-aggregates orders per custkey BEFORE the join — the
+    join input shrinks from |orders| to |custkeys| rows, and the
+    customer side joins against the aggregate (semantically identical
+    because c_custkey is unique). Two shuffles total (orders agg,
+    join+histogram); the histogram agg is on a handful of distinct
+    counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    joined = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce(F.col("_cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+    return joined.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT COALESCE(CAST(sum(li.price_cents) AS BIGINT), 0)
+             AS small_qty_revenue_cents
+    FROM (
+      SELECT l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+    ) li
+    JOIN (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+      GROUP BY l_partkey
+    ) a ON a.pk = li.l_partkey
+    WHERE 5 * li.qty * a.cnt < a.sum_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of the per-part average — the correlated-scalar-subquery class,
+    decorrelated into a per-key aggregate joined back to the fact rows.
+    The threshold qty < 0.2 * (sum/cnt) is evaluated as
+    5*qty*cnt < sum in exact BIGINT (l_quantity is integral; money is
+    DECIMAL->cents BIGINT), so no float division crosses the boundary.
+    The part filter broadcasts into both lineitem scans; the join back
+    is an equi-join on l_partkey."""
+    part_ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_ids), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.coalesce(F.sum("price_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("small_qty_revenue_cents")
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "x_event_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY day
+    """,
+)
+def x_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted to one column per event type (the wide
+    dashboard shape). The pivot value list is fixed, so it is lowered to
+    ONE-pass conditional aggregation — `DataFrame.pivot` with the same
+    explicit values still plans two Exchanges ((day, type) partials,
+    then the day pivot); conditional counts fold the pivot into a single
+    partial-agg shuffle on `day` (plan-pinned). Absent (day, type) cells
+    are 0 because count() of an all-null branch is 0, matching the
+    oracle's FILTER counts."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .agg(*aggs)
+    )
+
+
+@_register(
+    "x_rolling_daily_counts",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling7
+    FROM daily
+    """,
+)
+def x_rolling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily counts with a 7-day rolling total — the
+    error-rate-trend query. The rolling frame is RANGE over an integer
+    epoch-day index (not ROWS), so days missing from the series are
+    still windowed by time. Pre-aggregation bounds the window input to
+    one row per (type, day): the sort behind the window is over the
+    daily rollup, never the raw events."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return AN.rolling_range_sum(
+        daily, key="event_type", order_col="day_idx", value_col="n",
+        preceding=6, alias="rolling7",
+    )
+
+
+@_register(
+    "x_lang_centroid",
+    """
+    SELECT lang, CAST(g.i - 1 AS INTEGER) AS pos,
+           CAST(sum(CAST(floor(CAST(e.embedding[CAST(g.i AS INTEGER)] AS DOUBLE)
+                                * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    CROSS JOIN generate_series(1, 64) AS g(i)
+    GROUP BY lang, pos
+    """,
+)
+def x_lang_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid, as exact scaled-integer
+    element sums plus the group count (mean = sum_scaled / (n*1e6)).
+    Floats are floored to scaled BIGINT before summing because float
+    addition is order-dependent and distributed sums have no order —
+    the integer formulation is associative and partition-independent.
+    posexplode fans out x64 map-side; partial aggregation combines to
+    <= 5 langs x 64 dims rows per task before the single Exchange
+    (plan-pinned: the shuffle carries combined partials, not exploded
+    elements). The oracle indexes the list against a constant 1..64
+    series (dim is fixed across SFs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select("lang", "embedding")
+    return AN.grouped_centroid_sums(joined, key="lang", vec_col="embedding")
+
+
+@_register(
+    "x_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(count(*) AS BIGINT) AS events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def x_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user count per event type next to the raw event count —
+    the distinct-aggregation class (Catalyst expands to a two-phase
+    plan: partial distinct on (type, user), then the final count). For
+    cardinalities where an 0.5%-error sketch is acceptable,
+    approx_count_distinct keeps it to one pass; the differential test
+    bounds the sketch against this exact path."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("events"),
+    )

@@ -1,0 +1,96 @@
+"""Unit + differential tests for operators/analytics.py: exact
+percentiles (nearest-rank semantics), RANGE-frame rolling sums (gap
+days), centroid partition-independence, and the sketch-vs-exact bounds
+for approx_count_distinct / percentile_approx."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_dead_letter_analyzer_spark.operators import analytics as AN
+from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_percentiles_nearest_rank_on_known_data(spark):
+    # 10 values 1..10: nearest-rank p50 = ceil(0.5*10) = rank 5 -> 5.0,
+    # p90 = rank 9 -> 9.0, p99 = ceil(9.9) = rank 10 -> 10.0
+    rows = [("a", float(v), v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    out = AN.exact_percentiles(df, key="k", value_col="v", tiebreak="id")
+    r = out.collect()[0]
+    assert (r["p50"], r["p90"], r["p99"]) == (5.0, 9.0, 10.0)
+
+
+def test_exact_percentiles_single_element_group(spark):
+    df = spark.createDataFrame([("a", 7.0, 1)], "k string, v double, id int")
+    r = AN.exact_percentiles(df, key="k", value_col="v", tiebreak="id").collect()[0]
+    assert (r["p50"], r["p90"], r["p99"]) == (7.0, 7.0, 7.0)
+
+
+def test_rolling_range_sum_respects_gap_days(spark):
+    # days 0,1,9: day 9's 7-day window must NOT include days 0/1
+    # (a ROWS frame would wrongly sum the adjacent rows)
+    df = spark.createDataFrame(
+        [("t", 0, 5), ("t", 1, 7), ("t", 9, 11)], "k string, d long, n long"
+    )
+    out = AN.rolling_range_sum(
+        df, key="k", order_col="d", value_col="n", preceding=6, alias="r7"
+    )
+    got = {r["d"]: r["r7"] for r in out.collect()}
+    assert got == {0: 5, 1: 12, 9: 11}
+
+
+def test_centroid_sums_are_partition_independent(spark):
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id"), F.col("embedding"), (F.col("vec_id") % 3).alias("g")
+    )
+    a = AN.grouped_centroid_sums(emb, key="g", vec_col="embedding")
+    b = AN.grouped_centroid_sums(
+        emb.repartition(7), key="g", vec_col="embedding"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_approx_count_distinct_within_5pct_of_exact(spark):
+    events = load_table(spark, SF, "events")
+    joined = (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
+
+
+def test_percentile_approx_lands_near_exact_rank(spark):
+    """The sketch path (percentile_approx) must land within the 45th-55th
+    exact-rank neighborhood of the exact nearest-rank p50."""
+    events = load_table(spark, SF, "events").select(
+        "event_type", "value", "event_id"
+    )
+    approx = {
+        r["event_type"]: r["ap"]
+        for r in events.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, 10000).alias("ap"))
+        .collect()
+    }
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in AN.exact_percentiles(
+            events,
+            key="event_type",
+            value_col="value",
+            tiebreak="event_id",
+            percentiles={"lo": (45, 100), "hi": (55, 100)},
+        ).collect()
+    }
+    for t, ap in approx.items():
+        lo, hi = bounds[t]
+        assert lo <= ap <= hi, (t, lo, ap, hi)

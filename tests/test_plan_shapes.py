@@ -335,3 +335,58 @@ def test_pack_chunks_moves_ids_not_text(spark, Q):
         input_line = next(l for l in block.splitlines() if l.startswith("Input"))
         assert "text" not in input_line, block
     assert len(re.findall(r"\(\d+\) Window", s)) == 1, s
+
+
+def _data_exchanges(tree: str) -> int:
+    """Count shuffle Exchanges only (BroadcastExchange is not a shuffle)."""
+    import re
+
+    return len(re.findall(r"[+:]- Exchange", tree))
+
+
+def test_latency_percentiles_window_and_agg_share_one_exchange(spark, Q):
+    """Exact percentiles: the ordered window partitions by event_type and
+    the following groupBy(event_type) must reuse that partitioning —
+    exactly ONE shuffle for sort + rank-pick."""
+    s = plan_of(Q.x_latency_percentiles(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert _data_exchanges(tree) == 1, tree
+    assert "Window" in tree, tree
+
+
+def test_event_type_pivot_is_single_shuffle(spark, Q):
+    """The fixed-vocabulary pivot is lowered to conditional aggregation:
+    one partial-agg shuffle on day (DataFrame.pivot would plan two)."""
+    s = plan_of(Q.x_event_type_pivot(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert _data_exchanges(tree) == 1, tree
+
+
+def test_lang_centroid_combines_exploded_elements_map_side(spark, Q):
+    """The x64 posexplode fan-out must be combined by a partial
+    HashAggregate BEFORE the shuffle — the Exchange carries at most
+    |langs| x dim combined rows per task, never raw exploded elements."""
+    s = plan_of(Q.x_lang_centroid(spark, SF))
+    tree = s[: s.find("(1) ")]
+    lines = tree.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    exch = next(
+        i for i, l in enumerate(lines)
+        if "Exchange" in l and "Broadcast" not in l
+    )
+    # tree prints top-down: final agg ... Exchange ... partial agg ... Generate
+    between = lines[exch + 1 : gen]
+    assert any("HashAggregate" in l for l in between), tree
+    assert _data_exchanges(tree) == 1, tree
+
+
+def test_q13_preaggregates_orders_before_the_outer_join(spark, Q):
+    """Q13 shape: the orders side is reduced to one row per custkey
+    before joining customer — the join input is the aggregate, not the
+    raw orders fact table."""
+    s = plan_of(Q.tpch_q13_customer_distribution(spark, SF))
+    tree = s[: s.find("(1) ")]
+    lines = tree.splitlines()
+    join = next(i for i, l in enumerate(lines) if "Join" in l)
+    # below the join there must be an aggregation (the per-custkey count)
+    assert any("HashAggregate" in l for l in lines[join + 1 :]), tree
