@@ -1,0 +1,54 @@
+"""Benchmark-contamination detection: which corpus documents share
+n-token grams with a held-out evaluation set.
+
+The standard pre-training hygiene pass (n-gram decontamination, as in
+GPT-3/PaLM/Llama data cards): any training document that contains an
+n-gram (n~8..13 tokens) also present in a benchmark document is flagged
+(and typically dropped or split). Shingling reuses the exact tokenizer
+and gram semantics of the dedup family (operators/dedup.py::_tokens /
+token_shingles), so "contaminated" here is consistent with "duplicate"
+there.
+
+Scale shape: the benchmark side is by definition tiny relative to the
+corpus (thousands of eval documents vs billions of training docs), so
+its distinct-gram set is BROADCAST — the corpus side streams through a
+map-side hash join with no shuffle of corpus grams; only the per-doc
+match counts aggregate (doc_id-keyed partial agg). If the benchmark
+outgrows broadcast range, pass ``broadcast_benchmark=False`` for a
+plain shuffled equi-join on the gram string (or pre-hash grams to int64
+with xxhash64 to shrink the shuffle — see shingle_hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct n-token grams also
+    appear anywhere in the benchmark set. Emits only contaminated docs
+    (shared_ngrams >= 1); a left-anti join against this result is the
+    decontaminated corpus."""
+    c = corpus.select(
+        id_col, F.explode(token_shingles(F.col(text_col), n)).alias("sh")
+    )
+    b = benchmark.select(
+        F.explode(token_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

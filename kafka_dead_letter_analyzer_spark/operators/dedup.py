@@ -85,22 +85,30 @@ def _tokens(text: Column) -> Column:
     )
 
 
-def token_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined). Documents shorter than k
-    tokens contribute their whole token sequence as one shingle; NULL/blank
-    documents contribute the EMPTY set (no signature bucket collisions)."""
+def token_grams(text: Column, k: int = 3) -> Column:
+    """ALL k-token grams in document order (duplicates preserved, for
+    occurrence counting — repetition ratios need multiplicity). Documents
+    shorter than k tokens contribute their whole token sequence as one
+    gram; NULL/blank documents contribute the EMPTY list."""
     toks = _tokens(text)
     n = F.size(toks)
-    shingled = F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(
-        F.when(n >= k, shingled)
+    return (
+        F.when(n >= k, grams)
         .when(n > 0, whole)
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined). Documents shorter than k
+    tokens contribute their whole token sequence as one shingle; NULL/blank
+    documents contribute the EMPTY set (no signature bucket collisions)."""
+    return F.array_distinct(token_grams(text, k))
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

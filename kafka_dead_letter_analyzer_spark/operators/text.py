@@ -317,3 +317,52 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).cast("int").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style): most-frequent-n-gram share per doc
+# ---------------------------------------------------------------------------
+
+
+def _max_multiplicity(sorted_arr: Column) -> Column:
+    """Highest element multiplicity in a SORTED array, via a single
+    aggregate() pass tracking (prev, current run, max run). Equal
+    elements are adjacent after array_sort, so the max run length IS the
+    max multiplicity — no per-element counting join needed."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("mx"),
+    )
+
+    def merge(acc, x):
+        run = (
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["mx"])
+
+
+def repetition_features(text: Column | str, k: int = 3) -> dict[str, Column]:
+    """Per-document k-gram repetition stats as a PURE PROJECTION — zero
+    shuffles. A document's grams live in one row's array (token_grams),
+    so total occurrences are size(), distinct grams are
+    size(array_distinct()), and the max single-gram count is the longest
+    equal-run of the sorted gram array. The alternative grouped-explode
+    formulation shuffles every gram occurrence twice; this one touches
+    nothing but the row. (If documents arrive pre-exploded across rows,
+    fall back to groupBy(doc, gram) — not the stored-corpus case.)"""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_grams
+
+    t = F.col(text) if isinstance(text, str) else text
+    grams = token_grams(t, k)
+    return {
+        "n_grams": F.size(grams).cast("bigint"),
+        "max_gram_count": _max_multiplicity(F.array_sort(grams)),
+        "distinct_grams": F.size(F.array_distinct(grams)).cast("bigint"),
+    }

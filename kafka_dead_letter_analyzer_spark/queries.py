@@ -2330,3 +2330,157 @@ def x_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("users"),
         F.count(F.lit(1)).alias("events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene extensions: benchmark decontamination, Gopher-style
+# repetition signals, adaptive (percentile-derived) quality thresholds.
+# ---------------------------------------------------------------------------
+
+from kafka_dead_letter_analyzer_spark.operators import contamination as CN  # noqa: E402
+
+# Shared oracle fragment: tokens + 8-token shingles, mirroring
+# dedup.py::_tokens / token_shingles at k=8 (trim+lower, split on \s+,
+# whole-doc fallback under 8 tokens, empty set for blank docs).
+_SHINGLE8_CTES = r"""t8 AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), s8 AS (
+      SELECT doc_id, source, unnest(list_distinct(
+        CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]
+             WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+             ELSE []::VARCHAR[] END)) AS sh
+      FROM t8
+    )"""
+
+
+@_register(
+    "x_contamination_overlap",
+    f"""
+    WITH {_SHINGLE8_CTES},
+    bench AS (SELECT DISTINCT sh FROM s8 WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, sh FROM s8 WHERE source <> 'src0')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM corpus JOIN bench USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def x_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama data-card hygiene
+    pass): every corpus document sharing an 8-token gram with the
+    held-out set (source='src0' standing in for the eval benchmark),
+    with the count of distinct shared grams. The benchmark's distinct
+    grams BROADCAST into a map-side join — corpus grams never shuffle;
+    only per-doc match counts aggregate. Gram semantics are shared with
+    the dedup family (dedup.py::token_shingles, k=8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CN.ngram_overlap(
+        corpus=docs.filter(F.col("source") != "src0"),
+        benchmark=docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@_register(
+    "x_repetition_ratio",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   for i in range(1, len(toks) - 1)]
+             WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+             ELSE []::VARCHAR[] END) AS gr
+      FROM t
+    ), per AS (
+      SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(max(c) AS BIGINT) AS max_gram_count,
+           CAST(count(*) AS BIGINT) AS distinct_grams
+    FROM per GROUP BY doc_id
+    """,
+)
+def x_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal per document: total trigram
+    occurrences, the most frequent trigram's count, and the distinct
+    trigram count (the filter drops docs where max/total exceeds a
+    threshold — emitted as exact integers so the ratio never crosses the
+    engine boundary as a float). Computed as a PURE PROJECTION over each
+    row's gram array (max multiplicity = longest equal-run of the sorted
+    array): ZERO shuffles, where the grouped-explode formulation would
+    shuffle every gram occurrence twice (plan-pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.repetition_features("text", k=3)
+    return (
+        docs.select(
+            "doc_id",
+            feats["n_grams"].alias("n_grams"),
+            feats["max_gram_count"].alias("max_gram_count"),
+            feats["distinct_grams"].alias("distinct_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
+
+
+@_register(
+    "x_adaptive_quality_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {TX.quality_features_sql('text')['stopword_ratio']} AS r
+      FROM documents
+    ), ranked AS (
+      SELECT lang, r,
+             row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    ), thr AS (
+      SELECT lang, max(CASE WHEN rn = (1 * n + 3) // 4 THEN r END) AS p25
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(count(*) FILTER (WHERE s.r >= t.p25) AS BIGINT) AS kept_docs,
+           max(t.p25) AS threshold
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    GROUP BY s.lang
+    """,
+)
+def x_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gating: instead of a global constant threshold
+    (x_quality_filter_agg), each language keeps documents at or above
+    its OWN 25th-percentile stopword ratio — the per-stratum threshold
+    pattern real pipelines use because quality-score distributions shift
+    across languages. Composes exact_percentiles (one window+agg
+    shuffle over (lang, score)) with a broadcast join of the 5-row
+    threshold table back onto the scored scan; survivors aggregate per
+    language in the same pass via conditional counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    scored = docs.select(
+        "doc_id", "lang", feats["stopword_ratio"].alias("r")
+    )
+    thr = AN.exact_percentiles(
+        scored, key="lang", value_col="r", tiebreak="doc_id",
+        percentiles={"p25": (1, 4)},
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.count(F.when(F.col("r") >= F.col("p25"), 1)).alias("kept_docs"),
+            F.max("p25").alias("threshold"),
+        )
+    )

@@ -94,3 +94,38 @@ def test_percentile_approx_lands_near_exact_rank(spark):
     for t, ap in approx.items():
         lo, hi = bounds[t]
         assert lo <= ap <= hi, (t, lo, ap, hi)
+
+
+def test_ngram_overlap_flags_planted_contamination(spark):
+    from kafka_dead_letter_analyzer_spark.operators import contamination as CN
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8 tokens verbatim -> flagged
+            (1, "xx " + " ".join(bench_text.split()[:8]) + " yy"),
+            # shares only a 4-token span -> no 8-gram overlap -> clean
+            (2, "alpha beta gamma delta nothing else here at all ok"),
+            (3, "completely unrelated text with many distinct tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r["shared_ngrams"] for r in CN.ngram_overlap(
+        corpus, bench, n=8
+    ).collect()}
+    assert got == {1: 1}
+
+
+def test_repetition_counts_on_known_doc(spark):
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    import pyspark.sql.functions as F
+
+    # "a b a b a b" -> trigrams: "a b a","b a b","a b a","b a b" (4 total,
+    # 2 distinct, max count 2)
+    df = spark.createDataFrame([("a b a b a b",)], "text string")
+    grams = df.select(F.explode(D.token_grams(F.col("text"), 3)).alias("g"))
+    per = grams.groupBy("g").count().collect()
+    assert sorted((r["g"], r["count"]) for r in per) == [
+        ("a b a", 2), ("b a b", 2)
+    ]

@@ -390,3 +390,27 @@ def test_q13_preaggregates_orders_before_the_outer_join(spark, Q):
     join = next(i for i, l in enumerate(lines) if "Join" in l)
     # below the join there must be an aggregation (the per-custkey count)
     assert any("HashAggregate" in l for l in lines[join + 1 :]), tree
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, Q):
+    """Decontamination at 100 TB: the benchmark gram set must broadcast —
+    corpus grams stream through a map-side join, and the only shuffle is
+    the per-doc match-count aggregation."""
+    s = plan_of(Q.x_contamination_overlap(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # two data exchanges max: the per-doc count agg, plus the distinct on
+    # the benchmark side (benchmark-sized, i.e. tiny, feeding the
+    # broadcast). Corpus grams themselves must never shuffle.
+    assert _data_exchanges(tree) <= 2, tree
+
+
+def test_repetition_ratio_is_pure_projection(spark, Q):
+    """Repetition stats are computed from each row's own gram array
+    (max multiplicity = longest equal-run of the sorted array): the plan
+    must contain NO shuffle and NO Generate explosion."""
+    s = plan_of(Q.x_repetition_ratio(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert _data_exchanges(tree) == 0, tree
+    assert "Generate" not in tree, tree
