@@ -18,6 +18,7 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     streaming_error_statistics_per_record,
     streaming_dedup_records,
     streaming_first_examples,
+    streaming_interval_join,
     streaming_session_statistics,
     streaming_windowed_statistics,
     streaming_error_statistics_ttl,
@@ -50,6 +51,7 @@ __all__ = [
     "streaming_error_statistics_per_record",
     "streaming_dedup_records",
     "streaming_first_examples",
+    "streaming_interval_join",
     "streaming_session_statistics",
     "streaming_windowed_statistics",
     "streaming_error_statistics_ttl",

@@ -491,6 +491,56 @@ def streaming_session_statistics(
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join (deploy/incident correlation)
+# ---------------------------------------------------------------------------
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join where the right event happened within
+    ``lookback`` BEFORE the left event — e.g. correlate each dead letter
+    with every deployment marker on the same topic in the preceding hour
+    (the "what changed right before the errors started" query, live).
+
+    Both sides carry a watermark and the join condition bounds the two
+    event-time columns against each other — exactly the form Structured
+    Streaming needs to compute state eviction for BOTH buffers: a right
+    row is dropped once the left watermark passes right_ts + lookback, a
+    left row once the right watermark passes left_ts. State is bounded
+    by rate x (lookback + watermark), never stream lifetime — without
+    the interval bounds the engine would buffer both streams forever,
+    which is the difference between a demo and a 100 TB/day join.
+
+    INNER join: matches emit as soon as both rows arrive (append mode);
+    the watermark only schedules cleanup. Column name collisions on
+    ``on`` are resolved to a single output column.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("_l")
+    r = right.withWatermark(right_ts, watermark).alias("_r")
+    cond = (
+        (F.col(f"_l.{on}") == F.col(f"_r.{on}"))
+        & (F.col(f"_r.{right_ts}") <= F.col(f"_l.{left_ts}"))
+        & (
+            F.col(f"_r.{right_ts}")
+            >= F.col(f"_l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    right_cols = [c for c in right.columns if c != on]
+    return l.join(r, cond, "inner").select(
+        f"_l.{on}",
+        *[F.col(f"_l.{c}") for c in left.columns if c != on],
+        *[F.col(f"_r.{c}") for c in right_cols],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full streaming topology
 # ---------------------------------------------------------------------------
 

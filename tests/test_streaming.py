@@ -951,3 +951,61 @@ def test_ttl_stats_plan_builds_without_state_v2_runtime(spark, tmp_path, ts):
         "kafka_key", "count", "created", "updated", "topic", "type",
     ]
     assert out.isStreaming
+
+
+def test_stream_stream_interval_join_matches_batch_join(spark, tmp_path, ts):
+    """Dead letters joined to deployment markers on the same topic within
+    the preceding hour, as a watermarked stream-stream interval join —
+    final emitted rows must equal the equivalent batch join."""
+    from kafka_dead_letter_analyzer_spark.streaming import streaming_interval_join
+
+    err_schema = "topic string, etype string, ts timestamp"
+    mk_schema = "topic string, marker_id long, m_ts timestamp"
+    errs1 = [("t1", "deser", ts(30)), ("t2", "convert", ts(40))]
+    mks1 = [("t1", 100, ts(10))]                      # within 1h of t1@30
+    errs2 = [("t1", "deser", ts(95))]                 # 85 min after marker 100
+    mks2 = [("t2", 200, ts(5)), ("t1", 300, ts(90))]  # 200->t2@40; 300->t1@95
+
+    e_dir, m_dir = str(tmp_path / "errs"), str(tmp_path / "mks")
+    spark.createDataFrame(errs1, err_schema).write.mode("append").parquet(e_dir)
+    spark.createDataFrame(mks1, mk_schema).write.mode("append").parquet(m_dir)
+
+    e_stream = spark.readStream.schema(err_schema).parquet(e_dir)
+    m_stream = spark.readStream.schema(mk_schema).parquet(m_dir)
+    joined = streaming_interval_join(
+        e_stream, m_stream, on="topic", left_ts="ts", right_ts="m_ts",
+        lookback="1 hour", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(errs2, err_schema).write.mode("append").parquet(e_dir)
+        spark.createDataFrame(mks2, mk_schema).write.mode("append").parquet(m_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["topic"], r["etype"], r["marker_id"])
+        for r in spark.table("ssj_sink").collect()
+    }
+    # batch equivalent over the full data
+    eb = spark.createDataFrame(errs1 + errs2, err_schema)
+    mb = spark.createDataFrame(mks1 + mks2, mk_schema)
+    expect = {
+        (r["topic"], r["etype"], r["marker_id"])
+        for r in eb.join(
+            mb,
+            (eb.topic == mb.topic)
+            & (mb.m_ts <= eb.ts)
+            & (mb.m_ts >= eb.ts - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expect
+    # the cross-batch match (marker 300 from batch 2 with error t1@95 from
+    # batch 2, and t1@30's marker from batch 1) must both be present
+    assert ("t1", "deser", 100) in got and ("t1", "deser", 300) in got
