@@ -2484,3 +2484,70 @@ def x_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p25").alias("threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-operations extensions: one-pass table profiling and the
+# corpus-mixture table (per-(source, lang) token shares).
+# ---------------------------------------------------------------------------
+
+from kafka_dead_letter_analyzer_spark.operators import profile as PR  # noqa: E402
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@_register(
+    "x_profile_events",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def x_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table: per-column null and
+    exact distinct counts, computed in ONE scan — Catalyst plans the six
+    count(DISTINCT) aggregates with a single Expand and shuffles only
+    combined partials (plan-pinned: one scan). The oracle recomputes
+    each column independently; the engine's point is that it does NOT."""
+    events = load_table(spark, sf_dir, "events")
+    return PR.profile_table(events, _PROFILE_COLS)
+
+
+@_register(
+    "x_corpus_mix_table",
+    f"""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS tokens
+      FROM documents
+      GROUP BY source, lang
+    )
+    SELECT source, lang, docs, tokens,
+           CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens
+    FROM per
+    """,
+)
+def x_corpus_mix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-mixture table driving training-mix reweighting: per
+    (source, lang) document and token counts plus the corpus total on
+    every row (mix share = tokens / total_tokens, computed downstream —
+    only exact integers cross the engine boundary). The global total is
+    a 1-row aggregate CROSS-JOIN-broadcast onto the per-group rollup —
+    NOT an unpartitioned window, which would funnel every row through
+    one task at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", "lang", TX.token_count("text").alias("_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_tok").cast("bigint").alias("tokens"),
+        )
+    )
+    total = per.agg(F.sum("tokens").cast("bigint").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(total))

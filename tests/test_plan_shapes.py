@@ -414,3 +414,22 @@ def test_repetition_ratio_is_pure_projection(spark, Q):
     tree = s[: s.find("(1) ")]
     assert _data_exchanges(tree) == 0, tree
     assert "Generate" not in tree, tree
+
+
+def test_profile_is_single_scan_despite_six_distincts(spark, Q):
+    """The whole profile (6 null counts + 6 exact distincts) must come
+    from ONE scan of the table — Catalyst's Expand handles the multiple
+    DISTINCT aggregates; per-column scans would read the table 6x."""
+    s = plan_of(Q.x_profile_events(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree, tree
+
+
+def test_corpus_mix_total_is_broadcast_not_global_window(spark, Q):
+    """The corpus total lands on every row via a broadcast of the 1-row
+    aggregate — an unpartitioned Window would single-task the table."""
+    s = plan_of(Q.x_corpus_mix_table(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert "Window" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, tree
