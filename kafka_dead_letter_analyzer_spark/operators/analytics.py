@@ -51,6 +51,11 @@ def exact_percentiles(
     the differential test bounds its error against this exact path.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    # NULL values are ignored, like every SQL percentile aggregate — and
+    # necessarily so for engine portability: Spark orders nulls first
+    # ascending, DuckDB last, so a null entering the rank arithmetic
+    # would pick different elements per engine.
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*keys).orderBy(value_col, tiebreak)
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = df.select(

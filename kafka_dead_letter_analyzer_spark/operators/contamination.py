@@ -39,7 +39,11 @@ def ngram_overlap(
     appear anywhere in the benchmark set. Emits only contaminated docs
     (shared_ngrams >= 1); a left-anti join against this result is the
     decontaminated corpus."""
-    c = corpus.select(
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    # shingling is CPU-per-row heavy: spread a narrow input across cores
+    # first (no-op when the corpus scan is already wide — the 100 TB case)
+    c = spread_for_cpu(corpus).select(
         id_col, F.explode(token_shingles(F.col(text_col), n)).alias("sh")
     )
     b = benchmark.select(

@@ -433,9 +433,14 @@ def ngram_jaccard_pairs(
     (``inter*den >= union*num``) — no floating point anywhere, so results
     are bit-identical across engines (oracle-checkable).
     """
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
     base = docs
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
+    # gram construction + per-pair set intersection are CPU-per-row heavy;
+    # a narrow input otherwise runs them on the single scan partition
+    base = spread_for_cpu(base)
     grams_col = _memo(
         ("char_ngrams", text_col, n), lambda: char_ngrams(F.col(text_col), n)
     )

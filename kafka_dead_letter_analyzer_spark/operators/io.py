@@ -22,7 +22,7 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimated_plan_bytes", "write_sized"]
+__all__ = ["estimated_plan_bytes", "spread_for_cpu", "write_sized"]
 
 
 def estimated_plan_bytes(df: DataFrame) -> int | None:
@@ -77,3 +77,26 @@ def write_sized(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
     return n
+
+
+def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan currently has fewer
+    partitions than requested (default: the cluster's defaultParallelism).
+
+    The small-input CPU fix: Spark splits scans by BYTES
+    (maxPartitionBytes), so a small parquet file lands in one partition —
+    and an expensive-per-row operator downstream (gram explosion, regex
+    batteries, Python codec UDFs) then runs on ONE core regardless of
+    cluster width. Spreading first costs a shuffle of the (small) input
+    and buys full-width CPU.
+
+    At real scale this is a NO-OP by construction: a 100 TB scan already
+    has orders of magnitude more partitions than cores, so the guard
+    keeps the no-extra-shuffle property exactly when the shuffle would
+    actually hurt. (The check reads plan metadata only — no job runs.)
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -366,3 +366,36 @@ def repetition_features(text: Column | str, k: int = 3) -> dict[str, Column]:
         "max_gram_count": _max_multiplicity(F.array_sort(grams)),
         "distinct_grams": F.size(F.array_distinct(grams)).cast("bigint"),
     }
+
+
+def repetition_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """DataFrame-level repetition profile: (id, n_grams, max_gram_count,
+    distinct_grams) per document with at least one gram.
+
+    The gram array is built ONCE in its own Project (CollapseProject
+    leaves multiply-referenced non-trivial aliases alone, so the three
+    consumers share it), and the input is spread across cores first —
+    gram construction is CPU-per-row heavy, and a small input otherwise
+    computes on the single scan partition (operators/io.py::
+    spread_for_cpu; a no-op at real scale where the scan is already
+    wide). Zero data-dependent shuffles either way."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_grams
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    # Gram-less docs (empty/NULL after trim) are excluded with this CHEAP
+    # scan-level predicate — filtering on n_grams > 0 afterwards is
+    # equivalent but Catalyst pushes that predicate below the spread by
+    # substituting the full gram expression into it, recomputing the
+    # grams on the narrow pre-spread partition (measured 10x slower).
+    nonblank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+    g = spread_for_cpu(docs.filter(nonblank)).select(
+        id_col, token_grams(F.col(text_col), k).alias("_g")
+    )
+    return g.select(
+        id_col,
+        F.size("_g").cast("bigint").alias("n_grams"),
+        _max_multiplicity(F.array_sort("_g")).alias("max_gram_count"),
+        F.size(F.array_distinct("_g")).cast("bigint").alias("distinct_grams"),
+    )

@@ -2072,6 +2072,7 @@ from kafka_dead_letter_analyzer_spark.operators import analytics as AN  # noqa: 
              row_number() OVER w AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     )
     GROUP BY event_type
@@ -2087,7 +2088,12 @@ def x_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (plan-pinned)."""
     events = load_table(spark, sf_dir, "events")
     return AN.exact_percentiles(
-        events.select("event_type", "value", "event_id"),
+        # NULL values are excluded on BOTH sides: Spark orders nulls
+        # first ascending, DuckDB last — with nulls present the rank
+        # arithmetic would pick different elements per engine.
+        events.filter(F.col("value").isNotNull()).select(
+            "event_type", "value", "event_id"
+        ),
         key="event_type",
         value_col="value",
         tiebreak="event_id",
@@ -2421,16 +2427,7 @@ def x_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     array): ZERO shuffles, where the grouped-explode formulation would
     shuffle every gram occurrence twice (plan-pinned)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = TX.repetition_features("text", k=3)
-    return (
-        docs.select(
-            "doc_id",
-            feats["n_grams"].alias("n_grams"),
-            feats["max_gram_count"].alias("max_gram_count"),
-            feats["distinct_grams"].alias("distinct_grams"),
-        )
-        .filter(F.col("n_grams") > 0)
-    )
+    return TX.repetition_stats(docs, id_col="doc_id", text_col="text", k=3)
 
 
 @_register(
@@ -2440,6 +2437,7 @@ def x_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              {TX.quality_features_sql('text')['stopword_ratio']} AS r
       FROM documents
+      WHERE text IS NOT NULL
     ), ranked AS (
       SELECT lang, r,
              row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn,
@@ -2468,7 +2466,7 @@ def x_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     language in the same pass via conditional counts."""
     docs = load_table(spark, sf_dir, "documents")
     feats = TX.quality_features("text")
-    scored = docs.select(
+    scored = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", feats["stopword_ratio"].alias("r")
     )
     thr = AN.exact_percentiles(

@@ -129,3 +129,11 @@ def test_repetition_counts_on_known_doc(spark):
     assert sorted((r["g"], r["count"]) for r in per) == [
         ("a b a", 2), ("b a b", 2)
     ]
+
+
+def test_exact_percentiles_ignore_nulls(spark):
+    rows = [("a", None, 0)] + [("a", float(v), v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    r = AN.exact_percentiles(df, key="k", value_col="v", tiebreak="id").collect()[0]
+    # same answers as the no-null fixture: nulls must not shift ranks
+    assert (r["p50"], r["p90"], r["p99"]) == (5.0, 9.0, 10.0)

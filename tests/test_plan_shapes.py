@@ -400,20 +400,33 @@ def test_contamination_broadcasts_benchmark_grams(spark, Q):
     tree = s[: s.find("(1) ")]
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
-    # two data exchanges max: the per-doc count agg, plus the distinct on
-    # the benchmark side (benchmark-sized, i.e. tiny, feeding the
-    # broadcast). Corpus grams themselves must never shuffle.
-    assert _data_exchanges(tree) <= 2, tree
+    # data exchanges: the per-doc count agg, the benchmark-side distinct
+    # (tiny, feeding the broadcast), and possibly the small-input CPU
+    # spread (round-robin, a no-op at real scale). Corpus GRAMS must
+    # never hash-shuffle: no Exchange may sit between the corpus-side
+    # Generate (shingle explode) and the BroadcastHashJoin above it.
+    lines = tree.splitlines()
+    join_i = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    gen_i = next(i for i, l in enumerate(lines[join_i:]) if "Generate" in l) + join_i
+    assert not any("Exchange" in l for l in lines[join_i + 1 : gen_i]), tree
 
 
 def test_repetition_ratio_is_pure_projection(spark, Q):
     """Repetition stats are computed from each row's own gram array
-    (max multiplicity = longest equal-run of the sorted array): the plan
-    must contain NO shuffle and NO Generate explosion."""
+    (max multiplicity = longest equal-run of the sorted array): no
+    Generate explosion and no data-dependent shuffle — the only Exchange
+    allowed is the small-input round-robin CPU spread, which disappears
+    when the scan is already wide (the at-scale case)."""
     s = plan_of(Q.x_repetition_ratio(spark, SF))
     tree = s[: s.find("(1) ")]
-    assert _data_exchanges(tree) == 0, tree
     assert "Generate" not in tree, tree
+    # formatted explain puts Exchange arguments in the details section,
+    # not the tree — scan the WHOLE output: any hash partitioning means
+    # a data-dependent shuffle crept in (only round-robin spread allowed)
+    assert "hashpartitioning" not in s, s
+    # and the expensive gram expression must not be duplicated by a
+    # pushed-down filter below the spread (one array_sort = one tree)
+    assert s.count("array_sort") == 1, s.count("array_sort")
 
 
 def test_profile_is_single_scan_despite_six_distincts(spark, Q):
