@@ -2549,3 +2549,108 @@ def x_corpus_mix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = per.agg(F.sum("tokens").cast("bigint").alias("total_tokens"))
     return per.crossJoin(F.broadcast(total))
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: ordered funnels and cohort retention — the
+# two classic event-table consumers downstream of the analyzer's stats.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(0 AS INTEGER) AS stage_idx,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 'click', 1, CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', 2, CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's first event — the sequential-pattern class, built as
+    filter-pushdown scans (each stage's type predicate reaches parquet)
+    chained by equi-joins on user_id. Every shuffle in the chain keys on
+    user_id, so the stage aggregations reuse one partitioning; per-stage
+    state is one timestamp per user, never an event list (the
+    collect_list-per-user formulation would OOM on power users at
+    100 TB)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def stage(source: DataFrame, etype: str, prev: DataFrame | None) -> DataFrame:
+        s = source.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    # v and c are each consumed twice (their own funnel count + the next
+    # stage's join); without persist, DataFrame reuse re-derives the
+    # whole subplan per union branch — SIX scans of the fact table
+    # instead of three. The persisted frames are one (user_id, ts) row
+    # per qualifying user: the small side by construction.
+    v = stage(ev, "view", None).persist()
+    c = stage(ev, "click", v.select("user_id", "t")).persist()
+    p = stage(ev, "purchase", c.select("user_id", "t"))
+
+    def level(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.col("users"),
+        )
+
+    return level(v, "view", 0).unionAll(level(c, "click", 1)).unionAll(
+        level(p, "purchase", 2)
+    )
+
+
+@_register(
+    "x_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+    FROM events e JOIN first f ON f.user_id = e.user_id
+    GROUP BY day_offset
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: distinct users active N days after their own
+    first day. First-day per user is one user-keyed aggregation; the
+    events join back on the SAME key (partitioning reused, no extra
+    exchange on the fact side), then the distinct count groups by offset.
+    The (cohort x offset) matrix variant is the same plan with cohort in
+    the final key; the flat offset curve keeps the declared result
+    small."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.datediff(F.to_date("ts"), F.col("d0"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("day_offset")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )

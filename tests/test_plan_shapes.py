@@ -446,3 +446,28 @@ def test_corpus_mix_total_is_broadcast_not_global_window(spark, Q):
     tree = s[: s.find("(1) ")]
     assert "Window" not in tree, tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, tree
+
+
+def test_funnel_persists_stage_frames_three_scans_only(spark, Q):
+    """The funnel's union branches must reuse the persisted v/c stage
+    frames: exactly three parquet scans (one per stage's type filter),
+    never six re-derivations."""
+    s = plan_of(Q.x_event_funnel(spark, SF))
+    tree = s[: s.find("(1) ")]
+    import re
+
+    # formatted explain re-prints a cached InMemoryRelation's build plan
+    # at every reference with the SAME node id — count distinct scan
+    # nodes, not textual occurrences
+    distinct_scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(distinct_scans) == 3, (distinct_scans, tree)
+    assert "InMemoryTableScan" in tree, tree
+
+
+def test_retention_reuses_user_partitioning(spark, Q):
+    """Cohort retention: the first-day aggregate and the join both key on
+    user_id; at most three shuffles total (user agg, offset agg, and the
+    join side when the aggregate outgrows broadcast)."""
+    s = plan_of(Q.x_retention_cohorts(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert _data_exchanges(tree) <= 3, tree
