@@ -19,6 +19,7 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     streaming_dedup_records,
     streaming_first_examples,
     streaming_interval_join,
+    streaming_threshold_alerts,
     streaming_session_statistics,
     streaming_windowed_statistics,
     streaming_error_statistics_ttl,
@@ -52,6 +53,7 @@ __all__ = [
     "streaming_dedup_records",
     "streaming_first_examples",
     "streaming_interval_join",
+    "streaming_threshold_alerts",
     "streaming_session_statistics",
     "streaming_windowed_statistics",
     "streaming_error_statistics_ttl",

@@ -491,6 +491,59 @@ def streaming_session_statistics(
 
 
 # ---------------------------------------------------------------------------
+# Threshold alerts (emit-once on crossing)
+# ---------------------------------------------------------------------------
+
+
+def _make_threshold_fn(threshold: int):
+    def _threshold_alert_fn(key, pdfs, state) -> Iterator:
+        """Emit ONE alert row when a key's cumulative error count first
+        reaches `threshold`. State per key: (count, alerted) — two
+        numbers, never a record buffer. After alerting, the count keeps
+        accumulating (the emitted row carries the exact crossing count)
+        but no further rows are emitted: downstream pagers want one page
+        per incident, not one per subsequent error."""
+        import pandas as pd
+
+        count, alerted = state.get if state.exists else (0, 0)
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        count += seen
+        if alerted or count < threshold:
+            state.update((count, alerted))
+            return
+        state.update((count, 1))
+        yield pd.DataFrame(
+            {"topic": [key[0]], "type": [key[1]], "count_at_alert": [count]}
+        )
+
+    return _threshold_alert_fn
+
+
+def streaming_threshold_alerts(
+    enriched: DataFrame, threshold: int = 100
+) -> DataFrame:
+    """One alert per (topic, type), emitted the first time its cumulative
+    dead-letter count reaches ``threshold`` — the incident-paging surface
+    on top of the A1 statistics. Emit-once semantics like the reference's
+    first-example processor (ErrorAggregatingProcessor.java:59-65), but
+    keyed on a counter crossing instead of first arrival; state is two
+    ints per key, so the store size tracks live keys, not traffic."""
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_threshold_fn(threshold),
+        outputStructType="topic string, type string, count_at_alert long",
+        stateStructType="count long, alerted long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join (deploy/incident correlation)
 # ---------------------------------------------------------------------------
 

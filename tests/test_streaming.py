@@ -1009,3 +1009,48 @@ def test_stream_stream_interval_join_matches_batch_join(spark, tmp_path, ts):
     # the cross-batch match (marker 300 from batch 2 with error t1@95 from
     # batch 2, and t1@30's marker from batch 1) must both be present
     assert ("t1", "deser", 100) in got and ("t1", "deser", 300) in got
+
+
+def test_threshold_alert_fires_once_at_crossing(spark, tmp_path, ts):
+    """Counts accumulate across micro-batches; the alert row appears
+    exactly once, in the batch where the cumulative count crosses the
+    threshold, carrying the exact crossing count."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_threshold_alerts,
+    )
+
+    batches = [
+        [FX.envelope(offset=i, timestamp=ts(i), value_deadletter=FX.dead_letter_value())
+         for i in range(2)],                    # count 2 < 3: no alert
+        [FX.envelope(offset=9, timestamp=ts(9), value_deadletter=FX.dead_letter_value())],
+        [FX.envelope(offset=20, timestamp=ts(20), value_deadletter=FX.dead_letter_value())],
+    ]
+    src = str(tmp_path / "alerts_src")
+    _write_envelopes(spark, src, batches[0])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched = enrich_with_context(dead_letters)
+    q = (
+        streaming_threshold_alerts(enriched, threshold=3)
+        .writeStream.format("memory")
+        .queryName("alert_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("alert_sink").count() == 0  # below threshold
+        for b in batches[1:]:
+            _write_envelopes(spark, src, b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("alert_sink").collect()
+    assert len(rows) == 1, rows  # exactly one alert despite batch 3
+    assert rows[0]["count_at_alert"] == 3
