@@ -2654,3 +2654,48 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_offset")
         .agg(F.count_distinct("user_id").alias("users"))
     )
+
+
+@_register(
+    "x_best_per_fingerprint",
+    f"""
+    SELECT fingerprint,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(n AS BIGINT) AS n_copies,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM (
+      SELECT {TX.fingerprint_sql('text')} AS fingerprint,
+             doc_id, n_chars,
+             count(*) OVER (PARTITION BY {TX.fingerprint_sql('text')}) AS n,
+             row_number() OVER (
+               PARTITION BY {TX.fingerprint_sql('text')}
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x_best_per_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY instead of min-id: per content
+    fingerprint keep the longest document (doc_id as tiebreak) — the
+    dedup policy real corpora use when near-duplicate variants differ in
+    completeness. One shuffle via max_by over the ordering struct
+    (n_chars, -doc_id): fully partial-aggregable, unlike the
+    row_number-window formulation the oracle uses, which would sort
+    every partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    ordkey = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_negid"))
+    return (
+        docs.select(
+            TX.fingerprint("text").alias("fingerprint"),
+            "doc_id",
+            "n_chars",
+            ordkey.alias("_ord"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by("doc_id", "_ord").cast("bigint").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max_by("n_chars", "_ord").cast("bigint").alias("kept_n_chars"),
+        )
+    )

@@ -137,3 +137,40 @@ def test_exact_percentiles_ignore_nulls(spark):
     r = AN.exact_percentiles(df, key="k", value_col="v", tiebreak="id").collect()[0]
     # same answers as the no-null fixture: nulls must not shift ranks
     assert (r["p50"], r["p90"], r["p99"]) == (5.0, 9.0, 10.0)
+
+
+def test_contamination_empty_benchmark_yields_no_rows(spark):
+    from kafka_dead_letter_analyzer_spark.operators import contamination as CN
+
+    corpus = spark.createDataFrame(
+        [(1, "some text with enough tokens to form an eight gram here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert CN.ngram_overlap(corpus, bench, n=8).count() == 0
+
+
+def test_funnel_stages_strictly_ordered(spark):
+    """A purchase BEFORE the first click must not count: stage events
+    qualify only strictly after the previous stage's first event."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # user 1: view -> click -> purchase (all advance)
+        (1, "view", t0), (1, "click", t0 + dt.timedelta(minutes=1)),
+        (1, "purchase", t0 + dt.timedelta(minutes=2)),
+        # user 2: purchase BEFORE click: reaches click, not purchase
+        (2, "view", t0), (2, "purchase", t0 + dt.timedelta(minutes=1)),
+        (2, "click", t0 + dt.timedelta(minutes=2)),
+        # user 3: view only
+        (3, "view", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    import kafka_dead_letter_analyzer_spark.queries as Q
+    from unittest import mock
+
+    with mock.patch.object(Q, "load_table", lambda spark, sf, name: df):
+        out = {r["stage"]: r["users"] for r in Q.x_event_funnel(spark, "-").collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
