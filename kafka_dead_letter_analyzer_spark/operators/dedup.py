@@ -499,3 +499,36 @@ def ngram_jaccard_pairs(
             F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
         )
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest dedup: drop arriving documents whose normalized
+    content fingerprint already exists in the historical index, and keep
+    at most one representative per fingerprint WITHIN the batch (min id).
+
+    Returns ``(kept, new_fingerprints)`` — append ``new_fingerprints``
+    to the index table after the batch commits, and the next batch
+    dedups against it: the pattern that keeps a forever-growing corpus
+    exactly-deduped with per-batch cost proportional to the batch, not
+    the corpus (one fingerprint projection + one anti-join against the
+    bucketed/partitioned index + one batch-local groupBy).
+
+    The index side should be stored bucketed on ``fingerprint`` (see
+    tests/test_plan_shapes.py's bucketed-join pin) so the anti-join
+    co-locates without shuffling the index at every batch.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    batch = new_docs.select(F.col(id_col), fp)
+    batch_canonical = batch.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col)
+    )
+    fresh = batch_canonical.join(
+        known_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    kept = new_docs.join(fresh.select(id_col), id_col, "left_semi")
+    return kept, fresh.select("fingerprint")

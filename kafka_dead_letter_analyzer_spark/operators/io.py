@@ -22,7 +22,7 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimated_plan_bytes", "spread_for_cpu", "write_sized"]
+__all__ = ["estimated_plan_bytes", "spread_for_cpu", "write_clustered", "write_sized"]
 
 
 def estimated_plan_bytes(df: DataFrame) -> int | None:
@@ -95,8 +95,53 @@ def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFram
     keeps the no-extra-shuffle property exactly when the shuffle would
     actually hurt. (The check reads plan metadata only — no job runs.)
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no sparkContext / .rdd client-side. Degrade to
+        # a no-op rather than guess — the server-side AQE coalescing and
+        # real cluster scans make the narrow-input case unlikely there.
+        return df
+    if current >= target:
         return df
     return df.repartition(target)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
+) -> int:
+    """Write ``df`` range-partitioned AND sorted on ``cluster_by`` — the
+    data-layout half of the small-files answer.
+
+    ``repartitionByRange`` samples the key distribution and assigns each
+    output task a disjoint key range; ``sortWithinPartitions`` orders
+    rows inside each file. The parquet footers then carry TIGHT min/max
+    stats on the cluster keys, so any downstream scan filtering on them
+    prunes whole files (plus row groups) instead of reading everything —
+    the poor man's Z-order, and for single-key or prefix-ordered
+    predicates the optimal one. Worth it whenever a corpus is written
+    once and scanned many times with selective predicates (by language,
+    by quality band, by time).
+
+    Returns the file-count target used (``num_files`` or the session's
+    shuffle-partition count).
+    """
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    clustered = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    )
+    writer = clustered.write.format(format).mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+    return n

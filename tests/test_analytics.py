@@ -174,3 +174,69 @@ def test_funnel_stages_strictly_ordered(spark):
     with mock.patch.object(Q, "load_table", lambda spark, sf, name: df):
         out = {r["stage"]: r["users"] for r in Q.x_event_funnel(spark, "-").collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_spread_for_cpu_widens_narrow_and_keeps_wide(spark):
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    narrow = spark.range(100).coalesce(1)
+    assert spread_for_cpu(narrow, min_partitions=8).rdd.getNumPartitions() == 8
+    wide = spark.range(100).repartition(16)
+    # already at/above target: returned as-is, no extra exchange
+    assert spread_for_cpu(wide, min_partitions=8) is wide
+
+
+def test_write_clustered_produces_disjoint_key_ranges(spark, tmp_path):
+    """Each output file must cover a disjoint doc_id range (tight footer
+    min/max = file-level pruning for range predicates downstream)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_dead_letter_analyzer_spark.operators.io import write_clustered
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "clustered")
+    write_clustered(docs, out, cluster_by=["doc_id"], num_files=4)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])
+        if t.num_rows:
+            ids = t.column("doc_id").to_pylist()
+            assert ids == sorted(ids)  # sorted within the file
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    assert len(ranges) >= 2  # actually split
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint: file-level min/max prunes
+
+
+def test_dedup_against_corpus_drops_known_and_batch_dups(spark):
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+
+    known = spark.createDataFrame(
+        [("k1",)], "fingerprint string"
+    )
+    # compute the real fingerprint of "already seen" to plant a hit
+    import pyspark.sql.functions as F
+    from kafka_dead_letter_analyzer_spark.operators.text import fingerprint
+
+    seen_fp = (
+        spark.createDataFrame([("already seen",)], "text string")
+        .select(fingerprint(F.col("text")).alias("f"))
+        .collect()[0]["f"]
+    )
+    known = spark.createDataFrame([(seen_fp,)], "fingerprint string")
+    batch = spark.createDataFrame(
+        [
+            (1, "already seen"),          # known -> dropped
+            (2, "brand new text"),        # kept
+            (3, "brand new text"),        # batch dup of 2 -> dropped
+            (4, "another new one"),       # kept
+        ],
+        "doc_id long, text string",
+    )
+    kept, fresh = D.dedup_against_corpus(batch, known)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    assert fresh.count() == 2  # two new fingerprints to append to the index
