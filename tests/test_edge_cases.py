@@ -194,3 +194,38 @@ def test_quality_ratios_bounded_and_safe(spark, nasty_df):
             v = r[c]
             assert v is not None and v == v and v >= 0, (r["i"], c, v)
         assert r["pr"] <= 1.0
+
+
+def test_repetition_stats_match_python_counter(spark, nasty_df):
+    """token_grams + max-multiplicity (sorted-run aggregate) vs a direct
+    Python Counter reimplementation, over the adversarial batch."""
+    from collections import Counter
+
+    from kafka_dead_letter_analyzer_spark.operators.text import repetition_stats
+
+    def py_stats(s: str):
+        # Faithful to the engine's tokenizer (dedup.py::_tokens), which
+        # is deliberately IDENTICAL across Spark and the DuckDB oracles:
+        # F.trim strips ASCII SPACES only (a "\n" doc is not blank), and
+        # F.split uses limit=-1, which KEEPS empty fields — python
+        # re.split has the same semantics, so no post-processing.
+        t = s.lower().strip(" ")
+        if t == "":
+            return None
+        toks = re.split(r"\s+", t)
+        if not toks:
+            return None
+        if len(toks) >= 3:
+            grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        else:
+            grams = [" ".join(toks)]
+        c = Counter(grams)
+        return (len(grams), max(c.values()), len(c))
+
+    out = {
+        r["i"]: (r["n_grams"], r["max_gram_count"], r["distinct_grams"])
+        for r in repetition_stats(nasty_df, id_col="i", text_col="s").collect()
+    }
+    for row in nasty_df.collect():
+        expect = py_stats(row["s"])
+        assert out.get(row["i"]) == expect, (row["s"][:40], out.get(row["i"]), expect)
