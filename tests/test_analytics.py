@@ -240,3 +240,66 @@ def test_dedup_against_corpus_drops_known_and_batch_dups(spark):
     kept, fresh = D.dedup_against_corpus(batch, known)
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
     assert fresh.count() == 2  # two new fingerprints to append to the index
+
+
+def test_exact_percentiles_match_numpy_nearest_rank_property(spark):
+    """Property: for random integer datasets, every emitted percentile
+    equals the ceil(p*n)-th order statistic (nearest-rank definition)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+        )
+    )
+    def check(values):
+        rows = [("g", float(v), i) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "k string, v double, id int")
+        r = AN.exact_percentiles(
+            df, key="k", value_col="v", tiebreak="id"
+        ).collect()[0]
+        sv = sorted(float(v) for v in values)
+        n = len(sv)
+        for name, (num, den) in AN.DEFAULT_PERCENTILES.items():
+            rank = -(-num * n // den)  # ceil
+            assert r[name] == sv[rank - 1], (name, values)
+
+    check()
+
+
+def test_max_multiplicity_matches_counter_property(spark):
+    """Property: the sorted-run aggregate equals Counter max multiplicity
+    for random small-alphabet token arrays (high collision rate)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+    from kafka_dead_letter_analyzer_spark.operators.text import _max_multiplicity
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=30),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(arrays):
+        df = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(arrays)], "i int, arr array<string>"
+        )
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", _max_multiplicity(F.array_sort("arr")).alias("m")
+            ).collect()
+        }
+        for i, a in enumerate(arrays):
+            expect = max(Counter(a).values()) if a else 0
+            assert got[i] == expect, (a, got[i], expect)
+
+    check()
