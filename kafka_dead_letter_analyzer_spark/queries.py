@@ -623,8 +623,8 @@ from kafka_dead_letter_analyzer_spark.operators import text as TX  # noqa: E402
     "x_text_stats",
     f"""
     SELECT doc_id,
-           {TX.token_count_sql('text')} AS n_tokens,
-           {TX.wordpiece_count_sql('text')} AS n_wordpieces,
+           CAST({TX.token_count_sql('text')} AS INTEGER) AS n_tokens,
+           CAST({TX.wordpiece_count_sql('text')} AS INTEGER) AS n_wordpieces,
            {TX.lang_id_sql('text')} AS pred_lang,
            {TX.quality_features_sql('text')['mean_token_len']} AS mean_token_len,
            {TX.quality_features_sql('text')['punct_ratio']} AS punct_ratio,
@@ -1627,7 +1627,7 @@ def x_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x_top_types_per_topic",
     """
-    SELECT * FROM (
+    SELECT type, origin_partition, n, CAST(rank AS INTEGER) AS rank FROM (
       SELECT event_type AS type,
              CAST(user_id % 4 AS INTEGER) AS origin_partition,
              CAST(count(*) AS BIGINT) AS n,

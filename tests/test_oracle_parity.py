@@ -114,3 +114,45 @@ def test_every_query_has_runnable_callable(spark):
         # declared result surface (emit BIGINT scaled integers instead).
         dec_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
         assert not dec_cols, f"{name}: DECIMAL columns in declared surface: {dec_cols}"
+
+
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    "binary": "bytes",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "REAL": "f32", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "DATE": "date", "BLOB": "bytes",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_cross_engine_column_types_align(spark, duck, name):
+    """The driver's value-hash is type-sensitive ACROSS engines too: a
+    Spark INT next to a DuckDB BIGINT hash-mismatches on identical
+    values, and the value-compare above cannot see it (Python ints
+    compare equal). Canonicalize both schemas and require per-column
+    equality — this is the local gate that would have predicted every
+    type-only red of rounds 1-2 before the driver saw it."""
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    duck_rows = duck.execute(
+        f"DESCRIBE {entry_mod.oracle_sql()[name]}"
+    ).fetchall()
+    duck_types = {col: typ for col, typ, *_ in duck_rows}
+    assert sorted(spark_types) == sorted(duck_types), name
+    mismatched = []
+    for col, styp in spark_types.items():
+        s_can = _SPARK_CANON.get(styp, styp)
+        d_raw = duck_types[col].upper()
+        d_can = _DUCK_CANON.get(d_raw, d_raw)
+        if s_can != d_can:
+            mismatched.append((col, styp, duck_types[col]))
+    assert not mismatched, (
+        f"{name}: cross-engine column type drift {mismatched}; align with "
+        "explicit CASTs on both sides"
+    )
