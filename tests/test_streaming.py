@@ -1054,3 +1054,66 @@ def test_threshold_alert_fires_once_at_crossing(spark, tmp_path, ts):
     rows = spark.table("alert_sink").collect()
     assert len(rows) == 1, rows  # exactly one alert despite batch 3
     assert rows[0]["count_at_alert"] == 3
+
+
+def test_threshold_alert_state_survives_restart(spark, tmp_path, ts):
+    """The counter AND the alerted flag must both restore from the
+    checkpoint: a restart mid-accumulation still alerts at the exact
+    crossing, and a restart after alerting stays silent."""
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_threshold_alerts,
+    )
+
+    src = str(tmp_path / "ta_src")
+    ckpt = str(tmp_path / "ta_ckpt")
+    collected: list = []
+
+    def start():
+        raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+        dl, _ = stream_dead_letters(raw)
+        return (
+            streaming_threshold_alerts(enrich_with_context(dl), threshold=3)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=i, timestamp=ts(i), value_deadletter=FX.dead_letter_value())
+        for i in range(2)
+    ])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert collected == []  # count 2 < 3
+
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=7, timestamp=ts(7), value_deadletter=FX.dead_letter_value())
+    ])
+    q = start()  # restart: counter must resume from 2, not 0
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(collected) == 1 and collected[0]["count_at_alert"] == 3
+
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=9, timestamp=ts(9), value_deadletter=FX.dead_letter_value())
+    ])
+    q = start()  # restart again: alerted flag must suppress re-emission
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(collected) == 1
