@@ -2699,3 +2699,49 @@ def x_best_per_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("n_chars", "_ord").cast("bigint").alias("kept_n_chars"),
         )
     )
+
+
+@_register(
+    "x_sufficient_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx
+    FROM (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|in|is|der|die|und|le|la|les|el|los)\\b'))
+                  AS BIGINT) AS y
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def x_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sufficient statistics for a per-language least-squares fit
+    of stopword count on document length: (n, Σx, Σy, Σxy, Σx²) as
+    BIGINTs — slope and intercept derive on the driver in O(groups).
+    The distributed-ML aggregation pattern: ship five integers per
+    group, never rows, and the fit is exact, associative, and
+    engine-portable (a float covariance accumulation would be
+    order-dependent). One partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TX.ANY_STOPWORD_RE), F.lit(0)
+        )
+    ).cast("bigint")
+    base = docs.select(
+        "lang", F.col("n_chars").cast("bigint").alias("x"), y.alias("y")
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+    )
