@@ -585,11 +585,19 @@ def streaming_interval_join(
             >= F.col(f"_l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
         )
     )
+    left_cols = [c for c in left.columns if c != on]
     right_cols = [c for c in right.columns if c != on]
+    # disambiguate collisions: a non-key column present on both sides
+    # keeps its name on the left and gains a "right_" prefix on the
+    # right (both streams usually carry e.g. "ts")
+    taken = set(left_cols) | {on}
+    right_out = [
+        (c, f"right_{c}" if c in taken else c) for c in right_cols
+    ]
     return l.join(r, cond, "inner").select(
         f"_l.{on}",
-        *[F.col(f"_l.{c}") for c in left.columns if c != on],
-        *[F.col(f"_r.{c}") for c in right_cols],
+        *[F.col(f"_l.{c}") for c in left_cols],
+        *[F.col(f"_r.{c}").alias(out) for c, out in right_out],
     )
 
 

@@ -1117,3 +1117,30 @@ def test_threshold_alert_state_survives_restart(spark, tmp_path, ts):
     finally:
         q.stop()
     assert len(collected) == 1
+
+
+def test_interval_join_disambiguates_colliding_columns(spark, tmp_path, ts):
+    """Both streams carrying a same-named event-time column must still
+    produce a valid (unambiguous) output schema."""
+    from kafka_dead_letter_analyzer_spark.streaming import streaming_interval_join
+
+    e_dir, m_dir = str(tmp_path / "e2"), str(tmp_path / "m2")
+    spark.createDataFrame(
+        [("t1", "deser", ts(30))], "topic string, etype string, ts timestamp"
+    ).write.parquet(e_dir)
+    spark.createDataFrame(
+        [("t1", 5, ts(10))], "topic string, marker_id long, ts timestamp"
+    ).write.parquet(m_dir)
+    j = streaming_interval_join(
+        spark.readStream.schema("topic string, etype string, ts timestamp").parquet(e_dir),
+        spark.readStream.schema("topic string, marker_id long, ts timestamp").parquet(m_dir),
+        on="topic", left_ts="ts", right_ts="ts",
+    )
+    assert j.columns == ["topic", "etype", "ts", "marker_id", "right_ts"]
+    q = j.writeStream.format("memory").queryName("ssj2").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    [row] = spark.table("ssj2").collect()
+    assert row["marker_id"] == 5 and row["right_ts"] < row["ts"]
