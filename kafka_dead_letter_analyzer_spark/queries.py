@@ -2745,3 +2745,39 @@ def x_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
     )
+
+
+from kafka_dead_letter_analyzer_spark.operators import fuzzy as FZ  # noqa: E402
+
+
+@_register(
+    "x_typo_pairs",
+    r"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+      FROM documents
+    ), v AS (SELECT tok FROM vocab WHERE tok <> '')
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+    FROM v a, v b
+    WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+    """,
+)
+def x_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary typo/near-key pairs within Levenshtein distance 2 via
+    SymSpell deletion-neighborhood blocking (operators/fuzzy.py) — the
+    entity-resolution primitive. The ORACLE is the independent O(n²)
+    all-pairs formulation; the engine's blocking join must reproduce it
+    exactly, which pins both the neighborhood property (complete recall
+    at distance <= k) and the levenshtein verify. At corpus scale the
+    variant equi-join replaces the quadratic comparison; the oracle side
+    is only viable because the gate vocabulary is small."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D._tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return FZ.fuzzy_key_pairs(vocab, key_col="tok", max_distance=2)

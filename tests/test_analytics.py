@@ -303,3 +303,48 @@ def test_max_multiplicity_matches_counter_property(spark):
             assert got[i] == expect, (a, got[i], expect)
 
     check()
+
+
+def test_fuzzy_pairs_complete_recall_property(spark):
+    """SymSpell property: EVERY pair within Levenshtein distance 2 must
+    be found by the deletion-neighborhood blocking — compare against
+    python-Levenshtein all-pairs on random short words."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.fuzzy import fuzzy_key_pairs
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=2, max_size=12, unique=True,
+        )
+    )
+    def check(words):
+        df = spark.createDataFrame([(w,) for w in words], "tok string")
+        got = {
+            (r["tok_a"], r["tok_b"], r["dist"])
+            for r in fuzzy_key_pairs(df, max_distance=2).collect()
+        }
+        expect = set()
+        for i, a in enumerate(words):
+            for b in words[i + 1:]:
+                x, y = sorted((a, b))
+                d = lev(x, y)
+                if d <= 2:
+                    expect.add((x, y, d))
+        assert got == expect, (sorted(words), got ^ expect)
+
+    check()
