@@ -2287,13 +2287,16 @@ def x_rolling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x_lang_centroid",
     """
-    SELECT lang, CAST(g.i - 1 AS INTEGER) AS pos,
-           CAST(sum(CAST(floor(CAST(e.embedding[CAST(g.i AS INTEGER)] AS DOUBLE)
-                                * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+    SELECT lang, pos,
+           CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
            CAST(count(*) AS BIGINT) AS n
-    FROM documents d
-    JOIN embeddings e ON e.vec_id = d.doc_id
-    CROSS JOIN generate_series(1, 64) AS g(i)
+    FROM (
+      SELECT d.lang,
+             unnest(e.embedding) AS val,
+             CAST(unnest(range(len(e.embedding))) AS INTEGER) AS pos
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )
     GROUP BY lang, pos
     """,
 )
@@ -2306,8 +2309,9 @@ def x_lang_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode fans out x64 map-side; partial aggregation combines to
     <= 5 langs x 64 dims rows per task before the single Exchange
     (plan-pinned: the shuffle carries combined partials, not exploded
-    elements). The oracle indexes the list against a constant 1..64
-    series (dim is fixed across SFs)."""
+    elements). The oracle zips parallel unnests of the values and their
+    subscripts — dim-agnostic, so a regenerated corpus with a different
+    embedding dimension cannot desynchronize the two sides."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = load_table(spark, sf_dir, "embeddings")
     joined = docs.join(emb, docs.doc_id == emb.vec_id).select("lang", "embedding")
