@@ -50,9 +50,29 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
             pass  # conf removed/renamed in a future version: proceed
 
 
+def _nanos_timestamp_columns(path: str) -> set[str]:
+    """Columns whose PARQUET logical type is timestamp[ns] — the ones the
+    nanosAsLong legacy conf surfaces as bigint nanoseconds in Spark. Read
+    from the parquet footer so the detection follows the writer, not a
+    hardcoded column list (the driver regenerates the tables per round
+    and has already changed physical timestamp types twice)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return {
+            f.name
+            for f in pq.read_schema(path)
+            if str(f.type).startswith("timestamp[ns")
+        }
+    except Exception:
+        return set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
     # Timestamp normalization: the driver regenerates the synthetic tables
     # per round and the parquet writer's physical timestamp type has varied
     # (TIMESTAMP(NANOS) in round 2; TIMESTAMP(MICROS, isAdjustedToUTC=false)
@@ -61,10 +81,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (unix_micros, session_window, lag over micros) requires it, and the
     # DuckDB oracle's naive timestamps carry the same UTC wall values.
     for col_name, dtype in df.dtypes:
-        if name == "events" and col_name == "ts" and dtype == "bigint":
+        if col_name in nanos_cols and dtype == "bigint":
             # NANOS read as long ns (legacy conf): truncate to micros with
             # integer division — float math would lose precision at 1.7e18.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                col_name,
+                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
+            )
         elif dtype == "timestamp_ntz":
             # naive UTC wall time -> session-zone timestamp; with the session
             # pinned to UTC this changes the type, not the instant.

@@ -348,3 +348,27 @@ def test_fuzzy_pairs_complete_recall_property(spark):
         assert got == expect, (sorted(words), got ^ expect)
 
     check()
+
+
+def test_load_table_normalizes_nanos_on_any_column(spark, tmp_path):
+    """The driver regenerates testdata per round and the parquet
+    timestamp physical type has changed twice; NANOS columns (read as
+    bigint under the legacy conf) must normalize to TimestampType by
+    FOOTER inspection, whatever the column is called."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    t = pa.table({
+        "weird_ts": pa.array(
+            [dt.datetime(2024, 1, 1, 12, 0, 0)], type=pa.timestamp("ns")
+        ),
+        "v": pa.array([1], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["weird_ts"] == "timestamp"
+    assert str(df.collect()[0]["weird_ts"]) == "2024-01-01 12:00:00"
