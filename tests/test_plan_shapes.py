@@ -471,3 +471,39 @@ def test_retention_reuses_user_partitioning(spark, Q):
     s = plan_of(Q.x_retention_cohorts(spark, SF))
     tree = s[: s.find("(1) ")]
     assert _data_exchanges(tree) <= 3, tree
+
+
+def test_partitioned_layout_prunes_whole_partitions(spark, tmp_path, Q):
+    """Hive-style partition layout (lang=...) + a literal predicate must
+    prune at PLANNING time: the predicate lands in PartitionFilters, so
+    non-matching directories are never even listed for the scan — the
+    first lever a 100 TB corpus layout pulls."""
+    out = str(tmp_path / "bylang")
+    Q.load_table(spark, SF, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("lang = 'en'").select("doc_id")
+    s = plan_of(df)
+    pf = [l for l in s.splitlines() if "PartitionFilters" in l]
+    assert pf and any("lang" in l for l in pf), s
+    # the partition column predicate must NOT degrade to a data filter
+    dfilters = [l for l in s.splitlines() if "PushedFilters" in l]
+    assert all("lang" not in l for l in dfilters), s
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path, Q):
+    """DPP: joining a partitioned fact to a FILTERED dim must inject a
+    runtime subquery into the fact's partition filters (the star-schema
+    scan killer at scale) — visible as dynamicpruning in the plan."""
+    out = str(tmp_path / "bylang2")
+    Q.load_table(spark, SF, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", 1), ("fr", 2), ("de", 3), ("es", 4), ("zh", 5)],
+        "lang string, region int",
+    ).filter("region = 1")
+    joined = fact.join(dim, "lang").select("doc_id", "region")
+    s = plan_of(joined)
+    assert "dynamicpruning" in s.lower(), s
