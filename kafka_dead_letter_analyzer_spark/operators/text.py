@@ -399,3 +399,55 @@ def repetition_stats(
         _max_multiplicity(F.array_sort("_g")).alias("max_gram_count"),
         F.size(F.array_distinct("_g")).cast("bigint").alias("distinct_grams"),
     )
+
+
+def cooccurrence_counts(
+    docs, text_col: str = "text", window: int = 2
+) -> "DataFrame":
+    """Skip-gram co-occurrence counts over a symmetric ±``window`` token
+    context — the input matrix for GloVe/PPMI-style embedding training
+    and collocation mining.
+
+    Pair generation is a per-row JVM expression (transform over token
+    positions x offsets, nulls filtered), so the only shuffle is the
+    (center, context) count aggregation, which partial-aggregates
+    map-side — at corpus scale the combiner collapses each task to at
+    most |local vocab|² rows before the exchange. The full result is
+    vocab²-bounded; at web scale, df-cap the explode or filter the
+    output to counts >= k before materializing.
+    """
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    toks = _tokens(F.col(text_col))
+    L = F.size(toks)
+    offsets = F.array(*[F.lit(o) for o in range(-window, window + 1) if o != 0])
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.filter(
+                F.transform(
+                    offsets,
+                    lambda o: F.when(
+                        ((i + o) >= 1) & ((i + o) <= L),
+                        F.struct(
+                            F.element_at(toks, i).alias("c"),
+                            F.element_at(toks, (i + o).cast("int")).alias("x"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    # sequence(1, 0) would count DOWN for empty docs — guard to empty
+    safe = F.when(L >= 1, pairs).otherwise(
+        F.array().cast("array<struct<c:string,x:string>>")
+    )
+    exploded = (
+        spread_for_cpu(docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""))
+        .select(F.explode(safe).alias("p"))
+    )
+    return exploded.groupBy(
+        F.col("p.c").alias("center"), F.col("p.x").alias("context")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -2785,3 +2785,33 @@ def x_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return FZ.fuzzy_key_pairs(vocab, key_col="tok", max_distance=2)
+
+
+@_register(
+    "x_cooccurrence",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(flatten([
+               [{'c': toks[i], 'x': toks[i + o]}
+                for o in [-2, -1, 1, 2]
+                if i + o >= 1 AND i + o <= len(toks)]
+               for i in range(1, len(toks) + 1)])) AS p
+      FROM t WHERE len(toks) >= 1
+    )
+    SELECT p.c AS center, p.x AS context, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def x_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence matrix (±2 window) over the corpus — the
+    GloVe/PPMI embedding-training input and the collocation-mining
+    table. Pair fan-out is a per-row JVM expression; the single shuffle
+    is the (center, context) count with map-side combining (at most
+    |vocab|² combined rows per task). Exact integer counts; the oracle
+    reproduces the windowing with DuckDB list comprehensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.cooccurrence_counts(docs, text_col="text", window=2)

@@ -372,3 +372,21 @@ def test_load_table_normalizes_nanos_on_any_column(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "events")
     assert dict(df.dtypes)["weird_ts"] == "timestamp"
     assert str(df.collect()[0]["weird_ts"]) == "2024-01-01 12:00:00"
+
+
+def test_cooccurrence_window_semantics(spark):
+    """'a b c' with ±2 window: every ordered pair once; counts symmetric."""
+    from kafka_dead_letter_analyzer_spark.operators.text import (
+        cooccurrence_counts,
+    )
+
+    df = spark.createDataFrame([("a b c",), ("",), (None,)], "text string")
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in cooccurrence_counts(df, window=2).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1,
+        ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "a"): 1, ("c", "b"): 1,
+    }
