@@ -390,3 +390,52 @@ def test_cooccurrence_window_semantics(spark):
         ("b", "a"): 1, ("b", "c"): 1,
         ("c", "a"): 1, ("c", "b"): 1,
     }
+
+
+def test_ppmi_derives_from_cooccurrence_counts(spark):
+    """Downstream contract: PPMI computed from cooccurrence_counts equals
+    a direct Python computation — the embedding-training handoff works
+    from the emitted integer counts alone."""
+    import math
+    from collections import Counter
+
+    from kafka_dead_letter_analyzer_spark.operators.text import (
+        cooccurrence_counts,
+    )
+    import pyspark.sql.functions as F
+
+    corpus = ["a b a c", "b a b d", "c a a b"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    counts = {
+        (r["center"], r["context"]): r["n"]
+        for r in cooccurrence_counts(df, window=2).collect()
+    }
+    total = sum(counts.values())
+    row = Counter()
+    col = Counter()
+    for (c, x), n in counts.items():
+        row[c] += n
+        col[x] += n
+    # python reference PPMI
+    expect = {
+        k: max(0.0, math.log((n / total) / ((row[k[0]] / total) * (col[k[1]] / total))))
+        for k, n in counts.items()
+    }
+    # same arithmetic from the Spark counts via SQL expressions
+    cdf = spark.createDataFrame(
+        [(c, x, n) for (c, x), n in counts.items()], "c string, x string, n long"
+    )
+    tot = cdf.agg(F.sum("n").alias("t"))
+    rows = cdf.groupBy("c").agg(F.sum("n").alias("rn"))
+    cols = cdf.groupBy("x").agg(F.sum("n").alias("cn"))
+    ppmi = (
+        cdf.join(rows, "c").join(cols, "x").crossJoin(F.broadcast(tot))
+        .select("c", "x",
+                F.greatest(F.lit(0.0),
+                           F.log((F.col("n") * F.col("t")) /
+                                 (F.col("rn") * F.col("cn")))).alias("p"))
+    )
+    got = {(r["c"], r["x"]): r["p"] for r in ppmi.collect()}
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9, k
