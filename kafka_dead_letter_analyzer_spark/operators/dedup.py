@@ -345,10 +345,14 @@ def simhash64_frame(
     signal and would otherwise all collide on fingerprint 0."""
     simhash_of = _simhash_udf()
     toks = _memo(("tokens", text_col), lambda: _tokens(F.col(text_col)))
-    hashed = _memo(
-        ("token_hashes", token_hash),
-        lambda: F.transform(F.col("_toks"), lambda t: token_hash(t)),
-    )
+    build_hashed = lambda: F.transform(F.col("_toks"), lambda t: token_hash(t))
+    if token_hash is F.xxhash64:
+        # memo only the default path: a caller-supplied hash callable is
+        # a fresh object per call — memoizing on its identity would never
+        # hit AND retain one deep Column tree per invocation forever
+        hashed = _memo(("token_hashes", "xxhash64"), build_hashed)
+    else:
+        hashed = build_hashed()
     return (
         docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
@@ -534,7 +538,12 @@ def dedup_against_corpus(
     tests/test_plan_shapes.py's bucketed-join pin) so the anti-join
     co-locates without shuffling the index at every batch.
     """
-    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    # NULL text must fingerprint like empty text (one shared group), not
+    # NULL: a NULL join key never matches in the anti-join, which would
+    # keep one blank doc per batch and append a NULL index row each time
+    fp = fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias(
+        "fingerprint"
+    )
     batch = new_docs.select(F.col(id_col), fp)
     batch_canonical = batch.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col)

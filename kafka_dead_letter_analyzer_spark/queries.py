@@ -875,11 +875,12 @@ def x_token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # central tokenizer (dedup.py::_tokens) so "vocabulary" and
+    # "dedup/contamination" share ONE pinned token definition; the
+    # non-empty filter covers the whole-empty-doc and leading-empty
+    # quirks identically to the oracle's token != ''
     toks = docs.select(
-        "lang",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
-            "token"
-        ),
+        "lang", F.explode(D._tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
@@ -2608,7 +2609,11 @@ def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage's join); without persist, DataFrame reuse re-derives the
     # whole subplan per union branch — SIX scans of the fact table
     # instead of three. The persisted frames are one (user_id, ts) row
-    # per qualifying user: the small side by construction.
+    # per qualifying user (MEMORY_AND_DISK: spills rather than OOMs at
+    # billion-user scale). They stay cached for the session — callers
+    # running many queries per session (bench does) should
+    # clearCache()/unpersist between queries; unpersisting HERE would
+    # free them before the caller has collected the lazy result.
     v = stage(ev, "view", None).persist()
     c = stage(ev, "click", v.select("user_id", "t")).persist()
     p = stage(ev, "purchase", c.select("user_id", "t"))

@@ -59,13 +59,28 @@ def _nanos_timestamp_columns(path: str) -> set[str]:
     try:
         import pyarrow.parquet as pq
 
+        target = path
+        if os.path.isdir(path):
+            # Spark-written dataset directory: any one part file's footer
+            # carries the schema
+            parts = sorted(
+                p
+                for p in os.listdir(path)
+                if p.endswith(".parquet") and not p.startswith("_")
+            )
+            if not parts:
+                return set()
+            target = os.path.join(path, parts[0])
         return {
             f.name
-            for f in pq.read_schema(path)
+            for f in pq.read_schema(target)
             if str(f.type).startswith("timestamp[ns")
         }
     except Exception:
-        return set()
+        # pyarrow unavailable or unreadable footer: fall back to the
+        # pre-footer heuristic (the known NANOS case) rather than
+        # silently skipping normalization
+        return {"ts"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

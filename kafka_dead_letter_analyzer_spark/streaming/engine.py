@@ -591,9 +591,13 @@ def streaming_interval_join(
     # keeps its name on the left and gains a "right_" prefix on the
     # right (both streams usually carry e.g. "ts")
     taken = set(left_cols) | {on}
-    right_out = [
-        (c, f"right_{c}" if c in taken else c) for c in right_cols
-    ]
+    right_out = []
+    for c in right_cols:
+        out = c
+        while out in taken:
+            out = f"right_{out}"
+        taken.add(out)
+        right_out.append((c, out))
     return l.join(r, cond, "inner").select(
         f"_l.{on}",
         *[F.col(f"_l.{c}") for c in left_cols],

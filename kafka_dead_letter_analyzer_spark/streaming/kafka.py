@@ -125,16 +125,24 @@ def avro_wire_encode_udf():
             if v is None:
                 out.append(None)
                 continue
-            rec = _json.loads(v)
-            rec.setdefault("cause", {})
-            for k in ("input_value", "partition", "topic", "offset",
-                      "input_timestamp"):
-                rec.setdefault(k, None)
-            for k in ("error_class", "message", "stack_trace"):
-                rec["cause"].setdefault(k, None)
-            out.append(
-                avro_codec.confluent_frame(avro_codec.encode_bytes(rec, schema))
-            )
+            # per-record guard: a record missing required non-null fields
+            # (to_json drops null keys, so e.g. a null description
+            # vanishes) must yield NULL, not crash the whole task
+            try:
+                rec = _json.loads(v)
+                rec.setdefault("cause", {})
+                for k in ("input_value", "partition", "topic", "offset",
+                          "input_timestamp"):
+                    rec.setdefault(k, None)
+                for k in ("error_class", "message", "stack_trace"):
+                    rec["cause"].setdefault(k, None)
+                out.append(
+                    avro_codec.confluent_frame(
+                        avro_codec.encode_bytes(rec, schema)
+                    )
+                )
+            except Exception:
+                out.append(None)
         return pd.Series(out, dtype=object)
 
     return encode
@@ -188,7 +196,15 @@ def decode_kafka_records(
     parse_cols = {"_json": F.from_json(value_text, DEAD_LETTER)}
     if use_avro == "python":
         decode = _python_avro_to_json_udf()
-        parse_cols["_avro"] = F.from_json(decode(F.col("value")), DEAD_LETTER)
+        # same JVM-side prefilter as the from_avro branch: only
+        # Confluent-framed values (0x00 magic + schema id) enter the
+        # Arrow->Python round trip; everything else nulls out at the scan
+        is_wire_py = (F.length("value") > 5) & (
+            F.expr("substring(value, 1, 1)") == F.lit(bytes([0]))
+        )
+        parse_cols["_avro"] = F.from_json(
+            decode(F.when(is_wire_py, F.col("value"))), DEAD_LETTER
+        )
     elif use_avro:
         from pyspark.sql.avro.functions import from_avro
 

@@ -439,3 +439,25 @@ def test_ppmi_derives_from_cooccurrence_counts(spark):
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-9, k
+
+
+def test_dedup_against_corpus_collapses_null_text(spark):
+    """NULL-text docs must share the blank fingerprint group: one kept in
+    the first batch, none in later batches (a NULL join key would never
+    match the anti-join and leak one blank doc per batch)."""
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    kept1, fresh1 = D.dedup_against_corpus(
+        b1, spark.createDataFrame([], "fingerprint string")
+    )
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    index = fresh1
+    b2 = spark.createDataFrame(
+        [(5, None), (6, "")], "doc_id long, text string"
+    )
+    kept2, _ = D.dedup_against_corpus(b2, index)
+    # both are blank-content: already in the index from batch 1
+    assert kept2.count() == 0

@@ -321,3 +321,26 @@ if _HAS_HYPOTHESIS:
         sid, unframed = confluent_unframe(framed)
         assert sid == schema_id and unframed == payload
         assert decode_bytes(unframed, schema) == rec
+
+
+def test_encode_udf_nulls_out_unencodable_records(spark):
+    """A record missing required non-null fields (to_json drops null
+    keys, so a null description vanishes) must encode to NULL, not crash
+    the task."""
+    import pyspark.sql.functions as F
+
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        avro_wire_encode_udf,
+    )
+
+    enc = avro_wire_encode_udf()
+    df = spark.createDataFrame(
+        [
+            ('{"cause": {}}',),                    # no description at all
+            ('{"description": null, "cause": {}}',),
+            (None,),
+        ],
+        "js string",
+    )
+    rows = df.select(enc(F.col("js")).alias("b")).collect()
+    assert [r["b"] for r in rows] == [None, None, None]
