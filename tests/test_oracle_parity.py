@@ -156,3 +156,19 @@ def test_cross_engine_column_types_align(spark, duck, name):
         f"{name}: cross-engine column type drift {mismatched}; align with "
         "explicit CASTs on both sides"
     )
+
+
+def test_query_schemas_stable_across_scale_factors(spark):
+    """The driver smoke-checks entry() for a stable schema; extend that
+    to EVERY declared query: building the plan at two scale factors must
+    give identical schemas (plan-only — no execution). A query whose
+    schema depends on the data (e.g. a pivot without a fixed value list)
+    would differ and break the driver's hash comparison unpredictably."""
+    a_dir, b_dir = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    diffs = []
+    for name, fn in entry_mod.queries().items():
+        sa = fn(spark, a_dir).schema.simpleString()
+        sb = fn(spark, b_dir).schema.simpleString()
+        if sa != sb:
+            diffs.append((name, sa, sb))
+    assert not diffs, diffs
