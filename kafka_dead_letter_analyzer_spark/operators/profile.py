@@ -46,3 +46,69 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
             "column", "n_nulls", "n_distinct"
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join-key skew diagnostics: ONE row summarizing the per-key row-count
+    distribution of ``key`` — the audit a pipeline runs BEFORE shuffling
+    100 TB on that key (decides: plain hash join vs salting vs AQE skew
+    hints).
+
+    Emitted columns (all BIGINT, integer-exact cross-engine):
+      distinct_keys, total_rows, max_cnt, p50_cnt / p90_cnt / p99_cnt
+      (exact nearest-rank percentiles of the per-key count), and
+      skew_ratio_ppm = max_cnt / mean_cnt in parts-per-million
+      (= max_cnt * distinct_keys * 1e6 div total_rows).
+
+    Scale shape — THREE nested aggregations, each a reduction:
+      1. count per key: the only full-data shuffle (map-side combined);
+      2. histogram of counts (count-of-counts): |distinct count values|
+         rows — tiny even when |keys| is 1e9, so the percentile step
+         never sorts the per-key table;
+      3. nearest-rank selection via a cumulative sum over the ascending
+         count values (single-partition window over the tiny histogram)
+         + one global aggregate row.
+    A naive row_number-over-all-keys percentile would single-partition
+    sort 1e9 key rows; the count-of-counts contraction is the design
+    that survives the scale-up.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("keys"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col("cnt"),
+        F.col("keys"),
+        F.sum("keys").over(w).alias("cum_keys"),
+    )
+    # nearest-rank target ranks: ceil(p * n) as integer arithmetic
+    # ((num*n + den - 1) div den) — mirrors analytics.exact_percentiles
+    totals = cum.agg(
+        F.sum(F.col("keys")).cast("bigint").alias("distinct_keys"),
+        F.sum(F.col("cnt") * F.col("keys")).cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    ranked = cum.crossJoin(F.broadcast(totals))
+    # smallest cnt whose cumulative key coverage reaches the target rank
+    def pick(num: int, den: int):
+        target = (F.lit(num) * F.col("distinct_keys") + F.lit(den - 1)) / F.lit(den)
+        target = F.floor(target).cast("bigint")
+        return F.min(F.when(F.col("cum_keys") >= target, F.col("cnt"))).cast("bigint")
+
+    return ranked.groupBy("distinct_keys", "total_rows", "max_cnt").agg(
+        pick(1, 2).alias("p50_cnt"),
+        pick(9, 10).alias("p90_cnt"),
+        pick(99, 100).alias("p99_cnt"),
+    ).select(
+        "distinct_keys",
+        "total_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        (
+            (F.col("max_cnt") * F.col("distinct_keys") * F.lit(1_000_000))
+            / F.col("total_rows")
+        ).cast("bigint").alias("skew_ratio_ppm"),
+    )

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_uniform_u32", "hash_bernoulli_sample", "stratified_quota"]
+__all__ = [
+    "hash_uniform_u32",
+    "hash_bernoulli_sample",
+    "weighted_bernoulli_sample",
+    "stratified_quota",
+]
 
 
 def _salted_key(key: Column, salt: str) -> Column:
@@ -61,6 +66,35 @@ def hash_bernoulli_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = int(rate * (1 << 32))
+    return df.filter(hash_uniform_u32(F.col(key), salt) < threshold)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame, key: str, weight_col: str, rate_per_unit: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row with probability ``min(1, weight * rate_per_unit)``
+    — inclusion proportional to a per-row weight (doc length, quality
+    score, domain priority), capped at certainty. The corpus-mixture
+    primitive: "sample long documents proportionally more" without a
+    shuffle or a global pass.
+
+    Determinism contract matches ``hash_bernoulli_sample``: the draw is
+    the md5-u32 of the row key, the threshold is INTEGER arithmetic
+    (``least(2^32, weight * floor(rate_per_unit * 2^32))``), so the
+    decision is a pure function of (key, weight) — reproducible under
+    any partitioning, engine, or retry, and exactly auditable in SQL.
+    Filter-only plan: no shuffle, evaluated at the scan. Weights must be
+    non-negative integers (raise on negative at evaluation is not
+    possible in a projection; rows with NULL/negative weight drop out,
+    matching SQL comparison semantics).
+    """
+    if not 0.0 <= rate_per_unit <= 1.0:
+        raise ValueError(f"rate_per_unit must be in [0, 1], got {rate_per_unit}")
+    per_unit = int(rate_per_unit * (1 << 32))
+    threshold = F.least(
+        F.lit(1 << 32).cast("bigint"),
+        F.col(weight_col).cast("bigint") * F.lit(per_unit).cast("bigint"),
+    )
     return df.filter(hash_uniform_u32(F.col(key), salt) < threshold)
 
 

@@ -444,3 +444,66 @@ def cooccurrence_counts(
     return exploded.groupBy(
         F.col("p.c").alias("center"), F.col("p.x").alias("context")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` most DISTINCTIVE terms per group — terms frequent inside
+    the group but rare across the corpus. The integer-exact stand-in for
+    per-group TF-IDF: score = tf * scale div df (group term frequency
+    over corpus document frequency, scaled integer division), so the
+    ranking is bit-identical on any engine — no log()/libm in the
+    result surface.
+
+    Scale shape — ONE token scan feeding two stacked reductions:
+      1. per (doc, group, token) occurrence count `c`: the only
+         full-token-stream shuffle, map-side combined (each partition
+         collapses its token stream to its local vocabulary first);
+      2. from that doc-token table (|distinct doc-token| rows, already
+         ~10-100x smaller): tf per (group, token) = sum(c), and
+         df per token = count of docs containing it = count(*) grouped
+         by token — two small aggregations over the contraction;
+      3. tf joins df on token (both aggregated tables; the df side is
+         |vocab| rows — broadcastable at any corpus size with a
+         min-df cut), then a per-group top-k window with
+         WindowGroupLimit pruning rank > k before the final exchange.
+
+    Tokenizer is the pinned central one (dedup._tokens) so "distinctive
+    vocabulary" and "dedup/contamination" agree on token identity.
+    """
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_doc"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_token = toks.groupBy("_doc", "grp", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf = doc_token.groupBy("grp", "term").agg(
+        F.sum("c").cast("bigint").alias("tf")
+    )
+    df_ = doc_token.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tf.join(df_, "term").select(
+        F.col("grp").alias(group_col),
+        "term",
+        "tf",
+        "df",
+        F.expr(f"CAST(tf * {scale} DIV df AS BIGINT)").alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -2820,3 +2820,182 @@ def x_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the windowing with DuckDB list comprehensions."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.cooccurrence_counts(docs, text_col="text", window=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session-2 additions: returned-item revenue (TPC-H Q10 shape),
+# weight-proportional deterministic sampling, join-key skew profiling,
+# per-group distinctive terms (integer TF-IDF stand-in).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue_e4 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returns in a
+    quarter. Join pipeline exercises the fact-fact-dim chain: lineitem
+    is pre-filtered to returns AT THE SCAN (predicate pushdown), orders
+    to the date window likewise, so the l⋈o shuffle carries only the
+    surviving slice; nation is broadcast; the top-20 is
+    TakeOrderedAndProject (no global sort materialization). Money is
+    BIGINT e4/cents per house determinism rules."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue_e4 = ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(revenue_e4).cast("bigint").alias("revenue_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue_e4",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# weight-proportional sampling: p(keep) = min(1, n_chars * rate_per_unit),
+# decided by md5(doc_id) — the corpus-mixture primitive for length-
+# proportional document selection. 0.002/char means a 500-char doc keeps
+# with p=1 (the cap path is exercised by every doc >= 500 chars).
+_W_RATE_PER_UNIT = 0.002
+_W_PER_UNIT = int(_W_RATE_PER_UNIT * (1 << 32))
+
+
+@_register(
+    "x_weighted_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(doc_id AS VARCHAR))[i]) - 1)
+                       * ([{_HEX8_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) AS h
+      FROM documents
+    ) WHERE h < least(4294967296, n_chars * {_W_PER_UNIT})
+    """,
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: inclusion
+    probability proportional to document length, capped at 1. Same
+    filter-only / zero-shuffle plan as x_hash_sample — the threshold is
+    a per-row integer expression, so the sample is a pure function of
+    (doc_id, n_chars): reproducible under any partitioning or engine
+    (oracle recomputes the identical md5-u32 draw and integer
+    threshold)."""
+    return SA.weighted_bernoulli_sample(
+        load_table(spark, sf_dir, "documents"),
+        key="doc_id",
+        weight_col="n_chars",
+        rate_per_unit=_W_RATE_PER_UNIT,
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "x_key_skew",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), hist AS (
+      SELECT cnt, CAST(count(*) AS BIGINT) AS keys FROM counts GROUP BY cnt
+    ), cum AS (
+      SELECT cnt, keys,
+             sum(keys) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum_keys
+      FROM hist
+    ), tot AS (
+      SELECT CAST(sum(keys) AS BIGINT) AS distinct_keys,
+             CAST(sum(cnt * keys) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM hist
+    )
+    SELECT t.distinct_keys, t.total_rows, t.max_cnt,
+           CAST(min(CASE WHEN c.cum_keys >= (1 * t.distinct_keys + 1) // 2
+                         THEN c.cnt END) AS BIGINT) AS p50_cnt,
+           CAST(min(CASE WHEN c.cum_keys >= (9 * t.distinct_keys + 9) // 10
+                         THEN c.cnt END) AS BIGINT) AS p90_cnt,
+           CAST(min(CASE WHEN c.cum_keys >= (99 * t.distinct_keys + 99) // 100
+                         THEN c.cnt END) AS BIGINT) AS p99_cnt,
+           CAST(t.max_cnt * t.distinct_keys * 1000000 / t.total_rows
+                AS BIGINT) AS skew_ratio_ppm
+    FROM cum c CROSS JOIN tot t
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for events.user_id: the pre-shuffle
+    audit that decides plain hash join vs salting vs AQE skew hints.
+    Percentiles of the per-key count come from a count-of-counts
+    HISTOGRAM contraction (|distinct count values| rows), never from
+    sorting the per-key table — the design that survives 1e9 keys
+    (operators/profile.py::key_skew_profile)."""
+    events = load_table(spark, sf_dir, "events")
+    return PR.key_skew_profile(events.select("user_id"), key="user_id")
+
+
+@_register(
+    "x_distinctive_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    ), dt AS (
+      SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE term != '' GROUP BY 1, 2, 3
+    ), tf AS (
+      SELECT lang, term, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1, 2
+    ), dfx AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1
+    )
+    SELECT lang, term, tf, df,
+           CAST(tf * 1000000 // df AS BIGINT) AS score,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY tf * 1000000 // df DESC, term)
+                AS INTEGER) AS rnk
+    FROM tf JOIN dfx USING (term)
+    QUALIFY rnk <= 5
+    """,
+)
+def x_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive vocabulary: top-5 terms by the integer
+    TF-IDF stand-in score = tf * 1e6 div df (frequent in the language,
+    rare across the corpus) — log-free so the ranking is bit-identical
+    on any engine. One token scan feeds a (doc, lang, term) contraction;
+    tf and df are second-level reductions over that contraction
+    (operators/text.py::distinctive_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.distinctive_terms(docs, group_col="lang", k=5)

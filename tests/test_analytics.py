@@ -461,3 +461,70 @@ def test_dedup_against_corpus_collapses_null_text(spark):
     kept2, _ = D.dedup_against_corpus(b2, index)
     # both are blank-content: already in the index from batch 1
     assert kept2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile: histogram-contraction percentiles on a known distribution
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_known_distribution(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    # 9 keys with 1 row each + 1 key with 91 rows: distinct=10, total=100,
+    # max=91, p50 = count at 5th key = 1, p90 = 9th = 1, p99 = 10th = 91,
+    # mean = 10 -> skew ratio = 9.1x = 9_100_000 ppm
+    rows = [(f"k{i}",) for i in range(9)] + [("hot",)] * 91
+    df = spark.createDataFrame(rows, "k string")
+    r = PR.key_skew_profile(df, "k").collect()[0]
+    assert (r["distinct_keys"], r["total_rows"], r["max_cnt"]) == (10, 100, 91)
+    assert (r["p50_cnt"], r["p90_cnt"], r["p99_cnt"]) == (1, 1, 91)
+    assert r["skew_ratio_ppm"] == 9_100_000
+
+
+def test_key_skew_profile_uniform(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    df = spark.range(0, 400).select((F.col("id") % 100).alias("k"))
+    r = PR.key_skew_profile(df, "k").collect()[0]
+    assert (r["distinct_keys"], r["total_rows"], r["max_cnt"]) == (100, 400, 4)
+    assert (r["p50_cnt"], r["p90_cnt"], r["p99_cnt"]) == (4, 4, 4)
+    assert r["skew_ratio_ppm"] == 1_000_000  # max == mean
+
+
+# ---------------------------------------------------------------------------
+# distinctive_terms: integer TF-IDF ranking
+# ---------------------------------------------------------------------------
+
+
+def test_distinctive_terms_ranks_rare_over_common(spark):
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+    # "the" appears in every doc (df=4); "espresso" only in the two docs of
+    # lang a (df=2) with the same tf -> espresso must outrank the in lang a.
+    rows = [
+        (1, "a", "the espresso espresso"),
+        (2, "a", "the espresso espresso"),
+        (3, "b", "the tundra"),
+        (4, "b", "the tundra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = TX.distinctive_terms(df, group_col="lang", k=3).collect()
+    by = {(r["lang"], r["term"]): r for r in out}
+    a_esp, a_the = by[("a", "espresso")], by[("a", "the")]
+    assert a_esp["tf"] == 4 and a_esp["df"] == 2
+    assert a_the["tf"] == 2 and a_the["df"] == 4
+    assert a_esp["score"] == 2_000_000 and a_the["score"] == 500_000
+    assert a_esp["rnk"] < a_the["rnk"]
+    b_tun = by[("b", "tundra")]
+    assert b_tun["rnk"] == 1  # tf=2, df=2 -> 1e6 > the's 5e5
+
+
+def test_distinctive_terms_k_limits_per_group(spark):
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+    rows = [(i, "x", " ".join(f"w{j}" for j in range(10))) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = TX.distinctive_terms(df, group_col="lang", k=4).collect()
+    assert len(out) == 4
+    assert sorted(r["rnk"] for r in out) == [1, 2, 3, 4]

@@ -745,3 +745,39 @@ def test_write_sized_caps_file_count(spark, tmp_path):
     out = str(tmp_path / "capped")
     n = IO.write_sized(df, out, target_file_bytes=1, max_files=3)
     assert n == 3
+
+
+def test_weighted_sample_proportional_and_capped(spark):
+    # weight 0 -> never kept; huge weight -> threshold caps at 2^32 -> always kept
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(100)]
+        + [(i, 10_000_000) for i in range(100, 200)]
+        + [(i, 120) for i in range(200, 1200)],
+        "k bigint, w bigint",
+    )
+    out = {r["k"] for r in SA.weighted_bernoulli_sample(df, "k", "w", 0.002).collect()}
+    assert not out & set(range(100))  # zero weight never sampled
+    assert set(range(100, 200)) <= out  # capped at certainty
+    mid = len(out & set(range(200, 1200)))
+    # w=120 at 0.002/unit -> p = 0.24; binomial(1000, 0.24) within 5 sigma
+    assert 170 < mid < 310
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    df = spark.range(0, 1500).select(
+        F.col("id").alias("k"), (F.col("id") % 400).alias("w")
+    )
+    a = {r["k"] for r in SA.weighted_bernoulli_sample(df, "k", "w", 0.002).collect()}
+    b = {
+        r["k"]
+        for r in SA.weighted_bernoulli_sample(
+            df.repartition(17), "k", "w", 0.002
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_rejects_bad_rate(spark):
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    with pytest.raises(ValueError):
+        SA.weighted_bernoulli_sample(df, "k", "w", 1.5)
