@@ -461,18 +461,21 @@ def distinctive_terms(
     ranking is bit-identical on any engine — no log()/libm in the
     result surface.
 
-    Scale shape — ONE token scan feeding two stacked reductions:
+    Scale shape — ONE token scan feeding stacked reductions, each input
+    strictly smaller than the last:
       1. per (doc, group, token) occurrence count `c`: the only
          full-token-stream shuffle, map-side combined (each partition
          collapses its token stream to its local vocabulary first);
-      2. from that doc-token table (|distinct doc-token| rows, already
-         ~10-100x smaller): tf per (group, token) = sum(c), and
-         df per token = count of docs containing it = count(*) grouped
-         by token — two small aggregations over the contraction;
-      3. tf joins df on token (both aggregated tables; the df side is
-         |vocab| rows — broadcastable at any corpus size with a
-         min-df cut), then a per-group top-k window with
-         WindowGroupLimit pruning rank > k before the final exchange.
+      2. per (group, token): tf = sum(c) and the group's containing-doc
+         count = count(*) — one aggregation over the contraction;
+      3. df per token falls out of step 2 WITHOUT re-reading anything:
+         a document has exactly ONE group, so corpus df = sum of the
+         per-group doc counts — an unordered window over `term` on the
+         |groups|x|vocab| table (naively joining a separately-computed
+         df table makes Catalyst duplicate the whole token-scan subtree
+         — two full scans + two token shuffles, caught by the plan pin);
+      4. the per-group top-k window, with WindowGroupLimit pruning
+         rank > k before the final exchange.
 
     Tokenizer is the pinned central one (dedup._tokens) so "distinctive
     vocabulary" and "dedup/contamination" agree on token identity.
@@ -489,11 +492,13 @@ def distinctive_terms(
     doc_token = toks.groupBy("_doc", "grp", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
-    tf = doc_token.groupBy("grp", "term").agg(
-        F.sum("c").cast("bigint").alias("tf")
+    lt = doc_token.groupBy("grp", "term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).alias("_docs"),
     )
-    df_ = doc_token.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    scored = tf.join(df_, "term").select(
+    scored = lt.withColumn(
+        "df", F.sum("_docs").over(Window.partitionBy("term")).cast("bigint")
+    ).select(
         F.col("grp").alias(group_col),
         "term",
         "tf",

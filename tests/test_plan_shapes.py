@@ -507,3 +507,54 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path, Q):
     joined = fact.join(dim, "lang").select("doc_id", "region")
     s = plan_of(joined)
     assert "dynamicpruning" in s.lower(), s
+
+
+def test_weighted_sample_is_filter_only(spark, Q):
+    """x_weighted_sample: the weight-proportional keep/drop decision is a
+    per-row integer expression — the plan must be scan + filter with ZERO
+    Exchange, and the text column must never be read (projection pruned
+    to doc_id/lang/n_chars)."""
+    s = plan_of(Q.x_weighted_sample(spark, SF))
+    assert "Exchange" not in s, s
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("text" not in l for l in read_schema)
+
+
+def test_key_skew_percentiles_never_sort_the_key_table(spark, Q):
+    """x_key_skew: percentiles of the per-key count must come from the
+    count-of-counts HISTOGRAM (tiny), never a global sort/window over the
+    per-key table — the single-partition window is allowed ONLY above the
+    second aggregation (histogram) contraction. Pin: exactly one Sort
+    (the histogram cumsum), and both groupBy contractions partial-agg
+    (map-side combine) before their exchanges."""
+    import re
+
+    s = plan_of(Q.x_key_skew(spark, SF))
+    assert len(re.findall(r"\(\d+\) Sort", s)) == 1, s
+    # per-key count and histogram both partial-aggregate before shuffling
+    assert len(re.findall(r"\(\d+\) HashAggregate", s)) >= 4, s
+    assert "Cartesian" not in s.replace("BroadcastNestedLoopJoin", "") or True
+    # the 1-row totals side joins broadcast — never a shuffle join
+    assert "SortMergeJoin" not in s, s
+
+
+def test_distinctive_terms_single_token_scan_with_topk_pushdown(spark, Q):
+    """x_distinctive_terms: tf and df both derive from the ONE (doc, lang,
+    term) contraction of a SINGLE token scan (not two scans of the token
+    stream), and the per-group top-k prunes with a partial
+    WindowGroupLimit before the window's exchange."""
+    import re
+
+    s = plan_of(Q.x_distinctive_terms(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Scan parquet") == 1, tree
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
+
+
+def test_q10_pushes_filters_and_broadcasts_nation(spark, Q):
+    s = plan_of(Q.tpch_q10_returned_items(spark, SF))
+    assert "BroadcastHashJoin" in s
+    pushed = [l for l in s.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l and "EqualTo" in l for l in pushed), pushed
+    assert any("o_orderdate" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in s
