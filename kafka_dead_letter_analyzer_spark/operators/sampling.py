@@ -34,6 +34,8 @@ __all__ = [
     "hash_uniform_u32",
     "hash_bernoulli_sample",
     "weighted_bernoulli_sample",
+    "mixture_sample",
+    "hash_split",
     "stratified_quota",
 ]
 
@@ -110,3 +112,66 @@ def stratified_quota(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    mix_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-component corpus-mixture sampling: keep each row with the rate
+    configured for its mixture component (source, language, domain) —
+    the "web 50% / books 100% / low-quality 10%" reweighting every
+    pre-training data build runs. Unlisted components fall back to
+    ``default_rate``.
+
+    Same determinism contract as the other samplers: md5-u32 draw vs an
+    integer threshold looked up from a literal map — a pure function of
+    (key, component), repartition/engine-stable, filter-only plan (the
+    literal map is a codegen'd CASE, no join against a rates table; at
+    thousands of components broadcast-join a rates dim instead).
+    """
+    for comp, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {comp!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = F.lit(int(default_rate * (1 << 32)))
+    col = F.col(mix_col)
+    for comp, rate in sorted(rates.items()):
+        thresh = F.when(col == comp, F.lit(int(rate * (1 << 32)))).otherwise(thresh)
+    return df.filter(hash_uniform_u32(F.col(key), salt) < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from consecutive md5-u32 ranges sized by ``fractions`` (insertion
+    order defines range order). The draw is salted (default "split") so
+    the split is INDEPENDENT of any sampling decision made with the bare
+    key hash — the classic leakage bug this column-level determinism
+    avoids. Pure projection: no shuffle, no state; a row's split never
+    changes when the corpus grows, which is what makes eval sets stable
+    across dataset versions.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform_u32(F.col(key), salt)
+    expr = None
+    hi = 0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += int(frac * (1 << 32))
+        cond = u < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -2999,3 +2999,89 @@ def x_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::distinctive_terms)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.distinctive_terms(docs, group_col="lang", k=5)
+
+
+# corpus-mixture rates by language: en downsampled, zh kept whole, es
+# falls through to the default rate (exercises the fallback branch)
+_MIX_RATES = {"en": 0.5, "zh": 1.0, "de": 0.25, "fr": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_CASE = " ".join(
+    f"WHEN '{comp}' THEN {int(rate * (1 << 32))}"
+    for comp, rate in sorted(_MIX_RATES.items())
+)
+
+
+@_register(
+    "x_mixture_sample",
+    f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(doc_id AS VARCHAR))[i]) - 1)
+                       * ([{_HEX8_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) AS h
+      FROM documents
+    ) WHERE h < CASE lang {_MIX_CASE}
+                ELSE {int(_MIX_DEFAULT * (1 << 32))} END
+    """,
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component corpus-mixture sampling: each language kept at its
+    configured mixture rate (en 50%, zh 100%, de 25%, fr 10%, everything
+    else the 5% default) — the reweighting pass of a pre-training data
+    build. The rate lookup is a literal codegen'd CASE on the mixture
+    column; the keep decision is the same md5-u32 draw as the other
+    samplers, so the plan stays filter-only (zero Exchange, text column
+    never read) and the composed mixture is reproducible anywhere."""
+    return SA.mixture_sample(
+        load_table(spark, sf_dir, "documents"),
+        key="doc_id",
+        mix_col="lang",
+        rates=_MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_HI1 = int(0.8 * (1 << 32))
+_SPLIT_HI2 = _SPLIT_HI1 + int(0.1 * (1 << 32))
+
+
+@_register(
+    "x_hash_split",
+    f"""
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT lang, doc_id,
+             CASE WHEN h < {_SPLIT_HI1} THEN 'train'
+                  WHEN h < {_SPLIT_HI2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, doc_id,
+               list_sum([(strpos('0123456789abcdef',
+                                 md5(CAST(doc_id AS VARCHAR) || ':split')[i]) - 1)
+                         * ([{_HEX8_POWS}][i])::BIGINT
+                         for i in range(1, 9)]) AS h
+        FROM documents
+      )
+    )
+    GROUP BY split, lang
+    """,
+)
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by a SALTED key
+    hash, rolled up per (split, lang). The salt decorrelates the split
+    from every sampling decision made with the bare key hash — the
+    eval-set-leakage bug class; assignment is a pure projection, so a
+    row's split never changes as the corpus grows. min(doc_id) pins
+    membership, not just counts, in the oracle check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )

@@ -558,3 +558,24 @@ def test_q10_pushes_filters_and_broadcasts_nation(spark, Q):
     assert any("l_returnflag" in l and "EqualTo" in l for l in pushed), pushed
     assert any("o_orderdate" in l for l in pushed), pushed
     assert "TakeOrderedAndProject" in s
+
+
+def test_mixture_sample_is_filter_only(spark, Q):
+    """x_mixture_sample: the per-component rate lookup is a literal CASE —
+    the plan must stay scan + filter (zero Exchange, no join against a
+    rates table) with the text column pruned from the read."""
+    s = plan_of(Q.x_mixture_sample(spark, SF))
+    assert "Exchange" not in s, s
+    assert "Join" not in s, s
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("text" not in l for l in read_schema)
+
+
+def test_hash_split_single_partial_agg_shuffle(spark, Q):
+    """x_hash_split: split assignment is a projection; the only Exchange
+    is the (split, lang) rollup's, fed by a map-side partial aggregate."""
+    import re
+
+    s = plan_of(Q.x_hash_split(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
+    assert "partial_count" in s, s

@@ -781,3 +781,63 @@ def test_weighted_sample_rejects_bad_rate(spark):
     df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("w"))
     with pytest.raises(ValueError):
         SA.weighted_bernoulli_sample(df, "k", "w", 1.5)
+
+
+def test_mixture_sample_rates_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(3000)], "k bigint, src string"
+    )
+    out = SA.mixture_sample(
+        df, key="k", mix_col="src", rates={"a": 1.0, "b": 0.2}, default_rate=0.0
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], 0)
+        by[r["src"]] += 1
+    assert by.get("a") == 1000  # rate 1.0 keeps every row
+    assert "c" not in by  # default 0.0 drops unlisted components
+    assert 130 < by.get("b", 0) < 270  # ~200 at rate 0.2
+
+
+def test_mixture_sample_agrees_with_plain_bernoulli(spark):
+    # single-component mixture == hash_bernoulli_sample at the same rate
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), F.lit("x").alias("src")
+    )
+    a = {r["k"] for r in SA.mixture_sample(df, "k", "src", {"x": 0.3}).collect()}
+    b = {r["k"] for r in SA.hash_bernoulli_sample(df, "k", 0.3).collect()}
+    assert a == b
+
+
+def test_hash_split_partitions_every_row_stably(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = SA.hash_split(df, "k", fr).collect()
+    assert len(out) == 5000  # projection: no row lost
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert 3800 < counts["train"] < 4200
+    assert 350 < counts["val"] < 650 and 350 < counts["test"] < 650
+    # growing the corpus never reassigns an existing row
+    small = {r["k"]: r["split"] for r in SA.hash_split(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), "k", fr).collect()}
+    big = {r["k"]: r["split"] for r in out}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_independent_of_sampling_draw(spark):
+    # the salted split draw must not correlate with the unsalted sample
+    # draw: among rows kept by a 30% bernoulli, ~80% still land in train
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    kept = SA.hash_bernoulli_sample(df, "k", 0.3)
+    out = SA.hash_split(kept, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    n = len(out)
+    tr = sum(1 for r in out if r["split"] == "train")
+    assert 0.74 < tr / n < 0.86
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        SA.hash_split(df, "k", {"a": 0.5, "b": 0.2})
