@@ -22,7 +22,13 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimated_plan_bytes", "spread_for_cpu", "write_clustered", "write_sized"]
+__all__ = [
+    "estimated_plan_bytes",
+    "spread_for_cpu",
+    "write_bucketed",
+    "write_clustered",
+    "write_sized",
+]
 
 
 def estimated_plan_bytes(df: DataFrame) -> int | None:
@@ -145,3 +151,38 @@ def write_clustered(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 128,
+    sort_by: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED table: rows are hash-partitioned into
+    ``num_buckets`` files per partition directory on ``bucket_by``, with
+    the bucketing spec recorded in the catalog.
+
+    This is the pre-paid shuffle: every later join or aggregation keyed
+    on the bucket columns between tables bucketed the same way plans
+    with ZERO Exchange — Spark trusts the on-disk hash layout instead of
+    re-shuffling 100 TB per query (asserted in tests/test_plan_shapes).
+    Worth it exactly when a table is written once and joined/grouped on
+    the same key many times: fact-to-fact joins too big to broadcast,
+    iterative dedup against a canonical corpus, feature joins by doc_id.
+
+    ``sort_by`` additionally orders rows inside each bucket file
+    (sorted-bucket merge join reads both sides streaming, no sort
+    stage). Bucketed writes must go through ``saveAsTable`` — the
+    bucketing spec lives in the catalog, not the parquet footers; a
+    plain ``.save(path)`` silently loses it.
+    """
+    writer = (
+        df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

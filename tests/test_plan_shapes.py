@@ -579,3 +579,42 @@ def test_hash_split_single_partial_agg_shuffle(spark, Q):
     s = plan_of(Q.x_hash_split(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
     assert "partial_count" in s, s
+
+
+def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path, Q):
+    """write_bucketed pre-pays the shuffle: two tables bucketed the same
+    way on the join key must SortMergeJoin with ZERO Exchange, and a
+    groupBy on the bucket key must aggregate with ZERO Exchange — the
+    layout contract that makes repeated fact-to-fact joins affordable
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.operators.io import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", ["k"], num_buckets=8, sort_by=["k"])
+    write_bucketed(b, "bkt_b", ["k"], num_buckets=8, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the claim under test is the
+        # bucketed SMJ layout, which small test tables would hide behind
+        # a broadcast join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        s = plan_of(joined)
+        assert "SortMergeJoin" in s, s
+        assert "Exchange" not in s, s
+        assert joined.count() == 10_000
+        agg = ta.groupBy("k").agg(F.sum("va").alias("s"))
+        s2 = plan_of(agg)
+        assert "Exchange" not in s2, s2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
