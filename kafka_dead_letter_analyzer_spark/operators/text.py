@@ -512,3 +512,43 @@ def distinctive_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def lm_continuation_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Kneser-Ney continuation statistics for the (n-1)-gram table: per
+    suffix bigram (w2, w3) of every corpus trigram, the number of
+    DISTINCT left contexts (continuation_count — KN's numerator: how
+    many different words precede this bigram) and total occurrences.
+    The language-model smoothing input that plain n-gram counts can't
+    provide.
+
+    Scale shape mirrors distinctive_terms: trigram structs are built
+    per-row with shifted-slice arrays_zip (vectorized, no UDF); the
+    full gram stream shuffles ONCE into the (w1, w2, w3) count
+    contraction (map-side combined); continuation = count(*) and
+    total = sum(c) are then ONE further reduction over the contraction
+    — distinct-left-context never needs a count(DISTINCT) expansion
+    because the contraction already has one row per distinct trigram.
+    """
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    toks = _tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, 1 + o, m).alias(str(o)) for o in range(n)]
+    )
+    nonblank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+    grams = spread_for_cpu(docs.filter(nonblank)).select(
+        F.explode(z).alias("g")
+    )
+    tri = grams.groupBy(
+        *[F.col("g").getField(str(o)).alias(f"w{o + 1}") for o in range(n)]
+    ).agg(F.count(F.lit(1)).alias("c"))
+    suffix = [f"w{o + 1}" for o in range(1, n)]
+    return tri.groupBy(*suffix).agg(
+        F.count(F.lit(1)).cast("bigint").alias("continuation_count"),
+        F.sum("c").cast("bigint").alias("total_count"),
+    )

@@ -3085,3 +3085,61 @@ def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
     )
+
+
+@_register(
+    "x_embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           unnest([{'pos': CAST(i AS BIGINT),
+                    'q': CASE WHEN scale = 0 THEN 0
+                              ELSE CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                              * 127 / scale) AS BIGINT) END}
+                   for i in range(1, len(embedding) + 1)],
+                  recursive := true)
+    FROM s
+    """,
+)
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table (per-vector
+    max-abs scale, floor-quantized to [-127, 127]) — the 4x compression
+    pass before ANN index construction. Pure per-row array expression,
+    no UDF/shuffle; every surfaced value is integer (floor, not round:
+    round-half rules differ across engines, floor does not)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(embs, levels=127)
+
+
+@_register(
+    "x_lm_continuation",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), g AS (
+      SELECT unnest([{'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]}
+                     for i in range(1, len(toks) - 1)]) AS p
+      FROM t WHERE len(toks) >= 3
+    ), tri AS (
+      SELECT p.w1, p.w2, p.w3, count(*) AS c FROM g GROUP BY 1, 2, 3
+    )
+    SELECT w2, w3,
+           CAST(count(*) AS BIGINT) AS continuation_count,
+           CAST(sum(c) AS BIGINT) AS total_count
+    FROM tri GROUP BY w2, w3
+    """,
+)
+def x_lm_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts per suffix bigram: distinct left
+    contexts + total trigram occurrences — the LM-smoothing statistic a
+    plain n-gram count table can't provide. One gram-stream shuffle into
+    the distinct-trigram contraction; continuation falls out as count(*)
+    of the contraction (no count-DISTINCT Expand)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lm_continuation_counts(docs, n=3)

@@ -446,3 +446,61 @@ def test_minhash_banding_full_recall_on_gate_corpora(spark, sf_dir):
         ).collect()
     }
     assert engine == exact
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        (r["vec_id"], r["pos"]): r["q"]
+        for r in S.quantize_embeddings(df).collect()
+    }
+    # scale = 1.0: q = floor(v * 127)
+    assert out[(1, 1)] == 63      # floor(0.5 * 127) = floor(63.5)
+    assert out[(1, 2)] == -127
+    assert out[(1, 3)] == 31      # floor(31.75)
+    assert out[(1, 4)] == 0
+    # zero vector -> all zeros, no division blowup
+    assert all(out[(2, p)] == 0 for p in range(1, 5))
+
+
+def test_quantize_embeddings_bounds(spark, embs):
+    rows = S.quantize_embeddings(embs).collect()
+    assert rows and all(-127 <= r["q"] <= 127 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# LM continuation counts
+# ---------------------------------------------------------------------------
+
+
+def test_lm_continuation_counts_known_corpus(spark):
+    # trigrams: "a b c" (from doc1 twice via repetition) and "x b c":
+    # suffix (b, c) is preceded by {a, x} -> continuation 2, and by
+    # occurrence: doc1 has "a b c a b c" -> trigrams (a,b,c),(b,c,a),
+    # (c,a,b),(a,b,c) -> (b,c) suffix appears twice from w1=a
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x b c")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["w2"], r["w3"]): (r["continuation_count"], r["total_count"])
+        for r in TX.lm_continuation_counts(docs).collect()
+    }
+    assert out[("b", "c")] == (2, 3)  # preceded by a (2x) and x (1x)
+    assert out[("c", "a")] == (1, 1)
+    assert ("a", "b") in out
+
+
+def test_lm_continuation_short_docs_yield_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    assert TX.lm_continuation_counts(docs).count() == 0

@@ -618,3 +618,27 @@ def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path, Q)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_embedding_quantize_no_shuffle_no_udf(spark, Q):
+    """x_embedding_quantize: per-row array math — zero Exchange, zero
+    Python stages (the transform/array_max/posexplode pipeline stays
+    JVM-side)."""
+    s = plan_of(Q.x_embedding_quantize(spark, SF))
+    assert "Exchange" not in s, s
+    assert "Python" not in s and "MapInPandas" not in s, s
+
+
+def test_lm_continuation_single_gram_shuffle_no_expand(spark, Q):
+    """x_lm_continuation: the trigram stream shuffles ONCE into the
+    distinct-trigram contraction; continuation_count comes from the
+    contraction itself — no count(DISTINCT) Expand node, and only the
+    (suffix) rollup's second small exchange."""
+    import re
+
+    s = plan_of(Q.x_lm_continuation(spark, SF))
+    assert "Expand" not in s, s
+    # two hash exchanges (trigram contraction + suffix rollup); the
+    # round-robin spread_for_cpu exchange is the local-narrow-input
+    # CPU fix, a no-op at scale
+    assert s.count("Exchange hashpartitioning") == 2, s
