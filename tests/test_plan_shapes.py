@@ -641,4 +641,4 @@ def test_lm_continuation_single_gram_shuffle_no_expand(spark, Q):
     # two hash exchanges (trigram contraction + suffix rollup); the
     # round-robin spread_for_cpu exchange is the local-narrow-input
     # CPU fix, a no-op at scale
-    assert s.count("Exchange hashpartitioning") == 2, s
+    assert s.count("Arguments: hashpartitioning") == 2, s
