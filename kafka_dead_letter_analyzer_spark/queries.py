@@ -3143,3 +3143,38 @@ def x_lm_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the contraction (no count-DISTINCT Expand)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.lm_continuation_counts(docs, n=3)
+
+
+@_register(
+    "x_cosine_topk_quantized",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             [CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / scale)
+                        AS BIGINT) END
+              for i in range(1, len(embedding) + 1)] AS qv
+      FROM s
+    ), q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0)
+    SELECT z.vec_id,
+           CAST(list_sum([z.qv[i] * q.qq[i]
+                          for i in range(1, len(z.qv) + 1)]) AS BIGINT) AS qdot
+    FROM qz z, q
+    ORDER BY qdot DESC, z.vec_id
+    LIMIT 10
+    """,
+)
+def x_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search in the QUANTIZED space: top-10 by int64 dot
+    product of the int8-quantized vectors — the cheap scoring pass of a
+    compressed ANN index (re-rank with floats downstream if needed).
+    Integer-only scores, TakeOrderedAndProject plan like the float
+    baseline; the 1-row query-vector collect is the bounded driver
+    action the house rules allow."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    return S.quantized_dot_topk(embs, list(row["embedding"]), k=10)

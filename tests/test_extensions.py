@@ -504,3 +504,23 @@ def test_lm_continuation_short_docs_yield_nothing(spark):
         [(1, "one two"), (2, ""), (3, None)], "doc_id bigint, text string"
     )
     assert TX.lm_continuation_counts(docs).count() == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark, embs):
+    # int8 quantization preserves neighborhood structure: the quantized
+    # top-10 must share most members with the exact float top-10
+    [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = list(row["embedding"])
+    exact = {r["vec_id"] for r in S.cosine_topk(embs, qv, k=10).collect()}
+    quant = {r["vec_id"] for r in S.quantized_dot_topk(embs, qv, k=10).collect()}
+    assert len(exact & quant) >= 6
+    assert 0 in quant  # self-match survives quantization
+
+
+def test_quantize_vector_matches_column_quantizer(spark):
+    vec = [0.5, -1.0, 0.25, 0.125, 0.0]
+    df = spark.createDataFrame([(1, vec)], "vec_id bigint, embedding array<float>")
+    col_q = [
+        r["q"] for r in S.quantize_embeddings(df).orderBy("pos").collect()
+    ]
+    assert col_q == S.quantize_vector(vec)

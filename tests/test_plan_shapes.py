@@ -642,3 +642,12 @@ def test_lm_continuation_single_gram_shuffle_no_expand(spark, Q):
     # round-robin spread_for_cpu exchange is the local-narrow-input
     # CPU fix, a no-op at scale
     assert s.count("Arguments: hashpartitioning") == 2, s
+
+
+def test_quantized_topk_is_take_ordered_no_shuffle(spark, Q):
+    """x_cosine_topk_quantized: same scale shape as the float baseline —
+    per-row integer scoring + TakeOrderedAndProject, zero Exchange."""
+    s = plan_of(Q.x_cosine_topk_quantized(spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    tree = s[: s.find("(1) ")]
+    assert "Exchange" not in tree, tree
