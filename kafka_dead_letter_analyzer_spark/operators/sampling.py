@@ -37,6 +37,7 @@ __all__ = [
     "mixture_sample",
     "hash_split",
     "stratified_quota",
+    "global_order_index",
 ]
 
 
@@ -175,3 +176,82 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def global_order_index(
+    df: DataFrame,
+    key: str,
+    partitions: int | None = None,
+    salt: str = "shuffle",
+    out_col: str = "global_idx",
+) -> DataFrame:
+    """Deterministic global training order: every row gets its 1-based
+    position in the total order (md5(salted key), key) — the corpus
+    "shuffle" step before sequence packing / sharded export, with the
+    order a pure function of the data (stable across partitionings,
+    cluster sizes, and reruns; salted so it is independent of the
+    sampling/split draws).
+
+    The scale design — a naive ``row_number() OVER (ORDER BY hash)``
+    funnels 100 TB through ONE task. Instead:
+      1. range-repartition + sort within partitions on (hash, key):
+         partition i holds a contiguous slice of the total order;
+      2. per-partition row counts: ONE tiny driver collect
+         (|partitions| longs — the bounded driver action);
+      3. global_idx = (broadcast) partition offset + local position,
+         enumerated by an Arrow-batched mapInPandas (order-preserving
+         over the sorted partitions; no second data shuffle — the
+         window-over-partition-id alternative re-shuffles everything
+         on the partition id).
+
+    The input frame is PERSISTED before the two passes: the count job
+    and the enumerate job must see the SAME materialized range bounds
+    (repartitionByRange samples bounds per execution). Caller should
+    unpersist via ``spark.catalog.clearCache()`` or the returned
+    DataFrame's lineage once consumed.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    h = F.md5(_salted_key(F.col(key), salt))
+    ranged = (
+        df.withColumn("_h", h)
+        .repartitionByRange(n, F.col("_h"), F.col(key))
+        .sortWithinPartitions("_h", key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off bigint"
+        )
+    )
+    schema = T.StructType(
+        [f for f in ranged.schema.fields if f.name not in ("_h",)]
+        + [T.StructField("_local", T.LongType())]
+    )
+    keep = [f.name for f in ranged.schema.fields if f.name != "_h"]
+
+    def enumerate_sorted(iterator):
+        i = 0
+        for pdf in iterator:
+            out = pdf[keep].copy()
+            out["_local"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield out
+
+    local = ranged.mapInPandas(enumerate_sorted, schema)
+    return (
+        local.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("bigint"))
+        .drop("_pid", "_off", "_local")
+    )

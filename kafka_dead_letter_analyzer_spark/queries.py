@@ -3178,3 +3178,27 @@ def x_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     [row] = embs.filter(F.col("vec_id") == 0).select("embedding").collect()
     return S.quantized_dot_topk(embs, list(row["embedding"]), k=10)
+
+
+@_register(
+    "x_corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id)
+           AS BIGINT) AS global_idx
+    FROM documents
+    """,
+)
+def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every document's 1-based
+    position in the (md5, key) total order — the corpus shuffle before
+    sequence packing / sharded export. The oracle is the single-task
+    row_number formulation; the ENGINE plan is the distributed one
+    (range partition + per-partition counts + offset-broadcast
+    enumeration: operators/sampling.py::global_order_index), which is
+    the whole point — same answer, no 100 TB single-partition sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.global_order_index(docs.select("doc_id"), key="doc_id").select(
+        "doc_id", "global_idx"
+    )

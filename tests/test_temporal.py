@@ -841,3 +841,31 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         SA.hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_global_order_index_is_total_and_partition_independent(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["global_idx"]
+         for r in SA.global_order_index(df, "k", partitions=7).collect()}
+    # a total 1..n order with no gaps or duplicates
+    assert sorted(a.values()) == list(range(1, 3001))
+    # identical under different input partitioning AND partition count
+    b = {r["k"]: r["global_idx"]
+         for r in SA.global_order_index(
+             df.repartition(13), "k", partitions=3).collect()}
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_global_order_index_matches_window_formulation(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    got = {r["k"]: r["global_idx"]
+           for r in SA.global_order_index(df, "k", partitions=5).collect()}
+    h = F.md5(F.concat(F.col("k").cast("string"), F.lit(":shuffle")))
+    w = Window.orderBy(h, F.col("k"))
+    want = {r["k"]: r["rn"]
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+    spark.catalog.clearCache()
