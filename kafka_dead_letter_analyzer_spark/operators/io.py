@@ -28,6 +28,8 @@ __all__ = [
     "write_bucketed",
     "write_clustered",
     "write_sized",
+    "zorder_value",
+    "zorder_sql",
 ]
 
 
@@ -186,3 +188,58 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+# Morton (Z-order) bit-spread steps for a 31-bit input -> 62-bit code:
+# inputs are masked to 31 bits so the interleaved code (and the second
+# dimension's <<1) stays in POSITIVE int64 range on every engine — DuckDB
+# raises on BIGINT overflow where Java wraps, so the domain is the part
+# of the contract that keeps the two implementations identical.
+ZORDER_INPUT_MASK = 0x7FFFFFFF
+ZORDER_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def zorder_value(c1, c2):
+    """Morton/Z-order interleave of two integer dimensions into one
+    BIGINT sort key — the multi-column layout answer ``write_clustered``
+    alone can't give: range-partition + sort on the z-value keeps rows
+    close in BOTH dimensions physically together, so parquet min/max
+    stats prune scans filtering on EITHER dimension (time x entity,
+    quality x language). Write the layout with
+    ``write_clustered(df.withColumn("z", zorder_value(a, b)), path,
+    ["z"])``.
+
+    Pure codegen'd bit arithmetic (mask/or/shift — the classic bit-
+    spread), integer-exact on any engine; inputs are taken modulo 2^31
+    (callers bucket coarser dimensions first, e.g. minutes not micros).
+    """
+    from pyspark.sql import functions as F
+
+    def spread(c):
+        x = c.cast("bigint").bitwiseAND(F.lit(ZORDER_INPUT_MASK))
+        for sh, mask in ZORDER_SPREAD_STEPS:
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread(c1).bitwiseOR(F.shiftleft(spread(c2), 1))
+
+
+def zorder_sql(e1: str, e2: str) -> str:
+    """DuckDB renderer of :func:`zorder_value` — the identical mask/or/
+    shift chain, so the z-code is oracle-checkable. (The textual
+    expression doubles per step; at 5 steps that is ~1.3 KB per
+    dimension — fine for an oracle string.)"""
+
+    def spread(e: str) -> str:
+        x = f"(CAST({e} AS BIGINT) & {ZORDER_INPUT_MASK})"
+        for sh, mask in ZORDER_SPREAD_STEPS:
+            x = f"(({x} | ({x} << {sh})) & {mask})"
+        return x
+
+    return f"({spread(e1)} | ({spread(e2)} << 1))"

@@ -3202,3 +3202,27 @@ def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.global_order_index(docs.select("doc_id"), key="doc_id").select(
         "doc_id", "global_idx"
     )
+
+
+from kafka_dead_letter_analyzer_spark.operators import io as IO  # noqa: E402
+
+
+@_register(
+    "x_zorder_key",
+    f"""
+    SELECT event_id,
+           {IO.zorder_sql('user_id', 'epoch_us(ts) // 60000000')} AS z
+    FROM events
+    """,
+)
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (user_id, event minute) — the two-
+    dimensional layout key: write_clustered on `z` makes parquet min/max
+    stats prune scans filtering on EITHER dimension. Pure codegen'd bit
+    arithmetic; integer-exact (oracle renders the identical mask/shift
+    chain)."""
+    events = load_table(spark, sf_dir, "events")
+    minute = F.expr("unix_micros(ts) DIV 60000000")
+    return events.select(
+        "event_id", IO.zorder_value(F.col("user_id"), minute).alias("z")
+    )

@@ -1144,3 +1144,46 @@ def test_interval_join_disambiguates_colliding_columns(spark, tmp_path, ts):
         q.stop()
     [row] = spark.table("ssj2").collect()
     assert row["marker_id"] == 5 and row["right_ts"] < row["ts"]
+
+
+# ---------------------------------------------------------------------------
+# Samplers/splits are stateless column programs: they must run unchanged
+# under the streaming engine and keep/assign exactly the rows the batch
+# formulation does (the corpus pipeline's ingest-time sampling path).
+# ---------------------------------------------------------------------------
+
+
+def test_samplers_apply_identically_on_streams(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+
+    src = str(tmp_path / "docs_src")
+    batch_df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS src", "id * 3 AS n_chars"
+    )
+    batch_df.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, src string, n_chars bigint").parquet(src)
+
+    def pipeline(df):
+        kept = SA.mixture_sample(
+            df, key="doc_id", mix_col="src", rates={"0": 1.0, "1": 0.4},
+            default_rate=0.2,
+        )
+        return SA.hash_split(
+            kept, key="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("sampled_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["split"]) for r in spark.table("sampled_stream").collect()}
+    want = {(r["doc_id"], r["split"]) for r in pipeline(batch_df).collect()}
+    assert got == want and len(got) > 0
