@@ -94,9 +94,14 @@ def weighted_bernoulli_sample(
     if not 0.0 <= rate_per_unit <= 1.0:
         raise ValueError(f"rate_per_unit must be in [0, 1], got {rate_per_unit}")
     per_unit = int(rate_per_unit * (1 << 32))
-    threshold = F.least(
-        F.lit(1 << 32).cast("bigint"),
-        F.col(weight_col).cast("bigint") * F.lit(per_unit).cast("bigint"),
+    w = F.col(weight_col).cast("bigint")
+    # least() IGNORES nulls on every engine (returns the other operand),
+    # which would keep NULL-weight rows with certainty — the opposite of
+    # the contract. Gate on non-null explicitly so a NULL weight yields a
+    # NULL threshold and the comparison filters the row out.
+    threshold = F.when(
+        w.isNotNull(),
+        F.least(F.lit(1 << 32).cast("bigint"), w * F.lit(per_unit).cast("bigint")),
     )
     return df.filter(hash_uniform_u32(F.col(key), salt) < threshold)
 

@@ -2905,7 +2905,8 @@ _W_PER_UNIT = int(_W_RATE_PER_UNIT * (1 << 32))
                        * ([{_HEX8_POWS}][i])::BIGINT
                        for i in range(1, 9)]) AS h
       FROM documents
-    ) WHERE h < least(4294967296, n_chars * {_W_PER_UNIT})
+    ) WHERE n_chars IS NOT NULL
+        AND h < least(4294967296, n_chars * {_W_PER_UNIT})
     """,
 )
 def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

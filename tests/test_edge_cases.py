@@ -229,3 +229,78 @@ def test_repetition_stats_match_python_counter(spark, nasty_df):
     for row in nasty_df.collect():
         expect = py_stats(row["s"])
         assert out.get(row["i"]) == expect, (row["s"][:40], out.get(row["i"]), expect)
+
+
+# ---------------------------------------------------------------------------
+# session-3 operators: null/blank/degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_null_and_negative_weights_drop(spark):
+    from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5), (3, 10_000_000)], "k bigint, w bigint"
+    )
+    kept = {r["k"] for r in SA.weighted_bernoulli_sample(df, "k", "w", 0.5).collect()}
+    # NULL threshold comparison is NULL -> dropped; negative weight can
+    # never exceed a non-negative draw -> dropped; huge weight capped at 1
+    assert kept == {3}
+
+
+def test_mixture_sample_null_component_gets_default_rate(spark):
+    from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(500)], "k bigint, src string"
+    )
+    all_kept = SA.mixture_sample(
+        df, "k", "src", rates={"x": 0.0}, default_rate=1.0
+    ).count()
+    none_kept = SA.mixture_sample(
+        df, "k", "src", rates={"x": 1.0}, default_rate=0.0
+    ).count()
+    assert all_kept == 500 and none_kept == 0
+
+
+def test_distinctive_terms_ignores_blank_and_null_docs(spark):
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a", "hello world"), (2, "a", ""), (3, "a", None), (4, "a", "  ")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = TX.distinctive_terms(df, k=10).collect()
+    assert {r["term"] for r in out} == {"hello", "world"}
+    assert all(r["df"] == 1 for r in out)  # blank docs contribute no df
+
+
+def test_key_skew_profile_single_key(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    df = spark.createDataFrame([("only",)] * 7, "k string")
+    r = PR.key_skew_profile(df, "k").collect()[0]
+    assert (r["distinct_keys"], r["total_rows"], r["max_cnt"]) == (1, 7, 7)
+    assert r["p50_cnt"] == r["p99_cnt"] == 7
+    assert r["skew_ratio_ppm"] == 1_000_000
+
+
+def test_quantize_embeddings_null_and_empty_vectors(spark):
+    from kafka_dead_letter_analyzer_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = S.quantize_embeddings(df).collect()
+    # empty and NULL vectors produce no rows (posexplode of empty/null)
+    assert {(r["vec_id"], r["pos"], r["q"]) for r in rows} == {(3, 1, 127)}
+
+
+def test_global_order_index_handles_duplicate_free_single_row(spark):
+    from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(42,)], "k bigint")
+    [r] = SA.global_order_index(df, "k", partitions=4).collect()
+    assert r["global_idx"] == 1
+    spark.catalog.clearCache()
