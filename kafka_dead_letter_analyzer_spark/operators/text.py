@@ -552,3 +552,59 @@ def lm_continuation_counts(
         F.count(F.lit(1)).cast("bigint").alias("continuation_count"),
         F.sum("c").cast("bigint").alias("total_count"),
     )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG/context-window prep): each
+    document's token stream is cut into chunks of up to ``chunk_tokens``
+    starting every ``stride`` tokens (overlap = chunk_tokens - stride),
+    emitting (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    chunk_text re-joins tokens with single spaces — the normalized form
+    downstream embedders tokenize anyway.
+
+    Pure per-row expression: sequence + transform build all chunk
+    descriptors inside the row, one explode fans them out — no shuffle,
+    no UDF; at 100 TB this is a narrow scan-shaped pass whose output is
+    ~(1 + overlap/stride)x the input tokens. Blank/NULL docs emit no
+    chunks. The last chunks may be short (the tail is kept, standard
+    RAG practice).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk start indices 0, stride, 2*stride, ... < n
+    idxs = F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    ntk = lambda i: F.least(F.lit(chunk_tokens), n - i * stride)  # noqa: E731
+    chunks = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (i + 1).cast("bigint").alias("chunk_idx"),
+            (i * stride + 1).cast("bigint").alias("start_token"),
+            ntk(i).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, i * stride + 1, ntk(i)), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(id_col, F.explode(chunks).alias("ch"))
+        .select(
+            id_col,
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.col("ch.start_token").alias("start_token"),
+            F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("ch.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -3227,3 +3227,42 @@ def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", IO.zorder_value(F.col("user_id"), minute).alias("z")
     )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@_register(
+    "x_chunk_overlap",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    )
+    SELECT doc_id,
+           unnest([{{'chunk_idx': CAST(i + 1 AS BIGINT),
+                     'start_token': CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                     'n_chunk_tokens': CAST(least({_CHUNK_TOKENS},
+                         len(toks) - i * {_CHUNK_STRIDE}) AS BIGINT),
+                     'chunk_text': array_to_string(
+                       [toks[j] for j in range(i * {_CHUNK_STRIDE} + 1,
+                          i * {_CHUNK_STRIDE} + least({_CHUNK_TOKENS},
+                            len(toks) - i * {_CHUNK_STRIDE}) + 1)], ' ')}}
+                   for i in range(0, (len(toks) - 1) // {_CHUNK_STRIDE} + 1)],
+                  recursive := true)
+    FROM t
+    """,
+)
+def x_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG/context-window prep): 32-token
+    chunks every 24 tokens (8-token overlap), with 1-based chunk index,
+    start position, token count, and the normalized chunk text. Pure
+    per-row sequence+transform+explode — no shuffle, no UDF
+    (operators/text.py::chunk_with_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_with_overlap(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )

@@ -524,3 +524,35 @@ def test_quantize_vector_matches_column_quantizer(spark):
         r["q"] for r in S.quantize_embeddings(df).orderBy("pos").collect()
     ]
     assert col_q == S.quantize_vector(vec)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_with_overlap_positions_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id bigint, text string")
+    out = sorted(
+        TX.chunk_with_overlap(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    assert [(r["chunk_idx"], r["start_token"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 1, 4), (2, 4, 4), (3, 7, 4), (4, 10, 1)
+    ]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[-1]["chunk_text"] == "t9"
+    # overlap: chunk 2 starts inside chunk 1
+    assert out[1]["chunk_text"].startswith("t3")
+
+
+def test_chunk_with_overlap_blank_docs_and_reconstruction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    out = TX.chunk_with_overlap(df, chunk_tokens=8, stride=8).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "a b c"
+    with pytest.raises(ValueError):
+        TX.chunk_with_overlap(df, chunk_tokens=0, stride=3)
