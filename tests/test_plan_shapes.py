@@ -651,3 +651,15 @@ def test_quantized_topk_is_take_ordered_no_shuffle(spark, Q):
     assert "TakeOrderedAndProject" in s, s
     tree = s[: s.find("(1) ")]
     assert "Exchange" not in tree, tree
+
+
+def test_chunk_overlap_is_pure_projection(spark, Q):
+    """x_chunk_overlap: sequence+transform+explode per row — no Exchange,
+    no Python stage; only doc_id and text read from the scan."""
+    s = plan_of(Q.x_chunk_overlap(spark, SF))
+    assert "Exchange" not in s, s
+    assert "Python" not in s and "MapInPandas" not in s, s
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and all(
+        "lang" not in l and "source" not in l for l in read_schema
+    )
