@@ -3266,3 +3266,96 @@ def x_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_with_overlap(
         docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
     )
+
+
+@_register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT
+      CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+                    * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+      CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+               * 10000 AS BIGINT)) AS BIGINT) AS total_revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one month — a fact-
+    dim join with a conditional aggregate. The date window pushes into
+    the lineitem scan; the part dim is broadcast (only partkey + type
+    read); promo share = promo/total computes downstream — only exact
+    BIGINT e4 sums cross the engine boundary."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev_e4 = ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
+            ).cast("bigint").alias("promo_revenue_e4"),
+            F.sum(rev_e4).cast("bigint").alias("total_revenue_e4"),
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS total_qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 30000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           b.total_qty_cents
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.total_qty_cents DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING over the big fact
+    aggregation, then the SURVIVORS (a tiny set) drive the joins back to
+    orders/customer. The aggregate-then-filter contraction is what makes
+    this scale: the order/customer joins see only qualifying orderkeys
+    (broadcast-able), never the raw lineitem stream. Quantity is BIGINT
+    cents; top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).cast("bigint").alias("total_qty_cents"))
+        .filter(F.col("total_qty_cents") > 30000)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty_cents",
+        )
+        .orderBy(F.col("total_qty_cents").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

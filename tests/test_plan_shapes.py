@@ -663,3 +663,22 @@ def test_chunk_overlap_is_pure_projection(spark, Q):
     assert read_schema and all(
         "lang" not in l and "source" not in l for l in read_schema
     )
+
+
+def test_q14_pushes_month_window_and_broadcasts_part(spark, Q):
+    s = plan_of(Q.tpch_q14_promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in s and "SortMergeJoin" not in s
+    pushed = [l for l in s.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
+    # part dim pruned to join key + type
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l and "p_partkey" in l]
+    assert read_schema and all("p_retailprice" not in l for l in read_schema)
+
+
+def test_q18_having_contraction_broadcasts_into_the_joins(spark, Q):
+    """The qualifying-orders set (post-HAVING) must drive the joins as a
+    broadcast — the raw lineitem stream never reaches the order/customer
+    joins."""
+    s = plan_of(Q.tpch_q18_large_volume(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "TakeOrderedAndProject" in s
