@@ -600,3 +600,57 @@ def test_zorder_locality_prunes_both_dimensions(spark, tmp_path):
     # for every file; z-order keeps BOTH average spans well under range
     assert sum(spans_a) / len(spans_a) < 40
     assert sum(spans_b) / len(spans_b) < 40
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from kafka_dead_letter_analyzer_spark.operators.joins import salted_join
+
+    # one hot key carrying most of the facts + cold keys + an unmatched key
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"cold{i}", i * 2) for i in range(500)]
+        + [(9999, "orphan", 0)],
+        "event_id bigint, k string, v bigint",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold10", 2), ("cold20", 3)], "k string, attr int"
+    )
+    plain = {(r["event_id"], r["attr"]) for r in facts.join(dim, "k").collect()}
+    salted = {
+        (r["event_id"], r["attr"])
+        for r in salted_join(facts, dim, key="k", salt_on="event_id").collect()
+    }
+    assert salted == plain and len(plain) > 400
+
+    l_plain = {
+        (r["event_id"], r["attr"])
+        for r in facts.join(dim, "k", "left").collect()
+    }
+    l_salted = {
+        (r["event_id"], r["attr"])
+        for r in salted_join(
+            facts, dim, key="k", salt_on="event_id", how="left"
+        ).collect()
+    }
+    assert l_salted == l_plain  # unmatched orphan survives with NULL attr
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    from kafka_dead_letter_analyzer_spark.operators.joins import salted_join
+    import pyspark.sql.functions as FF
+
+    facts = spark.createDataFrame(
+        [(i, "hot") for i in range(1000)], "event_id bigint, k string"
+    )
+    dim = spark.createDataFrame([("hot", 1)], "k string, attr int")
+    f = facts.withColumn(
+        "_salt", FF.pmod(FF.xxhash64(FF.col("event_id")), FF.lit(8)).cast("int")
+    )
+    n_salts = f.select("_salt").distinct().count()
+    assert n_salts == 8  # the hot key's rows really spread
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, key="k", salt_on="event_id", salt_factor=0)
