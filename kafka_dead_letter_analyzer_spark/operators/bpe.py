@@ -1,0 +1,128 @@
+"""Distributed BPE merge training — learn a byte-pair-encoding merge
+list from a corpus, the tokenizer-training pass of an LLM data pipeline.
+
+Each merge round is the textbook algorithm, distributed:
+  1. count adjacent symbol pairs across the corpus — the shifted-slice
+     arrays_zip pair fan-out (same vectorized shape as the co-occurrence
+     operator) into ONE map-side-combined count shuffle;
+  2. pick the most frequent pair — a 1-row driver collect (the bounded
+     driver action per round, like connected components' convergence
+     check);
+  3. rewrite every document's symbol array, merging that pair — a pure
+     per-row aggregate() fold (left-to-right, non-overlapping: "a a a"
+     with merge (a,a) -> ["aa", "a"], matching the reference BPE
+     semantics).
+
+State across rounds lives in the symbol arrays; each round re-plans on
+the previous round's frame with a localCheckpoint to truncate lineage
+(N merges = N shuffles + N tiny collects — the iterative shape, like
+graph.py's label propagation). For real vocab sizes (32k merges) run
+rounds in batches against a persisted corpus sample; the per-round cost
+is one combiner-collapsed count shuffle regardless of corpus size.
+
+Tie-break: highest count, then lexicographic (left, right) — fully
+deterministic, differential-tested against a from-scratch Python BPE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "bpe_pair_counts", "merge_pair_in_arrays"]
+
+
+def _symbols(text):
+    """Initial symbol arrays: whitespace tokens split to characters would
+    be the byte-level variant; the word-level trainer (this one) merges
+    whole tokens — swap the seeding to chars for byte-BPE."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    return _tokens(text)
+
+
+def bpe_pair_counts(symbols: DataFrame, col: str = "syms") -> DataFrame:
+    """Adjacent-pair counts over all symbol arrays: one vectorized zip,
+    one map-side-combined shuffle. Returns (left, right, n)."""
+    s = F.col(col)
+    n = F.greatest(F.size(s) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(s, 1, n), F.slice(s, 2, n))
+    pairs = symbols.select(F.explode(z).alias("p"))
+    return pairs.groupBy(
+        F.col("p").getField("0").alias("left"),
+        F.col("p").getField("1").alias("right"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_pair_in_arrays(col, left: str, right: str, merged: str):
+    """Rewrite a symbol array, merging every non-overlapping (left,
+    right) adjacency left-to-right — a pure aggregate() fold: carry the
+    rewritten prefix and whether the previous element was consumed."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(False).alias("ate"),
+    )
+
+    def step(st, x):
+        # try_element_at: plain element_at RAISES on the empty array
+        # (Spark 4 invalid-index semantics); NULL is the wanted "no
+        # previous element" signal here
+        prev = F.try_element_at(st["acc"], F.lit(-1))
+        can_merge = (
+            (~st["ate"])
+            & prev.isNotNull()
+            & (prev == F.lit(left))
+            & (x == F.lit(right))
+        )
+        replaced = F.concat(
+            F.slice(st["acc"], 1, F.size(st["acc"]) - 1),
+            F.array(F.lit(merged)),
+        )
+        return F.struct(
+            F.when(can_merge, replaced)
+            .otherwise(F.concat(st["acc"], F.array(x)))
+            .alias("acc"),
+            can_merge.alias("ate"),
+        )
+
+    return F.aggregate(col, init, step, lambda st: st["acc"])
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    list [(left, right, count)] in training order. Stops early when no
+    pair reaches ``min_count``."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    syms = docs.select(_symbols(F.col(text_col)).alias("syms")).filter(
+        F.size("syms") > 0
+    )
+    merges: list[tuple[str, str, int]] = []
+    prev = None
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(syms)
+            .orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append((left, right, cnt))
+        merged = f"{left} {right}"
+        syms = syms.select(
+            merge_pair_in_arrays(F.col("syms"), left, right, merged).alias("syms")
+        ).localCheckpoint(eager=False)
+        if prev is not None:
+            try:
+                prev.rdd.unpersist(False)
+            except Exception:
+                pass
+        prev = syms
+    return merges

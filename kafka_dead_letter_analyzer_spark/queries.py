@@ -3359,3 +3359,36 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty_cents").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+_HIST_WIDTH = 64
+
+
+@_register(
+    "x_length_histogram",
+    f"""
+    SELECT (n_chars // {_HIST_WIDTH}) * {_HIST_WIDTH} AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width document-length histogram (bucket width 64 chars) with
+    per-bucket extrema — the distribution profile behind length-filter
+    thresholds. One partial-agg shuffle over integer bucket keys; the
+    bucket function is integer division, identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    bucket = (
+        F.expr(f"n_chars DIV {_HIST_WIDTH}") * _HIST_WIDTH
+    ).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

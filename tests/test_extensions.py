@@ -556,3 +556,98 @@ def test_chunk_with_overlap_blank_docs_and_reconstruction(spark):
     assert len(out) == 1 and out[0]["chunk_text"] == "a b c"
     with pytest.raises(ValueError):
         TX.chunk_with_overlap(df, chunk_tokens=0, stride=3)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_count=2):
+    """From-scratch reference BPE (word-level, non-overlapping
+    left-to-right merges, count-then-lexicographic tie-break)."""
+    import re
+    from collections import Counter
+
+    corpora = []
+    for t in texts:
+        if t is None:
+            continue
+        s = t.lower().strip(" ")
+        if s == "":
+            continue
+        corpora.append(re.split(r"\s+", s))
+    merges = []
+    for _ in range(n_merges):
+        c = Counter()
+        for syms in corpora:
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += 1
+        if not c:
+            break
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((l, r, cnt))
+        merged = f"{l} {r}"
+        nxt = []
+        for syms in corpora:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append(out)
+        corpora = nxt
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from kafka_dead_letter_analyzer_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and the cat sat",
+        "the the the cat",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = bpe_train(df, n_merges=4)
+    want = _py_bpe(texts, 4)
+    assert got == want
+    assert got[0][:2] == ("the", "cat")  # most frequent adjacency
+
+
+def test_bpe_merge_fold_nonoverlapping(spark):
+    from kafka_dead_letter_analyzer_spark.operators.bpe import (
+        merge_pair_in_arrays,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],), ([],), (["a"],), (["b", "a", "a"],)],
+        "syms array<string>",
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            merge_pair_in_arrays(F.col("syms"), "a", "a", "aa").alias("m")
+        ).collect()
+    ]
+    assert out == [["aa", "aa", "a"], [], ["a"], ["b", "aa"]]
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    from kafka_dead_letter_analyzer_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q")], "doc_id bigint, text string"
+    )
+    # every adjacency occurs once -> below min_count=2 -> no merges
+    assert bpe_train(df, n_merges=3) == []
