@@ -651,3 +651,27 @@ def test_bpe_train_stops_below_min_count(spark):
     )
     # every adjacency occurs once -> below min_count=2 -> no merges
     assert bpe_train(df, n_merges=3) == []
+
+
+def test_chunk_no_overlap_reconstructs_documents(spark):
+    """stride == chunk_tokens partitions the token stream exactly:
+    joining the chunk texts back in order must reproduce the normalized
+    document, and token counts must sum to the doc's token count."""
+    texts = [
+        "one two three four five six seven",
+        "single",
+        "a b c d e f g h i j k l m",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = TX.chunk_with_overlap(df, chunk_tokens=4, stride=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        rows = by_doc[i]
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(toks)
+        assert sum(r["n_chunk_tokens"] for r in rows) == len(toks)
+        assert [r["start_token"] for r in rows] == list(range(1, len(toks) + 1, 4))
