@@ -1187,3 +1187,56 @@ def test_samplers_apply_identically_on_streams(spark, tmp_path):
     got = {(r["doc_id"], r["split"]) for r in spark.table("sampled_stream").collect()}
     want = {(r["doc_id"], r["split"]) for r in pipeline(batch_df).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_ingest_pipeline_mixture_split_chunk(spark, tmp_path):
+    """The full ingest-time corpus pass — mixture sampling -> split
+    assignment -> sliding-window chunking — is stateless end to end, so
+    it must run as ONE streaming query producing exactly the batch
+    rows. This is the shape a 100 TB continuous-ingest pipeline runs on
+    the firehose before anything stateful."""
+    from kafka_dead_letter_analyzer_spark.operators import sampling as SA
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+    src = str(tmp_path / "ingest_src")
+    docs = spark.range(0, 300).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'web' ELSE 'books' END AS source",
+        "concat_ws(' ', array_repeat(concat('w', CAST(id AS STRING)), "
+        "CAST(5 + id % 60 AS INT))) AS text",
+    )
+    docs.write.mode("append").parquet(src)
+
+    def chunks_only(df):
+        kept = SA.mixture_sample(
+            df, key="doc_id", mix_col="source",
+            rates={"web": 1.0, "books": 0.4},
+        )
+        kept = SA.hash_split(
+            kept, key="doc_id", fractions={"train": 0.9, "val": 0.1}
+        )
+        return TX.chunk_with_overlap(
+            kept.select("doc_id", "split", "text")
+        , chunk_tokens=16, stride=12)
+
+    stream = spark.readStream.schema("doc_id bigint, source string, text string").parquet(src)
+    q = (
+        chunks_only(stream)
+        .writeStream.format("memory")
+        .queryName("ingest_chunks")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in spark.table("ingest_chunks").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in chunks_only(docs).collect()
+    }
+    assert got == want and len(got) > 200
