@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_pair_counts", "merge_pair_in_arrays"]
+__all__ = ["bpe_train", "bpe_apply", "bpe_pair_counts", "merge_pair_in_arrays"]
 
 
 def _symbols(text):
@@ -126,3 +126,30 @@ def bpe_train(
                 pass
         prev = syms
     return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_syms",
+) -> DataFrame:
+    """Encode documents with a learned merge list: apply every merge in
+    training order (each a non-overlapping left-to-right rewrite — the
+    exact semantics training used, so train->apply round-trips). Returns
+    (id, out_col array<string>).
+
+    Each merge is one aggregate() fold, composed as nested expressions —
+    a pure projection, no shuffle and no state, so encoding streams
+    through a scan at any corpus size. Expression depth grows with the
+    merge count; beyond a few hundred merges move the loop into an
+    Arrow-batched mapInPandas with the same per-row algorithm (the
+    documented escape hatch — codegen compile time, not correctness,
+    is the limit).
+    """
+    syms = _symbols(F.col(text_col))
+    for m in merges:
+        left, right = m[0], m[1]
+        syms = merge_pair_in_arrays(syms, left, right, f"{left} {right}")
+    return docs.select(id_col, syms.alias(out_col))

@@ -675,3 +675,45 @@ def test_chunk_no_overlap_reconstructs_documents(spark):
         assert " ".join(r["chunk_text"] for r in rows) == " ".join(toks)
         assert sum(r["n_chunk_tokens"] for r in rows) == len(toks)
         assert [r["start_token"] for r in rows] == list(range(1, len(toks) + 1, 4))
+
+
+def test_bpe_apply_round_trips_with_training(spark):
+    """Applying the learned merges must produce exactly the symbol
+    arrays the trainer ended with (computed independently by the Python
+    reference)."""
+    import re
+
+    from kafka_dead_letter_analyzer_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and the cat sat",
+        "the the the cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    assert merges  # fixture has repeated adjacencies
+
+    # python reference: replay the same merges
+    corpora = {i: re.split(r"\s+", t.lower().strip(" ")) for i, t in enumerate(texts)}
+    for l, r, _ in merges:
+        merged = f"{l} {r}"
+        for i, syms in corpora.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            corpora[i] = out
+
+    got = {r["doc_id"]: r["bpe_syms"] for r in bpe_apply(df, merges).collect()}
+    assert got == corpora
