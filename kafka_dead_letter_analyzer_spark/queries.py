@@ -3392,3 +3392,52 @@ def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+from kafka_dead_letter_analyzer_spark.operators import bpe as BP  # noqa: E402
+
+
+@_register(
+    "x_bpe_top_pairs",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), p AS (
+      SELECT unnest([{'l': toks[i], 'r': toks[i+1]}
+                     for i in range(1, len(toks))]) AS pr
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT pr.l AS "left", pr.r AS "right", CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT "left", "right", n,
+           CAST(row_number() OVER (ORDER BY n DESC, "left", "right")
+                AS INTEGER) AS rnk
+    FROM c
+    QUALIFY rnk <= 20
+    """,
+)
+def x_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training round, declared: corpus-wide adjacent-pair
+    counts (the operators/bpe.py pair fan-out — one vectorized zip, one
+    combiner-collapsed shuffle) ranked to the top-20 merge candidates
+    with the trainer's exact count-then-lexicographic tie-break. Pins
+    the trainer's distributed counting stage against an independent SQL
+    formulation; the iterative rounds are covered by the Python-BPE
+    differential tests."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    syms = docs.select(D._tokens(F.col("text")).alias("syms")).filter(
+        F.size("syms") > 0
+    )
+    counts = BP.bpe_pair_counts(syms).select(
+        "left", "right", F.col("n").cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
