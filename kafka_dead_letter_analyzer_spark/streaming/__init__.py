@@ -20,6 +20,7 @@ from kafka_dead_letter_analyzer_spark.streaming.engine import (
     streaming_first_examples,
     streaming_interval_join,
     streaming_threshold_alerts,
+    streaming_topk_types,
     streaming_session_statistics,
     streaming_windowed_statistics,
     streaming_error_statistics_ttl,
@@ -54,6 +55,7 @@ __all__ = [
     "streaming_first_examples",
     "streaming_interval_join",
     "streaming_threshold_alerts",
+    "streaming_topk_types",
     "streaming_session_statistics",
     "streaming_windowed_statistics",
     "streaming_error_statistics_ttl",

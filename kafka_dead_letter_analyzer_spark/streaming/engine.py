@@ -706,3 +706,31 @@ def build_streaming_topology(raw_stream: DataFrame) -> StreamingTopology:
         error_examples=streaming_first_examples(enriched),
         error_topic=conversion_errors.unionByName(analysis_errors),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous top-k (live heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def streaming_topk_types(enriched: DataFrame, k: int = 5) -> DataFrame:
+    """Live "worst offenders" board: the k most frequent (topic, type)
+    keys over the whole stream so far — run with
+    ``outputMode("complete")``; each micro-batch re-emits the full
+    top-k.
+
+    This is the idiomatic Structured Streaming top-k: a stateful
+    running count (state = one long per LIVE KEY — error-type
+    cardinality, not traffic volume) followed by orderBy+limit, which
+    the engine permits on aggregates in complete mode. The sort runs
+    over the aggregated count table only (|live keys| rows), never the
+    stream. For key spaces too large to re-emit (per-user ids at 100
+    TB/day), window the count and let the dashboard fold windows —
+    complete mode's re-emission is the documented trade."""
+    counts = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+    ).groupBy("topic", "type").agg(F.count(F.lit(1)).alias("count"))
+    return counts.orderBy(
+        F.col("count").desc(), F.col("topic"), F.col("type")
+    ).limit(k)

@@ -1240,3 +1240,61 @@ def test_streaming_ingest_pipeline_mixture_split_chunk(spark, tmp_path):
         for r in chunks_only(docs).collect()
     }
     assert got == want and len(got) > 200
+
+
+def test_streaming_topk_tracks_running_heavy_hitters(spark, tmp_path, ts):
+    """Complete-mode top-k must re-rank as counts accumulate across
+    micro-batches: a type that overtakes another must displace it."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_topk_types,
+    )
+
+    def letters(n, t):
+        return [
+            FX.envelope(
+                offset=i,
+                timestamp=ts(i),
+                value_deadletter=FX.dead_letter_value(),
+                topic=f"{t}-dead-letters",
+            )
+            for i in range(n)
+        ]
+
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+
+    src = str(tmp_path / "topk_src")
+    _write_envelopes(spark, src, letters(3, "aaa") + letters(1, "bbb"))
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched = enrich_with_context(dead_letters)
+    q = (
+        streaming_topk_types(enriched, k=2)
+        .writeStream.format("memory")
+        .queryName("topk_live")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["topic"]: r["count"] for r in spark.table("topk_live").collect()
+        }
+        # bbb overtakes aaa
+        _write_envelopes(spark, src, letters(5, "bbb"))
+        q.processAllAvailable()
+        second = [
+            (r["topic"], r["count"])
+            for r in spark.table("topk_live")
+            .orderBy(F.col("count").desc())
+            .collect()
+        ]
+    finally:
+        q.stop()
+    assert first.get("aaa-dead-letters") == 3
+    assert second[0] == ("bbb-dead-letters", 6)
+    assert second[1] == ("aaa-dead-letters", 3)
