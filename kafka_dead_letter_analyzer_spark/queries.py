@@ -3441,3 +3441,52 @@ def x_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@_register(
+    "x_posting_lists",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    ), dt AS (
+      SELECT DISTINCT term, doc_id FROM toks WHERE term != ''
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(
+             (list(doc_id ORDER BY doc_id))[1:20], ',') AS postings_head
+    FROM dt
+    GROUP BY term
+    HAVING count(*) >= 3
+    """,
+)
+def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (search/retrieval prep): per term,
+    the document frequency and the head of its sorted posting list
+    (first 20 doc ids, comma-joined — a STRING so the driver hash stays
+    type-simple; real exports keep the array). df >= 3 is the index
+    stop-gap against hapax bloat. One distinct-(term, doc) contraction,
+    then collect_list aggregated per term — sort_array makes the
+    posting order deterministic under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id", F.explode(D._tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        dt.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 3)
+    )
