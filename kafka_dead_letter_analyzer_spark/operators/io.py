@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame
 __all__ = [
     "estimated_plan_bytes",
     "spread_for_cpu",
+    "read_jsonl",
     "write_bucketed",
     "write_clustered",
+    "write_jsonl",
     "write_sized",
     "zorder_value",
     "zorder_sql",
@@ -243,3 +245,35 @@ def zorder_sql(e1: str, e2: str) -> str:
         return x
 
     return f"({spread(e1)} | ({spread(e2)} << 1))"
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as JSON Lines — the interchange format most LLM
+    data tooling consumes. One JSON object per line, optionally gzip'd
+    (splittable-on-read is parquet's job; JSONL shards are for export).
+    ``num_files`` sizes the shard count (round-robin repartition);
+    default keeps the upstream partitioning."""
+    out = df.repartition(num_files) if num_files else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """Read a JSONL corpus. ALWAYS pass ``schema`` in production: schema
+    inference is a full extra pass over 100 TB and type-unstable across
+    shards (an all-null column infers string on one shard, long on
+    another). Returns records with ``_corrupt_record`` capture left at
+    Spark's default PERMISSIVE mode so one bad line doesn't kill the
+    ingest — filter or count it as the ingest's error stream."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -654,3 +654,43 @@ def test_salted_join_spreads_hot_key_across_salts(spark):
     assert n_salts == 8  # the hot key's rows really spread
     with pytest.raises(ValueError):
         salted_join(facts, dim, key="k", salt_on="event_id", salt_factor=0)
+
+
+def test_jsonl_round_trip_preserves_rows_and_schema(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", None), (2, 'quote " and \\ back', "de", 7)],
+        "doc_id bigint, text string, lang string, score bigint",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path, num_files=2)
+    back = read_jsonl(
+        spark, path, schema="doc_id bigint, text string, lang string, score bigint"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    import glob
+
+    assert len(glob.glob(path + "/part-*.json.gz")) == 2  # sharded + gzip'd
+
+
+def test_jsonl_read_survives_corrupt_lines(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators.io import read_jsonl
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\nTHIS IS NOT JSON\n{"doc_id": 2, "text": "fine"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p),
+        schema="doc_id bigint, text string, _corrupt_record string",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
