@@ -717,3 +717,128 @@ def test_bpe_apply_round_trips_with_training(spark):
 
     got = {r["doc_id"]: r["bpe_syms"] for r in bpe_apply(df, merges).collect()}
     assert got == corpora
+
+
+def test_bpe_merge_fold_matches_python_property(spark):
+    """Property: the aggregate() merge fold equals the reference while-
+    loop rewrite for random small-alphabet arrays and a random adjacent
+    pair (small alphabet -> dense overlapping-merge cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.bpe import (
+        merge_pair_in_arrays,
+    )
+
+    def py_merge(syms, l, r, merged):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["a", "b", "c"]),
+    )
+    def check(syms, l, r):
+        df = spark.createDataFrame([(syms,)], "syms array<string>")
+        [row] = df.select(
+            merge_pair_in_arrays(F.col("syms"), l, r, f"{l} {r}").alias("m")
+        ).collect()
+        assert row["m"] == py_merge(syms, l, r, f"{l} {r}"), (syms, l, r)
+
+    check()
+
+
+def test_zorder_matches_python_morton_property(spark):
+    """Property: the mask/shift spread equals a bit-by-bit Python Morton
+    interleave across the 31-bit domain (boundaries biased in)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators import io as IO
+
+    def morton(x, y):
+        z = 0
+        for i in range(31):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=0x7FFFFFFF),
+                st.integers(min_value=0, max_value=0x7FFFFFFF),
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a bigint, b bigint")
+        got = [
+            r["z"]
+            for r in df.select(
+                IO.zorder_value(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        ]
+        assert got == [morton(a, b) for a, b in pairs]
+
+    check()
+
+
+def test_chunking_matches_python_chunker_property(spark):
+    """Property: chunk boundaries, counts, and texts equal a reference
+    Python chunker for random corpora and random (chunk, stride)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_chunks(text, chunk, stride):
+        t = text.lower().strip(" ")
+        if t == "":
+            return []
+        import re
+
+        toks = re.split(r"\s+", t)
+        out = []
+        i = 0
+        start = 0
+        while start < len(toks):
+            sub = toks[start : start + chunk]
+            out.append((i + 1, start + 1, len(sub), " ".join(sub)))
+            i += 1
+            start += stride
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab x", min_size=0, max_size=30), min_size=1, max_size=6
+        ),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=6),
+    )
+    def check(texts, chunk, stride):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {}
+        for r in TX.chunk_with_overlap(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+            )
+        for i, t in enumerate(texts):
+            want = py_chunks(t, chunk, stride)
+            assert sorted(got.get(i, [])) == sorted(want), (t, chunk, stride)
+
+    check()
