@@ -3490,3 +3490,96 @@ def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@_register(
+    "x_source_overlap_matrix",
+    f"""
+    WITH {_SHINGLE8_CTES},
+    sg AS (SELECT DISTINCT source, sh FROM s8)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_grams
+    FROM sg a JOIN sg b USING (sh)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def x_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct 8-token grams they share — the "which crawls duplicate
+    each other" audit that decides which sources to dedup against each
+    other first. Gram semantics shared with the dedup/contamination
+    family. Scale shape: the (source, gram) DISTINCT contraction
+    shuffles once on the gram; the self-join joins the contraction with
+    itself (equi-join on gram, no nested loop) and the pair rollup is
+    |sources|^2-bounded — tiny. A df-cap on ubiquitous grams bounds the
+    join fan-out at web scale (same lever as the inverted-index
+    Jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source", F.explode(D.token_shingles(F.col("text"), 8)).alias("sh")
+        )
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("src_a"), "sh")
+    b = sg.select(F.col("source").alias("src_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+
+
+@_register(
+    "x_interevent_gaps",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+             event_id
+      FROM events
+    ), v AS (SELECT event_type, gap_us, event_id FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(max(CASE WHEN rn = (1 * n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS BIGINT) AS p99
+    FROM (
+      SELECT event_type, gap_us,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY gap_us, event_id)
+    )
+    GROUP BY event_type
+    """,
+)
+def x_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time percentiles per event type: microsecond gaps
+    between a user's consecutive events (the burstiness / arrival-rate
+    profile), then exact nearest-rank p50/p90/p99 per type. Two
+    partitionings by necessity — per-user ordering for the lag, per-type
+    for the rank — each a single shared window Exchange; gaps are exact
+    integer microseconds end to end."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+        "event_id",
+    ).filter(F.col("gap_us").isNotNull())
+    out = AN.exact_percentiles(
+        gaps, key="event_type", value_col="gap_us", tiebreak="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p90").cast("bigint").alias("p90"),
+        F.col("p99").cast("bigint").alias("p99"),
+    )
