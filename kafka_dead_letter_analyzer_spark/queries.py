@@ -3583,3 +3583,30 @@ def x_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p90").cast("bigint").alias("p90"),
         F.col("p99").cast("bigint").alias("p99"),
     )
+
+
+@_register(
+    "x_media_dedup",
+    """
+    SELECT md5(text) AS payload_hash,
+           CAST(min(doc_id) AS BIGINT) AS media_id,
+           CAST(count(*) AS INTEGER) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level multimodal dedup: exact duplicate detection on the
+    BINARY payload column (md5 over raw bytes — no decode needed, so it
+    works for any modality), keeping the lowest id as canonical. The
+    engine path really hashes binary (documents_as_media's payload);
+    the oracle hashes the identical bytes through their utf8 text
+    source. Same one-shuffle groupBy contraction as text dedup."""
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(F.md5(F.col("payload")).alias("payload_hash"))
+        .agg(
+            F.min("media_id").cast("bigint").alias("media_id"),
+            F.count(F.lit(1)).cast("int").alias("n_copies"),
+        )
+    )

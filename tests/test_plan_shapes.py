@@ -682,3 +682,16 @@ def test_q18_having_contraction_broadcasts_into_the_joins(spark, Q):
     s = plan_of(Q.tpch_q18_large_volume(spark, SF))
     assert "BroadcastHashJoin" in s
     assert "TakeOrderedAndProject" in s
+
+
+def test_source_overlap_is_equi_join_no_nested_loop(spark, Q):
+    s = plan_of(Q.x_source_overlap_matrix(spark, SF))
+    assert "NestedLoop" not in s and "Cartesian" not in s, s
+
+
+def test_interevent_gaps_one_exchange_per_partitioning(spark, Q):
+    """x_interevent_gaps needs exactly two hash partitionings (per-user
+    lag, per-type rank) — the rank window and the final type rollup must
+    SHARE theirs (the exact_percentiles contract)."""
+    s = plan_of(Q.x_interevent_gaps(spark, SF))
+    assert s.count("Arguments: hashpartitioning") == 2, s
