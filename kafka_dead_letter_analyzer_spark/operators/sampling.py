@@ -37,6 +37,7 @@ __all__ = [
     "mixture_sample",
     "hash_split",
     "stratified_quota",
+    "stratified_quota_weighted",
     "global_order_index",
 ]
 
@@ -259,4 +260,40 @@ def global_order_index(
         local.join(off_df, "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("bigint"))
         .drop("_pid", "_off", "_local")
+    )
+
+
+def stratified_quota_weighted(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum quotas with DIFFERENT targets per stratum (the
+    mixture-building form of ``stratified_quota``: "50k en, 30k zh,
+    5k everything else"). Selection is the same deterministic md5 rank;
+    the per-row threshold is a literal CASE on the stratum — unlisted
+    strata get ``default_quota`` (0 = drop entirely).
+
+    Same scale shape as the fixed-k quota: ONE shuffle for the rank
+    window, WindowGroupLimit pruning at max(quota) before the exchange;
+    the two-phase bernoulli prefilter pattern applies per stratum when
+    quotas are tiny relative to strata.
+    """
+    for s_, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for {s_!r} must be >= 0, got {q}")
+    if default_quota < 0:
+        raise ValueError(f"default_quota must be >= 0, got {default_quota}")
+    order_hash = F.md5(_salted_key(F.col(key), salt))
+    w = Window.partitionBy(stratum).orderBy(order_hash, F.col(key))
+    thresh = F.lit(default_quota)
+    col = F.col(stratum)
+    for s_, q in sorted(quotas.items()):
+        thresh = F.when(col == s_, F.lit(q)).otherwise(thresh)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= thresh)
     )

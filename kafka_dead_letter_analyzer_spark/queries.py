@@ -3610,3 +3610,39 @@ def x_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_copies"),
         )
     )
+
+
+_QUOTAS = {"en": 40, "zh": 15, "de": 10}
+_QUOTA_DEFAULT = 5
+_QUOTA_CASE = " ".join(
+    f"WHEN '{s_}' THEN {q}" for s_, q in sorted(_QUOTAS.items())
+)
+
+
+@_register(
+    "x_weighted_quota",
+    f"""
+    SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= CASE lang {_QUOTA_CASE} ELSE {_QUOTA_DEFAULT} END
+    """,
+)
+def x_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-building quotas: a DIFFERENT deterministic sample size
+    per language (en 40 / zh 15 / de 10 / default 5) in one rank
+    window — the "n_k documents per component" corpus composition step.
+    Same single-shuffle shape as the fixed-k quota; the per-row target
+    is a literal CASE (operators/sampling.py::stratified_quota_weighted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_quota_weighted(
+        docs.select("doc_id", "lang"),
+        stratum="lang",
+        key="doc_id",
+        quotas=_QUOTAS,
+        default_quota=_QUOTA_DEFAULT,
+    ).select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))

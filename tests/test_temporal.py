@@ -869,3 +869,33 @@ def test_global_order_index_matches_window_formulation(spark):
             for r in df.select("k", F.row_number().over(w).alias("rn")).collect()}
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_weighted_quota_exact_per_stratum_counts(spark):
+    df = spark.createDataFrame(
+        [(i, ["big", "small", "other"][i % 3]) for i in range(300)],
+        "doc_id bigint, lang string",
+    )
+    out = SA.stratified_quota_weighted(
+        df, stratum="lang", key="doc_id",
+        quotas={"big": 30, "small": 7}, default_quota=2,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by["big"]) == list(range(1, 31))
+    assert sorted(by["small"]) == list(range(1, 8))
+    assert sorted(by["other"]) == [1, 2]  # default quota
+    with pytest.raises(ValueError):
+        SA.stratified_quota_weighted(df, "lang", "doc_id", {"big": -1})
+
+
+def test_weighted_quota_zero_default_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i < 50 else "y") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    out = SA.stratified_quota_weighted(
+        df, stratum="lang", key="doc_id", quotas={"x": 5}
+    ).collect()
+    assert {r["lang"] for r in out} == {"x"} and len(out) == 5
