@@ -3646,3 +3646,53 @@ def x_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         quotas=_QUOTAS,
         default_quota=_QUOTA_DEFAULT,
     ).select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+@_register(
+    "x_dedup_chunks",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    ), ch AS (
+      SELECT doc_id,
+             unnest([array_to_string(
+                       [toks[j] for j in range(i * {_CHUNK_TOKENS} + 1,
+                          i * {_CHUNK_TOKENS} + least({_CHUNK_TOKENS},
+                            len(toks) - i * {_CHUNK_TOKENS}) + 1)], ' ')
+                     for i in range(0, (len(toks) - 1) // {_CHUNK_TOKENS} + 1)])
+               AS chunk_text
+      FROM t
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM ch
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def x_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: fixed 32-token NON-overlapping chunks
+    (stride == chunk so a document never collides with itself by
+    construction), hashed and grouped — the fine-grained boilerplate
+    detector that document-level dedup misses (shared headers, license
+    blocks, navigation chrome). Composition of the chunker and the
+    fingerprint contraction: chunk fan-out is a pure projection; ONE
+    shuffle groups chunk hashes; only cross-document repeats emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_with_overlap(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_TOKENS
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
