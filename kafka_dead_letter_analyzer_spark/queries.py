@@ -3696,3 +3696,51 @@ def x_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@_register(
+    "x_typo_clusters",
+    r"""
+    WITH RECURSIVE vocab AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+      FROM documents
+    ), v AS (SELECT tok FROM vocab WHERE tok <> ''),
+    p AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b
+      FROM v a, v b
+      WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+    ), e AS (
+      SELECT tok_a AS s, tok_b AS d FROM p
+      UNION ALL
+      SELECT tok_b AS s, tok_a AS d FROM p
+    ), n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    )
+    SELECT id AS tok, min(lab) AS cluster FROM cc GROUP BY id
+    """,
+)
+def x_typo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary variant clusters: connected components over the
+    Levenshtein<=2 typo graph (SymSpell-blocked pairs from
+    x_typo_pairs) — groups a token with all its misspellings so a
+    normalization pass can pick one canonical form per cluster. Second
+    consumer of the generic CC contract (string node ids; min-label =
+    lexicographic minimum). Oracle: recursive-CTE label propagation
+    over the independently-computed all-pairs typo edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D._tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    pairs = FZ.fuzzy_key_pairs(vocab, key_col="tok", max_distance=2).select(
+        "tok_a", "tok_b"
+    )
+    return G.connected_components(pairs, src="tok_a", dst="tok_b").select(
+        F.col("id").alias("tok"), F.col("component").alias("cluster")
+    )
