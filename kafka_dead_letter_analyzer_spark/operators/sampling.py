@@ -293,7 +293,14 @@ def stratified_quota_weighted(
     col = F.col(stratum)
     for s_, q in sorted(quotas.items()):
         thresh = F.when(col == s_, F.lit(q)).otherwise(thresh)
+    # The LITERAL max-quota conjunct is what lets Catalyst insert
+    # WindowGroupLimit (rank pruning BEFORE the window's exchange) —
+    # the per-stratum CASE threshold alone defeats the optimizer's
+    # rank<=literal pattern match (verified in the plan pin), and
+    # without pruning every stratum's full population sorts through
+    # the window at scale. The CASE then refines within the pruned set.
+    max_q = max([default_quota, *quotas.values()])
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= thresh)
+        .filter((F.col("sample_rank") <= F.lit(max_q)) & (F.col("sample_rank") <= thresh))
     )

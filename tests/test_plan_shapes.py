@@ -695,3 +695,14 @@ def test_interevent_gaps_one_exchange_per_partitioning(spark, Q):
     SHARE theirs (the exact_percentiles contract)."""
     s = plan_of(Q.x_interevent_gaps(spark, SF))
     assert s.count("Arguments: hashpartitioning") == 2, s
+
+
+def test_weighted_quota_prunes_rank_before_exchange(spark, Q):
+    """x_weighted_quota: the literal max-quota conjunct must trigger
+    WindowGroupLimit (partial + final) — the per-stratum CASE threshold
+    alone defeats the optimizer's rank<=literal pattern and would sort
+    every stratum's full population through the window at scale."""
+    import re
+
+    s = plan_of(Q.x_weighted_quota(spark, SF))
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
