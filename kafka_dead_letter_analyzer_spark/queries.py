@@ -3744,3 +3744,59 @@ def x_typo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(pairs, src="tok_a", dst="tok_b").select(
         F.col("id").alias("tok"), F.col("component").alias("cluster")
     )
+
+
+@_register(
+    "x_split_contamination",
+    f"""
+    WITH {_SHINGLE8_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN h < {_SPLIT_HI1} THEN 'train'
+                  WHEN h < {_SPLIT_HI2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               list_sum([(strpos('0123456789abcdef',
+                                 md5(CAST(doc_id AS VARCHAR) || ':split')[i]) - 1)
+                         * ([{_HEX8_POWS}][i])::BIGINT
+                         for i in range(1, 9)]) AS h
+        FROM documents
+      )
+    ),
+    train_grams AS (
+      SELECT DISTINCT sh FROM s8 JOIN sp USING (doc_id)
+      WHERE sp.split = 'train'
+    ),
+    eval_grams AS (
+      SELECT s8.doc_id, sp.split, s8.sh FROM s8 JOIN sp USING (doc_id)
+      WHERE sp.split <> 'train'
+    )
+    SELECT e.doc_id, e.split, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM eval_grams e JOIN train_grams t USING (sh)
+    GROUP BY e.doc_id, e.split
+    """,
+)
+def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set hygiene for the engine's OWN train/val/test split: every
+    val/test document sharing an 8-token gram with any train document,
+    with the shared-gram count — the leakage audit run before an eval
+    set ships. Composition of hash_split and the decontamination gram
+    machinery: train's distinct-gram set broadcasts into a map-side
+    join against the (tiny) eval side's grams; the split assignment is
+    the same salted pure projection everywhere."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(docs.select("doc_id", "text"), key="doc_id",
+                          fractions=_SPLIT_FRACS)
+    grams = split.select(
+        "doc_id", "split", F.explode(token_shingles(F.col("text"), 8)).alias("sh")
+    )
+    train = grams.filter(F.col("split") == "train").select("sh").distinct()
+    ev = grams.filter(F.col("split") != "train")
+    return (
+        ev.join(F.broadcast(train), "sh")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_ngrams"))
+    )
