@@ -608,3 +608,61 @@ def chunk_with_overlap(
             F.col("ch.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def compression_signal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document compressibility (CCNet/Gopher-style quality signal):
+    zlib-compressed size over raw utf-8 size, as an INTEGER ratio in
+    basis points (compressed * 10000 div raw). Highly repetitive or
+    templated text compresses far below prose; random noise sits near
+    (or above) 10000 — both tails are filter candidates.
+
+    zlib at a fixed level is deterministic for a given input, so the
+    signal is retry/partition-stable; it has no SQL analog, hence a
+    pytest-differential (not oracle) contract. Arrow-batched
+    ``mapInPandas`` — the payload never leaves the executor, one Python
+    stage, no shuffle. NULL/empty docs emit ratio NULL (nothing to
+    measure)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_raw_bytes", T.LongType()),
+            T.StructField("n_zlib_bytes", T.LongType()),
+            T.StructField("compress_bp", T.LongType()),
+        ]
+    )
+
+    def compute(iterator):
+        import zlib
+
+        for pdf in iterator:
+            raw = [
+                t.encode("utf-8") if isinstance(t, str) else None
+                for t in pdf[text_col]
+            ]
+            n_raw = [len(b) if b else None for b in raw]
+            n_z = [
+                len(zlib.compress(b, level)) if b else None for b in raw
+            ]
+            bp = [
+                (z * 10000) // r if r else None
+                for z, r in zip(n_z, n_raw)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": pd.array(n_raw, dtype="Int64"),
+                    "n_zlib_bytes": pd.array(n_z, dtype="Int64"),
+                    "compress_bp": pd.array(bp, dtype="Int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(compute, schema)

@@ -842,3 +842,27 @@ def test_chunking_matches_python_chunker_property(spark):
             assert sorted(got.get(i, [])) == sorted(want), (t, chunk, stride)
 
     check()
+
+
+def test_compression_signal_separates_repetition_from_prose(spark):
+    rows = [
+        (1, "spam " * 400),                      # templated -> tiny ratio
+        (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))),  # varied
+        (3, ""),                                  # empty -> NULL
+        (4, None),                                # null -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in TX.compression_signal(df).collect()}
+    assert out[1]["compress_bp"] < 500          # >20x compression
+    assert out[2]["compress_bp"] > out[1]["compress_bp"] * 3
+    assert out[3]["compress_bp"] is None and out[4]["compress_bp"] is None
+    # deterministic: a second run produces identical numbers
+    again = {r["doc_id"]: r["compress_bp"]
+             for r in TX.compression_signal(df).collect()}
+    assert again == {k: v["compress_bp"] for k, v in out.items()}
+    # exact python zlib agreement
+    import zlib
+
+    b = rows[0][1].encode()
+    assert out[1]["n_zlib_bytes"] == len(zlib.compress(b, 6))
+    assert out[1]["n_raw_bytes"] == len(b)
