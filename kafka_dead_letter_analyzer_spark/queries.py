@@ -3515,9 +3515,15 @@ def x_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|^2-bounded — tiny. A df-cap on ubiquitous grams bounds the
     join fan-out at web scale (same lever as the inverted-index
     Jaccard)."""
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
     docs = load_table(spark, sf_dir, "documents")
+    nonblank = F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    # gram construction is CPU-per-row heavy: spread the narrow local scan
+    # across cores first (no-op at real scale; 1.7x here)
     sg = (
-        docs.select(
+        spread_for_cpu(docs.filter(nonblank))
+        .select(
             "source", F.explode(D.token_shingles(F.col("text"), 8)).alias("sh")
         )
         .distinct()
@@ -3786,10 +3792,15 @@ def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the (tiny) eval side's grams; the split assignment is
     the same salted pure projection everywhere."""
     from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
 
     docs = load_table(spark, sf_dir, "documents")
-    split = SA.hash_split(docs.select("doc_id", "text"), key="doc_id",
-                          fractions=_SPLIT_FRACS)
+    # spread before shingling (CPU-heavy per row; no-op at scale — 2x here);
+    # blank docs shed no grams either way, and split assignment is per-row
+    # so the spread cannot change it
+    split = SA.hash_split(
+        spread_for_cpu(docs.select("doc_id", "text")), key="doc_id",
+        fractions=_SPLIT_FRACS)
     grams = split.select(
         "doc_id", "split", F.explode(token_shingles(F.col("text"), 8)).alias("sh")
     )
