@@ -484,6 +484,10 @@ def distinctive_terms(
 
     from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
 
+    # NO spread here: whitespace tokenization is cheap per row — the
+    # round-robin Exchange costs more than single-core tokenization saves
+    # (measured 0.41 -> 0.83 s with a spread at sf0.1); spread pays only
+    # for heavy per-row work like k-gram concat (see chunk_with_overlap).
     toks = docs.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("_doc"),
@@ -597,8 +601,12 @@ def chunk_with_overlap(
             ),
         ),
     )
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
     return (
-        docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        spread_for_cpu(
+            docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        )
         .select(id_col, F.explode(chunks).alias("ch"))
         .select(
             id_col,

@@ -3472,6 +3472,8 @@ def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     then collect_list aggregated per term — sort_array makes the
     posting order deterministic under any partitioning."""
     docs = load_table(spark, sf_dir, "documents")
+    # no CPU spread: plain tokenization is too cheap per row to pay for
+    # the round-robin Exchange (measured 0.42 -> 0.67 s spread at sf0.1)
     dt = (
         docs.filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
         .select(

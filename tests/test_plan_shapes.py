@@ -654,10 +654,14 @@ def test_quantized_topk_is_take_ordered_no_shuffle(spark, Q):
 
 
 def test_chunk_overlap_is_pure_projection(spark, Q):
-    """x_chunk_overlap: sequence+transform+explode per row — no Exchange,
-    no Python stage; only doc_id and text read from the scan."""
+    """x_chunk_overlap: sequence+transform+explode per row — no DATA
+    shuffle (the only Exchange allowed is the round-robin spread_for_cpu
+    CPU fix, a no-op at scale: chunk fan-out is heavy enough per row to
+    pay for it, measured 2x), no Python stage; only doc_id and text read
+    from the scan."""
     s = plan_of(Q.x_chunk_overlap(spark, SF))
-    assert "Exchange" not in s, s
+    assert "hashpartitioning" not in s, s
+    assert "rangepartitioning" not in s, s
     assert "Python" not in s and "MapInPandas" not in s, s
     read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
     assert read_schema and all(
