@@ -899,3 +899,41 @@ def test_weighted_quota_zero_default_drops_unlisted(spark):
         df, stratum="lang", key="doc_id", quotas={"x": 5}
     ).collect()
     assert {r["lang"] for r in out} == {"x"} and len(out) == 5
+
+
+def test_typo_clusters_equal_union_find_on_string_ids(spark):
+    """The generic CC contract on STRING node ids: cluster labels must
+    equal a from-scratch union-find over the same fuzzy pair set
+    (lexicographic minimum as the canonical label)."""
+    from kafka_dead_letter_analyzer_spark.operators import fuzzy as FZ
+    from kafka_dead_letter_analyzer_spark.operators import graph as G
+
+    toks = ["cat", "cart", "carts", "dog", "dig", "zebra", "zebr", "hippo"]
+    vocab = spark.createDataFrame([(t,) for t in toks], "tok string")
+    pairs = FZ.fuzzy_key_pairs(vocab, key_col="tok", max_distance=2).select(
+        "tok_a", "tok_b"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in G.connected_components(pairs, src="tok_a", dst="tok_b").collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = find(r["tok_a"]), find(r["tok_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # sanity on the fixture: cat/cart/carts chain into one cluster whose
+    # canonical label is the lexicographic minimum ("cart" < "cat")
+    assert got["cat"] == got["carts"] == "cart"
+    assert got["zebra"] == got["zebr"]
