@@ -564,6 +564,7 @@ def chunk_with_overlap(
     text_col: str = "text",
     chunk_tokens: int = 128,
     stride: int = 96,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window document chunking (RAG/context-window prep): each
     document's token stream is cut into chunks of up to ``chunk_tokens``
@@ -577,7 +578,9 @@ def chunk_with_overlap(
     no UDF; at 100 TB this is a narrow scan-shaped pass whose output is
     ~(1 + overlap/stride)x the input tokens. Blank/NULL docs emit no
     chunks. The last chunks may be short (the tail is kept, standard
-    RAG practice).
+    RAG practice). ``keep_cols`` pass through unchanged onto every chunk
+    row (e.g. the event-time column a streaming watermarked dedup needs
+    downstream).
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
@@ -607,9 +610,10 @@ def chunk_with_overlap(
         spread_for_cpu(
             docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
         )
-        .select(id_col, F.explode(chunks).alias("ch"))
+        .select(id_col, *keep_cols, F.explode(chunks).alias("ch"))
         .select(
             id_col,
+            *keep_cols,
             F.col("ch.chunk_idx").alias("chunk_idx"),
             F.col("ch.start_token").alias("start_token"),
             F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),

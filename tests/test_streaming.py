@@ -1298,3 +1298,48 @@ def test_streaming_topk_tracks_running_heavy_hitters(spark, tmp_path, ts):
     assert first.get("aaa-dead-letters") == 3
     assert second[0] == ("bbb-dead-letters", 6)
     assert second[1] == ("aaa-dead-letters", 3)
+
+
+def test_streaming_chunk_dedup_within_watermark(spark, tmp_path):
+    """Continuous-ingest boilerplate suppression: chunk the stream, then
+    dropDuplicatesWithinWatermark on the chunk fingerprint — a repeated
+    chunk arriving within the horizon is emitted once; state is bounded
+    by the watermark, not stream lifetime."""
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+
+    src = str(tmp_path / "chunk_dedup_src")
+    schema = "doc_id bigint, ts timestamp, text string"
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 12, 0, tzinfo=UTC), "shared header block one two"),
+            (2, dt.datetime(2024, 1, 1, 12, 1, tzinfo=UTC), "shared header block one two"),
+            (3, dt.datetime(2024, 1, 1, 12, 2, tzinfo=UTC), "unique body text here"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    # keep_cols carries the event-time column through the chunk fan-out —
+    # dropDuplicatesWithinWatermark requires it on the deduped frame
+    chunks = TX.chunk_with_overlap(
+        stream.withWatermark("ts", "10 minutes").select("doc_id", "ts", "text"),
+        chunk_tokens=8,
+        stride=8,
+        keep_cols=("ts",),
+    )
+    q = (
+        chunks.withColumn("fp", F.md5(F.col("chunk_text")))
+        .dropDuplicatesWithinWatermark(["fp"])
+        .writeStream.format("memory")
+        .queryName("chunk_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("chunk_dedup").collect()
+    texts = sorted(r["chunk_text"] for r in rows)
+    # the shared chunk appears ONCE despite two source docs
+    assert texts == ["shared header block one two", "unique body text here"]
