@@ -103,7 +103,13 @@ def bpe_train(
         F.size("syms") > 0
     )
     merges: list[tuple[str, str, int]] = []
-    prev = None
+    spark = docs.sparkSession
+    # Two generations are live at any instant: the collect in round k
+    # materializes checkpoint k (created in round k-1) — only THEN is
+    # checkpoint k-1 (grand-prev) freeable. Freeing earlier would lose
+    # data: a localCheckpoint has no lineage left to recompute from.
+    cur_ids: set[int] = set()
+    old_ids: set[int] = set()
     for _ in range(n_merges):
         top = (
             bpe_pair_counts(syms)
@@ -111,21 +117,44 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        _unpersist_rdd_ids(spark, old_ids)  # grand-prev: now truly unneeded
         if not top or top[0]["n"] < min_count:
             break
         left, right, cnt = top[0]["left"], top[0]["right"], top[0]["n"]
         merges.append((left, right, cnt))
         merged = f"{left} {right}"
+        before = _persistent_rdd_ids(spark)
         syms = syms.select(
             merge_pair_in_arrays(F.col("syms"), left, right, merged).alias("syms")
         ).localCheckpoint(eager=False)
-        if prev is not None:
-            try:
-                prev.rdd.unpersist(False)
-            except Exception:
-                pass
-        prev = syms
+        # localCheckpoint registers its persist immediately (materialized
+        # lazily), so the id diff identifies exactly this round's
+        # checkpoint RDD — DataFrame.rdd would be a fresh javaToPython
+        # wrapper that was never persisted (unpersisting it is a no-op).
+        old_ids, cur_ids = cur_ids, _persistent_rdd_ids(spark) - before
+    _unpersist_rdd_ids(spark, old_ids | cur_ids)
     return merges
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    """ids of RDDs currently registered persistent in the JVM."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Release the storage of specific persistent RDDs by id (the JVM-side
+    handle — the only route to a localCheckpoint's blocks from PySpark)."""
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass  # best-effort: storage pressure, never correctness
 
 
 def bpe_apply(

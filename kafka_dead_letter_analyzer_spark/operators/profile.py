@@ -107,8 +107,14 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         "p50_cnt",
         "p90_cnt",
         "p99_cnt",
-        (
-            (F.col("max_cnt") * F.col("distinct_keys") * F.lit(1_000_000))
-            / F.col("total_rows")
-        ).cast("bigint").alias("skew_ratio_ppm"),
+        # Integer floor-division on BOTH engines (Spark DIV truncates a
+        # double cast while DuckDB CAST rounds — the house rule is
+        # floor/DIV only across engines). The numerator runs in
+        # DECIMAL(38,0): max_cnt*distinct_keys*1e6 wraps int64 silently
+        # (non-ANSI Spark) near 1e9 keys x 1e9 max-count, while
+        # decimal38 holds ~1e38 — the oracle mirrors with HUGEINT.
+        F.expr(
+            "CAST(CAST(max_cnt AS DECIMAL(38,0)) * distinct_keys"
+            " * 1000000 DIV total_rows AS BIGINT)"
+        ).alias("skew_ratio_ppm"),
     )

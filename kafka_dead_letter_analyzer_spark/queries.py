@@ -1197,8 +1197,17 @@ from kafka_dead_letter_analyzer_spark.plans.topology import (  # noqa: E402
     error_feedback_pass,
 )
 from kafka_dead_letter_analyzer_spark.streaming.kafka import (  # noqa: E402
+    avro_wire_encode_generic_udf,
     avro_wire_encode_udf,
     decode_kafka_records,
+)
+
+# Writer schema for the multi-schema Schema-Registry queries — the shape
+# of the reference e2e's TestRecord key/value fixtures
+# (DeadLetterAnalyzerTopologyTest.java:405,655: {"id":N}).
+_TEST_RECORD_SCHEMA = (
+    '{"type":"record","name":"TestRecord","namespace":"com.bakdata.kafka",'
+    '"fields":[{"name":"id","type":"int"}]}'
 )
 
 
@@ -1327,6 +1336,143 @@ def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_deadletter.topic").alias("origin_topic"),
         F.col("value_deadletter.offset").alias("origin_offset"),
         F.unix_millis(F.col("value_deadletter.input_timestamp")).alias("input_ts_ms"),
+    )
+
+
+@_register(
+    "s2_avro_key",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN '{"id":' || CAST(event_id % 97 AS VARCHAR) || '}'
+                ELSE 'k' || CAST(event_id AS VARCHAR) END AS key,
+           (event_id % 2 = 0) AS key_was_avro
+    FROM events
+    WHERE event_id < 30000
+    """,
+)
+def s2_avro_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 brute-force decode of record KEYS over real Confluent-framed
+    wire bytes — the reference applies BruteForceSerde as the key serde
+    too (DeadLetterAnalyzerTopology.java:102-105) and ``shouldReadAvroKey``
+    (DeadLetterAnalyzerTopologyTest.java:636-675) pins the observable:
+    an Avro-encoded key surfaces as its JSON rendering (``{"id":1}``).
+
+    Even event_ids carry a framed TestRecord{id=event_id%97} key (schema
+    id 7, resolved via the registry map); odd ids carry plain text keys.
+    The oracle recomputes the exact JSON rendering from `events`, so a
+    framing, varint, or rendering defect flips this red.
+
+    Scale note: same boundedness contract as s2_avro_wire — the Python
+    codec tier is exercised on a fixed slice; the JVM-side frame
+    prefilter keeps every non-framed key out of the Arrow round trip,
+    and with the spark-avro jar the dispatch lowers to a codegen'd
+    from_avro when-chain."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 30000
+    )
+    enc = avro_wire_encode_generic_udf(_TEST_RECORD_SCHEMA, 7)
+    rec_json = F.concat(
+        F.lit('{"id":'), (F.col("event_id") % 97).cast("string"), F.lit("}")
+    )
+    key = F.when(F.col("event_id") % 2 == 0, enc(rec_json)).otherwise(
+        F.encode(F.concat(F.lit("k"), F.col("event_id").cast("string")), "UTF-8")
+    )
+    kafka_shaped = events.select(
+        key.alias("key"),
+        F.encode(F.col("props"), "UTF-8").alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit("events-dead-letters").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(
+        kafka_shaped, use_avro="python",
+        registry={7: _TEST_RECORD_SCHEMA},
+    )
+    return decoded.select(
+        F.col("offset").alias("event_id"),
+        F.col("key"),
+        F.col("key").startswith('{"id":').alias("key_was_avro"),
+    )
+
+
+@_register(
+    "s2_avro_multischema",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN 'deadletter'
+                WHEN event_id % 3 = 1 THEN 'record_json'
+                ELSE 'text' END AS tier,
+           (event_id % 3 = 0) AS is_dead_letter,
+           CASE WHEN event_id % 3 = 0
+                THEN 'Error in ' || event_type END AS description,
+           CASE WHEN event_id % 3 = 1
+                THEN '{"id":' || CAST(event_id % 97 AS VARCHAR) || '}'
+                WHEN event_id % 3 = 2 THEN props END AS rendered_value
+    FROM events
+    WHERE event_id < 30000
+    """,
+)
+def s2_avro_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Avro tier with Schema-Registry MULTI-SCHEMA semantics: two
+    writer schemas are live on the same stream — DeadLetter (id 1) and
+    TestRecord (id 7) — plus raw text. A framed NON-DeadLetter value must
+    not poison the cascade: it JSON-renders into ``value_text`` (so it
+    surfaces as ``input_value`` through the header dialects, exactly the
+    reference's ``{"id":0}``, DeadLetterAnalyzerTopologyTest.java:409),
+    while DeadLetter-framed values keep decoding into the struct tier.
+
+    tier classification in the output is derived from the DECODE RESULT
+    (struct hit / JSON render / raw text), not the input mod — so a
+    dispatch defect (wrong schema for an id, fallthrough to the wrong
+    tier) flips the oracle red."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 30000
+    )
+    enc_dl = avro_wire_encode_udf()
+    enc_tr = avro_wire_encode_generic_udf(_TEST_RECORD_SCHEMA, 7)
+    dl_json = F.to_json(
+        F.struct(
+            F.concat(F.lit("Error in "), F.col("event_type")).alias("description"),
+            F.struct(
+                F.lit("java.lang.RuntimeException").alias("error_class")
+            ).alias("cause"),
+        )
+    )
+    tr_json = F.concat(
+        F.lit('{"id":'), (F.col("event_id") % 97).cast("string"), F.lit("}")
+    )
+    val = (
+        F.when(F.col("event_id") % 3 == 0, enc_dl(dl_json))
+        .when(F.col("event_id") % 3 == 1, enc_tr(tr_json))
+        .otherwise(F.encode(F.col("props"), "UTF-8"))
+    )
+    kafka_shaped = events.select(
+        F.encode(F.col("event_id").cast("string"), "UTF-8").alias("key"),
+        val.alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit("events-dead-letters").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(
+        kafka_shaped, use_avro="python",
+        registry={7: _TEST_RECORD_SCHEMA},
+    )
+    is_dl = F.col("value_deadletter").isNotNull()
+    is_rec_json = F.col("value_text").startswith('{"id":')
+    return decoded.select(
+        F.col("offset").alias("event_id"),
+        F.when(is_dl, "deadletter")
+        .when(is_rec_json, "record_json")
+        .otherwise("text")
+        .alias("tier"),
+        is_dl.alias("is_dead_letter"),
+        F.col("value_deadletter.description").alias("description"),
+        F.when(~is_dl, F.col("value_text")).alias("rendered_value"),
     )
 
 
@@ -2949,8 +3095,8 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN c.cnt END) AS BIGINT) AS p90_cnt,
            CAST(min(CASE WHEN c.cum_keys >= (99 * t.distinct_keys + 99) // 100
                          THEN c.cnt END) AS BIGINT) AS p99_cnt,
-           CAST(t.max_cnt * t.distinct_keys * 1000000 / t.total_rows
-                AS BIGINT) AS skew_ratio_ppm
+           CAST(CAST(t.max_cnt AS HUGEINT) * t.distinct_keys * 1000000
+                // t.total_rows AS BIGINT) AS skew_ratio_ppm
     FROM cum c CROSS JOIN tot t
     GROUP BY 1, 2, 3
     """,

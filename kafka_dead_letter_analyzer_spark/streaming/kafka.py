@@ -67,44 +67,131 @@ def _avro_usable(spark: SparkSession) -> bool:
         return False
 
 
-def _python_avro_to_json_udf():
-    """Arrow-batched decoder for the fallback Avro tier: Confluent-framed
-    DeadLetter Avro bytes -> JSON string of the record (None on anything
-    that isn't a well-formed framed DeadLetter — the cascade contract: a
-    miss is null, never an exception). Emitting JSON instead of a nested
-    struct keeps struct assembly, nullability, and timestamp parsing in
-    the same JVM ``from_json(DEAD_LETTER)`` machinery the JSON tier uses."""
-    import json as _json
+def _iso_millis(ms: int) -> str:
     from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ms // 1000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms % 1000:03d}+00:00"
+
+
+def _normalize_registry(registry) -> dict[int, dict]:
+    """schema-id -> writer schema, accepting JSON text or parsed dicts.
+
+    This is the engine's stand-in for the reference's Schema-Registry
+    *lookup* (BruteForceSerde resolves the writer schema named by the
+    4-byte id in the Confluent frame; README.md:35). The registry
+    SERVICE is a declared non-goal (SURVEY.md §7.5) — the map reproduces
+    the observable semantics: any registered writer schema decodes and
+    JSON-renders, ids the map doesn't know fall back to attempting the
+    DeadLetter schema (the analyzer's primary input type), and a decode
+    miss falls through the cascade."""
+    import json as _json
+
+    out = {}
+    for k, v in (registry or {}).items():
+        out[int(k)] = _json.loads(v) if isinstance(v, str) else v
+    return out
+
+
+def brute_force_json_udf(registry: dict | None = None):
+    """Arrow-batched brute-force Avro tier: Confluent-framed bytes ->
+    compact JSON text of the decoded record (None on any miss — the
+    cascade contract: a miss is null, never an exception).
+
+    Reference parity: BruteForceSerde + ``ErrorUtil.toString`` render an
+    Avro record as JSON — asserted ``{"id":1}`` for an Avro KEY at
+    DeadLetterAnalyzerTopologyTest.java:636-675 and ``{"id":0}`` for a
+    non-DeadLetter Avro VALUE at :409. Compact separators match Avro's
+    record JSON rendering. ``timestamp-millis`` fields are ISO-rendered
+    so the same text feeds JVM ``from_json(DEAD_LETTER)`` (timestamp
+    parsing stays JVM-side) — one UDF output serves both the struct tier
+    and the P5 stringification.
+
+    Scale: callers prefilter JVM-side (magic byte + length) so only
+    framed bytes cross the Arrow boundary; with the spark-avro jar the
+    same dispatch is expressible as a codegen'd when-chain of
+    ``from_avro``+``to_json`` branches keyed on the frame's schema id."""
+    import json as _json
 
     from kafka_dead_letter_analyzer_spark.functions import avro_codec
 
-    schema = _json.loads(avro_codec.dead_letter_avro_schema())
+    reg = _normalize_registry(registry)
+    dl_schema = _json.loads(avro_codec.dead_letter_avro_schema())
 
-    def _iso_millis(ms: int) -> str:
-        dt = datetime.fromtimestamp(ms // 1000, tz=timezone.utc)
-        return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms % 1000:03d}+00:00"
+    def _render(value, schema):
+        if isinstance(schema, list):  # union: render by the value's branch
+            if value is None:
+                return None
+            branch = next(
+                s for s in schema
+                if (s if isinstance(s, str) else s.get("type")) != "null"
+            )
+            return _render(value, branch)
+        if isinstance(schema, dict):
+            t = schema["type"]
+            if t == "record":
+                return {
+                    f["name"]: _render(value[f["name"]], f["type"])
+                    for f in schema["fields"]
+                }
+            if t == "long" and schema.get("logicalType") == "timestamp-millis":
+                return None if value is None else _iso_millis(value)
+        return value
 
     @F.pandas_udf("string")
     def decode(values: pd.Series) -> pd.Series:
         out = []
         for v in values:
-            rec = None
+            s = None
             if v is not None:
                 try:
                     framed = avro_codec.confluent_unframe(bytes(v))
                     if framed is not None:
-                        rec = avro_codec.decode_bytes(framed[1], schema)
-                        if rec.get("input_timestamp") is not None:
-                            rec["input_timestamp"] = _iso_millis(
-                                rec["input_timestamp"]
-                            )
+                        schema_id, payload = framed
+                        schema = reg.get(schema_id, dl_schema)
+                        rec = avro_codec.decode_bytes(payload, schema)
+                        s = _json.dumps(
+                            _render(rec, schema), separators=(",", ":")
+                        )
                 except Exception:
-                    rec = None
-            out.append(None if rec is None else _json.dumps(rec))
+                    s = None
+            out.append(s)
         return pd.Series(out, dtype=object)
 
     return decode
+
+
+def avro_wire_encode_generic_udf(schema_json: str, schema_id: int):
+    """Arrow-batched ENCODER for an arbitrary registered writer schema
+    (fixtures for the multi-schema tier — e.g. the reference e2e's
+    ``TestRecord`` keys/values): JSON rendering of a record ->
+    Confluent-framed Avro binary under ``schema_id``. Null in -> null
+    out; an unencodable record yields NULL, never a task failure."""
+    import json as _json
+
+    from kafka_dead_letter_analyzer_spark.functions import avro_codec
+
+    schema = _json.loads(schema_json)
+
+    @F.pandas_udf("binary")
+    def encode(js: pd.Series) -> pd.Series:
+        out = []
+        for v in js:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    avro_codec.confluent_frame(
+                        avro_codec.encode_bytes(_json.loads(v), schema),
+                        schema_id,
+                    )
+                )
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return encode
 
 
 def avro_wire_encode_udf():
@@ -162,8 +249,19 @@ def _is_dead_letter(parsed: Column) -> Column:
     ].isNotNull()
 
 
+def _is_framed(col_name: str) -> Column:
+    """JVM-side Confluent-frame prefilter (magic 0x00 + 4-byte schema id):
+    only framed bytes may enter an Arrow->Python decode round trip."""
+    return (F.length(col_name) > 5) & (
+        F.expr(f"substring({col_name}, 1, 1)") == F.lit(bytes([0]))
+    )
+
+
 def decode_kafka_records(
-    kafka_df: DataFrame, *, use_avro: bool | str | None = None
+    kafka_df: DataFrame,
+    *,
+    use_avro: bool | str | None = None,
+    registry: dict | None = None,
 ) -> DataFrame:
     """Kafka source rows -> RAW_ENVELOPE (S2 brute-force cascade).
 
@@ -171,17 +269,32 @@ def decode_kafka_records(
     value binary, headers array<struct<key:string,value:binary>>, topic,
     partition, offset, timestamp``.
 
-    Cascade per record (each attempt null on miss, never throwing):
-    1. Confluent-wire Avro — magic byte 0x00 + 4-byte schema id + payload.
-       ``use_avro`` selects the tier implementation: ``True`` = JVM
-       ``from_avro`` (spark-avro package; ``substring(value, 6)`` framing),
-       ``"python"`` = the engine's Arrow-batched codec fallback
-       (functions/avro_codec.py), ``None`` = auto (JVM if loadable, else
-       the Python fallback — the cascade is always complete), ``False`` =
-       tier off (fixtures whose values are never Avro skip the UDF cost).
-    2. JSON object matching the DeadLetter shape (permissive ``from_json``).
-    3. Raw UTF-8 text — always populated as ``value_text`` for parsers and
-       ``input_value`` stringification (P5).
+    VALUE cascade per record (each attempt null on miss, never throwing):
+    1. Confluent-wire Avro. ``use_avro`` selects the tier implementation:
+       ``True`` = JVM ``from_avro`` (spark-avro package; ``substring(
+       value, 6)`` framing), ``"python"`` = the engine's Arrow-batched
+       codec fallback (functions/avro_codec.py), ``None`` = auto (JVM if
+       loadable, else the Python fallback — the cascade is always
+       complete), ``False`` = tier off (fixtures whose records are never
+       Avro skip the UDF cost).
+       ``registry`` (schema-id -> writer schema JSON) adds multi-schema
+       Schema-Registry semantics: a framed value whose id maps to a
+       NON-DeadLetter schema still JSON-renders into ``value_text`` — so
+       it surfaces as ``input_value`` through the header dialects exactly
+       like the reference's ``{"id":0}``
+       (DeadLetterAnalyzerTopologyTest.java:409). Unknown ids attempt the
+       DeadLetter schema (the analyzer's primary input type).
+    2. JSON object matching the DeadLetter shape (permissive
+       ``from_json``).
+    3. Raw UTF-8 text — ``value_text`` is the Avro tier's JSON rendering
+       when it hit, else the raw text (P5 stringification source).
+
+    KEY cascade: the reference applies BruteForceSerde to keys too
+    (DeadLetterAnalyzerTopology.java:102-105) — ``shouldReadAvroKey``
+    (DeadLetterAnalyzerTopologyTest.java:636-675) requires an
+    Avro-encoded key to surface as ``{"id":1}`` in context.key, K4, and
+    the example. Same tiers: framed Avro -> JSON render, else UTF-8 cast.
+    Off (plain cast) when ``use_avro=False``.
     """
     if use_avro is None:
         use_avro = (
@@ -189,31 +302,26 @@ def decode_kafka_records(
         )
 
     value_text = F.col("value").cast("string")
-    # Two-step projection: each parse attempt is materialized ONCE in its
+    # Staged projections: each parse attempt is materialized ONCE in its
     # own Project; the validity predicate references it 3x and the value a
     # 4th time — inlined, the parse would re-run per reference
     # (subexpression elimination skips conditional branches).
     parse_cols = {"_json": F.from_json(value_text, DEAD_LETTER)}
+    if use_avro:
+        # One decoder UDF serves both columns; the JVM prefilter keeps
+        # every non-framed key/value out of the Arrow round trip.
+        decode = brute_force_json_udf(registry)
+        parse_cols["_key_json"] = decode(F.when(_is_framed("key"), F.col("key")))
     if use_avro == "python":
-        decode = _python_avro_to_json_udf()
-        # same JVM-side prefilter as the from_avro branch: only
-        # Confluent-framed values (0x00 magic + schema id) enter the
-        # Arrow->Python round trip; everything else nulls out at the scan
-        is_wire_py = (F.length("value") > 5) & (
-            F.expr("substring(value, 1, 1)") == F.lit(bytes([0]))
-        )
-        parse_cols["_avro"] = F.from_json(
-            decode(F.when(is_wire_py, F.col("value"))), DEAD_LETTER
+        parse_cols["_avro_json"] = decode(
+            F.when(_is_framed("value"), F.col("value"))
         )
     elif use_avro:
         from pyspark.sql.avro.functions import from_avro
 
         wire_payload = F.expr("substring(value, 6, length(value) - 5)")
-        is_wire = (F.length("value") > 5) & (
-            F.expr("substring(value, 1, 1)") == F.lit(bytes([0]))
-        )
         parse_cols["_avro"] = from_avro(
-            F.when(is_wire, wire_payload),
+            F.when(_is_framed("value"), wire_payload),
             _dead_letter_avro_schema(),
             {"mode": "PERMISSIVE"},
         )
@@ -223,9 +331,21 @@ def decode_kafka_records(
         value_text.alias("value_text"),
         *[c.alias(name) for name, c in parse_cols.items()],
     )
+    if use_avro == "python":
+        # struct-ify the Avro tier's JSON in its own Project (referenced
+        # 4x downstream), and fold the rendering into the text tier
+        parsed = parsed.withColumn(
+            "_avro", F.from_json(F.col("_avro_json"), DEAD_LETTER)
+        ).withColumn(
+            "value_text", F.coalesce(F.col("_avro_json"), F.col("value_text"))
+        )
+
     attempts = []
     if use_avro:
         attempts.append(F.when(_is_dead_letter(F.col("_avro")), F.col("_avro")))
+        key_out = F.coalesce(F.col("_key_json"), F.col("key").cast("string"))
+    else:
+        key_out = F.col("key").cast("string")
     attempts.append(F.when(_is_dead_letter(F.col("_json")), F.col("_json")))
 
     return parsed.select(
@@ -233,7 +353,7 @@ def decode_kafka_records(
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
         F.col("timestamp"),
-        F.col("key").cast("string").alias("key"),
+        key_out.alias("key"),
         F.coalesce(*attempts).alias("value_deadletter"),
         F.col("value_text"),
         F.col("headers"),

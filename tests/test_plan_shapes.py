@@ -533,7 +533,9 @@ def test_key_skew_percentiles_never_sort_the_key_table(spark, Q):
     assert len(re.findall(r"\(\d+\) Sort", s)) == 1, s
     # per-key count and histogram both partial-aggregate before shuffling
     assert len(re.findall(r"\(\d+\) HashAggregate", s)) >= 4, s
-    assert "Cartesian" not in s.replace("BroadcastNestedLoopJoin", "") or True
+    # the totals cross join must lower to BroadcastNestedLoopJoin (1-row
+    # broadcast side), never a CartesianProduct shuffle
+    assert "CartesianProduct" not in s, s
     # the 1-row totals side joins broadcast — never a shuffle join
     assert "SortMergeJoin" not in s, s
 

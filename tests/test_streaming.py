@@ -480,12 +480,28 @@ def test_claim_check_roundtrip(spark, tmp_path):
     assert restored == {1: "small", 2: big, 3: None}
 
 
-def test_structured_key_stringified_through_topology(spark):
+TEST_RECORD_SCHEMA = json.dumps({
+    "type": "record",
+    "name": "TestRecord",
+    "namespace": "com.bakdata.kafka",
+    "fields": [{"name": "id", "type": "int"}],
+})
+
+
+def test_avro_wire_key_decoded_through_topology(spark):
     """Mirror of the reference's shouldReadAvroKey e2e
-    (DeadLetterAnalyzerTopologyTest.java:636-675): a structured record key
-    arrives as bytes, is stringified at decode (P5), flows into
-    context.key on the main output AND into the example — all three
-    outputs keyed consistently; no dead letters produced."""
+    (DeadLetterAnalyzerTopologyTest.java:636-675): the record KEY arrives
+    as Confluent-framed Avro WIRE bytes (TestRecord{id=1}, schema id 7 in
+    the registry map), is brute-force decoded at S2 exactly like values
+    (BruteForceSerde is the key serde too,
+    DeadLetterAnalyzerTopology.java:102-105), and surfaces as the JSON
+    rendering ``{"id":1}`` in context.key on the main output AND in the
+    example — all three outputs keyed consistently; no dead letters."""
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        confluent_frame,
+        encode_bytes,
+    )
+
     dl = FX.dead_letter_value(
         input_value="foo",
         description="description",
@@ -495,11 +511,16 @@ def test_structured_key_stringified_through_topology(spark):
             "\tat org.jdbi.v3.core.Jdbi.open(Jdbi.java:319)\n"
         ),
     )
+    wire_key = confluent_frame(
+        encode_bytes({"id": 1}, json.loads(TEST_RECORD_SCHEMA)), 7
+    )
     df = spark.createDataFrame(
-        [_kafka_row(json.dumps(dl).encode(), key=b'{"id":1}')],
+        [_kafka_row(json.dumps(dl).encode(), key=wire_key)],
         schema=KAFKA_SHAPE,
     )
-    out = build_topology(decode_kafka_records(df, use_avro=False))
+    out = build_topology(decode_kafka_records(
+        df, use_avro="python", registry={7: TEST_RECORD_SCHEMA}
+    ))
 
     [full] = out.full_dead_letters.collect()
     assert full["kafka_key"] == "my-dead-letters+0+0"
@@ -512,6 +533,95 @@ def test_structured_key_stringified_through_topology(spark):
     )
     [example] = out.error_examples.collect()
     assert example["example"]["key"] == '{"id":1}'
+    assert out.error_topic.count() == 0
+
+
+def test_key_cascade_tiers(spark):
+    """Key brute-force tiers: framed+registered -> JSON render;
+    framed+unknown-id -> DeadLetter-schema attempt, miss -> UTF-8 cast;
+    plain text key -> cast; null key -> null."""
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        confluent_frame,
+        encode_bytes,
+    )
+
+    wire = confluent_frame(
+        encode_bytes({"id": 42}, json.loads(TEST_RECORD_SCHEMA)), 7
+    )
+    unknown = confluent_frame(
+        encode_bytes({"id": 9}, json.loads(TEST_RECORD_SCHEMA)), 99
+    )
+    dl = json.dumps(FX.dead_letter_value()).encode()
+    rows = [
+        _kafka_row(dl, offset=0, key=wire),
+        _kafka_row(dl, offset=1, key=unknown),
+        _kafka_row(dl, offset=2, key=b"plain-key"),
+        _kafka_row(dl, offset=3, key=None),
+    ]
+    out = decode_kafka_records(
+        spark.createDataFrame(rows, schema=KAFKA_SHAPE),
+        use_avro="python",
+        registry={7: TEST_RECORD_SCHEMA},
+    )
+    keys = {r["offset"]: r["key"] for r in out.collect()}
+    assert keys[0] == '{"id":42}'
+    # id 99 unresolvable -> DeadLetter-schema attempt fails on the 2-byte
+    # payload -> text tier (lossy cast, matching BruteForceSerde's
+    # string/bytes fallback): no JSON render
+    assert keys[1] is not None and not keys[1].startswith("{")
+    assert keys[2] == "plain-key"
+    assert keys[3] is None
+
+
+def test_multischema_avro_value_renders_into_input_value(spark):
+    """Mirror of shouldProcessConnectErrors
+    (DeadLetterAnalyzerTopologyTest.java:385-440): a NON-DeadLetter Avro
+    VALUE (TestRecord{id=0}, resolved via the registry map) arriving on a
+    Connect DLQ with error headers must JSON-render as ``{"id":0}`` into
+    the normalized dead letter's input_value — the Schema-Registry
+    semantics of the reference's Avro tier (README.md:35)."""
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        confluent_frame,
+        encode_bytes,
+    )
+    from kafka_dead_letter_analyzer_spark.functions import headers as CH
+
+    stack = (
+        "org.jdbi.v3.core.ConnectionException: x\n"
+        "\tat org.jdbi.v3.core.Jdbi.open(Jdbi.java:319)\n"
+    )
+    headers = [
+        (CH.CONNECT_ORIG_PARTITION, b"1"),
+        (CH.CONNECT_ORIG_TOPIC, b"my-topic"),
+        (CH.CONNECT_ORIG_OFFSET, b"10"),
+        (CH.CONNECT_STAGE, b"VALUE_CONVERTER"),
+        (CH.CONNECT_EXECUTING_CLASS,
+         b"org.apache.kafka.connect.json.JsonConverter"),
+        (CH.CONNECT_EXCEPTION, b"org.apache.kafka.connect.errors.DataException"),
+        (CH.CONNECT_TASK_ID, b"2"),
+        (CH.CONNECT_CONNECTOR_NAME, b"my-connector"),
+        (CH.CONNECT_EXCEPTION_MESSAGE, b"my message"),
+        (CH.CONNECT_EXCEPTION_STACK_TRACE, stack.encode()),
+    ]
+    wire_value = confluent_frame(
+        encode_bytes({"id": 0}, json.loads(TEST_RECORD_SCHEMA)), 7
+    )
+    row = (
+        b"key", wire_value, headers, "my-connect-dead-letter-topic",
+        0, 0, dt.datetime(2024, 1, 1, tzinfo=UTC),
+    )
+    out = build_topology(decode_kafka_records(
+        spark.createDataFrame([row], schema=KAFKA_SHAPE),
+        use_avro="python",
+        registry={7: TEST_RECORD_SCHEMA},
+    ))
+    [full] = out.full_dead_letters.collect()
+    assert full["dead_letter"]["input_value"] == '{"id":0}'
+    assert full["dead_letter"]["description"] == (
+        "Error in stage VALUE_CONVERTER "
+        "(org.apache.kafka.connect.json.JsonConverter) in my-connector[2]"
+    )
+    assert full["key"] == "key"
     assert out.error_topic.count() == 0
 
 
