@@ -132,20 +132,24 @@ def connected_components(
     )
 
     if driver_pair_limit is not None:
-        # count() also materializes the persist the iterative path needs,
-        # so the probe costs one upstream pass either way
-        n_edges = edges.count()
-        if n_edges <= 2 * driver_pair_limit:
+        # ONE bounded action decides the strategy AND delivers the data:
+        # limit(cap+1) short-circuits over the deduped edges, so the
+        # bounded case pays a single job instead of the count()+collect()
+        # pair (the count probe re-ran the whole candidate pipeline as a
+        # separate job — measured as the r3 CC exec regression). The
+        # upstream shuffle still runs exactly once either way; an
+        # over-limit probe leaves the persist primed for the hops below.
+        cap = 2 * driver_pair_limit
+        head = edges.limit(cap + 1).collect()
+        if len(head) <= cap:
             spark = pairs.sparkSession
             from pyspark.sql import types as T
 
             id_type = pairs.schema[src].dataType
-            # collect, not toLocalIterator: the set is bounded by contract
-            # and toLocalIterator schedules one sequential job PER
-            # PARTITION (measured 10x slower on 32 partitions)
-            labels = _driver_union_find(
-                (r["s"], r["d"]) for r in edges.collect()
-            )
+            # collected eagerly, not toLocalIterator: the set is bounded
+            # by contract and toLocalIterator schedules one sequential
+            # job PER PARTITION (measured 10x slower on 32 partitions)
+            labels = _driver_union_find((r["s"], r["d"]) for r in head)
             edges.unpersist()
             schema = T.StructType(
                 [
@@ -153,7 +157,14 @@ def connected_components(
                     T.StructField("component", id_type, False),
                 ]
             )
-            return spark.createDataFrame(labels, schema)
+            # Arrow-backed localization: createDataFrame on a plain list
+            # re-pickles row-by-row into 32 parallelize tasks on EVERY
+            # re-execution of the returned plan (measured 0.35 s for 477
+            # labels); one Arrow batch re-forces in ~0.04 s.
+            import pandas as pd
+
+            pdf = pd.DataFrame(labels or [], columns=["id", "component"])
+            return spark.createDataFrame(pdf, schema)
 
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "lab", F.col("id")
