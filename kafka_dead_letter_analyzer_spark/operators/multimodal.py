@@ -69,12 +69,71 @@ def fake_decoder(payload: bytes | None) -> dict[str, Any]:
 
 
 def strict_decoder(payload: bytes | None) -> dict[str, Any]:
-    """The real-codec integration point — intentionally unimplemented here
-    (no image/audio libraries in this container)."""
+    """The full-codec integration point — intentionally unimplemented here
+    (no image/audio libraries in this container). For a REAL decoder that
+    runs with zero dependencies, see :func:`header_decoder` — it proves
+    the injection path end-to-end on genuine container bytes."""
     raise NotImplementedError(
         "real media decoding requires codec libraries (PIL/ffmpeg/torchaudio); "
         "inject a decoder via extract_media_features(decoder=...)"
     )
+
+
+def header_decoder(payload: bytes | None) -> dict[str, Any]:
+    """REAL pure-Python container-header decode — no codec libraries
+    needed, so the ``decoder=`` injection point is exercised with genuine
+    parsing (not the byte-statistics fake).
+
+    - PNG: signature + IHDR chunk -> ``feature = [width, height,
+      bit_depth]`` (PNG spec: 8-byte signature, IHDR is the first chunk;
+      width/height big-endian u32 at offsets 16/20, depth at 24).
+    - WAV: RIFF/WAVE + fmt chunk -> ``feature = [sample_rate, channels,
+      duration_ms]`` (RIFF little-endian; chunks walked from offset 12).
+
+    Anything else raises — this decoder is strict by design; feed it only
+    payloads whose meta says png/wav, or wrap it for fallbacks."""
+    if payload is None:
+        return {"n_bytes": None, "feature": None}
+    b = bytes(payload)
+    n = len(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: IHDR not first chunk")
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        depth = b[24]
+        return {"n_bytes": n, "feature": [float(width), float(height), float(depth)]}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        data_size = None
+        while pos + 8 <= n:
+            cid = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            if cid == b"fmt ":
+                fmt = b[pos + 8:pos + 8 + size]
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or len(fmt) < 16:
+            raise ValueError("malformed WAV: no fmt chunk")
+        channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        byte_rate = int.from_bytes(fmt[8:12], "little")
+        duration_ms = (
+            (data_size * 1000) // byte_rate
+            if data_size is not None and byte_rate
+            else None
+        )
+        return {
+            "n_bytes": n,
+            "feature": [
+                float(sample_rate),
+                float(channels),
+                float(duration_ms) if duration_ms is not None else -1.0,
+            ],
+        }
+    raise ValueError("unsupported container (expected PNG or WAV)")
 
 
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1184,6 +1184,20 @@ def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_topk_join(embs, embs, k=3, planes=0)
 
 
+@_register("x_knn_join_bucketed", _KNN_JOIN_SQL)
+def x_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED k-NN join path (planes>0) under a full oracle: the
+    probe-all configuration replicates the right side into all 2^planes
+    buckets, so the real scale machinery — per-row LSH bucket
+    assignment, 8-group cogroup shuffle, per-bucket chunked matmul —
+    runs end-to-end yet must reproduce exact brute-force kNN
+    bit-for-bit (same oracle as x_knn_join). Production uses
+    probe_all=False where candidates stay bucket-local; recall of that
+    configuration is pinned separately in tests."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_topk_join(embs, embs, k=3, planes=3, probe_all=True)
+
+
 # ===========================================================================
 # Full-machinery queries: the remaining SURVEY.md §2 operators exercised
 # end-to-end (decode cascade S2, parser+error-split P1/E1/E2, the complete
