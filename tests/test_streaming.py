@@ -452,6 +452,84 @@ def test_first_example_state_survives_restart(spark, tmp_path, ts):
     assert len(collected) == 1
 
 
+def test_error_feedback_loop_via_file_broker_standin(spark, tmp_path):
+    """File-backed stand-in for the broker E3 loop e2e (the real-broker
+    variant stays env-gated in test_kafka_integration.py): the error-topic
+    sink writes KAFKA-SHAPED records back into the watched source
+    directory — exactly the role the broker's pattern subscription plays
+    (README.md:47-48) — and the stream drains to the fixpoint. A
+    null-stack-trace DeadLetter fails analysis (N1 -> E2), re-enters
+    through the loop as a bare DeadLetter value, decodes via the S2
+    cascade, and analyzes cleanly on the second hop: one full output, no
+    third-generation error records."""
+    from kafka_dead_letter_analyzer_spark.streaming import (
+        build_streaming_topology,
+        kafka_sink_projection,
+    )
+
+    src = str(tmp_path / "broker")
+    fixed_ts = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=UTC)
+
+    def as_kafka_rows(df):
+        """key/value strings -> the Kafka source's fixed shape, with the
+        metadata the broker would assign."""
+        return kafka_sink_projection(df).select(
+            F.encode("key", "UTF-8").alias("key"),
+            F.encode("value", "UTF-8").alias("value"),
+            F.lit(None).cast(
+                "array<struct<key:string,value:binary>>"
+            ).alias("headers"),
+            F.lit("loop-dead-letters").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.lit(fixed_ts).alias("timestamp"),
+        )
+
+    # "produce" the poisoned record (analysis will fail on it)
+    dl = FX.dead_letter_value(stack_trace=None)
+    spark.createDataFrame(
+        [_kafka_row(json.dumps(dl).encode(), topic="loop-dead-letters",
+                    key=b"bad")],
+        schema=KAFKA_SHAPE,
+    ).write.mode("append").parquet(src)
+
+    raw = spark.readStream.schema(KAFKA_SHAPE).parquet(src)
+    topo = build_streaming_topology(decode_kafka_records(raw, use_avro=False))
+
+    def write_back(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        as_kafka_rows(batch_df).write.mode("append").parquet(src)
+
+    q_err = (
+        topo.error_topic.writeStream.foreachBatch(write_back)
+        .option("checkpointLocation", str(tmp_path / "ckpt-err"))
+        .start()
+    )
+    q_full = (
+        topo.full_dead_letters.writeStream.format("memory")
+        .queryName("loop_full_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-full"))
+        .start()
+    )
+    try:
+        q_err.processAllAvailable()   # hop 1: failure -> error topic -> dir
+        q_err.processAllAvailable()   # hop 2: re-entered record analyzes OK
+        q_full.processAllAvailable()
+    finally:
+        q_err.stop()
+        q_full.stop()
+
+    # fixpoint: original + exactly one loop record, no third generation
+    stored = spark.read.schema(KAFKA_SHAPE).parquet(src)
+    assert stored.count() == 2
+    [full] = spark.table("loop_full_sink").collect()
+    assert full["dead_letter"]["description"] == "Error analyzing dead letter"
+    assert full["type"] == "java.util.NoSuchElementException"
+    assert full["topic"] == "loop-dead-letters"
+
+
 def test_claim_check_roundtrip(spark, tmp_path):
     """Large values detour through the blob store and resolve back;
     small values pass through inline; rewrite is idempotent."""
