@@ -678,3 +678,162 @@ def compression_signal(
             )
 
     return docs.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative token statistics (round 4): rarity scoring, diversity,
+# boilerplate-prefix clustering, bigram memorization risk. All-integer
+# surfaces (ppm / DIV) per the cross-engine determinism rules.
+# ---------------------------------------------------------------------------
+
+
+def rare_token_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rarity (surprisal-proxy) score per document: for each token
+    occurrence, the integer ``corpus_total_tokens DIV corpus_token_freq``
+    (a rare token contributes ~corpus_size, a stopword ~1/stopword-rate),
+    summed per doc. The frequency-weighted analogue of quality scoring —
+    the CCNet/Gopher-style "rare-token density" signal with no floats.
+
+    Plan shape (scale): ONE token-explosion scan. Token frequency is a
+    WINDOW over the (doc, token) count contraction — a freq-JOIN-dt
+    formulation makes Catalyst duplicate the whole exploded-token subtree
+    per reference (verified: three parquet scans, three Generates). The
+    corpus total comes from a separate explode-free scalar scan
+    (sum of size(tokens) — no Generate) broadcast as one row. Net: one
+    Generate, shuffles only on (doc,token) and token."""
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    dt = (
+        docs.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dtf = dt.withColumn(
+        "freq", F.sum("c").over(Window.partitionBy("tok")).cast("bigint")
+    )
+    total = docs.select(
+        F.size(_tokens(F.col(text_col))).alias("_n")
+    ).agg(F.sum("_n").cast("bigint").alias("total"))
+    return (
+        dtf.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("c * (total DIV freq)")).cast("bigint").alias("rarity_score"),
+        )
+    )
+
+
+def token_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-diversity ppm per document: distinct tokens * 1e6 DIV
+    total tokens — the cheap repetition signal (a looped doc scores low,
+    natural text ~0.5-0.9e6). Pure projection over the token array: no
+    explode, no shuffle — array_distinct/size run inside codegen, so this
+    streams through the scan at any corpus size."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("bigint") * 1_000_000).alias("_d6"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.expr("_d6 DIV n_tokens"))
+        .cast("bigint")
+        .alias("diversity_ppm"),
+    )
+
+
+def prefix_clusters(
+    docs: DataFrame,
+    prefix_tokens: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-prefix detection: cluster documents sharing their first
+    ``prefix_tokens`` tokens (site headers, license banners, template
+    intros — the classic shared-prefix boilerplate a crawl corpus carries).
+    Emits one row per cluster with >= ``min_docs`` members: the md5 of the
+    prefix, member count, and the smallest doc id as representative.
+
+    Scale: a single partial-agg shuffle keyed on a 32-char hash — the
+    prefix text itself never crosses the Exchange; docs shorter than the
+    prefix form their own exact-text clusters (still boilerplate if
+    repeated verbatim)."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+
+    toks = _tokens(F.col(text_col))
+    prefix = F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
+    return (
+        # blank docs are excluded — md5("") would weld every empty doc
+        # into one giant fake "cluster"
+        docs.select(F.col(id_col), F.size(toks).alias("_n"), F.md5(prefix).alias("prefix_hash"))
+        .filter(F.col("_n") > 0)
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def bigram_memorization_ppm(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Memorization-risk signal per document: the ppm of its DISTINCT
+    bigrams that also occur in at least ``min_docs - 1`` OTHER documents
+    — a doc whose n-grams are all corpus-common is low-risk to emit
+    verbatim; one full of unique bigrams is the memorization hazard
+    (Lee et al. dedup / Carlini memorization line of work, recast as a
+    per-doc audit).
+
+    Plan shape (scale): bigram document-frequency derives from a WINDOW
+    over the one (doc, bigram) distinct contraction — the
+    x_distinctive_terms lesson: a tf-join-df formulation makes Catalyst
+    duplicate the whole token-scan subtree; the window reuses the single
+    contraction, so one corpus scan, one (doc,bigram) shuffle, one
+    bigram-keyed window shuffle."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # per-doc dedup happens in the ARRAY (array_distinct) before the
+    # explode — a row-level .distinct() here would add a (doc, bg) shuffle
+    # for rows that are already unique
+    db = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(bigrams)).alias("bg"),
+    )
+    w = Window.partitionBy("bg")
+    dfed = db.withColumn("df", F.count(F.lit(1)).over(w))
+    return dfed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr(
+            f"CAST(sum(CASE WHEN df >= {int(min_docs)} THEN 1 ELSE 0 END) "
+            "* 1000000 DIV count(*) AS BIGINT)"
+        ).alias("shared_ppm"),
+    )

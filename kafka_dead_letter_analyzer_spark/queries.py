@@ -3914,6 +3914,109 @@ def x_typo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKS_CTE = r"""t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    )"""
+
+
+@_register(
+    "x_rare_token_score",
+    f"""
+    WITH {_TOKS_CTE},
+    dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    ),
+    freq AS (SELECT tok, CAST(sum(c) AS BIGINT) AS freq FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq)
+    SELECT dt.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * (total // freq)) AS BIGINT) AS rarity_score
+    FROM dt JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def x_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted rarity score per document (integer surprisal
+    proxy): each token occurrence contributes corpus_total DIV
+    token_freq. The quality signal that separates rare-vocabulary docs
+    from stopword soup without floats
+    (operators/text.py::rare_token_scores)."""
+    return TX.rare_token_scores(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x_token_diversity",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                          AS BIGINT) END AS diversity_ppm
+    FROM t
+    """,
+)
+def x_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-diversity ppm per doc — the cheap repetition signal; a
+    zero-shuffle pure projection (array_distinct/size in codegen)
+    (operators/text.py::token_diversity)."""
+    return TX.token_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x_prefix_clusters",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT md5(array_to_string(toks[1:5], ' ')) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS rep_doc_id
+    FROM t WHERE len(toks) > 0
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def x_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix clusters: docs sharing their first 5 tokens
+    (site headers / license banners / template intros), one partial-agg
+    shuffle on a 32-char hash — prefix text never crosses the Exchange
+    (operators/text.py::prefix_clusters)."""
+    return TX.prefix_clusters(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x_bigram_memorization",
+    f"""
+    WITH {_TOKS_CTE},
+    db AS (
+      SELECT DISTINCT doc_id, bg FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                           THEN [toks[i] || ' ' || toks[i+1]
+                                 for i in range(1, len(toks))]
+                           ELSE []::VARCHAR[] END) AS bg
+        FROM t)
+    ),
+    d AS (SELECT doc_id, bg, count(*) OVER (PARTITION BY bg) AS df FROM db)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS shared_ppm
+    FROM d GROUP BY 1
+    """,
+)
+def x_bigram_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk ppm per doc: share of its distinct bigrams seen
+    in >= 2 docs. Bigram document-frequency comes from a WINDOW over the
+    single (doc, bigram) contraction — one corpus scan (the
+    x_distinctive_terms anti-duplication lesson)
+    (operators/text.py::bigram_memorization_ppm)."""
+    return TX.bigram_memorization_ppm(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "x_split_contamination",
     f"""

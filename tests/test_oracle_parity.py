@@ -10,7 +10,10 @@ import os
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to the DRIVER'S gate scale (sf0.01): round 2's only red was a
+# type leak visible only above sf0.001, so the local replica must run
+# where the driver runs. Use the env to drop to sf0.001 for quick loops.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 import sys
 

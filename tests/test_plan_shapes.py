@@ -712,3 +712,57 @@ def test_weighted_quota_prunes_rank_before_exchange(spark, Q):
 
     s = plan_of(Q.x_weighted_quota(spark, SF))
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", s)) == 2, s
+
+
+def test_token_diversity_is_zero_shuffle_projection(spark, Q):
+    """x_token_diversity: array_distinct/size run inside the scan's
+    codegen — no Exchange anywhere; this must stream at any corpus
+    size."""
+    s = plan_of(Q.x_token_diversity(spark, SF))
+    assert "Exchange" not in s, s
+
+
+def test_prefix_clusters_shuffle_carries_hash_not_text(spark, Q):
+    """x_prefix_clusters: exactly one partial-agg Exchange keyed on the
+    32-char prefix hash; the document text must not cross it."""
+    import re
+
+    s = plan_of(Q.x_prefix_clusters(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
+    [block] = re.findall(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s)
+    input_line = next(l for l in block.splitlines() if l.startswith("Input"))
+    assert "text" not in input_line, block
+    # map-side combine below the exchange, final above
+    nodes = re.findall(r"\((\d+)\) (\w+)", s)
+    aggs = [int(i) for i, n in nodes if n == "HashAggregate"]
+    exch = [int(i) for i, n in nodes if n == "Exchange"]
+    assert min(aggs) < min(exch) < max(aggs), s
+
+
+def test_rare_token_score_single_token_scan(spark, Q):
+    """x_rare_token_score: token frequency and the per-doc counts both
+    derive from ONE exploded token scan (one Generate — the window-over-
+    contraction shape; a freq-join formulation duplicated the subtree
+    into three scans); the 1-row corpus total is a Generate-free scalar
+    scan joined broadcast. No SortMergeJoin anywhere."""
+    import re
+
+    s = plan_of(Q.x_rare_token_score(spark, SF))
+    assert len(re.findall(r"\(\d+\) Generate", s)) == 1, s
+    # detail-block headers count physical scans once each (the plain
+    # string appears again in the tree rendering)
+    assert len(re.findall(r"\(\d+\) Scan parquet", s)) == 2, s
+    assert "SortMergeJoin" not in s, s
+    assert "BroadcastNestedLoopJoin" in s, s  # the 1-row total cross join
+
+
+def test_bigram_memorization_single_scan_window_df(spark, Q):
+    """x_bigram_memorization: bigram document-frequency is a WINDOW over
+    the one (doc, bigram) contraction — exactly one Generate (no
+    duplicated token-scan subtree, the x_distinctive_terms lesson) and
+    no join at all."""
+    import re
+
+    s = plan_of(Q.x_bigram_memorization(spark, SF))
+    assert len(re.findall(r"\(\d+\) Generate", s)) == 1, s
+    assert "Join" not in s, s
