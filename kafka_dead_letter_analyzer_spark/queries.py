@@ -4076,3 +4076,383 @@ def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_ngrams"))
     )
+
+
+# ===========================================================================
+# Round-4 TPC-H completion: every remaining query expressible over the
+# driver's column subset (no partsupp table; no shipmode/commit/receipt
+# columns -> Q2/Q9/Q11/Q12/Q16/Q20 out of scope, Q21 re-expressed on the
+# return flag). With these the engine covers TPC-H
+# {1,3,4,5,6,7,8,10,13,14,15,17,18,19,21,22} shapes.
+# ===========================================================================
+
+_REV_E4_SQL = (
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))"
+    " * 10000 AS BIGINT)"
+)
+
+
+def _rev_e4() -> "F.Column":
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Plan: the nation pair predicate lands on two BROADCAST dim
+    joins (25-row nation twice under different aliases); lineitem is
+    scan-filtered on the date window before the fact-fact shuffles; year
+    extraction is codegen. The disjunctive nation-pair filter runs after
+    both broadcasts — only rows in the two-nation corridor reach the
+    final agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"))
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    f"""
+    WITH t AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN {_REV_E4_SQL} ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+             CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      GROUP BY 1
+    )
+    SELECT o_year, nation_rev_e4, total_rev_e4,
+           CAST(CAST(nation_rev_e4 AS HUGEINT) * 1000000 // total_rev_e4
+                AS BIGINT) AS share_ppm
+    FROM t
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's ppm share of PROMO-part revenue sold
+    into ASIA, by order year. One pass: the share is a conditional sum /
+    total sum inside a single aggregation (no self-join), with integer
+    DIV through a wide intermediate on both engines. Dims (nation x2,
+    region, part-filter) all broadcast; facts shuffle once per join
+    key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select("n_nationkey", "n_regionkey")
+    nation_rev = F.when(
+        F.col("supp_nation") == "NATION_3", _rev_e4()
+    ).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nation_rev).cast("bigint").alias("nation_rev_e4"),
+            F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            F.expr(
+                "CAST(CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000"
+                " DIV total_rev_e4 AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The revenue contraction is computed once and its 1-row max joins
+    back BROADCAST (the q18 HAVING-contraction pattern) — no re-scan of
+    lineitem for the subquery, no window over the full contraction. Ties
+    all surface (WHERE = max), ordered by supplier key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    # persist the contraction: it feeds both the join left side and the
+    # max subquery — unpersisted, Catalyst duplicates the subtree and
+    # scans lineitem twice (same persisted-base pattern as the minhash
+    # signatures; |suppliers| rows, spill-safe)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4")
+    ).persist()
+    mx = rev.agg(F.max("total_rev_e4").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_e4 == F.col("_mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive_filter",
+    f"""
+    SELECT CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. The
+    single-side conjuncts are derivable: Catalyst infers
+    quantity<=30 / brand IN (...) prefilters and pushes them INTO each
+    scan (pinned in test_plan_shapes), so the join sees only the union
+    envelope; the exact disjunction applies post-join. Part side
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "tpch_q21_blamed_suppliers",
+    """
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING count(DISTINCT l_suppkey) >= 2
+    ),
+    ret AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ret r1
+    JOIN multi m ON m.l_orderkey = r1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = r1.l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ret r2
+      WHERE r2.l_orderkey = r1.l_orderkey AND r2.l_suppkey <> r1.l_suppkey
+    )
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape re-expressed on the return flag (the driver's
+    lineitem has no commit/receipt dates): suppliers who were the SOLE
+    returned-from supplier on multi-supplier orders — exists(another
+    supplier) + not-exists(another returned supplier), the classic
+    semi+anti join pair. Plan: the per-order supplier-distinct
+    contraction computes both the multi-supplier set and the
+    sole-returner property in ONE pass (count + returned-count per
+    order), replacing the correlated subqueries — no per-row probes, two
+    hash shuffles total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # persisted: the (order, supplier) contraction feeds both the blamed
+    # filter and the per-order rollup — without it the lineitem scan and
+    # first aggregation run twice
+    per = (
+        li.select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("ret"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("ret").alias("ret"))
+        .persist()
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("ret").cast("int")).alias("n_ret"),
+    )
+    blamed = (
+        per.filter(F.col("ret"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH sel AS (
+      SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4)
+    ),
+    thresh AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM sel WHERE cents > 0
+    ),
+    dormant AS (
+      SELECT s.* FROM sel s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = s.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    )
+    SELECT d.cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(d.cents) AS BIGINT) AS totacctbal_cents
+    FROM dormant d CROSS JOIN thresh t
+    WHERE CAST(d.cents AS HUGEINT) * t.n_pos > t.sum_cents
+    GROUP BY 1
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted to the driver's columns (country code =
+    nationkey mod 10; "no recent orders" replaces "no orders" since the
+    synthetic data has none of the latter): wealthy-but-dormant
+    customers per country code. The above-average test is integer-exact
+    via cross-multiplication (cents * n_pos > sum_cents) — no float avg
+    crosses engines; the 1-row threshold broadcasts; the anti-join
+    against recent orders is a left_anti hash join (no correlated
+    probe)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    sel = c.filter((F.col("c_nationkey") % 10).isin(0, 1, 2, 3, 4)).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    thresh = sel.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    dormant = sel.join(
+        o.select("o_custkey"),
+        sel.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        dormant.crossJoin(F.broadcast(thresh))
+        .filter(
+            F.expr("CAST(cents AS DECIMAL(38,0)) * n_pos > sum_cents")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("cents").cast("bigint").alias("totacctbal_cents"),
+        )
+    )

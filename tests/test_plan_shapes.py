@@ -766,3 +766,67 @@ def test_bigram_memorization_single_scan_window_df(spark, Q):
     s = plan_of(Q.x_bigram_memorization(spark, SF))
     assert len(re.findall(r"\(\d+\) Generate", s)) == 1, s
     assert "Join" not in s, s
+
+
+def test_q19_or_envelopes_push_to_both_scans(spark, Q):
+    """tpch_q19: Catalyst must derive each side's OR envelope from the
+    cross-side disjunction and push it INTO the scan — the lineitem scan
+    carries the quantity-range Or, the part scan the brand/size Or; the
+    join broadcasts and only one data Exchange (the final agg) remains."""
+    s = plan_of(Q.tpch_q19_disjunctive_filter(spark, SF))
+    pushed = [l for l in s.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in s and "SortMergeJoin" not in s
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
+
+
+def test_q15_contraction_scans_lineitem_once(spark, Q):
+    """tpch_q15: the revenue contraction is persisted, so the max
+    subquery reads the InMemory base instead of re-scanning lineitem —
+    exactly one parquet scan of lineitem; the 1-row max joins
+    broadcast."""
+    import re
+
+    s = plan_of(Q.tpch_q15_top_supplier(spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet[^\n]*\n(?:.+\n)*?Location:[^\n]*\[([^\]]*)\]", s)
+    assert sum("lineitem" in loc for loc in scans) == 1, scans
+    assert "InMemoryTableScan" in s, s
+    assert "SortMergeJoin" not in s, s
+
+
+def test_q21_single_lineitem_scan_two_shuffles(spark, Q):
+    """tpch_q21: the semi+anti correlated subqueries are replaced by ONE
+    (order, supplier) contraction consumed twice from its persisted base
+    — one lineitem scan, hash shuffles only on the contraction keys, and
+    the top-20 is TakeOrderedAndProject."""
+    import re
+
+    s = plan_of(Q.tpch_q21_blamed_suppliers(spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet[^\n]*\n(?:.+\n)*?Location:[^\n]*\[([^\]]*)\]", s)
+    assert sum("lineitem" in loc for loc in scans) == 1, scans
+    assert "InMemoryTableScan" in s, s
+    assert "TakeOrderedAndProject" in s, s
+
+
+def test_q22_antijoin_and_integer_threshold_broadcast(spark, Q):
+    """tpch_q22: dormancy is a LeftAnti hash join (no correlated probe)
+    and the above-average test joins the 1-row (n_pos, sum_cents)
+    threshold via a broadcast nested-loop — no float average anywhere in
+    the plan."""
+    s = plan_of(Q.tpch_q22_dormant_customers(spark, SF))
+    assert "LeftAnti" in s, s
+    assert "BroadcastNestedLoopJoin" in s, s
+    assert "avg(" not in s, s
+
+
+def test_q7_q8_dims_broadcast_facts_never_nested_loop(spark, Q):
+    """tpch_q7/q8: every dimension (nation aliases, region, filtered
+    part) broadcasts; no cartesian/nested-loop join appears between
+    facts."""
+    for q in (Q.tpch_q7_volume_shipping, Q.tpch_q8_market_share):
+        s = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in s, s
+        assert "BroadcastNestedLoopJoin" not in s, s
+        assert "BroadcastHashJoin" in s, s
