@@ -2197,9 +2197,14 @@ def x_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. One declared query so the driver checks the whole composition,
     not just the parts; at 100 TB each stage keeps its own documented
     scale shape (banded candidate join; id-only CC iterations; md5-rank
-    window over the surviving rows)."""
+    window over the surviving rows). collapse_exact is ON — the
+    adversarial-corpus armor (exact-dup groups band as one rep + a star,
+    not a k^2 clique) is component-equivalent, so the oracle is
+    unchanged while the pipeline survives a copy-heavy crawl."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.dedup_near_minhash(docs, num_hashes=64, bands=32, threshold=0.5)
+    pairs = D.dedup_near_minhash(
+        docs, num_hashes=64, bands=32, threshold=0.5, collapse_exact=True
+    )
     comp = G.connected_components(pairs)
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")

@@ -918,3 +918,50 @@ def test_compression_signal_separates_repetition_from_prose(spark):
     b = rows[0][1].encode()
     assert out[1]["n_zlib_bytes"] == len(zlib.compress(b, 6))
     assert out[1]["n_raw_bytes"] == len(b)
+
+
+def test_minhash_collapse_exact_is_component_equivalent(spark, docs):
+    """collapse_exact (the adversarial-corpus armor): on a corpus where
+    every doc has k identical copies, the collapsed pair set must be far
+    smaller (stars, not cliques) yet yield IDENTICAL connected
+    components — the property that makes it safe for dedup pipelines."""
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.operators import graph as G
+
+    base = docs.limit(40).select("doc_id", "text").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    k = 5
+    corpus = base
+    for i in range(1, k):
+        corpus = corpus.unionByName(
+            base.select(
+                (F.col("doc_id") + 100_000 * i).alias("doc_id"), "text"
+            )
+        )
+
+    full = D.dedup_near_minhash(corpus, threshold=0.5)
+    collapsed = D.dedup_near_minhash(corpus, threshold=0.5, collapse_exact=True)
+    n_full = full.count()
+    n_col = collapsed.count()
+    assert n_col < n_full, (n_col, n_full)
+
+    def comps(pairs):
+        return {
+            (r["id"], r["component"])
+            for r in G.connected_components(
+                pairs, src="id_a", dst="id_b"
+            ).collect()
+        }
+
+    assert comps(full) == comps(collapsed)
+    # star edges are true pairs: every copy links to its min-id rep at 1.0
+    stars = {
+        (r["id_a"], r["id_b"])
+        for r in collapsed.filter(F.col("jaccard") == 1.0).collect()
+    }
+    some_id = base.limit(1).collect()[0]["doc_id"]
+    assert all(
+        (some_id, some_id + 100_000 * i) in stars for i in range(1, k)
+    )
