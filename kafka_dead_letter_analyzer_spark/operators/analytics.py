@@ -129,3 +129,51 @@ def grouped_centroid_sums(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    tiebreak: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Robust (trimmed) statistics per group: count / sum / mean over the
+    rows whose nearest-rank position lies in [ceil(lo*n), floor(hi*n)] —
+    the outlier-resistant aggregate monitoring dashboards want next to
+    raw min/max.
+
+    Determinism contract: the double value is scaled by ``scale`` and
+    FLOORED to BIGINT before any accumulation (IEEE multiply is
+    exact-rounded identically everywhere; floor has no rounding mode) —
+    summing raw doubles is order-dependent and banned. The trimmed mean
+    is integer DIV.
+
+    Plan shape: identical envelope to exact_percentiles — ONE hash
+    Exchange; the ordered window (rank + group size) and the final
+    groupBy share the group-key partitioning."""
+    micros = F.floor(F.col(value_col) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy("_v", tiebreak)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(key, micros.alias("_v"), F.col(tiebreak).alias(tiebreak))
+        .select(
+            key,
+            "_v",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(full).alias("_n"),
+        )
+    )
+    lo = F.expr(f"({lo_pct} * _n + 99) div 100")
+    hi = F.expr(f"({hi_pct} * _n) div 100")
+    kept = ranked.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+    return kept.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("_v").cast("bigint").alias("sum_scaled"),
+        F.expr("CAST(sum(_v) DIV count(*) AS BIGINT)").alias("trimmed_mean_scaled"),
+        F.min("_v").cast("bigint").alias("lo_scaled"),
+        F.max("_v").cast("bigint").alias("hi_scaled"),
+    )

@@ -344,3 +344,77 @@ def asof_join_sliced(
         F.col("_picked.asof_ts").alias("asof_ts"),
         *[F.col(f"_picked.{c}").alias(c) for c in rcols],
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts over per-key event sequences: for
+    each consecutive (state -> next_state) step in (ts, tiebreak) order,
+    the global count — the Markov transition matrix a behavioral model
+    or anomaly detector starts from.
+
+    Plan: one per-key window (lead) + one map-side-combined count
+    shuffle on the (from, to) pair — the window and the groupBy key
+    differ, so two Exchanges is the floor for this computation."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    steps = events.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    return steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def state_history(
+    events: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """SCD2-style validity compaction of a change stream: consecutive
+    equal states per key collapse into one row with a [valid_from,
+    valid_to) interval; the current state's valid_to is NULL. The
+    standard change-log -> dimension-history materialization.
+
+    Plan: one per-key ordered window computes the change flags AND the
+    run ids (running sum over the same spec — no second Exchange); the
+    run groupBy and the interval lead reuse the key partitioning."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    flagged = events.select(
+        F.col(key).alias(key),
+        F.col(state_col).alias(state_col),
+        F.col(ts_col).alias(ts_col),
+        F.col(tiebreak).alias(tiebreak),  # the running sum re-sorts on it
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_brk"),
+    )
+    runs = flagged.withColumn(
+        "_run",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = runs.groupBy(key, "_run").agg(
+        F.min(state_col).alias(state_col),
+        F.min(ts_col).alias("_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_run")
+    return spans.select(
+        key,
+        F.col("_run").cast("int").alias("run_idx"),
+        state_col,
+        F.col("_from").alias("_from"),
+        F.lead("_from").over(w2).alias("_to"),
+    )

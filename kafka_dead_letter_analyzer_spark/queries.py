@@ -4461,3 +4461,155 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+# ===========================================================================
+# Round-4 analytics batch 2: robust (trimmed) stats, Markov transitions,
+# SCD2 state history, sharded-export manifest.
+# ===========================================================================
+
+
+@_register(
+    "x_trimmed_stats",
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS v,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(v) AS BIGINT) AS sum_scaled,
+           CAST(sum(v) // count(*) AS BIGINT) AS trimmed_mean_scaled,
+           CAST(min(v) AS BIGINT) AS lo_scaled,
+           CAST(max(v) AS BIGINT) AS hi_scaled
+    FROM r
+    WHERE rn >= (5 * n + 99) // 100 AND rn <= (95 * n) // 100
+    GROUP BY 1
+    """,
+)
+def x_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trimmed statistics (p5..p95 band) of `value` per event
+    type — outlier-resistant mean for monitoring. Values are floored to
+    integer micros BEFORE accumulation (double sums are order-dependent
+    and banned); rank bounds are the nearest-rank integer arithmetic.
+    One Exchange: the rank window and final groupBy share the
+    event_type partitioning (operators/analytics.py::trimmed_stats)."""
+    return AN.trimmed_stats(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        ),
+        key="event_type",
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+@_register(
+    "x_event_transitions",
+    """
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ) WHERE to_state IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences — the behavioral baseline an anomaly detector starts
+    from (operators/temporal.py::event_transitions)."""
+    return T.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "x_scd2_history",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged
+    )
+    SELECT user_id, CAST(run AS INTEGER) AS run_idx,
+           min(event_type) AS event_type,
+           strftime(min(ts), '{TS_PATTERN_SQL}') AS valid_from_s,
+           strftime(lead(min(ts)) OVER (PARTITION BY user_id ORDER BY run),
+                    '{TS_PATTERN_SQL}') AS valid_to_s
+    FROM runs GROUP BY user_id, run
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity compaction of the per-user event-type change
+    stream: consecutive equal states collapse into [valid_from,
+    valid_to) intervals, NULL valid_to marks the current state — the
+    change-log -> dimension-history materialization every warehouse
+    needs (operators/temporal.py::state_history). Timestamps cross the
+    oracle boundary as N3-formatted strings."""
+    out = T.state_history(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "run_idx",
+        "event_type",
+        format_timestamp(F.col("_from")).alias("valid_from_s"),
+        format_timestamp(F.col("_to")).alias("valid_to_s"),
+    )
+
+
+@_register(
+    "x_export_manifest",
+    """
+    WITH idx AS (
+      SELECT doc_id, n_chars,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id)
+             AS BIGINT) AS global_idx
+      FROM documents
+    )
+    SELECT CAST((global_idx - 1) // 1000 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(global_idx) AS BIGINT) AS min_idx,
+           CAST(max(global_idx) AS BIGINT) AS max_idx
+    FROM idx GROUP BY 1
+    """,
+)
+def x_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export planning manifest: the shuffled corpus cut into
+    1000-row files with per-file row/char totals — what a training-data
+    export job writes next to its shards. Composes the DISTRIBUTED
+    global order index (range partition + offset broadcast, no
+    single-partition sort) with a file_id contraction; the oracle uses
+    the single-task row_number formulation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    idx = SA.global_order_index(docs, key="doc_id")
+    return (
+        idx.select(
+            F.expr("(global_idx - 1) DIV 1000").alias("file_id"),
+            "n_chars",
+            "global_idx",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("global_idx").cast("bigint").alias("min_idx"),
+            F.max("global_idx").cast("bigint").alias("max_idx"),
+        )
+    )

@@ -694,3 +694,20 @@ def test_jsonl_read_survives_corrupt_lines(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["doc_id"] for r in good} == {1, 2}
     assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+
+def test_trimmed_stats_drops_outliers_exactly(spark):
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        trimmed_stats,
+    )
+
+    # 100 values 1..100 -> keep ranks ceil(5)..floor(95) = 5..95
+    rows = [(i, float(i), "t") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    [r] = trimmed_stats(
+        df, key="event_type", value_col="value", tiebreak="event_id"
+    ).collect()
+    assert r["n_kept"] == 91
+    assert r["lo_scaled"] == 5_000_000 and r["hi_scaled"] == 95_000_000
+    assert r["sum_scaled"] == sum(i * 1_000_000 for i in range(5, 96))
+    assert r["trimmed_mean_scaled"] == r["sum_scaled"] // 91

@@ -937,3 +937,54 @@ def test_typo_clusters_equal_union_find_on_string_ids(spark):
     # canonical label is the lexicographic minimum ("cart" < "cat")
     assert got["cat"] == got["carts"] == "cart"
     assert got["zebra"] == got["zebr"]
+
+
+def test_event_transitions_known_sequence(spark):
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        event_transitions,
+    )
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+    rows = [
+        # user 1: a -> b -> b -> c ; user 2: a -> c
+        (1, dt.datetime(2024, 1, 1, 0, 0, tzinfo=UTC), 1, "a"),
+        (2, dt.datetime(2024, 1, 1, 0, 1, tzinfo=UTC), 1, "b"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, tzinfo=UTC), 1, "b"),
+        (4, dt.datetime(2024, 1, 1, 0, 3, tzinfo=UTC), 1, "c"),
+        (5, dt.datetime(2024, 1, 1, 0, 0, tzinfo=UTC), 2, "a"),
+        (6, dt.datetime(2024, 1, 1, 0, 5, tzinfo=UTC), 2, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_state_history_collapses_runs_and_marks_current(spark):
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        state_history,
+    )
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, tzinfo=UTC)
+    rows = [
+        (1, t(0), 1, "a"), (2, t(1), 1, "a"), (3, t(2), 1, "b"),
+        (4, t(3), 1, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    spans = {
+        r["run_idx"]: (r["event_type"], r["_from"], r["_to"])
+        for r in state_history(df).collect()
+    }
+    assert spans[1][0] == "a" and spans[1][1] is not None
+    assert spans[2][0] == "b"
+    assert spans[3][0] == "a" and spans[3][2] is None  # current state open
+    assert spans[1][2] == spans[2][1]  # intervals chain exactly
