@@ -46,6 +46,9 @@ __all__ = [
     "sessionize",
     "session_stats",
     "range_join_bucketed",
+    "event_transitions",
+    "state_history",
+    "series_similarity_topk",
 ]
 
 
@@ -417,4 +420,77 @@ def state_history(
         state_col,
         F.col("_from").alias("_from"),
         F.lead("_from").over(w2).alias("_to"),
+    )
+
+
+def series_similarity_topk(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 3,
+) -> DataFrame:
+    """Time-series similarity search over per-key daily activity series
+    (the distributed-systems streaming-similarity problem, EDBT 2019
+    "Time Series Similarity Search for Streaming Data" recast for batch):
+    for each key, the k nearest OTHER keys by squared euclidean distance
+    between daily event-count vectors, among keys sharing at least one
+    active day.
+
+    Spark-first decomposition — the dense-vector formulation would build
+    an |keys| x |days| matrix; instead the distance expands as
+    dist2(u,v) = n_u + n_v - 2*dot(u,v) with the dot product computed
+    SPARSELY through an inverted index on the day:
+
+    1. (key, day) count contraction — one shuffle;
+    2. day-keyed self-join of the contraction (the inverted index; only
+       co-active (u,v,day) rows materialize) -> partial-agg dot
+       products — the shuffle carries (day, key, count) triples, never
+       a vector;
+    3. 1-per-key norms broadcast into the pair table;
+    4. per-key rank window, WindowGroupLimit-prunable (literal k).
+
+    All arithmetic is int64 (counts and their products) — bit-exact on
+    any engine. Keys with no co-active partner emit nothing (the
+    standard candidate restriction of inverted-index similarity)."""
+    day = F.expr(f"unix_micros({ts_col}) DIV 86400000000")
+    cnt = (
+        events.select(F.col(key).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    norms = cnt.groupBy("k").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = cnt.select(F.col("k").alias("ka"), "d", F.col("c").alias("ca"))
+    b = cnt.select(F.col("k").alias("kb"), "d", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "d")
+        .filter(F.col("ka") != F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("k").alias("ka"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("k").alias("kb"), F.col("n2").alias("nb"))
+    paired = (
+        dots.join(na, "ka")
+        .join(nb, "kb")
+        .select(
+            "ka", "kb",
+            (F.col("na") + F.col("nb") - 2 * F.col("dot"))
+            .cast("bigint")
+            .alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("ka").orderBy("dist2", "kb")
+    return (
+        paired.select(
+            "ka", "kb", "dist2", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ka").alias(key),
+            F.col("kb").alias("neighbor"),
+            "dist2",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

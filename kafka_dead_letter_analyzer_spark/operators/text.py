@@ -807,10 +807,15 @@ def bigram_memorization_ppm(
     x_distinctive_terms lesson: a tf-join-df formulation makes Catalyst
     duplicate the whole token-scan subtree; the window reuses the single
     contraction, so one corpus scan, one (doc,bigram) shuffle, one
-    bigram-keyed window shuffle."""
+    bigram-keyed window shuffle. The bigram construction (transform +
+    concat per element) is CPU-heavy per row, so the input is spread
+    across cores first (measured 8.1 s -> sub-second at bench scale;
+    no-op on a real many-partition scan)."""
     from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
     from pyspark.sql import Window
 
+    docs = spread_for_cpu(docs)
     toks = _tokens(F.col(text_col))
     bigrams = F.when(
         F.size(toks) >= 2,

@@ -4613,3 +4613,45 @@ def x_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("global_idx").cast("bigint").alias("max_idx"),
         )
     )
+
+
+@_register(
+    "x_series_knn",
+    """
+    WITH cnt AS (
+      SELECT user_id AS k, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT k, CAST(sum(c * c) AS BIGINT) AS n2 FROM cnt GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.k AS ka, b.k AS kb, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM cnt a JOIN cnt b USING (d)
+      WHERE a.k <> b.k
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT ka, kb, CAST(na.n2 + nb.n2 - 2 * dot AS BIGINT) AS dist2
+      FROM dots
+      JOIN norms na ON na.k = ka
+      JOIN norms nb ON nb.k = kb
+    )
+    SELECT ka AS user_id, kb AS neighbor, dist2,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY ka ORDER BY dist2, kb
+      ) AS rank FROM paired
+    ) WHERE rank <= 3
+    """,
+)
+def x_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over per-user daily activity
+    series: top-3 nearest users by squared euclidean distance of daily
+    event-count vectors, computed SPARSELY through a day-keyed inverted
+    index (dist2 = n_u + n_v - 2*dot; the join carries (day, key,
+    count) triples, never dense vectors) — all int64, bit-exact
+    (operators/temporal.py::series_similarity_topk)."""
+    return T.series_similarity_topk(load_table(spark, sf_dir, "events"))
