@@ -988,3 +988,22 @@ def test_state_history_collapses_runs_and_marks_current(spark):
     assert spans[2][0] == "b"
     assert spans[3][0] == "a" and spans[3][2] is None  # current state open
     assert spans[1][2] == spans[2][1]  # intervals chain exactly
+
+
+def test_series_similarity_dense_equals_sparse(spark):
+    """The two physical strategies (broadcast numpy matmul vs day-keyed
+    inverted index) are one contract: identical output on the gate
+    corpus."""
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        series_similarity_topk,
+    )
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    dense = {
+        tuple(r) for r in series_similarity_topk(events, strategy="dense").collect()
+    }
+    sparse = {
+        tuple(r) for r in series_similarity_topk(events, strategy="sparse").collect()
+    }
+    assert dense == sparse and len(dense) > 0
