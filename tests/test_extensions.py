@@ -965,3 +965,34 @@ def test_minhash_collapse_exact_is_component_equivalent(spark, docs):
     assert all(
         (some_id, some_id + 100_000 * i) in stars for i in range(1, k)
     )
+
+
+def test_kmeans_distributed_matches_local_lloyd(spark):
+    """The distributed Lloyd fit must track a from-scratch local numpy
+    Lloyd exactly on integer-valued vectors (float64 sums of integers
+    are exact, so both paths compute identical centroids and therefore
+    identical assignments)."""
+    import numpy as np
+
+    rng_free = [
+        # two obvious blobs in 2-D, integer coordinates
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+        (4, [20.0, 20.0]), (5, [21.0, 20.0]), (6, [20.0, 21.0]), (7, [21.0, 21.0]),
+    ]
+    df = spark.createDataFrame(rng_free, "vec_id long, embedding array<double>")
+    c, assigned = S.kmeans_fit_distributed(df, n_clusters=2, iters=4)
+
+    x = np.array([v for _, v in rng_free])
+    lc = x[:2].copy()  # same deterministic init: first k by id
+    for _ in range(4):
+        d2 = ((x[:, None, :] - lc[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(2):
+            if (a == j).any():
+                lc[j] = x[a == j].mean(axis=0)
+    assert np.array_equal(c, lc)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    want = ((x[:, None, :] - lc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(len(x))}
+    # the blobs separate
+    assert {got[0], got[4]} == {0, 1} and got[0] != got[4]

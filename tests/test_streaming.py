@@ -1531,3 +1531,38 @@ def test_streaming_chunk_dedup_within_watermark(spark, tmp_path):
     texts = sorted(r["chunk_text"] for r in rows)
     # the shared chunk appears ONCE despite two source docs
     assert texts == ["shared header block one two", "unique body text here"]
+
+
+def test_stream_static_dimension_enrichment(spark, tmp_path, ts):
+    """Stream-static join: a streaming fact feed enriches against a
+    static dimension table (the standard reference-data join;
+    Structured Streaming plans the static side as a per-micro-batch
+    broadcast). Rows with no dimension match pass through with nulls
+    (left join), so reference-data gaps never drop facts."""
+    dim = spark.createDataFrame(
+        [("events-dead-letters", "team-a"), ("other-topic", "team-b")],
+        "topic string, owner string",
+    )
+    src = str(tmp_path / "src")
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, topic="events-dead-letters", timestamp=ts(0),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, topic="unowned-topic", timestamp=ts(1),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    enriched = raw.join(F.broadcast(dim), "topic", "left").select(
+        "topic", "offset", "owner"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("dim_enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["offset"]: r["owner"] for r in spark.table("dim_enriched").collect()}
+    assert rows == {0: "team-a", 1: None}
