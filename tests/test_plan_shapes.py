@@ -830,3 +830,20 @@ def test_q7_q8_dims_broadcast_facts_never_nested_loop(spark, Q):
         assert "CartesianProduct" not in s, s
         assert "BroadcastNestedLoopJoin" not in s, s
         assert "BroadcastHashJoin" in s, s
+
+
+def test_series_knn_dense_no_pair_shuffle(spark, Q):
+    """x_series_knn (dense strategy): pair distances evaluate inside
+    MapInPandas against a task-broadcast vector table — no SortMergeJoin
+    anywhere, the only join is the 1-row day-bounds broadcast
+    nested-loop, and no operator above MapInPandas shuffles pair rows
+    (everything downstream of it is projection-only)."""
+    import re
+
+    s = plan_of(Q.x_series_knn(spark, SF))
+    assert "SortMergeJoin" not in s, s
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", s)) == 1, s
+    assert "MapInPandas" in s, s
+    tree = s[: s.find("(1) ")]
+    above = tree.split("MapInPandas")[0]
+    assert "Exchange" not in above and "Join" not in above, above

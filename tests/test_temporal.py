@@ -1007,3 +1007,48 @@ def test_series_similarity_dense_equals_sparse(spark):
         tuple(r) for r in series_similarity_topk(events, strategy="sparse").collect()
     }
     assert dense == sparse and len(dense) > 0
+
+
+def test_state_history_intervals_partition_the_timeline(spark):
+    """Property (hypothesis): for any event sequence, the compacted
+    intervals per user chain exactly — each valid_to equals the next
+    valid_from, the last is open, states alternate (no two consecutive
+    runs share a state), and the run count equals the number of state
+    changes + 1."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        state_history,
+    )
+
+    UTC = dt.timezone.utc
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+        )
+    )
+    def run(states):
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, i, tzinfo=UTC), 1, s)
+            for i, s in enumerate(states)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        spans = sorted(
+            state_history(df).collect(), key=lambda r: r["run_idx"]
+        )
+        want_runs = 1 + sum(
+            1 for i in range(1, len(states)) if states[i] != states[i - 1]
+        )
+        assert len(spans) == want_runs
+        for i in range(1, len(spans)):
+            assert spans[i - 1]["_to"] == spans[i]["_from"]
+            assert spans[i - 1]["event_type"] != spans[i]["event_type"]
+        assert spans[-1]["_to"] is None
+
+    run()
