@@ -595,3 +595,75 @@ def dedup_against_corpus(
     )
     kept = new_docs.join(fresh.select(id_col), id_col, "left_semi")
     return kept, fresh.select("fingerprint")
+
+
+def dedup_near_minhash_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous-ingest near-dup check: pairs between the NEW batch and
+    the EXISTING corpus only (never corpus x corpus — the batch analogue
+    of ``dedup_against_corpus`` for NEAR duplicates). Returns
+    ``(new_id, corpus_id, jaccard)``.
+
+    Plan shape: both sides band as usual, but the candidate join is
+    new-bands x corpus-bands (no self-join), so candidate volume is
+    bounded by the BATCH's bucket hits. At scale the corpus side is the
+    persisted banded index written at ingest (band/bucket as layout
+    keys -> the join prunes to the batch's buckets); here it derives
+    from the corpus frame directly, which is the index-build cost paid
+    once. Per-batch cost therefore tracks the batch size, not the
+    corpus.
+    """
+    from pyspark import StorageLevel
+
+    bands_of = _minhash_band_udf(num_hashes, bands)
+    hashes = _memo(
+        ("shingle_hashes", text_col, shingle_k),
+        lambda: shingle_hashes(token_shingles(F.col(text_col), shingle_k)),
+    )
+    nonblank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+
+    def prep(df):
+        return (
+            df.filter(nonblank)
+            .select(F.col(id_col).alias("_id"), hashes.alias("_hashes"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    nb = prep(new_docs)
+    cb = prep(corpus_docs)
+
+    def banded(base, out_id):
+        return base.select(
+            F.col("_id").alias(out_id), bands_of("_hashes").alias("_bands")
+        ).select(out_id, F.posexplode("_bands").alias("band", "bucket"))
+
+    candidates = (
+        banded(nb, "new_id")
+        .join(banded(cb, "corpus_id"), on=["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    pairs = candidates.join(
+        nb.withColumnsRenamed({"_id": "new_id", "_hashes": "h_a"}), on="new_id"
+    ).join(
+        cb.withColumnsRenamed({"_id": "corpus_id", "_hashes": "h_b"}),
+        on="corpus_id",
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size("h_a") + F.size("h_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

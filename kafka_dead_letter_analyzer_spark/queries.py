@@ -4655,3 +4655,91 @@ def x_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) triples, never dense vectors) — all int64, bit-exact
     (operators/temporal.py::series_similarity_topk)."""
     return T.series_similarity_topk(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "x_incremental_neardup",
+    f"""
+    WITH {_MINHASH_CTES}
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / greatest(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+      FROM s a, s b
+      WHERE a.doc_id < 400 AND b.doc_id >= 400
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def x_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup check: the NEW batch (doc_id >= 400)
+    banded against the EXISTING corpus (doc_id < 400) — new-vs-corpus
+    pairs only, never corpus x corpus, so per-batch cost tracks the
+    batch (operators/dedup.py::dedup_near_minhash_incremental; at scale
+    the corpus side is the persisted banded index written at ingest).
+    Same exact-Jaccard verification and full-recall banding
+    configuration as x_dedup_minhash, so the oracle is the exact
+    cross-partition pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_near_minhash_incremental(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )
+
+
+@_register(
+    "x_table_diff",
+    """
+    WITH snap_a AS (
+      SELECT event_id, props AS payload FROM events WHERE event_id % 11 != 3
+    ),
+    snap_b AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN props || '!' ELSE props END
+               AS payload
+      FROM events WHERE event_id % 13 != 4
+    )
+    SELECT coalesce(a.event_id, b.event_id) AS event_id,
+           CASE WHEN a.event_id IS NULL THEN 'added'
+                WHEN b.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+       OR a.payload IS DISTINCT FROM b.payload
+    """,
+)
+def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (data-versioning primitive): added / removed /
+    changed rows between two table versions via ONE full-outer hash
+    join on the key with a null-safe payload comparison — unchanged
+    rows never leave the join. The audit every incremental-ingest
+    pipeline runs before promoting a snapshot."""
+    events = load_table(spark, sf_dir, "events")
+    snap_a = events.filter(F.col("event_id") % 11 != 3).select(
+        "event_id", F.col("props").alias("payload")
+    )
+    snap_b = events.filter(F.col("event_id") % 13 != 4).select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "error", F.concat(F.col("props"), F.lit("!"))
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    a = snap_a.withColumnsRenamed({"event_id": "ida", "payload": "pa"})
+    b = snap_b.withColumnsRenamed({"event_id": "idb", "payload": "pb"})
+    joined = a.join(b, a.ida == b.idb, "full_outer")
+    return joined.filter(
+        F.col("ida").isNull()
+        | F.col("idb").isNull()
+        | ~F.col("pa").eqNullSafe(F.col("pb"))
+    ).select(
+        F.coalesce("ida", "idb").alias("event_id"),
+        F.when(F.col("ida").isNull(), "added")
+        .when(F.col("idb").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -996,3 +996,28 @@ def test_kmeans_distributed_matches_local_lloyd(spark):
     assert got == {i: int(want[i]) for i in range(len(x))}
     # the blobs separate
     assert {got[0], got[4]} == {0, 1} and got[0] != got[4]
+
+
+def test_incremental_neardup_equals_cross_slice_of_full(spark, docs):
+    """The incremental (batch-vs-corpus) pair set must equal the full
+    self-join's pairs restricted to cross-partition pairs — and contain
+    no corpus x corpus or batch x batch pair by construction."""
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    inc = {
+        (r["corpus_id"], r["new_id"]): r["jaccard"]
+        for r in D.dedup_near_minhash_incremental(
+            batch, corpus, num_hashes=64, bands=32, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.dedup_near_minhash(
+            docs, num_hashes=64, bands=32, threshold=0.3
+        ).collect()
+    }
+    cross = {
+        k: v for k, v in full.items() if k[0] < 300 <= k[1]
+    }
+    assert inc == cross
+    assert all(c < 300 <= n for c, n in inc)
