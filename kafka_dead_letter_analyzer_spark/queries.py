@@ -4743,3 +4743,134 @@ def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+@_register(
+    "x_mixture_plan",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    weighted AS (
+      SELECT source, tokens,
+             CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS w
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(w) AS BIGINT) AS total_w
+      FROM weighted
+    )
+    SELECT source, tokens,
+           CAST(tot.total_tokens // 2 * w // tot.total_w AS BIGINT)
+             AS target_tokens,
+           CAST(least(1000000,
+                CAST(tot.total_tokens // 2 * w // tot.total_w AS HUGEINT)
+                * 1000000 // greatest(tokens, 1)) AS BIGINT) AS rate_ppm,
+           (tot.total_tokens // 2 * w // tot.total_w) > tokens AS deficit
+    FROM weighted CROSS JOIN tot
+    """,
+)
+def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: given per-source target weights
+    (deterministic: source index mod 4 + 1) and a budget of half the
+    corpus tokens, the per-source sampling rate in ppm — capped at
+    certainty, with a deficit flag where a source cannot supply its
+    target (the signal to upweight elsewhere or epoch-repeat). All
+    integer DIV arithmetic; the 1-row totals broadcast. This is the
+    planning step whose output feeds mixture_sample's per-component
+    rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("tokens")
+    )
+    weighted = per.select(
+        "source",
+        "tokens",
+        (F.expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = weighted.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    target = F.expr("total_tokens DIV 2 * w DIV total_w")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            target.cast("bigint").alias("target_tokens"),
+            F.expr(
+                "CAST(least(1000000L, CAST(total_tokens DIV 2 * w DIV total_w"
+                " AS DECIMAL(38,0)) * 1000000 DIV greatest(tokens, 1L))"
+                " AS BIGINT)"
+            ).alias("rate_ppm"),
+            (target > F.col("tokens")).alias("deficit"),
+        )
+    )
+
+
+@_register(
+    "x_dup_weights",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS component FROM cc GROUP BY id),
+    sized AS (
+      SELECT doc_id, component,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+      FROM comp
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.csize, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // coalesce(s.csize, 1) AS BIGINT) AS weight_ppm
+    FROM documents d LEFT JOIN sized s USING (doc_id)
+    """,
+)
+def x_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware loss weighting (the soft alternative to
+    dropping near-dups): every document's training weight is 1e6 DIV
+    its near-dup cluster size, so a 5-way duplicated page contributes
+    one page's worth of gradient in total. Composition: minhash pairs
+    -> connected components -> per-component size joined back to the
+    FULL corpus (unclustered docs weigh 1e6). The id-only component
+    table is the small side of the weight join at any scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(
+        docs, num_hashes=64, bands=32, threshold=0.5, collapse_exact=True
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    sized = comp.select(
+        F.col("id").alias("doc_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("bigint")
+        .alias("csize"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(sized, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("csize", F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.expr("CAST(1000000 DIV coalesce(csize, 1) AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
+    )

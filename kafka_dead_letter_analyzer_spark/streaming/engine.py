@@ -734,3 +734,75 @@ def streaming_topk_types(enriched: DataFrame, k: int = 5) -> DataFrame:
     return counts.orderBy(
         F.col("count").desc(), F.col("topic"), F.col("type")
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Per-key rate limiting (ingest throttle)
+# ---------------------------------------------------------------------------
+
+
+def _make_rate_limit_fn(max_per_window: int, window_s: int, grace_s: int, cols):
+    def _rate_limit_fn(key, pdfs, state) -> Iterator:
+        """Pass through at most ``max_per_window`` rows per (key, window)
+        in ARRIVAL order; drop the rest. State per live window: ONE
+        counter, evicted by event-time timeout once the watermark passes
+        the window end + grace."""
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (count,) = state.get if state.exists else (0,)
+        kept = []
+        for pdf in pdfs:
+            room = max_per_window - count
+            if room > 0:
+                kept.append(pdf.head(room))
+            count += len(pdf)  # count ALL arrivals (drops included)
+        state.update((count,))
+        win_start = key[-1]  # the materialized window-start grouping col
+        timeout_ms = int(win_start.timestamp() * 1000) + (window_s + grace_s) * 1000
+        state.setTimeoutTimestamp(timeout_ms)
+        for pdf in kept:
+            if len(pdf):
+                yield pdf[cols]
+
+    return _rate_limit_fn
+
+
+def streaming_rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    max_per_window: int = 100,
+    window_s: int = 600,
+    watermark_s: int = 600,
+) -> DataFrame:
+    """Ingest throttle: at most ``max_per_window`` rows per key per
+    ``window_s``-second event-time window pass through (arrival order —
+    the reference's first-example semantics generalized from 1 to N);
+    the overflow is dropped. The protection in front of a stats pipeline
+    when one producer melts down: the analyzer keeps sampling every
+    key's traffic instead of drowning in the hot one's.
+
+    State is ONE counter per live (key, window), evicted by event-time
+    timeout when the watermark passes the window end + watermark — total
+    state tracks (live keys) x (windows in the watermark horizon), never
+    traffic volume. Output schema = input schema."""
+    from pyspark.sql import types as T
+
+    in_cols = list(df.columns)
+    out_schema = df.schema
+    win = F.window(F.col(ts_col), f"{window_s} seconds")["start"].alias("_win")
+    grouped = (
+        df.withWatermark(ts_col, f"{watermark_s} seconds")
+        .withColumn("_win", win)
+        .groupBy(*key_cols, "_win")
+    )
+    return grouped.applyInPandasWithState(
+        _make_rate_limit_fn(max_per_window, window_s, watermark_s, in_cols),
+        outputStructType=out_schema,
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

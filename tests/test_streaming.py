@@ -1566,3 +1566,53 @@ def test_stream_static_dimension_enrichment(spark, tmp_path, ts):
         q.stop()
     rows = {r["offset"]: r["owner"] for r in spark.table("dim_enriched").collect()}
     assert rows == {0: "team-a", 1: None}
+
+
+def test_streaming_rate_limit_caps_per_key_window(spark, tmp_path, ts):
+    """At most N rows per key per event-time window pass through, in
+    arrival order across micro-batches; a new window resets the budget."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_rate_limit,
+    )
+
+    src = str(tmp_path / "src")
+    # window = 600 s; ts(i) spaces minutes apart (same window for 0..5)
+    _write_envelopes(spark, src, [
+        FX.envelope(offset=0, key="hot", timestamp=ts(0),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=1, key="hot", timestamp=ts(1),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=2, key="hot", timestamp=ts(2),
+                    value_deadletter=FX.dead_letter_value()),
+        FX.envelope(offset=3, key="cold", timestamp=ts(3),
+                    value_deadletter=FX.dead_letter_value()),
+    ])
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    limited = streaming_rate_limit(
+        raw.select("topic", "key", "offset", "timestamp"),
+        key_cols=["key"],
+        max_per_window=2,
+    )
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rate_limited")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: same window for 'hot' (budget spent) + far-future
+        # row in a NEW window (fresh budget)
+        _write_envelopes(spark, src, [
+            FX.envelope(offset=4, key="hot", timestamp=ts(4),
+                        value_deadletter=FX.dead_letter_value()),
+            FX.envelope(offset=5, key="hot", timestamp=ts(200),
+                        value_deadletter=FX.dead_letter_value()),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(r["offset"] for r in spark.table("rate_limited").collect())
+    # hot window 1: offsets 0,1 pass, 2 and 4 dropped; cold: 3; new window: 5
+    assert rows == [0, 1, 3, 5]
