@@ -428,7 +428,8 @@ def series_similarity_topk(
     key: str = "user_id",
     ts_col: str = "ts",
     k: int = 3,
-    strategy: str = "dense",
+    strategy: str = "auto",
+    dense_budget_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Time-series similarity search over per-key daily activity series
     (the distributed-systems streaming-similarity problem, EDBT 2019
@@ -438,9 +439,18 @@ def series_similarity_topk(
     active day. All arithmetic is int64 — bit-exact on any engine.
 
     Two physical strategies behind one contract (identical output,
-    differential-tested):
+    differential-tested), selected by a bounded probe under ``auto``
+    (the default): one aggregation collects exactly THREE longs —
+    min day, max day, distinct-key count — and dense is chosen only
+    when the dense matrix footprint ``|keys| * day_span * 8 bytes``
+    fits ``dense_budget_bytes`` (default 256 MB). A single outlier
+    timestamp (one epoch-zero row in a 2026 corpus) inflates the day
+    span to ~20k and flips the probe to sparse instead of OOMing the
+    driver; a 100x key corpus does the same. Explicit
+    ``strategy="dense"`` over budget raises rather than materializes
+    (fail-fast beats a driver OOM).
 
-    - ``dense`` (default): per-key dense count vector over the global
+    - ``dense``: per-key dense count vector over the global
       day range (map lookup + transform, codegen), self-compared via a
       BROADCAST nested-loop with ``zip_with``/``aggregate`` dot
       products — NO pair rows ever shuffle; the only exchanges are the
@@ -458,14 +468,36 @@ def series_similarity_topk(
     Keys with no co-active partner emit nothing under BOTH strategies
     (the dense path filters dot > 0) — the standard candidate
     restriction of similarity search."""
-    if strategy not in ("dense", "sparse"):
-        raise ValueError(f"strategy must be dense|sparse, got {strategy!r}")
+    if strategy not in ("auto", "dense", "sparse"):
+        raise ValueError(
+            f"strategy must be auto|dense|sparse, got {strategy!r}"
+        )
     day = F.expr(f"unix_micros({ts_col}) DIV 86400000000")
     cnt = (
         events.select(F.col(key).alias("k"), day.alias("d"))
         .groupBy("k", "d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    if strategy != "sparse":
+        # Bounded probe: one job, three longs to the driver. The dense
+        # matrix the driver would build is |keys| x day_span int64s;
+        # gate on that BEFORE any toPandas.
+        d0, d1, nkeys = cnt.agg(
+            F.min("d"), F.max("d"), F.count_distinct("k")
+        ).first()
+        span = 0 if d0 is None else int(d1) - int(d0) + 1
+        footprint = int(nkeys) * span * 8
+        if footprint > dense_budget_bytes:
+            if strategy == "dense":
+                raise ValueError(
+                    f"series_similarity_topk dense matrix would be "
+                    f"{footprint} bytes ({nkeys} keys x {span} days) > "
+                    f"budget {dense_budget_bytes}; use strategy='sparse' "
+                    f"or raise dense_budget_bytes"
+                )
+            strategy = "sparse"
+        else:
+            strategy = "dense"
     if strategy == "dense":
         bounds = cnt.agg(
             F.min("d").alias("_d0"), F.max("d").alias("_d1")
@@ -495,12 +527,13 @@ def series_similarity_topk(
         # shuffles either way. Exact: products/sums stay in int64.
         import pandas as pd
 
-        bpdf = vec.toPandas()
+        bpdf = vec.toPandas()  # bounded: probed against dense_budget_bytes
         spark = events.sparkSession
         bc = spark.sparkContext.broadcast(
             (bpdf["k"].to_numpy(), list(bpdf["v"]))
         )
-        out_schema = f"ka bigint, kb bigint, dist2 bigint, rank int"
+        key_type = events.schema[key].dataType.simpleString()
+        out_schema = f"ka {key_type}, kb {key_type}, dist2 bigint, rank int"
 
         def topk(batches):
             import numpy as np
@@ -508,7 +541,6 @@ def series_similarity_topk(
             kb_arr, vb_list = bc.value
             B = np.stack([np.asarray(v, dtype=np.int64) for v in vb_list])
             nb = (B * B).sum(axis=1)
-            order_b = np.argsort(kb_arr, kind="stable")
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -534,10 +566,12 @@ def series_similarity_topk(
                         rows_b.append(kb_arr[j])
                         rows_d.append(d2[i, j])
                         rows_r.append(r)
+                # key columns stay untyped (Arrow casts to the declared
+                # schema) so string / int keys both round-trip
                 yield pd.DataFrame(
                     {
-                        "ka": pd.array(rows_a, dtype="int64"),
-                        "kb": pd.array(rows_b, dtype="int64"),
+                        "ka": pd.Series(rows_a),
+                        "kb": pd.Series(rows_b),
                         "dist2": pd.array(rows_d, dtype="int64"),
                         "rank": pd.array(rows_r, dtype="int32"),
                     }
