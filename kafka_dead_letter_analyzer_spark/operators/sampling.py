@@ -200,66 +200,86 @@ def global_order_index(
 
     The scale design — a naive ``row_number() OVER (ORDER BY hash)``
     funnels 100 TB through ONE task. Instead:
-      1. range-repartition + sort within partitions on (hash, key):
-         partition i holds a contiguous slice of the total order;
-      2. per-partition row counts: ONE tiny driver collect
-         (|partitions| longs — the bounded driver action);
-      3. global_idx = (broadcast) partition offset + local position,
-         enumerated by an Arrow-batched mapInPandas (order-preserving
-         over the sorted partitions; no second data shuffle — the
-         window-over-partition-id alternative re-shuffles everything
-         on the partition id).
+      1. DETERMINISTIC equal-width bucketing on the hash's u32 prefix:
+         bucket i covers _h in [i*2^32/n, (i+1)*2^32/n). Because md5 is
+         uniform this IS balanced range partitioning on _h — with
+         closed-form bounds, so (unlike ``repartitionByRange``, which
+         SAMPLES bounds per execution) the count job and the enumerate
+         job agree with NO persist pinning a materialization. Hex
+         string order == numeric order (lowercase hex), so buckets are
+         contiguous slices of the (_h, key) total order.
+      2. per-bucket row counts off a key-only projection: ONE tiny
+         driver collect (≤ |buckets| longs — the bounded action);
+      3. global_idx = (broadcast) bucket offset + local position
+         within the bucket, enumerated by an Arrow-batched mapInPandas
+         over bucket-clustered, (_bkt, _h, key)-sorted partitions —
+         counters reset per bucket, so a physical partition may hold
+         several whole buckets (plain hash repartition on _bkt).
 
-    The input frame is PERSISTED before the two passes: the count job
-    and the enumerate job must see the SAME materialized range bounds
-    (repartitionByRange samples bounds per execution). Caller should
-    unpersist via ``spark.catalog.clearCache()`` or the returned
-    DataFrame's lineage once consumed.
+    Persist-free by construction: round 4 measured a 2.4x bench
+    regression when two queries each left a persisted copy of this
+    frame in executor storage.
     """
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     h = F.md5(_salted_key(F.col(key), salt))
-    ranged = (
-        df.withColumn("_h", h)
-        .repartitionByRange(n, F.col("_h"), F.col(key))
-        .sortWithinPartitions("_h", key)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    bkt = (
+        (F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint") * n)
+        / F.lit(1 << 32)
+    ).cast("int")
     counts = {
-        r["_pid"]: r["c"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        r["_bkt"]: r["c"]
+        for r in df.select(h.alias("_h"))
+        .select(bkt.alias("_bkt"))
+        .groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off bigint"
+            [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _off bigint"
         )
     )
+    clustered = (
+        df.withColumn("_h", h)
+        .withColumn("_bkt", bkt)
+        .repartition(n, "_bkt")
+        .sortWithinPartitions("_bkt", "_h", key)
+    )
     schema = T.StructType(
-        [f for f in ranged.schema.fields if f.name not in ("_h",)]
+        [f for f in clustered.schema.fields if f.name != "_h"]
         + [T.StructField("_local", T.LongType())]
     )
-    keep = [f.name for f in ranged.schema.fields if f.name != "_h"]
+    keep = [f.name for f in clustered.schema.fields if f.name != "_h"]
 
     def enumerate_sorted(iterator):
-        i = 0
+        import pandas as pd
+
+        cur_bkt, i = None, 0
         for pdf in iterator:
+            if len(pdf) == 0:
+                continue
             out = pdf[keep].copy()
-            out["_local"] = range(i, i + len(pdf))
-            i += len(pdf)
+            loc = []
+            for b in pdf["_bkt"]:
+                if b != cur_bkt:
+                    cur_bkt, i = b, 0
+                loc.append(i)
+                i += 1
+            out["_local"] = pd.array(loc, dtype="int64")
             yield out
 
-    local = ranged.mapInPandas(enumerate_sorted, schema)
+    local = clustered.mapInPandas(enumerate_sorted, schema)
     return (
-        local.join(off_df, "_pid")
+        local.join(off_df, "_bkt")
         .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("bigint"))
-        .drop("_pid", "_off", "_local")
+        .drop("_bkt", "_off", "_local")
     )
 
 
