@@ -32,6 +32,10 @@ import struct
 
 __all__ = [
     "dead_letter_avro_schema",
+    "full_dead_letter_with_context_avro_schema",
+    "full_error_statistics_avro_schema",
+    "error_example_avro_schema",
+    "coerce_record",
     "avro_encode",
     "avro_decode",
     "encode_bytes",
@@ -82,6 +86,144 @@ def dead_letter_avro_schema() -> str:
             ],
         }
     )
+
+
+def full_dead_letter_with_context_avro_schema() -> str:
+    """Writer schema for the main output record (O1) — field set and
+    types from the reference's sink schema
+    (src/main/avro/sink/FullDeadLetterWithContext.avsc): all fields
+    required; ``dead_letter`` embeds the DeadLetter record (inlined here
+    — a self-contained JSON schema instead of an Avro named-type
+    reference)."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "FullDeadLetterWithContext",
+            "namespace": "com.bakdata.kafka",
+            "fields": [
+                {"name": "key", "type": "string"},
+                {"name": "offset", "type": "long"},
+                {"name": "partition", "type": "int"},
+                {"name": "timestamp", "type": "string"},
+                {"name": "dead_letter", "type": json.loads(dead_letter_avro_schema())},
+                {"name": "topic", "type": "string"},
+                {"name": "type", "type": "string"},
+            ],
+        }
+    )
+
+
+def full_error_statistics_avro_schema() -> str:
+    """Writer schema for the stats output record (O2) — the one sink the
+    reference serializes as PLAIN SpecificAvro, no large-message wrap
+    (DeadLetterAnalyzerTopology.java:152). Field set from
+    src/main/avro/sink/FullErrorStatistics.avsc: all required."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "FullErrorStatistics",
+            "namespace": "com.bakdata.kafka",
+            "fields": [
+                {"name": "count", "type": "int"},
+                {"name": "created", "type": "string"},
+                {"name": "updated", "type": "string"},
+                {"name": "topic", "type": "string"},
+                {"name": "type", "type": "string"},
+            ],
+        }
+    )
+
+
+def error_example_avro_schema() -> str:
+    """Writer schema for the examples output record (O3) — field sets
+    from src/main/avro/sink/ErrorExample.avsc and its embedded
+    ExampleDeadLetterWithContext.avsc (FullDeadLetterWithContext minus
+    topic/type, which live on the outer record)."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "ErrorExample",
+            "namespace": "com.bakdata.kafka",
+            "fields": [
+                {
+                    "name": "example",
+                    "type": {
+                        "type": "record",
+                        "name": "ExampleDeadLetterWithContext",
+                        "fields": [
+                            {"name": "key", "type": "string"},
+                            {"name": "offset", "type": "long"},
+                            {"name": "partition", "type": "int"},
+                            {"name": "timestamp", "type": "string"},
+                            {
+                                "name": "dead_letter",
+                                "type": json.loads(dead_letter_avro_schema()),
+                            },
+                        ],
+                    },
+                },
+                {"name": "topic", "type": "string"},
+                {"name": "type", "type": "string"},
+            ],
+        }
+    )
+
+
+def _is_timestamp_millis(schema) -> bool:
+    return (
+        isinstance(schema, dict)
+        and schema.get("type") == "long"
+        and schema.get("logicalType") == "timestamp-millis"
+    )
+
+
+def coerce_record(value, schema):
+    """Schema-driven repair of a JSON rendering before binary encode —
+    the two lossy spots of the ``to_json`` path the Kafka sinks use:
+
+    - ``to_json`` DROPS null fields, so every missing record field whose
+      union admits null is restored as explicit None (a missing
+      REQUIRED field still raises — silently defaulting it would forge
+      data);
+    - Spark renders timestamps as ISO-8601 strings while Avro
+      ``timestamp-millis`` is physically a long — ISO strings (and
+      ``datetime`` objects, for direct-dict callers) become epoch
+      millis."""
+    if isinstance(schema, list):
+        if value is None:
+            return None
+        for s in schema:
+            t = s if isinstance(s, str) else s.get("type", s)
+            if t != "null":
+                return coerce_record(value, s)
+        return value
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            name = f["name"]
+            if name in value:
+                out[name] = coerce_record(value[name], f["type"])
+            elif isinstance(f["type"], list) and "null" in f["type"]:
+                out[name] = None
+            else:
+                raise ValueError(
+                    f"record missing required field {name!r} for "
+                    f"{schema.get('name', 'record')}"
+                )
+        return out
+    if _is_timestamp_millis(schema):
+        if isinstance(value, str):
+            import datetime as _dt
+
+            s = value.replace("Z", "+00:00")
+            dt = _dt.datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            return int(dt.timestamp() * 1000)
+        if hasattr(value, "timestamp"):
+            return int(value.timestamp() * 1000)
+    return value
 
 
 # ---------------------------------------------------------------------------

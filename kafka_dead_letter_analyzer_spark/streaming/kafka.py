@@ -385,10 +385,92 @@ def read_dead_letter_stream(
 # ---------------------------------------------------------------------------
 
 
-def kafka_sink_projection(sink_df: DataFrame, key_col: str = "kafka_key") -> DataFrame:
+def avro_sink_encode_udf(schema_json: str, schema_id: int = 1):
+    """Arrow-batched STRICT encoder for the sink path: JSON rendering of
+    a sink record -> Confluent-framed Avro binary under the given writer
+    schema. ``coerce_record`` first restores the nulls ``to_json``
+    dropped and converts ISO timestamps to epoch millis
+    (timestamp-millis' physical long).
+
+    Strict on purpose — unlike the READ-side brute-force cascade (which
+    nulls misses and falls through), a sink record the writer schema
+    cannot encode is a bug, and the reference's SpecificAvroSerde throws
+    there too. Null in -> null out (tombstone passthrough)."""
+    import json as _json
+
+    from kafka_dead_letter_analyzer_spark.functions import avro_codec
+
+    schema = _json.loads(schema_json)
+
+    @F.pandas_udf("binary")
+    def encode(js: pd.Series) -> pd.Series:
+        out = []
+        for v in js:
+            if v is None:
+                out.append(None)
+                continue
+            rec = avro_codec.coerce_record(_json.loads(v), schema)
+            out.append(
+                avro_codec.confluent_frame(
+                    avro_codec.encode_bytes(rec, schema), schema_id
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return encode
+
+
+def _infer_sink_avro_schema(payload_cols: list, single_struct: bool) -> str:
+    """Writer schema for a sink frame, inferred from its column set (the
+    four O1-O4 shapes are disjoint): the bare DeadLetter (O4, single
+    struct), FullDeadLetterWithContext (O1), FullErrorStatistics (O2),
+    ErrorExample (O3)."""
+    from kafka_dead_letter_analyzer_spark.functions import avro_codec
+
+    cols = set(payload_cols)
+    if single_struct:
+        return avro_codec.dead_letter_avro_schema()
+    if cols == {"key", "offset", "partition", "timestamp", "dead_letter",
+                "topic", "type"}:
+        return avro_codec.full_dead_letter_with_context_avro_schema()
+    if cols == {"count", "created", "updated", "topic", "type"}:
+        return avro_codec.full_error_statistics_avro_schema()
+    if cols == {"example", "topic", "type"}:
+        return avro_codec.error_example_avro_schema()
+    raise ValueError(
+        f"cannot infer a sink Avro schema from columns {sorted(cols)}; "
+        "pass avro_schema= explicitly"
+    )
+
+
+def kafka_sink_projection(
+    sink_df: DataFrame,
+    key_col: str = "kafka_key",
+    value_format: str = "json",
+    avro_schema: str | None = None,
+    schema_id: int = 1,
+    large_message_threshold: int | None = None,
+    large_message_dialect: str = "headers",
+    blob_dir: str = "/tmp/large-messages",
+    uri_prefix: str = "file://",
+) -> DataFrame:
     """Project a sink frame to the Kafka writer contract: ``key`` = the
-    reference's derived document key (K1/K2/K4), ``value`` = JSON of the
+    reference's derived document key (K1/K2/K4), ``value`` = the encoded
     sink *record* (O1-O4 payloads).
+
+    ``value_format="json"`` (default) emits the JSON rendering.
+    ``value_format="avro"`` emits Confluent-framed Avro binary under the
+    reference's writer schemas — inferred from the payload column set
+    (the four sink shapes are disjoint) or passed via ``avro_schema`` —
+    matching the reference's default SpecificAvro value serde
+    (DeadLetterAnalyzerApplication.java:58,64-66). With
+    ``large_message_threshold`` set, oversized values are blob-backed in
+    the bakdata large-message wire format: ``dialect="headers"``
+    (default — the app sets USE_HEADERS_CONFIG=true, so the flag rides a
+    Kafka header and the output frame gains a ``headers`` column) or
+    ``dialect="bytes"`` (flag byte prepended to the value). The stats
+    topic's plain-Avro override (DeadLetterAnalyzerTopology.java:152) is
+    simply ``large_message_threshold=None``.
 
     A payload of several columns is one record with those fields (O1-O3:
     FullDeadLetterWithContext / FullErrorStatistics / ErrorExample). A
@@ -403,15 +485,55 @@ def kafka_sink_projection(sink_df: DataFrame, key_col: str = "kafka_key") -> Dat
     """
     from pyspark.sql.types import StructType
 
+    if value_format not in ("json", "avro"):
+        raise ValueError(f"value_format must be json|avro, got {value_format!r}")
     payload_cols = [c for c in sink_df.columns if c != key_col]
     payload_types = {f.name: f.dataType for f in sink_df.schema.fields}
-    if len(payload_cols) == 1 and isinstance(payload_types[payload_cols[0]], StructType):
-        value = F.to_json(F.col(payload_cols[0]))
+    single_struct = len(payload_cols) == 1 and isinstance(
+        payload_types[payload_cols[0]], StructType
+    )
+    if single_struct:
+        js = F.to_json(F.col(payload_cols[0]))
     else:
-        value = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    return sink_df.select(
+        js = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    if value_format == "json":
+        value = js
+    else:
+        schema_json = avro_schema or _infer_sink_avro_schema(
+            payload_cols, single_struct
+        )
+        value = avro_sink_encode_udf(schema_json, schema_id)(js)
+    out = sink_df.select(
         F.col(key_col).cast("string").alias("key"),
         value.alias("value"),
+    )
+    if large_message_threshold is None:
+        return out
+    if value_format == "json":
+        out = out.withColumn("value", F.col("value").cast("binary"))
+    from kafka_dead_letter_analyzer_spark.streaming import large_message as LM
+
+    if large_message_dialect == "headers":
+        out = out.withColumn(
+            "headers",
+            F.array().cast("array<struct<key:string,value:binary>>"),
+        )
+        return LM.header_encode(
+            out,
+            threshold=large_message_threshold,
+            blob_dir=blob_dir,
+            uri_prefix=uri_prefix,
+        )
+    if large_message_dialect == "bytes":
+        return LM.wire_encode(
+            out,
+            threshold=large_message_threshold,
+            blob_dir=blob_dir,
+            uri_prefix=uri_prefix,
+        )
+    raise ValueError(
+        f"large_message_dialect must be headers|bytes, got "
+        f"{large_message_dialect!r}"
     )
 
 
@@ -422,15 +544,20 @@ def write_stream_to_kafka(
     checkpoint_dir: str,
     output_mode: str = "append",
     query_name: str | None = None,
+    **serde_kwargs,
 ):
     """Start a Kafka writeStream for one output (O1-O4).
 
     The error topic (O4) must match the input pattern so failed records
     re-enter the analyzer — the E3 feedback loop closes through the broker
-    (README.md:47-48), exactly like the reference.
+    (README.md:47-48), exactly like the reference. ``serde_kwargs`` pass
+    through to :func:`kafka_sink_projection` (``value_format="avro"``,
+    ``large_message_threshold=...`` reproduce the reference's default
+    large-message SpecificAvro value serde; Spark's Kafka writer picks up
+    the ``headers`` column the header dialect adds).
     """
     return (
-        kafka_sink_projection(sink_df)
+        kafka_sink_projection(sink_df, **serde_kwargs)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)

@@ -344,3 +344,213 @@ def test_encode_udf_nulls_out_unencodable_records(spark):
     )
     rows = df.select(enc(F.col("js")).alias("b")).collect()
     assert [r["b"] for r in rows] == [None, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Sink-side Avro serde (round-5: reference default output serde is
+# large-message-wrapped SpecificAvro, DeadLetterAnalyzerApplication.java:56-66;
+# plain Avro for stats, DeadLetterAnalyzerTopology.java:152)
+# ---------------------------------------------------------------------------
+
+DL_STRUCT = (
+    "struct<input_value:string,partition:int,topic:string,offset:bigint,"
+    "description:string,"
+    "cause:struct<error_class:string,message:string,stack_trace:string>,"
+    "input_timestamp:timestamp>"
+)
+
+
+def _o4_frame(spark, description="boom desc", input_value="bad"):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [("k1",)], "kafka_key string"
+    ).withColumn(
+        "dead_letter",
+        F.expr(
+            f"named_struct("
+            f"'input_value', '{input_value}', 'partition', 3, "
+            f"'topic', 'src-t', 'offset', CAST(42 AS BIGINT), "
+            f"'description', '{description}', "
+            f"'cause', named_struct('error_class', 'java.lang.RuntimeException',"
+            f" 'message', 'boom', 'stack_trace', CAST(NULL AS STRING)), "
+            f"'input_timestamp', timestamp_millis(1704110400000))"
+        ).cast(DL_STRUCT),
+    )
+
+
+def test_sink_projection_avro_o4_field_exact(spark, schema):
+    """O4 sink with value_format='avro': the emitted bytes are the
+    Confluent-framed engine-codec encoding of the DeadLetter, and they
+    re-enter decode_kafka_records field-exactly (the E3 loop stays
+    closed under the Avro serde)."""
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        kafka_sink_projection,
+    )
+
+    [row] = kafka_sink_projection(
+        _o4_frame(spark), value_format="avro"
+    ).collect()
+    assert row["key"] == "k1"
+    sid, payload = confluent_unframe(bytes(row["value"]))
+    rec = decode_bytes(payload, schema)
+    assert rec["description"] == "boom desc"
+    assert rec["input_value"] == "bad"
+    assert rec["cause"]["error_class"] == "java.lang.RuntimeException"
+    assert rec["cause"]["stack_trace"] is None
+    assert rec["input_timestamp"] == 1704110400000
+    # and through the reader cascade
+    shaped = _kafka_shaped(spark, [bytes(row["value"])])
+    [out] = decode_kafka_records(shaped, use_avro="python").collect()
+    dl = out["value_deadletter"]
+    assert dl["description"] == "boom desc"
+    assert int(dl["input_timestamp"].timestamp() * 1000) == 1704110400000
+
+
+def test_sink_projection_avro_large_message_headers_roundtrip(spark, schema):
+    """Avro + header-dialect large message (the app's USE_HEADERS=true
+    default): an oversized value goes blob-backed with the flag header;
+    decode_header_value + unframe + decode restores every field."""
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        kafka_sink_projection,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.large_message import (
+        decode_header_value,
+    )
+
+    big = "x" * 4096
+    frame = _o4_frame(spark, input_value=big)
+    out = kafka_sink_projection(
+        frame,
+        value_format="avro",
+        large_message_threshold=256,
+        blob_dir="/tmp/kdla-test-blobs",
+    )
+    assert "headers" in out.columns
+    [row] = out.collect()
+    headers = [(h["key"], bytes(h["value"])) for h in row["headers"]]
+    raw = decode_header_value(bytes(row["value"]), headers)
+    sid, payload = confluent_unframe(raw)
+    rec = decode_bytes(payload, schema)
+    assert rec["input_value"] == big
+    assert rec["description"] == "boom desc"
+    # small values stay bare (not-backed flag header, value untouched)
+    small = kafka_sink_projection(
+        _o4_frame(spark),
+        value_format="avro",
+        large_message_threshold=1 << 20,
+        blob_dir="/tmp/kdla-test-blobs",
+    )
+    [srow] = small.collect()
+    sid2, payload2 = confluent_unframe(
+        decode_header_value(
+            bytes(srow["value"]),
+            [(h["key"], bytes(h["value"])) for h in srow["headers"]],
+        )
+    )
+    assert decode_bytes(payload2, schema)["description"] == "boom desc"
+
+
+def test_sink_stats_plain_avro_bytes_pinned(spark):
+    """O2 (stats) plain-Avro value: byte layout pinned against the pure
+    codec — field order count/created/updated/topic/type, all required
+    (sink/FullErrorStatistics.avsc)."""
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        full_error_statistics_avro_schema,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        kafka_sink_projection,
+    )
+
+    stats = spark.createDataFrame(
+        [("t:ty", 3, "2024-01-01T12:00:00.000", "2024-01-02T12:00:00.000",
+          "t", "ty")],
+        "kafka_key string, count int, created string, updated string, "
+        "topic string, type string",
+    )
+    [row] = kafka_sink_projection(stats, value_format="avro").collect()
+    sch = json.loads(full_error_statistics_avro_schema())
+    expected = confluent_frame(
+        encode_bytes(
+            {
+                "count": 3,
+                "created": "2024-01-01T12:00:00.000",
+                "updated": "2024-01-02T12:00:00.000",
+                "topic": "t",
+                "type": "ty",
+            },
+            sch,
+        ),
+        1,
+    )
+    assert bytes(row["value"]) == expected
+
+
+def test_sink_schema_inference_covers_the_four_shapes():
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        _infer_sink_avro_schema,
+    )
+
+    assert "DeadLetter" in _infer_sink_avro_schema(["dead_letter"], True)
+    assert "FullDeadLetterWithContext" in _infer_sink_avro_schema(
+        ["key", "offset", "partition", "timestamp", "dead_letter",
+         "topic", "type"], False
+    )
+    assert "FullErrorStatistics" in _infer_sink_avro_schema(
+        ["count", "created", "updated", "topic", "type"], False
+    )
+    assert "ErrorExample" in _infer_sink_avro_schema(
+        ["example", "topic", "type"], False
+    )
+    with pytest.raises(ValueError, match="cannot infer"):
+        _infer_sink_avro_schema(["mystery"], False)
+
+
+def test_coerce_record_restores_dropped_nulls_and_iso_timestamps(schema):
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        coerce_record,
+    )
+
+    # to_json-style rendering: null fields absent, ISO timestamp string
+    rec = coerce_record(
+        {
+            "description": "d",
+            "cause": {"message": "m"},
+            "input_timestamp": "2024-01-01T12:00:00.000Z",
+        },
+        schema,
+    )
+    assert rec["input_value"] is None and rec["offset"] is None
+    assert rec["cause"]["error_class"] is None
+    assert rec["input_timestamp"] == 1704110400000
+    assert decode_bytes(encode_bytes(rec, schema), schema) == rec
+    # a missing REQUIRED field raises instead of being forged
+    with pytest.raises(ValueError, match="description"):
+        coerce_record({"cause": {}}, schema)
+
+
+def test_full_context_and_example_schemas_roundtrip():
+    """O1/O3 writer schemas encode their nested sink records and the
+    binary round-trips exactly."""
+    from kafka_dead_letter_analyzer_spark.functions.avro_codec import (
+        error_example_avro_schema,
+        full_dead_letter_with_context_avro_schema,
+    )
+
+    full_sch = json.loads(full_dead_letter_with_context_avro_schema())
+    full = {
+        "key": "k", "offset": 42, "partition": 3,
+        "timestamp": "2024-01-01T12:00:00.000",
+        "dead_letter": GOLDEN, "topic": "t", "type": "ty",
+    }
+    assert decode_bytes(encode_bytes(full, full_sch), full_sch) == full
+    ex_sch = json.loads(error_example_avro_schema())
+    ex = {
+        "example": {
+            "key": "k", "offset": 42, "partition": 3,
+            "timestamp": "2024-01-01T12:00:00.000",
+            "dead_letter": MINIMAL,
+        },
+        "topic": "t", "type": "ty",
+    }
+    assert decode_bytes(encode_bytes(ex, ex_sch), ex_sch) == ex
