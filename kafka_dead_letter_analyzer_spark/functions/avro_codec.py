@@ -259,12 +259,20 @@ def _read_long(buf: io.BytesIO) -> int:
 
 
 def _branch_for(value, union: list):
+    """Union branch by the value's RUNTIME type (not first-non-null —
+    a union with several non-null branches, e.g. ["null","string",
+    {timestamp-millis}], must encode a long under the long branch)."""
     for i, s in enumerate(union):
         t = s if isinstance(s, str) else s.get("type", s)
         if value is None and t == "null":
             return i, s
-        if value is not None and t != "null":
-            return i, s
+        if value is not None:
+            if t in ("int", "long") and isinstance(value, int):
+                return i, s
+            if t == "string" and isinstance(value, str):
+                return i, s
+            if t == "record" and isinstance(value, dict):
+                return i, s
     raise ValueError(f"no union branch for {value!r} in {union}")
 
 

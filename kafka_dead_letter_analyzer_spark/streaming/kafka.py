@@ -118,14 +118,33 @@ def brute_force_json_udf(registry: dict | None = None):
     reg = _normalize_registry(registry)
     dl_schema = _json.loads(avro_codec.dead_letter_avro_schema())
 
+    def _branch_matches(value, s) -> bool:
+        # runtime-type dispatch over the codec's supported subset
+        # (null/int/long/string/record): a union with several non-null
+        # branches must render under the branch the VALUE came from —
+        # the decoder erases the branch index, but within this subset
+        # the Python type recovers it unambiguously.
+        t = s if isinstance(s, str) else s.get("type", s)
+        if t == "null":
+            return value is None
+        if t in ("int", "long"):
+            return isinstance(value, int)
+        if t == "string":
+            return isinstance(value, str)
+        if t == "record":
+            return isinstance(value, dict)
+        return False
+
     def _render(value, schema):
         if isinstance(schema, list):  # union: render by the value's branch
             if value is None:
                 return None
             branch = next(
-                s for s in schema
-                if (s if isinstance(s, str) else s.get("type")) != "null"
+                (s for s in schema if _branch_matches(value, s)),
+                None,
             )
+            if branch is None:  # unrepresentable: fall back, render raw
+                return value
             return _render(value, branch)
         if isinstance(schema, dict):
             t = schema["type"]
@@ -325,6 +344,15 @@ def decode_kafka_records(
             _dead_letter_avro_schema(),
             {"mode": "PERMISSIVE"},
         )
+        if registry:
+            # Registry-driven multi-schema rendering is Python-codec
+            # territory even under the JVM tier: from_avro carries ONE
+            # schema, so non-DeadLetter ids must round through the same
+            # UDF the python tier uses — value_text/input_value is then
+            # IDENTICAL regardless of which tier auto-selection picked.
+            parse_cols["_avro_json"] = decode(
+                F.when(_is_framed("value"), F.col("value"))
+            )
 
     parsed = kafka_df.select(
         "topic", "partition", "offset", "timestamp", "key", "headers",
@@ -338,6 +366,23 @@ def decode_kafka_records(
             "_avro", F.from_json(F.col("_avro_json"), DEAD_LETTER)
         ).withColumn(
             "value_text", F.coalesce(F.col("_avro_json"), F.col("value_text"))
+        )
+    elif use_avro:
+        # Tier-3 parity for the JVM branch: when the Avro tier hit, the
+        # text tier carries its JSON rendering, not the raw binary cast.
+        # With a registry the python UDF's rendering is authoritative
+        # (exact cross-tier text equality); without one, to_json(_avro)
+        # renders JVM-side — same semantics, though to_json omits null
+        # fields where the python render writes them explicitly.
+        rendered = (
+            F.col("_avro_json")
+            if registry
+            else F.when(
+                _is_dead_letter(F.col("_avro")), F.to_json(F.col("_avro"))
+            )
+        )
+        parsed = parsed.withColumn(
+            "value_text", F.coalesce(rendered, F.col("value_text"))
         )
 
     attempts = []

@@ -554,3 +554,54 @@ def test_full_context_and_example_schemas_roundtrip():
         "topic": "t", "type": "ty",
     }
     assert decode_bytes(encode_bytes(ex, ex_sch), ex_sch) == ex
+
+
+def test_union_multi_nonnull_branch_resolved_by_runtime_type(spark):
+    """A union with SEVERAL non-null branches (["null","string",
+    {timestamp-millis long}]) encodes and renders each value under its
+    own branch — not blindly the first non-null one (round-4 advice:
+    a millis long was printed raw under the string schema and vice
+    versa)."""
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        brute_force_json_udf,
+    )
+
+    sch = {
+        "type": "record",
+        "name": "Multi",
+        "fields": [
+            {
+                "name": "v",
+                "type": [
+                    "null",
+                    "string",
+                    {"type": "long", "logicalType": "timestamp-millis"},
+                ],
+            }
+        ],
+    }
+    # encode-side: the long takes branch 2, the string branch 1
+    b_str = encode_bytes({"v": "hello"}, sch)
+    b_ts = encode_bytes({"v": 1704110400000}, sch)
+    b_null = encode_bytes({"v": None}, sch)
+    assert b_str[0] == 2  # zigzag(1): string branch
+    assert b_ts[0] == 4  # zigzag(2): timestamp branch
+    assert b_null[0] == 0
+    assert decode_bytes(b_str, sch) == {"v": "hello"}
+    assert decode_bytes(b_ts, sch) == {"v": 1704110400000}
+    # render-side (brute-force tier with this schema registered):
+    # string renders raw, long renders as ISO timestamp
+    reg = {5: json.dumps(sch)}
+    df = spark.createDataFrame(
+        [
+            (bytearray(confluent_frame(b_str, 5)),),
+            (bytearray(confluent_frame(b_ts, 5)),),
+        ],
+        "value binary",
+    ).withColumn("js", brute_force_json_udf(reg)(F.col("value")))
+    got = [r["js"] for r in df.collect()]
+    assert json.loads(got[0]) == {"v": "hello"}
+    rendered_ts = json.loads(got[1])["v"]
+    assert rendered_ts.startswith("2024-01-01T12:00:00")
