@@ -149,7 +149,11 @@ def trimmed_stats(
     FLOORED to BIGINT before any accumulation (IEEE multiply is
     exact-rounded identically everywhere; floor has no rounding mode) —
     summing raw doubles is order-dependent and banned. The trimmed mean
-    is integer DIV.
+    is integer division truncating toward zero — Spark ``DIV`` and
+    DuckDB integer ``//`` BOTH truncate (probed: -7 DIV 3 == -7 // 3 ==
+    -2 on duckdb 1.0), so the engines agree for signed value columns
+    too; tests/test_analytics.py pins that with an all-negative corpus
+    against a live DuckDB oracle.
 
     Plan shape: identical envelope to exact_percentiles — ONE hash
     Exchange; the ordered window (rank + group size) and the final

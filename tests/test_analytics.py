@@ -711,3 +711,54 @@ def test_trimmed_stats_drops_outliers_exactly(spark):
     assert r["lo_scaled"] == 5_000_000 and r["hi_scaled"] == 95_000_000
     assert r["sum_scaled"] == sum(i * 1_000_000 for i in range(5, 96))
     assert r["trimmed_mean_scaled"] == r["sum_scaled"] // 91
+
+
+def test_trimmed_stats_negative_values_match_duckdb_truncation(spark):
+    """Round-4 advice flagged Spark DIV (truncates) vs DuckDB // as a
+    floor/truncate divergence for negative trimmed sums. Probed: DuckDB
+    1.0 integer // ALSO truncates toward zero (-7 // 3 == -2), so the
+    engines agree with no reformulation — pinned here with an
+    all-negative corpus against a live DuckDB oracle, the exact query
+    shape x_trimmed_stats declares."""
+    import duckdb
+
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        trimmed_stats,
+    )
+
+    rows = [(i, -float(i) / 7.0, "t") for i in range(1, 30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, value double, event_type string"
+    )
+    [got] = trimmed_stats(
+        df, key="event_type", value_col="value", tiebreak="event_id"
+    ).collect()
+    assert got["sum_scaled"] < 0  # the divergence precondition
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, CAST({-i/7.0!r} AS DOUBLE), 't')" for i in range(1, 30)
+        )
+        + ") t(event_id, value, event_type)"
+    )
+    [(mean_oracle, sum_oracle)] = con.execute(
+        """
+        WITH r AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000000) AS BIGINT) AS v,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id)
+        )
+        SELECT CAST(sum(v) // count(*) AS BIGINT),
+               CAST(sum(v) AS BIGINT)
+        FROM r
+        WHERE rn >= (5 * n + 99) // 100 AND rn <= (95 * n) // 100
+        GROUP BY event_type
+        """
+    ).fetchall()
+    assert got["sum_scaled"] == sum_oracle
+    assert got["trimmed_mean_scaled"] == mean_oracle
