@@ -129,7 +129,10 @@ def main() -> None:
             timings[name] = round(best, 3)
         # drop per-invocation persisted intermediates (e3's error-topic
         # boundary, minhash signatures) so later queries aren't skewed by
-        # accumulated executor-memory cache
+        # accumulated executor-memory cache; release_all covers the
+        # engine-registered persists explicitly, clearCache the rest
+        from kafka_dead_letter_analyzer_spark import cache_registry
+        cache_registry.release_all()
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,63 @@
+"""Deferred-release registry for mid-plan persists.
+
+Several operators persist an intermediate BOTH sides of a self-join (or a
+count job and an enumerate job) consume — the persist is load-bearing for
+plan dedup, and it cannot be dropped before the caller's terminal action
+because the returned DataFrame's lineage reads it. That leaves the blocks
+parked in executor storage after consumption: harmless for one query,
+storage-pressure for a long session running hundreds (round-4 advice on
+``dedup_near_minhash(collapse_exact)``).
+
+The fix is the same shape ``bpe_train`` uses for its localCheckpoint
+generations: REGISTER every such persist here, and let the session owner
+call :func:`release_all` at its consumption boundary (bench.py does so
+per query; services should call it per batch). The registry holds STRONG
+references — the operator's own local went out of scope the moment it
+returned, so a weak ref would be dead before the caller ever acted;
+pinning the handle (a few hundred bytes) until the owner releases is
+the contract. Releasing a frame whose blocks are already gone is a
+no-op.
+
+``spark.catalog.clearCache()`` is the blunter alternative (it drops ALL
+cached frames, including ones the caller wants kept — e.g. a corpus
+index serving ``dedup_near_minhash_incremental`` across batches);
+``release_all`` only touches what the engine itself registered.
+"""
+
+from __future__ import annotations
+
+import threading
+
+__all__ = ["track", "release_all", "tracked_count"]
+
+_lock = threading.Lock()
+_tracked: list = []
+
+
+def track(df):
+    """Register a persisted DataFrame for deferred release; returns it
+    unchanged (chainable around ``.persist()``)."""
+    with _lock:
+        _tracked.append(df)
+    return df
+
+
+def tracked_count() -> int:
+    with _lock:
+        return len(_tracked)
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every registered frame; returns how many were
+    released. Best-effort — storage, never correctness."""
+    with _lock:
+        dfs = _tracked[:]
+        _tracked.clear()
+    n = 0
+    for df in dfs:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n

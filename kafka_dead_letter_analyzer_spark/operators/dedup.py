@@ -21,6 +21,7 @@ functions + xxhash64) — no Python in the hot path, no driver-side loops.
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from kafka_dead_letter_analyzer_spark import cache_registry
 
 from kafka_dead_letter_analyzer_spark.operators.text import fingerprint
 
@@ -276,6 +277,7 @@ def dedup_near_minhash(
             .over(Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))))
             .alias("_rep"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.track(grouped)
         star_edges = (
             grouped.filter(F.col("_id") != F.col("_rep"))
             .select(
@@ -294,6 +296,7 @@ def dedup_near_minhash(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cache_registry.track(base)
     banded = base.select("_id", bands_of("_hashes").alias("_bands"))
     ex = banded.select("_id", F.posexplode("_bands").alias("band", "bucket"))
 
@@ -425,8 +428,10 @@ def dedup_near_simhash(
     """
     from pyspark import StorageLevel
 
-    sh = simhash64_frame(docs, id_col, text_col, token_hash).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = cache_registry.track(
+        simhash64_frame(docs, id_col, text_col, token_hash).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # static 4-band unroll (shift amounts must be python ints)
     band_structs = F.array(
@@ -631,7 +636,7 @@ def dedup_near_minhash_incremental(
     nonblank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
 
     def prep(df):
-        return (
+        return cache_registry.track(
             df.filter(nonblank)
             .select(F.col(id_col).alias("_id"), hashes.alias("_hashes"))
             .persist(StorageLevel.MEMORY_AND_DISK)

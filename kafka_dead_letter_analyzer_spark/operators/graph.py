@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kafka_dead_letter_analyzer_spark import cache_registry
 
 __all__ = ["connected_components", "connected_components_star"]
 
@@ -130,6 +131,7 @@ def connected_components(
         .distinct()
         .persist()
     )
+    cache_registry.track(edges)
 
     if driver_pair_limit is not None:
         # ONE bounded action decides the strategy AND delivers the data:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from kafka_dead_letter_analyzer_spark import cache_registry
 
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + a BPE-ish subword proxy
@@ -299,7 +300,7 @@ def winnow_near_dups(
 
     p = winnow_sketches(docs, id_col, text_col, k, window)
     if max_df is not None:
-        p = p.persist(StorageLevel.MEMORY_AND_DISK)
+        p = cache_registry.track(p.persist(StorageLevel.MEMORY_AND_DISK))
         rare = (
             p.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kafka_dead_letter_analyzer_spark import cache_registry
 
 from kafka_dead_letter_analyzer_spark.operators import parsers as P
 from kafka_dead_letter_analyzer_spark.operators.aggregate import (
@@ -204,7 +205,9 @@ def error_feedback_pass(outputs: TopologyOutputs, error_topic_name: str = "analy
     """
     from pyspark import StorageLevel
 
-    errors_materialized = outputs.error_topic.persist(StorageLevel.MEMORY_AND_DISK)
+    errors_materialized = cache_registry.track(
+        outputs.error_topic.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     errs = errors_materialized.select(
         F.lit(error_topic_name).alias("topic"),
         F.lit(0).cast("int").alias("partition"),

@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from kafka_dead_letter_analyzer_spark import cache_registry
 
 from kafka_dead_letter_analyzer_spark.functions.classify import (
     classify_stack_trace,
@@ -2779,8 +2780,8 @@ def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running many queries per session (bench does) should
     # clearCache()/unpersist between queries; unpersisting HERE would
     # free them before the caller has collected the lazy result.
-    v = stage(ev, "view", None).persist()
-    c = stage(ev, "click", v.select("user_id", "t")).persist()
+    v = cache_registry.track(stage(ev, "view", None).persist())
+    c = cache_registry.track(stage(ev, "click", v.select("user_id", "t")).persist())
     p = stage(ev, "purchase", c.select("user_id", "t"))
 
     def level(df: DataFrame, name: str, idx: int) -> DataFrame:
@@ -4268,9 +4269,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max subquery — unpersisted, Catalyst duplicates the subtree and
     # scans lineitem twice (same persisted-base pattern as the minhash
     # signatures; |suppliers| rows, spill-safe)
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4")
-    ).persist()
+    rev = cache_registry.track(
+        li.groupBy("l_suppkey").agg(
+            F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4")
+        ).persist()
+    )
     mx = rev.agg(F.max("total_rev_e4").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_rev_e4 == F.col("_mx"))
@@ -4369,6 +4372,7 @@ def tpch_q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ret").alias("ret"))
         .persist()
     )
+    cache_registry.track(per)
     per_order = per.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.col("ret").cast("int")).alias("n_ret"),

@@ -1021,3 +1021,36 @@ def test_incremental_neardup_equals_cross_slice_of_full(spark, docs):
     }
     assert inc == cross
     assert all(c < 300 <= n for c, n in inc)
+
+
+def test_cache_registry_releases_engine_persists(spark):
+    """Operators register their load-bearing mid-plan persists; the
+    session owner's release_all() frees the blocks after the consuming
+    action without touching caller-owned caches (round-4 advice:
+    collapse_exact/q15/q21 persists accumulated across a long session)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        dedup_near_minhash,
+    )
+
+    spark.catalog.clearCache()
+    cache_registry.release_all()
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different text with other words entirely here")],
+        "doc_id long, text string",
+    )
+    out = dedup_near_minhash(docs, collapse_exact=True)
+    out.count()  # consuming action — persists are materialized
+    assert cache_registry.tracked_count() >= 2  # grouped + base
+    # caller-owned cache must survive release_all
+    mine = docs.persist()
+    mine.count()
+    released = cache_registry.release_all()
+    assert released >= 2
+    assert cache_registry.tracked_count() == 0
+    assert mine.storageLevel.useMemory  # untouched
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # only the caller's frame remains registered persistent
+    mine.unpersist(True)
