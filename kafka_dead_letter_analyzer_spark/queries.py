@@ -4878,3 +4878,89 @@ def x_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _kmeans_int_sql(k: int = 4, iters: int = 2, scale: int = 1024, d: int = 64) -> str:
+    """Unrolled relational Lloyd for the x_kmeans_int oracle: every
+    iteration is one assignment (argmin by integer squared distance,
+    ties to the lowest cluster) + one trunc-div recenter — the exact
+    integer spec kmeans_fit_int implements, so the hash gate covers a
+    full multi-round iterative algorithm."""
+    parts = [f"""
+    WITH iv AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    dims AS (SELECT UNNEST(range(1, {d + 1})) AS i),
+    ex AS (SELECT vec_id, i, v[i] AS val FROM iv, dims),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+      FROM iv ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (SELECT cluster, i, v[i] AS c FROM init, dims)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    d{t} AS (
+      SELECT ex.vec_id, c{t - 1}.cluster,
+             SUM((ex.val - c{t - 1}.c) * (ex.val - c{t - 1}.c)) AS dist
+      FROM ex JOIN c{t - 1} USING (i)
+      GROUP BY 1, 2
+    ),
+    a{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT a{t}.cluster, ex.i, SUM(ex.val) AS s, COUNT(*) AS n
+      FROM a{t} JOIN ex USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    c{t} AS (
+      SELECT c{t - 1}.cluster, c{t - 1}.i,
+             COALESCE(CAST(u{t}.s // u{t}.n AS BIGINT), c{t - 1}.c) AS c
+      FROM c{t - 1} LEFT JOIN u{t}
+        ON u{t}.cluster = c{t - 1}.cluster AND u{t}.i = c{t - 1}.i
+    )""")
+    parts.append(f""",
+    df AS (
+      SELECT ex.vec_id, c{iters}.cluster,
+             SUM((ex.val - c{iters}.c) * (ex.val - c{iters}.c)) AS dist
+      FROM ex JOIN c{iters} USING (i)
+      GROUP BY 1, 2
+    ),
+    af AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM df
+      ) WHERE rn = 1
+    ),
+    cnt AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM af GROUP BY 1
+    )
+    SELECT c{iters}.cluster,
+           CAST(c{iters}.i - 1 AS INT) AS dim,
+           CAST(c{iters}.c AS BIGINT) AS centroid_c,
+           COALESCE(cnt.n_members, CAST(0 AS BIGINT)) AS n_members
+    FROM c{iters} LEFT JOIN cnt USING (cluster)""")
+    return "".join(parts)
+
+
+@_register("x_kmeans_int", _kmeans_int_sql())
+def x_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed Lloyd k-means (k=4, 2 rounds, floored
+    1024-scaled vectors, trunc-div centroids): the oracle-checkable
+    surface for the engine's distributed clustering — the full quantized
+    centroid matrix (k x 64 rows) plus final cluster cardinalities.
+    Every iteration: broadcast centroid matmul assignment (vectors never
+    shuffle) + a (cluster, dim) scalar contraction; the driver holds
+    exactly k*d longs (operators/similarity.py::kmeans_fit_int)."""
+    return S.kmeans_fit_int(load_table(spark, sf_dir, "embeddings"))

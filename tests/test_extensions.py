@@ -1054,3 +1054,57 @@ def test_cache_registry_releases_engine_persists(spark):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     # only the caller's frame remains registered persistent
     mine.unpersist(True)
+
+
+def test_kmeans_int_matches_from_scratch_integer_lloyd(spark):
+    """kmeans_fit_int vs a from-scratch pure-python implementation of
+    the same integer spec (floor-scaled vectors, first-min argmin,
+    trunc-div recenter, empty keeps previous) on a corpus engineered to
+    exercise a tie and a (transiently) small cluster."""
+    from kafka_dead_letter_analyzer_spark.operators import similarity as S
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0]),
+        (3, [-0.9, -0.1]), (4, [0.5, 0.5]), (5, [-0.5, 0.5]),
+        (6, [0.0, 0.0]),  # equidistant-ish: tie-break territory
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["cluster"], r["dim"]): (r["centroid_c"], r["n_members"])
+        for r in S.kmeans_fit_int(
+            df, n_clusters=2, iters=3, scale=1024
+        ).collect()
+    }
+
+    # pure-python same spec
+    import math
+
+    iv = {i: [math.floor(float(x) * 1024) for x in v] for i, v in vecs}
+    c = [iv[0][:], iv[1][:]]
+    k, d = 2, 2
+
+    def assign():
+        out = {}
+        for i, v in iv.items():
+            dists = [sum((a - b) ** 2 for a, b in zip(v, cj)) for cj in c]
+            out[i] = dists.index(min(dists))  # first min == lowest cluster
+        return out
+
+    def tdiv(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    for _ in range(3):
+        a = assign()
+        for j in range(k):
+            members = [iv[i] for i in a if a[i] == j]
+            if members:
+                c[j] = [
+                    tdiv(sum(m[t] for m in members), len(members))
+                    for t in range(d)
+                ]
+    final = assign()
+    for j in range(k):
+        n = sum(1 for v in final.values() if v == j)
+        for t in range(d):
+            assert got[(j, t)] == (c[j][t], n), (j, t, got[(j, t)], c[j][t], n)
