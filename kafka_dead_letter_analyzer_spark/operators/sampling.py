@@ -39,6 +39,7 @@ __all__ = [
     "stratified_quota",
     "stratified_quota_weighted",
     "global_order_index",
+    "weighted_reservoir_topk",
 ]
 
 
@@ -323,4 +324,54 @@ def stratified_quota_weighted(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter((F.col("sample_rank") <= F.lit(max_q)) & (F.col("sample_rank") <= thresh))
+    )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly
+    ``k`` rows, inclusion probability increasing in ``weight_col`` —
+    sequential Poisson / priority sampling (Ohlsson 1998; Duffield-
+    Lund-Thorup priority sampling): each row draws u ~ U and the k
+    smallest ``u / w`` win.
+
+    The classic A-Res reservoir key ``u^(1/w)`` needs log/pow — NOT
+    exact-rounded, so never bit-stable across engines (the round-4 NOTES
+    hash-risk). This design replaces it with ``u / w`` where BOTH
+    operands are exact integers (u = md5-u32 + 1 in [1, 2^32], w a
+    positive integer weight < 2^52) and IEEE double division IS
+    exact-rounded — every engine computes the identical double, making
+    the selection a pure function of the data and oracle-checkable.
+    Same order statistics family as A-Res (u/w is the exponential race
+    with the exponential replaced by the uniform — the standard
+    sequential-Poisson approximation of strict PPS-without-replacement).
+
+    Plan: filter + project + global top-k = TakeOrderedAndProject — no
+    full sort, no shuffle of the corpus; every executor ships only its
+    local k candidates. At 100 TB with k in the thousands this is the
+    only acceptable physical shape.
+
+    Rows with NULL or non-positive weight never qualify. Output: the
+    input columns + ``wrs_rank`` (1-based selection order). The draw
+    column itself stays internal (a double — exact, but kept out of
+    declared surfaces per the no-float-output house rule)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = hash_uniform_u32(F.col(key), salt) + F.lit(1)
+    pri = u.cast("double") / F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").asc(), F.col(key).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_pri").asc(), F.col(key).asc())
+    return (
+        ranked.withColumn("wrs_rank", F.row_number().over(w).cast("int"))
+        .drop("_pri")
     )

@@ -4964,3 +4964,73 @@ def x_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) + a (cluster, dim) scalar contraction; the driver holds
     exactly k*d longs (operators/similarity.py::kmeans_fit_int)."""
     return S.kmeans_fit_int(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "x_typo_pairs_ed1",
+    r"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+      FROM documents
+    ), v AS (SELECT tok FROM vocab WHERE tok <> '')
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+    FROM v a, v b
+    WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+    """,
+)
+def x_typo_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy key join — the CHEAP blocking tier under
+    the SymSpell family (x_typo_pairs is the <=2 path): each key
+    explodes to only L+1 single-deletion variants instead of ~L^2/2,
+    an order-of-magnitude smaller variant shuffle, and the levenshtein
+    verify prunes the distance-2 collisions blocking admits. The right
+    default at corpus scale when only immediate typos matter. Oracle =
+    independent all-pairs levenshtein (operators/fuzzy.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D._tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return FZ.fuzzy_key_pairs(vocab, key_col="tok", max_distance=1)
+
+
+@_register(
+    "x_weighted_reservoir",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(doc_id AS VARCHAR) || ':wrs')[i]) - 1)
+                       * ([{_HEX8_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS p
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(row_number() OVER (ORDER BY p, doc_id) AS INTEGER) AS wrs_rank
+    FROM pri ORDER BY p, doc_id LIMIT 100
+    """,
+)
+def x_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly 100 documents,
+    inclusion odds rising with length — sequential Poisson / priority
+    sampling, the reservoir design whose selection is a pure function
+    of the data: priority = (md5-u32 + 1) / weight with both operands
+    exact integers, so the IEEE division (exact-rounded) is bit-equal
+    on every engine — no log/pow, hash-green (the round-4 open item's
+    integer-exact formulation). TakeOrderedAndProject plan: no corpus
+    sort, each task ships only its local top-k
+    (operators/sampling.py::weighted_reservoir_topk)."""
+    return SA.weighted_reservoir_topk(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ),
+        key="doc_id",
+        weight_col="n_chars",
+        k=100,
+    )

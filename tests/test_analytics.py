@@ -762,3 +762,126 @@ def test_trimmed_stats_negative_values_match_duckdb_truncation(spark):
     ).fetchall()
     assert got["sum_scaled"] == sum_oracle
     assert got["trimmed_mean_scaled"] == mean_oracle
+
+
+def test_fuzzy_ed1_recall_property(spark):
+    """ED-1 blocking tier (single-deletion neighborhoods): every pair
+    within Levenshtein distance 1 is found, none beyond — hypothesis
+    against a from-scratch all-pairs DP, plus a directed
+    one-random-edit recall check."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.fuzzy import (
+        fuzzy_key_pairs,
+    )
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=2, max_size=10, unique=True,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def check(words, rnd):
+        # plant a guaranteed 1-edit neighbor of the first word
+        base = words[0]
+        ops = ["del", "sub", "ins"]
+        op = rnd.choice(ops)
+        i = rnd.randrange(len(base))
+        if op == "del" and len(base) > 1:
+            planted = base[:i] + base[i + 1:]
+        elif op == "sub":
+            planted = base[:i] + ("z" if base[i] != "z" else "y") + base[i + 1:]
+        else:
+            planted = base[:i] + "z" + base[i:]
+        corpus = list(dict.fromkeys(words + [planted]))
+        df = spark.createDataFrame([(w,) for w in corpus], "tok string")
+        got = {
+            (r["tok_a"], r["tok_b"], r["dist"])
+            for r in fuzzy_key_pairs(df, max_distance=1).collect()
+        }
+        expect = set()
+        for ii, a in enumerate(corpus):
+            for b in corpus[ii + 1:]:
+                x, y = sorted((a, b))
+                dd = lev(x, y)
+                if dd <= 1:
+                    expect.add((x, y, dd))
+        assert got == expect
+        if planted != base:
+            x, y = sorted((base, planted))
+            assert (x, y, 1) in got  # the planted edit was recalled
+
+    check()
+
+
+def test_weighted_reservoir_partition_independent_and_monotone(spark):
+    """Priority sampling (u/w, integer operands, exact-rounded divide):
+    same k rows under any partitioning; inclusion frequency across salts
+    rises with weight; exactly k rows; non-positive/NULL weights never
+    qualify."""
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        weighted_reservoir_topk,
+    )
+
+    rows = [(i, (i % 10) + 1) for i in range(300)] + [
+        (1000, None), (1001, 0), (1002, -5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    a = [tuple(r) for r in weighted_reservoir_topk(df, "doc_id", "w", 40).collect()]
+    b = [
+        tuple(r)
+        for r in weighted_reservoir_topk(
+            df.repartition(13), "doc_id", "w", 40
+        ).collect()
+    ]
+    assert a == b and len(a) == 40
+    ids = {r[0] for r in a}
+    assert ids.isdisjoint({1000, 1001, 1002})
+    assert [r[2] for r in a] == list(range(1, 41))  # wrs_rank 1..k
+
+    # monotonicity: over many salts, weight-10 docs are picked far more
+    # often than weight-1 docs (PPS behavior of the u/w order statistic)
+    from collections import Counter
+
+    freq = Counter()
+    for s in range(30):
+        sel = weighted_reservoir_topk(
+            df, "doc_id", "w", 60, salt=f"s{s}"
+        ).collect()
+        for r in sel:
+            freq[r["w"]] += 1
+    heavy = sum(freq[w] for w in (9, 10))
+    light = sum(freq[w] for w in (1, 2))
+    assert heavy > 3 * light, (heavy, light)
+
+
+def test_weighted_reservoir_plan_is_take_ordered(spark):
+    """The global top-k must be TakeOrderedAndProject — no full corpus
+    sort Exchange at 100 TB."""
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        weighted_reservoir_topk,
+    )
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    plan = (
+        weighted_reservoir_topk(docs, "doc_id", "n_chars", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
