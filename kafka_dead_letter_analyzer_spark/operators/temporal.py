@@ -541,31 +541,40 @@ def series_similarity_topk(
             kb_arr, vb_list = bc.value
             B = np.stack([np.asarray(v, dtype=np.int64) for v in vb_list])
             nb = (B * B).sum(axis=1)
+            # Arrow batches can be ~10k rows; an unchunked A @ B.T is a
+            # |batch| x |keys| int64 block — gigabytes per task at 100x
+            # keys (measured: OOM-killed the round-5 rehearsal JVM in
+            # local mode). Chunk the A side so the live block stays
+            # ~128 MB; answers are per-row, so chunking is exact.
+            chunk = max(1, (128 << 20) // (max(1, len(kb_arr)) * 8))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                A = np.stack(
+                A_all = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["v"]]
                 )
-                ka_arr = pdf["k"].to_numpy()
-                na = (A * A).sum(axis=1)
-                dot = A @ B.T
-                d2 = na[:, None] + nb[None, :] - 2 * dot
+                ka_all = pdf["k"].to_numpy()
                 rows_a, rows_b, rows_d, rows_r = [], [], [], []
-                for i in range(len(ka_arr)):
-                    cand = np.where(
-                        (dot[i] > 0) & (kb_arr != ka_arr[i])
-                    )[0]
-                    if len(cand) == 0:
-                        continue
-                    order = cand[
-                        np.lexsort((kb_arr[cand], d2[i, cand]))
-                    ][:k]
-                    for r, j in enumerate(order, start=1):
-                        rows_a.append(ka_arr[i])
-                        rows_b.append(kb_arr[j])
-                        rows_d.append(d2[i, j])
-                        rows_r.append(r)
+                for c0 in range(0, len(ka_all), chunk):
+                    A = A_all[c0:c0 + chunk]
+                    ka_arr = ka_all[c0:c0 + chunk]
+                    na = (A * A).sum(axis=1)
+                    dot = A @ B.T
+                    d2 = na[:, None] + nb[None, :] - 2 * dot
+                    for i in range(len(ka_arr)):
+                        cand = np.where(
+                            (dot[i] > 0) & (kb_arr != ka_arr[i])
+                        )[0]
+                        if len(cand) == 0:
+                            continue
+                        order = cand[
+                            np.lexsort((kb_arr[cand], d2[i, cand]))
+                        ][:k]
+                        for r, j in enumerate(order, start=1):
+                            rows_a.append(ka_arr[i])
+                            rows_b.append(kb_arr[j])
+                            rows_d.append(d2[i, j])
+                            rows_r.append(r)
                 # key columns stay untyped (Arrow casts to the declared
                 # schema) so string / int keys both round-trip
                 yield pd.DataFrame(
