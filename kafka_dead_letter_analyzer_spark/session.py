@@ -64,7 +64,12 @@ def get_spark(
         # Spark only reads as raw long ns (sources/batch.py converts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=1 enables it
+        # so scale rehearsals can read shuffle/spill off the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI", "") == "1" else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if rocksdb_state_store:
