@@ -5034,3 +5034,433 @@ def x_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         k=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block — the six remaining query shapes (Q2, Q9, Q11,
+# Q12, Q16, Q20) adapted to the driver's trimmed schema (no partsupp
+# table, no commit/receipt dates, no ship mode; see tpch_q21/q22 for the
+# adaptation precedent).  lineitem's (l_partkey, l_suppkey) pairs play
+# the partsupp role; l_returnflag plays ship mode.  What each preserves
+# is the reference SHAPE that stresses a distinct optimizer path:
+# correlated-min decorrelation (Q2), multi-way star join with a derived
+# grouping year (Q9), global-scalar HAVING (Q11), conditional two-way
+# counts (Q12), distinct-agg with an anti-joined exclusion list (Q16),
+# and a nested semi-join chain (Q20).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH offer AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(min(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cost_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 3
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, CAST(min(cost_cents) AS BIGINT) AS min_cost_cents
+      FROM offer GROUP BY 1
+    )
+    SELECT CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS s_acctbal_cents,
+           s.s_name, n.n_name, p.p_partkey, p.p_type,
+           o.cost_cents
+    FROM offer o
+    JOIN best b ON o.l_partkey = b.l_partkey
+              AND o.cost_cents = b.min_cost_cents
+    JOIN part p ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON o.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 11 AND n.n_regionkey = 3
+    ORDER BY s_acctbal_cents DESC, n.n_name, s.s_name, p.p_partkey,
+             o.l_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region — the
+    correlated-MIN subquery, decorrelated the way every modern planner
+    rewrites it: aggregate once per (part, supplier), then a per-part
+    window MIN over THAT contraction selects the achieving suppliers
+    (ties kept, as in the reference query) — one lineitem scan total,
+    never a join back onto the same lineage (Spark resolves a
+    same-lineage key equality trivially true — the classic self-join
+    trap, pinned in test_plan_shapes.py).  lineitem's (l_partkey,
+    l_suppkey) min sell price stands in for partsupp.ps_supplycost.
+    Plan notes: the supplier->nation region filter is applied BEFORE the
+    big aggregation so non-region rows never enter the shuffle; supplier
+    and nation are broadcast; the window repartitions only the
+    contraction; the part join broadcasts after the p_size prune.
+    Money crosses the gate as BIGINT cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    region_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost_cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    offer = (
+        li.select("l_partkey", "l_suppkey", cost_cents.alias("c"))
+        .join(
+            F.broadcast(region_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("c").cast("bigint").alias("cost_cents"))
+    )
+    # Decorrelate the per-part MIN as a window over the contraction —
+    # NOT a self-join back onto `offer` (same-lineage joins resolve the
+    # key equality trivially true; Spark's classic self-join trap). The
+    # window repartitions only the (part, supplier) contraction.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    cheapest = offer.withColumn(
+        "min_cost_cents", F.min("cost_cents").over(w)
+    ).filter(F.col("cost_cents") == F.col("min_cost_cents"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 11)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        cheapest
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("s_acctbal_cents"),
+            "s_name", "n_name", "p_partkey", "p_type", "cost_cents",
+            "l_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal_cents").desc(), "n_name", "s_name",
+            "p_partkey", "l_suppkey",
+        )
+        .limit(100)
+        .drop("l_suppkey")
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(
+             CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(30,4)) * 10000 AS BIGINT)
+             - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+           ) AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year.  Cost proxy: p_retailprice per unit stands in for
+    partsupp.ps_supplycost (same join direction); cost_e4 =
+    retail_cents * qty_cents — a product of two exact BIGINTs, never a
+    3-way DECIMAL multiply (whose precision cap rounds differently per
+    engine).  l_extendedprice is already qty-scaled in TPC-H, so the
+    margin is comparably scaled.
+    Plan notes: the p_name LIKE prune runs first and the surviving part
+    keys broadcast into the lineitem scan, so the only big shuffle is
+    lineitem><orders on orderkey; supplier and nation broadcast; the
+    grouping key (nation, year) is tiny so the final agg is map-side
+    heavy.  Profit crosses the gate as BIGINT e4 with per-row
+    subtraction BEFORE the sum (identical associativity both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev_e4 = ((price * (1 - disc)).cast("decimal(30,4)") * 10000).cast("bigint")
+    retail_cents = (
+        F.col("p_retailprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    qty_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    cost_e4 = retail_cents * qty_cents
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (rev_e4 - cost_e4).alias("pr"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("pr").cast("bigint").alias("profit_e4"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 7
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val
+    )
+    SELECT v.l_partkey, v.value_cents
+    FROM val v CROSS JOIN tot t
+    WHERE CAST(v.value_cents AS HUGEINT) * 1000 > t.total_cents
+    ORDER BY v.value_cents DESC, v.l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value from one nation's
+    suppliers exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    scalar-subquery-in-HAVING shape.  lineitem revenue per part stands
+    in for ps_supplycost*ps_availqty.  Plan notes: the nation's supplier
+    keys broadcast into the lineitem scan (non-nation rows never
+    shuffle); the global total derives from the per-part contraction
+    (tiny) and broadcasts back as a 1-row cross join — Catalyst executes
+    it as a BroadcastNestedLoopJoin over a single row, i.e. a runtime
+    scalar, never a second lineitem scan.  The share test multiplies
+    instead of dividing (integer-exact both engines; HUGEINT guard on
+    the DuckDB side only, BIGINT range is ample on Spark's)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    val = (
+        li.select("l_partkey", "l_suppkey", cents.alias("c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").cast("bigint").alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").cast("bigint").alias("total_cents"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "tpch_q12_mode_priority",
+    """
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q12_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by ship mode split into high/low
+    order priority — the two-way conditional count over a fact-fact
+    join.  l_returnflag stands in for l_shipmode and "shipped after the
+    order date" for the commit/receipt-date lateness predicate (those
+    columns don't exist in the driver's lineitem).  Plan notes: the
+    shipdate year prune pushes into the lineitem scan; the lateness
+    predicate is a post-join filter (it references both sides); both
+    conditional sums compute in ONE aggregate over the 3-value flag —
+    map-side partials collapse to ≤3 rows per task before the final
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide parts of
+    each (brand, type, size), excluding a complaint list — the
+    distinct-aggregate with an anti-joined NOT IN.  Negative account
+    balance stands in for the 'Customer Complaints' comment scan.  Plan
+    notes: all part predicates prune BEFORE the join and the surviving
+    part dim broadcasts; the exclusion list is a broadcast ANTI join
+    (NOT IN semantics are safe here — s_suppkey is non-null by
+    construction); count(DISTINCT) goes through Spark's two-phase
+    distinct-aggregate expansion, keyed on the same grouping columns, so
+    the only wide shuffle carries (brand, type, size, suppkey) distinct
+    pairs — far smaller than lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").cast("decimal(18,2)") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@_register(
+    "tpch_q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name,
+           CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS s_acctbal_cents
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+      AND EXISTS (
+        SELECT 1 FROM shipped sh
+        WHERE sh.l_suppkey = s.s_suppkey AND sh.qty_cents > 2000
+      )
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who shipped a LARGE
+    quantity of any 'small%' part this year — the nested semi-join chain
+    (part name subquery feeding a quantity-threshold subquery feeding a
+    supplier semi join).  The shipped-quantity threshold stands in for
+    the 50%-of-availqty partsupp predicate.  Plan notes: the part-name
+    prune broadcasts into the lineitem scan alongside the pushed
+    shipdate range; the (supp, part) aggregate contracts before the
+    threshold filter; the supplier side consumes it as a broadcast SEMI
+    join (distinct not needed — semi join deduplicates by contract);
+    nation broadcasts.  Output is suppliers only — ORDER BY s_name is a
+    unique total order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qty_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    heavy = (
+        li.select("l_suppkey", "l_partkey", qty_cents.alias("q"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("q").cast("bigint").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 2000)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(heavy),
+            s.s_suppkey == heavy.l_suppkey,
+            "left_semi",
+        )
+        .select(
+            "s_name",
+            (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("s_acctbal_cents"),
+        )
+        .orderBy("s_name")
+    )

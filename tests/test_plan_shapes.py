@@ -847,3 +847,74 @@ def test_series_knn_dense_no_pair_shuffle(spark, Q):
     tree = s[: s.find("(1) ")]
     above = tree.split("MapInPandas")[0]
     assert "Exchange" not in above and "Join" not in above, above
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block (Q2/Q9/Q11/Q12/Q16/Q20 shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_q2_single_lineitem_scan_feeds_offer_and_best(spark, Q):
+    """The correlated-MIN decorrelation must derive the per-part minimum
+    as a window over the (part, supplier) contraction — exactly ONE
+    lineitem scan, no same-lineage self-join (which Spark resolves
+    trivially true), every dim join broadcast."""
+    s = plan_of(Q.tpch_q2_min_cost_supplier(spark, SF))
+    li_scans = [
+        l for l in s.splitlines() if "Location" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, s
+    assert "SortMergeJoin" not in s, s
+    assert "BroadcastHashJoin" in s
+    assert "Window" in s
+
+
+def test_q9_only_wide_shuffle_is_the_orders_join(spark, Q):
+    """part/supplier/nation broadcast; the lineitem><orders join is the
+    only non-broadcast join; the name prune reaches the part scan."""
+    s = plan_of(Q.tpch_q9_product_profit(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert s.count("SortMergeJoin") <= 1, s
+    pushed = [
+        l for l in s.splitlines() if "PushedFilters" in l and "p_name" in l
+    ]
+    assert any("StringContains" in l or "IsNotNull" in l for l in pushed), s
+
+
+def test_q11_total_is_derived_not_rescanned(spark, Q):
+    """The global-total scalar must come from re-aggregating the per-part
+    contraction (one lineitem scan total) and join back as a broadcast
+    nested loop over one row — never a second pass over lineitem."""
+    s = plan_of(Q.tpch_q11_important_parts(spark, SF))
+    li_scans = [
+        l for l in s.splitlines() if "Location" in l and "lineitem" in l
+    ]
+    assert len(li_scans) <= 2, s
+    assert "BroadcastNestedLoopJoin" in s, s
+
+
+def test_q12_year_range_pushes_into_lineitem_scan(spark, Q):
+    s = plan_of(Q.tpch_q12_mode_priority(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in s
+    # lateness predicate references both sides -> post-join filter, and
+    # the priority split must be ONE aggregate (no union of two branches)
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Union") == 0, tree
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, Q):
+    s = plan_of(Q.tpch_q16_supplier_counts(spark, SF))
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s, s
+    assert "SortMergeJoin" not in s, s
+    # distinct-aggregate expansion keyed on the grouping columns
+    assert "HashAggregate" in s
+
+
+def test_q20_supplier_side_consumes_semi_join(spark, Q):
+    s = plan_of(Q.tpch_q20_excess_shippers(spark, SF))
+    assert "LeftSemi" in s, s
+    assert "SortMergeJoin" not in s, s
+    pushed = [
+        l for l in s.splitlines() if "PushedFilters" in l and "l_shipdate" in l
+    ]
+    assert pushed, s
