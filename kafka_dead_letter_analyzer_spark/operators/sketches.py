@@ -1,0 +1,267 @@
+"""Mergeable cardinality / frequency sketches — fixed-size distributed
+state for the questions that get expensive at 100 TB.
+
+At scale, ``count(DISTINCT user)`` per slice and ``top tokens by count``
+stop being exact-aggregation problems: the distinct shuffle carries one
+row per distinct value, and a per-token groupBy carries the full token
+stream.  The sketch algebra replaces both with BOUNDED state that merges
+associatively, so map-side partial aggregation collapses each task to a
+few KB before any exchange — the same contract Spark's own
+``approx_count_distinct`` (HLL++) exploits, re-built here on the engine's
+cross-engine-reproducible md5 hash so every sketch is (a) mergeable
+across days/partitions/clusters by plain SQL (max / sum / min-k), and
+(b) oracle-checkable bit-for-bit in DuckDB (integer-only state; the
+float ESTIMATES derived from that state stay in helper functions outside
+the hash gate).
+
+Three classic sketches, one registered query surface each:
+
+- :func:`kmv_distinct_sketch` — K-Minimum-Values distinct sketch
+  (Bar-Yossef et al. 2002): the k smallest 60-bit hashes of the key
+  set.  Union-merge = min-k of the union of sketches.
+- :func:`cms_sketch` — Count-Min (Cormode & Muthukrishnan 2005): a
+  depth x width grid of counters; merge = cell-wise sum; point query =
+  min over depth (:func:`cms_lookup`), always an OVER-estimate.
+- :func:`hll_register_maxima` — HyperLogLog register state (Flajolet
+  et al. 2007): per-register max leading-zero rank; merge = cell-wise
+  max.  The register table IS the sketch; :func:`hll_estimate` applies
+  the float bias-corrected harmonic mean driver-side.
+
+Scale notes (the point of the module): every sketch here is a single
+shuffle whose width is the SKETCH size, not the data size — k rows
+(KMV), depth x width cells (CMS), 2^p registers (HLL) — because Spark's
+partial HashAggregate combines per task first.  The 60-bit hash uses the
+repo's md5-prefix idiom (sampling.py:61, NOTES.md) so DuckDB reproduces
+it with the strpos-hex sum; 60 bits keeps the value strictly inside a
+signed BIGINT on both engines (no UBIGINT leak into the hash gate).
+
+Reference scope note: the reference system (bakdata
+kafka-dead-letter-analyzer) has no sketch surface — this module is part
+of the engine's large-scale-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_u60",
+    "kmv_distinct_sketch",
+    "kmv_estimate",
+    "cms_sketch",
+    "cms_lookup",
+    "hll_register_maxima",
+    "hll_estimate",
+]
+
+# 60 bits: 15 hex digits of md5.  Wide enough that collisions are
+# negligible for any corpus this engine will see (birthday bound ~2^30
+# keys), narrow enough to stay positive in a signed 64-bit int on both
+# engines.
+_HASH_BITS = 60
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def md5_u60(key: Column) -> Column:
+    """First 15 hex digits of md5(key) as a BIGINT in [0, 2^60).
+
+    The 60-bit widening of the engine's md5-u32 idiom
+    (operators/sampling.py:61); DuckDB oracles reproduce it with the
+    strpos-hex positional sum (see queries.py ``_HEX15_POWS``)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# KMV — k minimum values
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_sketch(df: DataFrame, key: str, k: int = 128) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``df[key]`` —
+    ``(rank BIGINT, h60 BIGINT)``, rank 1..k ascending.
+
+    This IS the mergeable distinct-count state: the union of two
+    corpora's sketches, re-limited to the k smallest, is exactly the
+    sketch of the union (min-k is an idempotent, commutative,
+    associative set reduction) — so per-day sketches roll up to
+    per-month by a k-row-per-day union, never a re-scan.
+
+    Plan shape: hash projection -> partial-distinct HashAggregate
+    (map-side: each task holds at most its local distincts) -> exchange
+    of distinct hashes -> TakeOrderedAndProject(k) — each task ships
+    only its local k smallest, the driver merges k-sized heaps.  The
+    row_number ranking runs AFTER the limit, on k rows in one task —
+    a window over the sketch, not the data.
+    """
+    if not 1 <= k <= 1 << 20:
+        raise ValueError(f"kmv_distinct_sketch: unreasonable k={k}")
+    hashes = (
+        df.select(md5_u60(F.col(key).cast("string")).alias("h60"))
+        .distinct()
+        .orderBy("h60")
+        .limit(k)
+    )
+    w = Window.orderBy("h60")
+    return hashes.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "h60"
+    )
+
+
+def kmv_estimate(sketch_rows: list, k: int) -> float:
+    """Distinct-count estimate from a collected KMV sketch: with the
+    k-th smallest hash at fraction ``F = h_k / 2^60`` of the hash space,
+    the unbiased estimator is ``(k - 1) / F`` (Bar-Yossef et al.).  If
+    the sketch holds fewer than k values, the count was exact.
+
+    Float math — deliberately OUTSIDE the oracle-hash surface; the
+    sketch rows themselves are the cross-engine-checked state."""
+    rows = sorted(r["h60"] if not isinstance(r, (int, float)) else r for r in sketch_rows)
+    if len(rows) < k:
+        return float(len(rows))
+    h_k = rows[k - 1]
+    return (k - 1) * _HASH_SPACE / h_k
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 256,
+    weight: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``df[key]`` (optionally weighted) —
+    ``(d INT, bucket INT, cnt BIGINT)``, one row per non-empty cell.
+
+    Row ``(d, b)`` holds ``sum(weight)`` over keys with
+    ``md5_u60(key || '#' || d) % width == b``.  Merging two sketches is
+    cell-wise ``sum`` — a groupBy over at most ``depth*width`` rows.
+    Point estimates (:func:`cms_lookup`) take the min over depth and
+    are guaranteed >= the true count (one-sided error; over-estimate
+    bounded by ~ N * e / width per the standard analysis).
+
+    Plan shape: the depth replication is a ``posexplode`` of a
+    ``depth``-element literal array (no join, no shuffle), then ONE
+    HashAggregate pair on (d, bucket) — partial combine bounds every
+    task's output at depth*width rows regardless of input size.  That
+    bound is the whole point: a trillion-row corpus shuffles at most
+    ``tasks * depth * width`` counter rows.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_sketch: bad depth={depth} width={width}")
+    wcol = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    salted = F.concat(F.col(key).cast("string"), F.lit("#"), F.col("d").cast("string"))
+    return (
+        df.select(F.col(key), wcol.alias("w"))
+        .select(F.explode(seeds).alias("d"), key, "w")
+        .select(
+            F.col("d").cast("int").alias("d"),
+            (md5_u60(salted) % width).cast("int").alias("bucket"),
+            "w",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_lookup(sketch: DataFrame, keys: DataFrame, key: str, width: int) -> DataFrame:
+    """Point-query a CMS sketch for each row of ``keys[key]`` —
+    ``(key, est BIGINT)`` with ``est = min over d`` of the matching
+    cell (0 when a row's cell is absent — impossible for keys that were
+    counted, possible for never-seen keys).
+
+    The sketch is depth*width rows — always broadcast; the probe is a
+    broadcast LEFT join per (key, d) then a min-agg, no wide shuffle."""
+    depth = _probe_depth(sketch)
+    probes = (
+        keys.select(F.col(key).cast("string").alias("k")).distinct()
+        .select(
+            "k",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+        )
+        .select(
+            "k", "d",
+            (md5_u60(F.concat(F.col("k"), F.lit("#"), F.col("d").cast("string"))) % width)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+        .withColumnRenamed("k", key)
+    )
+
+
+def _probe_depth(sketch: DataFrame) -> int:
+    # depth is recoverable from the sketch itself (max d + 1); collected
+    # bound: one int — the sketch is depth*width rows by construction.
+    row = sketch.agg(F.max("d").alias("m")).collect()[0]
+    return int(row["m"]) + 1
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+
+def hll_register_maxima(df: DataFrame, key: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register state for ``df[key]`` —
+    ``(register INT, max_rho INT)``, one row per non-empty register.
+
+    Hash layout over the 60-bit space: the TOP ``p`` bits select the
+    register (``h DIV 2^(60-p)``), the remaining ``60-p`` bits carry the
+    geometric observable ``rho = (60-p) - msb(w) + 1`` (position of the
+    highest set bit; ``w == 0`` gives the maximal rho).  ``msb`` is
+    computed as ``length(bin(w))`` — both engines print binary without
+    leading zeros, so the length IS the MSB position; the ``w = 0`` edge
+    is a CASE on both sides (DuckDB's ``bin(0) = '0'`` would read as
+    length 1).
+
+    Merging two corpora's registers is cell-wise ``max`` — the register
+    table (<= 2^p rows) is the complete, mergeable distinct-count state;
+    :func:`hll_estimate` turns a collected table into the float
+    estimate.  Plan shape: one HashAggregate pair on register — partial
+    max bounds every task at 2^p rows."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_register_maxima: p={p} outside [4, 16]")
+    tail_bits = _HASH_BITS - p
+    tail_space = 1 << tail_bits
+    h = md5_u60(F.col(key).cast("string"))
+    hashed = df.select(h.alias("h"))
+    reg = F.expr(f"h DIV {tail_space}").cast("int")
+    w = (F.col("h") % tail_space).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(tail_bits + 1))
+        .otherwise(F.lit(tail_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        hashed.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(register_rows: list, p: int = 8) -> float:
+    """Bias-corrected harmonic-mean estimate from collected registers
+    (Flajolet et al. 2007), with the standard small-range linear
+    counting correction.  Float math — outside the hash gate."""
+    m = 1 << p
+    maxima = {int(r["register"]): int(r["max_rho"]) for r in register_rows}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    z = sum(2.0 ** -maxima.get(j, 0) for j in range(m))
+    raw = alpha * m * m / z
+    zeros = m - len(maxima)
+    if raw <= 2.5 * m and zeros:
+        import math
+
+        return m * math.log(m / zeros)
+    return raw

@@ -5464,3 +5464,115 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — fixed-size distributed
+# state for distinct-count and frequency at 100 TB.  The queries check
+# the integer SKETCH STATE bit-for-bit (the mergeable artifact); the
+# float estimators derived from it are property-tested in
+# tests/test_sketches.py, outside the hash gate.
+# ---------------------------------------------------------------------------
+
+_HEX15_POWS = ", ".join(str(16 ** (15 - i)) for i in range(1, 16))
+
+
+def _duck_u60(expr: str) -> str:
+    """DuckDB reconstruction of operators/sketches.py::md5_u60 — the
+    60-bit widening of the md5-u32 strpos-hex trick."""
+    return (
+        f"CAST(list_sum([(strpos('0123456789abcdef', md5({expr})[i]) - 1)"
+        f" * ([{_HEX15_POWS}][i])::BIGINT for i in range(1, 16)]) AS BIGINT)"
+    )
+
+
+@_register(
+    "x_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT {_duck_u60("CAST(user_id AS VARCHAR)")} AS h60
+      FROM events
+    ),
+    topk AS (SELECT h60 FROM h ORDER BY h60 LIMIT 128)
+    SELECT CAST(row_number() OVER (ORDER BY h60) AS BIGINT) AS rank, h60
+    FROM topk
+    """,
+)
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch of the user population: the 128
+    smallest distinct 60-bit hashes — the MERGEABLE distinct-count
+    state (per-day sketches union + re-limit to the month's sketch; no
+    re-scan).  At 100 TB the alternative — count(DISTINCT user_id) —
+    shuffles one row per distinct user; this shuffles at most 128 rows
+    per task (partial distinct + TakeOrdered).  The float estimator
+    over the sketch is property-tested against the true count in
+    tests/test_sketches.py (operators/sketches.py::kmv_estimate)."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.kmv_distinct_sketch(
+        load_table(spark, sf_dir, "events").select("user_id"),
+        key="user_id",
+        k=128,
+    )
+
+
+@_register(
+    "x_cms_sketch",
+    f"""
+    SELECT CAST(ds.d AS INT) AS d,
+           CAST({_duck_u60("CAST(user_id AS VARCHAR) || '#' || CAST(ds.d AS VARCHAR)")}
+                % 256 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS d) ds
+    GROUP BY 1, 2
+    """,
+)
+def x_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 256) of per-user event counts —
+    the fixed-size frequency table: merge = cell-wise sum, point query =
+    min over rows (always an over-estimate).  The depth replication is a
+    literal-array explode (no join); partial aggregation bounds every
+    task's shuffle output at depth*width counter rows no matter how many
+    events it scanned — the property that makes frequency tracking
+    viable on a trillion-row stream.  Point-query accuracy is
+    property-tested in tests/test_sketches.py (cms_lookup >= truth;
+    bounded overshoot)."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.cms_sketch(
+        load_table(spark, sf_dir, "events").select("user_id"),
+        key="user_id",
+        depth=4,
+        width=256,
+    )
+
+
+@_register(
+    "x_hll_registers",
+    f"""
+    WITH h AS (
+      SELECT {_duck_u60("CAST(user_id AS VARCHAR)")} AS h60 FROM events
+    )
+    SELECT CAST(h60 // 4503599627370496 AS INT) AS register,
+           CAST(max(CASE WHEN h60 % 4503599627370496 = 0 THEN 53
+                         ELSE 52 - length(bin(h60 % 4503599627370496)) + 1
+                    END) AS INT) AS max_rho
+    FROM h
+    GROUP BY 1
+    """,
+)
+def x_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register maxima (p=8, 256 registers) over the user
+    population — the complete mergeable distinct-count state in <= 256
+    (register, max_rho) rows; merge = cell-wise max.  The rho
+    computation rides on ``length(bin(w))`` — both engines print binary
+    without leading zeros, so MSB position needs no log2 (floats never
+    enter the state).  2^52 = the 60-bit hash space over 2^8 registers.
+    The harmonic-mean estimator over collected registers is
+    property-tested in tests/test_sketches.py
+    (operators/sketches.py::hll_estimate)."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.hll_register_maxima(
+        load_table(spark, sf_dir, "events").select("user_id"), key="user_id", p=8
+    )

@@ -918,3 +918,34 @@ def test_q20_supplier_side_consumes_semi_join(spark, Q):
         l for l in s.splitlines() if "PushedFilters" in l and "l_shipdate" in l
     ]
     assert pushed, s
+
+
+# ---------------------------------------------------------------------------
+# Sketches: the shuffle must carry sketch-sized state, not data-sized
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_ships_local_topk_not_all_distincts(spark, Q):
+    """partial distinct HashAggregate + TakeOrdered: each task ships at
+    most k hashes; the ranking window runs after the limit."""
+    s = plan_of(Q.x_kmv_distinct(spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert s.count("HashAggregate") >= 2, s  # partial + final distinct
+
+
+def test_cms_is_one_aggregate_pair_no_join(spark, Q):
+    """The depth replication must be a literal-array explode (no join,
+    no extra shuffle) and the only exchange carries (d, bucket) cells."""
+    s = plan_of(Q.x_cms_sketch(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_hll_is_one_aggregate_pair(spark, Q):
+    s = plan_of(Q.x_hll_registers(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree

@@ -1,0 +1,158 @@
+"""Sketch algebra tests (operators/sketches.py): the merge laws that make
+the sketches distributed state, and the float estimators' accuracy
+(which live OUTSIDE the oracle-hash surface — properties, not hashes).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.01"  # 150 distinct users / 10k events
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").select("event_id", "user_id")
+
+
+def _halves(events):
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_union_merge_law(spark, events):
+    """min-k(sketch(A) ∪ sketch(B)) == sketch(A ∪ B): per-partition /
+    per-day sketches roll up losslessly."""
+    k = 32
+    a, b = _halves(events)
+    whole = {r["h60"] for r in SK.kmv_distinct_sketch(events, "user_id", k).collect()}
+    sa = [r["h60"] for r in SK.kmv_distinct_sketch(a, "user_id", k).collect()]
+    sb = [r["h60"] for r in SK.kmv_distinct_sketch(b, "user_id", k).collect()]
+    merged = set(sorted(set(sa) | set(sb))[:k])
+    assert merged == whole
+
+
+def test_kmv_estimate_accuracy(spark, events):
+    k = 128
+    true = events.select("user_id").distinct().count()
+    rows = SK.kmv_distinct_sketch(events, "user_id", k).collect()
+    est = SK.kmv_estimate(rows, k)
+    assert abs(est - true) / true < 0.25, (est, true)
+
+
+def test_kmv_exact_below_k(spark, events):
+    """Fewer distincts than k -> the sketch IS the distinct set and the
+    estimator returns the exact count."""
+    small = events.filter(F.col("user_id") % 50 == 0)
+    true = small.select("user_id").distinct().count()
+    rows = SK.kmv_distinct_sketch(small, "user_id", 128).collect()
+    assert len(rows) == true
+    assert SK.kmv_estimate(rows, 128) == float(true)
+
+
+def test_kmv_ranks_are_dense_and_sorted(spark, events):
+    rows = SK.kmv_distinct_sketch(events, "user_id", 16).collect()
+    ranks = [r["rank"] for r in rows]
+    hashes = [r["h60"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranks and sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert hashes == sorted(hashes)
+    assert all(0 <= h < 1 << 60 for h in hashes)
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+
+
+def test_cms_merge_is_cellwise_sum(spark, events):
+    a, b = _halves(events)
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_sketch(events, "user_id", depth=3, width=64).collect()
+    }
+    merged: dict = {}
+    for half in _halves(events):
+        for r in SK.cms_sketch(half, "user_id", depth=3, width=64).collect():
+            merged[(r["d"], r["bucket"])] = merged.get((r["d"], r["bucket"]), 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_cms_lookup_never_underestimates(spark, events):
+    """The one-sided error guarantee: est >= true count for EVERY key,
+    and the total overshoot is bounded (collisions add counts, never
+    subtract)."""
+    width = 64
+    sketch = SK.cms_sketch(events, "user_id", depth=4, width=width)
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    est = {
+        r["user_id"]: r["est"]
+        for r in SK.cms_lookup(
+            sketch, events.select("user_id"), "user_id", width=width
+        ).collect()
+    }
+    n = sum(true.values())
+    assert set(est) == {str(k) for k in true} or set(est) == set(true)
+    for k, t in true.items():
+        e = est.get(k, est.get(str(k)))
+        assert e >= t, (k, e, t)
+        # standard bound: overshoot <= e*N/width w.p. 1-e^-depth; allow 3x
+        assert e - t <= 3 * 2.72 * n / width, (k, e, t)
+
+
+def test_cms_weighted_counts_weights(spark, events):
+    w = events.withColumn("wt", (F.col("event_id") % 3).cast("bigint"))
+    sk = SK.cms_sketch(w, "user_id", depth=2, width=32, weight="wt")
+    total = sk.filter(F.col("d") == 0).agg(F.sum("cnt")).collect()[0][0]
+    true_total = w.agg(F.sum("wt")).collect()[0][0]
+    assert total == true_total
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_is_cellwise_max(spark, events):
+    whole = {
+        r["register"]: r["max_rho"]
+        for r in SK.hll_register_maxima(events, "user_id", p=6).collect()
+    }
+    merged: dict = {}
+    for half in _halves(events):
+        for r in SK.hll_register_maxima(half, "user_id", p=6).collect():
+            merged[r["register"]] = max(merged.get(r["register"], 0), r["max_rho"])
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy(spark, events):
+    true = events.select("user_id").distinct().count()
+    rows = SK.hll_register_maxima(events, "user_id", p=8).collect()
+    est = SK.hll_estimate(rows, p=8)
+    # p=8 -> ~6.5% typical; 150 distincts sit in the linear-counting
+    # regime which is tighter still. 20% is a loose, stable bound.
+    assert abs(est - true) / true < 0.20, (est, true)
+
+
+def test_hll_rho_bounds(spark, events):
+    rows = SK.hll_register_maxima(events, "user_id", p=8).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["register"] < 256
+        assert 1 <= r["max_rho"] <= 53  # 60-8 bits + 1
+
+
+def test_hll_register_count_bounded_by_m(spark, events):
+    assert SK.hll_register_maxima(events, "user_id", p=4).count() <= 16
