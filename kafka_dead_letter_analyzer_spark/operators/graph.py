@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from kafka_dead_letter_analyzer_spark import cache_registry
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = ["connected_components", "connected_components_star", "triangle_counts"]
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -314,4 +314,85 @@ def connected_components_star(
         .select(
             "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
         )
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge table —
+    ``(node, triangles BIGINT)`` for every node in at least one triangle.
+
+    The distributed-classic formulation (Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"): orient every
+    edge from the endpoint with the SMALLER (degree, id) to the larger,
+    then each triangle {u, v, w} is found exactly once — as the wedge
+    (u->v, u->w) at its minimum-order corner u, closed by the oriented
+    edge v->w.  The orientation is the whole scale story: a node's
+    out-degree under it is O(sqrt(|E|)) regardless of its raw degree, so
+    the wedge fan-out on a power-law graph (where a celebrity node would
+    otherwise generate degree^2 wedges — the "last reducer") is bounded;
+    wedges total at most O(|E|^{3/2}).
+
+    Plan shape: canonical-dedup (one shuffle), degree agg (one
+    shuffle over endpoint ids), two joins to attach endpoint degrees, a
+    self-equi-join on the wedge corner, and a final equi-join probing the
+    closing edge — all joins on plain ids, no cartesian anywhere, so AQE
+    handles skew.  The per-node rollup explodes each triangle's three
+    corners (3 rows per triangle, combined map-side).
+
+    Cross-engine determinism: degrees, the (degree, id) order, and every
+    join are exact integer/string operations — the DuckDB oracle unrolls
+    the same orientation (queries.py x_triangle_counts).
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    with_deg = e.join(da, "a").join(db, "b")
+    # orient lower (degree, id) -> higher; (a < b) breaks degree ties
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u").alias("wu"), F.col("v").alias("wv"), F.col("dv").alias("wdv")
+    )
+    o2 = oriented.select(
+        F.col("u").alias("wu"), F.col("v").alias("ww"), F.col("dv").alias("wdw")
+    )
+    # wedge (u->v, u->w) with v before w in the SAME (degree, id) order,
+    # so the closing probe looks for exactly the oriented edge v->w
+    wedges = o1.join(o2, "wu").filter(
+        (F.col("wdv") < F.col("wdw"))
+        | ((F.col("wdv") == F.col("wdw")) & (F.col("wv") < F.col("ww")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("wv2"), F.col("v").alias("ww2")
+    )
+    triangles = wedges.join(
+        closing,
+        (F.col("wv") == F.col("wv2")) & (F.col("ww") == F.col("ww2")),
+    ).select("wu", "wv", "ww")
+    return (
+        triangles.select(
+            F.explode(F.array("wu", "wv", "ww")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )

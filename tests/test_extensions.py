@@ -1108,3 +1108,40 @@ def test_kmeans_int_matches_from_scratch_integer_lloyd(spark):
         n = sum(1 for v in final.values() if v == j)
         for t in range(d):
             assert got[(j, t)] == (c[j][t], n), (j, t, got[(j, t)], c[j][t], n)
+
+
+def test_triangle_counts_match_bruteforce_property(spark):
+    """Degree-ordered triangle counting vs from-scratch enumeration on
+    seeded random graphs (including duplicate / reversed / self-loop
+    input edges, degree ties, and a triangle-free star)."""
+    import itertools
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.graph import triangle_counts
+
+    for seed, n, m in [(1, 12, 30), (2, 20, 60), (3, 8, 28), (4, 10, 9)]:
+        rng = random.Random(seed)
+        if seed == 4:
+            raw = [(0, i) for i in range(1, 10)]  # star: zero triangles
+        else:
+            raw = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]  # may include self-loops and dup/reversed edges
+        edges = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected: dict = {}
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for x in (u, v, w):
+                    expected[x] = expected.get(x, 0) + 1
+        df = spark.createDataFrame(
+            [(a, b) for a, b in raw if True], "id_a int, id_b int"
+        )
+        got = {
+            r["node"]: r["triangles"]
+            for r in triangle_counts(df, "id_a", "id_b").collect()
+        }
+        assert got == expected, (seed, got, expected)

@@ -949,3 +949,12 @@ def test_hll_is_one_aggregate_pair(spark, Q):
     assert "Join" not in tree, tree
     assert tree.count("Exchange") == 1, tree
     assert tree.count("HashAggregate") == 2, tree
+
+
+def test_triangle_counts_all_equi_joins_no_cartesian(spark, Q):
+    """The wedge join and closing-edge probe must be equi-joins on ids —
+    a nested-loop/cartesian here is the O(V^3) plan the orientation
+    exists to avoid."""
+    s = plan_of(Q.x_triangle_counts(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
