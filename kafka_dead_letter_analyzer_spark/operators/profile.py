@@ -118,3 +118,104 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
             " * 1000000 DIV total_rows AS BIGINT)"
         ).alias("skew_ratio_ppm"),
     )
+
+
+def check_constraints(df: DataFrame, constraints: Sequence[tuple]) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/
+    great-expectations shape): evaluate EVERY constraint in ONE
+    aggregation over ONE scan, emit one row per constraint —
+    ``(check_name STRING, observed BIGINT, bound BIGINT, passed INT)``.
+
+    Supported constraint tuples:
+
+    - ``("not_null", col)`` — observed = null count, passes at 0.
+    - ``("unique", col)`` — observed = duplicated-value surplus
+      (count(col) - count_distinct(col)), passes at 0.
+    - ``("min_at_least", col, lo)`` / ``("max_at_most", col, hi)`` —
+      observed = violation count, passes at 0 (comparisons are exact;
+      numeric bounds are caller-typed).
+    - ``("matches", col, regex)`` — observed = count of non-NULL values
+      NOT matching, passes at 0.
+    - ``("row_count_at_least", n)`` — observed = row count, passes at
+      >= n.
+
+    Why one pass matters: a 100 TB audit that runs k constraints as k
+    queries scans 100k TB; this plans every check as another aggregate
+    expression over the same scan — Catalyst fuses them into a single
+    HashAggregate pair (one Expand only if ``unique`` checks force
+    distinct branches), so the audit costs one pass regardless of suite
+    size.  All observables are integers — the suite is oracle-hashable
+    (queries.py x_data_quality).
+    """
+    aggs = []
+    rows = []  # (name, observed_col_name, bound, pass_expr builder)
+    for i, c in enumerate(constraints):
+        kind = c[0]
+        name = f"_c{i}"
+        if kind == "not_null":
+            _, col = c
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(name)
+            )
+            rows.append((f"not_null:{col}", name, 0, "eq"))
+        elif kind == "unique":
+            _, col = c
+            aggs.append(
+                (F.count(col) - F.count_distinct(F.col(col)))
+                .cast("bigint")
+                .alias(name)
+            )
+            rows.append((f"unique:{col}", name, 0, "eq"))
+        elif kind == "min_at_least":
+            _, col, lo = c
+            aggs.append(
+                F.sum(F.when(F.col(col) < lo, 1).otherwise(0))
+                .cast("bigint")
+                .alias(name)
+            )
+            rows.append((f"min_at_least:{col}", name, 0, "eq"))
+        elif kind == "max_at_most":
+            _, col, hi = c
+            aggs.append(
+                F.sum(F.when(F.col(col) > hi, 1).otherwise(0))
+                .cast("bigint")
+                .alias(name)
+            )
+            rows.append((f"max_at_most:{col}", name, 0, "eq"))
+        elif kind == "matches":
+            _, col, pattern = c
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ~F.col(col).rlike(pattern),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(name)
+            )
+            rows.append((f"matches:{col}", name, 0, "eq"))
+        elif kind == "row_count_at_least":
+            _, n = c
+            aggs.append(F.count(F.lit(1)).cast("bigint").alias(name))
+            rows.append(("row_count_at_least", name, int(n), "ge"))
+        else:
+            raise ValueError(f"check_constraints: unknown constraint {c!r}")
+    wide = df.agg(*aggs)
+    stack_args: list = []
+    for label, name, bound, op in rows:
+        passed = (
+            (F.col(name) >= bound) if op == "ge" else (F.col(name) == bound)
+        )
+        stack_args += [
+            F.lit(label),
+            F.col(name),
+            F.lit(bound).cast("bigint"),
+            passed.cast("int"),
+        ]
+    return wide.select(
+        F.stack(F.lit(len(rows)), *stack_args).alias(
+            "check_name", "observed", "bound", "passed"
+        )
+    )

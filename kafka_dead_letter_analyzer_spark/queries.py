@@ -5643,3 +5643,72 @@ def x_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") >= 2) & (F.col("center") != F.col("context"))
     ).select(F.col("center").alias("id_a"), F.col("context").alias("id_b"))
     return GR.triangle_counts(edges, "id_a", "id_b")
+
+
+@_register(
+    "x_data_quality",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) - count(user_id) AS BIGINT) AS nn_user,
+             CAST(count(*) - count(event_type) AS BIGINT) AS nn_type,
+             CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+               AS dup_ids,
+             CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg_vals,
+             CAST(sum(CASE WHEN value > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big_vals,
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_types
+      FROM events
+    )
+    SELECT 'not_null:user_id' AS check_name, nn_user AS observed,
+           CAST(0 AS BIGINT) AS bound,
+           CAST(CASE WHEN nn_user = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM m
+    UNION ALL
+    SELECT 'not_null:event_type', nn_type, 0,
+           CAST(CASE WHEN nn_type = 0 THEN 1 ELSE 0 END AS INT) FROM m
+    UNION ALL
+    SELECT 'unique:event_id', dup_ids, 0,
+           CAST(CASE WHEN dup_ids = 0 THEN 1 ELSE 0 END AS INT) FROM m
+    UNION ALL
+    SELECT 'min_at_least:value', neg_vals, 0,
+           CAST(CASE WHEN neg_vals = 0 THEN 1 ELSE 0 END AS INT) FROM m
+    UNION ALL
+    SELECT 'max_at_most:value', big_vals, 0,
+           CAST(CASE WHEN big_vals = 0 THEN 1 ELSE 0 END AS INT) FROM m
+    UNION ALL
+    SELECT 'matches:event_type', bad_types, 0,
+           CAST(CASE WHEN bad_types = 0 THEN 1 ELSE 0 END AS INT) FROM m
+    UNION ALL
+    SELECT 'row_count_at_least', total, 1000,
+           CAST(CASE WHEN total >= 1000 THEN 1 ELSE 0 END AS INT) FROM m
+    """,
+)
+def x_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ / great-expectations
+    shape): seven constraints over the events table — null checks,
+    id uniqueness, value range, type-name pattern, minimum row count —
+    ALL evaluated in ONE aggregation over ONE scan (Catalyst fuses the
+    check expressions into a single HashAggregate pair; a k-query audit
+    would scan the corpus k times at 100 TB).  Integer observables only;
+    the oracle computes the same single-pass wide aggregate and unpivots
+    by UNION ALL (operators/profile.py::check_constraints)."""
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        check_constraints,
+    )
+
+    return check_constraints(
+        load_table(spark, sf_dir, "events"),
+        [
+            ("not_null", "user_id"),
+            ("not_null", "event_type"),
+            ("unique", "event_id"),
+            ("min_at_least", "value", 0),
+            ("max_at_most", "value", 1000),
+            ("matches", "event_type", "^[a-z_]+$"),
+            ("row_count_at_least", 1000),
+        ],
+    )

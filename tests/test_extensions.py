@@ -1145,3 +1145,62 @@ def test_triangle_counts_match_bruteforce_property(spark):
             for r in triangle_counts(df, "id_a", "id_b").collect()
         }
         assert got == expected, (seed, got, expected)
+
+
+def test_check_constraints_detects_planted_violations(spark):
+    """Each constraint kind must count exactly its planted violations."""
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        check_constraints,
+    )
+
+    rows = [
+        (1, "alpha", 5.0),
+        (2, "beta", -1.0),     # min violation
+        (2, "Gamma!", 50.0),   # dup id + pattern violation
+        (None, "delta", 999.0),  # null id + max violation (bound 500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, v double")
+    got = {
+        r["check_name"]: (r["observed"], r["bound"], r["passed"])
+        for r in check_constraints(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("min_at_least", "v", 0),
+                ("max_at_most", "v", 500),
+                ("matches", "name", "^[a-z]+$"),
+                ("row_count_at_least", 10),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "not_null:id": (1, 0, 0),
+        "unique:id": (1, 0, 0),
+        "min_at_least:v": (1, 0, 0),
+        "max_at_most:v": (1, 0, 0),
+        "matches:name": (1, 0, 0),
+        "row_count_at_least": (4, 10, 0),
+    }, got
+
+
+def test_check_constraints_all_green_on_clean_frame(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "ok", float(i)) for i in range(5)], "id bigint, name string, v double"
+    )
+    res = check_constraints(
+        df,
+        [
+            ("not_null", "id"),
+            ("unique", "id"),
+            ("min_at_least", "v", 0),
+            ("max_at_most", "v", 10),
+            ("matches", "name", "^[a-z]+$"),
+            ("row_count_at_least", 5),
+        ],
+    ).collect()
+    assert all(r["passed"] == 1 for r in res), res

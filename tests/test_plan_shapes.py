@@ -958,3 +958,12 @@ def test_triangle_counts_all_equi_joins_no_cartesian(spark, Q):
     s = plan_of(Q.x_triangle_counts(spark, SF))
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_data_quality_suite_is_one_scan_one_aggregate(spark, Q):
+    """Seven constraints must fuse into a single aggregation over a
+    single scan — the audit costs one pass regardless of suite size."""
+    s = plan_of(Q.x_data_quality(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree and "Union" not in tree, tree
