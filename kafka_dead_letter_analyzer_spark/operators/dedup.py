@@ -672,3 +672,107 @@ def dedup_near_minhash_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document duplicated token SPANS of length >= ``k``
+    — ``(doc_a, doc_b, start_a, start_b, span_len)``, 1-based token
+    positions, ``doc_a < doc_b``.
+
+    The exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr tool):
+    where minhash/simhash flag whole near-dup DOCUMENTS, this finds the
+    repeated PASSAGES (boilerplate, licenses, quoted chunks) inside
+    otherwise-distinct documents — the spans an LLM pipeline cuts out
+    rather than dropping the document.
+
+    Spark-first shape (suffix arrays are a single-machine design; this
+    is the equi-join equivalent):
+
+    1. k-gram seed table: one (doc, pos, gram-hash) row per position —
+       a JVM ``transform`` over ``sequence(1, L-k+1)``, no explode of
+       text bytes (the 60-bit md5 gram hash is 8 bytes/row; the
+       cross-engine hash idiom of sketches.py::md5_u60).
+    2. cross-doc seed matches: self-equi-join on the hash with
+       ``doc_a < doc_b`` — through RENAMED projections (never the raw
+       frame twice: Spark's same-lineage equality resolves trivially
+       true, see tpch_q2).  A gram occurring in f positions emits
+       ~f^2/2 pairs, so ``max_gram_df`` drops grams above a document-
+       frequency cap BEFORE the join (the df-cap precedent of the
+       inverted-index Jaccard path; None = exact, the oracle config).
+    3. diagonal chaining: matches of the same pair on the same diagonal
+       ``pa - pb`` with consecutive ``pa`` are one span — the classic
+       gaps-and-islands ``pa - row_number()`` grouping, windowed per
+       (pair, diagonal) so no global sort; ``span_len = run + k - 1``.
+
+    At 100 TB the seed join is the cost center and shuffles only
+    (hash, doc, pos) rows; skewed grams are exactly what ``max_gram_df``
+    bounds (a df-capped gram is boilerplate that a thousand documents
+    share — its pairs belong to a contamination index, not a span
+    table).
+    """
+    toks = _tokens(F.col(text_col))
+    L = F.size(toks)
+    npos = L - (k - 1)
+    gram = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(toks, i, k), " ").alias("g"),
+        ),
+    )
+    seeds = (
+        docs.filter(L >= k)
+        .select(F.col(id_col).alias("doc"), F.explode(gram).alias("s"))
+        .select(
+            "doc",
+            F.col("s.pos").cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5(F.col("s.g")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    if max_gram_df is not None:
+        capped = (
+            seeds.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("g")
+        )
+        seeds = seeds.join(capped, "g")
+    a = seeds.select(
+        F.col("g").alias("ga"), F.col("doc").alias("da"), F.col("pos").alias("pa")
+    )
+    b = seeds.select(
+        F.col("g").alias("gb"), F.col("doc").alias("db"), F.col("pos").alias("pb")
+    )
+    matches = a.join(
+        b, (F.col("ga") == F.col("gb")) & (F.col("da") < F.col("db"))
+    ).select("da", "db", "pa", "pb")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    islands = matches.select(
+        "da", "db", "pa", "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+    return (
+        islands.groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + (k - 1)).cast("bigint").alias("span_len"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "start_a", "start_b", "span_len",
+        )
+    )

@@ -5712,3 +5712,59 @@ def x_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("row_count_at_least", 1000),
         ],
     )
+
+
+@_register(
+    "x_dup_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, p.pos AS pos,
+             {_duck_u60("p.g")} AS g
+      FROM (SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'g': array_to_string(toks[i : i + 7], ' ')}}
+                           for i in range(1, len(toks) - 6)]) AS p
+            FROM t WHERE len(toks) >= 8)
+    ), m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT da, db, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM m
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS span_len
+    FROM isl GROUP BY da, db, diag, isl
+    """,
+)
+def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated passages of >= 8 tokens — the
+    ExactSubstr dedup primitive (Lee et al. 2022): finds the repeated
+    SPANS (boilerplate, licenses, quoted chunks) inside otherwise-
+    distinct documents, which near-dup detectors that score whole
+    documents cannot localize.  k-gram seed hashes -> cross-doc
+    equi-join (renamed projections, never a same-lineage self-join) ->
+    gaps-and-islands diagonal chaining windowed per (pair, diagonal).
+    Exact config (no df-cap) for the oracle; at 100 TB the df-cap
+    parameter bounds boilerplate-gram fan-out
+    (operators/dedup.py::duplicate_spans).  DuckDB slice note: the
+    oracle's ``toks[i : i + 7]`` is 1-based INCLUSIVE (8 tokens) and
+    ``range(1, len - 6)`` is exclusive-stop = positions 1..len-7 —
+    off-by-one-checked against Spark's slice(toks, i, 8) over
+    sequence(1, L-7)."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(
+        load_table(spark, sf_dir, "documents"), k=8, max_gram_df=None
+    )

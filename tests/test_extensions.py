@@ -1204,3 +1204,83 @@ def test_check_constraints_all_green_on_clean_frame(spark):
         ],
     ).collect()
     assert all(r["passed"] == 1 for r in res), res
+
+
+def test_duplicate_spans_match_bruteforce_property(spark):
+    """duplicate_spans vs a from-scratch O(n^2) span finder on seeded
+    corpora with planted shared passages, overlaps, and repeats."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    def brute(docs_tok, k):
+        out = set()
+        ids = sorted(docs_tok)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                ta, tb = docs_tok[a], docs_tok[b]
+                seeds = set()
+                grams_b: dict = {}
+                for j in range(len(tb) - k + 1):
+                    grams_b.setdefault(tuple(tb[j : j + k]), []).append(j)
+                for i in range(len(ta) - k + 1):
+                    for j in grams_b.get(tuple(ta[i : i + k]), []):
+                        seeds.add((i, j))
+                # chain diagonals
+                by_diag: dict = {}
+                for i, j in seeds:
+                    by_diag.setdefault(i - j, []).append(i)
+                for diag, pos in by_diag.items():
+                    pos.sort()
+                    run_start = pos[0]
+                    prev = pos[0]
+                    for p in pos[1:] + [None]:
+                        if p is None or p != prev + 1:
+                            out.add(
+                                (a, b, run_start + 1, run_start - diag + 1,
+                                 prev - run_start + k)
+                            )
+                            if p is not None:
+                                run_start = p
+                        prev = p if p is not None else prev
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    passage = [rng.choice(vocab) for _ in range(15)]
+    docs = []
+    toks = {}
+    for d in range(8):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(5, 40))]
+        if d % 2 == 0:  # plant the passage at a random offset
+            at = rng.randrange(0, len(body) + 1)
+            body = body[:at] + passage + body[at:]
+        toks[d] = body
+        docs.append((d, " ".join(body)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in duplicate_spans(df, k=8).collect()
+    }
+    assert got == brute(toks, 8), (got ^ brute(toks, 8))
+
+
+def test_duplicate_spans_df_cap_drops_boilerplate_only(spark):
+    """With a df-cap, spans seeded ONLY by over-cap grams disappear while
+    rare-gram spans survive — the documented recall trade."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rare = " ".join(f"r{i}" for i in range(8))
+    rows = [(i, f"{boiler} filler{i}") for i in range(10)]
+    rows += [(100, f"{rare} endA"), (101, f"{rare} endB")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = duplicate_spans(df, k=8).collect()
+    capped = duplicate_spans(df, k=8, max_gram_df=5).collect()
+    assert any(r["doc_a"] < 100 for r in full)
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}

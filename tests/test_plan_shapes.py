@@ -967,3 +967,16 @@ def test_data_quality_suite_is_one_scan_one_aggregate(spark, Q):
     tree = s[: s.find("(1) ")]
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree and "Union" not in tree, tree
+
+
+def test_dup_spans_seed_join_is_equi_join_on_hashes(spark, Q):
+    """The cross-doc seed match must be an equi-join on the gram hash
+    (never cartesian / nested-loop), and the exchanges must carry hashed
+    seeds, not text or token arrays."""
+    import re
+
+    s = plan_of(Q.x_dup_spans(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s):
+        assert "text" not in m.group(1) and "toks" not in m.group(1), m.group(1)
