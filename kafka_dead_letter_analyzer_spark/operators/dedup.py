@@ -776,3 +776,105 @@ def duplicate_spans(
             "start_a", "start_b", "span_len",
         )
     )
+
+
+def setsim_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join over distinct token sets via
+    PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+    AllPairs; Xiao et al. WWW'08 PPJoin) —
+    ``(doc_a, doc_b, inter_sz, union_sz, jaccard_ppm)`` for every pair
+    with ``J(a,b) >= threshold_num/threshold_den``, ``doc_a < doc_b``.
+
+    Where :func:`ngram_jaccard_pairs`' inverted index explodes EVERY
+    token, prefix filtering explodes only each document's
+    ``|s| - ceil(t*|s|) + 1`` RAREST tokens (global-frequency order):
+    two sets meeting threshold t must share at least one token in
+    either's prefix — a completeness theorem, not a heuristic — so the
+    candidate join touches a small, rare slice of the index.  Frequent
+    tokens (exactly the ones whose posting lists explode the full
+    inverted index at 100 TB) land at the END of the order and mostly
+    fall OUT of every prefix: the skew self-defends instead of needing
+    a df-cap recall trade.
+
+    Pipeline (all equi-joins, no cartesian): global token df agg ->
+    per-doc (df, token)-rank window -> prefix rows -> candidate pairs
+    on shared prefix token (renamed projections; size-compatibility
+    filter ``t <= |a|/|b| <= 1/t`` prunes before dedup) -> verify by
+    joining back each candidate's full token ARRAY (arrays move only
+    for candidates) and computing the exact intersection JVM-side.
+
+    Integer-exact surface: threshold test is
+    ``den*inter >= num*union``; ``jaccard_ppm = (1e6 * inter) DIV
+    union``.  The oracle verifies against from-scratch ALL-pairs
+    Jaccard in SQL — the result contract is strategy-independent
+    (queries.py x_setsim_join).
+    """
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"setsim_join_prefix: bad threshold {num}/{den}")
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.array_distinct(_tokens(F.col(text_col)))).alias("set"),
+    ).filter(F.size("set") > 0)
+    tok = base.select(
+        "doc", F.size("set").alias("sz"), F.explode("set").alias("tk")
+    )
+    df_tbl = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_tbl, "tk").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy("df", "tk")
+        ),
+    )
+    # prefix length: |s| - ceil(t*|s|) + 1, ceil via (a + b - 1) DIV b
+    prefix_len = F.col("sz") - F.expr(
+        f"(({num} * sz) + {den} - 1) DIV {den}"
+    ) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len)
+    pa = prefix.select(
+        F.col("tk").alias("tka"), F.col("doc").alias("da"), F.col("sz").alias("sza")
+    )
+    pb = prefix.select(
+        F.col("tk").alias("tkb"), F.col("doc").alias("db"), F.col("sz").alias("szb")
+    )
+    cands = (
+        pa.join(
+            pb,
+            (F.col("tka") == F.col("tkb"))
+            & (F.col("da") < F.col("db"))
+            & (F.lit(num) * F.col("sza") <= F.lit(den) * F.col("szb"))
+            & (F.lit(num) * F.col("szb") <= F.lit(den) * F.col("sza")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    sa = base.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+    sb = base.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+    verified = (
+        cands.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da", "db",
+            F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+            (F.size("set_a") + F.size("set_b")).alias("s"),
+        )
+        .select(
+            "da", "db", "i", (F.col("s") - F.col("i")).alias("u")
+        )
+        .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+    )
+    return verified.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("i").cast("bigint").alias("inter_sz"),
+        F.col("u").cast("bigint").alias("union_sz"),
+        F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
+    )

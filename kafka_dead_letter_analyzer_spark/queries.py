@@ -5768,3 +5768,50 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(
         load_table(spark, sf_dir, "documents"), k=8, max_gram_df=None
     )
+
+
+@_register(
+    "x_setsim_join",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END) AS st
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, len(st) AS sz, unnest(st) AS tk
+      FROM t WHERE len(st) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
+             any_value(a.sz) AS sza, any_value(b.sz) AS szb
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS inter_sz,
+           CAST(sza + szb - i AS BIGINT) AS union_sz,
+           CAST((1000000 * i) // (sza + szb - i) AS BIGINT) AS jaccard_ppm
+    FROM pairs WHERE 10 * i >= 9 * (sza + szb - i)
+    """,
+)
+def x_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.9 self-join over distinct token sets via
+    PREFIX FILTERING (AllPairs/PPJoin): only each document's rarest
+    ``|s| - ceil(0.9|s|) + 1`` tokens enter the candidate index — a
+    completeness theorem, not a recall trade — so frequent tokens
+    (whose posting lists blow up a full inverted index at 100 TB)
+    mostly never generate candidates.  The oracle is from-scratch
+    ALL-pairs Jaccard in SQL: the result contract is strategy-
+    independent, so the hash gate itself proves the prefix filter
+    lost nothing (operators/dedup.py::setsim_join_prefix)."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        setsim_join_prefix,
+    )
+
+    return setsim_join_prefix(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=9,
+        threshold_den=10,
+    )

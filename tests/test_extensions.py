@@ -1284,3 +1284,39 @@ def test_duplicate_spans_df_cap_drops_boilerplate_only(spark):
     capped = duplicate_spans(df, k=8, max_gram_df=5).collect()
     assert any(r["doc_a"] < 100 for r in full)
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
+
+
+def test_setsim_prefix_matches_bruteforce_property(spark):
+    """Prefix-filtered threshold join vs from-scratch all-pairs Jaccard
+    on seeded random token sets, across thresholds (completeness of the
+    prefix filter, exactness of verification)."""
+    import itertools
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        setsim_join_prefix,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    sets = {}
+    for d in range(30):
+        s = set(rng.sample(vocab, rng.randrange(3, 15)))
+        sets[d] = s
+        rows.append((d, " ".join(sorted(s))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for num, den in [(1, 2), (3, 4), (9, 10), (1, 1)]:
+        expected = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if den * i >= num * u:
+                expected.add((a, b, i, u, 1_000_000 * i // u))
+        got = {
+            tuple(r)
+            for r in setsim_join_prefix(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == expected, (num, den, got ^ expected)

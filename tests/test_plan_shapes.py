@@ -980,3 +980,12 @@ def test_dup_spans_seed_join_is_equi_join_on_hashes(spark, Q):
     assert "BroadcastNestedLoopJoin" not in s, s
     for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s):
         assert "text" not in m.group(1) and "toks" not in m.group(1), m.group(1)
+
+
+def test_setsim_join_no_cartesian_and_arrays_only_post_candidates(spark, Q):
+    """Candidate generation must be an equi-join on prefix tokens; token
+    ARRAYS may move only in the verification joins (never through the
+    candidate-pair exchange)."""
+    s = plan_of(Q.x_setsim_join(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
