@@ -212,9 +212,19 @@ def _probe_depth(sketch: DataFrame) -> int:
 # ---------------------------------------------------------------------------
 
 
-def hll_register_maxima(df: DataFrame, key: str, p: int = 8) -> DataFrame:
+def hll_register_maxima(
+    df: DataFrame,
+    key: str,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """HyperLogLog register state for ``df[key]`` —
-    ``(register INT, max_rho INT)``, one row per non-empty register.
+    ``(register INT, max_rho INT)``, one row per non-empty register;
+    with ``group_cols`` one sketch PER GROUP (``(*group_cols, register,
+    max_rho)``) — e.g. daily active-user sketches that roll up to any
+    coarser granularity by ``groupBy(coarser).agg(max(max_rho))``
+    without touching the raw data again (rollup law differential-tested
+    in tests/test_sketches.py).
 
     Hash layout over the 60-bit space: the TOP ``p`` bits select the
     register (``h DIV 2^(60-p)``), the remaining ``60-p`` bits carry the
@@ -234,8 +244,9 @@ def hll_register_maxima(df: DataFrame, key: str, p: int = 8) -> DataFrame:
         raise ValueError(f"hll_register_maxima: p={p} outside [4, 16]")
     tail_bits = _HASH_BITS - p
     tail_space = 1 << tail_bits
+    groups = list(group_cols or [])
     h = md5_u60(F.col(key).cast("string"))
-    hashed = df.select(h.alias("h"))
+    hashed = df.select(*groups, h.alias("h"))
     reg = F.expr(f"h DIV {tail_space}").cast("int")
     w = (F.col("h") % tail_space).cast("bigint")
     rho = (
@@ -244,8 +255,8 @@ def hll_register_maxima(df: DataFrame, key: str, p: int = 8) -> DataFrame:
         .cast("int")
     )
     return (
-        hashed.select(reg.alias("register"), rho.alias("rho"))
-        .groupBy("register")
+        hashed.select(*groups, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*groups, "register")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
 

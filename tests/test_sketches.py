@@ -156,3 +156,24 @@ def test_hll_rho_bounds(spark, events):
 
 def test_hll_register_count_bounded_by_m(spark, events):
     assert SK.hll_register_maxima(events, "user_id", p=4).count() <= 16
+
+
+def test_hll_grouped_daily_rolls_up_to_whole(spark):
+    """Per-day register sketches merged by max == the whole-period
+    sketch: the cross-granularity rollup law that lets a pipeline keep
+    only daily sketches and answer any date-range distinct count."""
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = SK.hll_register_maxima(ev, "user_id", p=6, group_cols=["day"])
+    rolled = {
+        (r["register"]): r["mr"]
+        for r in daily.groupBy("register")
+        .agg(F.max("max_rho").alias("mr"))
+        .collect()
+    }
+    whole = {
+        r["register"]: r["max_rho"]
+        for r in SK.hll_register_maxima(ev, "user_id", p=6).collect()
+    }
+    assert rolled == whole
