@@ -49,6 +49,7 @@ __all__ = [
     "md5_u60",
     "kmv_distinct_sketch",
     "kmv_estimate",
+    "kmv_jaccard_estimate",
     "cms_sketch",
     "cms_lookup",
     "hll_register_maxima",
@@ -121,6 +122,29 @@ def kmv_estimate(sketch_rows: list, k: int) -> float:
         return float(len(rows))
     h_k = rows[k - 1]
     return (k - 1) * _HASH_SPACE / h_k
+
+
+def kmv_jaccard_estimate(rows_a: list, rows_b: list, k: int) -> float:
+    """Jaccard similarity estimate between two key SETS from their KMV
+    sketches alone (Beyer et al. SIGMOD'07 / the theta-sketch set
+    algebra): take the k smallest hashes of the UNION of the two
+    sketches; the fraction of those present in BOTH sketches estimates
+    ``|A ∩ B| / |A ∪ B|``.  With :func:`kmv_estimate` of the union this
+    prices a join's output cardinality BEFORE running it — the sketch
+    use-case a planner cares about at 100 TB (collect two k-row
+    sketches, never scan either side again).
+
+    Float math, driver-side, outside the oracle-hash surface."""
+
+    def _vals(rows):
+        return {r["h60"] if not isinstance(r, (int, float)) else r for r in rows}
+
+    sa, sb = _vals(rows_a), _vals(rows_b)
+    union_k = sorted(sa | sb)[:k]
+    if not union_k:
+        return 0.0
+    both = sum(1 for h in union_k if h in sa and h in sb)
+    return both / len(union_k)
 
 
 # ---------------------------------------------------------------------------

@@ -5773,13 +5773,21 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x_setsim_join",
     r"""
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id,
-             list_distinct(CASE WHEN trim(lower(coalesce(text, ''))) = ''
+             CASE WHEN trim(lower(coalesce(text, ''))) = ''
                   THEN []::VARCHAR[]
                   ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-             END) AS st
+             END AS toks
       FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i : i + 2], ' ')
+                        for i in range(1, len(toks) - 1)]
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE []::VARCHAR[] END) AS st
+      FROM t0
     ), tok AS (
       SELECT doc_id, len(st) AS sz, unnest(st) AS tk
       FROM t WHERE len(st) > 0
@@ -5793,25 +5801,32 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS BIGINT) AS inter_sz,
            CAST(sza + szb - i AS BIGINT) AS union_sz,
            CAST((1000000 * i) // (sza + szb - i) AS BIGINT) AS jaccard_ppm
-    FROM pairs WHERE 10 * i >= 9 * (sza + szb - i)
+    FROM pairs WHERE 10 * i >= 7 * (sza + szb - i)
     """,
 )
 def x_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.9 self-join over distinct token sets via
-    PREFIX FILTERING (AllPairs/PPJoin): only each document's rarest
-    ``|s| - ceil(0.9|s|) + 1`` tokens enter the candidate index — a
-    completeness theorem, not a recall trade — so frequent tokens
-    (whose posting lists blow up a full inverted index at 100 TB)
-    mostly never generate candidates.  The oracle is from-scratch
-    ALL-pairs Jaccard in SQL: the result contract is strategy-
-    independent, so the hash gate itself proves the prefix filter
-    lost nothing (operators/dedup.py::setsim_join_prefix)."""
+    """Exact Jaccard >= 0.7 self-join over distinct 3-token-SHINGLE
+    sets via PREFIX FILTERING (AllPairs/PPJoin): only each document's
+    rarest ``|s| - ceil(t|s|) + 1`` shingles enter the candidate index
+    — a completeness theorem, not a recall trade — so frequent
+    shingles (whose posting lists blow up a full inverted index at
+    100 TB) mostly never generate candidates.  Shingles, not unigrams:
+    on this corpus's small vocabulary, unigram J >= 0.9 holds for 7.7%
+    of ALL pairs (~1M rows at sf0.1 — a vacuous answer measured at
+    40 s); 3-shingle J >= 0.7 selects exactly the near-dup groups
+    (256 pairs at 0.5, identical set at 0.7 — and the 0.7 prefix is
+    ~30% of each set vs 50%+1, a 3x smaller candidate index).  The
+    oracle is from-scratch ALL-pairs
+    Jaccard in SQL: the result contract is strategy-independent, so
+    the hash gate itself proves the prefix filter lost nothing
+    (operators/dedup.py::setsim_join_prefix)."""
     from kafka_dead_letter_analyzer_spark.operators.dedup import (
         setsim_join_prefix,
     )
 
     return setsim_join_prefix(
         load_table(spark, sf_dir, "documents"),
-        threshold_num=9,
+        threshold_num=7,
         threshold_den=10,
+        shingle_k=3,
     )

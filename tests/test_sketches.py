@@ -177,3 +177,23 @@ def test_hll_grouped_daily_rolls_up_to_whole(spark):
         for r in SK.hll_register_maxima(ev, "user_id", p=6).collect()
     }
     assert rolled == whole
+
+
+def test_kmv_jaccard_estimate_from_sketches_alone(spark, events):
+    """Sketch-only Jaccard between two key sets tracks the true overlap
+    (join-cardinality pricing without scanning either side again)."""
+    a = events.filter(F.col("user_id") % 3 != 0)   # 2/3 of users
+    b = events.filter(F.col("user_id") % 2 != 0)   # 1/2 of users
+    sa = set(r["user_id"] for r in a.select("user_id").distinct().collect())
+    sb = set(r["user_id"] for r in b.select("user_id").distinct().collect())
+    true_j = len(sa & sb) / len(sa | sb)
+    k = 64
+    ra = SK.kmv_distinct_sketch(a, "user_id", k).collect()
+    rb = SK.kmv_distinct_sketch(b, "user_id", k).collect()
+    est = SK.kmv_jaccard_estimate(ra, rb, k)
+    assert abs(est - true_j) < 0.2, (est, true_j)
+    # identical sets -> exactly 1.0; disjoint -> exactly 0.0
+    assert SK.kmv_jaccard_estimate(ra, ra, k) == 1.0
+    c = events.filter(F.col("user_id") % 3 == 0)
+    rc = SK.kmv_distinct_sketch(c, "user_id", k).collect()
+    assert SK.kmv_jaccard_estimate(ra, rc, k) == 0.0
