@@ -78,9 +78,18 @@ def md5_u60(key: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def kmv_distinct_sketch(df: DataFrame, key: str, k: int = 128) -> DataFrame:
+def kmv_distinct_sketch(
+    df: DataFrame,
+    key: str,
+    k: int = 128,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """The k smallest distinct 60-bit hashes of ``df[key]`` —
-    ``(rank BIGINT, h60 BIGINT)``, rank 1..k ascending.
+    ``(rank BIGINT, h60 BIGINT)``, rank 1..k ascending; with
+    ``group_cols`` one sketch PER GROUP (``(*group_cols, rank, h60)``,
+    per-group rank) — e.g. per-source document sketches whose UNION,
+    re-limited to the k smallest, is exactly the sketch of any source
+    subset (rollup law tested in tests/test_sketches.py).
 
     This IS the mergeable distinct-count state: the union of two
     corpora's sketches, re-limited to the k smallest, is exactly the
@@ -97,6 +106,25 @@ def kmv_distinct_sketch(df: DataFrame, key: str, k: int = 128) -> DataFrame:
     """
     if not 1 <= k <= 1 << 20:
         raise ValueError(f"kmv_distinct_sketch: unreasonable k={k}")
+    groups = list(group_cols or [])
+    if groups:
+        # per-group min-k: distinct (group, hash) contraction, then a
+        # rank window PER GROUP — partitioned, so no single-task sort;
+        # each group's sketch is k rows.
+        hashes = (
+            df.select(
+                *groups, md5_u60(F.col(key).cast("string")).alias("h60")
+            )
+            .distinct()
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.partitionBy(*groups).orderBy("h60"))
+                .cast("bigint"),
+            )
+            .filter(F.col("rank") <= k)
+        )
+        return hashes.select(*groups, "rank", "h60")
     hashes = (
         df.select(md5_u60(F.col(key).cast("string")).alias("h60"))
         .distinct()

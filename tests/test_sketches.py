@@ -197,3 +197,23 @@ def test_kmv_jaccard_estimate_from_sketches_alone(spark, events):
     c = events.filter(F.col("user_id") % 3 == 0)
     rc = SK.kmv_distinct_sketch(c, "user_id", k).collect()
     assert SK.kmv_jaccard_estimate(ra, rc, k) == 0.0
+
+
+def test_kmv_grouped_union_rollup_law(spark):
+    """Per-day KMV sketches union + re-limit == the whole-period sketch
+    (and any day-range subset's sketch) — min-k set algebra."""
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    k = 32
+    daily = SK.kmv_distinct_sketch(ev, "user_id", k, group_cols=["day"])
+    rows = daily.collect()
+    whole = [r["h60"] for r in SK.kmv_distinct_sketch(ev, "user_id", k).collect()]
+    merged = sorted({r["h60"] for r in rows})[:k]
+    assert merged == whole
+    # every group's sketch is dense-ranked and <= k rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["day"], []).append(r["rank"])
+    for day, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= k
