@@ -1616,3 +1616,43 @@ def test_streaming_rate_limit_caps_per_key_window(spark, tmp_path, ts):
     rows = sorted(r["offset"] for r in spark.table("rate_limited").collect())
     # hot window 1: offsets 0,1 pass, 2 and 4 dropped; cold: 3; new window: 5
     assert rows == [0, 1, 3, 5]
+
+
+def test_streaming_hll_registers_bounded_state_converges_to_batch(spark, tmp_path):
+    """The HLL register sketch runs UNCHANGED as a streaming aggregation
+    (groupBy register + max is streaming-supported) with state bounded
+    at 2^p rows no matter how many events flow — the streaming
+    distinct-count shape: complete-mode register table after N
+    micro-batches == the batch sketch over the union of the batches."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    src = str(tmp_path / "hll_src")
+    b1 = spark.createDataFrame([(i,) for i in range(100)], "user_id bigint")
+    b2 = spark.createDataFrame([(i,) for i in range(50, 150)], "user_id bigint")
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("user_id bigint").parquet(src)
+    sketch = SK.hll_register_maxima(stream, "user_id", p=6)
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["register"]: r["max_rho"]
+            for r in spark.table("hll_stream").collect()
+        }
+    finally:
+        q.stop()
+    expect = {
+        r["register"]: r["max_rho"]
+        for r in SK.hll_register_maxima(
+            b1.unionAll(b2), "user_id", p=6
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) <= 64
