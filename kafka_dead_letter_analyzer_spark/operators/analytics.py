@@ -181,3 +181,93 @@ def trimmed_stats(
         F.min("_v").cast("bigint").alias("lo_scaled"),
         F.max("_v").cast("bigint").alias("hi_scaled"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    tiebreak: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Robust outlier detection per group by MEDIAN ABSOLUTE DEVIATION —
+    ``(key, med, mad, n_outliers, n_total)``, all BIGINT (values floored
+    to ``scale``-scaled integers before any statistic, the trimmed_stats
+    precedent): a row is an outlier iff
+    ``|v - median| * k_den > k_num * MAD``.
+
+    Why MAD and not stddev: one corrupted sensor reading moves a mean /
+    sigma rule arbitrarily far (breakdown point 0); median and MAD both
+    have breakdown point 0.5, so the rule survives up to half the group
+    being garbage — the property an unattended 100 TB ingest monitor
+    actually needs.  The 3-MAD default is the classic Hampel
+    identifier's cutoff (in MAD units rather than the 1.4826-sigma
+    normalization, which would put a float in the hash gate).
+
+    Plan: two nearest-rank passes (median of values, then median of
+    deviations — :func:`exact_percentiles`' rank arithmetic), each ONE
+    hash Exchange on the key with the window and groupBy sharing the
+    partitioning; per-key medians re-join as broadcasts (|keys| rows).
+    Everything integer — oracle-hashable (queries.py x_mad_outliers).
+    """
+    micros = (
+        F.floor(F.col(value_col).cast("decimal(28,12)") * scale)
+        .cast("bigint")
+        .alias("_v")
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key), micros, F.col(tiebreak).alias("_tb")
+    )
+    w1 = Window.partitionBy(key).orderBy("_v", "_tb")
+    f1 = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        base.select(
+            key, "_v",
+            F.row_number().over(w1).alias("_rn"),
+            F.count(F.lit(1)).over(f1).alias("_n"),
+        )
+        .groupBy(key)
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("_v"))
+            ).alias("med"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+    )
+    dev = base.join(F.broadcast(med), key).select(
+        key, "_v", "_tb", "med", "n_total",
+        F.abs(F.col("_v") - F.col("med")).alias("_d"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_d", "_tb")
+    f2 = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mad = (
+        dev.select(
+            key, "_d",
+            F.row_number().over(w2).alias("_rn"),
+            F.count(F.lit(1)).over(f2).alias("_n"),
+        )
+        .groupBy(key)
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("_d"))
+            ).alias("mad")
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), key)
+        .groupBy(key)
+        .agg(
+            F.max("med").cast("bigint").alias("med"),
+            F.max("mad").cast("bigint").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("_d") * k_den > F.lit(k_num) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("n_total").cast("bigint").alias("n_total"),
+        )
+    )

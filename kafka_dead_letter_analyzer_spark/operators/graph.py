@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from kafka_dead_letter_analyzer_spark import cache_registry
 
-__all__ = ["connected_components", "connected_components_star", "triangle_counts"]
+__all__ = ["connected_components", "connected_components_star", "triangle_counts", "pagerank_int"]
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -396,3 +396,75 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge table —
+    ``(node, rank_int BIGINT)`` after a FIXED number of power
+    iterations, every arithmetic step integer (truncating division), so
+    the result is bit-identical on any engine / partitioning / retry —
+    the same determinism contract as ``kmeans_fit_int``, with the SQL
+    oracle unrolling the iterations as CTEs (queries.py
+    x_pagerank_int).
+
+    Update rule (simplified PageRank, no dangling redistribution —
+    dangling mass decays, documented):
+
+        contrib(u)  = rank(u) DIV outdeg(u)            per edge u->v
+        rank'(v)    = base + (d_num * sum contribs) DIV d_den
+        base        = (scale * (d_den - d_num)) DIV d_den
+
+    Division BEFORE the sum and once after — a fixed evaluation order
+    both engines reproduce exactly (floats would round differently
+    under reassociation).
+
+    Scale shape: each iteration is one equi-join (ranks ⋈ edges on src
+    — ranks is |V| rows and BROADCASTS when small; hash join otherwise)
+    plus one groupBy(dst) with map-side partial sums; iteration count
+    is fixed and small, so the lineage stays bounded without
+    checkpointing.  Nodes with no in-edges keep ``base`` via the
+    left join back onto the node set.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_int"))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(e, ranks.node == e.u)
+            .join(outdeg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_int DIV od").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0)) DIV {damping_den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_int"),
+            )
+        )
+    return ranks

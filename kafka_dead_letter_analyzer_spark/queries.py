@@ -5830,3 +5830,129 @@ def x_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_den=10,
         shingle_k=3,
     )
+
+
+@_register(
+    "x_mad_outliers",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DECIMAL(28,12)) * 1000000) AS BIGINT)
+               AS v,
+             event_id AS tb
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med,
+             CAST(max(n) AS BIGINT) AS n_total
+      FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, tb)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+      ) GROUP BY event_type
+    ), dev AS (
+      SELECT b.event_type, abs(b.v - m.med) AS d, b.tb, m.med, m.n_total
+      FROM base b JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+      FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d, tb)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(max(d.med) AS BIGINT) AS med,
+           CAST(max(a.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN d.d * 1 > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(max(d.n_total) AS BIGINT) AS n_total
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts by the 3-MAD Hampel rule — median
+    and median-absolute-deviation both have breakdown point 0.5, so the
+    monitor survives up to half a group being garbage where mean/sigma
+    breaks at one corrupted reading.  Values floor to exact micros
+    before any statistic; two nearest-rank passes (each one Exchange,
+    window + groupBy sharing the key partitioning); per-key medians
+    rejoin as broadcasts (operators/analytics.py::mad_outliers)."""
+    return AN.mad_outliers(
+        load_table(spark, sf_dir, "events"),
+        key="event_type",
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+def _pagerank_int_sql(iters: int = 3, scale: int = 1_000_000,
+                      num: int = 85, den: int = 100) -> str:
+    """Relationally UNROLLED integer PageRank oracle (the kmeans_int
+    precedent): one CTE per power iteration over the collocation
+    graph, every step truncating-integer like the operator."""
+    base = (scale * (den - num)) // den
+    head = r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(flatten([
+               [{'c': toks[i], 'x': toks[i + o]}
+                for o in [-2, -1, 1, 2]
+                if i + o >= 1 AND i + o <= len(toks)]
+               for i in range(1, len(toks) + 1)])) AS p
+      FROM t WHERE len(toks) >= 1
+    ), pc AS (
+      SELECT p.c AS c, p.x AS x, count(*) AS n FROM pairs GROUP BY 1, 2
+    ), e AS (
+      SELECT c AS u, x AS v FROM pc WHERE n >= 2 AND c <> x
+    ), nodes AS (
+      SELECT DISTINCT nd FROM (SELECT u AS nd FROM e UNION ALL SELECT v AS nd FROM e)
+    ), od AS (
+      SELECT u, count(*) AS od FROM e GROUP BY 1
+    ), r0 AS (
+      SELECT nd AS node, CAST(%(scale)s AS BIGINT) AS rank_int FROM nodes
+    )""" % {"scale": scale}
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+      SELECT n.nd AS node,
+             CAST({base} + ({num} * coalesce(s.s, 0)) // {den} AS BIGINT)
+               AS rank_int
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node, sum(r.rank_int // o.od) AS s
+        FROM r{i-1} r JOIN e ON r.node = e.u JOIN od o ON e.u = o.u
+        GROUP BY 1
+      ) s ON n.nd = s.node
+    )""")
+    return head + "".join(steps) + f"\n    SELECT node, rank_int FROM r{iters}"
+
+
+@_register("x_pagerank_int", _pagerank_int_sql())
+def x_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 power iterations, damping 0.85, rank
+    scale 1e6) over the directed collocation graph — token centrality
+    for keyword extraction (the TextRank shape).  Every arithmetic step
+    is truncating-integer in a FIXED order (divide per contribution,
+    one divide after the damped sum), so ranks are bit-identical on any
+    engine/partitioning/retry; the oracle unrolls the iterations as
+    CTEs.  Per iteration: one equi-join (|V|-row rank table broadcasts
+    when small) + one map-side-combined groupBy — fixed iteration count
+    keeps lineage bounded (operators/graph.py::pagerank_int)."""
+    from kafka_dead_letter_analyzer_spark.operators import graph as GR
+
+    pc = TX.cooccurrence_counts(
+        load_table(spark, sf_dir, "documents"), text_col="text", window=2
+    )
+    edges = pc.filter(
+        (F.col("n") >= 2) & (F.col("center") != F.col("context"))
+    ).select(F.col("center").alias("id_a"), F.col("context").alias("id_b"))
+    return GR.pagerank_int(edges, "id_a", "id_b", iters=3)

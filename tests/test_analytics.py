@@ -885,3 +885,41 @@ def test_weighted_reservoir_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outliers_robust_to_planted_corruption(spark):
+    """A planted extreme value must be flagged without moving the median
+    or MAD materially (breakdown-point property), and the counts must
+    match a from-scratch computation."""
+    import statistics
+
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        mad_outliers,
+    )
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 1e9]  # one corruption
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(100 + i, "b", 5.0) for i in range(5)]  # constant group
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = {
+        r["event_type"]: (r["med"], r["mad"], r["n_outliers"], r["n_total"])
+        for r in mad_outliers(
+            df, key="event_type", value_col="value", tiebreak="event_id"
+        ).collect()
+    }
+
+    def scratch(vs):
+        m = sorted(vs)[(len(vs) + 1) // 2 - 1]  # nearest-rank lower median
+        devs = sorted(abs(v - m) for v in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        out = sum(1 for v in vs if abs(v - m) > 3 * mad)
+        return m, mad, out, len(vs)
+
+    a_v = [int(v * 1_000_000) for v in vals]
+    b_v = [5_000_000] * 5
+    assert got["a"] == scratch(a_v), (got["a"], scratch(a_v))
+    assert got["b"] == scratch(b_v)
+    # the corruption is flagged, the median stayed in the clean range
+    assert got["a"][2] >= 1 and 10_000_000 <= got["a"][0] <= 16_000_000
+    # constant group: MAD 0 -> nothing flagged
+    assert got["b"][1] == 0 and got["b"][2] == 0

@@ -1320,3 +1320,39 @@ def test_setsim_prefix_matches_bruteforce_property(spark):
             ).collect()
         }
         assert got == expected, (num, den, got ^ expected)
+
+
+def test_pagerank_int_matches_scratch_and_properties(spark):
+    """pagerank_int vs from-scratch integer power iteration on random
+    directed graphs (dangling nodes, multi-edges via duplicate rows,
+    self-contained determinism); plus: a hub receiving from everyone
+    outranks leaves."""
+    import random
+    from collections import defaultdict
+
+    from kafka_dead_letter_analyzer_spark.operators.graph import pagerank_int
+
+    for seed, n, m in [(1, 8, 20), (2, 15, 40)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {r["node"]: r["rank_int"] for r in pagerank_int(df, iters=3).collect()}
+        outd: dict = defaultdict(int)
+        nodes = set()
+        for u, v in edges:
+            outd[u] += 1
+            nodes.update((u, v))
+        scale, num, den = 1_000_000, 85, 100
+        base = (scale * (den - num)) // den
+        r = {x: scale for x in nodes}
+        for _ in range(3):
+            s: dict = defaultdict(int)
+            for u, v in edges:
+                s[v] += r[u] // outd[u]
+            r = {x: base + (num * s.get(x, 0)) // den for x in nodes}
+        assert got == r, (seed, got, r)
+
+    star = [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(star, "id_a int, id_b int")
+    ranks = {r["node"]: r["rank_int"] for r in pagerank_int(df, iters=2).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
