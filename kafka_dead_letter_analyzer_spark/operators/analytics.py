@@ -271,3 +271,62 @@ def mad_outliers(
             F.max("n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows where NO other row is >= on
+    ``max_col`` and <= on ``min_col`` with at least one strict — the
+    multi-objective selection shape ("most diverse AND shortest"
+    training docs, "cheapest AND freshest" suppliers).  Equal points
+    (both coordinates tied) do not dominate each other and all survive.
+
+    Scale-right decomposition (the naive NOT EXISTS is O(n^2); a global
+    sort window is a single task over the DATA):
+
+    1. contract to one row per distinct ``max_col`` value with its
+       minimum ``min_col`` — a partial-aggregated groupBy; within a
+       max-group everything above that minimum is dominated by the
+       group's own minimum.
+    2. the classic sort-scan over the CONTRACTION (order max desc,
+       running strict-min of min over higher-max groups; survive iff
+       min < that running min) — a single-task window, but over at most
+       |distinct max_col| rows, which for scaled-integer scores is
+       bounded by the score range (e.g. <= 1e6 for ppm scores), not by
+       the corpus.  The same bounded-small-step contract as the
+       CC driver union-find.
+    3. semi-join the surviving (max, min) pairs back to recover ids
+       (ties included).
+
+    All comparisons integer — oracle = NOT EXISTS dominance in SQL
+    (queries.py x_pareto_docs).
+    """
+    from pyspark.sql import Window
+
+    pts = df.select(
+        F.col(id_col), F.col(max_col).alias("_a"), F.col(min_col).alias("_b")
+    )
+    contracted = pts.groupBy("_a").agg(F.min("_b").alias("_b"))
+    w = (
+        Window.orderBy(F.col("_a").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # rows ordered by _a desc carry distinct _a values (post-groupBy), so
+    # the preceding frame is exactly "all strictly-higher _a groups"
+    frontier = (
+        contracted.withColumn("_prev_min", F.min("_b").over(w))
+        .filter(F.col("_prev_min").isNull() | (F.col("_b") < F.col("_prev_min")))
+        .select("_a", "_b")
+    )
+    return (
+        pts.join(F.broadcast(frontier), ["_a", "_b"], "left_semi")
+        .select(
+            id_col,
+            F.col("_a").alias(max_col),
+            F.col("_b").alias(min_col),
+        )
+    )

@@ -54,6 +54,8 @@ __all__ = [
     "cms_lookup",
     "hll_register_maxima",
     "hll_estimate",
+    "bloom_sketch",
+    "bloom_contains",
 ]
 
 # 60 bits: 15 hex digits of md5.  Wide enough that collisions are
@@ -328,3 +330,82 @@ def hll_estimate(register_rows: list, p: int = 8) -> float:
 
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_WORD = 63  # avoid the sign bit: 1<<63 overflows DuckDB
+                           # and wraps negative in Spark — 63 keeps every
+                           # word a non-negative BIGINT on both engines
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key: str,
+    num_hashes: int = 4,
+    num_words: int = 64,
+) -> DataFrame:
+    """Bloom-filter bitmap of ``df[key]`` — ``(word INT, bits BIGINT)``,
+    one row per non-zero 63-bit word (m = 63 * num_words bits total).
+
+    The fourth member of the sketch family: where KMV/HLL answer "how
+    many distinct" and CMS answers "how often", the Bloom bitmap
+    answers MEMBERSHIP — "might this key be in that corpus?" with no
+    false negatives.  Merge = word-wise ``bit_or`` (set union);
+    :func:`bloom_contains` probes a collected sketch driver-side (e.g.
+    ship a 64-row bitmap of yesterday's doc fingerprints to every
+    ingest worker instead of a billion-row anti-join).
+
+    Plan shape: hash -> (word, 1<<bit) projection replicated
+    ``num_hashes``x by a literal-array explode, then ONE HashAggregate
+    pair with map-side partial bit_or — every task's output is bounded
+    at ``num_words`` rows regardless of input size (the CMS bound, for
+    bitmaps).  False-positive rate follows the standard
+    ``(1 - e^{-kn/m})^k``; property-tested, not hash-gated (the BITMAP
+    is the oracle-checked integer state).
+    """
+    if num_hashes < 1 or num_words < 1:
+        raise ValueError(
+            f"bloom_sketch: bad num_hashes={num_hashes} num_words={num_words}"
+        )
+    m = _BLOOM_BITS_PER_WORD * num_words
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    salted = F.concat(
+        F.col(key).cast("string"), F.lit("!"), F.col("d").cast("string")
+    )
+    return (
+        df.select(F.col(key))
+        .select(F.explode(seeds).alias("d"), key)
+        .select((md5_u60(salted) % m).alias("h"))
+        .select(
+            F.expr(f"h DIV {_BLOOM_BITS_PER_WORD}").cast("int").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h % {_BLOOM_BITS_PER_WORD} AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_contains(
+    sketch_rows: list,
+    value,
+    num_hashes: int = 4,
+    num_words: int = 64,
+) -> bool:
+    """Probe a collected Bloom bitmap for ``value`` — True means "maybe
+    present" (false positives possible at the standard rate), False
+    means DEFINITELY absent.  Reproduces the engine's md5-u60 hash in
+    pure Python so a collected sketch is usable anywhere."""
+    import hashlib
+
+    words = {int(r["word"]): int(r["bits"]) for r in sketch_rows}
+    m = _BLOOM_BITS_PER_WORD * num_words
+    for d in range(num_hashes):
+        h = int(
+            hashlib.md5(f"{value}!{d}".encode()).hexdigest()[:15], 16
+        ) % m
+        if not (words.get(h // _BLOOM_BITS_PER_WORD, 0) >> (h % _BLOOM_BITS_PER_WORD)) & 1:
+            return False
+    return True

@@ -5956,3 +5956,80 @@ def x_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") >= 2) & (F.col("center") != F.col("context"))
     ).select(F.col("center").alias("id_a"), F.col("context").alias("id_b"))
     return GR.pagerank_int(edges, "id_a", "id_b", iters=3)
+
+
+@_register(
+    "x_bloom_filter",
+    f"""
+    WITH h AS (
+      SELECT ({_duck_u60("CAST(doc_id AS VARCHAR) || '!' || CAST(ds.d AS VARCHAR)")})
+             % 4032 AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(4)) AS d) ds
+    )
+    SELECT CAST(h // 63 AS INT) AS word,
+           CAST(bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS BIGINT) AS bits
+    FROM h GROUP BY 1
+    """,
+)
+def x_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter bitmap of the corpus doc-id set (4 hashes, 64
+    63-bit words = 4,032 bits) — the MEMBERSHIP sketch completing the
+    family (KMV how-many / CMS how-often / HLL how-many / Bloom
+    is-it-there): merge = word-wise bit_or, no false negatives;
+    a collected 64-row bitmap replaces a billion-row anti-join for
+    "seen before?" checks at ingest.  63 bits per word keeps every
+    value a non-negative BIGINT on both engines (1<<63 overflows
+    DuckDB and wraps negative in Spark).  One aggregate pair, task
+    output bounded at num_words rows
+    (operators/sketches.py::bloom_sketch)."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.bloom_sketch(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        key="doc_id",
+        num_hashes=4,
+        num_words=64,
+    )
+
+
+@_register(
+    "x_pareto_docs",
+    f"""
+    WITH {_TOKS_CTE}, pts AS (
+      SELECT t.doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                            AS BIGINT)
+                  ELSE 0 END AS diversity_ppm,
+             d.n_chars
+      FROM t JOIN documents d ON t.doc_id = d.doc_id
+    )
+    SELECT p.doc_id, p.diversity_ppm, p.n_chars
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.diversity_ppm >= p.diversity_ppm AND q.n_chars <= p.n_chars
+        AND (q.diversity_ppm > p.diversity_ppm OR q.n_chars < p.n_chars)
+    )
+    """,
+)
+def x_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over (maximize vocabulary diversity, minimize
+    length): the Pareto-optimal documents no other doc beats on both
+    axes — the multi-objective data-selection shape.  The naive NOT
+    EXISTS (which IS the oracle) is O(n^2); the operator contracts to
+    one row per distinct diversity value first (partial-agg groupBy,
+    bounded by the ppm range, never the corpus), runs the classic
+    sort-scan over that contraction, and semi-joins the frontier back —
+    ties on both axes all survive, per the dominance definition
+    (operators/analytics.py::skyline_2d)."""
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    div = TX.token_diversity(docs).select(
+        "doc_id", F.coalesce("diversity_ppm", F.lit(0)).alias("diversity_ppm")
+    )
+    pts = div.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return skyline_2d(pts, "doc_id", "diversity_ppm", "n_chars")

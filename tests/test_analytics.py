@@ -923,3 +923,27 @@ def test_mad_outliers_robust_to_planted_corruption(spark):
     assert got["a"][2] >= 1 and 10_000_000 <= got["a"][0] <= 16_000_000
     # constant group: MAD 0 -> nothing flagged
     assert got["b"][1] == 0 and got["b"][2] == 0
+
+
+def test_skyline_2d_matches_bruteforce_property(spark):
+    """skyline_2d vs O(n^2) dominance on seeded random point sets with
+    heavy coordinate ties and exact-duplicate points."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.analytics import skyline_2d
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [(i, rng.randrange(8), rng.randrange(8)) for i in range(80)]
+        rows += [(1000, 7, 0), (1001, 7, 0)]  # duplicated optimum
+        df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint")
+        got = {r["id"] for r in skyline_2d(df, "id", "a", "b").collect()}
+        exp = {
+            r[0]
+            for r in rows
+            if not any(
+                s[1] >= r[1] and s[2] <= r[2] and (s[1] > r[1] or s[2] < r[2])
+                for s in rows
+            )
+        }
+        assert got == exp, (seed, got ^ exp)

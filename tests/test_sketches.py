@@ -217,3 +217,43 @@ def test_kmv_grouped_union_rollup_law(spark):
         per.setdefault(r["day"], []).append(r["rank"])
     for day, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= k
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark, events):
+    """Every inserted key probes True (the hard guarantee); absent keys
+    probe True at roughly the analytic false-positive rate."""
+    users = events.select("user_id").distinct()
+    n = users.count()
+    rows = SK.bloom_sketch(users, "user_id", num_hashes=4, num_words=64).collect()
+    present = [r["user_id"] for r in users.collect()]
+    for u in present:
+        assert SK.bloom_contains(rows, u, 4, 64), u
+    m, k = 63 * 64, 4
+    import math
+
+    fpr = (1 - math.exp(-k * n / m)) ** k
+    absent = [10_000_000 + i for i in range(2000)]
+    hits = sum(1 for a in absent if SK.bloom_contains(rows, a, 4, 64))
+    assert hits / len(absent) < max(3 * fpr, 0.02), (hits, fpr)
+
+
+def test_bloom_merge_is_wordwise_or(spark, events):
+    whole = {
+        r["word"]: r["bits"]
+        for r in SK.bloom_sketch(events, "user_id", 3, 16).collect()
+    }
+    merged: dict = {}
+    for half in _halves(events):
+        for r in SK.bloom_sketch(half, "user_id", 3, 16).collect():
+            merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
+    assert merged == whole
+
+
+def test_bloom_words_nonnegative(spark, events):
+    rows = SK.bloom_sketch(events, "user_id", 4, 8).collect()
+    assert rows and all(r["bits"] >= 0 and 0 <= r["word"] < 8 for r in rows)
