@@ -903,3 +903,105 @@ def setsim_join_prefix(
         F.col("u").cast("bigint").alias("union_sz"),
         F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 24,
+    window: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95
+    merge/purge): sort the corpus by a BLOCKING KEY (normalized text
+    prefix), compare only records whose keys are within ``window``
+    DISTINCT key values of each other, verify candidates by exact
+    k-shingle Jaccard — ``(doc_a, doc_b, key_dist, inter_sz, union_sz,
+    jaccard_ppm)`` for pairs meeting the threshold.
+
+    The complementary blocking geometry to hash/LSH/prefix schemes:
+    those catch near-dups that SHARE something (a bucket, a rare
+    token); the sorted window catches near-dups that are lexically
+    ADJACENT (common-prefix families, serial-numbered variants) at cost
+    O(n * window) candidates, independent of any frequency skew.
+
+    Distributed shape (no global row_number over the data): the
+    blocking keys CONTRACT to distinct values (groupBy — at most
+    |distinct prefixes| rows), a dense rank orders that contraction
+    (single-task window over the contraction, the skyline_2d bound
+    argument), and the neighborhood join is an equi-join on
+    ``rank DIV (window+1)`` band buckets of the ranked key table —
+    adjacent bands joined, exact distance filtered — so candidates
+    never materialize beyond the 2-band fan-out.  Verification joins
+    each candidate's shingle array (arrays move only for candidates,
+    the setsim pattern).
+    """
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    num, den = threshold_num, threshold_den
+    key = F.substring(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 1, prefix_chars
+    )
+    base = spread_for_cpu(docs).select(
+        F.col(id_col).alias("doc"),
+        key.alias("bk"),
+        F.array_sort(token_shingles(F.col(text_col), shingle_k)).alias("set"),
+    ).filter(F.size("set") > 0)
+    base = base.persist()
+    cache_registry.track(base)
+    keys = base.select("bk").distinct()
+    ranked = keys.withColumn(
+        "rk", F.dense_rank().over(Window.orderBy("bk")).cast("bigint")
+    )
+    band = window + 1
+    ra = ranked.select(
+        F.col("bk").alias("bka"), F.col("rk").alias("rka")
+    ).select(
+        "bka", "rka",
+        F.explode(
+            F.array(F.expr(f"rka DIV {band}"), F.expr(f"rka DIV {band} + 1"))
+        ).alias("bd"),
+    )
+    rb = ranked.select(
+        F.col("bk").alias("bkb"), F.col("rk").alias("rkb")
+    ).select("bkb", "rkb", F.expr(f"rkb DIV {band}").alias("bd"))
+    near_keys = (
+        ra.join(rb, "bd")
+        .filter(
+            (F.col("rkb") >= F.col("rka"))
+            & (F.col("rkb") - F.col("rka") <= window)
+        )
+        .select("bka", "bkb", (F.col("rkb") - F.col("rka")).alias("key_dist"))
+        .distinct()
+    )
+    a = base.select(
+        F.col("bk").alias("bka"), F.col("doc").alias("da"), F.col("set").alias("set_a")
+    )
+    b = base.select(
+        F.col("bk").alias("bkb"), F.col("doc").alias("db"), F.col("set").alias("set_b")
+    )
+    pairs = (
+        a.join(F.broadcast(near_keys), "bka")
+        .join(b, "bkb")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da", "db", "key_dist",
+            F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+            (F.size("set_a") + F.size("set_b")).alias("s"),
+        )
+        .select("da", "db", "key_dist", "i", (F.col("s") - F.col("i")).alias("u"))
+        .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+    )
+    return pairs.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("key_dist").cast("bigint").alias("key_dist"),
+        F.col("i").cast("bigint").alias("inter_sz"),
+        F.col("u").cast("bigint").alias("union_sz"),
+        F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
+    )

@@ -6033,3 +6033,70 @@ def x_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = div.join(docs.select("doc_id", "n_chars"), "doc_id")
     return skyline_2d(pts, "doc_id", "diversity_ppm", "n_chars")
+
+
+@_register(
+    "x_sorted_neighborhood",
+    r"""
+    WITH t0 AS (
+      SELECT doc_id,
+             trim(lower(coalesce(text, ''))) AS norm,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, substring(norm, 1, 24) AS bk,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i : i + 2], ' ')
+                        for i in range(1, len(toks) - 1)]
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE []::VARCHAR[] END) AS st
+      FROM t0
+    ), td AS (SELECT * FROM t WHERE len(st) > 0),
+    ranked AS (
+      SELECT bk, dense_rank() OVER (ORDER BY bk) AS rk
+      FROM (SELECT DISTINCT bk FROM td)
+    ), nk AS (
+      SELECT a.bk AS bka, b.bk AS bkb, b.rk - a.rk AS key_dist
+      FROM ranked a JOIN ranked b
+        ON b.rk >= a.rk AND b.rk - a.rk <= 2
+    ), cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, nk.key_dist,
+             len(a.st) + len(b.st)
+               - len(list_distinct(list_concat(a.st, b.st))) AS i,
+             len(list_distinct(list_concat(a.st, b.st))) AS u
+      FROM td a JOIN nk ON a.bk = nk.bka
+                JOIN td b ON b.bk = nk.bkb AND a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(key_dist AS BIGINT) AS key_dist,
+           CAST(i AS BIGINT) AS inter_sz,
+           CAST(u AS BIGINT) AS union_sz,
+           CAST((1000000 * i) // u AS BIGINT) AS jaccard_ppm
+    FROM cand WHERE 2 * i >= u
+    """,
+)
+def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo
+    merge/purge): records whose 24-char normalized prefixes are within
+    2 DISTINCT key values in sorted order, verified by exact 3-shingle
+    Jaccard >= 0.5 — the complementary blocking geometry to hash/LSH/
+    prefix schemes (catches lexically ADJACENT variants at O(n*window)
+    candidates, immune to frequency skew).  No global row_number over
+    the data: the blocking keys contract to distinct values, a dense
+    rank orders that bounded contraction, and the neighborhood is an
+    equi-join on rank-band buckets
+    (operators/dedup.py::sorted_neighborhood_pairs)."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"),
+        prefix_chars=24,
+        window=2,
+        threshold_num=1,
+        threshold_den=2,
+        shingle_k=3,
+    )

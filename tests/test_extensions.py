@@ -1356,3 +1356,55 @@ def test_pagerank_int_matches_scratch_and_properties(spark):
     df = spark.createDataFrame(star, "id_a int, id_b int")
     ranks = {r["node"]: r["rank_int"] for r in pagerank_int(df, iters=2).collect()}
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+
+
+def test_sorted_neighborhood_matches_bruteforce_property(spark):
+    """sorted_neighborhood_pairs vs from-scratch merge/purge on a seeded
+    corpus with prefix families, exact dups, and lone records."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    did = 0
+    for fam in range(6):
+        stem = f"family{fam:02d} record"
+        for v in range(rng.randrange(1, 4)):
+            body = f"{stem} alpha beta gamma delta epsilon v{v}"
+            rows.append((did, body)); did += 1
+    rows.append((did, "")); did += 1  # blank -> excluded (empty set)
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if not toks:
+            return frozenset()
+        if len(toks) < 3:
+            return frozenset([" ".join(toks)])
+        return frozenset(" ".join(toks[i:i+3]) for i in range(len(toks)-2))
+
+    pc, w, num, den = 10, 1, 1, 2
+    recs = [
+        (i, " ".join(t.strip().lower().split())[:pc], shingles(t))
+        for i, t in rows if shingles(t)
+    ]
+    ranks = {k: r + 1 for r, k in enumerate(sorted({k for _, k, _ in recs}))}
+    expected = set()
+    for i, ka, sa in recs:
+        for j, kb, sb in recs:
+            if i < j and 0 <= abs(ranks[kb] - ranks[ka]) <= w:
+                inter = len(sa & sb); union = len(sa | sb)
+                if den * inter >= num * union:
+                    expected.add((i, j, abs(ranks[kb] - ranks[ka]),
+                                  inter, union, 1_000_000 * inter // union))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df, prefix_chars=pc, window=w,
+            threshold_num=num, threshold_den=den, shingle_k=3,
+        ).collect()
+    }
+    assert got == expected, (got ^ expected)
