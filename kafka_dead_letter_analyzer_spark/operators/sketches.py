@@ -108,6 +108,9 @@ def kmv_distinct_sketch(
     """
     if not 1 <= k <= 1 << 20:
         raise ValueError(f"kmv_distinct_sketch: unreasonable k={k}")
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    df = spread_for_cpu(df)
     groups = list(group_cols or [])
     if groups:
         # per-group min-k: distinct (group, hash) contraction, then a
@@ -208,6 +211,11 @@ def cms_sketch(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"cms_sketch: bad depth={depth} width={width}")
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    # the depth-fold of md5 hashing is the expensive-per-row stage; a
+    # single-file scan would run it on one core (no-op at real widths)
+    df = spread_for_cpu(df)
     wcol = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     seeds = F.array(*[F.lit(i) for i in range(depth)])
     salted = F.concat(F.col(key).cast("string"), F.lit("#"), F.col("d").cast("string"))
@@ -296,6 +304,9 @@ def hll_register_maxima(
     max bounds every task at 2^p rows."""
     if not 4 <= p <= 16:
         raise ValueError(f"hll_register_maxima: p={p} outside [4, 16]")
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    df = spread_for_cpu(df)
     tail_bits = _HASH_BITS - p
     tail_space = 1 << tail_bits
     groups = list(group_cols or [])
@@ -370,6 +381,9 @@ def bloom_sketch(
         raise ValueError(
             f"bloom_sketch: bad num_hashes={num_hashes} num_words={num_words}"
         )
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    df = spread_for_cpu(df)
     m = _BLOOM_BITS_PER_WORD * num_words
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     salted = F.concat(

@@ -933,13 +933,26 @@ def test_kmv_ships_local_topk_not_all_distincts(spark, Q):
     assert s.count("HashAggregate") >= 2, s  # partial + final distinct
 
 
+def _hash_exchanges(s: str) -> int:
+    """Count hash-partitioned exchanges in the details (the data-sized
+    shuffles); the small-input spread_for_cpu RoundRobin exchange is
+    exempt — it is a no-op at real scan widths."""
+    import re
+
+    return sum(
+        1
+        for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", s)
+        if "hashpartitioning" in m.group(1)
+    )
+
+
 def test_cms_is_one_aggregate_pair_no_join(spark, Q):
-    """The depth replication must be a literal-array explode (no join,
-    no extra shuffle) and the only exchange carries (d, bucket) cells."""
+    """The depth replication must be a literal-array explode (no join)
+    and the only HASH exchange carries (d, bucket) cells."""
     s = plan_of(Q.x_cms_sketch(spark, SF))
     tree = s[: s.find("(1) ")]
     assert "Join" not in tree, tree
-    assert tree.count("Exchange") == 1, tree
+    assert _hash_exchanges(s) == 1, s
     assert tree.count("HashAggregate") == 2, tree
 
 
@@ -947,7 +960,7 @@ def test_hll_is_one_aggregate_pair(spark, Q):
     s = plan_of(Q.x_hll_registers(spark, SF))
     tree = s[: s.find("(1) ")]
     assert "Join" not in tree, tree
-    assert tree.count("Exchange") == 1, tree
+    assert _hash_exchanges(s) == 1, s
     assert tree.count("HashAggregate") == 2, tree
 
 
