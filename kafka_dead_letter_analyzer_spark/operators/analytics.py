@@ -242,9 +242,13 @@ def mad_outliers(
     )
     w2 = Window.partitionBy(key).orderBy("_d", "_tb")
     f2 = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    mad = (
+    # med and n_total ride through the deviation pass so the final count
+    # joins base against ONE combined per-key stats table — consuming
+    # `med` twice would duplicate the first window sort over the data
+    # (a third Window in the plan; pinned out in test_plan_shapes.py)
+    stats = (
         dev.select(
-            key, "_d",
+            key, "_d", "med", "n_total",
             F.row_number().over(w2).alias("_rn"),
             F.count(F.lit(1)).over(f2).alias("_n"),
         )
@@ -252,11 +256,17 @@ def mad_outliers(
         .agg(
             F.max(
                 F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("_d"))
-            ).alias("mad")
+            ).alias("mad"),
+            F.max("med").alias("med"),
+            F.max("n_total").alias("n_total"),
         )
     )
     return (
-        dev.join(F.broadcast(mad), key)
+        base.join(F.broadcast(stats), key)
+        .select(
+            key, "med", "mad", "n_total",
+            F.abs(F.col("_v") - F.col("med")).alias("_d"),
+        )
         .groupBy(key)
         .agg(
             F.max("med").cast("bigint").alias("med"),

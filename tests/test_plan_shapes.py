@@ -1006,3 +1006,40 @@ def test_setsim_join_no_cartesian_and_arrays_only_post_candidates(spark, Q):
     s = plan_of(Q.x_setsim_join(spark, SF))
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_mad_outliers_two_rank_passes_no_cartesian(spark, Q):
+    """Two ordered-window rank passes (values, deviations), each sharing
+    its exchange with the following groupBy; medians rejoin broadcast."""
+    s = plan_of(Q.x_mad_outliers(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Window") == 2, tree
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s, s
+
+
+def test_pagerank_all_equi_joins(spark, Q):
+    s = plan_of(Q.x_pagerank_int(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_pareto_window_runs_over_contraction_only(spark, Q):
+    """The single-task sort-scan must consume the distinct-value
+    contraction (an aggregate), never the raw corpus, and the frontier
+    rejoins as a broadcast semi join."""
+    s = plan_of(Q.x_pareto_docs(spark, SF))
+    tree = s[: s.find("(1) ")]
+    assert tree.count("Window") == 1, tree
+    assert "LeftSemi" in s, s
+    # the Window's subtree must contain a HashAggregate (the contraction)
+    import re
+
+    win = re.search(r"(?:\+\-|:\-) Window[\s\S]*?\n\n", s)
+    assert "HashAggregate" in tree.split("Window")[1], tree
+
+
+def test_sorted_neighborhood_no_cartesian(spark, Q):
+    s = plan_of(Q.x_sorted_neighborhood(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
