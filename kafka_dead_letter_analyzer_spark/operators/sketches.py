@@ -191,9 +191,12 @@ def cms_sketch(
     depth: int = 4,
     width: int = 256,
     weight: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-Min sketch of ``df[key]`` (optionally weighted) —
-    ``(d INT, bucket INT, cnt BIGINT)``, one row per non-empty cell.
+    ``(d INT, bucket INT, cnt BIGINT)``, one row per non-empty cell;
+    with ``group_cols`` one sketch per group, coarser granularities
+    derived by summing cells over the finer ones (rollup law tested).
 
     Row ``(d, b)`` holds ``sum(weight)`` over keys with
     ``md5_u60(key || '#' || d) % width == b``.  Merging two sketches is
@@ -216,18 +219,20 @@ def cms_sketch(
     # the depth-fold of md5 hashing is the expensive-per-row stage; a
     # single-file scan would run it on one core (no-op at real widths)
     df = spread_for_cpu(df)
+    groups = list(group_cols or [])
     wcol = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     seeds = F.array(*[F.lit(i) for i in range(depth)])
     salted = F.concat(F.col(key).cast("string"), F.lit("#"), F.col("d").cast("string"))
     return (
-        df.select(F.col(key), wcol.alias("w"))
-        .select(F.explode(seeds).alias("d"), key, "w")
+        df.select(*groups, F.col(key), wcol.alias("w"))
+        .select(*groups, F.explode(seeds).alias("d"), key, "w")
         .select(
+            *groups,
             F.col("d").cast("int").alias("d"),
             (md5_u60(salted) % width).cast("int").alias("bucket"),
             "w",
         )
-        .groupBy("d", "bucket")
+        .groupBy(*groups, "d", "bucket")
         .agg(F.sum("w").cast("bigint").alias("cnt"))
     )
 

@@ -6100,3 +6100,36 @@ def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_den=2,
         shingle_k=3,
     )
+
+
+@_register(
+    "x_hll_daily",
+    f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             {_duck_u60("CAST(user_id AS VARCHAR)")} AS h60
+      FROM events
+    )
+    SELECT day,
+           CAST(h60 // 4503599627370496 AS INT) AS register,
+           CAST(max(CASE WHEN h60 % 4503599627370496 = 0 THEN 53
+                         ELSE 52 - length(bin(h60 % 4503599627370496)) + 1
+                    END) AS INT) AS max_rho
+    FROM h
+    GROUP BY 1, 2
+    """,
+)
+def x_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL register sketches (p=8) of daily active users — the
+    GROUPED sketch surface: any coarser granularity (week, month, an
+    arbitrary date range) derives by max over these rows without
+    touching raw data again (rollup law differential-tested in
+    tests/test_sketches.py).  One aggregate pair on (day, register);
+    the day column crosses the gate N3-style as a formatted string
+    (operators/sketches.py::hll_register_maxima group_cols)."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return SK.hll_register_maxima(ev, "user_id", p=8, group_cols=["day"])

@@ -257,3 +257,22 @@ def test_bloom_merge_is_wordwise_or(spark, events):
 def test_bloom_words_nonnegative(spark, events):
     rows = SK.bloom_sketch(events, "user_id", 4, 8).collect()
     assert rows and all(r["bits"] >= 0 and 0 <= r["word"] < 8 for r in rows)
+
+
+def test_cms_grouped_rollup_is_cellwise_sum(spark):
+    """Per-day CMS cells summed over days == the whole-period sketch."""
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = SK.cms_sketch(ev, "user_id", depth=3, width=32, group_cols=["day"])
+    rolled = {
+        (r["d"], r["bucket"]): r["s"]
+        for r in daily.groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_sketch(ev, "user_id", depth=3, width=32).collect()
+    }
+    assert rolled == whole

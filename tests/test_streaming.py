@@ -1656,3 +1656,76 @@ def test_streaming_hll_registers_bounded_state_converges_to_batch(spark, tmp_pat
     }
     assert got == expect
     assert len(got) <= 64
+
+
+def test_streaming_windowed_hll_with_watermark_converges(spark, tmp_path):
+    """Event-time-windowed HLL registers under a watermark (append
+    mode): finalized daily sketches from the stream equal the batch
+    per-day sketches — the streaming daily-active-users shape with
+    bounded state (2^p rows per open window)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF2
+
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    src = str(tmp_path / "whll_src")
+    day1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    day2 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    day3 = dt.datetime(2024, 1, 5, 10, 0, 0)  # advances watermark past d1/d2
+    b1 = [(day1, i) for i in range(40)] + [(day2, 100 + i) for i in range(30)]
+    b2 = [(day3, 999)]
+    spark.createDataFrame(b1, "ts timestamp, user_id bigint").write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+    )
+    tail = 1 << 52
+    h = SK.md5_u60(SF2.col("user_id").cast("string"))
+    sketch = (
+        stream.select(SF2.window("ts", "1 day").alias("w"), h.alias("h"))
+        .select(
+            SF2.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            SF2.expr(f"h DIV {tail}").cast("int").alias("register"),
+            SF2.when(SF2.col("h") % tail == 0, SF2.lit(53))
+            .otherwise(SF2.lit(52) - SF2.length(SF2.bin(SF2.col("h") % tail)) + 1)
+            .cast("int")
+            .alias("rho"),
+            SF2.col("w"),
+        )
+        .groupBy("w", "day", "register")
+        .agg(SF2.max("rho").alias("max_rho"))
+        .drop("w")
+    )
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName("whll_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "ts timestamp, user_id bigint").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["day"], r["register"]): r["max_rho"]
+            for r in spark.table("whll_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(b1, "ts timestamp, user_id bigint")
+    expect = {
+        (r["day"], r["register"]): r["max_rho"]
+        for r in SK.hll_register_maxima(
+            batch.select(SF2.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"),
+            "user_id",
+            p=8,
+            group_cols=["day"],
+        ).collect()
+    }
+    assert got == expect and got
