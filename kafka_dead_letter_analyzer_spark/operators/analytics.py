@@ -321,17 +321,36 @@ def skyline_2d(
         F.col(id_col), F.col(max_col).alias("_a"), F.col(min_col).alias("_b")
     )
     contracted = pts.groupBy("_a").agg(F.min("_b").alias("_b"))
-    w = (
-        Window.orderBy(F.col("_a").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+    def _scan(frame, part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("_a").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # rows ordered by _a desc carry distinct _a values (post-groupBy),
+        # so the preceding frame is exactly "all strictly-higher _a groups"
+        return (
+            frame.withColumn("_prev_min", F.min("_b").over(w))
+            .filter(
+                F.col("_prev_min").isNull() | (F.col("_b") < F.col("_prev_min"))
+            )
+            .select("_a", "_b")
+        )
+
+    # local-then-global frontier: a partition-LOCAL skyline pass first
+    # (per-partition window — never a single-task sort of the
+    # contraction, which is unbounded when max_col is near-unique), then
+    # the exact scan over the local survivors.  Correct because every
+    # globally-undominated point survives any partition-local pruning
+    # (dominance only removes points, never creates dominators), so
+    # skyline(union of local skylines) == skyline(all).  The global pass
+    # IS single-task, but over sum-of-local-skyline rows — the pruned
+    # residue, not the contraction.
+    local = _scan(
+        contracted.withColumn("_pid", F.spark_partition_id()), ["_pid"]
     )
-    # rows ordered by _a desc carry distinct _a values (post-groupBy), so
-    # the preceding frame is exactly "all strictly-higher _a groups"
-    frontier = (
-        contracted.withColumn("_prev_min", F.min("_b").over(w))
-        .filter(F.col("_prev_min").isNull() | (F.col("_b") < F.col("_prev_min")))
-        .select("_a", "_b")
-    )
+    frontier = _scan(local, [])
     return (
         pts.join(F.broadcast(frontier), ["_a", "_b"], "left_semi")
         .select(

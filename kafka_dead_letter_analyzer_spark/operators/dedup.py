@@ -955,8 +955,34 @@ def sorted_neighborhood_pairs(
     base = base.persist()
     cache_registry.track(base)
     keys = base.select("bk").distinct()
-    ranked = keys.withColumn(
-        "rk", F.dense_rank().over(Window.orderBy("bk")).cast("bigint")
+    # dense rank WITHOUT a single-task global sort: bucket the distinct
+    # keys by their 2-char prefix (a bucket boundary can never split
+    # equal keys, and lexicographic order = (prefix, rest) order, so
+    # per-bucket dense ranks + cumulative bucket offsets compose to the
+    # exact global dense rank).  The offsets collect is <= |distinct
+    # 2-char prefixes| rows — the bounded-driver-action class
+    # (global_order_index precedent).
+    bucketed = keys.withColumn("_bx", F.substring("bk", 1, 2))
+    counts = sorted(
+        (r["_bx"], r["c"])
+        for r in bucketed.groupBy("_bx").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for bx, c in counts:
+        offsets[bx] = acc
+        acc += c
+    off_df = F.broadcast(
+        keys.sparkSession.createDataFrame(
+            [(bx, off) for bx, off in offsets.items()], "_bx string, _off long"
+        )
+    )
+    ranked = (
+        bucketed.withColumn(
+            "_lr",
+            F.dense_rank().over(Window.partitionBy("_bx").orderBy("bk")),
+        )
+        .join(off_df, "_bx")
+        .select("bk", (F.col("_off") + F.col("_lr")).cast("bigint").alias("rk"))
     )
     band = window + 1
     ra = ranked.select(

@@ -1025,18 +1025,16 @@ def test_pagerank_all_equi_joins(spark, Q):
 
 
 def test_pareto_window_runs_over_contraction_only(spark, Q):
-    """The single-task sort-scan must consume the distinct-value
-    contraction (an aggregate), never the raw corpus, and the frontier
-    rejoins as a broadcast semi join."""
+    """Local-then-global frontier: TWO window passes (the partition-local
+    skyline, then the exact scan over local survivors), consuming the
+    distinct-value contraction (an aggregate) — never a single-task sort
+    of the raw corpus; the frontier rejoins as a broadcast semi join."""
     s = plan_of(Q.x_pareto_docs(spark, SF))
     tree = s[: s.find("(1) ")]
-    assert tree.count("Window") == 1, tree
+    assert tree.count("Window") == 2, tree
     assert "LeftSemi" in s, s
-    # the Window's subtree must contain a HashAggregate (the contraction)
-    import re
-
-    win = re.search(r"(?:\+\-|:\-) Window[\s\S]*?\n\n", s)
-    assert "HashAggregate" in tree.split("Window")[1], tree
+    # both Windows sit above the HashAggregate contraction
+    assert "HashAggregate" in tree.split("Window")[2], tree
 
 
 def test_sorted_neighborhood_no_cartesian(spark, Q):
