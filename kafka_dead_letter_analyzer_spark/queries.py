@@ -6133,3 +6133,74 @@ def x_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
     return SK.hll_register_maxima(ev, "user_id", p=8, group_cols=["day"])
+
+
+@_register(
+    "x_rate_spikes",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS med
+      FROM (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt, hour) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+      ) GROUP BY 1
+    )
+    SELECT h.event_type, h.hour, h.cnt,
+           CAST(m.med AS BIGINT) AS med,
+           CAST(CASE WHEN h.cnt > 2 * m.med THEN 1 ELSE 0 END AS INT)
+             AS is_spike
+    FROM hourly h JOIN med m USING (event_type)
+    """,
+)
+def x_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection: hourly counts per type flagged
+    against 2x the type's own nearest-rank MEDIAN hourly rate — the
+    second-order aggregation shape (a statistic OF an aggregate) every
+    monitoring pipeline runs, robust to the skewed baseline a mean
+    threshold would inflate.  The median pass runs over the hourly
+    CONTRACTION (types x hours rows, never raw events); the per-type
+    medians rejoin broadcast.  All integer; hour crosses N3-style as a
+    formatted string."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+            .alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("cnt", "hour")
+    f = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        hourly.select(
+            "event_type", "cnt",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(f).alias("_n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("cnt"))
+            )
+            .cast("bigint")
+            .alias("med")
+        )
+    )
+    return hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", "hour", "cnt", "med",
+        F.when(F.col("cnt") > 2 * F.col("med"), 1).otherwise(0)
+        .cast("int")
+        .alias("is_spike"),
+    )
