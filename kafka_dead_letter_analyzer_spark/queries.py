@@ -6204,3 +6204,121 @@ def x_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_spike"),
     )
+
+
+@_register(
+    "x_quantile_normalize",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(CAST(value AS DECIMAL(28,12)) * 1000000) AS BIGINT)
+               AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           CAST(CASE WHEN n > 1
+                THEN ((rk - 1) * 1000000) // (n - 1)
+                ELSE 0 END AS BIGINT) AS quantile_ppm
+    FROM (
+      SELECT event_id, event_type, v,
+             rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    )
+    """,
+)
+def x_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization per group — map each value to
+    its within-group quantile position in ppm ((rank-1)*1e6 DIV (n-1))
+    — the scale-free feature transform ML preprocessing applies before
+    mixing heterogeneous metrics.  min-rank ties (SQL rank()) keep the
+    transform a pure function of the data; values floor to exact micros
+    first so rank order is identical cross-engine.  One window pass per
+    group key, no second shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    micros = F.floor(F.col("value").cast("decimal(28,12)") * 1_000_000).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    f = Window.partitionBy("event_type")
+    return (
+        ev.select("event_id", "event_type", micros.alias("v"))
+        .select(
+            "event_id", "event_type",
+            F.rank().over(w).cast("bigint").alias("rk"),
+            F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_id", "event_type",
+            F.when(
+                F.col("n") > 1, F.expr("((rk - 1) * 1000000) DIV (n - 1)")
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("quantile_ppm"),
+        )
+    )
+
+
+@_register(
+    "x_gini_concentration",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DECIMAL(28,12)) * 1000000) AS BIGINT)
+               AS v,
+             event_id AS tb
+      FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, tb) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    )
+    SELECT event_type,
+           CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num,
+           CAST(max(n) * sum(v) AS BIGINT) AS gini_den,
+           CAST(max(n) AS BIGINT) AS n_rows
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of `value` per event type via the sorted-rank
+    identity sum((2i - n - 1) * x_(i)) / (n * sum x) — is the metric
+    mass spread evenly or held by a few rows? (the inequality /
+    hot-key-revenue audit).  Numerator and denominator are emitted as
+    separate exact BIGINTs — the ratio is the caller's float, never the
+    gate's.  One ordered window per group sharing its exchange with the
+    final aggregation; the row_number tiebreak makes the rank — and
+    with it every term — a pure function of the data (equal values
+    permute within a tie but (2i-n-1) sums identically over the tie
+    run... verified exactly: equal v across a tie run contribute
+    v * sum(2i-n-1) which depends only on the run's rank span)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    micros = F.floor(F.col("value").cast("decimal(28,12)") * 1_000_000).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "tb")
+    f = Window.partitionBy("event_type")
+    return (
+        ev.select("event_type", micros.alias("v"), F.col("event_id").alias("tb"))
+        .select(
+            "event_type", "v",
+            F.row_number().over(w).cast("bigint").alias("i"),
+            F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v"))
+            .cast("bigint")
+            .alias("gini_num"),
+            (F.max("n") * F.sum("v")).cast("bigint").alias("gini_den"),
+            F.max("n").cast("bigint").alias("n_rows"),
+        )
+    )

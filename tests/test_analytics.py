@@ -947,3 +947,38 @@ def test_skyline_2d_matches_bruteforce_property(spark):
             )
         }
         assert got == exp, (seed, got ^ exp)
+
+
+def test_gini_terms_and_quantile_normalize_scratch(spark):
+    """x_gini_concentration's sorted-rank identity and
+    x_quantile_normalize's rank mapping vs from-scratch computations on
+    a hand-made frame (ties included)."""
+    import kafka_dead_letter_analyzer_spark.queries as Q
+    import tempfile, os
+
+    rows = [(i, "a", v) for i, v in enumerate([1.0, 1.0, 2.0, 10.0])]
+    rows += [(50, "b", 7.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.withColumn("ts", F.current_timestamp()).withColumn(
+            "user_id", F.lit(1)
+        ).withColumn("props", F.lit("{}")).write.parquet(os.path.join(d, "events.parquet"))
+        gini = {
+            r["event_type"]: (r["gini_num"], r["gini_den"], r["n_rows"])
+            for r in Q.x_gini_concentration(spark, d).collect()
+        }
+        qn = {
+            r["event_id"]: r["quantile_ppm"]
+            for r in Q.x_quantile_normalize(spark, d).collect()
+        }
+    a = [1_000_000, 1_000_000, 2_000_000, 10_000_000]
+    n = len(a)
+    num = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(sorted(a)))
+    assert gini["a"] == (num, n * sum(a), n)
+    assert gini["b"] == (0, 7_000_000, 1)
+    # min-rank ties: both 1.0s map to rank 1 -> 0 ppm; 2.0 -> rank 3;
+    # 10.0 -> rank 4 -> 1e6; singleton group -> 0
+    assert qn[0] == 0 and qn[1] == 0
+    assert qn[2] == (3 - 1) * 1_000_000 // (4 - 1)
+    assert qn[3] == 1_000_000
+    assert qn[50] == 0
