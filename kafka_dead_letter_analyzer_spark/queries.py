@@ -6322,3 +6322,79 @@ def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@_register(
+    "x_event_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step behavior paths per user — the sequence-mining
+    depth beyond the pairwise Markov transitions (x_event_transitions):
+    which three-event paths recur across the population.  Both lead
+    columns ride ONE window spec (one sort per user partition, shared
+    exchange); the trigram rollup partial-aggregates map-side to at
+    most |types|^3 rows per task.  The (ts, event_id) tiebreak makes
+    the sequence a pure function of the data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@_register(
+    "x_basket_pairs",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM b x JOIN b y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2
+    """,
+)
+def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item PAIRS across user baskets (the A-priori L2 support
+    count): for every unordered pair of event types, how many users did
+    both — the market-basket / co-engagement primitive.  The basket
+    table contracts to distinct (user, type) FIRST (one shuffle; at
+    most |types| rows per user enter the pair join), then the per-user
+    self-join runs through RENAMED projections (the same-lineage trap)
+    with the `<` canonical order; pair rollup partial-aggregates to
+    |types|^2/2 rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    x = b.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    y = b.select(F.col("user_id").alias("u2"), F.col("event_type").alias("type_b"))
+    return (
+        x.join(
+            y,
+            (F.col("u") == F.col("u2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
