@@ -21,11 +21,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def test_bench_emits_parseable_final_line_and_detail():
+def test_bench_emits_parseable_final_line_and_detail(tmp_path):
+    # SPARK_GRAFT_BENCH_DETAIL points at a tmp file: the smoke run must
+    # NEVER clobber the round's full BENCH_DETAIL.json artifact (observed
+    # live in round 5: the 140-query detail was overwritten to 3 entries
+    # mid-pytest).
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_QUERIES="a1_error_stats,x_dedup_exact,x_hash_sample",
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -59,8 +65,12 @@ def test_bench_emits_parseable_final_line_and_detail():
         assert all(v >= 0 for v in detail[tier].values())
     assert d["value"] == round(sum(detail["queries"].values()), 3)
     assert d["value_cold"] == round(sum(detail["queries_cold"].values()), 3)
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+    with open(detail_path) as f:
         assert json.load(f) == detail
+    # the measurement-environment snapshot rides along in the artifact
+    for snap in ("machine_start", "machine_end"):
+        assert "concurrent_java_procs" in detail[snap]
+        assert "loadavg" in detail[snap]
 
 
 def test_final_line_short_at_full_query_surface():
@@ -85,7 +95,7 @@ def test_final_line_short_at_full_query_surface():
     assert "queries" not in json.loads(line)
 
 
-def test_bench_tiers_env_var():
+def test_bench_tiers_env_var(tmp_path):
     """SPARK_GRAFT_BENCH_TIERS=exec runs the cheap tier only; the final
     line's value falls back to the exec sum."""
     env = dict(
@@ -93,6 +103,7 @@ def test_bench_tiers_env_var():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_QUERIES="x_hash_sample",
         SPARK_GRAFT_BENCH_TIERS="exec",
+        SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "BENCH_DETAIL.json"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
