@@ -1,0 +1,426 @@
+"""Mergeable quantile sketches — the fifth member of the sketch family
+(sketches.py: KMV / CMS / HLL / Bloom answer "how many distinct", "how
+often", "is it a member"; this module answers "what is p99").
+
+At 100 TB, ``exact_percentiles`` (analytics.py) needs a full per-group
+sort — one ordered window over every row of the group.  The monitoring
+consumer of the reference system (per-error-key latency distributions)
+needs the same answer from BOUNDED state that merges across
+days/partitions/clusters.  Two structures, two gates:
+
+- :func:`quantile_level_sketch` — the LEVEL-SAMPLING sketch (the
+  classic random-level / bottom-sample construction: Vitter's
+  hash-threshold sampling applied per Munro-Paterson levels; the
+  "RANDOM" baseline of Luo, Wang, Yi & Cormode, "Quantiles over data
+  streams: an experimental study", SIGMOD'13 §2.4).  Every row's 60-bit
+  key hash is compared against a threshold ``2^(60-L)`` where ``L`` is
+  a pure integer function of the row count, so the sketch is a
+  DETERMINISTIC function of the data multiset — partition-independent,
+  SQL-expressible, and therefore checkable bit-for-bit through the
+  DuckDB oracle hash gate.  Merge law is EXACT (like KMV's min-k):
+  re-thresholding the union of two sketches at the union's level IS
+  the union's sketch, because {h < T} is monotone in T.
+- :class:`KLL` / :func:`kll_quantiles` — a real KLL compactor sketch
+  (Karnin, Lang & Liberty, "Optimal quantile approximation in
+  streams", FOCS'16) with O(1/k) rank error instead of level
+  sampling's O(1/sqrt(k)).  KLL's compaction decisions depend on
+  buffer ORDER, i.e. on partition boundaries and merge order — that
+  state can never be reproduced by a declarative SQL oracle, so this
+  one is pinned by differential tests (rank error vs exact quantiles,
+  the exact ``sum(2^level) == n`` weight invariant, merge accuracy)
+  and declared rows-only.  The compaction coin is derived from
+  md5(level, compaction#) — the derandomization the KLL paper
+  permits — so the distributed build is bit-reproducible given the
+  same bucketing.
+
+Scale notes: the level sketch is two scans (count, then threshold
+filter — the same shape as Spark's own ``sampleBySize``) and ships
+only ~k rows per task after the filter; the KLL build streams
+Arrow batches through ``mapInPandas`` at O(sketch) memory per bucket
+and collects only ``buckets x |sketch|`` rows to the driver (the
+bounded-collect contract of similarity.py's k-means partials).
+
+Reference scope note: the reference system (bakdata
+kafka-dead-letter-analyzer) has no sketch surface — this module is
+part of the engine's large-scale-pipeline extension mandate (its
+``count/min/max`` running stats, ErrorAggregatingProcessor.java:38-102,
+are what a latency-percentile rollup sits next to).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators.sketches import md5_u60
+
+__all__ = [
+    "quantile_level_sketch",
+    "quantile_sketch_merge",
+    "quantile_sketch_estimate",
+    "KLL",
+    "kll_quantiles",
+]
+
+_HASH_BITS = 60
+
+
+def _level_expr(n_col: str, k: int):
+    """L = smallest integer with n / 2^L <= k, as pure integer SQL:
+    m = ceil(n/k) by integer arithmetic, then L = bit_length(m-1)
+    (``length(bin(x))`` is the MSB position on both engines — the
+    HLL rho idiom, sketches.py:298).  L = 0 when n <= k."""
+    m = f"(({n_col} + {k - 1}) DIV {k})"
+    return F.expr(
+        f"CAST(CASE WHEN {m} <= 1 THEN 0 ELSE length(bin({m} - 1)) END AS INT)"
+    )
+
+
+def quantile_level_sketch(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "qsk:",
+) -> DataFrame:
+    """Level-sampling quantile sketch of ``df[value_col]`` —
+    ``(h60 BIGINT, v, weight BIGINT, n BIGINT)``: the rows whose
+    60-bit key hash falls below ``2^(60-L)``, where ``L`` is the
+    smallest integer with ``n / 2^L <= k`` (expected sample size in
+    ``(k/2, k]``).  Each kept row stands for ``weight = 2^L`` input
+    rows; ``n`` is the exact total.  With ``group_cols``, one sketch
+    PER GROUP (per-group ``n`` and ``L``).
+
+    ``key`` must be unique per row (e.g. ``event_id``) — the hash
+    draw is per ROW, not per distinct value, because quantiles are a
+    multiset statistic.  ``v`` is the raw table element, untouched
+    (doubles pass the hash gate as pass-through; all DERIVED state is
+    integer).  The draw is SALTED (``md5(salt || key)``): measured on
+    the synthetic testdata, UNSALTED md5(event_id) rank-correlates
+    with ``value`` at ~2.7 sigma (spearman 0.027 over 10k rows — the
+    generator presumably derives value from a hash of the id), biasing
+    every quantile low; any salt decorrelates it (measured mean sample
+    rank 0.495 vs 0.433 unsalted at k=256).  Sketches merge only if
+    built with the SAME salt.
+
+    This is the mergeable percentile state: per-day sketches union +
+    re-threshold (:func:`quantile_sketch_merge`) to the month's sketch
+    EXACTLY — {h < T} is monotone in T, so the law is algebraic, not
+    distributional (tested in tests/test_quantiles.py).
+
+    Plan shape: one count aggregate (a single row, broadcast back —
+    or a per-group window count), then one threshold-filter scan.
+    Two passes, like Spark's own sampleBySize; the filter keeps
+    ~k rows per group no matter the input size, so everything after
+    the scan moves sketch-sized data."""
+    if not 8 <= k <= 1 << 20:
+        raise ValueError(f"quantile_level_sketch: unreasonable k={k}")
+    groups = list(group_cols or [])
+    base = df.select(
+        *groups,
+        md5_u60(F.concat(F.lit(salt), F.col(key).cast("string"))).alias("h60"),
+        F.col(value_col).alias("v"),
+    )
+    if groups:
+        from pyspark.sql import Window
+
+        n = F.count(F.lit(1)).over(Window.partitionBy(*groups))
+        base = base.withColumn("n", n.cast("bigint"))
+    else:
+        counts = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        base = base.crossJoin(F.broadcast(counts))
+    lvl = _level_expr("n", k)
+    return (
+        base.withColumn("L", lvl)
+        .filter(F.col("h60") < F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HASH_BITS} - L)"))
+        .select(
+            *groups,
+            "h60",
+            "v",
+            F.expr("shiftleft(CAST(1 AS BIGINT), L)").alias("weight"),
+            "n",
+        )
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame, k: int, source_cols: list[str]
+) -> DataFrame:
+    """Merge per-source level sketches into the sketch of the union —
+    EXACTLY.  ``sketches`` is a union of :func:`quantile_level_sketch`
+    outputs keyed by ``source_cols`` (each source's rows carry that
+    source's ``n``); the merged sketch recomputes ``L`` from
+    ``sum(n)`` and re-filters, which by monotonicity of {h < T} yields
+    precisely ``quantile_level_sketch`` of the concatenated inputs.
+    Output: ``(h60, v, weight, n)`` with the union's n/weight."""
+    totals = (
+        sketches.select(*source_cols, "n")
+        .distinct()
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    lvl = _level_expr("n", k)
+    return (
+        sketches.drop("n", "weight")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("L", lvl)
+        .filter(F.col("h60") < F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HASH_BITS} - L)"))
+        .select(
+            "h60",
+            "v",
+            F.expr("shiftleft(CAST(1 AS BIGINT), L)").alias("weight"),
+            "n",
+        )
+    )
+
+
+def quantile_sketch_estimate(rows: list, probs: list[float]) -> dict[float, float]:
+    """Quantile estimates from a collected level sketch: the sample is
+    a uniform (hash-thresholded) row sample, so the estimate at
+    probability q is the sample's nearest-rank q-quantile.  Float math,
+    driver-side — outside the hash gate (the sketch rows are the
+    checked state).  Standard error ~ 1/sqrt(k) in rank."""
+    vals = sorted(float(r["v"]) for r in rows)
+    if not vals:
+        return {q: float("nan") for q in probs}
+    out = {}
+    for q in probs:
+        # nearest-rank: ceil(q * s), 1-based
+        rank = int(max(1, -(-q * len(vals) // 1)))
+        out[q] = vals[min(len(vals), rank) - 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KLL — the compactor sketch (Karnin, Lang & Liberty, FOCS'16)
+# ---------------------------------------------------------------------------
+
+
+def _coin(level: int, compaction_idx: int) -> int:
+    """Deterministic compaction coin: lowest bit of
+    md5('kll:<level>:<idx>').  The KLL analysis only needs the offsets
+    to be unpredictable relative to the DATA; a data-independent hash
+    sequence satisfies that and makes the build bit-reproducible."""
+    return hashlib.md5(f"kll:{level}:{compaction_idx}".encode()).digest()[-1] & 1
+
+
+class KLL:
+    """Single-machine KLL compactor over float items.
+
+    State: ``levels[l]`` is an unsorted buffer of items each standing
+    for ``2^l`` input rows.  Capacity of level ``l`` (with ``H`` levels
+    total) is ``max(2, ceil(k * (2/3)^(H-1-l)))`` — geometrically
+    decaying toward the bottom, per the paper.  When total size exceeds
+    total capacity, the lowest over-full level sorts its buffer and
+    promotes every other item (coin-chosen offset) to the level above.
+
+    Exact invariant (tested): ``sum(len(levels[l]) * 2^l) == n`` —
+    compaction promotes ``b//2`` of ``2*(b//2)`` sorted items at twice
+    the weight and leaves the remainder, so total weight is conserved.
+    """
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError(f"KLL: k={k} too small")
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._compactions: dict[int, int] = {}
+
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels)
+        c = self.k * (2.0 / 3.0) ** (depth - 1 - level)
+        return max(2, int(-(-c // 1)))
+
+    def update(self, v: float) -> None:
+        self.levels[0].append(float(v))
+        self.n += 1
+        self._compress()
+
+    def bulk_update(self, vs) -> None:
+        """Bulk insert then compress once.  The compaction SEQUENCE (and
+        therefore the exact sketch state) depends on call granularity —
+        callers that need bit-reproducibility must feed fixed-size
+        chunks in a deterministic order (kll_quantiles does: 512-row
+        chunks in key-hash order, independent of Arrow batching)."""
+        vs = [float(v) for v in vs]
+        self.levels[0].extend(vs)
+        self.n += len(vs)
+        self._compress()
+
+    def _total(self) -> int:
+        return sum(len(b) for b in self.levels)
+
+    def _cap_total(self) -> int:
+        return sum(self._capacity(l) for l in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        # invariant of the capacity rule: if every level is within its
+        # capacity the total is within cap_total, so the scan below
+        # always finds an over-full level while the loop runs
+        while self._total() > self._cap_total():
+            for l in range(len(self.levels)):
+                if len(self.levels[l]) > self._capacity(l):
+                    self._compact_level(l)
+                    break
+            else:  # pragma: no cover — unreachable by the invariant
+                return
+
+    def _compact_level(self, l: int) -> None:
+        buf = sorted(self.levels[l])
+        half = len(buf) // 2
+        if half == 0:
+            return
+        idx = self._compactions.get(l, 0)
+        self._compactions[l] = idx + 1
+        offset = _coin(l, idx)
+        promoted = buf[offset : 2 * half : 2]
+        leftover = buf[2 * half :]
+        self.levels[l] = leftover
+        if l + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[l + 1].extend(promoted)
+
+    def merge(self, other: "KLL") -> None:
+        """Levelwise concatenation then re-compression — the standard
+        KLL merge; weight invariant conserved by construction."""
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for l, buf in enumerate(other.levels):
+            self.levels[l].extend(buf)
+        self.n += other.n
+        self._compress()
+
+    def weighted_items(self) -> list[tuple[float, int]]:
+        out = []
+        for l, buf in enumerate(self.levels):
+            w = 1 << l
+            out.extend((v, w) for v in buf)
+        return out
+
+    def quantile(self, q: float) -> float:
+        items = sorted(self.weighted_items())
+        if not items:
+            return float("nan")
+        target = max(1, -(-q * self.n // 1))
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def rank(self, v: float) -> int:
+        """Estimated number of inputs <= v."""
+        return sum(w for x, w in self.weighted_items() if x <= v)
+
+
+def kll_quantiles(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k: int = 200,
+    buckets: int = 8,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99, 0.999),
+) -> DataFrame:
+    """Distributed KLL quantile estimates of ``df[value_col]`` —
+    ``(q_permille BIGINT, est DOUBLE, n BIGINT)``, one row per
+    requested probability.
+
+    Build: rows are bucketed by ``pmod(md5_u60(key), buckets)`` and
+    ordered by their key hash (a deterministic pseudo-random insertion
+    order — partition layout of the input cannot change the result),
+    one KLL per bucket streamed through ``mapInPandas`` at O(sketch)
+    memory, then the ``buckets`` partial sketches (a few thousand rows
+    total — the bounded-collect contract) merge on the driver in
+    bucket order with hash-derived coins.  Bit-reproducible end to
+    end; at cluster scale ``buckets`` rises with executor count and
+    the collect stays ``buckets x O(k log(n/k))`` rows.
+
+    Declared rows-only (no SQL oracle can replay compaction); accuracy
+    is differential-tested in tests/test_quantiles.py."""
+    spark = df.sparkSession
+    # salted like the level sketch (see quantile_level_sketch: unsalted
+    # md5(event_id) rank-correlates with value on the synthetic data) —
+    # harmless for KLL correctness, but keeps the insertion order a fair
+    # shuffle of the values
+    hashed = df.select(
+        md5_u60(F.concat(F.lit("kbk:"), F.col(key).cast("string"))).alias("h60"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    bucketed = (
+        hashed.withColumn("b", F.pmod(F.col("h60"), F.lit(buckets)).cast("int"))
+        .repartition(buckets, "b")
+        .sortWithinPartitions("b", "h60")
+    )
+
+    kk = k
+
+    CHUNK = 512  # fixed feed granularity: compaction sequence depends
+    #              only on the data stream, never on Arrow batch size
+
+    def _build(batches):
+        import pandas as pd
+
+        sketches: dict[int, KLL] = {}
+        pending: dict[int, list] = {}
+
+        def _drain(b: int, final: bool = False) -> None:
+            buf = pending[b]
+            sk = sketches[b]
+            while len(buf) >= CHUNK:
+                sk.bulk_update(buf[:CHUNK])
+                del buf[:CHUNK]
+            if final and buf:
+                sk.bulk_update(buf)
+                buf.clear()
+
+        for pdf in batches:
+            # rows arrive sorted by (b, h60): each bucket's slice is
+            # contiguous and already in deterministic order
+            for b, grp in pdf.groupby("b", sort=True):
+                b = int(b)
+                if b not in sketches:
+                    sketches[b] = KLL(kk)
+                    pending[b] = []
+                pending[b].extend(grp["v"].tolist())
+                _drain(b)
+        rows = []
+        for b in sketches:
+            _drain(b, final=True)
+            sk = sketches[b]
+            for l, buf in enumerate(sk.levels):
+                for v in buf:
+                    rows.append((b, l, float(v)))
+            rows.append((b, -1, float(sk.n)))  # n marker row
+        yield pd.DataFrame(rows, columns=["b", "level", "item"])
+
+    part_schema = "b int, level int, item double"
+    partials = bucketed.mapInPandas(_build, schema=part_schema).collect()
+
+    per_bucket: dict[int, KLL] = {}
+    for r in partials:
+        sk = per_bucket.setdefault(r["b"], KLL(kk))
+        if r["level"] == -1:
+            sk.n += int(r["item"])
+        else:
+            while len(sk.levels) <= r["level"]:
+                sk.levels.append([])
+            sk.levels[r["level"]].append(float(r["item"]))
+    # canonical buffer order before deterministic merge
+    merged = KLL(kk)
+    for b in sorted(per_bucket):
+        sk = per_bucket[b]
+        for buf in sk.levels:
+            buf.sort()
+        merged.merge(sk)
+
+    out = [
+        (int(round(q * 1000)), float(merged.quantile(q)), int(merged.n))
+        for q in probs
+    ]
+    return spark.createDataFrame(
+        out, schema="q_permille bigint, est double, n bigint"
+    )

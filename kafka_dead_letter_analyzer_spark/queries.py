@@ -6398,3 +6398,112 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (operators/quantiles.py) — the sketch
+# family's percentile member: level-sampling state through the hash
+# gate; the true KLL compactor declared rows-only (compaction is not
+# SQL-expressible) with differential tests in tests/test_quantiles.py.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_quantile_sketch",
+    f"""
+    WITH src AS (
+      SELECT {_duck_u60("'qsk:' || CAST(event_id AS VARCHAR)")} AS h60,
+             value AS v
+      FROM events WHERE value IS NOT NULL
+    ), lvl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CASE WHEN (count(*) + 255) // 256 <= 1 THEN 0
+                       ELSE length(bin((count(*) + 255) // 256 - 1))
+                  END AS INT) AS L
+      FROM src
+    )
+    SELECT s.h60, s.v,
+           CAST(1::BIGINT << l.L AS BIGINT) AS weight,
+           l.n
+    FROM src s, lvl l
+    WHERE s.h60 < (1::BIGINT << (60 - l.L))
+    """,
+)
+def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-sampling quantile sketch (k=256) of event latency — the
+    mergeable PERCENTILE state next to the KMV/CMS/HLL/Bloom family:
+    the rows whose salted 60-bit key hash falls below 2^(60-L), each
+    standing for 2^L inputs, L the smallest integer with n/2^L <= 256.
+    Because L is a pure integer function of the count and the draw is
+    a deterministic hash threshold, the sketch is a pure function of
+    the data multiset — partition-independent and hash-gate-checkable,
+    unlike a KLL compactor whose state depends on buffer order.  Merge
+    law is EXACT (re-threshold the union; {h < T} is monotone in T) —
+    tested in tests/test_quantiles.py; the float estimator
+    (quantile_sketch_estimate) is differential-tested against exact
+    nearest-rank quantiles.  At 100 TB this replaces the full
+    per-group sort of x_latency_percentiles with two scans and a
+    ~k-row result."""
+    from kafka_dead_letter_analyzer_spark.operators import quantiles as QT
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return QT.quantile_level_sketch(ev, key="event_id", value_col="value", k=256)
+
+
+@_register(
+    "x_quantile_sketch_groups",
+    f"""
+    WITH src AS (
+      SELECT event_type,
+             {_duck_u60("'qsk:' || CAST(event_id AS VARCHAR)")} AS h60,
+             value AS v,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+    ), lv AS (
+      SELECT *, CAST(CASE WHEN (n + 63) // 64 <= 1 THEN 0
+                          ELSE length(bin((n + 63) // 64 - 1))
+                     END AS INT) AS L
+      FROM src
+    )
+    SELECT event_type, h60, v,
+           CAST(1::BIGINT << L AS BIGINT) AS weight, n
+    FROM lv
+    WHERE h60 < (1::BIGINT << (60 - L))
+    """,
+)
+def x_quantile_sketch_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile sketches (k=64) — one level sample per
+    group with per-group n and threshold, the per-error-key latency
+    distribution the reference's monitoring consumers would page on.
+    Per-group sketches roll up to any coarser grouping EXACTLY via
+    quantile_sketch_merge (union + re-threshold at the union's level) —
+    the rollup law tested in tests/test_quantiles.py.  One window
+    count + one filter; every group contributes ~k rows downstream no
+    matter its size."""
+    from kafka_dead_letter_analyzer_spark.operators import quantiles as QT
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return QT.quantile_level_sketch(
+        ev, key="event_id", value_col="value", k=64, group_cols=["event_type"]
+    )
+
+
+@_register("x_kll_quantiles")  # rows-only: KLL compaction is not SQL-expressible
+def x_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True KLL compactor sketch (Karnin-Lang-Liberty FOCS'16, k=200)
+    over event latency: p50/p90/p95/p99/p999 estimates with O(1/k)
+    rank error — the tighter bound the level sketch trades away for
+    hash-checkability.  Deterministic end to end (md5-derived
+    compaction coins, hash-ordered insertion, fixed bucket merge
+    order), but the state is a function of buffer ORDER, so no SQL
+    oracle can replay it: declared rows-only; accuracy and the exact
+    sum(2^level)==n weight invariant are differential-tested in
+    tests/test_quantiles.py.  Scale shape: one KLL per hash bucket via
+    streaming mapInPandas at O(sketch) memory, buckets x |sketch| rows
+    collected, driver merge — the bounded-collect contract."""
+    from kafka_dead_letter_analyzer_spark.operators import quantiles as QT
+
+    ev = load_table(spark, sf_dir, "events")
+    return QT.kll_quantiles(
+        ev, key="event_id", value_col="value", k=200, buckets=8
+    )
