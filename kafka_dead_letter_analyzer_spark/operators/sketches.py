@@ -50,6 +50,8 @@ __all__ = [
     "kmv_distinct_sketch",
     "kmv_estimate",
     "kmv_jaccard_estimate",
+    "kmv_set_algebra",
+    "kmv_setops_estimates",
     "cms_sketch",
     "cms_lookup",
     "hll_register_maxima",
@@ -178,6 +180,80 @@ def kmv_jaccard_estimate(rows_a: list, rows_b: list, k: int) -> float:
         return 0.0
     both = sum(1 for h in union_k if h in sa and h in sb)
     return both / len(union_k)
+
+
+def kmv_set_algebra(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Theta-sketch set composition of two KMV sketches (Beyer et al.
+    SIGMOD'07 / the Apache DataSketches theta algebra) —
+    ``(rank BIGINT, h60 BIGINT, in_a INT, in_b INT)``: the k smallest
+    union hashes inside the VALID REGION, flagged by side membership.
+    Jaccard / union / intersection cardinality estimates all derive
+    from these rows driver-side (:func:`kmv_setops_estimates`) — the
+    join-output-cardinality pricing a planner wants from two k-row
+    sketches without rescanning either input.
+
+    The valid region is ``h60 <= min(theta_a, theta_b)`` where a
+    side's theta is its k-th smallest hash if the sketch is FULL and
+    the whole hash space otherwise: beyond its theta a side's sketch
+    is silent, so a union row out there could be wrongly flagged
+    absent.  Inside the region both sketches are complete membership
+    oracles, which makes the flags exact — integer state, hash-gate
+    checkable (declared as x_kmv_setops).
+
+    Plan shape: every input here is already a <= k-row sketch; the
+    full-outer hash join, the two 1-row theta aggregates (broadcast),
+    and the k-row rank window are all sketch-sized — the raw corpora
+    are never touched."""
+    a = sketch_a.select("h60").withColumn("in_a", F.lit(1))
+    b = sketch_b.select("h60").withColumn("in_b", F.lit(1))
+
+    def _theta(sk: DataFrame) -> DataFrame:
+        # k-th smallest if full, else the whole space (sketch == set)
+        return sk.agg(
+            F.when(F.count(F.lit(1)) >= k, F.max("h60"))
+            .otherwise(F.lit(_HASH_SPACE))
+            .cast("bigint")
+            .alias("th")
+        )
+
+    thetas = (
+        _theta(a).select(F.col("th").alias("th_a"))
+        .crossJoin(_theta(b).select(F.col("th").alias("th_b")))
+        .select(F.least("th_a", "th_b").alias("theta"))
+    )
+    u = (
+        a.join(b, "h60", "full_outer")
+        .select(
+            "h60",
+            F.coalesce("in_a", F.lit(0)).cast("int").alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).cast("int").alias("in_b"),
+        )
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("h60") <= F.col("theta"))
+        .orderBy("h60")
+        .limit(k)
+    )
+    w = Window.orderBy("h60")
+    return u.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "h60",
+        "in_a",
+        "in_b",
+    )
+
+
+def kmv_setops_estimates(rows: list, k: int) -> dict:
+    """Set-cardinality estimates from collected :func:`kmv_set_algebra`
+    rows: ``jaccard`` (fraction of valid-region union hashes present in
+    both sides), ``union`` (KMV estimate over the union rows), and
+    ``intersection`` (their product — the theta-sketch identity).
+    Float math, driver-side, outside the hash gate."""
+    if not rows:
+        return {"jaccard": 0.0, "union": 0.0, "intersection": 0.0}
+    both = sum(1 for r in rows if r["in_a"] and r["in_b"])
+    jac = both / len(rows)
+    union = kmv_estimate([r["h60"] for r in rows], k)
+    return {"jaccard": jac, "union": union, "intersection": jac * union}
 
 
 # ---------------------------------------------------------------------------

@@ -6507,3 +6507,67 @@ def x_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QT.kll_quantiles(
         ev, key="event_id", value_col="value", k=200, buckets=8
     )
+
+
+@_register(
+    "x_kmv_setops",
+    f"""
+    WITH keys AS (
+      SELECT event_type,
+             CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS ud
+      FROM events
+    ), ka AS (
+      SELECT DISTINCT {_duck_u60("ud")} AS h60
+      FROM keys WHERE event_type = 'click' ORDER BY h60 LIMIT 128
+    ), kb AS (
+      SELECT DISTINCT {_duck_u60("ud")} AS h60
+      FROM keys WHERE event_type = 'purchase' ORDER BY h60 LIMIT 128
+    ), th AS (
+      SELECT least(
+        (SELECT CASE WHEN count(*) >= 128 THEN max(h60)
+                     ELSE 1152921504606846976 END FROM ka),
+        (SELECT CASE WHEN count(*) >= 128 THEN max(h60)
+                     ELSE 1152921504606846976 END FROM kb)) AS theta
+    ), u AS (
+      SELECT coalesce(a.h60, b.h60) AS h60,
+             CAST(a.h60 IS NOT NULL AS INT) AS in_a,
+             CAST(b.h60 IS NOT NULL AS INT) AS in_b
+      FROM ka a FULL JOIN kb b ON a.h60 = b.h60
+    ), v AS (
+      SELECT u.h60, u.in_a, u.in_b FROM u, th
+      WHERE u.h60 <= th.theta ORDER BY h60 LIMIT 128
+    )
+    SELECT CAST(row_number() OVER (ORDER BY h60) AS BIGINT) AS rank,
+           h60, in_a, in_b
+    FROM v
+    """,
+)
+def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two KMV sketches: click vs
+    purchase user-day sets, composed into the k smallest valid-region
+    union hashes with per-side membership flags
+    (operators/sketches.py::kmv_set_algebra).  The collected rows
+    price |A ∪ B|, |A ∩ B|, and Jaccard WITHOUT rescanning either
+    corpus — the join-cardinality estimate a planner wants from two
+    128-row sketches.  Everything after the two sketch builds moves
+    sketch-sized data (full-outer join of 128-row sides, 1-row theta
+    aggregates, k-row rank window); membership flags are EXACT inside
+    the valid region h <= min(theta_a, theta_b), which is what makes
+    the integer state oracle-checkable.  Estimator accuracy vs the
+    true Jaccard is tested in tests/test_sketches.py."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    base = ev.select("event_type", ud.alias("ud"))
+    sk_a = SK.kmv_distinct_sketch(
+        base.filter(F.col("event_type") == "click").select("ud"), "ud", k=128
+    )
+    sk_b = SK.kmv_distinct_sketch(
+        base.filter(F.col("event_type") == "purchase").select("ud"), "ud", k=128
+    )
+    return SK.kmv_set_algebra(sk_a, sk_b, k=128)

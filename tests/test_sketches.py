@@ -276,3 +276,96 @@ def test_cms_grouped_rollup_is_cellwise_sum(spark):
         for r in SK.cms_sketch(ev, "user_id", depth=3, width=32).collect()
     }
     assert rolled == whole
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (kmv_set_algebra / kmv_setops_estimates)
+# ---------------------------------------------------------------------------
+
+
+def _user_day_sets(spark):
+    ev = load_table(spark, SF, "events")
+    ud = F.concat(
+        F.col("user_id").cast("string"), F.lit("@"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    base = ev.select("event_type", ud.alias("ud"))
+    a = base.filter(F.col("event_type") == "click").select("ud")
+    b = base.filter(F.col("event_type") == "purchase").select("ud")
+    return a, b
+
+
+def test_kmv_setops_flags_exact_in_valid_region(spark):
+    """Inside h <= min(theta_a, theta_b) both sketches are complete
+    membership oracles, so every flag must agree with true membership."""
+    import hashlib
+
+    k = 64
+    a, b = _user_day_sets(spark)
+    sa = SK.kmv_distinct_sketch(a, "ud", k)
+    sb = SK.kmv_distinct_sketch(b, "ud", k)
+    rows = SK.kmv_set_algebra(sa, sb, k).collect()
+
+    def _hashes(df):
+        return {
+            int(hashlib.md5(r["ud"].encode()).hexdigest()[:15], 16)
+            for r in df.distinct().collect()
+        }
+
+    ha, hb = _hashes(a), _hashes(b)
+    for r in rows:
+        assert r["in_a"] == int(r["h60"] in ha), r
+        assert r["in_b"] == int(r["h60"] in hb), r
+
+
+def test_kmv_setops_truncates_at_min_theta(spark):
+    """No union row may exceed either side's theta (k-th smallest when
+    full): beyond it a side's sketch is silent and flags would lie."""
+    k = 32
+    a, b = _user_day_sets(spark)
+    sa = SK.kmv_distinct_sketch(a, "ud", k)
+    sb = SK.kmv_distinct_sketch(b, "ud", k)
+    th_a = max(r["h60"] for r in sa.collect())
+    th_b = max(r["h60"] for r in sb.collect())
+    rows = SK.kmv_set_algebra(sa, sb, k).collect()
+    assert len(rows) <= k
+    assert all(r["h60"] <= min(th_a, th_b) for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_kmv_setops_estimates_accuracy(spark):
+    """Jaccard / union / intersection from the composed sketch rows vs
+    ground truth: jaccard within 4 binomial sigmas, union within the
+    KMV envelope, intersection = their product."""
+    k = 128
+    a, b = _user_day_sets(spark)
+    rows = SK.kmv_set_algebra(
+        SK.kmv_distinct_sketch(a, "ud", k), SK.kmv_distinct_sketch(b, "ud", k), k
+    ).collect()
+    est = SK.kmv_setops_estimates(rows, k)
+    sa = {r["ud"] for r in a.distinct().collect()}
+    sb = {r["ud"] for r in b.distinct().collect()}
+    true_j = len(sa & sb) / len(sa | sb)
+    sigma = (true_j * (1 - true_j) / len(rows)) ** 0.5
+    assert abs(est["jaccard"] - true_j) < 4 * sigma + 1 / len(rows)
+    assert abs(est["union"] - len(sa | sb)) / len(sa | sb) < 0.3
+    assert est["intersection"] == pytest.approx(est["jaccard"] * est["union"])
+
+
+def test_kmv_setops_exact_when_both_below_k(spark):
+    """Both sides under k: thetas are the whole space, the composition
+    is the EXACT flagged union and the estimates are exact."""
+    a, b = _user_day_sets(spark)
+    a = a.distinct().limit(40)
+    b = b.distinct().limit(40)
+    k = 128
+    rows = SK.kmv_set_algebra(
+        SK.kmv_distinct_sketch(a, "ud", k), SK.kmv_distinct_sketch(b, "ud", k), k
+    ).collect()
+    sa = {r["ud"] for r in a.collect()}
+    sb = {r["ud"] for r in b.collect()}
+    assert len(rows) == len(sa | sb)
+    est = SK.kmv_setops_estimates(rows, k)
+    assert est["union"] == float(len(sa | sb))
+    assert est["jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
