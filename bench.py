@@ -11,8 +11,13 @@ parse there):
   still fits under the capture window), asserted < 1,900 chars in
   tests/test_bench.py.
 
-Tiers: SPARK_GRAFT_BENCH_TIERS=cold,warm,exec (default all) — CI can run
-exec-only in seconds; the driver's default run measures all three.
+Tiers: SPARK_GRAFT_BENCH_TIERS=cold,warm,exec,streaming (default all) —
+CI can run exec-only in seconds; the driver's default run measures all
+four.  The streaming tier drives the full analyzer topology (S2 decode
+cascade -> dialect routing -> enrichment -> stateful A1) as a real
+Structured Streaming query over 4 micro-batches and reports records/s
+("streaming_rps" on the final line) — the mode the reference app
+actually runs in.
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver-side collect of bulk data).
@@ -88,6 +93,82 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Micro-batch throughput of the FULL analyzer topology in the mode
+    the reference actually runs in (DeadLetterAnalyzerTopology.java is a
+    Kafka Streams app): Kafka-wire-shaped records (JSON DeadLetter
+    bytes) -> decode_kafka_records (the S2 cascade, Python Avro tier
+    auto-selected exactly as in production-without-jar) -> F/P dialect
+    routing -> N1 enrichment -> the stateful A1 statistics operator,
+    driven as a real Structured Streaming query over several
+    micro-batches.  Returns {records, seconds, records_per_sec,
+    micro_batches}.
+
+    Wall time includes one-time stream plan compilation (that is the
+    honest cold-start a deploy pays); records/s is end-to-end through
+    processAllAvailable on a noop sink."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.queries import _events_envelope
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        build_streaming_topology,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        decode_kafka_records,
+    )
+
+    work = tempfile.mkdtemp(prefix="kdla_stream_bench_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        env = _events_envelope(load_table(spark, sf_dir, "events"))
+        wire = env.select(
+            "topic", "partition", "offset", "timestamp",
+            F.col("key").cast("binary").alias("key"),
+            F.to_json("value_deadletter").cast("binary").alias("value"),
+            F.lit(None)
+            .cast("array<struct<key:string,value:binary>>")
+            .alias("headers"),
+        )
+        # 8 source files, 2 per trigger -> 4 micro-batches: state updates
+        # and watermark advancement actually happen between batches
+        wire.repartition(8).write.mode("overwrite").parquet(src)
+        n = spark.read.parquet(src).count()  # also warms the footers
+
+        raw = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        topo = build_streaming_topology(decode_kafka_records(raw))
+        t0 = time.perf_counter()
+        q = (
+            topo.error_statistics.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .queryName("kdla-stream-bench")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            batches = len(q.recentProgress)
+            q.stop()
+        dt = time.perf_counter() - t0
+        return {
+            "records": int(n),
+            "seconds": round(dt, 3),
+            "records_per_sec": round(n / dt, 1),
+            "micro_batches": int(batches),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from kafka_dead_letter_analyzer_spark import get_spark
     from kafka_dead_letter_analyzer_spark import queries as Q
@@ -133,10 +214,12 @@ def main() -> None:
     #   that boundary is part of their execution contract.
     tiers = {
         t.strip()
-        for t in os.environ.get("SPARK_GRAFT_BENCH_TIERS", "cold,warm,exec").split(",")
+        for t in os.environ.get(
+            "SPARK_GRAFT_BENCH_TIERS", "cold,warm,exec,streaming"
+        ).split(",")
         if t.strip()
     }
-    unknown_tiers = tiers - {"cold", "warm", "exec"}
+    unknown_tiers = tiers - {"cold", "warm", "exec", "streaming"}
     if unknown_tiers:
         raise SystemExit(f"unknown bench tiers: {sorted(unknown_tiers)}")
 
@@ -173,12 +256,15 @@ def main() -> None:
         cache_registry.release_all()
         spark.catalog.clearCache()
 
+    streaming = bench_streaming(spark, SF_DIR) if "streaming" in tiers else {}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ctx_end = machine_context()
     detail = {
         "queries": timings,
         "queries_cold": cold,
         "queries_exec": execs,
+        "streaming": streaming,
         "machine_start": ctx_start,
         "machine_end": ctx_end,
     }
@@ -197,11 +283,11 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    print(format_final_line(timings, cold, execs, sf))
+    print(format_final_line(timings, cold, execs, sf, streaming))
     spark.stop()
 
 
-def format_final_line(timings, cold, execs, sf) -> str:
+def format_final_line(timings, cold, execs, sf, streaming=None) -> str:
     """The compact final stdout line the driver parses. Guaranteed under
     the driver's ~2,000-char stdout-tail capture: the per-query warm dict
     is included only while the line stays short (round-2 postmortem: a
@@ -215,6 +301,8 @@ def format_final_line(timings, cold, execs, sf) -> str:
         "value_exec": round(sum(execs.values()), 3),
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
     }
+    if streaming:
+        out["streaming_rps"] = streaming["records_per_sec"]
     line = json.dumps(dict(out, queries=timings))
     if len(line) >= 1800:
         line = json.dumps(out)

@@ -63,6 +63,11 @@ def test_bench_emits_parseable_final_line_and_detail(tmp_path):
             "a1_error_stats", "x_dedup_exact", "x_hash_sample"
         }
         assert all(v >= 0 for v in detail[tier].values())
+    # the streaming tier (default-on) reports end-to-end topology rate
+    st = detail["streaming"]
+    assert st["records"] > 0 and st["micro_batches"] >= 1
+    assert st["records_per_sec"] > 0
+    assert d["streaming_rps"] == st["records_per_sec"]
     assert d["value"] == round(sum(detail["queries"].values()), 3)
     assert d["value_cold"] == round(sum(detail["queries_cold"].values()), 3)
     with open(detail_path) as f:
