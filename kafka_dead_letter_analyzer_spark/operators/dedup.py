@@ -833,12 +833,11 @@ def setsim_join_prefix(
         if shingle_k is None
         else token_shingles(F.col(text_col), shingle_k)
     )
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
-    # shingle construction + the downstream explode are the expensive-
-    # per-row stages; a small single-file scan would run them on one
-    # core (spread_for_cpu is a no-op at real scan widths)
-    base = spread_for_cpu(docs).select(
+    # no spread_for_cpu: the sf0.1 A/B (round 6, both reps) measured the
+    # round-robin spread 21% SLOWER here — shingle construction is cheap
+    # enough that the extra exchange never pays; real scans are already
+    # wide, so local was the only place it could matter
+    base = docs.select(
         F.col(id_col).alias("doc"),
         F.array_sort(elems).alias("set"),
     ).filter(F.size("set") > 0)
@@ -941,13 +940,13 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window
 
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
     num, den = threshold_num, threshold_den
     key = F.substring(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 1, prefix_chars
     )
-    base = spread_for_cpu(docs).select(
+    # no spread_for_cpu: sf0.1 A/B (round 6) measured it 33% slower with
+    # the spread — the sort-key projection is codegen-cheap
+    base = docs.select(
         F.col(id_col).alias("doc"),
         key.alias("bk"),
         F.array_sort(token_shingles(F.col(text_col), shingle_k)).alias("set"),

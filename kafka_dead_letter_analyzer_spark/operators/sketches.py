@@ -110,9 +110,10 @@ def kmv_distinct_sketch(
     """
     if not 1 <= k <= 1 << 20:
         raise ValueError(f"kmv_distinct_sketch: unreasonable k={k}")
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
-    df = spread_for_cpu(df)
+    # no spread_for_cpu here: measured at sf0.1 (round 6, idle-box A/B
+    # x2) the round-robin shuffle LOSES 57% on this op — one md5 per row
+    # plus a partial agg is cheaper than the extra exchange; at real
+    # scan widths the spread is a no-op anyway, so it was pure local tax
     groups = list(group_cols or [])
     if groups:
         # per-group min-k: distinct (group, hash) contraction, then a
@@ -290,11 +291,10 @@ def cms_sketch(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"cms_sketch: bad depth={depth} width={width}")
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
-    # the depth-fold of md5 hashing is the expensive-per-row stage; a
-    # single-file scan would run it on one core (no-op at real widths)
-    df = spread_for_cpu(df)
+    # no spread_for_cpu: the depth-fold md5 looked expensive enough to
+    # spread, but the sf0.1 A/B (round 6) measured the shuffle neutral-
+    # to-negative (+3.5% without) — removed per the measure-don't-guess
+    # rule; real scans are already wide
     groups = list(group_cols or [])
     wcol = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     seeds = F.array(*[F.lit(i) for i in range(depth)])
@@ -385,9 +385,8 @@ def hll_register_maxima(
     max bounds every task at 2^p rows."""
     if not 4 <= p <= 16:
         raise ValueError(f"hll_register_maxima: p={p} outside [4, 16]")
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
-    df = spread_for_cpu(df)
+    # no spread_for_cpu: sf0.1 A/B (round 6) measured it 46% SLOWER with
+    # the spread — single md5 + 2^p-bounded partial agg needs no fan-out
     tail_bits = _HASH_BITS - p
     tail_space = 1 << tail_bits
     groups = list(group_cols or [])
@@ -462,9 +461,7 @@ def bloom_sketch(
         raise ValueError(
             f"bloom_sketch: bad num_hashes={num_hashes} num_words={num_words}"
         )
-    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
-
-    df = spread_for_cpu(df)
+    # no spread_for_cpu: sf0.1 A/B (round 6) measured 16% slower with it
     m = _BLOOM_BITS_PER_WORD * num_words
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     salted = F.concat(
