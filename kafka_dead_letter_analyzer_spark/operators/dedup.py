@@ -1030,3 +1030,110 @@ def sorted_neighborhood_pairs(
         F.col("u").cast("bigint").alias("union_sz"),
         F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
     )
+
+
+def containment_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT-threshold self-join over distinct token sets —
+    ``(doc_a, doc_b, inter_sz, a_sz, containment_ppm)`` for every
+    ORDERED pair ``a != b`` with ``|A ∩ B| / |A| >= num/den`` — the
+    quote/subset-detection geometry Jaccard cannot express (a short
+    document fully quoted inside a long one has high containment but
+    arbitrarily low Jaccard, so :func:`setsim_join_prefix` never
+    surfaces it).  This is the asymmetric cousin of the prefix-filtered
+    set-similarity join (Chaudhuri et al. ICDE'06 probe semantics;
+    Melnik & Garcia-Molina's set-containment joins are the classical
+    framing); the reference app has no text-similarity surface at all
+    (its unit is one Kafka record — SURVEY.md §2), so this extends the
+    LLM-pipeline family, citing only published structure.
+
+    Prefix theorem (asymmetric form): if ``|A ∩ B| >= ceil(t·|A|)``
+    then B intersects the ``|A| - ceil(t·|A|) + 1`` globally RAREST
+    tokens of A — so only A-side prefixes explode into the candidate
+    join, while the B side indexes every token ONCE.  The B index has
+    no prefix (containment puts no upper bound on ``|B|``), but each
+    candidate join key is an A-PREFIX token, i.e. drawn from the rare
+    end of the df order: fan-out per token is ``df_prefix(tk) ·
+    df_all(tk)`` and the frequent tokens that would explode a full
+    inverted-index self-join appear only on the (linear, un-self-joined)
+    B side.  Size pruning keeps only ``den·|B| >= num·|A|`` candidates.
+    Verification joins back the full sorted token arrays (arrays move
+    only for candidates) and tests ``den·inter >= num·|A|`` in exact
+    integers; ``containment_ppm = (1e6 · inter) DIV |A|``.
+    """
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"containment_join_prefix: bad threshold {num}/{den}")
+    from pyspark.sql import Window
+
+    elems = (
+        F.array_distinct(_tokens(F.col(text_col)))
+        if shingle_k is None
+        else token_shingles(F.col(text_col), shingle_k)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(elems).alias("set"),
+    ).filter(F.size("set") > 0)
+    # same multi-consumer persist rationale as setsim_join_prefix: the
+    # set-construction subtree feeds the explode, the df agg, and both
+    # verification sides.
+    base = base.persist()
+    cache_registry.track(base)
+    tok = base.select(
+        "doc", F.size("set").alias("sz"), F.explode("set").alias("tk")
+    )
+    df_tbl = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_tbl, "tk").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc").orderBy("df", "tk")),
+    )
+    # A-side prefix length: |A| - ceil(t*|A|) + 1, ceil via add-and-div
+    prefix_len = F.col("sz") - F.expr(
+        f"(({num} * sz) + {den} - 1) DIV {den}"
+    ) + 1
+    pa = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("tk").alias("tka"), F.col("doc").alias("da"), F.col("sz").alias("sza")
+    )
+    # B side: the FULL token index (one row per (doc, token) — linear,
+    # never self-joined on the frequent end)
+    pb = tok.select(
+        F.col("tk").alias("tkb"), F.col("doc").alias("db"), F.col("sz").alias("szb")
+    )
+    cands = (
+        pa.join(
+            pb,
+            (F.col("tka") == F.col("tkb"))
+            & (F.col("da") != F.col("db"))
+            # |B| >= ceil(t|A|)  <=>  den*|B| >= num*|A| is necessary
+            # (ceil only strengthens); integer form avoids the ceil
+            & (F.lit(den) * F.col("szb") >= F.lit(num) * F.col("sza")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    sa = base.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+    sb = base.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+    verified = (
+        cands.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da", "db",
+            F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+            F.size("set_a").alias("asz"),
+        )
+        .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("asz"))
+    )
+    return verified.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("i").cast("bigint").alias("inter_sz"),
+        F.col("asz").cast("bigint").alias("a_sz"),
+        F.expr("(1000000 * i) DIV asz").cast("bigint").alias("containment_ppm"),
+    )

@@ -6571,3 +6571,102 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("event_type") == "purchase").select("ud"), "ud", k=128
     )
     return SK.kmv_set_algebra(sk_a, sk_b, k=128)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 session-2 additions: asymmetric containment join (quote/subset
+# detection), integer covariance sufficient statistics (one-pass PCA fit),
+# k-core decomposition of the co-occurrence graph, and functional-dependency
+# profiling — each a capability class next to an existing family
+# (set-similarity, sufficient-stats regression, triangle/PageRank graph
+# analytics, the Deequ-shape quality suite).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_containment_join",
+    r"""
+    WITH t0 AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i : i + 2], ' ')
+                        for i in range(1, len(toks) - 1)]
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE []::VARCHAR[] END) AS st
+      FROM t0
+    ), tok AS (
+      SELECT doc_id, len(st) AS sz, unnest(st) AS tk
+      FROM t WHERE len(st) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
+             any_value(a.sz) AS sza
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS inter_sz,
+           CAST(sza AS BIGINT) AS a_sz,
+           CAST((1000000 * i) // sza AS BIGINT) AS containment_ppm
+    FROM pairs WHERE 10 * i >= 7 * sza
+    """,
+)
+def x_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment >= 0.7 self-join over 3-shingle sets — the
+    quote/subset-detection geometry Jaccard cannot surface (a short doc
+    fully quoted inside a long one has containment 1.0 but arbitrarily
+    low Jaccard).  Asymmetric prefix filtering
+    (operators/dedup.py::containment_join_prefix): only the A side's
+    rarest ``|A| - ceil(t|A|) + 1`` shingles enter the candidate join;
+    the B side is a linear full index that is never self-joined, so the
+    frequent-token posting lists that kill inverted-index self-joins at
+    100 TB appear only opposite rare A-prefix keys.  The oracle is
+    from-scratch all-pairs containment in SQL — the result contract is
+    strategy-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_join_prefix(
+        docs, threshold_num=7, threshold_den=10, shingle_k=3
+    )
+
+
+@_register(
+    "x_embedding_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             unnest([{'i': CAST(i AS BIGINT),
+                      'qv': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                       * 16384) AS BIGINT)}
+                     for i in range(1, len(embedding) + 1)],
+                    recursive := true)
+      FROM embeddings
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a.qv) AS BIGINT) AS sum_qi,
+           CAST(sum(b.qv) AS BIGINT) AS sum_qj,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_qiqj
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def x_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance/Gram sufficient statistics of the
+    embedding table in one pass — the distributed PCA/whitening fit
+    (operators/similarity.py::covariance_stats_int): d(d+1)/2 = 2080
+    upper-triangle rows of int64 ``(n, sum_qi, sum_qj, sum_qiqj)``
+    under the house floor-quantization.  The executor kernel is an
+    Arrow-batched int64 ``X^T X`` Gram accumulation emitting one
+    fixed-size partial per partition; the oracle rebuilds the same
+    sums from first principles via an unnest self-join (quadratic
+    per-row fan-out — fine at sf0.01, exactly what the one-pass kernel
+    avoids at scale).  covariance_from_stats() is the driver-side
+    float estimator (sketch-estimator convention)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return S.covariance_stats_int(embs, scale=16384)

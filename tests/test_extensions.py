@@ -1408,3 +1408,97 @@ def test_sorted_neighborhood_matches_bruteforce_property(spark):
         ).collect()
     }
     assert got == expected, (got ^ expected)
+
+
+def test_containment_prefix_matches_bruteforce_property(spark):
+    """Asymmetric containment join vs from-scratch all-ordered-pairs
+    containment on seeded random token sets, across thresholds
+    (completeness of the A-side prefix, exactness of verification) —
+    including the geometry Jaccard misses: a small set fully inside a
+    large one must surface with containment 1.0."""
+    import itertools
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = {}
+    rows = []
+    for d in range(28):
+        s = set(rng.sample(vocab, rng.randrange(3, 15)))
+        sets[d] = s
+        rows.append((d, " ".join(sorted(s))))
+    # the quote case: doc 100 is a strict subset of doc 101's tokens
+    sets[100] = set(vocab[:4])
+    sets[101] = set(vocab[:30])
+    rows.append((100, " ".join(sorted(sets[100]))))
+    rows.append((101, " ".join(sorted(sets[101]))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for num, den in [(1, 2), (3, 4), (9, 10), (1, 1)]:
+        expected = set()
+        for a, b in itertools.permutations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            asz = len(sets[a])
+            if den * i >= num * asz:
+                expected.add((a, b, i, asz, 1_000_000 * i // asz))
+        got = {
+            tuple(r)
+            for r in containment_join_prefix(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == expected, (num, den, got ^ expected)
+        # the full-quote pair always survives any threshold
+        assert any(g[0] == 100 and g[1] == 101 for g in got)
+
+
+def test_covariance_stats_matches_numpy(spark):
+    """covariance_stats_int's integer sufficient statistics reproduce a
+    from-scratch quantized numpy Gram exactly, and the driver estimator
+    recovers numpy's sample covariance/mean of the QUANTIZED data (the
+    only approximation is the documented floor-quantization)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        covariance_from_stats,
+        covariance_stats_int,
+    )
+
+    rng = random.Random(7)
+    d, n, scale = 5, 40, 1 << 14
+    vecs = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    rows = covariance_stats_int(df, scale=scale).collect()
+    assert len(rows) == d * (d + 1) // 2
+    # exact check: rebuild the same sums from first principles (float32
+    # storage first — createDataFrame round-trips through float32 like
+    # the parquet tables do)
+    q = np.array(
+        [
+            [math.floor(float(np.float32(x)) * scale) for x in v]
+            for v in vecs
+        ],
+        dtype=np.int64,
+    )
+    g = q.T @ q
+    s = q.sum(axis=0)
+    for r in rows:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        assert r["n_rows"] == n
+        assert r["sum_qi"] == s[i] and r["sum_qj"] == s[j]
+        assert r["sum_qiqj"] == g[i, j], (i, j)
+    cov, mean = covariance_from_stats(rows, scale=scale)
+    qf = q.astype(np.float64) / scale
+    np.testing.assert_allclose(cov, np.cov(qf, rowvar=False, ddof=1), rtol=1e-12)
+    np.testing.assert_allclose(mean, qf.mean(axis=0), rtol=1e-12)
+    # PCA hook: the estimator output is symmetric PSD up to fp round-off
+    evals = np.linalg.eigvalsh(cov)
+    assert evals.min() > -1e-12
