@@ -468,3 +468,147 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def _driver_kcore(edge_rows, k: int) -> list:
+    """In-process simultaneous peeling over a bounded edge list —
+    the bounded-driver-action twin of :func:`_driver_union_find`.
+    Returns sorted ``(node, core_degree)`` tuples."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_rows:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    while True:
+        nxt = {u for u in alive if len(adj[u] & alive) >= k}
+        if nxt == alive:
+            return sorted((u, len(adj[u] & alive)) for u in alive)
+        alive = nxt
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 6,
+    driver_pair_limit: int | None = 1_000_000,
+) -> DataFrame:
+    """``k``-core of the undirected graph given as a pair table:
+    iteratively peel every node of degree < ``k`` until a fixpoint
+    (Seidman 1983 degeneracy peeling, bulk-synchronous form: each round
+    recomputes degrees restricted to the surviving node set and drops
+    the under-degree nodes SIMULTANEOUSLY — order-independent, so the
+    result is the unique maximal k-core however the engine schedules
+    it).  Returns ``(node, core_degree)`` — the surviving nodes with
+    their degree INSIDE the core (``core_degree >= k`` by definition).
+
+    Dedup-pipeline use: near-dup pair graphs mix true duplicate cliques
+    with transitive CHAINS (A~B~C where A!~C — the drift that makes
+    connected-component canonicalization over-merge).  The 2-core keeps
+    exactly the nodes with two independent duplicate witnesses (every
+    clique of size >= 3), while pure chains peel away — the
+    precision-side complement to :func:`connected_components`.
+
+    Scale shape: edges symmetrize in ONE scan of the pair lineage (the
+    explode trick from connected_components) and persist; each round is
+    two alive-set equi-semi-joins + a map-side-combined degree count +
+    ONE bounded driver action (the alive count, monotone decreasing —
+    equal counts <=> fixpoint).  ``max_rounds`` bounds the rounds; a
+    non-converged exit RAISES rather than returning a mid-peel set
+    (same contract as connected_components' hop bound).  Peeling can
+    need O(diameter) rounds on pathological chains, but threshold dup
+    graphs converge in 2-3 (measured: 2 at sf0.01 and sf0.1); the
+    declared oracle unrolls the same fixed round count, sound because
+    post-fixpoint rounds are idempotent.
+
+    Like :func:`connected_components`, a BOUNDED DRIVER strategy sits in
+    front of the loop: one ``limit(cap+1)`` probe over the deduped
+    symmetric edges decides — at most ``2 * driver_pair_limit`` directed
+    edges peel in-process (dup graphs banded/thresholded joins emit are
+    tiny; the per-round jobs dominated the measured cost at 12.6 s for a
+    25-edge graph), anything larger runs the distributed rounds (an
+    over-limit probe leaves the persist primed). The two strategies are
+    differential-tested against each other."""
+    if k < 1:
+        raise ValueError(f"kcore_nodes: k must be >= 1, got {k}")
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    cache_registry.track(sym)
+
+    if driver_pair_limit is not None:
+        cap = 2 * driver_pair_limit
+        head = sym.limit(cap + 1).collect()
+        if len(head) <= cap:
+            spark = pairs.sparkSession
+            from pyspark.sql import types as T
+
+            id_type = pairs.schema[src].dataType
+            core = _driver_kcore(((r["u"], r["v"]) for r in head), k)
+            sym.unpersist()
+            schema = T.StructType(
+                [
+                    T.StructField("node", id_type, False),
+                    T.StructField("core_degree", T.LongType(), False),
+                ]
+            )
+            import pandas as pd
+
+            pdf = pd.DataFrame(core or [], columns=["node", "core_degree"])
+            return spark.createDataFrame(pdf, schema).select(
+                F.col("node").cast("bigint").alias("node"),
+                F.col("core_degree").cast("bigint").alias("core_degree"),
+            )
+
+    def _core_degrees(alive_df: DataFrame) -> DataFrame:
+        au = alive_df.select(F.col("node").alias("u"))
+        av = alive_df.select(F.col("node").alias("v"))
+        return (
+            sym.join(au, "u")
+            .join(av, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    alive = sym.select(F.col("u").alias("node")).distinct()
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
+    prev_ckpt = alive
+    for _ in range(max_rounds):
+        deg = _core_degrees(alive)
+        new_alive = deg.filter(F.col("deg") >= k).select(
+            F.col("u").alias("node")
+        )
+        new_alive = new_alive.localCheckpoint(eager=True)
+        n_new = new_alive.count()
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = new_alive
+        alive = new_alive
+        if n_new == n_alive:
+            # monotone-decreasing node set: equal size <=> fixpoint
+            return (
+                _core_degrees(alive)
+                .select(
+                    F.col("u").cast("bigint").alias("node"),
+                    F.col("deg").cast("bigint").alias("core_degree"),
+                )
+            )
+        n_alive = n_new
+    raise RuntimeError(
+        f"kcore_nodes: no fixpoint within {max_rounds} rounds "
+        f"(still peeling at {n_alive} nodes) — raise max_rounds"
+    )

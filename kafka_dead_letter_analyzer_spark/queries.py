@@ -6670,3 +6670,86 @@ def x_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     float estimator (sketch-estimator convention)."""
     embs = load_table(spark, sf_dir, "embeddings")
     return S.covariance_stats_int(embs, scale=16384)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle for x_kcore_dup_graph: the Jaccard>=0.5
+    3-shingle pair CTEs (same construction as x_setsim_join's oracle)
+    followed by ``rounds`` simultaneous peel rounds. Sound for any
+    converged Spark run with fewer rounds — post-fixpoint peels are
+    idempotent (measured convergence: 2 rounds at sf0.01 and sf0.1;
+    6 unrolled for margin)."""
+    peels = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        peels.append(
+            f"""d{r} AS (
+      SELECT s.u, count(*) AS deg FROM sym s
+      JOIN {prev} x ON s.u = x.u JOIN {prev} y ON s.v = y.u
+      GROUP BY s.u
+    ), a{r} AS (SELECT u FROM d{r} WHERE deg >= {k})"""
+        )
+        prev = f"a{r}"
+    peel_sql = ",\n    ".join(peels)
+    return rf"""
+    WITH t0 AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i : i + 2], ' ')
+                        for i in range(1, len(toks) - 1)]
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE []::VARCHAR[] END) AS st
+      FROM t0
+    ), tok AS (
+      SELECT doc_id, len(st) AS sz, unnest(st) AS tk
+      FROM t WHERE len(st) > 0
+    ), pr AS MATERIALIZED (
+      -- MATERIALIZED: each unrolled peel round references sym; without
+      -- the hint DuckDB re-inlines the all-pairs join per round
+      -- (measured 211 s -> 0.7 s at sf0.01)
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
+             any_value(a.sz) AS sza, any_value(b.sz) AS szb
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING 2 * count(*) >= (any_value(a.sz) + any_value(b.sz) - count(*))
+    ), sym AS MATERIALIZED (
+      SELECT da AS u, db AS v FROM pr
+      UNION ALL
+      SELECT db AS u, da AS v FROM pr
+    ), a0 AS (SELECT DISTINCT u FROM sym),
+    {peel_sql},
+    dfin AS (
+      SELECT s.u, count(*) AS deg FROM sym s
+      JOIN {prev} x ON s.u = x.u JOIN {prev} y ON s.v = y.u
+      GROUP BY s.u
+    )
+    SELECT CAST(u AS BIGINT) AS node, CAST(deg AS BIGINT) AS core_degree
+    FROM dfin
+    """
+
+
+@_register("x_kcore_dup_graph", _kcore_oracle_sql(k=2, rounds=6))
+def x_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the exact Jaccard>=0.5 near-dup pair graph
+    (operators/graph.py::kcore_nodes over setsim_join_prefix pairs) —
+    the precision-side complement to connected-component dup
+    clustering: nodes that survive have TWO independent duplicate
+    witnesses (every size->=3 clique), while transitive chains (A~B~C
+    with A!~C — the drift that makes CC canonicalization over-merge)
+    peel away.  Each peel round is two alive-set equi-semi-joins + a
+    map-side-combined degree count + one bounded driver action (the
+    monotone alive count); the oracle unrolls the same simultaneous
+    peeling to a fixed round count, sound because post-fixpoint rounds
+    are idempotent."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.setsim_join_prefix(
+        docs, threshold_num=1, threshold_den=2, shingle_k=3
+    )
+    return G.kcore_nodes(pairs, k=2, src="doc_a", dst="doc_b")

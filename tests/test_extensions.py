@@ -1502,3 +1502,69 @@ def test_covariance_stats_matches_numpy(spark):
     # PCA hook: the estimator output is symmetric PSD up to fp round-off
     evals = np.linalg.eigvalsh(cov)
     assert evals.min() > -1e-12
+
+
+def test_kcore_matches_bruteforce_peeling(spark):
+    """kcore_nodes vs from-scratch simultaneous peeling on structured
+    and random graphs: a chain has an empty 2-core, a clique is its own
+    core, a star dies for k >= 2, and triangle-plus-tail keeps exactly
+    the triangle."""
+    import random
+    from collections import defaultdict
+
+    from kafka_dead_letter_analyzer_spark.operators.graph import kcore_nodes
+
+    def brute_kcore(edges, k):
+        nodes = {x for e in edges for x in e}
+        adj = defaultdict(set)
+        for u, v in edges:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        alive = set(nodes)
+        while True:
+            deg = {u: len(adj[u] & alive) for u in alive}
+            nxt = {u for u in alive if deg[u] >= k}
+            if nxt == alive:
+                return {u: deg[u] for u in alive}
+            alive = nxt
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(6)],
+        "clique4": [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "star": [(0, i) for i in range(1, 7)],
+        "tri_tail": [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+    }
+    rng = random.Random(3)
+    cases["rand"] = list(
+        {(rng.randrange(12), rng.randrange(12)) for _ in range(25)}
+    )
+    for name, edges in cases.items():
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for k in (2, 3):
+            want = set(brute_kcore(edges, k).items())
+            # both physical strategies against the same brute force:
+            # bounded-driver peel (default) and the distributed rounds
+            for limit in (1_000_000, None):
+                got = {
+                    (r["node"], r["core_degree"])
+                    for r in kcore_nodes(
+                        df, k=k, max_rounds=20, driver_pair_limit=limit
+                    ).collect()
+                }
+                assert got == want, (name, k, limit, got ^ want)
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long chain with k=1 converges (every edge endpoint has deg>=1
+    immediately), but k=2 peeling from both ends needs ~n/2 rounds — a
+    tight max_rounds must RAISE, never return a mid-peel set."""
+    import pytest as _pytest
+
+    from kafka_dead_letter_analyzer_spark.operators.graph import kcore_nodes
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore_nodes(df, k=2, max_rounds=2, driver_pair_limit=None)
