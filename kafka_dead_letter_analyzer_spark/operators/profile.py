@@ -219,3 +219,62 @@ def check_constraints(df: DataFrame, constraints: Sequence[tuple]) -> DataFrame:
             "check_name", "observed", "bound", "passed"
         )
     )
+
+
+def fd_profile(
+    named_frames: dict[str, DataFrame],
+    fds: Sequence[tuple[str, str, Sequence[str], str]],
+) -> DataFrame:
+    """Functional-dependency profiling: for each declared candidate FD
+    ``lhs -> rhs``, ONE summary row — ``(fd, lhs_groups,
+    violating_groups, violating_rows, max_rhs_variants)`` — where a
+    violating group is an lhs value with more than one distinct
+    non-null rhs.  The schema-discovery primitive next to the
+    constraint suite (x_data_quality checks declared invariants;
+    this MEASURES whether a dependency holds and how badly it fails —
+    the Deequ/TANE-style profiling step that decides which columns can
+    key a dimension table before a 100 TB backfill assumes it).
+
+    ``fds`` entries are ``(fd_name, frame_key, lhs_cols, rhs_col)``
+    against ``named_frames``.  Scale shape per FD: one map-side-combined
+    groupBy on its lhs (the minimal shuffle any exact FD check needs —
+    partials carry (count, distinct-rhs set) per lhs key), then a
+    1-row reduction; the result is |fds| rows unioned.  NULL rhs rows
+    never violate (count DISTINCT ignores nulls — same rule both
+    engines); NULL lhs values group like any other value."""
+    from functools import reduce
+
+    outs = []
+    for fd_name, frame_key, lhs, rhs in fds:
+        df = named_frames[frame_key]
+        g = df.groupBy(*list(lhs)).agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.count_distinct(F.col(rhs)).alias("_nd"),
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).alias("_groups"),
+                # coalesce: SUM over an empty frame is NULL on both
+                # engines; an empty table has zero violations
+                F.coalesce(
+                    F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("_vg"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_nd") > 1, F.col("_rows")).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("_vr"),
+                F.max("_nd").alias("_mx"),
+            ).select(
+                F.lit(fd_name).alias("fd"),
+                F.col("_groups").cast("bigint").alias("lhs_groups"),
+                F.col("_vg").cast("bigint").alias("violating_groups"),
+                F.col("_vr").cast("bigint").alias("violating_rows"),
+                F.col("_mx").cast("bigint").alias("max_rhs_variants"),
+            )
+        )
+    if not outs:
+        raise ValueError("fd_profile: no FDs declared")
+    return reduce(DataFrame.unionAll, outs)

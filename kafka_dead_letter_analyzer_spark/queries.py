@@ -6753,3 +6753,78 @@ def x_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold_num=1, threshold_den=2, shingle_k=3
     )
     return G.kcore_nodes(pairs, k=2, src="doc_a", dst="doc_b")
+
+
+@_register(
+    "x_fd_profile",
+    """
+    WITH e1 AS (
+      SELECT count(DISTINCT user_id) AS nd, count(*) AS rows_
+      FROM events GROUP BY event_id
+    ), e2 AS (
+      SELECT count(DISTINCT event_type) AS nd, count(*) AS rows_
+      FROM events GROUP BY user_id
+    ), d1 AS (
+      SELECT count(DISTINCT source) AS nd, count(*) AS rows_
+      FROM documents GROUP BY lang
+    ), o1 AS (
+      SELECT count(DISTINCT o_orderpriority) AS nd, count(*) AS rows_
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT 'events:event_id->user_id' AS fd,
+           CAST(count(*) AS BIGINT) AS lhs_groups,
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violating_groups,
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END), 0)
+                AS BIGINT) AS violating_rows,
+           CAST(max(nd) AS BIGINT) AS max_rhs_variants
+    FROM e1
+    UNION ALL
+    SELECT 'events:user_id->event_type', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END), 0) AS BIGINT),
+           CAST(max(nd) AS BIGINT)
+    FROM e2
+    UNION ALL
+    SELECT 'documents:lang->source', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END), 0) AS BIGINT),
+           CAST(max(nd) AS BIGINT)
+    FROM d1
+    UNION ALL
+    SELECT 'orders:o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END), 0) AS BIGINT),
+           CAST(max(nd) AS BIGINT)
+    FROM o1
+    """,
+)
+def x_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency profiling across three tables
+    (operators/profile.py::fd_profile): one summary row per declared
+    FD — lhs group count, violating groups/rows, worst-case distinct
+    rhs per lhs.  The mix is deliberate: `event_id->user_id` HOLDS
+    (event ids key their rows), the other three are violated at
+    measurable rates — the discovery signal that decides which columns
+    can key a dimension before a backfill assumes it.  Per FD: one
+    map-side-combined lhs groupBy (the minimal exact check) + a 1-row
+    reduction; |fds| rows total."""
+    frames = {
+        "events": load_table(spark, sf_dir, "events"),
+        "documents": load_table(spark, sf_dir, "documents"),
+        "orders": load_table(spark, sf_dir, "orders"),
+    }
+    return PR.fd_profile(
+        frames,
+        [
+            ("events:event_id->user_id", "events", ["event_id"], "user_id"),
+            ("events:user_id->event_type", "events", ["user_id"], "event_type"),
+            ("documents:lang->source", "documents", ["lang"], "source"),
+            (
+                "orders:o_custkey->o_orderpriority",
+                "orders",
+                ["o_custkey"],
+                "o_orderpriority",
+            ),
+        ],
+    )

@@ -1568,3 +1568,42 @@ def test_kcore_nonconvergence_raises(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         kcore_nodes(df, k=2, max_rounds=2, driver_pair_limit=None)
+
+
+def test_fd_profile_semantics(spark):
+    """fd_profile on hand-built frames: exact violating group/row
+    accounting, NULL rhs never violates, NULL lhs groups like a value,
+    empty frames yield zero violations (and NULL max variants)."""
+    from kafka_dead_letter_analyzer_spark.operators.profile import fd_profile
+
+    rows = [
+        (1, "a", "x"),
+        (1, "a", "x"),   # (1,a) consistent -> holds
+        (2, "b", "x"),
+        (2, "c", "x"),   # lhs=2 has rhs {b,c} -> violating group, 2 rows
+        (3, None, "x"),
+        (3, "d", "x"),   # NULL rhs ignored -> {d} -> holds
+        (None, "e", "x"),
+        (None, "f", "x"),  # NULL lhs is a group -> {e,f} violates
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, w string")
+    empty = spark.createDataFrame([], "k int, v string, w string")
+    out = {
+        r["fd"]: (
+            r["lhs_groups"],
+            r["violating_groups"],
+            r["violating_rows"],
+            r["max_rhs_variants"],
+        )
+        for r in fd_profile(
+            {"t": df, "e": empty},
+            [
+                ("k->v", "t", ["k"], "v"),
+                ("k,w->v", "t", ["k", "w"], "v"),
+                ("empty", "e", ["k"], "v"),
+            ],
+        ).collect()
+    }
+    assert out["k->v"] == (4, 2, 4, 2)
+    assert out["k,w->v"] == (4, 2, 4, 2)
+    assert out["empty"] == (0, 0, 0, None)
