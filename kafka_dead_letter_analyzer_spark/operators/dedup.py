@@ -1039,6 +1039,7 @@ def containment_join_prefix(
     threshold_num: int = 1,
     threshold_den: int = 2,
     shingle_k: int | None = None,
+    max_df_permille: int | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT-threshold self-join over distinct token sets —
     ``(doc_a, doc_b, inter_sz, a_sz, containment_ppm)`` for every
@@ -1059,18 +1060,38 @@ def containment_join_prefix(
     join, while the B side indexes every token ONCE.  The B index has
     no prefix (containment puts no upper bound on ``|B|``), but each
     candidate join key is an A-PREFIX token, i.e. drawn from the rare
-    end of the df order: fan-out per token is ``df_prefix(tk) ·
-    df_all(tk)`` and the frequent tokens that would explode a full
-    inverted-index self-join appear only on the (linear, un-self-joined)
-    B side.  Size pruning keeps only ``den·|B| >= num·|A|`` candidates.
-    Verification joins back the full sorted token arrays (arrays move
-    only for candidates) and tests ``den·inter >= num·|A|`` in exact
-    integers; ``containment_ppm = (1e6 · inter) DIV |A|``.
+    end of the df order.  Size pruning keeps only ``den·|B| >=
+    num·|A|`` candidates.  Verification joins back the full sorted
+    token arrays (arrays move only for candidates) and tests
+    ``den·inter >= num·|A|`` in exact integers; ``containment_ppm =
+    (1e6 · inter) DIV |A|``.
+
+    ``max_df_permille`` bounds the candidate fan-out, which the prefix
+    theorem alone does NOT: a short document's prefix is ~``(1-t)·|A|``
+    of its whole set and can carry mid-frequency tokens into the
+    candidate join, where per-token fan-out is ``df_prefix(tk) ·
+    df_all(tk)`` against the full B index.  When set, shingles present
+    in more than ``max_df_permille``/1000 of the (non-empty) documents
+    are treated as boilerplate and dropped from the token UNIVERSE
+    before anything else — the containment semantics are then defined
+    over the filtered sets (sizes, prefixes, intersections, AND the
+    reported ``a_sz`` all use the filtered universe), so the prefix
+    algorithm remains exact for that contract and an oracle can state
+    the same filter declaratively.  With the filter, every join key has
+    ``df <= permille·n/1000``, so per-token fan-out is hard-capped at
+    ``(permille·n/1000)²`` and total candidate volume at ``n_tokens ·
+    permille·n/1000`` — linear in corpus size for fixed permille.
+    Recall consequence: a pair whose overlap is PURE boilerplate (every
+    shared shingle in > permille/1000 of docs) is not reported; that is
+    the intended reading of "quote detection" at corpus scale
+    (boilerplate headers/footers are precisely the shared text that is
+    not a quote).  The corpus-relative form (permille, not an absolute
+    df) keeps the cutoff meaningful at any SF: 0.4% of 5e2 docs and
+    0.4% of 5e9 docs both mean "boilerplate".
     """
     num, den = threshold_num, threshold_den
     if not (0 < num <= den):
         raise ValueError(f"containment_join_prefix: bad threshold {num}/{den}")
-    from pyspark.sql import Window
 
     elems = (
         F.array_distinct(_tokens(F.col(text_col)))
@@ -1081,31 +1102,52 @@ def containment_join_prefix(
         F.col(id_col).alias("doc"),
         F.array_sort(elems).alias("set"),
     ).filter(F.size("set") > 0)
-    # same multi-consumer persist rationale as setsim_join_prefix: the
-    # set-construction subtree feeds the explode, the df agg, and both
-    # verification sides.
+    # the set-construction subtree feeds the token explode twice (df agg
+    # + universe join); persist it once.
     base = base.persist()
     cache_registry.track(base)
-    tok = base.select(
-        "doc", F.size("set").alias("sz"), F.explode("set").alias("tk")
+    tok_raw = base.select("doc", F.explode("set").alias("tk"))
+    df_tbl = tok_raw.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_permille is not None:
+        # corpus-relative boilerplate cutoff: df * 1000 <= permille * n,
+        # with n = count of non-empty docs as a broadcast 1-row agg (no
+        # separate driver job, no collected scalar).
+        ndocs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+        df_tbl = (
+            df_tbl.crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.lit(1000) * F.col("df")
+                <= F.lit(int(max_df_permille)) * F.col("n_docs")
+            )
+            .select("tk", "df")
+        )
+    # tokens restricted to the (possibly filtered) universe, tagged with
+    # their global df — ONE groupBy by doc yields the df-sorted token
+    # list, from which prefix, filtered size, and the verification set
+    # all project without further shuffles.
+    tok = tok_raw.join(df_tbl, "tk")
+    agg = tok.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("df", "tk"))).alias("toks")
     )
-    df_tbl = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(df_tbl, "tk").withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("doc").orderBy("df", "tk")),
-    )
+    agg = agg.persist()
+    cache_registry.track(agg)
+    sz = F.size("toks")
     # A-side prefix length: |A| - ceil(t*|A|) + 1, ceil via add-and-div
-    prefix_len = F.col("sz") - F.expr(
-        f"(({num} * sz) + {den} - 1) DIV {den}"
+    prefix_len = sz - F.expr(
+        f"(({num} * size(toks)) + {den} - 1) DIV {den}"
     ) + 1
-    pa = ranked.filter(F.col("rn") <= prefix_len).select(
-        F.col("tk").alias("tka"), F.col("doc").alias("da"), F.col("sz").alias("sza")
-    )
-    # B side: the FULL token index (one row per (doc, token) — linear,
-    # never self-joined on the frequent end)
-    pb = tok.select(
-        F.col("tk").alias("tkb"), F.col("doc").alias("db"), F.col("sz").alias("szb")
-    )
+    pa = agg.select(
+        F.col("doc").alias("da"),
+        sz.alias("sza"),
+        F.explode(F.slice(F.col("toks"), F.lit(1), prefix_len)).alias("p"),
+    ).select("da", "sza", F.col("p.tk").alias("tka"))
+    # B side: the FULL (filtered-universe) token index — one row per
+    # (doc, token), linear, never self-joined on the frequent end
+    pb = agg.select(
+        F.col("doc").alias("db"),
+        sz.alias("szb"),
+        F.explode("toks").alias("p"),
+    ).select("db", "szb", F.col("p.tk").alias("tkb"))
     cands = (
         pa.join(
             pb,
@@ -1118,8 +1160,19 @@ def containment_join_prefix(
         .select("da", "db")
         .distinct()
     )
-    sa = base.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
-    sb = base.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+    # verification over the FILTERED-universe sets (projected out of the
+    # same persisted df-sorted token lists — no extra shuffle): |A| and
+    # the intersection must agree with the universe the prefix was
+    # computed on, or the threshold test would be against a different
+    # denominator than the completeness proof covers.
+    sets_f = agg.select(
+        "doc",
+        F.array_sort(F.transform("toks", lambda s: s.getField("tk"))).alias(
+            "set"
+        ),
+    )
+    sa = sets_f.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+    sb = sets_f.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
     verified = (
         cands.join(sa, "da")
         .join(sb, "db")

@@ -6602,19 +6602,28 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE []::VARCHAR[] END) AS st
       FROM t0
     ), tok AS (
-      SELECT doc_id, len(st) AS sz, unnest(st) AS tk
+      SELECT doc_id, unnest(st) AS tk
       FROM t WHERE len(st) > 0
+    ), n AS (
+      SELECT count(*) AS n_docs FROM t WHERE len(st) > 0
+    ), rare AS (
+      SELECT tk FROM tok, n GROUP BY tk, n_docs
+      HAVING 1000 * count(*) <= 4 * n_docs
+    ), tokf AS (
+      SELECT doc_id, tk FROM tok WHERE tk IN (SELECT tk FROM rare)
+    ), szs AS (
+      SELECT doc_id, count(*) AS sz FROM tokf GROUP BY 1
     ), pairs AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
-             any_value(a.sz) AS sza
-      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id != b.doc_id
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM tokf a JOIN tokf b ON a.tk = b.tk AND a.doc_id != b.doc_id
       GROUP BY 1, 2
     )
     SELECT da AS doc_a, db AS doc_b,
            CAST(i AS BIGINT) AS inter_sz,
-           CAST(sza AS BIGINT) AS a_sz,
-           CAST((1000000 * i) // sza AS BIGINT) AS containment_ppm
-    FROM pairs WHERE 10 * i >= 7 * sza
+           CAST(s.sz AS BIGINT) AS a_sz,
+           CAST((1000000 * i) // s.sz AS BIGINT) AS containment_ppm
+    FROM pairs JOIN szs s ON s.doc_id = da
+    WHERE 10 * i >= 7 * s.sz
     """,
 )
 def x_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6624,14 +6633,19 @@ def x_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     low Jaccard).  Asymmetric prefix filtering
     (operators/dedup.py::containment_join_prefix): only the A side's
     rarest ``|A| - ceil(t|A|) + 1`` shingles enter the candidate join;
-    the B side is a linear full index that is never self-joined, so the
-    frequent-token posting lists that kill inverted-index self-joins at
-    100 TB appear only opposite rare A-prefix keys.  The oracle is
-    from-scratch all-pairs containment in SQL — the result contract is
+    the B side is a linear full index that is never self-joined.
+    Shingles in > 0.4% of documents are boilerplate and excluded from
+    the token universe (``max_df_permille=4``) — this hard-caps the
+    per-token candidate fan-out at ``(0.004·n)²`` (the prefix theorem
+    alone does not bound short documents' prefixes), and the corpus-
+    relative form keeps the cutoff meaningful at any SF.  The oracle is
+    from-scratch all-pairs containment over the SAME filtered universe
+    in SQL — the result contract (boilerplate-free containment) is
     strategy-independent."""
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_join_prefix(
-        docs, threshold_num=7, threshold_den=10, shingle_k=3
+        docs, threshold_num=7, threshold_den=10, shingle_k=3,
+        max_df_permille=4,
     )
 
 

@@ -1455,6 +1455,60 @@ def test_containment_prefix_matches_bruteforce_property(spark):
         assert any(g[0] == 100 and g[1] == 101 for g in got)
 
 
+def test_containment_df_cap_matches_filtered_bruteforce(spark):
+    """max_df_permille redefines the containment contract over the
+    boilerplate-filtered token universe: sizes, intersections, a_sz and
+    the threshold all use the FILTERED sets.  Verified against a
+    from-scratch brute force that applies the same universe filter —
+    and the cap must BIND on this corpus (some token over the cutoff),
+    or the test is vacuous."""
+    import itertools
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(30)]
+    boiler = ["the", "of"]  # in (almost) every doc -> df over any small cap
+    sets = {}
+    rows = []
+    n_docs = 24
+    for d in range(n_docs):
+        s = set(rng.sample(vocab, rng.randrange(2, 10))) | set(boiler)
+        sets[d] = s
+        rows.append((d, " ".join(sorted(s))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for permille in (500, 900):
+        cap = permille * n_docs / 1000
+        dfreq = {}
+        for s in sets.values():
+            for tk in s:
+                dfreq[tk] = dfreq.get(tk, 0) + 1
+        assert any(v > cap for v in dfreq.values())  # cap binds
+        fsets = {
+            d: {tk for tk in s if 1000 * dfreq[tk] <= permille * n_docs}
+            for d, s in sets.items()
+        }
+        expected = set()
+        for a, b in itertools.permutations(sorted(fsets), 2):
+            if not fsets[a]:
+                continue
+            i = len(fsets[a] & fsets[b])
+            asz = len(fsets[a])
+            if 2 * i >= 1 * asz and fsets[b]:
+                expected.add((a, b, i, asz, 1_000_000 * i // asz))
+        got = {
+            tuple(r)
+            for r in containment_join_prefix(
+                df, threshold_num=1, threshold_den=2,
+                max_df_permille=permille,
+            ).collect()
+        }
+        assert got == expected, (permille, got ^ expected)
+
+
 def test_covariance_stats_matches_numpy(spark):
     """covariance_stats_int's integer sufficient statistics reproduce a
     from-scratch quantized numpy Gram exactly, and the driver estimator

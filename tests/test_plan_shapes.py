@@ -1041,3 +1041,21 @@ def test_sorted_neighborhood_no_cartesian(spark, Q):
     s = plan_of(Q.x_sorted_neighborhood(spark, SF))
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_containment_join_df_cap_reaches_the_plan(spark, Q):
+    """x_containment_join's boilerplate cutoff (VERDICT r6 next-#1): the
+    corpus-relative df cap ``1000*df <= 4*n_docs`` must appear in the
+    physical plan as the condition of the df/universe join, the corpus
+    count must arrive as a 1-row BROADCAST (the only nested-loop node
+    allowed), and every other join must be an equi join — this is what
+    hard-caps candidate fan-out at (0.004 n)^2 per token."""
+    import re
+
+    s = plan_of(Q.x_containment_join(spark, SF))
+    assert re.search(r"\(df#\d+L? \* 1000\) <= \(n_docs#\d+L? \* 4\)", s), s
+    assert "CartesianProduct" not in s, s
+    # the single cross join is the 1-row corpus-count broadcast
+    bnlj_ids = set(re.findall(r"BroadcastNestedLoopJoin Cross Build\w+ \((\d+)\)", s))
+    assert len(bnlj_ids) == 1, s
+    assert not re.search(r"BroadcastNestedLoopJoin (?!Cross)", s), s
