@@ -83,7 +83,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
-    driver_pair_limit: int | None = 1_000_000,
+    driver_pair_limit: int | None = 250_000,
 ) -> DataFrame:
     """Resolve an undirected pair table to ``(id, component)`` where
     ``component`` is the minimum id reachable from ``id``. Only ids that
@@ -95,10 +95,15 @@ def connected_components(
     - **Bounded driver union-find** (when the deduped edge count is at
       most ``2 * driver_pair_limit``): collect the id-only edge list and
       label components in-process. This is the same bounded-driver-action
-      class as the IVF fit sample — 1M id pairs is ~32 MB — and replaces
-      per-round distributed jobs with ONE collect, which is strictly
-      faster for the small-to-medium dup graphs banded LSH emits. The
-      distributed path stays differential-tested against this one.
+      class as the IVF fit sample — the default bound is 500k directed
+      id pairs, ~8 MB as an Arrow batch — and replaces per-round
+      distributed jobs with ONE localize, which is strictly faster for
+      the small-to-medium dup graphs banded LSH emits. The localize is
+      ``toPandas`` (Arrow columnar), not ``collect`` — at the bound,
+      Python ``Row`` objects would cost ~100 B/row vs Arrow's 16, so the
+      worst-case driver materialization stays bounded by tens of MB even
+      if a caller raises the limit 10×. The distributed path stays
+      differential-tested against this one.
     - **Iterative min-label propagation** (above the bound, or
       ``driver_pair_limit=None``): the 100 TB shape. ``max_iterations``
       bounds PROPAGATION HOPS; the loop exits as soon as a hop changes no
@@ -142,16 +147,19 @@ def connected_components(
         # upstream shuffle still runs exactly once either way; an
         # over-limit probe leaves the persist primed for the hops below.
         cap = 2 * driver_pair_limit
-        head = edges.limit(cap + 1).collect()
+        head = edges.limit(cap + 1).toPandas()
         if len(head) <= cap:
             spark = pairs.sparkSession
             from pyspark.sql import types as T
 
             id_type = pairs.schema[src].dataType
-            # collected eagerly, not toLocalIterator: the set is bounded
-            # by contract and toLocalIterator schedules one sequential
-            # job PER PARTITION (measured 10x slower on 32 partitions)
-            labels = _driver_union_find((r["s"], r["d"]) for r in head)
+            # localized eagerly as ONE Arrow batch, not toLocalIterator:
+            # the set is bounded by contract and toLocalIterator
+            # schedules one sequential job PER PARTITION (measured 10x
+            # slower on 32 partitions)
+            labels = _driver_union_find(
+                head.itertuples(index=False, name=None)
+            )
             edges.unpersist()
             schema = T.StructType(
                 [
@@ -495,7 +503,7 @@ def kcore_nodes(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 6,
-    driver_pair_limit: int | None = 1_000_000,
+    driver_pair_limit: int | None = 250_000,
 ) -> DataFrame:
     """``k``-core of the undirected graph given as a pair table:
     iteratively peel every node of degree < ``k`` until a fixpoint
@@ -552,13 +560,16 @@ def kcore_nodes(
 
     if driver_pair_limit is not None:
         cap = 2 * driver_pair_limit
-        head = sym.limit(cap + 1).collect()
+        # same Arrow-batch localize rationale as connected_components:
+        # one short-circuiting job, 16 B/edge on the driver, never
+        # cap+1 Python Row objects.
+        head = sym.limit(cap + 1).toPandas()
         if len(head) <= cap:
             spark = pairs.sparkSession
             from pyspark.sql import types as T
 
             id_type = pairs.schema[src].dataType
-            core = _driver_kcore(((r["u"], r["v"]) for r in head), k)
+            core = _driver_kcore(head.itertuples(index=False, name=None), k)
             sym.unpersist()
             schema = T.StructType(
                 [
