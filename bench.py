@@ -101,8 +101,18 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     auto-selected exactly as in production-without-jar) -> F/P dialect
     routing -> N1 enrichment -> the stateful A1 statistics operator,
     driven as a real Structured Streaming query over several
-    micro-batches.  Returns {records, seconds, records_per_sec,
-    micro_batches}.
+    micro-batches.
+
+    VERDICT r6 next-#3 decomposition: the same source is ALSO driven
+    through three pipeline PREFIXES (source->sink alone; +decode;
+    +route/parse/enrich as the stateless full-dead-letter output), each
+    a real streaming query over the same 4 micro-batches, so the full
+    run's wall time is attributable per stage by delta.  ``stages``
+    holds each prefix's own wall clock + rec/s; ``deltas_sec`` the
+    attributed increments; ``dominant_stage`` names the largest delta.
+    The headline {records, seconds, records_per_sec, micro_batches}
+    keys keep their meaning (the FULL pipeline) so the final-line
+    streaming_rps stays comparable round-over-round.
 
     Wall time includes one-time stream plan compilation (that is the
     honest cold-start a deploy pays); records/s is end-to-end through
@@ -123,7 +133,6 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     work = tempfile.mkdtemp(prefix="kdla_stream_bench_")
     src = os.path.join(work, "src")
-    ckpt = os.path.join(work, "ckpt")
     try:
         env = _events_envelope(load_table(spark, sf_dir, "events"))
         wire = env.select(
@@ -138,32 +147,80 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         # and watermark advancement actually happen between batches
         wire.repartition(8).write.mode("overwrite").parquet(src)
         n = spark.read.parquet(src).count()  # also warms the footers
+        schema = spark.read.parquet(src).schema
 
-        raw = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
+        def _stream_source():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+
+        def _run(df, mode: str, tag: str) -> tuple[float, int]:
+            ckpt = os.path.join(work, f"ckpt_{tag}")
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .queryName(f"kdla-stream-bench-{tag}")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                batches = len(q.recentProgress)
+                q.stop()
+            return time.perf_counter() - t0, batches
+
+        # pipeline prefixes, shortest first (each its own fresh source)
+        t_src, _ = _run(_stream_source(), "append", "source")
+        t_dec, _ = _run(
+            decode_kafka_records(_stream_source()), "append", "decode"
         )
-        topo = build_streaming_topology(decode_kafka_records(raw))
-        t0 = time.perf_counter()
-        q = (
-            topo.error_statistics.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .queryName("kdla-stream-bench")
-            .start()
+        topo_stateless = build_streaming_topology(
+            decode_kafka_records(_stream_source())
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            batches = len(q.recentProgress)
-            q.stop()
-        dt = time.perf_counter() - t0
+        t_route, _ = _run(
+            topo_stateless.full_dead_letters, "append", "route"
+        )
+        topo = build_streaming_topology(decode_kafka_records(_stream_source()))
+        t_full, batches = _run(topo.error_statistics, "update", "full")
+
+        deltas = {
+            "decode": round(t_dec - t_src, 3),
+            "route_parse_enrich": round(t_route - t_dec, 3),
+            "stateful_stats": round(t_full - t_route, 3),
+        }
+        dominant = max(
+            list(deltas.items()) + [("source_sink", round(t_src, 3))],
+            key=lambda kv: kv[1],
+        )[0]
         return {
             "records": int(n),
-            "seconds": round(dt, 3),
-            "records_per_sec": round(n / dt, 1),
+            "seconds": round(t_full, 3),
+            "records_per_sec": round(n / t_full, 1),
             "micro_batches": int(batches),
+            "stages": {
+                "source_sink": {
+                    "seconds": round(t_src, 3),
+                    "records_per_sec": round(n / t_src, 1),
+                },
+                "plus_decode": {
+                    "seconds": round(t_dec, 3),
+                    "records_per_sec": round(n / t_dec, 1),
+                },
+                "plus_route_parse_enrich": {
+                    "seconds": round(t_route, 3),
+                    "records_per_sec": round(n / t_route, 1),
+                },
+                "full_with_stateful_stats": {
+                    "seconds": round(t_full, 3),
+                    "records_per_sec": round(n / t_full, 1),
+                },
+            },
+            "deltas_sec": deltas,
+            "dominant_stage": dominant,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

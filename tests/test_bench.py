@@ -68,6 +68,22 @@ def test_bench_emits_parseable_final_line_and_detail(tmp_path):
     assert st["records"] > 0 and st["micro_batches"] >= 1
     assert st["records_per_sec"] > 0
     assert d["streaming_rps"] == st["records_per_sec"]
+    # per-stage decomposition (VERDICT r6 next-#3): four pipeline
+    # prefixes, attributed deltas, and a named dominant stage
+    assert set(st["stages"]) == {
+        "source_sink", "plus_decode", "plus_route_parse_enrich",
+        "full_with_stateful_stats",
+    }
+    assert all(
+        v["seconds"] > 0 and v["records_per_sec"] > 0
+        for v in st["stages"].values()
+    )
+    assert set(st["deltas_sec"]) == {
+        "decode", "route_parse_enrich", "stateful_stats"
+    }
+    assert st["dominant_stage"] in set(st["deltas_sec"]) | {"source_sink"}
+    # the full prefix IS the headline measurement
+    assert st["stages"]["full_with_stateful_stats"]["seconds"] == st["seconds"]
     assert d["value"] == round(sum(detail["queries"].values()), 3)
     assert d["value_cold"] == round(sum(detail["queries_cold"].values()), 3)
     with open(detail_path) as f:
