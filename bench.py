@@ -69,6 +69,24 @@ def machine_context() -> dict:
             others += 1
     ctx["concurrent_java_procs"] = java
     ctx["concurrent_python_procs"] = others
+    # config that changes what "value" means — recorded so a cross-run
+    # delta can never hide a different cpu count / SF / tier selection
+    # (round-6 postmortem: clean vs driver runs totalled 92 vs 82 s with
+    # no recorded config to rule explanations out)
+    ctx["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ctx["sf_dir"] = SF_DIR
+    ctx["tiers"] = os.environ.get(
+        "SPARK_GRAFT_BENCH_TIERS", "cold,warm,exec,streaming"
+    )
+    try:
+        with open("/proc/cpuinfo") as f:
+            mhz = [
+                float(l.split(":")[1]) for l in f if l.startswith("cpu MHz")
+            ]
+        if mhz:
+            ctx["cpu_mhz"] = round(sum(mhz) / len(mhz), 0)
+    except (OSError, ValueError, IndexError):
+        pass
     return ctx
 
 # headline queries: the flagship analyzer pipeline + scan/agg/join breadth
