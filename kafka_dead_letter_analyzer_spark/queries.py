@@ -6842,3 +6842,74 @@ def x_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: grid DBSCAN — density-based clustering (core/border/noise) over
+# the quantized 2-D embedding projection; the density complement to
+# kmeans_int and the LSH near-dup families. Oracle = from-scratch all-pairs
+# Chebyshev neighbors + recursive-CTE density-connected components — the
+# result contract is strategy-independent (the engine's grid join is just
+# the scale-shaped candidate generator).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_dbscan_embedding",
+    """
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 16384) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 16384) AS BIGINT) AS y
+      FROM embeddings
+    ), nb AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM q a JOIN q b
+        ON a.vec_id != b.vec_id
+       AND abs(a.x - b.x) <= 400 AND abs(a.y - b.y) <= 400
+    ), cnt AS (
+      SELECT q.vec_id, q.x, q.y, coalesce(c.n, 0) AS n
+      FROM q LEFT JOIN (
+        SELECT ia, count(*) AS n FROM nb GROUP BY 1
+      ) c ON c.ia = q.vec_id
+    ), core AS (
+      SELECT vec_id FROM cnt WHERE n + 1 >= 5
+    ), ce AS (
+      SELECT ia AS s, ib AS d FROM nb
+      WHERE ia IN (SELECT vec_id FROM core)
+        AND ib IN (SELECT vec_id FROM core)
+    ), cc(id, lab) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT ce.d, cc.lab FROM cc JOIN ce ON ce.s = cc.id
+    ), clab AS (
+      SELECT id, min(lab) AS lab FROM cc GROUP BY id
+    ), blab AS (
+      SELECT nb.ia AS id, min(clab.lab) AS lab
+      FROM nb JOIN clab ON clab.id = nb.ib
+      WHERE nb.ia NOT IN (SELECT vec_id FROM core)
+      GROUP BY 1
+    )
+    SELECT cnt.vec_id, cnt.x, cnt.y,
+           CAST(cnt.n AS BIGINT) AS n_neighbors,
+           CASE WHEN cl.lab IS NOT NULL THEN 'core'
+                WHEN bl.lab IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cl.lab, bl.lab, -1) AS BIGINT) AS cluster
+    FROM cnt
+    LEFT JOIN clab cl ON cl.id = cnt.vec_id
+    LEFT JOIN blab bl ON bl.id = cnt.vec_id
+    """,
+)
+def x_dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the quantized (dim0, dim1) embedding projection
+    (operators/similarity.py::dbscan_grid): Chebyshev ε=400 quantization
+    units, min_pts=5 — every point labeled core/border/noise with its
+    density-connected cluster (MIN core id; borders take the MIN over
+    adjacent cores; noise -1).  The engine generates neighbor candidates
+    with the eps-sided uniform-grid spatial equi-join (3x3 probe
+    replication of an id+coords projection, exact integer box verify;
+    never all-pairs); the oracle recomputes the identical contract from
+    scratch with an all-pairs join + recursive-CTE connectivity."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return S.dbscan_grid(embs, eps=400, min_pts=5)

@@ -1661,3 +1661,86 @@ def test_fd_profile_semantics(spark):
     assert out["k->v"] == (4, 2, 4, 2)
     assert out["k,w->v"] == (4, 2, 4, 2)
     assert out["empty"] == (0, 0, 0, None)
+
+
+def test_dbscan_grid_matches_bruteforce_property(spark):
+    """Grid DBSCAN vs from-scratch all-pairs DBSCAN (Chebyshev metric,
+    min-id cluster labels, min-over-cores border assignment) on seeded
+    random integer coordinates — negative coords, duplicate points, and
+    cell-boundary distances included; eps x min_pts swept so all three
+    roles occur."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        dbscan_grid,
+    )
+
+    rng = random.Random(99)
+    pts = {}
+    for d in range(60):
+        pts[d] = (rng.randrange(-20, 21), rng.randrange(-20, 21))
+    pts[100] = pts[0]  # exact duplicate coordinates
+    pts[101] = (pts[1][0] + 3, pts[1][1])  # exactly eps away at eps=3
+    rows = [
+        (i, [float(x), float(y)]) for i, (x, y) in sorted(pts.items())
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def brute(eps, min_pts):
+        ids = sorted(pts)
+        nb = {
+            i: [
+                j for j in ids
+                if j != i
+                and abs(pts[i][0] - pts[j][0]) <= eps
+                and abs(pts[i][1] - pts[j][1]) <= eps
+            ]
+            for i in ids
+        }
+        core = {i for i in ids if len(nb[i]) + 1 >= min_pts}
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in core:
+            for j in nb[i]:
+                if j in core:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        # min id per component
+        comp_min = {}
+        for i in core:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = (len(nb[i]), "core", comp_min[find(i)])
+            else:
+                adj = [comp_min[find(j)] for j in nb[i] if j in core]
+                if adj:
+                    out[i] = (len(nb[i]), "border", min(adj))
+                else:
+                    out[i] = (len(nb[i]), "noise", -1)
+        return out
+
+    for eps, min_pts in [(3, 4), (7, 6), (1, 2), (12, 10)]:
+        got = {
+            r["vec_id"]: (r["n_neighbors"], r["role"], r["cluster"])
+            for r in dbscan_grid(
+                df, scale=1, eps=eps, min_pts=min_pts
+            ).collect()
+        }
+        exp = brute(eps, min_pts)
+        assert got == exp, (eps, min_pts,
+                            {k: (got.get(k), exp.get(k))
+                             for k in set(got) | set(exp)
+                             if got.get(k) != exp.get(k)})
+        roles = {v[1] for v in exp.values()}
+        if (eps, min_pts) == (3, 4):
+            assert roles == {"core", "border", "noise"}  # non-vacuous

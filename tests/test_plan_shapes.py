@@ -1059,3 +1059,13 @@ def test_containment_join_df_cap_reaches_the_plan(spark, Q):
     bnlj_ids = set(re.findall(r"BroadcastNestedLoopJoin Cross Build\w+ \((\d+)\)", s))
     assert len(bnlj_ids) == 1, s
     assert not re.search(r"BroadcastNestedLoopJoin (?!Cross)", s), s
+
+
+def test_dbscan_grid_join_no_cartesian(spark, Q):
+    """x_dbscan_embedding's neighbor generation is the eps-grid equi
+    join (3x3 probe replication of an id+coords projection) — never a
+    cartesian/nested-loop pair stage; cluster labels come from id-only
+    edges."""
+    s = plan_of(Q.x_dbscan_embedding(spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
