@@ -623,3 +623,159 @@ def kcore_nodes(
         f"kcore_nodes: no fixpoint within {max_rounds} rounds "
         f"(still peeling at {n_alive} nodes) — raise max_rounds"
     )
+
+
+def _driver_bfs(edge_rows, seed_ids, max_hops: int) -> list:
+    """In-process multi-source BFS over a bounded edge list — the
+    bounded-driver-action twin of :func:`_driver_union_find` /
+    :func:`_driver_kcore`.  Returns sorted ``(node, hop)`` tuples for
+    every node reachable from the seed set; raises (same contract as
+    the distributed rounds) if any reachable node is farther than
+    ``max_hops``."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_rows:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    hops = {s: 0 for s in seed_ids}
+    frontier = set(hops)
+    h = 0
+    while frontier:
+        h += 1
+        if h > max_hops:
+            raise RuntimeError(
+                f"bfs_hops: frontier still expanding after {max_hops} "
+                "hops — raise max_hops"
+            )
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in hops:
+                    hops[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return sorted(hops.items())
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 8,
+    driver_pair_limit: int | None = 250_000,
+) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected pair graph:
+    ``(node, hop)`` for every node reachable from the ``seeds`` frame
+    (one ``node`` column; hop 0), minimum number of edges to the
+    nearest seed.
+
+    Dedup-pipeline use: with seeds = each component's canonical (min-id)
+    representative, ``hop`` is how far a document drifted from its
+    canonical through pairwise-similar intermediates — the CHAIN-LENGTH
+    diagnostic for transitive over-merge.  :func:`kcore_nodes` answers
+    "does this node have dense duplicate witnesses"; this answers "how
+    many weak links connect it to its cluster's representative" —
+    hop >= 3 members of a 2-core-empty cluster are precisely the
+    drift-merge suspects.
+
+    Same two-strategies-one-contract structure as
+    :func:`connected_components` / :func:`kcore_nodes`: a single
+    ``limit(cap+1)`` Arrow-batch probe decides; under the cap the BFS
+    runs in-process, above it bulk-synchronous frontier rounds (one
+    equi-join + one anti-join per hop, each round's frontier
+    localCheckpointed and the previous one freed).  BOTH strategies
+    RAISE if a reachable node lies beyond ``max_hops`` — a silent
+    truncation would report a drifted document as close to canonical.
+    Frontier rounds are exact BFS: a node enters ``visited`` at its
+    first (minimal) hop, so no re-visits and the work per round is the
+    frontier's edge neighborhood, never the whole graph again.
+    """
+    if max_hops < 1:
+        raise ValueError(f"bfs_hops: max_hops must be >= 1, got {max_hops}")
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    cache_registry.track(sym)
+    spark = pairs.sparkSession
+
+    if driver_pair_limit is not None:
+        cap = 2 * driver_pair_limit
+        head = sym.limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            from pyspark.sql import types as T
+
+            seed_ids = [r[0] for r in seeds.select("node").toPandas().itertuples(index=False, name=None)]
+            out = _driver_bfs(
+                head.itertuples(index=False, name=None), seed_ids, max_hops
+            )
+            sym.unpersist()
+            id_type = pairs.schema[src].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", id_type, False),
+                    T.StructField("hop", T.LongType(), False),
+                ]
+            )
+            import pandas as pd
+
+            pdf = pd.DataFrame(out or [], columns=["node", "hop"])
+            return spark.createDataFrame(pdf, schema).select(
+                "node", F.col("hop").cast("bigint").alias("hop")
+            )
+
+    visited = seeds.select("node", F.lit(0).alias("hop"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    prev_ckpts = [visited]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_new = nxt.count()
+        if n_new == 0:
+            for c in prev_ckpts[:-1]:
+                _free_checkpoint(c)
+            return visited.select(
+                "node", F.col("hop").cast("bigint").alias("hop")
+            )
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(h))
+        ).localCheckpoint(eager=True)
+        prev_ckpts.append(nxt)
+        prev_ckpts.append(visited)
+        frontier = nxt
+    # one more expansion would tell us whether anything lies beyond the
+    # bound; compute it and raise if so (monotone: empty <=> converged)
+    residue = (
+        sym.join(frontier.select(F.col("node").alias("u")), "u")
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .join(visited.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    for c in prev_ckpts[:-1]:
+        _free_checkpoint(c)
+    if residue:
+        raise RuntimeError(
+            f"bfs_hops: frontier still expanding after {max_hops} hops — "
+            "raise max_hops"
+        )
+    return visited.select("node", F.col("hop").cast("bigint").alias("hop"))

@@ -6913,3 +6913,58 @@ def x_dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch with an all-pairs join + recursive-CTE connectivity."""
     embs = load_table(spark, sf_dir, "embeddings")
     return S.dbscan_grid(embs, eps=400, min_pts=5)
+
+
+@_register(
+    "x_dup_graph_radius",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    ),
+    comp AS (SELECT id, min(lab) AS lab FROM cc GROUP BY id),
+    reps AS (SELECT id FROM comp WHERE id = lab),
+    bfs(id, hop) AS (
+      SELECT id, 0 FROM reps
+      UNION
+      SELECT e.d, bfs.hop + 1 FROM bfs JOIN e ON e.s = bfs.id
+      WHERE bfs.hop < 8
+    )
+    SELECT id AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+    FROM bfs GROUP BY id
+    """,
+)
+def x_dup_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance of every near-dup-graph document from its cluster's
+    canonical (min-id) representative — multi-source BFS
+    (operators/graph.py::bfs_hops) seeded at the component reps of the
+    exact-verified minhash pair graph.  The chain-length diagnostic for
+    transitive over-merge: kcore answers "dense duplicate witnesses?",
+    this answers "how many weak links from canonical?" — hop >= 2 in a
+    2-core-empty cluster marks the drift-merge suspects.  Both BFS
+    strategies (bounded driver / bulk-synchronous frontier rounds)
+    RAISE past max_hops rather than silently truncating; the oracle
+    replays the identical contract as a hop-bounded recursive CTE with
+    min-hop contraction."""
+    pairs = D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    seeds = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("node")
+    )
+    return G.bfs_hops(pairs, seeds, src="id_a", dst="id_b", max_hops=8).select(
+        F.col("node").alias("doc_id"), "hop"
+    )

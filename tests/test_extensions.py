@@ -1744,3 +1744,57 @@ def test_dbscan_grid_matches_bruteforce_property(spark):
         roles = {v[1] for v in exp.values()}
         if (eps, min_pts) == (3, 4):
             assert roles == {"core", "border", "noise"}  # non-vacuous
+
+
+def test_bfs_hops_matches_bruteforce_both_strategies(spark):
+    """bfs_hops vs from-scratch multi-source BFS on seeded random graphs
+    plus a long chain — BOTH physical strategies (bounded driver,
+    distributed frontier rounds) must produce the identical (node, hop)
+    set, and both must RAISE when a reachable node lies beyond
+    max_hops."""
+    import random
+
+    import pytest as _pytest
+
+    from kafka_dead_letter_analyzer_spark.operators.graph import bfs_hops
+
+    def brute(edges, seeds):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        hops = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        h = 0
+        while frontier:
+            h += 1
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in hops:
+                        hops[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        return sorted(hops.items())
+
+    rng = random.Random(17)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(45)}
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100 + i, 101 + i) for i in range(6)]  # 7-node chain
+    seeds = [0, 1, 100]
+    edf = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    expected = brute(edges, seeds)
+    for limit in (1_000_000, None):  # driver path / distributed path
+        got = sorted(
+            (r["node"], r["hop"])
+            for r in bfs_hops(
+                edf, sdf, max_hops=10, driver_pair_limit=limit
+            ).collect()
+        )
+        assert got == expected, (limit, got, expected)
+
+    # chain longer than max_hops -> raise, both strategies
+    for limit in (1_000_000, None):
+        with _pytest.raises(RuntimeError, match="frontier still expanding"):
+            bfs_hops(edf, sdf, max_hops=3, driver_pair_limit=limit)
