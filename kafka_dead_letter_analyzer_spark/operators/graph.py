@@ -453,6 +453,13 @@ def pagerank_int(
     checkpointing.  Nodes with no in-edges keep ``base`` via the
     left join back onto the node set.
     """
+    # NO persist here, deliberately: e/nodes/outdeg have many consumers,
+    # but x_pagerank_int's upstream edge derivation is one cheap scan —
+    # measured (sf0.1, same-session A/B, best of 5 warm reps) persisting
+    # all three LOSES 1.15 -> 1.37 s: the materialization barriers cost
+    # more than the recompute.  Contrast triangle_counts, whose
+    # co-occurrence upstream is expensive and wins from the persist —
+    # the rule is the upstream's cost, not the consumer count.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nodes = (
         e.select(F.col("u").alias("node"))
