@@ -636,3 +636,63 @@ def series_similarity_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def decay_weighted_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Recency-weighted event pressure per group — ``(*group_cols,
+    n_events BIGINT, weighted_pressure BIGINT)`` where each event
+    contributes ``weight_scale DIV 2^(age_days DIV half_life_days)``
+    and ``age_days`` is whole days behind the corpus max timestamp.
+
+    The integer-exact exponential decay trick: true ``0.5^(age/h)``
+    needs float ``pow`` (whose rounding differs across engines — the
+    hash-gate killer), but STEPPED decay in exact powers of two —
+    halve the weight once per full half-life elapsed — is pure integer
+    arithmetic (``DIV``, shift) that any engine reproduces bit-for-bit
+    while keeping the operational meaning (a 5-week-old error burst at
+    h=7d weighs 1/32 of today's).  The shift exponent is capped (a
+    >62-half-life age would overflow Java's wrapping ``shiftleft``;
+    DuckDB would raise) — beyond the cap the weight is exactly 0.
+
+    Dashboard use in the reference's own domain: plain A1 counts rank a
+    long-dead error storm above a small active one; decay weighting is
+    the standard fix, and the deterministic form keeps it inside the
+    engine's oracle contract.
+
+    Scale shape: one scan; the anchor (max ts) is a 1-row broadcast agg
+    (no driver action, same idiom as the containment df-cap); weights
+    are a per-row projection; one map-side-combined groupBy.
+    """
+    if half_life_days < 1:
+        raise ValueError(
+            f"decay_weighted_counts: half_life_days must be >= 1, got "
+            f"{half_life_days}"
+        )
+    anchor = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("mx_us"))
+    us_day = 86_400_000_000
+    aged = df.crossJoin(F.broadcast(anchor)).withColumn(
+        "_hl",
+        F.expr(
+            f"((mx_us - unix_micros({ts_col})) DIV {us_day})"
+            f" DIV {half_life_days}"
+        ),
+    )
+    # integer division throughout: a float "/" here would round-trip the
+    # weight through double math — DIV + shiftleft keep it exact
+    weight = F.when(F.col("_hl") > 62, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"CAST({weight_scale} AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), CAST(_hl AS INT))")
+    )
+    return (
+        aged.withColumn("_w", weight)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("_w").cast("bigint").alias("weighted_pressure"),
+        )
+    )

@@ -6968,3 +6968,37 @@ def x_dup_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.bfs_hops(pairs, seeds, src="id_a", dst="id_b", max_hops=8).select(
         F.col("node").alias("doc_id"), "hop"
     )
+
+
+@_register(
+    "x_decay_error_pressure",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),
+    a AS (
+      SELECT event_type,
+             ((mx_us - epoch_us(ts)) // 86400000000) // 7 AS hl
+      FROM events, mx
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN hl > 62 THEN 0
+                         ELSE 1000000 // (1 << hl) END) AS BIGINT)
+             AS weighted_pressure
+    FROM a GROUP BY 1
+    """,
+)
+def x_decay_error_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted event pressure per type
+    (operators/temporal.py::decay_weighted_counts, half-life 7 days):
+    each event weighs ``1e6 DIV 2^(age_days DIV 7)`` behind the corpus
+    max timestamp — stepped power-of-two decay, the integer-exact form
+    of exponential recency weighting (float ``pow`` would break the
+    cross-engine hash gate).  The fix for plain A1 counts ranking a
+    long-dead error storm above a small active one.  One scan, 1-row
+    broadcast anchor, map-side-combined groupBy."""
+    return T.decay_weighted_counts(
+        load_table(spark, sf_dir, "events"),
+        group_cols=["event_type"],
+        ts_col="ts",
+        half_life_days=7,
+    )

@@ -1161,3 +1161,36 @@ def test_series_similarity_string_keys(spark):
         for r in series_similarity_topk(events, strategy="sparse").collect()
     }
     assert got_d == got_s and len(got_d) > 0
+
+
+def test_decay_weighted_counts_exact_weights(spark):
+    """Stepped power-of-two decay: weight = scale DIV 2^(age_days DIV h),
+    ages measured against the corpus max timestamp; exponents past 62
+    clamp to weight 0 instead of overflowing Java's wrapping shiftleft.
+    Hand-computed expectations, including a 500-year-old row."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        decay_weighted_counts,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("a", base),                                  # age 0d  -> 1_000_000
+        ("a", base - dt.timedelta(days=6)),           # 0 half-lives -> 1_000_000
+        ("a", base - dt.timedelta(days=7)),           # 1 -> 500_000
+        ("a", base - dt.timedelta(days=20)),          # 2 -> 250_000
+        ("b", base - dt.timedelta(days=70)),          # 10 -> 976
+        ("b", base - dt.timedelta(days=365 * 500)),   # >62 half-lives -> 0
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["event_type"]: (r["n_events"], r["weighted_pressure"])
+        for r in decay_weighted_counts(
+            df, group_cols=["event_type"], half_life_days=7
+        ).collect()
+    }
+    assert got == {
+        "a": (4, 1_000_000 + 1_000_000 + 500_000 + 250_000),
+        "b": (2, 1_000_000 // (1 << 10) + 0),
+    }, got
