@@ -501,3 +501,103 @@ def bloom_contains(
         if not (words.get(h // _BLOOM_BITS_PER_WORD, 0) >> (h % _BLOOM_BITS_PER_WORD)) & 1:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries — deterministic heavy-hitter summary
+# ---------------------------------------------------------------------------
+
+
+def mg_summary(df: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitter summary of ``df[key]`` — at most ``k``
+    rows ``(item STRING, count_lower BIGINT)`` with the classic
+    DETERMINISTIC guarantees (Misra & Gries 1982; mergeability:
+    Agarwal et al., PODS'12 "Mergeable Summaries"):
+
+    - ``count_lower <= true_count`` for every emitted item (a certified
+      LOWER bound — the dual of CMS, whose estimates only ever
+      over-count), and
+    - ``true_count - count_lower <= (n - sum(count_lower)) / (k+1)``,
+      an error bound computable FROM THE SUMMARY ITSELF (n = total
+      rows), so every emitted count self-certifies its precision and
+      every item with true frequency above that bound is guaranteed
+      present.  No hashing, no probability — the deterministic
+      complement to :func:`cms_sketch`.
+
+    Scale shape: one ``mapInPandas`` pass builds a k-bounded summary
+    per partition — per Arrow batch a vectorized ``value_counts`` is
+    folded into the running counter dict and decremented back to k
+    entries (batch-fold IS the MG merge operation, so the per-batch
+    work is dict-sized, never per-row Python).  The ``tasks x k``
+    partial rows then merge with BUILT-IN ops: groupBy-sum, a
+    row_number window over the (bounded, <= tasks*k rows) combined set,
+    subtract the (k+1)-th largest combined count (the m-way MG merge —
+    after subtraction at most k counts stay positive), filter.  Every
+    stage's width is the SUMMARY size, not the data size.
+
+    The summary's CONTENT in the decrement regime depends on partition
+    layout (inherent to MG; the bounds above hold regardless — property
+    -tested).  With ``k`` at least the number of distinct keys no
+    decrement ever fires and the result is EXACTLY the per-key counts —
+    the declared oracle query runs in that regime so the full machinery
+    is hash-checked cross-engine.
+    """
+    if k < 1:
+        raise ValueError(f"mg_summary: k must be >= 1, got {k}")
+    kk = int(k)
+
+    def _mg_partition(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > kk:
+                # decrement to k entries: subtract the (k+1)-th largest
+                # (the m-way merge step; at most k stay positive)
+                thr = sorted(counts.values(), reverse=True)[kk]
+                counts = {
+                    i: c - thr for i, c in counts.items() if c - thr > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counts), "c": list(counts.values())}
+        )
+
+    # NULL keys are excluded by contract (value_counts drops them; a
+    # null heavy hitter is a data-quality finding, not a frequency one)
+    partials = (
+        df.select(F.col(key).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(_mg_partition, schema="item string, c long")
+    )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    # comb feeds both the threshold contraction and the final subtract;
+    # without the persist the full-scan MG partition pass (the
+    # expensive upstream) would run twice — the triangle_counts rule
+    comb = partials.groupBy("item").agg(F.sum("c").alias("c"))
+    comb = comb.persist()
+    cache_registry.track(comb)
+    # (k+1)-th largest combined count as a TakeOrdered contraction (each
+    # task ships its local top k+1; no single-partition window, no
+    # global sort) — min of the top k+1 rows, or 0 if fewer exist
+    thr1 = (
+        comb.orderBy(F.desc("c"), F.col("item"))
+        .limit(kk + 1)
+        .agg(
+            F.expr(
+                f"CASE WHEN count(1) >= {kk + 1} THEN min(c) "
+                "ELSE CAST(0 AS BIGINT) END AS thr"
+            )
+        )
+    )
+    return (
+        comb.crossJoin(F.broadcast(thr1))
+        .select(
+            "item",
+            (F.col("c") - F.col("thr")).cast("bigint").alias("count_lower"),
+        )
+        .filter(F.col("count_lower") > 0)
+    )

@@ -7002,3 +7002,30 @@ def x_decay_error_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         half_life_days=7,
     )
+
+
+@_register(
+    "x_mg_heavy_hitters",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS count_lower
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def x_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter summary over event types
+    (operators/sketches.py::mg_summary, k=64) — the DETERMINISTIC
+    frequency sketch next to CMS's probabilistic one: certified lower
+    bounds with a self-certifying error ``(n - sum(counts))/(k+1)``.
+    Declared with k well above the distinct-type count, so no decrement
+    fires and the summary is EXACTLY the per-type counts — the full
+    machinery (per-partition batch-fold MG, groupBy-sum merge, (k+1)-th
+    -largest subtraction) runs and is hash-checked cross-engine; the
+    decrement regime's bounds are property-tested in
+    tests/test_sketches.py."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.mg_summary(
+        load_table(spark, sf_dir, "events"), key="event_type", k=64
+    )

@@ -369,3 +369,51 @@ def test_kmv_setops_exact_when_both_below_k(spark):
     est = SK.kmv_setops_estimates(rows, k)
     assert est["union"] == float(len(sa | sb))
     assert est["jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_mg_summary_deterministic_guarantees(spark):
+    """Misra-Gries in the DECREMENT regime (k << distinct): for a skewed
+    corpus, every emitted count is a certified lower bound, the error is
+    bounded by the summary's own certificate (n - sum(counts))/(k+1),
+    and every item with true frequency above that bound is present.
+    Exact regime (k >= distinct): the summary IS the exact counts."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        mg_summary,
+    )
+
+    rng = random.Random(31)
+    # zipf-ish: a few heavy items over a long tail
+    items = (
+        ["hot_a"] * 400 + ["hot_b"] * 250 + ["hot_c"] * 120
+        + [f"tail{i}" for i in range(600) for _ in (0,)]
+        + [f"mid{i % 20}" for i in range(300)]
+    )
+    rng.shuffle(items)
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+    n = len(items)
+    df = spark.createDataFrame([(it,) for it in items], "event_type string")
+
+    k = 8
+    out = {
+        r["item"]: r["count_lower"]
+        for r in mg_summary(df, "event_type", k=k).collect()
+    }
+    assert 0 < len(out) <= k
+    cert = (n - sum(out.values())) / (k + 1)
+    for item, c in out.items():
+        assert c <= true[item], (item, c, true[item])
+        assert true[item] - c <= cert, (item, c, true[item], cert)
+    for item, t in true.items():
+        if t > cert:
+            assert item in out, (item, t, cert)
+
+    # exact regime
+    exact = {
+        r["item"]: r["count_lower"]
+        for r in mg_summary(df, "event_type", k=2000).collect()
+    }
+    assert exact == true
