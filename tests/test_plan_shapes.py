@@ -1069,3 +1069,27 @@ def test_dbscan_grid_join_no_cartesian(spark, Q):
     s = plan_of(Q.x_dbscan_embedding(spark, SF))
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_decay_pressure_single_scan_broadcast_anchor(spark, Q):
+    """x_decay_error_pressure: the max-ts anchor arrives as a 1-row
+    broadcast (cross) — the only nested-loop node — and the weighted
+    rollup is one map-side-combined aggregate; no per-row driver
+    action, no cartesian over data."""
+    import re
+
+    s = plan_of(Q.x_decay_error_pressure(spark, SF))
+    assert "CartesianProduct" not in s, s
+    bnlj_ids = set(re.findall(r"BroadcastNestedLoopJoin Cross Build\w+ \((\d+)\)", s))
+    assert len(bnlj_ids) == 1, s
+    assert "HashAggregate" in s, s
+
+
+def test_mg_summary_threshold_is_take_ordered_no_window(spark, Q):
+    """x_mg_heavy_hitters: the (k+1)-th-largest threshold is a
+    TakeOrdered contraction over the tasks*k partials — never a
+    single-partition Window sort."""
+    s = plan_of(Q.x_mg_heavy_hitters(spark, SF))
+    assert "TakeOrdered" in s, s
+    assert "Window" not in s, s
+    assert "CartesianProduct" not in s, s
