@@ -58,6 +58,8 @@ __all__ = [
     "hll_estimate",
     "bloom_sketch",
     "bloom_contains",
+    "mg_summary",
+    "mg_merge",
 ]
 
 # 60 bits: 15 hex digits of md5.  Wide enough that collisions are
@@ -508,7 +510,12 @@ def bloom_contains(
 # ---------------------------------------------------------------------------
 
 
-def mg_summary(df: DataFrame, key: str, k: int = 64) -> DataFrame:
+def mg_summary(
+    df: DataFrame,
+    key: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Misra-Gries heavy-hitter summary of ``df[key]`` — at most ``k``
     rows ``(item STRING, count_lower BIGINT)`` with the classic
     DETERMINISTIC guarantees (Misra & Gries 1982; mergeability:
@@ -545,44 +552,95 @@ def mg_summary(df: DataFrame, key: str, k: int = 64) -> DataFrame:
     if k < 1:
         raise ValueError(f"mg_summary: k must be >= 1, got {k}")
     kk = int(k)
+    groups = list(group_cols or [])
 
     def _mg_partition(batches):
         import pandas as pd
 
-        counts: dict = {}
-        for pdf in batches:
-            vc = pdf["item"].value_counts()
+        summaries: dict = {}
+
+        def _fold(counts: dict, vc) -> None:
             for item, c in vc.items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > kk:
                 # decrement to k entries: subtract the (k+1)-th largest
                 # (the m-way merge step; at most k stay positive)
                 thr = sorted(counts.values(), reverse=True)[kk]
-                counts = {
-                    i: c - thr for i, c in counts.items() if c - thr > 0
-                }
-        yield pd.DataFrame(
-            {"item": list(counts), "c": list(counts.values())}
-        )
+                small = {i: c - thr for i, c in counts.items() if c > thr}
+                counts.clear()
+                counts.update(small)
+
+        for pdf in batches:
+            if groups:
+                for gv, grp in pdf.groupby(groups, sort=False, dropna=False):
+                    gv = gv if isinstance(gv, tuple) else (gv,)
+                    _fold(
+                        summaries.setdefault(gv, {}),
+                        grp["item"].value_counts(),
+                    )
+            else:
+                _fold(
+                    summaries.setdefault((), {}),
+                    pdf["item"].value_counts(),
+                )
+        rows = [
+            (*gv, item, c)
+            for gv, counts in summaries.items()
+            for item, c in counts.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*groups, "item", "c"])
 
     # NULL keys are excluded by contract (value_counts drops them; a
     # null heavy hitter is a data-quality finding, not a frequency one)
+    gexprs = [df[g] for g in groups]
+    schema_parts = [
+        f"{g} {df.schema[g].dataType.simpleString()}" for g in groups
+    ]
     partials = (
-        df.select(F.col(key).cast("string").alias("item"))
+        df.select(*gexprs, F.col(key).cast("string").alias("item"))
         .filter(F.col("item").isNotNull())
-        .mapInPandas(_mg_partition, schema="item string, c long")
+        .mapInPandas(
+            _mg_partition,
+            schema=", ".join([*schema_parts, "item string", "c long"]),
+        )
     )
     from kafka_dead_letter_analyzer_spark import cache_registry
 
     # comb feeds both the threshold contraction and the final subtract;
     # without the persist the full-scan MG partition pass (the
     # expensive upstream) would run twice — the triangle_counts rule
-    comb = partials.groupBy("item").agg(F.sum("c").alias("c"))
+    comb = partials.groupBy(*groups, "item").agg(F.sum("c").alias("c"))
     comb = comb.persist()
     cache_registry.track(comb)
-    # (k+1)-th largest combined count as a TakeOrdered contraction (each
-    # task ships its local top k+1; no single-partition window, no
-    # global sort) — min of the top k+1 rows, or 0 if fewer exist
+    return _mg_contract(comb, kk, groups)
+
+
+def _mg_contract(comb: DataFrame, kk: int, groups: list[str]) -> DataFrame:
+    """Subtract the per-group (k+1)-th largest combined count and keep
+    the positive remainder — the m-way MG merge step over an
+    already-bounded ``(*groups, item, c)`` contraction."""
+    if groups:
+        # per-group threshold: a rank window PARTITIONED on the groups
+        # over the bounded per-group contraction — never a global sort
+        w = Window.partitionBy(*groups).orderBy(F.desc("c"), F.col("item"))
+        ranked = comb.withColumn("rn", F.row_number().over(w))
+        thr = ranked.filter(F.col("rn") == kk + 1).select(
+            *groups, F.col("c").alias("thr")
+        )
+        return (
+            comb.join(thr, groups, "left")
+            .select(
+                *groups,
+                "item",
+                (F.col("c") - F.coalesce("thr", F.lit(0)))
+                .cast("bigint")
+                .alias("count_lower"),
+            )
+            .filter(F.col("count_lower") > 0)
+        )
+    # global: (k+1)-th largest as a TakeOrdered contraction (each task
+    # ships its local top k+1; no single-partition window, no global
+    # sort) — min of the top k+1 rows, or 0 if fewer exist
     thr1 = (
         comb.orderBy(F.desc("c"), F.col("item"))
         .limit(kk + 1)
@@ -601,3 +659,34 @@ def mg_summary(df: DataFrame, key: str, k: int = 64) -> DataFrame:
         )
         .filter(F.col("count_lower") > 0)
     )
+
+
+def mg_merge(
+    summaries: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    item_col: str = "item",
+    count_col: str = "count_lower",
+) -> DataFrame:
+    """Merge Misra-Gries summaries — e.g. roll per-day summaries up to
+    one per remaining ``group_cols`` (or one global summary): sum the
+    partial counts per item, then subtract the per-group (k+1)-th
+    largest combined count (the m-way MG merge).  The self-certifying
+    error bound SURVIVES merging: the decrement removes at least
+    ``t*(k+1)`` mass, so the merged summary's own certificate
+    ``(n - sum(counts))/(k+1)`` still dominates the accumulated error
+    (Agarwal et al., PODS'12) — property-tested in
+    tests/test_sketches.py."""
+    if k < 1:
+        raise ValueError(f"mg_merge: k must be >= 1, got {k}")
+    groups = list(group_cols or [])
+    comb = (
+        summaries.select(
+            *groups,
+            F.col(item_col).alias("item"),
+            F.col(count_col).alias("c"),
+        )
+        .groupBy(*groups, "item")
+        .agg(F.sum("c").alias("c"))
+    )
+    return _mg_contract(comb, int(k), groups)

@@ -7029,3 +7029,28 @@ def x_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.mg_summary(
         load_table(spark, sf_dir, "events"), key="event_type", k=64
     )
+
+
+@_register(
+    "x_mg_daily_hitters",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(event_type AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS count_lower
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def x_mg_daily_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Misra-Gries heavy hitters (grouped mg_summary, k=64) —
+    one deterministic k-bounded summary per day, mergeable to any
+    coarser granularity by mg_merge (groupBy-sum + per-group (k+1)-th
+    -largest subtraction; the self-certifying error bound survives the
+    merge — property-tested).  Exact regime here (k >= per-day distinct
+    types), so the grouped machinery is hash-checked cross-engine."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return SK.mg_summary(ev, key="event_type", k=64, group_cols=["day"])

@@ -417,3 +417,61 @@ def test_mg_summary_deterministic_guarantees(spark):
         for r in mg_summary(df, "event_type", k=2000).collect()
     }
     assert exact == true
+
+
+def test_mg_merge_preserves_certificate(spark):
+    """Rolling per-group MG summaries up with mg_merge keeps the MG
+    guarantees for the UNION stream: merged counts stay certified lower
+    bounds, and the merged summary's OWN certificate (n - sum(c))/(k+1)
+    still dominates every item's error (the decrement step removes at
+    least t*(k+1) mass, so certificates compose — Agarwal et al.)."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for day in range(4):
+        # per-day zipf-ish mix with day-varying heavies
+        items = (
+            [f"hot{day}"] * 300 + ["global_hot"] * 200
+            + [f"t{day}_{i}" for i in range(250)]
+        )
+        rng.shuffle(items)
+        rows += [(day, it) for it in items]
+    true = {}
+    for _, it in rows:
+        true[it] = true.get(it, 0) + 1
+    n = len(rows)
+    df = spark.createDataFrame(rows, "day int, event_type string")
+
+    k = 6
+    daily = mg_summary(df, "event_type", k=k, group_cols=["day"])
+    merged = {
+        r["item"]: r["count_lower"]
+        for r in mg_merge(daily, k=k).collect()
+    }
+    assert 0 < len(merged) <= k
+    cert = (n - sum(merged.values())) / (k + 1)
+    for item, c in merged.items():
+        assert c <= true[item], (item, c, true[item])
+        assert true[item] - c <= cert, (item, c, true[item], cert)
+    # items above the certificate are guaranteed present
+    for item, t in true.items():
+        if t > cert:
+            assert item in merged, (item, t, cert)
+
+    # per-day summaries in the exact regime equal per-day counts
+    exact_daily = {
+        (r["day"], r["item"]): r["count_lower"]
+        for r in mg_summary(
+            df, "event_type", k=1000, group_cols=["day"]
+        ).collect()
+    }
+    true_daily = {}
+    for day, it in rows:
+        true_daily[(day, it)] = true_daily.get((day, it), 0) + 1
+    assert exact_daily == true_daily
