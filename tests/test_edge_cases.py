@@ -304,3 +304,72 @@ def test_global_order_index_handles_duplicate_free_single_row(spark):
     [r] = SA.global_order_index(df, "k", partitions=4).collect()
     assert r["global_idx"] == 1
     spark.catalog.clearCache()
+
+
+def test_dbscan_empty_and_all_noise(spark):
+    """Empty input -> empty output with the declared schema; scattered
+    singleton points (no neighbors) -> all noise, cluster -1."""
+    from kafka_dead_letter_analyzer_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.dbscan_grid(empty, scale=1, eps=5, min_pts=2)
+    assert out.columns == ["vec_id", "x", "y", "n_neighbors", "role", "cluster"]
+    assert out.count() == 0
+
+    sparse = spark.createDataFrame(
+        [(i, [float(i * 1000), float(-i * 1000)]) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = S.dbscan_grid(sparse, scale=1, eps=5, min_pts=2).collect()
+    assert len(rows) == 4
+    assert all(r["role"] == "noise" and r["cluster"] == -1 for r in rows)
+    spark.catalog.clearCache()
+
+
+def test_bfs_hops_empty_graph_and_unreachable_seeds(spark):
+    """No edges -> only the seeds at hop 0; seeds with no incident edges
+    never expand."""
+    from kafka_dead_letter_analyzer_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    seeds = spark.createDataFrame([(7,), (9,)], "node bigint")
+    for limit in (1_000_000, None):
+        got = sorted(
+            (r["node"], r["hop"])
+            for r in bfs_hops(
+                edges, seeds, max_hops=3, driver_pair_limit=limit
+            ).collect()
+        )
+        assert got == [(7, 0), (9, 0)], (limit, got)
+    spark.catalog.clearCache()
+
+
+def test_mg_summary_empty_and_all_null_keys(spark):
+    """Empty input and all-NULL keys both produce an empty summary (null
+    keys are excluded by contract)."""
+    from kafka_dead_letter_analyzer_spark.operators.sketches import mg_summary
+
+    empty = spark.createDataFrame([], "event_type string")
+    assert mg_summary(empty, "event_type", k=4).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "event_type string")
+    assert mg_summary(nulls, "event_type", k=4).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_decay_weighted_counts_empty_and_single_row(spark):
+    """Empty input -> empty output; a single row anchors the max at
+    itself -> age 0 -> full weight."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        decay_weighted_counts,
+    )
+
+    empty = spark.createDataFrame([], "event_type string, ts timestamp")
+    assert decay_weighted_counts(empty, ["event_type"]).count() == 0
+    one = spark.createDataFrame(
+        [("a", dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))],
+        "event_type string, ts timestamp",
+    )
+    [r] = decay_weighted_counts(one, ["event_type"]).collect()
+    assert (r["n_events"], r["weighted_pressure"]) == (1, 1_000_000)
