@@ -806,3 +806,99 @@ def streaming_rate_limit(
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous quantile sketches (live latency/size percentiles)
+# ---------------------------------------------------------------------------
+
+
+def _make_qsketch_fn(k: int):
+    def _qsketch_fn(key, pdfs, state) -> Iterator:
+        """Maintain one level-sampling quantile sketch per group key:
+        state = (exact n, kept (h60, v) pairs below the current level
+        threshold).  Each batch: add rows, recompute L = smallest
+        integer with n/2^L <= k from the NEW n, prune everything at or
+        above 2^(60-L).  Because {h < T} is monotone in T and the hash
+        draw is per-row-deterministic, the state after ANY prefix of
+        batches equals the batch sketch of exactly those rows — the
+        same algebra as quantile_sketch_merge, so stream and backfill
+        can never disagree (convergence-tested).  State is O(k) pairs;
+        each trigger emits the group's full current sketch (sketch-
+        sized, strictly increasing n tags the latest emission)."""
+        import pandas as pd
+
+        if state.exists:
+            n, hs, vs = state.get
+            hs, vs = list(hs), list(vs)
+        else:
+            n, hs, vs = 0, [], []
+        for pdf in pdfs:
+            n += len(pdf)
+            hs.extend(int(h) for h in pdf["h60"])
+            vs.extend(float(v) for v in pdf["v"])
+        m = (n + k - 1) // k
+        lvl = 0 if m <= 1 else (m - 1).bit_length()
+        thr = 1 << (60 - lvl)
+        kept = [(h, v) for h, v in zip(hs, vs) if h < thr]
+        state.update((n, [h for h, _ in kept], [v for _, v in kept]))
+        weight = 1 << lvl
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])] * len(kept),
+                "h60": [h for h, _ in kept],
+                "v": [v for _, v in kept],
+                "weight": [weight] * len(kept),
+                "n": [n] * len(kept),
+            }
+        )
+
+    return _qsketch_fn
+
+
+def streaming_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "qsk:",
+) -> DataFrame:
+    """Live per-group quantile sketches as a stateful streaming
+    operator — the streaming half of
+    ``operators/quantiles.py::quantile_level_sketch`` (same salted
+    per-row hash draw, same integer level rule), maintained with
+    ``applyInPandasWithState``.  Update mode: every trigger re-emits
+    each touched group's full current sketch (``(group_key, h60, v,
+    weight, n)``; ``n`` strictly increases, so downstream keeps the
+    rows with the max ``n`` per group — the Elasticsearch-upsert
+    consumption model the reference's stats follow).
+
+    Exactness contract (tested): after any sequence of micro-batches,
+    a group's emitted sketch EQUALS the batch
+    ``quantile_level_sketch`` over the same rows — level-sampling
+    state is arrival-order- and batching-independent, unlike KLL
+    (whose compaction sequence depends on feed granularity; that is
+    why THIS sketch is the streaming one).  State per group is O(k)
+    pairs regardless of stream length — the bounded-state property
+    that keeps live p99 monitoring viable on an unbounded stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import md5_u60
+
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        md5_u60(F.concat(F.lit(salt), F.col(key).cast("string"))).alias(
+            "h60"
+        ),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_qsketch_fn(int(k)),
+        outputStructType="group_key string, h60 long, v double, "
+        "weight long, n long",
+        stateStructType="n long, hs array<long>, vs array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

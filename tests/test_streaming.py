@@ -1729,3 +1729,65 @@ def test_streaming_windowed_hll_with_watermark_converges(spark, tmp_path):
         ).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_quantile_sketch_converges_to_batch(spark, tmp_path):
+    """The stateful streaming level sketch equals the BATCH
+    quantile_level_sketch over the same rows after any number of
+    micro-batches — level-sampling state is arrival-order- and
+    batching-independent (the reason it, not KLL, is the streaming
+    quantile operator). The latest emission per group carries the max
+    n; re-leveling across batches must prune previously-kept rows."""
+    from pyspark.sql import functions as SF2
+
+    from kafka_dead_letter_analyzer_spark.operators.quantiles import (
+        quantile_level_sketch,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_quantile_sketch,
+    )
+
+    src = str(tmp_path / "qsk_src")
+    k = 16
+    # two batches per group; enough rows that L rises between batches
+    b1 = [("api", i, float(i % 97)) for i in range(300)]
+    b2 = [("api", 1000 + i, float(i % 89)) for i in range(250)] + [
+        ("db", 5000 + i, float(i)) for i in range(40)
+    ]
+    schema = "grp string, event_id bigint, value double"
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_quantile_sketch(
+        stream, group_col="grp", key="event_id", value_col="value", k=k
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qsk_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        emitted = spark.table("qsk_stream").collect()
+    finally:
+        q.stop()
+    latest_n = {}
+    for r in emitted:
+        latest_n[r["group_key"]] = max(latest_n.get(r["group_key"], 0), r["n"])
+    got = {
+        (r["group_key"], r["h60"], r["v"], r["weight"], r["n"])
+        for r in emitted
+        if r["n"] == latest_n[r["group_key"]]
+    }
+    batch = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        (r["grp"], r["h60"], r["v"], r["weight"], r["n"])
+        for r in quantile_level_sketch(
+            batch, key="event_id", value_col="value", k=k, group_cols=["grp"]
+        ).collect()
+    }
+    assert got == expected
+    # non-vacuous: the api group re-leveled between batches (L > 0)
+    assert any(g == "api" and w > 1 for g, _, _, w, _ in got)
