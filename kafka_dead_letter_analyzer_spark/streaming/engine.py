@@ -902,3 +902,83 @@ def streaming_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_mg_fn(k: int):
+    def _mg_fn(key, pdfs, state) -> Iterator:
+        """Maintain one Misra-Gries summary per group key: state = the
+        (item, count) dict, folded per batch with the same decrement
+        rule the batch operator uses (add batch value_counts, subtract
+        the (k+1)-th largest, keep positive).  The summary obeys the
+        deterministic MG guarantees for the stream prefix: counts are
+        certified lower bounds and every item with frequency above
+        ``(n - sum(counts))/(k+1)`` is present — n is tracked exactly
+        in state and emitted, so the certificate travels with every
+        emission.  Unlike the level sketch, the summary CONTENT in the
+        decrement regime depends on batch boundaries (inherent to MG);
+        in the exact regime (k >= distinct items) it equals the exact
+        counts, which is the convergence test's pin.  State is O(k)."""
+        import pandas as pd
+
+        if state.exists:
+            n, items, counts = state.get
+            summary = dict(zip(items, counts))
+        else:
+            n, summary = 0, {}
+        for pdf in pdfs:
+            n += len(pdf)
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > k:
+                thr = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    i: c - thr for i, c in summary.items() if c > thr
+                }
+        state.update((n, list(summary), [summary[i] for i in summary]))
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])] * len(summary),
+                "item": list(summary),
+                "count_lower": list(summary.values()),
+                "n": [n] * len(summary),
+            }
+        )
+
+    return _mg_fn
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int = 64,
+) -> DataFrame:
+    """Live per-group Misra-Gries heavy hitters — the streaming half of
+    ``operators/sketches.py::mg_summary`` via
+    ``applyInPandasWithState``: O(k) state per group, update-mode
+    emission of each touched group's full current summary ``(group_key,
+    item, count_lower, n)``; ``n`` strictly increases, so downstream
+    keeps the max-n rows per group (upsert consumption).  Deterministic
+    MG guarantees hold for every emission (certified lower bounds,
+    self-certifying error ``(n - sum(count_lower))/(k+1)``); in the
+    exact regime (k at least the live distinct count) the emission IS
+    the exact running counts and equals the batch operator —
+    convergence-tested.  The complement to
+    :func:`streaming_topk_types` (which keeps exact counts for a
+    FIXED key set) for unbounded key domains: state stays k entries no
+    matter how many distinct keys the stream ever carries."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(key).cast("string").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_mg_fn(int(k)),
+        outputStructType="group_key string, item string, "
+        "count_lower long, n long",
+        stateStructType="n long, items array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

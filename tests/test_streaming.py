@@ -1791,3 +1791,57 @@ def test_streaming_quantile_sketch_converges_to_batch(spark, tmp_path):
     assert got == expected
     # non-vacuous: the api group re-leveled between batches (L > 0)
     assert any(g == "api" and w > 1 for g, _, _, w, _ in got)
+
+
+def test_streaming_heavy_hitters_guarantees_and_exact_regime(spark, tmp_path):
+    """Streaming MG: in the exact regime (k >= distinct) the latest
+    emission equals the exact running counts (= the batch mg_summary);
+    in the decrement regime every emission satisfies the MG
+    certificates (lower bounds; coverage above (n-sum)/(k+1))."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_heavy_hitters,
+    )
+
+    rng = random.Random(5)
+    b1 = [("g", it) for it in ["a"] * 120 + ["b"] * 60 + [f"t{i}" for i in range(80)]]
+    b2 = [("g", it) for it in ["a"] * 50 + ["c"] * 90 + [f"u{i}" for i in range(70)]]
+    rng.shuffle(b1); rng.shuffle(b2)
+    true = {}
+    for _, it in b1 + b2:
+        true[it] = true.get(it, 0) + 1
+    n_total = len(b1) + len(b2)
+
+    def run(k):
+        src = str(tmp_path / f"mg_src_{k}")
+        schema = "grp string, event_type string"
+        spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_heavy_hitters(stream, "grp", "event_type", k=k)
+        q = (out.writeStream.format("memory").queryName(f"mg_s_{k}")
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            rows = spark.table(f"mg_s_{k}").collect()
+        finally:
+            q.stop()
+        max_n = max(r["n"] for r in rows)
+        assert max_n == n_total
+        return {r["item"]: r["count_lower"] for r in rows if r["n"] == max_n}
+
+    # decrement regime: certificates hold on the final emission
+    k = 5
+    got = run(k)
+    assert 0 < len(got) <= k
+    cert = (n_total - sum(got.values())) / (k + 1)
+    for item, c in got.items():
+        assert c <= true[item]
+        assert true[item] - c <= cert
+    for item, t in true.items():
+        if t > cert:
+            assert item in got
+    # exact regime: equals exact counts
+    assert run(1000) == true
