@@ -248,15 +248,33 @@ def kmv_set_algebra(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFra
 def kmv_setops_estimates(rows: list, k: int) -> dict:
     """Set-cardinality estimates from collected :func:`kmv_set_algebra`
     rows: ``jaccard`` (fraction of valid-region union hashes present in
-    both sides), ``union`` (KMV estimate over the union rows), and
-    ``intersection`` (their product — the theta-sketch identity).
-    Float math, driver-side, outside the hash gate."""
+    both sides), ``union`` (KMV estimate over the union rows),
+    ``intersection`` (their product — the theta-sketch identity), and
+    the asymmetric DIFFERENCES ``a_minus_b`` / ``b_minus_a`` (fraction
+    of valid-region hashes in exactly one side, times the union
+    estimate — the same identity; completes the theta set algebra so a
+    planner can price an anti-join the way the intersection prices a
+    semi-join).  Float math, driver-side, outside the hash gate."""
     if not rows:
-        return {"jaccard": 0.0, "union": 0.0, "intersection": 0.0}
+        return {
+            "jaccard": 0.0,
+            "union": 0.0,
+            "intersection": 0.0,
+            "a_minus_b": 0.0,
+            "b_minus_a": 0.0,
+        }
     both = sum(1 for r in rows if r["in_a"] and r["in_b"])
+    only_a = sum(1 for r in rows if r["in_a"] and not r["in_b"])
+    only_b = sum(1 for r in rows if r["in_b"] and not r["in_a"])
     jac = both / len(rows)
     union = kmv_estimate([r["h60"] for r in rows], k)
-    return {"jaccard": jac, "union": union, "intersection": jac * union}
+    return {
+        "jaccard": jac,
+        "union": union,
+        "intersection": jac * union,
+        "a_minus_b": only_a / len(rows) * union,
+        "b_minus_a": only_b / len(rows) * union,
+    }
 
 
 # ---------------------------------------------------------------------------

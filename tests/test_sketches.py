@@ -351,6 +351,14 @@ def test_kmv_setops_estimates_accuracy(spark):
     assert abs(est["jaccard"] - true_j) < 4 * sigma + 1 / len(rows)
     assert abs(est["union"] - len(sa | sb)) / len(sa | sb) < 0.3
     assert est["intersection"] == pytest.approx(est["jaccard"] * est["union"])
+    # difference estimates: same identity, asymmetric fractions; the
+    # three disjoint regions must tile the union estimate exactly
+    assert est["a_minus_b"] + est["b_minus_a"] + est["intersection"] == (
+        pytest.approx(est["union"])
+    )
+    true_ab = len(sa - sb) / len(sa | sb)
+    sig_ab = (true_ab * (1 - true_ab) / len(rows)) ** 0.5
+    assert abs(est["a_minus_b"] / est["union"] - true_ab) < 4 * sig_ab + 1 / len(rows)
 
 
 def test_kmv_setops_exact_when_both_below_k(spark):
