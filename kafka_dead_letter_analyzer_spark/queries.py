@@ -6961,6 +6961,12 @@ def x_dup_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=32,
         threshold=0.5,
     )
+    # TWO consumers (component seeds + the BFS itself) over the
+    # expensive minhash candidate pipeline — the triangle_counts persist
+    # rule (upstream cost, not consumer count). Measured warm at sf0.1:
+    # 3.3-3.6 s unpersisted (two full minhash passes) -> 2.5 s.
+    pairs = pairs.persist()
+    cache_registry.track(pairs)
     comp = G.connected_components(pairs, src="id_a", dst="id_b")
     seeds = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("node")
