@@ -155,8 +155,19 @@ def test_minhash_candidate_shuffle_carries_no_signatures(spark, Q):
     """The minhash candidate pipeline must never shuffle shingle-hash
     arrays: every non-broadcast Exchange's input is id/band/bucket-only
     (the 12-byte-row candidate shuffle that makes LSH scale), and the
-    persisted signature base means exactly ONE parquet scan."""
+    persisted signature base means exactly ONE parquet scan.
+
+    Needs a clean CacheManager: x_dup_graph_radius persists the SAME
+    pair-table plan at this SF, and if an earlier test in the session
+    built it, cache substitution collapses this whole plan into one
+    InMemoryTableScan (correct engine behavior — the pin just can't
+    read shuffle shapes through it)."""
     import re
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    cache_registry.release_all()
+    spark.catalog.clearCache()
 
     from kafka_dead_letter_analyzer_spark.operators.dedup import (
         dedup_near_minhash,
