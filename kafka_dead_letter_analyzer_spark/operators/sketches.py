@@ -60,6 +60,7 @@ __all__ = [
     "bloom_contains",
     "mg_summary",
     "mg_merge",
+    "ss_summary",
 ]
 
 # 60 bits: 15 hex digits of md5.  Wide enough that collisions are
@@ -708,3 +709,174 @@ def mg_merge(
         .agg(F.sum("c").alias("c"))
     )
     return _mg_contract(comb, int(k), groups)
+
+
+def ss_summary(
+    df: DataFrame,
+    key: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Space-Saving heavy-hitter summary of ``df[key]`` — at most ``k``
+    rows ``(item STRING, count_upper BIGINT, err_upper BIGINT)`` per
+    group, the UPPER-bound dual of :func:`mg_summary` (Metwally,
+    Agrawal & El Abbadi, ICDT'05 "Efficient computation of frequent and
+    top-k elements in data streams"; merge rule per Agarwal et al.,
+    PODS'12 "Mergeable Summaries"):
+
+    - ``count_upper >= true_count`` for every emitted item (a certified
+      UPPER bound — MG certifies lower bounds, CMS over-counts only
+      probabilistically; Space-Saving over-counts deterministically and
+      carries the slack), and
+    - ``count_upper - err_upper <= true_count``, so each row brackets
+      its item's true frequency from BOTH sides using only its own two
+      integers.
+
+    Algorithm per partition (one ``mapInPandas`` pass, k-bounded
+    state): maintain k counters ``(count, err)``; a batch's
+    ``value_counts`` folds item-at-a-time over the DICT-sized batch
+    summary (never per input row) in a deterministic ``(-count, item)``
+    order; an unseen item evicts the minimum counter ``m`` and enters
+    as ``(m + c, m)`` — the classic stream-summary replacement.  Each
+    partition also emits its residual ``r_p`` (its minimum count if the
+    summary is full, else 0): the upper bound on ANY absent item's
+    count in that partition.
+
+    Merge with BUILT-IN ops only: per item, present partitions
+    contribute their ``(count, err)`` sums and each absent partition
+    contributes ``r_p`` to both — computed as ``sum(count) +
+    (total_residual - sum(r_p over present partitions))`` without
+    enumerating absences.  The merged set then contracts to the k
+    largest by ``count_upper`` (dropping a row never weakens the
+    retained rows' bounds).  Every post-scan stage's width is the
+    summary size (``tasks x (k+1)`` rows), not the data size.
+
+    Like MG, the summary CONTENT in the eviction regime depends on
+    partition layout (inherent; the bounds hold regardless —
+    property-tested in tests/test_sketches.py).  With ``k`` at least
+    the per-partition distinct count no eviction fires, every residual
+    is 0, ``err_upper = 0``, and the result is EXACTLY the top-k
+    per-key counts — the declared oracle query runs in that regime so
+    the full machinery is hash-checked cross-engine.
+    """
+    if k < 1:
+        raise ValueError(f"ss_summary: k must be >= 1, got {k}")
+    kk = int(k)
+    groups = list(group_cols or [])
+
+    def _ss_partition(batches):
+        import pandas as pd
+
+        summaries: dict = {}
+
+        def _fold(state: dict, vc) -> None:
+            # deterministic fold order: largest batch-count first, item
+            # as tie-break — partition content fixes the outcome
+            for item, c in sorted(vc.items(), key=lambda t: (-t[1], t[0])):
+                c = int(c)
+                if item in state:
+                    cnt, err = state[item]
+                    state[item] = (cnt + c, err)
+                elif len(state) < kk:
+                    state[item] = (c, 0)
+                else:
+                    victim = min(
+                        state.items(), key=lambda t: (t[1][0], t[0])
+                    )[0]
+                    m = state[victim][0]
+                    del state[victim]
+                    state[item] = (m + c, m)
+
+        for pdf in batches:
+            if groups:
+                for gv, grp in pdf.groupby(groups, sort=False, dropna=False):
+                    gv = gv if isinstance(gv, tuple) else (gv,)
+                    _fold(
+                        summaries.setdefault(gv, {}),
+                        grp["item"].value_counts(),
+                    )
+            else:
+                _fold(
+                    summaries.setdefault((), {}),
+                    pdf["item"].value_counts(),
+                )
+        rows = []
+        for gv, state in summaries.items():
+            r_p = (
+                min(cnt for cnt, _ in state.values())
+                if len(state) >= kk
+                else 0
+            )
+            for item, (cnt, err) in state.items():
+                rows.append((*gv, item, cnt, err, r_p))
+            # one residual marker per (group, partition-summary): item
+            # NULL carries r_p into the total-residual aggregate
+            rows.append((*gv, None, 0, 0, r_p))
+        yield pd.DataFrame(
+            rows, columns=[*groups, "item", "cnt", "err", "res"]
+        )
+
+    gexprs = [df[g] for g in groups]
+    schema_parts = [
+        f"{g} {df.schema[g].dataType.simpleString()}" for g in groups
+    ]
+    partials = (
+        df.select(*gexprs, F.col(key).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(
+            _ss_partition,
+            schema=", ".join(
+                [*schema_parts, "item string", "cnt long", "err long",
+                 "res long"]
+            ),
+        )
+    )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    # partials feeds both the total-residual aggregate and the per-item
+    # merge — persist or the full-scan SS pass runs twice (mg_summary's
+    # comb rule, one stage earlier because SS needs the marker split)
+    partials = partials.persist()
+    cache_registry.track(partials)
+
+    total_res = (
+        partials.filter(F.col("item").isNull())
+        .groupBy(*groups)
+        .agg(F.sum("res").alias("total_res"))
+    )
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy(*groups, "item")
+        .agg(
+            F.sum("cnt").alias("c"),
+            F.sum("err").alias("e"),
+            F.sum("res").alias("rp"),
+        )
+    )
+    if groups:
+        joined = merged.join(F.broadcast(total_res), groups)
+    else:
+        joined = merged.crossJoin(F.broadcast(total_res))
+    bounded = joined.select(
+        *groups,
+        "item",
+        (F.col("c") + F.col("total_res") - F.col("rp"))
+        .cast("bigint")
+        .alias("count_upper"),
+        (F.col("e") + F.col("total_res") - F.col("rp"))
+        .cast("bigint")
+        .alias("err_upper"),
+    )
+    if groups:
+        # per-group top-k: rank window PARTITIONED on the groups over
+        # the bounded (tasks x k per group) merged set — no global sort
+        w = Window.partitionBy(*groups).orderBy(
+            F.desc("count_upper"), F.col("item")
+        )
+        return (
+            bounded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kk)
+            .drop("rn")
+        )
+    # global: TakeOrdered contraction (each task ships its local top k)
+    return bounded.orderBy(F.desc("count_upper"), F.col("item")).limit(kk)

@@ -7060,3 +7060,35 @@ def x_mg_daily_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     return SK.mg_summary(ev, key="event_type", k=64, group_cols=["day"])
+
+
+@_register(
+    "x_space_saving_topk",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS count_upper,
+           CAST(0 AS BIGINT) AS err_upper
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1
+    ORDER BY count_upper DESC, item
+    LIMIT 64
+    """,
+)
+def x_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-Saving top-k over event types
+    (operators/sketches.py::ss_summary, k=64) — the UPPER-bound dual of
+    x_mg_heavy_hitters: every emitted count certifies
+    ``count_upper >= true >= count_upper - err_upper``, bracketing the
+    true frequency from both sides across the two deterministic
+    sketches.  Declared with k well above the distinct-type count, so
+    no eviction fires, every partition residual is 0, and the result is
+    EXACTLY the top-k per-type counts — the full machinery
+    (per-partition stream-summary fold, residual-marker total, absent-
+    partition bound arithmetic, TakeOrdered contraction) runs and is
+    hash-checked cross-engine; the eviction regime's bounds are
+    property-tested in tests/test_sketches.py."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    return SK.ss_summary(
+        load_table(spark, sf_dir, "events"), key="event_type", k=64
+    )

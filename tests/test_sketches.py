@@ -483,3 +483,139 @@ def test_mg_merge_preserves_certificate(spark):
     for day, it in rows:
         true_daily[(day, it)] = true_daily.get((day, it), 0) + 1
     assert exact_daily == true_daily
+
+
+def test_ss_summary_upper_bound_brackets(spark):
+    """Space-Saving in the EVICTION regime (k << distinct): every
+    emitted row brackets its item's true frequency from both sides —
+    ``count_upper >= true >= count_upper - err_upper`` — under an
+    arbitrary partition layout (the distributed merge adds each absent
+    partition's residual to both the bound and the error).  Exact
+    regime (k >= distinct): counts are exact and every error is 0."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        ss_summary,
+    )
+
+    rng = random.Random(53)
+    items = (
+        ["hot_a"] * 500 + ["hot_b"] * 300 + ["hot_c"] * 150
+        + [f"tail{i}" for i in range(700)]
+        + [f"mid{i % 25}" for i in range(400)]
+    )
+    rng.shuffle(items)
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+    df = spark.createDataFrame(
+        [(it,) for it in items], "event_type string"
+    ).repartition(7)
+
+    k = 8
+    out = ss_summary(df, "event_type", k=k).collect()
+    assert 0 < len(out) <= k
+    for r in out:
+        t = true.get(r["item"], 0)
+        assert r["count_upper"] >= t, (r, t)
+        assert r["count_upper"] - r["err_upper"] <= t, (r, t)
+        assert r["err_upper"] >= 0
+
+    # exact regime: top-k of the exact counts, zero error
+    exact = {
+        r["item"]: (r["count_upper"], r["err_upper"])
+        for r in ss_summary(df, "event_type", k=5000).collect()
+    }
+    assert all(e == 0 for _, e in exact.values())
+    assert {i: c for i, (c, _) in exact.items()} == true
+
+    # heavy-hitter retention: any item certified heavier than every
+    # possible missed item must be in the top-k — its LOWER bound
+    # (count_upper - err_upper) beating the k-th retained upper bound
+    # implies no absent item can outrank it
+    kth_upper = min(r["count_upper"] for r in out)
+    present = {r["item"] for r in out}
+    for r in out:
+        if r["count_upper"] - r["err_upper"] > kth_upper:
+            assert r["item"] in present
+
+
+def test_ss_summary_grouped_bounds_and_contract(spark):
+    """Grouped Space-Saving: per-group k-bounded summaries with the
+    same two-sided bracket per row, contracted per group by the rank
+    window (never more than k rows per group)."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        ss_summary,
+    )
+
+    rng = random.Random(91)
+    rows = []
+    for day in range(3):
+        items = (
+            [f"hot{day}"] * 250 + ["global_hot"] * 150
+            + [f"t{day}_{i}" for i in range(200)]
+        )
+        rng.shuffle(items)
+        rows += [(day, it) for it in items]
+    true = {}
+    for day, it in rows:
+        true[(day, it)] = true.get((day, it), 0) + 1
+    df = spark.createDataFrame(
+        rows, "day int, event_type string"
+    ).repartition(5)
+
+    k = 6
+    out = ss_summary(df, "event_type", k=k, group_cols=["day"]).collect()
+    per_day = {}
+    for r in out:
+        per_day.setdefault(r["day"], []).append(r)
+        t = true.get((r["day"], r["item"]), 0)
+        assert r["count_upper"] >= t, (r, t)
+        assert r["count_upper"] - r["err_upper"] <= t, (r, t)
+    assert all(len(v) <= k for v in per_day.values())
+    assert set(per_day) == {0, 1, 2}
+
+    # exact regime per group
+    exact = {
+        (r["day"], r["item"]): (r["count_upper"], r["err_upper"])
+        for r in ss_summary(
+            df, "event_type", k=1000, group_cols=["day"]
+        ).collect()
+    }
+    assert all(e == 0 for _, e in exact.values())
+    assert {g: c for g, (c, _) in exact.items()} == true
+
+
+def test_ss_vs_mg_bracket_the_truth_together(spark):
+    """The two deterministic sketches run on the same stream bracket
+    every co-reported item: mg count_lower <= true <= ss count_upper."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        mg_summary,
+        ss_summary,
+    )
+
+    rng = random.Random(17)
+    items = ["h1"] * 400 + ["h2"] * 250 + [f"t{i}" for i in range(500)]
+    rng.shuffle(items)
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+    df = spark.createDataFrame(
+        [(it,) for it in items], "event_type string"
+    ).repartition(4)
+    lo = {
+        r["item"]: r["count_lower"]
+        for r in mg_summary(df, "event_type", k=8).collect()
+    }
+    hi = {
+        r["item"]: r["count_upper"]
+        for r in ss_summary(df, "event_type", k=8).collect()
+    }
+    for item in set(lo) & set(hi):
+        assert lo[item] <= true[item] <= hi[item], (
+            item, lo[item], true[item], hi[item],
+        )
