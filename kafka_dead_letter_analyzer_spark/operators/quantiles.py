@@ -62,6 +62,7 @@ __all__ = [
     "quantile_sketch_estimate",
     "KLL",
     "kll_quantiles",
+    "kll_quantiles_grouped",
 ]
 
 _HASH_BITS = 60
@@ -469,4 +470,161 @@ def kll_quantiles(
     ]
     return spark.createDataFrame(
         out, schema="q_permille bigint, est double, n bigint"
+    )
+
+
+def kll_quantiles_grouped(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 200,
+    buckets: int = 4,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    max_groups: int = 4096,
+) -> DataFrame:
+    """Per-group KLL quantile estimates —
+    ``(*group_cols, q_permille BIGINT, est DOUBLE, n BIGINT)``, one row
+    per group per requested probability.
+
+    The grouped form of :func:`kll_quantiles` with the same
+    bit-reproducibility contract PER GROUP: rows are bucketed by
+    ``pmod(md5_u60(key), buckets)`` and hash-partitioned on
+    ``(*groups, b)`` — each (group, bucket) slice lands whole in one
+    task, sorted by key hash, so every group's insertion order is a
+    deterministic pseudo-random shuffle of its own values regardless of
+    input partition layout OR of what other groups share the task.  One
+    KLL per (group, bucket) streams through ``mapInPandas`` at
+    O(groups-in-task x sketch) memory with the 512-row CHUNK feed
+    (compaction sequence independent of Arrow batch boundaries); the
+    partial sketches merge driver-side per group in bucket order with
+    sorted buffers and hash-derived coins — identical to the global
+    build, applied groupwise.
+
+    Bounded-collect contract: the driver receives
+    ``groups x buckets x O(k log(n/k))`` rows — guarded by
+    ``max_groups`` (a cheap ``limit(max_groups+1)`` distinct probe;
+    RAISES rather than silently collecting an unbounded group domain).
+    At cluster scale raise ``max_groups``/``buckets`` with executor
+    count, or pre-aggregate the group domain; the per-group sketches
+    stay fixed-size.
+
+    Declared rows-only like the global build (no SQL oracle can replay
+    compaction); distributed-vs-local-replay equality and accuracy are
+    differential-tested in tests/test_quantiles.py."""
+    spark = df.sparkSession
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("kll_quantiles_grouped: group_cols is empty")
+
+    n_groups = df.select(*groups).distinct().limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kll_quantiles_grouped: > {max_groups} distinct groups — "
+            "the per-group partial collect would be unbounded; raise "
+            "max_groups deliberately or coarsen the grouping"
+        )
+
+    hashed = df.select(
+        *[df[g] for g in groups],
+        md5_u60(F.concat(F.lit("kbk:"), F.col(key).cast("string"))).alias(
+            "h60"
+        ),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    n_part = max(int(buckets), spark.sparkContext.defaultParallelism)
+    bucketed = (
+        hashed.withColumn(
+            "b", F.pmod(F.col("h60"), F.lit(buckets)).cast("int")
+        )
+        .repartition(n_part, *groups, "b")
+        .sortWithinPartitions(*groups, "b", "h60")
+    )
+
+    kk = int(k)
+    CHUNK = 512  # same fixed feed granularity as the global build
+
+    def _build(batches):
+        import numpy as np
+        import pandas as pd
+
+        sketches: dict[tuple, KLL] = {}
+        pending: dict[tuple, "np.ndarray"] = {}
+
+        def _drain(gb: tuple, final: bool = False) -> None:
+            buf = pending[gb]
+            sk = sketches[gb]
+            off = 0
+            while len(buf) - off >= CHUNK:
+                sk.bulk_update(buf[off : off + CHUNK])
+                off += CHUNK
+            if final and off < len(buf):
+                sk.bulk_update(buf[off:])
+                off = len(buf)
+            if off:
+                pending[gb] = buf[off:]
+
+        for pdf in batches:
+            # rows arrive sorted by (*groups, b, h60): every (group,
+            # bucket) slice is contiguous and in deterministic order
+            for gb, grp in pdf.groupby([*groups, "b"], sort=True,
+                                       dropna=False):
+                gb = gb if isinstance(gb, tuple) else (gb,)
+                if gb not in sketches:
+                    sketches[gb] = KLL(kk)
+                    pending[gb] = np.empty(0, dtype=np.float64)
+                arr = grp["v"].to_numpy(dtype=np.float64)
+                pending[gb] = (
+                    np.concatenate((pending[gb], arr))
+                    if len(pending[gb])
+                    else arr
+                )
+                _drain(gb)
+        rows = []
+        for gb in sketches:
+            _drain(gb, final=True)
+            sk = sketches[gb]
+            for l, buf in enumerate(sk.levels):
+                for v in buf:
+                    rows.append((*gb, l, float(v)))
+            rows.append((*gb, -1, float(sk.n)))  # n marker row
+        yield pd.DataFrame(
+            rows, columns=[*groups, "b", "level", "item"]
+        )
+
+    gschema = [
+        f"{g} {df.schema[g].dataType.simpleString()}" for g in groups
+    ]
+    part_schema = ", ".join([*gschema, "b int", "level int", "item double"])
+    partials = bucketed.mapInPandas(_build, schema=part_schema).collect()
+
+    per_gb: dict[tuple, dict[int, KLL]] = {}
+    for r in partials:
+        gv = tuple(r[g] for g in groups)
+        sk = per_gb.setdefault(gv, {}).setdefault(int(r["b"]), KLL(kk))
+        if r["level"] == -1:
+            sk.n += int(r["item"])
+        else:
+            while len(sk.levels) <= r["level"]:
+                sk.levels.append([])
+            sk.levels[r["level"]].append(float(r["item"]))
+
+    out = []
+    for gv in sorted(per_gb, key=lambda t: tuple(map(str, t))):
+        merged = KLL(kk)
+        for b in sorted(per_gb[gv]):
+            sk = per_gb[gv][b]
+            for buf in sk.levels:
+                buf.sort()  # canonical order before deterministic merge
+            merged.merge(sk)
+        for q in probs:
+            out.append(
+                (*gv, int(round(q * 1000)), float(merged.quantile(q)),
+                 int(merged.n))
+            )
+    return spark.createDataFrame(
+        out,
+        schema=", ".join(
+            [*gschema, "q_permille bigint", "est double", "n bigint"]
+        ),
     )

@@ -7092,3 +7092,29 @@ def x_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.ss_summary(
         load_table(spark, sf_dir, "events"), key="event_type", k=64
     )
+
+
+@_register("x_kll_grouped")  # rows-only: KLL compaction is not SQL-expressible
+def x_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KLL quantiles (p50/p90/p99 of event value,
+    k=200) — the grouped form of x_kll_quantiles: one deterministic
+    compactor per (group, hash-bucket), hash-partitioned so every
+    group's insertion order is its own pseudo-random shuffle
+    independent of partition layout and co-resident groups, merged
+    driver-side per group in bucket order.  Bounded-collect contract is
+    groups x buckets x O(k log(n/k)) rows, guarded by a max_groups
+    probe that RAISES on unbounded group domains.  Rows-only like the
+    global build (compaction is order-dependent, not SQL-expressible);
+    distributed-vs-local-replay equality and per-group accuracy are
+    differential-tested in tests/test_quantiles.py."""
+    from kafka_dead_letter_analyzer_spark.operators import quantiles as QT
+
+    ev = load_table(spark, sf_dir, "events")
+    return QT.kll_quantiles_grouped(
+        ev,
+        key="event_id",
+        value_col="value",
+        group_cols=["event_type"],
+        k=200,
+        buckets=4,
+    )

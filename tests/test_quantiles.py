@@ -201,3 +201,96 @@ def test_kll_quantiles_vs_exact(spark, events):
 def test_kll_rejects_bad_k():
     with pytest.raises(ValueError):
         QT.KLL(k=4)
+
+
+def test_kll_grouped_matches_local_replay(spark, events):
+    """kll_quantiles_grouped is a pure function of each group's value
+    multiset: the distributed build equals a from-scratch local replay
+    (per (group, bucket): values in key-hash order fed in the same
+    512-row chunks, sorted-buffer merge in bucket order) — proving the
+    per-group feed order is deterministic and independent of both input
+    partition layout and co-resident groups."""
+    import hashlib
+
+    k, buckets = 64, 3
+    got = {
+        (r["event_type"], r["q_permille"]): (r["est"], r["n"])
+        for r in QT.kll_quantiles_grouped(
+            events, "event_id", "value", ["event_type"],
+            k=k, buckets=buckets,
+        ).collect()
+    }
+
+    # local replay with the operator's own hash + chunk contract
+    rows = events.select("event_type", "event_id", "value").collect()
+    per_group: dict[str, list] = {}
+    for r in rows:
+        if r["value"] is None:
+            continue
+        h = int(
+            hashlib.md5(f"kbk:{r['event_id']}".encode()).hexdigest()[:15],
+            16,
+        )
+        per_group.setdefault(r["event_type"], []).append(
+            (h % buckets, h, float(r["value"]))
+        )
+    CHUNK = 512
+    for g, tagged in per_group.items():
+        merged = QT.KLL(k)
+        for b in range(buckets):
+            sk = QT.KLL(k)
+            vs = [v for bb, h, v in sorted(tagged) if bb == b]
+            for off in range(0, len(vs) - len(vs) % CHUNK, CHUNK):
+                sk.bulk_update(vs[off : off + CHUNK])
+            if len(vs) % CHUNK:
+                sk.bulk_update(vs[len(vs) - len(vs) % CHUNK :])
+            for buf in sk.levels:
+                buf.sort()
+            merged.merge(sk)
+        for qpm in (500, 900, 990):
+            est, n = got[(g, qpm)]
+            assert n == merged.n, (g, n, merged.n)
+            assert est == merged.quantile(qpm / 1000.0), (g, qpm)
+
+    # partition-layout independence of the same grouped build
+    reshuffled = events.repartition(23, "value")
+    again = {
+        (r["event_type"], r["q_permille"]): (r["est"], r["n"])
+        for r in QT.kll_quantiles_grouped(
+            reshuffled, "event_id", "value", ["event_type"],
+            k=k, buckets=buckets,
+        ).collect()
+    }
+    assert again == got
+
+
+def test_kll_grouped_accuracy_per_group(spark, events):
+    """Each group's estimates land within the O(n_g/k) rank envelope of
+    that group's exact nearest-rank quantiles."""
+    import bisect
+
+    k = 200
+    out = QT.kll_quantiles_grouped(
+        events, "event_id", "value", ["event_type"], k=k, buckets=4
+    ).collect()
+    vals: dict[str, list] = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for v in vals.values():
+        v.sort()
+    assert {r["event_type"] for r in out} == set(vals)
+    for r in out:
+        g, vs = r["event_type"], vals[r["event_type"]]
+        assert r["n"] == len(vs)
+        rank = bisect.bisect_right(vs, r["est"])
+        q = r["q_permille"] / 1000.0
+        assert abs(rank - q * len(vs)) <= 8 * len(vs) / k, (g, r)
+
+
+def test_kll_grouped_guards_group_explosion(spark, events):
+    """The bounded-collect contract: an unbounded group domain RAISES
+    instead of silently collecting groups x buckets sketches."""
+    with pytest.raises(ValueError, match="distinct groups"):
+        QT.kll_quantiles_grouped(
+            events, "event_id", "value", ["event_id"], max_groups=100
+        )
