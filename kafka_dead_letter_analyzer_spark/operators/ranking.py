@@ -1,0 +1,225 @@
+"""Ranking / evaluation metrics — classifier audit primitives for
+training-data pipelines at corpus scale.
+
+A quality-filter pipeline lives or dies by its scorer: before a score
+column gates 100 TB of documents, you measure how well it separates the
+classes you care about.  The classic tool is AUC (area under the ROC
+curve) — equivalently the Mann-Whitney U statistic, ``P(score_pos >
+score_neg) + P(tie)/2`` — and the classic mistake at scale is computing
+it with a GLOBAL rank over every row (one task sorts the corpus).
+
+:func:`auc_exact` computes exact integer AUC sufficient statistics with
+a shuffle no wider than the DISTINCT SCORE domain:
+
+1. ``groupBy(score)`` → per-score positive/negative counts (map-side
+   combined; the only full-data shuffle, width = distinct scores).
+2. Cumulative negatives-below-each-score:
+   - grouped: a window PARTITIONED on the group columns — per-group
+     score domains sort in parallel, no global sort;
+   - global: a TWO-PHASE range prefix sum — ``repartitionByRange`` on
+     score, per-partition local prefix via one ``mapInPandas``, then a
+     bounded (one row per partition) offset collect broadcast back.
+     No single-task window at any cardinality.  The range boundaries
+     Spark samples are not deterministic, but the prefix sums — and
+     therefore the result — are partition-independent.
+3. ``U2 = sum(pos_s * (2*cum_neg_lt + neg_s))`` — twice the
+   Mann-Whitney U with the standard half-credit for ties, kept integer
+   by the doubling.  ``AUC = U2 / (2 * n_pos * n_neg)``, emitted as
+   ``auc_ppm = (U2 * 500_000) div (n_pos * n_neg)`` so the declared
+   surface stays BIGINT-exact cross-engine (no float division).
+
+Overflow bound: ``U2 <= n_pos * n_neg`` fits a signed 64-bit int while
+``n_pos * n_neg < 2^63`` (~3e9 rows per class per group); past that,
+compute per-group/per-shard AUCs and report the distribution — a single
+global AUC over 1e10+ rows per class is statistically pointless anyway.
+
+:func:`rrf_fuse` is reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+SIGIR'09): combine N rankings of the same items by
+``score = sum_r 1/(k + rank_r)``.  The reciprocal is kept integer —
+``10^9 div (k + rank)`` — because float reciprocals are not the
+operator's point and integer keeps the surface hash-checkable; ranks
+are dense per source via a window partitioned by source (each source's
+ranking sorts independently).  Items missing from a source contribute 0,
+the standard RRF convention.
+
+Reference scope note: the reference system (bakdata
+kafka-dead-letter-analyzer) has no evaluation-metric surface — this
+module is part of the engine's large-scale-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["auc_exact", "rrf_fuse"]
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Exact AUC sufficient statistics of ``score_col`` against boolean
+    ``label_col`` — ``(*group_cols, u2 BIGINT, n_pos BIGINT,
+    n_neg BIGINT, auc_ppm BIGINT)``, dropping groups with an empty
+    class (AUC undefined).  See the module docstring for the plan
+    shape; rows with a NULL score or label are excluded."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    counts = base.groupBy(*groups, "s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+
+    if groups:
+        # per-group cumulative: each group's (bounded) score domain
+        # sorts in its own task — parallel across groups, never global
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = counts.withColumn(
+            "cum_lt", F.coalesce(F.sum("neg").over(w), F.lit(0))
+        )
+    else:
+        cum = _global_prefix_neg(counts, range_partitions)
+
+    agg = cum.groupBy(*groups).agg(
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cum_lt") + F.col("neg"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        *groups,
+        "u2",
+        "n_pos",
+        "n_neg",
+        F.expr("(u2 * 500000) DIV (n_pos * n_neg)").alias("auc_ppm"),
+    )
+
+
+def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
+    """Two-phase exclusive prefix sum of ``neg`` over ``counts`` ordered
+    by ``s`` (global case): range-partition the distinct-score table,
+    local prefix per partition in one streamed pass, then broadcast the
+    per-partition exclusive offsets (one bounded row each) back onto the
+    local sums.  Equivalent to ``sum(neg) over (order by s rows
+    unbounded preceding .. 1 preceding)`` with no single-task window."""
+    import pandas as pd  # noqa: F401 — mapInPandas dependency
+
+    ranged = (
+        counts.repartitionByRange(range_partitions, "s")
+        .sortWithinPartitions("s")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def _local_prefix(batches):
+        import pandas as pd
+
+        carry: dict[int, int] = {}
+        for pdf in batches:
+            # rows arrive sorted by s within the partition; a partition
+            # holds exactly one pid (repartitionByRange output)
+            out = pdf.copy()
+            cums = []
+            for pid, neg in zip(pdf["pid"], pdf["neg"]):
+                c = carry.get(int(pid), 0)
+                cums.append(c)
+                carry[int(pid)] = c + int(neg)
+            out["local_lt"] = pd.Series(cums, index=pdf.index, dtype="int64")
+            yield out
+
+    from pyspark.sql.types import StructType
+
+    # StructType.add mutates in place — copy before extending, or the
+    # input frame's schema grows the output column
+    schema = StructType(list(ranged.schema.fields)).add("local_lt", "long")
+    local = ranged.mapInPandas(_local_prefix, schema=schema)
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    # local feeds both the offset aggregate and the final join — persist
+    # or the upstream distinct-score shuffle runs twice
+    local = local.persist()
+    cache_registry.track(local)
+
+    # one row per range partition — the bounded driver-side state; an
+    # exclusive running total over pid order (range partitions are
+    # ordered by construction)
+    totals = (
+        local.groupBy("pid").agg(F.sum("neg").alias("part_neg"))
+    )
+    wp = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the window runs over range_partitions rows — bounded, not a
+    # global data sort
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("part_neg").over(wp), F.lit(0))
+    ).select("pid", "offset")
+
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_lt", F.col("offset") + F.col("local_lt"))
+        .drop("pid", "local_lt", "offset")
+    )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    item_cols: list[str],
+    source_col: str,
+    order_col: str,
+    k: int = 60,
+    descending: bool = True,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-source rankings of the same items
+    — ``(*item_cols, rrf_score_ppb BIGINT, n_sources BIGINT)`` with
+    ``rrf_score_ppb = sum over sources of 10^9 div (k + rank)``, rank
+    dense per source by ``order_col`` (ties share a rank; item columns
+    break residual order nondeterminism nowhere because dense_rank is a
+    pure function of the order value).  ``top_n`` contracts the fused
+    output by score (TakeOrdered — each task ships its local top n).
+
+    Plan shape: one window per source partition (each source ranks in
+    its own task set, partitioned by ``source_col``), one groupBy on the
+    item keys — both shuffles are id+rank-width, never payload-width."""
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(source_col).orderBy(order)
+    ranked = rankings.select(
+        *[rankings[c] for c in item_cols],
+        F.dense_rank().over(w).alias("rk"),
+    )
+    fused = (
+        ranked.groupBy(*item_cols)
+        .agg(
+            F.sum(F.expr(f"1000000000 DIV ({k} + rk)"))
+            .cast("bigint")
+            .alias("rrf_score_ppb"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    if top_n is not None:
+        fused = fused.orderBy(
+            F.desc("rrf_score_ppb"), *[F.col(c) for c in item_cols]
+        ).limit(int(top_n))
+    return fused

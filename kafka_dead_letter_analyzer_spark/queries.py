@@ -7118,3 +7118,162 @@ def x_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=200,
         buckets=4,
     )
+
+
+@_register(
+    "x_auc_global",
+    """
+    WITH c AS (
+      SELECT n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1
+    ), w AS (
+      SELECT pos, neg,
+             CAST(COALESCE(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM c
+    ), agg AS (
+      SELECT CAST(sum(pos * (2 * cum_lt + neg)) AS BIGINT) AS u2,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg
+      FROM w
+    )
+    SELECT u2, n_pos, n_neg,
+           CAST((u2 * 500000) // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def x_auc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level AUC (Mann-Whitney U) of document length as a
+    discriminator of English documents — the quality-classifier audit
+    primitive (operators/ranking.py::auc_exact), global path: the
+    cumulative-negatives prefix runs as a TWO-PHASE range prefix sum
+    (range-partitioned distinct-score table, per-partition local prefix,
+    one-row-per-partition offset broadcast) — no single-task window at
+    any score cardinality, and the result is independent of the sampled
+    range boundaries.  U2 doubles the U statistic so tie half-credit
+    stays integer; auc_ppm = (u2 * 500000) div (n_pos * n_neg) keeps
+    the surface BIGINT-exact cross-engine."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return RK.auc_exact(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+    )
+
+
+@_register(
+    "x_auc_by_source",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, pos, neg,
+             CAST(COALESCE(sum(neg) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM c
+    ), agg AS (
+      SELECT source,
+             CAST(sum(pos * (2 * cum_lt + neg)) AS BIGINT) AS u2,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg
+      FROM w GROUP BY 1
+    )
+    SELECT source, u2, n_pos, n_neg,
+           CAST((u2 * 500000) // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def x_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact AUC of document length vs English label —
+    auc_exact's grouped path: the cumulative window PARTITIONS on the
+    group columns, so each source's (bounded) distinct-score domain
+    sorts in its own task, parallel across sources, never a global
+    sort.  Groups with an empty class drop (AUC undefined there)."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return RK.auc_exact(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+    )
+
+
+@_register(
+    "x_rrf_fusion",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS val
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), cnt AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS val
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), u AS (
+      SELECT 'spend' AS src, o_custkey, val FROM spend
+      UNION ALL
+      SELECT 'orders' AS src, o_custkey, val FROM cnt
+    ), r AS (
+      SELECT o_custkey,
+             CAST(dense_rank() OVER (PARTITION BY src ORDER BY val DESC)
+               AS BIGINT) AS rk
+      FROM u
+    )
+    SELECT o_custkey,
+           CAST(sum(1000000000 // (60 + rk)) AS BIGINT) AS rrf_score_ppb,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM r GROUP BY 1
+    ORDER BY rrf_score_ppb DESC, o_custkey
+    LIMIT 50
+    """,
+)
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    customer rankings — by lifetime spend (cents) and by order count —
+    via operators/ranking.py::rrf_fuse: dense rank per source in a
+    source-partitioned window, integer reciprocal contributions
+    10^9 div (k + rank) summed per customer (float-free so the surface
+    hash-checks), TakeOrdered top-50 contraction.  The fusion pattern
+    ANN/retrieval pipelines use to combine ranking signals, expressed
+    with id+rank-width shuffles only."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("val")
+    ).withColumn("src", F.lit("spend"))
+    cnt = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("val")
+    ).withColumn("src", F.lit("orders"))
+    return RK.rrf_fuse(
+        spend.unionByName(cnt),
+        item_cols=["o_custkey"],
+        source_col="src",
+        order_col="val",
+        k=60,
+        top_n=50,
+    )

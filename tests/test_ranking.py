@@ -1,0 +1,121 @@
+"""Ranking/evaluation metric tests (operators/ranking.py): exact AUC
+differential vs a from-scratch local Mann-Whitney computation (both
+strategies: global two-phase range prefix and grouped window), the
+empty-class drop, partition independence of the range-prefix path, and
+RRF's dense-rank / missing-item conventions.
+"""
+
+from __future__ import annotations
+
+import bisect
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import ranking as R
+
+
+def _local_u2(pairs):
+    pos = sorted(s for s, y in pairs if y)
+    neg = sorted(s for s, y in pairs if not y)
+    u2 = 0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        eq = bisect.bisect_right(neg, p) - lt
+        u2 += 2 * lt + eq
+    return u2, len(pos), len(neg)
+
+
+def test_auc_global_matches_local_mann_whitney(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 40), rng.random() < 0.4) for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "s bigint, y boolean").repartition(7)
+    got = R.auc_exact(df, "s", "y").collect()
+    assert len(got) == 1
+    u2, n_pos, n_neg = _local_u2(rows)
+    r = got[0]
+    assert (r["u2"], r["n_pos"], r["n_neg"]) == (u2, n_pos, n_neg)
+    assert r["auc_ppm"] == (u2 * 500_000) // (n_pos * n_neg)
+    # a perfectly separating score: AUC = 1
+    perfect = spark.createDataFrame(
+        [(i, i >= 50) for i in range(100)], "s bigint, y boolean"
+    )
+    assert R.auc_exact(perfect, "s", "y").collect()[0]["auc_ppm"] == 1_000_000
+
+
+def test_auc_global_partition_and_range_count_independent(spark):
+    """The two-phase prefix sum must not depend on input layout or on
+    the number of range partitions (boundaries are sampled, the sums
+    are exact either way)."""
+    rng = random.Random(23)
+    rows = [(rng.randint(0, 1000), rng.random() < 0.5) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "s bigint, y boolean")
+    a = R.auc_exact(df.repartition(3), "s", "y").collect()[0]
+    b = R.auc_exact(
+        df.repartition(19, "s"), "s", "y", range_partitions=5
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_auc_grouped_matches_local_and_drops_empty_class(spark):
+    rng = random.Random(5)
+    rows = [
+        (rng.choice(["a", "b"]), rng.randint(0, 30), rng.random() < 0.3)
+        for _ in range(2000)
+    ]
+    # group with one class only: must be absent from the output
+    rows += [("onlypos", rng.randint(0, 30), True) for _ in range(50)]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    got = {
+        r["g"]: (r["u2"], r["n_pos"], r["n_neg"])
+        for r in R.auc_exact(df, "s", "y", group_cols=["g"]).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for g in ("a", "b"):
+        assert got[g] == _local_u2(
+            [(s, y) for gg, s, y in rows if gg == g]
+        )
+
+
+def test_auc_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (None, True), (3, None)],
+        "s bigint, y boolean",
+    )
+    r = R.auc_exact(df, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 1)
+    # the surviving pair is pos=1 < neg=2: zero wins, zero ties
+    assert r["u2"] == _local_u2([(1, True), (2, False)])[0] == 0
+    assert r["auc_ppm"] == 0
+
+
+def test_rrf_fuse_dense_rank_and_missing_items(spark):
+    """Items absent from a source contribute nothing (standard RRF);
+    dense rank shares tied positions; the integer reciprocal matches
+    10^9 // (k + rank) exactly."""
+    rows = [
+        ("s1", 1, 100), ("s1", 2, 90), ("s1", 3, 90), ("s1", 4, 80),
+        ("s2", 1, 5), ("s2", 4, 9),
+    ]
+    df = spark.createDataFrame(rows, "src string, item bigint, v bigint")
+    got = {
+        r["item"]: (r["rrf_score_ppb"], r["n_sources"])
+        for r in R.rrf_fuse(df, ["item"], "src", "v", k=10).collect()
+    }
+    G = 10**9
+    assert got[1] == (G // 11 + G // 12, 2)  # rank 1 in s1, rank 2 in s2
+    assert got[2] == (G // 12, 1)  # tied rank 2 in s1 only
+    assert got[3] == (G // 12, 1)  # same tied rank
+    assert got[4] == (G // 13 + G // 11, 2)  # dense rank 3 after the tie
+    top1 = R.rrf_fuse(df, ["item"], "src", "v", k=10, top_n=1).collect()
+    # item 1: G//11 + G//12 = 174242423 beats item 4: G//13 + G//11
+    assert len(top1) == 1 and top1[0]["item"] == 1
+
+
+def test_rrf_rejects_bad_k(spark):
+    df = spark.createDataFrame([("s", 1, 1)], "src string, item bigint, v bigint")
+    with pytest.raises(ValueError):
+        R.rrf_fuse(df, ["item"], "src", "v", k=0)
