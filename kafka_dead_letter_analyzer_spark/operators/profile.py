@@ -278,3 +278,88 @@ def fd_profile(
     if not outs:
         raise ValueError("fd_profile: no FDs declared")
     return reduce(DataFrame.unionAll, outs)
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integer ``value_col`` —
+    ``(*group_cols, gini_ppm BIGINT, n BIGINT, total BIGINT)`` — the
+    corpus-mixing concentration diagnostic: how unequally are
+    tokens/bytes/documents distributed (0 = uniform, ->1e6 = one row
+    holds everything).
+
+    Exact at distinct-value width: aggregate to per-value counts (the
+    only full-data shuffle), take the cumulative count below each value
+    — a group-partitioned window (grouped) or the shared two-phase
+    range prefix sum (global; ranking.py::global_exclusive_prefix, no
+    single-task window) — then the rank-sum identity: the ``c`` rows at
+    value ``v`` occupy ranks ``C+1 .. C+c``, so
+    ``S1 = sum(v * (c*C + c*(c+1) div 2))`` equals
+    ``sum(rank_i * x_(i))`` without materializing per-row ranks.
+    ``G = 2*S1/(n*total) - (n+1)/n``.
+
+    The ppm fixed-point is computed by TWO-STEP LONG DIVISION —
+    ``d1 = (num*1000) div nt; d2 = ((num*1000) mod nt)*1000 div nt;
+    gini_ppm = d1*1000 + d2`` with ``num = 2*S1 - (n+1)*total <= nt =
+    n*total`` — so no intermediate exceeds ``nt*1000``: exact ppm
+    without the ``num*10^6`` overflow (num*1e6 would blow past int64
+    at ~1e13 value-mass, i.e. already at single-digit-TB corpora).
+    Remaining bound: ``nt = n*total`` must fit int64 (~9e18; at
+    1e10 rows x 1e8 mean mass, compute per group/shard — a single
+    global Gini past that scale is not a useful number anyway).
+    Rows with NULL value are excluded; values must be >= 0 for the
+    coefficient to mean anything (not enforced — audit first)."""
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        global_exclusive_prefix,
+    )
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    counts = (
+        df.select(*[df[g] for g in groups],
+                  F.col(value_col).cast("bigint").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(*groups, "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    if groups:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = counts.withColumn(
+            "cum_lt", F.coalesce(F.sum("c").over(w), F.lit(0))
+        )
+    else:
+        cum = global_exclusive_prefix(
+            counts, order_col="v", sum_col="c", out_col="cum_lt",
+            range_partitions=range_partitions,
+        )
+    agg = cum.groupBy(*groups).agg(
+        F.sum(
+            F.col("v")
+            * (F.col("c") * F.col("cum_lt")
+               + F.expr("(c * (c + 1)) DIV 2"))
+        ).cast("bigint").alias("s1"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("total"),
+    )
+    return (
+        agg.filter(F.col("total") > 0)
+        .withColumn("num", F.expr("2 * s1 - (n + 1) * total"))
+        .withColumn("nt", F.expr("n * total"))
+        .select(
+            *groups,
+            F.expr(
+                "((num * 1000) DIV nt) * 1000"
+                " + (((num * 1000) % nt) * 1000) DIV nt"
+            ).cast("bigint").alias("gini_ppm"),
+            "n",
+            "total",
+        )
+    )

@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "rrf_fuse"]
+__all__ = ["auc_exact", "rrf_fuse", "global_exclusive_prefix"]
 
 
 def auc_exact(
@@ -94,7 +94,10 @@ def auc_exact(
             "cum_lt", F.coalesce(F.sum("neg").over(w), F.lit(0))
         )
     else:
-        cum = _global_prefix_neg(counts, range_partitions)
+        cum = global_exclusive_prefix(
+            counts, order_col="s", sum_col="neg", out_col="cum_lt",
+            range_partitions=range_partitions,
+        )
 
     agg = cum.groupBy(*groups).agg(
         F.sum(
@@ -114,18 +117,29 @@ def auc_exact(
     )
 
 
-def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
-    """Two-phase exclusive prefix sum of ``neg`` over ``counts`` ordered
-    by ``s`` (global case): range-partition the distinct-score table,
-    local prefix per partition in one streamed pass, then broadcast the
-    per-partition exclusive offsets (one bounded row each) back onto the
-    local sums.  Equivalent to ``sum(neg) over (order by s rows
-    unbounded preceding .. 1 preceding)`` with no single-task window."""
+def global_exclusive_prefix(
+    df: DataFrame,
+    order_col: str,
+    sum_col: str,
+    out_col: str,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Two-phase GLOBAL exclusive prefix sum: ``out_col = sum(sum_col)
+    over (order by order_col rows unbounded preceding .. 1 preceding)``
+    with no single-task window at any cardinality.  Range-partition on
+    the order column, local prefix per partition in one streamed pass,
+    then broadcast the per-partition exclusive offsets (one bounded row
+    each) back onto the local sums.  The range boundaries Spark samples
+    are not deterministic; the prefix sums are partition-independent.
+    Shared scan-width contract: the input should already be a
+    distinct-key aggregation (auc_exact and gini_concentration feed it
+    per-score / per-value count tables), so every stage's width is the
+    key domain, not the row count."""
     import pandas as pd  # noqa: F401 — mapInPandas dependency
 
     ranged = (
-        counts.repartitionByRange(range_partitions, "s")
-        .sortWithinPartitions("s")
+        df.repartitionByRange(range_partitions, order_col)
+        .sortWithinPartitions(order_col)
         .withColumn("pid", F.spark_partition_id())
     )
 
@@ -134,14 +148,14 @@ def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
 
         carry: dict[int, int] = {}
         for pdf in batches:
-            # rows arrive sorted by s within the partition; a partition
-            # holds exactly one pid (repartitionByRange output)
+            # rows arrive sorted by the order col within the partition;
+            # a partition holds exactly one pid (repartitionByRange)
             out = pdf.copy()
             cums = []
-            for pid, neg in zip(pdf["pid"], pdf["neg"]):
+            for pid, v in zip(pdf["pid"], pdf[sum_col]):
                 c = carry.get(int(pid), 0)
                 cums.append(c)
-                carry[int(pid)] = c + int(neg)
+                carry[int(pid)] = c + int(v)
             out["local_lt"] = pd.Series(cums, index=pdf.index, dtype="int64")
             yield out
 
@@ -154,7 +168,7 @@ def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
     from kafka_dead_letter_analyzer_spark import cache_registry
 
     # local feeds both the offset aggregate and the final join — persist
-    # or the upstream distinct-score shuffle runs twice
+    # or the upstream distinct-key shuffle runs twice
     local = local.persist()
     cache_registry.track(local)
 
@@ -162,7 +176,7 @@ def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
     # exclusive running total over pid order (range partitions are
     # ordered by construction)
     totals = (
-        local.groupBy("pid").agg(F.sum("neg").alias("part_neg"))
+        local.groupBy("pid").agg(F.sum(sum_col).alias("part_sum"))
     )
     wp = (
         Window.orderBy("pid")
@@ -171,12 +185,12 @@ def _global_prefix_neg(counts: DataFrame, range_partitions: int) -> DataFrame:
     # the window runs over range_partitions rows — bounded, not a
     # global data sort
     offsets = totals.withColumn(
-        "offset", F.coalesce(F.sum("part_neg").over(wp), F.lit(0))
+        "offset", F.coalesce(F.sum("part_sum").over(wp), F.lit(0))
     ).select("pid", "offset")
 
     return (
         local.join(F.broadcast(offsets), "pid")
-        .withColumn("cum_lt", F.col("offset") + F.col("local_lt"))
+        .withColumn(out_col, F.col("offset") + F.col("local_lt"))
         .drop("pid", "local_lt", "offset")
     )
 

@@ -7277,3 +7277,96 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=60,
         top_n=50,
     )
+
+
+@_register(
+    "x_gini_doclen",
+    """
+    WITH c AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ), w AS (
+      SELECT v, c,
+             CAST(COALESCE(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM c
+    ), agg AS (
+      SELECT CAST(sum(v * (c * cum_lt + (c * (c + 1)) // 2)) AS BIGINT) AS s1,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS total
+      FROM w
+    ), nd AS (
+      SELECT 2 * s1 - (n + 1) * total AS num, n * total AS nt, n, total
+      FROM agg WHERE total > 0
+    )
+    SELECT CAST(((num * 1000) // nt) * 1000
+             + (((num * 1000) % nt) * 1000) // nt AS BIGINT) AS gini_ppm,
+           n, total
+    FROM nd
+    """,
+)
+def x_gini_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level Gini coefficient of document length — the
+    corpus-concentration diagnostic (operators/profile.py::
+    gini_concentration), global path: per-value counts (the only
+    full-data shuffle), the shared two-phase range prefix sum
+    (ranking.py::global_exclusive_prefix — no single-task window), then
+    the rank-sum identity S1 = sum(v*(c*C + c(c+1)/2)) so per-row ranks
+    are never materialized.  gini_ppm is produced by two-step long
+    division (num <= nt keeps every intermediate under nt*1000), exact
+    cross-engine with no float."""
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    docs = load_table(spark, sf_dir, "documents")
+    return PR.gini_concentration(docs, value_col="n_chars")
+
+
+@_register(
+    "x_gini_by_source",
+    """
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, v, c,
+             CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM c
+    ), agg AS (
+      SELECT source,
+             CAST(sum(v * (c * cum_lt + (c * (c + 1)) // 2)) AS BIGINT) AS s1,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS total
+      FROM w GROUP BY 1
+    ), nd AS (
+      SELECT source, 2 * s1 - (n + 1) * total AS num, n * total AS nt,
+             n, total
+      FROM agg WHERE total > 0
+    )
+    SELECT source,
+           CAST(((num * 1000) // nt) * 1000
+             + (((num * 1000) % nt) * 1000) // nt AS BIGINT) AS gini_ppm,
+           n, total
+    FROM nd
+    """,
+)
+def x_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document length — gini_concentration's
+    grouped path: the cumulative-count prefix PARTITIONS on the group
+    column, so each source's bounded distinct-length domain sorts in
+    its own task, parallel across sources, never a global sort.  Same
+    integer rank-sum identity and two-step-division ppm as the global
+    form; sources whose mass is zero drop (Gini undefined)."""
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    return PR.gini_concentration(
+        docs, value_col="n_chars", group_cols=["source"]
+    )

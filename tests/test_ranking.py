@@ -119,3 +119,72 @@ def test_rrf_rejects_bad_k(spark):
     df = spark.createDataFrame([("s", 1, 1)], "src string, item bigint, v bigint")
     with pytest.raises(ValueError):
         R.rrf_fuse(df, ["item"], "src", "v", k=0)
+
+
+def _local_gini_ppm(values):
+    xs = sorted(values)
+    n = len(xs)
+    total = sum(xs)
+    if total == 0:
+        return None
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    num = 2 * s1 - (n + 1) * total
+    nt = n * total
+    d1 = (num * 1000) // nt
+    d2 = ((num * 1000) % nt) * 1000 // nt
+    return d1 * 1000 + d2, n, total
+
+
+def test_gini_global_matches_local_rank_sum(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as P
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 500) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint").repartition(9)
+    r = P.gini_concentration(df, "v").collect()
+    assert len(r) == 1
+    assert (r[0]["gini_ppm"], r[0]["n"], r[0]["total"]) == _local_gini_ppm(vals)
+    # uniform data: gini == 0 exactly (num = 2*S1 - (n+1)*total = 0)
+    uni = spark.createDataFrame([(7,)] * 100, "v bigint")
+    assert P.gini_concentration(uni, "v").collect()[0]["gini_ppm"] == 0
+    # one row holds everything: gini -> (n-1)/n = 0.99 for n=100
+    conc = spark.createDataFrame([(0,)] * 99 + [(1000,)], "v bigint")
+    assert P.gini_concentration(conc, "v").collect()[0]["gini_ppm"] == 990_000
+
+
+def test_gini_grouped_matches_local_and_excludes_nulls(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as P
+
+    rng = random.Random(31)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randint(0, 80)) for _ in range(3000)
+    ]
+    rows_with_null = rows + [("a", None), (None, 5)]
+    df = spark.createDataFrame(rows_with_null, "g string, v bigint")
+    got = {
+        r["g"]: (r["gini_ppm"], r["n"], r["total"])
+        for r in P.gini_concentration(df, "v", group_cols=["g"]).collect()
+    }
+    # the NULL-group row survives as its own group (group cols are not
+    # filtered — only NULL values drop); local check per real group
+    for g in ("a", "b", "c"):
+        assert got[g] == _local_gini_ppm([v for gg, v in rows if gg == g])
+    assert None in got and got[None] == _local_gini_ppm([5])
+
+
+def test_gini_zero_mass_group_drops_and_partition_independent(spark):
+    from kafka_dead_letter_analyzer_spark.operators import profile as P
+
+    rng = random.Random(43)
+    rows = [("live", rng.randint(1, 60)) for _ in range(500)]
+    rows += [("dead", 0)] * 40  # total == 0: Gini undefined, must drop
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = P.gini_concentration(df, "v", group_cols=["g"]).collect()
+    assert {r["g"] for r in got} == {"live"}
+    # global path: result independent of layout and range partition count
+    flat = df.select("v")
+    a = P.gini_concentration(flat.repartition(3), "v").collect()[0]
+    b = P.gini_concentration(
+        flat.repartition(17, "v"), "v", range_partitions=5
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
