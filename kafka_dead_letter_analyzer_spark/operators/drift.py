@@ -1,0 +1,275 @@
+"""Distribution-shift diagnostics: CUSUM change-point detection and
+total-variation drift.
+
+The reference engine aggregates dead letters into per-key counts
+(`ErrorAggregatingProcessor.java:38-102`) and leaves "did the error
+rate CHANGE, and when?" to the dashboard reading them.  At corpus
+scale that question needs to run inside the engine, and the classic
+detectors (CUSUM, population-stability / total-variation distance)
+are float-first in every textbook form — `log` for PSI, running
+means for CUSUM — which the cross-engine hash gate cannot accept.
+Both operators here are re-derived as exact integer algebra:
+
+* ``cusum_changepoint`` uses the identity ``S_t = P_t*B - t*total``
+  (the classic CUSUM statistic against the mean rate, scaled by the
+  bucket count ``B`` so the reference rate ``total/B`` never becomes
+  a float), and the textbook recursive ``max(0, S_{t-1} + x - ref)``
+  becomes the prefix-sum-minus-running-min identity
+  ``D_t = S_t - min_{j<=t} S_j`` — two windows over the per-bucket
+  contraction, no recursion, no single-task stage when grouped.
+* ``tvd_drift`` is the L1 half-distance between the category mix of
+  the early and late halves of the stream,
+  ``TVD = sum |c1/n1 - c2/n2| / 2``, cleared of denominators as
+  ``sum |c1*n2 - c2*n1| / (2*n1*n2)`` — one conditional-sum scan.
+
+Both emit ppm fixed-points via the same TWO-STEP LONG DIVISION as
+``profile.gini_concentration`` (``d1 = num*1000 div nt; d2 =
+(num*1000 mod nt)*1000 div nt``), so no intermediate exceeds
+``nt * 1000`` and the surface stays BIGINT-exact on any engine.
+
+Scale shapes: cusum's only full-data shuffle is the (group, bucket)
+count; every window runs over the bucket contraction (per group when
+grouped — parallel across groups; global form sorts the bounded
+bucket domain, fine for time ranges, documented).  tvd's only
+shuffle is the (group, category) conditional-count contraction; the
+split point arrives as a 1-row broadcast anchor (no driver action).
+Int64 bounds: cusum needs ``n * buckets * 1000`` to fit (9e18 —
+holds to ~1e10 rows x 1e5 buckets); tvd needs ``c * n_other`` to fit
+(holds to ~3e9 rows per half per group; shard past that).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cusum_changepoint", "tvd_drift"]
+
+_BUCKET_US = {
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "minute": 60_000_000,
+}
+
+
+def _ppm2(num: str, nt: str) -> str:
+    """Two-step long-division ppm: exact ``num*1e6 div nt`` for
+    ``0 <= num <= nt`` with no intermediate beyond ``nt*1000``."""
+    return (
+        f"(({num} * 1000) DIV {nt}) * 1000"
+        f" + ((({num} * 1000) % {nt}) * 1000) DIV {nt}"
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] | None = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exact CUSUM change-point scan of event RATE per group —
+    ``(*group_cols, n BIGINT, buckets BIGINT, up_cp_ts TIMESTAMP,
+    up_ppm BIGINT, down_cp_ts TIMESTAMP, down_ppm BIGINT)``: where
+    did the rate most decisively rise above / fall below its own
+    overall mean, and by how much (as a fraction of total mass x
+    span, in ppm)?
+
+    Derivation.  Bucket index ``t = (bucket_us - min_bucket_us) /
+    bucket + 1`` over the group's own span; ``B`` = index of the last
+    bucket (the max-ts bucket is nonempty by construction, so there
+    are no trailing empties and ``S_B = 0`` exactly).  With ``P_t``
+    the running event count, the mean-rate CUSUM scaled by ``B`` is
+    ``S_t = P_t*B - t*total`` — integer, zero at both ends.  The
+    upward detection statistic is ``D_t = S_t - min_{j<t} S_j``; over
+    an empty stretch S falls linearly, so the running min entering
+    nonempty bucket ``i`` is attained just before it, at
+    ``pre_i = P_{i-1}*B - (t_i - 1)*total`` — the min runs over the
+    ``pre`` values of the contraction only (``pre_1 = 0`` covers
+    ``S_0``).  Peaks live at nonempty buckets' post-values ``S_i``.
+    Downward is the mirror — troughs at ``pre_i`` (plus the final
+    post-value, only relevant when the last bucket under-runs the
+    mean), peaks at ``max(0, max_{j<i} S_j)`` (S only jumps up where
+    mass lands, so its maxima live at post-values — and at ``S_0 = 0``,
+    which the greatest(0, ...) keeps in the prefix even when every
+    post-value is negative).  Change-point = bucket start
+    attaining the max deviation, EARLIEST bucket on ties — every
+    output is a pure integer function of the data.
+
+    Use: a dead-letter burst is an upward cp on the error topic; an
+    outage (producer stopped emitting) is a downward cp.  ppm scale:
+    ``D <= n*B``, so ``up_ppm = D*1e6 div (n*B)`` via two-step
+    division; 0 = perfectly steady rate, ->1e6 = all mass on one side
+    of the cp.  Groups with a single bucket report 0/0 deviations
+    (S == 0 everywhere; cp = that bucket)."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"cusum_changepoint: bucket must be one of {sorted(_BUCKET_US)},"
+            f" got {bucket!r}"
+        )
+    bus = _BUCKET_US[bucket]
+    groups = list(group_cols or [])
+
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *[df[g] for g in groups],
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(ts_col)) % bus)
+            .alias("bus"),
+        )
+        .groupBy(*groups, "bus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+    wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_ord = wg.orderBy("bus")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = wg.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    # per-bucket contraction with group totals and bucket indices
+    c = (
+        counts.withColumn("p", F.sum("x").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("x").over(w_all))
+        .withColumn("min_bus", F.min("bus").over(w_all))
+        .withColumn("t", F.expr(f"(bus - min_bus) DIV {bus} + 1"))
+        .withColumn("b", F.max(F.expr(f"(bus - min_bus) DIV {bus} + 1"))
+                    .over(w_all))
+    )
+    c = (
+        c.withColumn("s", F.expr("p * b - t * total"))
+        .withColumn("pre", F.expr("(p - x) * b - (t - 1) * total"))
+        .withColumn("is_last", F.col("t") == F.col("b"))
+    )
+    # running extremes over the contraction (pre_1 = 0 covers S_0)
+    c = (
+        c.withColumn(
+            "runmin_pre",
+            F.min("pre").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            # S_0 = 0 is always in the prefix: maxima of S live at
+            # post-values (S jumps up only where mass lands), so the
+            # running max is greatest(0, max of previous posts).
+            "runmax_s_prev",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.coalesce(F.max("s").over(w_pre), F.lit(0).cast("bigint")),
+            ),
+        )
+        .withColumn("up_d", F.expr("s - runmin_pre"))
+        .withColumn(
+            "down_d",
+            F.expr(
+                "CASE WHEN is_last THEN"
+                " greatest(runmax_s_prev - pre,"
+                "          greatest(runmax_s_prev, s) - s)"
+                " ELSE runmax_s_prev - pre END"
+            ),
+        )
+    )
+
+    # argmax with earliest-bucket tiebreak, both directions, one pass
+    w_up = w_ord.orderBy(F.desc("up_d"), F.asc("bus"))
+    w_dn = w_ord.orderBy(F.desc("down_d"), F.asc("bus"))
+    ranked = c.withColumn("r_up", F.row_number().over(w_up)).withColumn(
+        "r_dn", F.row_number().over(w_dn)
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.max("total").alias("n"),
+        F.max("b").alias("buckets"),
+        F.max(F.when(F.col("r_up") == 1, F.col("bus"))).alias("up_bus"),
+        F.max(F.when(F.col("r_up") == 1, F.col("up_d"))).alias("up_d"),
+        F.max(F.when(F.col("r_dn") == 1, F.col("bus"))).alias("down_bus"),
+        F.max(F.when(F.col("r_dn") == 1, F.col("down_d"))).alias("down_d"),
+    )
+    return agg.select(
+        *groups,
+        F.col("n"),
+        F.col("buckets"),
+        F.timestamp_micros(F.col("up_bus")).alias("up_cp_ts"),
+        F.expr(_ppm2("up_d", "(n * buckets)")).cast("bigint").alias("up_ppm"),
+        F.timestamp_micros(F.col("down_bus")).alias("down_cp_ts"),
+        F.expr(_ppm2("down_d", "(n * buckets)"))
+        .cast("bigint")
+        .alias("down_ppm"),
+    )
+
+
+def tvd_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Total-variation distance between the categorical mix of the
+    EARLY and LATE halves of the stream — ``(*group_cols, tvd_ppm
+    BIGINT, n_early BIGINT, n_late BIGINT, n_cats BIGINT)`` — the
+    integer-exact population-stability audit (PSI without the
+    cross-engine-unsafe ``log``; TVD bounds PSI-style drift and is
+    the metric with the coupling interpretation: the minimum fraction
+    of rows whose category must change to turn one mix into the
+    other).
+
+    The split point is the midpoint of the observed time range,
+    ``m = (min_us + max_us) DIV 2`` (1-row broadcast anchor, same
+    idiom as decay_weighted_counts' max anchor); early = ``ts <= m``.
+    One conditional-sum scan builds per-category half-counts (a
+    category absent from a half simply contributes its whole mass),
+    then ``TVD = sum |c1*n2 - c2*n1| / (2*n1*n2)`` cleared of
+    denominators, emitted as ppm via two-step long division
+    (``num <= nt = 2*n1*n2``).  Groups where either half is empty
+    (all mass on one timestamp) drop — drift is undefined there.
+    NULL categories count as a real category; NULL timestamps are
+    excluded."""
+    groups = list(group_cols or [])
+    ev = df.filter(F.col(ts_col).isNotNull())
+    anchor = ev.agg(
+        F.expr(
+            f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
+            " DIV 2"
+        ).alias("mid_us")
+    )
+    halved = ev.crossJoin(F.broadcast(anchor)).withColumn(
+        "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+    )
+    per_cat = halved.groupBy(*groups, cat_col).agg(
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("is_early"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wg = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = per_cat.withColumn("n1", F.sum("c1").over(wg)).withColumn(
+        "n2", F.sum("c2").over(wg)
+    )
+    agg = (
+        scored.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.expr("abs(c1 * n2 - c2 * n1)"))
+            .cast("bigint")
+            .alias("num"),
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+        )
+    )
+    return agg.filter(F.col("num").isNotNull()).select(
+        *groups,
+        F.expr(_ppm2("num", "(2 * n_early * n_late)"))
+        .cast("bigint")
+        .alias("tvd_ppm"),
+        "n_early",
+        "n_late",
+        "n_cats",
+    )

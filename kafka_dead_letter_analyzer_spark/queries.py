@@ -7315,7 +7315,15 @@ def x_gini_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank-sum identity S1 = sum(v*(c*C + c(c+1)/2)) so per-row ranks
     are never materialized.  gini_ppm is produced by two-step long
     division (num <= nt keeps every intermediate under nt*1000), exact
-    cross-engine with no float."""
+    cross-engine with no float.
+
+    Contrast with x_gini_concentration (the earlier per-event-type
+    form): that one row_number()s every row inside a group window —
+    O(group rows) of window state, grouped-only, num/den surface; this
+    one contracts to per-value counts first (window/prefix work scales
+    with the DISTINCT-value domain, typically orders of magnitude
+    smaller) and supports the global corpus-level coefficient with no
+    single-task stage."""
     from kafka_dead_letter_analyzer_spark.operators import profile as PR
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7369,4 +7377,160 @@ def x_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return PR.gini_concentration(
         docs, value_col="n_chars", group_cols=["source"]
+    )
+
+
+@_register(
+    "x_cusum_changepoint",
+    """
+    WITH counts AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), c0 AS (
+      SELECT event_type, bus, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bus)
+               AS BIGINT) AS p,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             min(bus) OVER (PARTITION BY event_type) AS min_bus
+      FROM counts
+    ), c1 AS (
+      SELECT *, (bus - min_bus) // 86400000000 + 1 AS t,
+             max((bus - min_bus) // 86400000000 + 1)
+               OVER (PARTITION BY event_type) AS b
+      FROM c0
+    ), c2 AS (
+      SELECT *, p * b - t * total AS s,
+             (p - x) * b - (t - 1) * total AS pre,
+             (t = b) AS is_last
+      FROM c1
+    ), c3 AS (
+      SELECT *,
+             min(pre) OVER (PARTITION BY event_type ORDER BY bus)
+               AS runmin_pre,
+             greatest(0, COALESCE(max(s) OVER (PARTITION BY event_type
+               ORDER BY bus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS runmax_s_prev
+      FROM c2
+    ), c4 AS (
+      SELECT *, s - runmin_pre AS up_d,
+             CASE WHEN is_last THEN
+               greatest(runmax_s_prev - pre,
+                        greatest(runmax_s_prev, s) - s)
+             ELSE runmax_s_prev - pre END AS down_d
+      FROM c3
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY up_d DESC, bus ASC) AS r_up,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY down_d DESC, bus ASC) AS r_dn
+      FROM c4
+    ), agg AS (
+      SELECT event_type,
+             max(total) AS n, max(b) AS buckets,
+             max(CASE WHEN r_up = 1 THEN bus END) AS up_bus,
+             max(CASE WHEN r_up = 1 THEN up_d END) AS up_d,
+             max(CASE WHEN r_dn = 1 THEN bus END) AS down_bus,
+             max(CASE WHEN r_dn = 1 THEN down_d END) AS down_d
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(buckets AS BIGINT) AS buckets,
+           CAST(up_bus AS BIGINT) AS up_cp_us,
+           CAST(((up_d * 1000) // (n * buckets)) * 1000
+             + (((up_d * 1000) % (n * buckets)) * 1000) // (n * buckets)
+             AS BIGINT) AS up_ppm,
+           CAST(down_bus AS BIGINT) AS down_cp_us,
+           CAST(((down_d * 1000) // (n * buckets)) * 1000
+             + (((down_d * 1000) % (n * buckets)) * 1000) // (n * buckets)
+             AS BIGINT) AS down_ppm
+    FROM agg
+    """,
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM change-point per event type, day buckets — WHERE did
+    each type's event rate most decisively rise above / fall below its
+    own mean, and by how much (operators/drift.py::cusum_changepoint)?
+    The textbook recursive detector is re-derived as the prefix-sum /
+    running-extreme identity D_t = S_t - min_{j<=t} S_j over the
+    (type, day) count contraction: one full-data shuffle, then windows
+    over at most ~span/day rows per group, parallel across groups.  All
+    deviations are integers (S_t = P_t*B - t*total clears the mean-rate
+    denominator); ppm = two-step long division by n*buckets.  The
+    change-point timestamps cross the oracle boundary as epoch-micros
+    BIGINTs per the determinism rules."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    cp = DR.cusum_changepoint(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day"
+    )
+    return cp.select(
+        "event_type",
+        "n",
+        "buckets",
+        F.unix_micros("up_cp_ts").alias("up_cp_us"),
+        "up_ppm",
+        F.unix_micros("down_cp_ts").alias("down_cp_us"),
+        "down_ppm",
+    )
+
+
+@_register(
+    "x_tvd_drift",
+    """
+    WITH ev AS (
+      SELECT user_id % 8 AS cohort, event_type, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), anchor AS (
+      SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev
+    ), per_cat AS (
+      SELECT cohort, event_type,
+             CAST(sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN us <= mid_us THEN 0 ELSE 1 END)
+               AS BIGINT) AS c2
+      FROM ev, anchor GROUP BY 1, 2
+    ), scored AS (
+      SELECT *, CAST(sum(c1) OVER (PARTITION BY cohort) AS BIGINT) AS n1,
+             CAST(sum(c2) OVER (PARTITION BY cohort) AS BIGINT) AS n2
+      FROM per_cat
+    ), agg AS (
+      SELECT cohort,
+             CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS num,
+             CAST(max(n1) AS BIGINT) AS n_early,
+             CAST(max(n2) AS BIGINT) AS n_late,
+             CAST(count(*) AS BIGINT) AS n_cats
+      FROM scored WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+    )
+    SELECT cohort,
+           CAST(((num * 1000) // (2 * n_early * n_late)) * 1000
+             + (((num * 1000) % (2 * n_early * n_late)) * 1000)
+               // (2 * n_early * n_late) AS BIGINT) AS tvd_ppm,
+           n_early, n_late, n_cats
+    FROM agg
+    """,
+)
+def x_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation drift of the event-type mix, early half vs late
+    half of the stream, per user cohort (user_id % 8) — the
+    integer-exact population-stability audit
+    (operators/drift.py::tvd_drift).  One (cohort, type) conditional-
+    count contraction is the only full-data shuffle; the midpoint split
+    arrives as a 1-row broadcast anchor; TVD's denominators are cleared
+    as sum|c1*n2 - c2*n1| / (2*n1*n2) and emitted as ppm via two-step
+    long division.  TVD (unlike PSI) needs no log — hash-exact on any
+    engine — and has the coupling reading: the minimum fraction of rows
+    whose type must change to turn the early mix into the late one."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.expr("user_id % 8")
+    )
+    return DR.tvd_drift(
+        ev, ts_col="ts", cat_col="event_type", group_cols=["cohort"]
     )
