@@ -45,7 +45,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_changepoint", "tvd_drift"]
+__all__ = [
+    "cusum_changepoint",
+    "tvd_drift",
+    "wasserstein_drift",
+    "theilsen_trend",
+]
 
 _BUCKET_US = {
     "hour": 3_600_000_000,
@@ -272,4 +277,222 @@ def tvd_drift(
         "n_early",
         "n_late",
         "n_cats",
+    )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) distance between the NUMERIC
+    value distribution of the early and late halves of the stream —
+    ``(*group_cols, w1_e6 BIGINT, n_early BIGINT, n_late BIGINT,
+    n_values BIGINT)`` — the numeric complement of :func:`tvd_drift`
+    (TVD sees only category identity; W1 weighs HOW FAR the mass
+    moved, in value units x 1e6).
+
+    ``value_col`` must be integer-typed (callers cast integer-valued
+    measures; floats have no exact cross-engine W1).  Over the sorted
+    distinct-value support, ``W1 = sum_v |F1(v) - F2(v)| * gap(v)``
+    with ``gap`` the distance to the next support point (beyond the
+    last point both CDFs are 1, so it contributes nothing).  Cleared
+    of denominators: ``W1 = sum |cum1*n2 - cum2*n1| * gap / (n1*n2)``,
+    emitted x1e6 via two-step long division (exact for ANY num, not
+    just num <= nt: floor(num*1e6/nt) = d1*1000 + d2 identically).
+
+    Scale shape: one (group, value) conditional-count contraction is
+    the only full-data shuffle; cumulative sums and gaps are windows
+    over the contraction (per group — parallel across groups; the
+    global form sorts the bounded distinct-value domain).  The split
+    anchor is the same 1-row broadcast as tvd_drift.  Int64 bound:
+    ``n1*n2*range*1000`` must fit — holds to ~3e6 rows per half per
+    group at range 1e3; shard or pre-bucket values past that.  Groups
+    with an empty half drop (drift undefined)."""
+    groups = list(group_cols or [])
+    ev = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    anchor = ev.agg(
+        F.expr(
+            f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
+            " DIV 2"
+        ).alias("mid_us")
+    )
+    halved = ev.crossJoin(F.broadcast(anchor)).withColumn(
+        "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+    )
+    per_val = halved.groupBy(
+        *groups, F.col(value_col).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("is_early"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_ord = wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = wg.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_lead = wg.orderBy("v")
+    scored = (
+        per_val.withColumn("cum1", F.sum("c1").over(w_ord))
+        .withColumn("cum2", F.sum("c2").over(w_ord))
+        .withColumn("n1", F.sum("c1").over(w_all))
+        .withColumn("n2", F.sum("c2").over(w_all))
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.lead("v").over(w_lead) - F.col("v"),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+    )
+    agg = (
+        scored.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.expr("abs(cum1 * n2 - cum2 * n1) * gap"))
+            .cast("bigint")
+            .alias("num"),
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        )
+    )
+    return agg.filter(F.col("num").isNotNull()).select(
+        *groups,
+        F.expr(_ppm2("num", "(n_early * n_late)"))
+        .cast("bigint")
+        .alias("w1_e6"),
+        "n_early",
+        "n_late",
+        "n_values",
+    )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] | None = None,
+    bucket: str = "day",
+    max_buckets: int = 4000,
+) -> DataFrame:
+    """Theil-Sen robust trend of the event rate per group —
+    ``(*group_cols, slope_num BIGINT, slope_den BIGINT, n BIGINT,
+    n_buckets BIGINT, n_pairs BIGINT)`` where ``slope_num/slope_den``
+    is the MEDIAN pairwise slope (events per bucket per bucket) over
+    the group's per-bucket counts, EMPTY BUCKETS INCLUDED as zeros
+    (dropping them would bias an outage toward "no trend").  The
+    median of n^2 pairwise slopes has a 29.3% breakdown point — a
+    one-day ingest spike that would drag an OLS fit moves Theil-Sen
+    not at all; the reference leaves trend reading to the dashboard
+    over its per-key counts, this runs it inside the engine.
+
+    Exactness: slopes are rationals dy/dx of BIGINTs and are emitted
+    AS the selected pair's (dy, dx) — never divided.  Selection
+    sorts by the IEEE-double quotient (exact-rounded identically on
+    every engine) with (dy, dx) tiebreak, then takes the lower median
+    by row_number; equal rationals with different representations
+    order deterministically by the tiebreak, and the selected
+    NUMERATOR/DENOMINATOR cross the hash gate as integers.
+
+    Scale shape: the full-data shuffle is the (group, bucket) count;
+    the bucket timeline densifies via ``sequence()`` explode (bounded
+    by span/bucket) and pairs form by a contraction self-join within
+    each group — O(B^2) rows per group, parallel across groups,
+    NEVER touching row-level data.  ``max_buckets`` guards the
+    quadratic fan-out: the span probe is one tiny aggregate and the
+    operator RAISES past the cap (a 4000-bucket span is ~8M pairs per
+    group — pre-aggregate to a coarser bucket instead)."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"theilsen_trend: bucket must be one of {sorted(_BUCKET_US)},"
+            f" got {bucket!r}"
+        )
+    bus = _BUCKET_US[bucket]
+    groups = list(group_cols or [])
+
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *[df[g] for g in groups],
+            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
+        )
+        .groupBy(*groups, "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+    span = counts.groupBy(*groups).agg(
+        F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
+    )
+    worst = span.agg(
+        F.max(F.col("t_hi") - F.col("t_lo") + 1).alias("b")
+    ).collect()[0]["b"]
+    if worst is not None and worst > max_buckets:
+        raise ValueError(
+            f"theilsen_trend: a group spans {worst} {bucket} buckets"
+            f" (> max_buckets={max_buckets}); pre-aggregate to a coarser"
+            " bucket or raise the cap"
+        )
+
+    # densify: every bucket in the group's span, zeros where empty
+    timeline = span.select(
+        *groups,
+        F.explode(F.sequence("t_lo", "t_hi")).alias("t"),
+    )
+    dense = timeline.join(counts, [*groups, "t"], "left").select(
+        *groups,
+        "t",
+        F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
+    )
+
+    a = dense.select(
+        *groups, F.col("t").alias("t1"), F.col("x").alias("x1")
+    )
+    b = dense.select(
+        *groups, F.col("t").alias("t2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        a.join(b, groups, "inner")
+        if groups
+        else a.crossJoin(b)
+    ).filter(F.col("t2") > F.col("t1"))
+    slopes = pairs.select(
+        *groups,
+        (F.col("x2") - F.col("x1")).alias("dy"),
+        (F.col("t2") - F.col("t1")).alias("dx"),
+    ).withColumn(
+        "q", F.col("dy").cast("double") / F.col("dx").cast("double")
+    )
+    wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_med = wg.orderBy(F.asc("q"), F.asc("dy"), F.asc("dx"))
+    w_all = wg.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = slopes.withColumn("r", F.row_number().over(w_med)).withColumn(
+        "np", F.count(F.lit(1)).over(w_all)
+    )
+    med = ranked.filter(F.col("r") == F.expr("(np + 1) DIV 2"))
+
+    totals = dense.groupBy(*groups).agg(
+        F.sum("x").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    out = (
+        med.join(totals, groups, "inner")
+        if groups
+        else med.crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        *groups,
+        F.col("dy").alias("slope_num"),
+        F.col("dx").alias("slope_den"),
+        "n",
+        "n_buckets",
+        F.col("np").alias("n_pairs"),
     )

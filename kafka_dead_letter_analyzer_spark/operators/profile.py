@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -362,4 +362,94 @@ def gini_concentration(
             "n",
             "total",
         )
+    )
+
+
+# log10(1 + 1/d) in exact ppm (floor): the Benford first-digit law.
+# Fixed public constants (they sum to exactly 1_000_000), so the audit
+# needs no log() anywhere near the cross-engine hash gate.
+BENFORD_PPM = {
+    1: 301_030,
+    2: 176_091,
+    3: 124_939,
+    4: 96_910,
+    5: 79_181,
+    6: 66_947,
+    7: 57_992,
+    8: 51_153,
+    9: 45_757,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit audit against Benford's law —
+    ``(*group_cols, digit BIGINT, cnt BIGINT, obs_ppm BIGINT,
+    exp_ppm BIGINT, dev_ppm BIGINT)``, one row per digit 1..9 that
+    occurs (plus every digit's expected share via the constant table;
+    absent digits still emit with cnt=0 so a suspiciously MISSING
+    digit is visible).
+
+    Fabricated or defaulted numeric columns (prices typed in by hand,
+    constants injected by a broken producer) flunk Benford; organic
+    multi-scale measures follow it.  ``value_col`` must be a POSITIVE
+    integer column (callers pre-scale money to cents via the exact
+    DECIMAL cast; zero/negative/NULL rows are excluded and counted by
+    the caller's own profile if needed).  The first digit is the
+    leading character of the decimal rendering — a pure integer/string
+    function, identical on every engine, no log10.
+
+    obs_ppm is the two-step-division exact floor(cnt*1e6/n);
+    dev_ppm = |obs - exp|.  The only full-data shuffle is the
+    (group, digit) count; the digit domain (9) then joins the constant
+    table broadcast-side.  Total L1 distance = sum(dev_ppm)/2e6 per
+    group, derivable from the emitted rows."""
+    groups = list(group_cols or [])
+    spark = df.sparkSession
+    const = spark.createDataFrame(
+        [(d, p) for d, p in sorted(BENFORD_PPM.items())],
+        "digit bigint, exp_ppm bigint",
+    )
+    obs = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(
+            *[df[g] for g in groups],
+            F.substring(F.col(value_col).cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit"),
+        )
+        .groupBy(*groups, "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    if groups:
+        domains = obs.select(*groups).distinct().crossJoin(
+            F.broadcast(const)
+        )
+        full = domains.join(obs, [*groups, "digit"], "left")
+    else:
+        full = F.broadcast(const).join(obs, ["digit"], "left")
+    wg = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = full.withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0).cast("bigint"))
+    ).withColumn("n", F.sum("cnt").over(wg))
+    return scored.filter(F.col("n") > 0).select(
+        *groups,
+        "digit",
+        "cnt",
+        F.expr(
+            "((cnt * 1000) DIV n) * 1000"
+            " + (((cnt * 1000) % n) * 1000) DIV n"
+        ).cast("bigint").alias("obs_ppm"),
+        "exp_ppm",
+        F.expr(
+            "abs(((cnt * 1000) DIV n) * 1000"
+            " + (((cnt * 1000) % n) * 1000) DIV n - exp_ppm)"
+        ).cast("bigint").alias("dev_ppm"),
     )

@@ -7534,3 +7534,196 @@ def x_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.tvd_drift(
         ev, ts_col="ts", cat_col="event_type", group_cols=["cohort"]
     )
+
+
+@_register(
+    "x_wasserstein_drift",
+    """
+    WITH ev AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+             epoch_us(l_shipdate) AS us
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    ), anchor AS (
+      SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev
+    ), per_val AS (
+      SELECT l_returnflag, v,
+             CAST(sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN us <= mid_us THEN 0 ELSE 1 END)
+               AS BIGINT) AS c2
+      FROM ev, anchor GROUP BY 1, 2
+    ), scored AS (
+      SELECT *,
+             CAST(sum(c1) OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS cum2,
+             CAST(sum(c1) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS n1,
+             CAST(sum(c2) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS n2,
+             COALESCE(lead(v) OVER (PARTITION BY l_returnflag ORDER BY v)
+               - v, 0) AS gap
+      FROM per_val
+    ), agg AS (
+      SELECT l_returnflag,
+             CAST(sum(abs(cum1 * n2 - cum2 * n1) * gap) AS BIGINT) AS num,
+             CAST(max(n1) AS BIGINT) AS n_early,
+             CAST(max(n2) AS BIGINT) AS n_late,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM scored WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(((num * 1000) // (n_early * n_late)) * 1000
+             + (((num * 1000) % (n_early * n_late)) * 1000)
+               // (n_early * n_late) AS BIGINT) AS w1_e6,
+           n_early, n_late, n_values
+    FROM agg
+    """,
+)
+def x_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) drift of the quantity
+    distribution between early and late ship dates, per return flag
+    (operators/drift.py::wasserstein_drift) — the NUMERIC complement
+    of x_tvd_drift: TVD sees only that the mix changed; W1 weighs how
+    FAR the mass moved, in quantity units x 1e6.  One (flag, value)
+    conditional-count contraction is the only full-data shuffle;
+    cumulative CDFs and support gaps are windows over the contraction
+    (parallel across flags); the midpoint split is a 1-row broadcast
+    anchor; W1 = sum |cum1*n2 - cum2*n1| * gap / (n1*n2) with the
+    two-step-division floor, exact for any numerator."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return DR.wasserstein_drift(
+        li,
+        ts_col="l_shipdate",
+        value_col="l_quantity",
+        group_cols=["l_returnflag"],
+    )
+
+
+@_register(
+    "x_theilsen_trend",
+    """
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(t) AS t_lo, max(t) AS t_hi
+      FROM counts GROUP BY 1
+    ), timeline AS (
+      SELECT event_type, unnest(generate_series(t_lo, t_hi)) AS t
+      FROM span
+    ), dense AS (
+      SELECT tl.event_type, tl.t, COALESCE(c.x, 0) AS x
+      FROM timeline tl LEFT JOIN counts c USING (event_type, t)
+    ), pairs AS (
+      SELECT a.event_type, b.x - a.x AS dy, b.t - a.t AS dx
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND b.t > a.t
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        dy ASC, dx ASC) AS r,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    ), med AS (
+      SELECT event_type, dy, dx, np FROM ranked WHERE r = (np + 1) // 2
+    ), totals AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM dense GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(dy AS BIGINT) AS slope_num,
+           CAST(dx AS BIGINT) AS slope_den,
+           n, n_buckets, CAST(np AS BIGINT) AS n_pairs
+    FROM med m JOIN totals USING (event_type)
+    """,
+)
+def x_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-rate trend per event type
+    (operators/drift.py::theilsen_trend): the median pairwise slope
+    over the DENSIFIED (zeros included) per-day count contraction —
+    29.3% breakdown point, so one ingest-spike day cannot fake or mask
+    a trend the way it drags an OLS fit.  Slopes stay exact rationals:
+    selection orders by the IEEE-double quotient (exact-rounded
+    identically on both engines) with (dy, dx) tiebreak, and the
+    SELECTED pair's integer numerator/denominator cross the hash gate,
+    never the quotient.  Pairs form by a self-join of the span/day-
+    bounded contraction per group (max_buckets probe RAISES on
+    unbounded spans), never touching row-level data."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    return DR.theilsen_trend(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day"
+    )
+
+
+@_register(
+    "x_benford_audit",
+    """
+    WITH const(digit, exp_ppm) AS (
+      VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+             (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    ), obs AS (
+      SELECT o_orderpriority,
+             CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+               * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1, 2
+    ), domains AS (
+      SELECT DISTINCT o_orderpriority FROM obs
+    ), full_grid AS (
+      SELECT d.o_orderpriority, c.digit, CAST(c.exp_ppm AS BIGINT)
+               AS exp_ppm, COALESCE(o.cnt, 0) AS cnt
+      FROM domains d CROSS JOIN const c
+      LEFT JOIN obs o ON o.o_orderpriority = d.o_orderpriority
+        AND o.digit = c.digit
+    ), scored AS (
+      SELECT *, CAST(sum(cnt) OVER (PARTITION BY o_orderpriority)
+               AS BIGINT) AS n
+      FROM full_grid
+    )
+    SELECT o_orderpriority, CAST(digit AS BIGINT) AS digit, cnt,
+           CAST(((cnt * 1000) // n) * 1000
+             + (((cnt * 1000) % n) * 1000) // n AS BIGINT) AS obs_ppm,
+           exp_ppm,
+           CAST(abs(((cnt * 1000) // n) * 1000
+             + (((cnt * 1000) % n) * 1000) // n - exp_ppm)
+             AS BIGINT) AS dev_ppm
+    FROM scored WHERE n > 0
+    """,
+)
+def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals per
+    priority class (operators/profile.py::benford_audit): organic
+    multi-scale money follows log10(1+1/d); fabricated or defaulted
+    values flunk it.  The law's nine expected shares are FIXED public
+    ppm constants (they sum to exactly 1e6), so the audit is pure
+    integer/string algebra — first digit = leading character of the
+    exact cents rendering, observed share = two-step-division ppm,
+    deviation = |obs - exp|.  One (priority, digit) count is the only
+    full-data shuffle; the 9-row constant table joins broadcast-side
+    and absent digits still emit (cnt=0) so a MISSING digit is
+    visible."""
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        orders.withColumn(
+            "price_cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint"),
+        )
+    )
+    return PR.benford_audit(
+        cents, value_col="price_cents", group_cols=["o_orderpriority"]
+    )

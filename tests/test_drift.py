@@ -278,3 +278,225 @@ def test_cusum_plan_has_no_global_single_task_window_when_grouped(spark):
         df, ts_col="ts", group_cols=["grp"], bucket="hour"
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift
+
+
+def _w1_brute(early, late):
+    """Exact W1 between two integer multisets, as a Fraction."""
+    from fractions import Fraction
+
+    support = sorted(set(early) | set(late))
+    n1, n2 = len(early), len(late)
+    total = Fraction(0)
+    for v, nxt in zip(support, support[1:]):
+        f1 = Fraction(sum(1 for e in early if e <= v), n1)
+        f2 = Fraction(sum(1 for e in late if e <= v), n2)
+        total += abs(f1 - f2) * (nxt - v)
+    return total
+
+
+def _run_w1(spark, early, late):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        wasserstein_drift,
+    )
+
+    rows = [(v, _ts(0.5)) for v in early] + [(v, _ts(9.5)) for v in late]
+    df = spark.createDataFrame(rows, "v long, ts timestamp")
+    out = wasserstein_drift(df, ts_col="ts", value_col="v").collect()
+    return out
+
+
+def test_w1_hand_computed(spark):
+    # early {1,1,2}, late {3,4,4}: mass must travel; W1 = 7/3
+    out = _run_w1(spark, [1, 1, 2], [3, 4, 4])
+    assert len(out) == 1
+    want = _w1_brute([1, 1, 2], [3, 4, 4])  # 7/3
+    assert out[0]["w1_e6"] == (want.numerator * 10**6) // want.denominator
+    assert out[0]["n_values"] == 4
+
+
+def test_w1_identical_is_zero_and_shift_is_distance(spark):
+    assert _run_w1(spark, [1, 2, 3], [1, 2, 3])[0]["w1_e6"] == 0
+    # shifting every value by +5 moves each unit of mass 5 units
+    assert _run_w1(spark, [1, 2, 3], [6, 7, 8])[0]["w1_e6"] == 5_000_000
+
+
+def test_w1_randomized_against_fraction_reference(spark):
+    import random
+
+    rng = random.Random(0xEA27)
+    for _ in range(8):
+        early = [rng.randint(0, 20) for _ in range(rng.randint(1, 12))]
+        late = [rng.randint(0, 20) for _ in range(rng.randint(1, 12))]
+        want = _w1_brute(early, late)
+        got = _run_w1(spark, early, late)[0]["w1_e6"]
+        assert got == (want.numerator * 10**6) // want.denominator, (
+            early, late, want, got,
+        )
+
+
+def test_w1_grouped_and_empty_half_drops(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        wasserstein_drift,
+    )
+
+    rows = (
+        [("a", 1, _ts(0.5)), ("a", 3, _ts(9.5))]
+        # group b entirely in the late half (global anchor) -> drops
+        + [("b", 5, _ts(9.1)), ("b", 9, _ts(9.9))]
+    )
+    df = spark.createDataFrame(rows, "grp string, v long, ts timestamp")
+    out = wasserstein_drift(
+        df, ts_col="ts", value_col="v", group_cols=["grp"]
+    ).collect()
+    assert [r["grp"] for r in out] == ["a"]
+    assert out[0]["w1_e6"] == 2_000_000  # one unit of mass moved 2
+
+
+# ---------------------------------------------------------------------------
+# theilsen_trend
+
+
+def _run_ts_trend(spark, day_counts, bucket="day", **kw):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        theilsen_trend,
+    )
+
+    rows = []
+    for day, cnt in enumerate(day_counts):
+        for i in range(cnt):
+            rows.append(("g", EPOCH + dt.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = theilsen_trend(
+        df, ts_col="ts", group_cols=["grp"], bucket=bucket, **kw
+    ).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def _ts_brute(day_counts):
+    from fractions import Fraction
+
+    xs = list(day_counts)
+    slopes = []
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            slopes.append((Fraction(xs[j] - xs[i], j - i), xs[j] - xs[i],
+                           j - i))
+    slopes.sort(key=lambda s: (s[0], s[1], s[2]))
+    sel = slopes[(len(slopes) + 1) // 2 - 1]
+    return sel[1], sel[2], len(slopes)
+
+
+@pytest.mark.parametrize(
+    "day_counts",
+    [
+        [1, 2, 3, 4, 5],          # perfect +1/day
+        [5, 4, 3, 2, 1],          # perfect -1/day
+        [3, 3, 3, 3],             # flat
+        [1, 2, 3, 100, 5, 6],     # spike: median slope unmoved
+        [2, 0, 0, 0, 4],          # empty middle days count as zeros
+        [7],                      # single bucket: no pairs -> no row?
+    ],
+    ids=["up", "down", "flat", "spike", "gap-zeros", "single"],
+)
+def test_theilsen_matches_reference(spark, day_counts):
+    if len(day_counts) == 1:
+        from kafka_dead_letter_analyzer_spark.operators.drift import (
+            theilsen_trend,
+        )
+
+        rows = [("g", EPOCH)] * day_counts[0]
+        df = spark.createDataFrame(rows, "grp string, ts timestamp")
+        assert (
+            theilsen_trend(df, ts_col="ts", group_cols=["grp"]).count() == 0
+        )
+        return
+    got = _run_ts_trend(spark, day_counts)
+    dy, dx, np_ = _ts_brute(day_counts)
+    assert (got["slope_num"], got["slope_den"], got["n_pairs"]) == (
+        dy, dx, np_,
+    ), day_counts
+    assert got["n"] == sum(day_counts)
+    assert got["n_buckets"] == len(day_counts)
+
+
+def test_theilsen_spike_robust_but_mean_is_not(spark):
+    # 10 flat days with one 100x spike: Theil-Sen says slope 0
+    counts = [4] * 10
+    counts[5] = 400
+    got = _run_ts_trend(spark, counts)
+    assert (got["slope_num"], got["slope_den"]) == _ts_brute(counts)[:2]
+    assert got["slope_num"] == 0
+
+
+def test_theilsen_max_buckets_raises(spark):
+    rows = [("g", EPOCH), ("g", EPOCH + dt.timedelta(days=10))]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    with pytest.raises(ValueError, match="max_buckets"):
+        from kafka_dead_letter_analyzer_spark.operators.drift import (
+            theilsen_trend,
+        )
+
+        theilsen_trend(
+            df, ts_col="ts", group_cols=["grp"], max_buckets=5
+        )
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+
+
+def test_benford_constants_and_organic_vs_flat(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        BENFORD_PPM,
+        benford_audit,
+    )
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    # a 1..9999 uniform range is NOT Benford but covers all digits;
+    # check mechanics: counts, ppm floors, absent-digit emission
+    df = spark.createDataFrame(
+        [(v,) for v in range(1, 100)], "v long"
+    )
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert sorted(out) == list(range(1, 10))
+    # digits 1..9 each lead 11 of 99 values in 1..99
+    for d in range(1, 10):
+        assert out[d]["cnt"] == 11
+        assert out[d]["obs_ppm"] == (11 * 10**6) // 99
+        assert out[d]["dev_ppm"] == abs(
+            (11 * 10**6) // 99 - BENFORD_PPM[d]
+        )
+
+
+def test_benford_absent_digit_emits_zero(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (19,)], "v long")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["cnt"] == 2 and out[2]["cnt"] == 1
+    for d in range(3, 10):
+        assert out[d]["cnt"] == 0 and out[d]["obs_ppm"] == 0
+        assert out[d]["dev_ppm"] == out[d]["exp_ppm"]
+
+
+def test_benford_excludes_nonpositive_and_groups(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        benford_audit,
+    )
+
+    rows = [("a", 123), ("a", 0), ("a", -5), ("a", None), ("b", 987)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = benford_audit(df, "v", group_cols=["grp"]).collect()
+    by = {(r["grp"], r["digit"]): r for r in out}
+    assert len(out) == 18  # 2 groups x 9 digits
+    assert by[("a", 1)]["cnt"] == 1 and by[("a", 1)]["obs_ppm"] == 1_000_000
+    assert by[("b", 9)]["cnt"] == 1
+    assert by[("b", 1)]["cnt"] == 0
