@@ -982,3 +982,132 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Online CUSUM rate-shift alerts (streaming dual of operators/drift.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_cusum_fn(bus: int, ref_up: int, ref_dn: int, threshold: int):
+    def _cusum_fn(key, pdfs, state) -> Iterator:
+        """Per-key online two-sided CUSUM over per-bucket event counts.
+
+        State: (cur long, x long, d_up long, d_dn long) — the bucket
+        currently accumulating, its count so far, and the two detector
+        statistics. A bucket FOLDS when a later bucket first appears;
+        empty buckets between events fold in closed form (the up side
+        decays by g*ref_up floored at zero; the down side grows by
+        ref_dn per empty bucket, and every threshold crossing inside
+        the gap is located exactly at ceil((h - d)/ref_dn) buckets in —
+        an outage keeps re-alarming once per restart cycle, which is
+        the pager semantics). Late rows (bucket <= current) fold into
+        the CURRENT bucket — state-v1 has no event-time timers; the
+        same arrival-order approximation as the first-example operator.
+        After each crossing the crossed side resets to 0 (classic CUSUM
+        restart), so repeated incidents re-alert."""
+        import pandas as pd
+
+        if state.exists:
+            cur, x, d_up, d_dn = state.get
+            if cur < 0:  # sentinel: no bucket ever seen for this key
+                cur = None
+        else:
+            cur, x, d_up, d_dn = None, 0, 0, 0
+        alerts: list[tuple] = []
+
+        def fold(cnt: int, b: int) -> None:
+            nonlocal d_up, d_dn
+            d_up = max(0, d_up + cnt - ref_up)
+            if threshold > 0 and d_up >= threshold:
+                alerts.append(("up", b * bus, d_up))
+                d_up = 0
+            d_dn = max(0, d_dn + ref_dn - cnt)
+            if threshold > 0 and d_dn >= threshold:
+                alerts.append(("down", b * bus, d_dn))
+                d_dn = 0
+
+        def fold_gap(g: int, start: int) -> None:
+            nonlocal d_up, d_dn
+            d_up = max(0, d_up - g * ref_up)
+            if ref_dn <= 0:
+                return
+            left, b = g, start
+            while left > 0:
+                need = threshold - d_dn
+                j = -(-need // ref_dn)  # ceil
+                if j > left:
+                    d_dn += left * ref_dn
+                    return
+                d_dn += j * ref_dn
+                alerts.append(("down", (b + j - 1) * bus, d_dn))
+                d_dn = 0
+                left -= j
+                b += j
+
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            for tb, c in pdf["tb"].value_counts().items():
+                counts[int(tb)] = counts.get(int(tb), 0) + int(c)
+        for tb in sorted(counts):
+            if cur is None:
+                cur, x = tb, 0
+            if tb <= cur:
+                x += counts[tb]
+                continue
+            fold(x, cur)
+            if tb - cur - 1 > 0:
+                fold_gap(tb - cur - 1, cur + 1)
+            cur, x = tb, counts[tb]
+        state.update((cur if cur is not None else -1, x, d_up, d_dn))
+        if alerts:
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]] * len(alerts),
+                    "type": [key[1]] * len(alerts),
+                    "direction": [a[0] for a in alerts],
+                    "bucket_start_us": [a[1] for a in alerts],
+                    "stat": [a[2] for a in alerts],
+                }
+            )
+
+    return _cusum_fn
+
+
+def streaming_cusum_alerts(
+    enriched: DataFrame,
+    bucket_us: int = 60_000_000,
+    ref: int = 10,
+    slack: int = 2,
+    threshold: int = 20,
+) -> DataFrame:
+    """Online two-sided CUSUM rate-shift alerts per (topic, type) — the
+    streaming dual of ``operators/drift.py::cusum_changepoint``. The
+    batch form scans a finished timeline for the ONE most decisive
+    shift; this one runs the textbook recursive detector
+    ``D = max(0, D + x - k)`` live, with an integer reference rate
+    ``ref`` events/bucket and allowance ``slack`` (up side alarms on
+    sustained rate above ref+slack, down side below ref-slack), alarm
+    threshold ``threshold`` (in event units x buckets). Integer
+    state — four longs per key, bounded by live keys, not traffic;
+    empty stretches between events fold in closed form, so a long
+    outage costs O(crossings), not O(buckets)."""
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.expr(
+            f"unix_micros(context.timestamp) DIV {bucket_us}"
+        ).alias("tb"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_cusum_fn(
+            bucket_us, ref + slack, max(0, ref - slack), threshold
+        ),
+        outputStructType=(
+            "topic string, type string, direction string,"
+            " bucket_start_us long, stat long"
+        ),
+        stateStructType="cur long, x long, d_up long, d_dn long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

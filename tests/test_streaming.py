@@ -1845,3 +1845,184 @@ def test_streaming_heavy_hitters_guarantees_and_exact_regime(spark, tmp_path):
             assert item in got
     # exact regime: equals exact counts
     assert run(1000) == true
+
+
+# ---------------------------------------------------------------------------
+# Online CUSUM rate-shift alerts
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def _drive_cusum(fn, bucket_batches):
+    """Feed lists of bucket indices through the state fn; return alerts."""
+    import pandas as pd
+
+    st = _FakeState()
+    alerts = []
+    for tbs in bucket_batches:
+        for out in fn(("t", "ty"), [pd.DataFrame({"tb": tbs})], st):
+            alerts.extend(
+                (r.direction, int(r.bucket_start_us), int(r.stat))
+                for r in out.itertuples()
+            )
+    return alerts, st._v
+
+
+def _naive_cusum(counts_by_bucket, ref_up, ref_dn, h):
+    """Per-bucket reference: fold EVERY bucket (empties included) from
+    the first seen to the last CLOSED bucket (the final bucket stays
+    open, exactly like the operator)."""
+    buckets = sorted(counts_by_bucket)
+    lo, hi = buckets[0], buckets[-1]
+    d_up = d_dn = 0
+    alerts = []
+    for b in range(lo, hi):  # hi stays open
+        x = counts_by_bucket.get(b, 0)
+        d_up = max(0, d_up + x - ref_up)
+        if d_up >= h:
+            alerts.append(("up", b, d_up))
+            d_up = 0
+        d_dn = max(0, d_dn + ref_dn - x)
+        if d_dn >= h:
+            alerts.append(("down", b, d_dn))
+            d_dn = 0
+    return alerts, d_up, d_dn
+
+
+def test_cusum_fn_burst_and_outage_alerts():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_cusum_fn,
+    )
+
+    fn = _make_cusum_fn(bus=1, ref_up=2, ref_dn=2, threshold=4)
+    # buckets: 0 has 2 events (at rate), 1 has 5, 2 has 5, 3 has 1
+    batch1 = [0] * 2 + [1] * 5 + [2] * 5 + [3]
+    # then silence until bucket 10
+    batch2 = [10]
+    alerts, state = _drive_cusum(fn, [batch1, batch2])
+    # fold(5@1): d_up=3; fold(5@2): d_up=6 >= 4 -> up alert, reset
+    assert alerts[0] == ("up", 2, 6)
+    # fold(1@3): d_dn=1; gap 4..9 grows 2/bucket, crossing every 2
+    assert alerts[1:] == [("down", 5, 5), ("down", 7, 4), ("down", 9, 4)]
+    assert state == (10, 1, 0, 0)  # bucket 10 open with one event
+
+
+def test_cusum_fn_gap_closed_form_matches_naive():
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_cusum_fn,
+    )
+
+    rng = random.Random(0xC05A)
+    for trial in range(20):
+        ref_up = rng.randint(1, 4)
+        ref_dn = rng.randint(0, 3)
+        h = rng.randint(2, 8)
+        counts = {}
+        b = 0
+        for _ in range(rng.randint(2, 10)):
+            counts[b] = rng.randint(1, 6)
+            b += rng.randint(1, 12)  # gaps exercise the closed form
+        tbs = [tb for tb, c in counts.items() for _ in range(c)]
+        rng.shuffle(tbs)
+        # split arbitrarily into micro-batches; order within each batch
+        # is irrelevant (the fn sorts bucket indices)... but buckets may
+        # not go backwards ACROSS batches, so split at a sorted cut
+        tbs.sort()
+        cut = rng.randint(0, len(tbs))
+        fn = _make_cusum_fn(bus=1, ref_up=ref_up, ref_dn=ref_dn,
+                            threshold=h)
+        alerts, state = _drive_cusum(fn, [tbs[:cut], tbs[cut:]])
+        want_alerts, d_up, d_dn = _naive_cusum(counts, ref_up, ref_dn, h)
+        assert alerts == want_alerts, (trial, counts, ref_up, ref_dn, h)
+        assert state[2:] == (d_up, d_dn), (trial, counts)
+
+
+def test_cusum_fn_late_rows_fold_into_current_bucket():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_cusum_fn,
+    )
+
+    fn = _make_cusum_fn(bus=1, ref_up=1, ref_dn=0, threshold=3)
+    # bucket 5 accumulates; a late bucket-3 row joins it
+    alerts, state = _drive_cusum(fn, [[5], [3], [6]])
+    # fold(2@5): d_up = max(0, 2-1) = 1; no alert
+    assert alerts == []
+    assert state == (6, 1, 1, 0)
+
+
+def test_streaming_cusum_alerts_end_to_end(spark, tmp_path, ts):
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_cusum_alerts,
+    )
+
+    def burst(minute, n, base):
+        return [
+            FX.envelope(offset=base + i, timestamp=ts(minute),
+                        value_deadletter=FX.dead_letter_value())
+            for i in range(n)
+        ]
+
+    # minutes 0..2 at/above rate then one closer event at minute 3
+    batch1 = (burst(0, 2, 0) + burst(1, 5, 10) + burst(2, 5, 20)
+              + burst(3, 1, 30))
+    batch2 = burst(10, 1, 40)  # closes the 4..9 outage gap
+
+    src = str(tmp_path / "cusum_src")
+    _write_envelopes(spark, src, batch1)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched = enrich_with_context(dead_letters)
+    q = (
+        streaming_cusum_alerts(
+            enriched, bucket_us=60_000_000, ref=2, slack=0, threshold=4
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = [
+            (r["direction"], r["bucket_start_us"], r["stat"])
+            for r in spark.table("cusum_sink").collect()
+        ]
+        _write_envelopes(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base_us = int(ts(0).timestamp() * 1_000_000)
+    minute = 60_000_000
+    assert first == [("up", base_us + 2 * minute, 6)]
+    rows = [
+        (r["direction"], r["bucket_start_us"], r["stat"])
+        for r in spark.table("cusum_sink").collect()
+    ]
+    assert rows == [
+        ("up", base_us + 2 * minute, 6),
+        ("down", base_us + 5 * minute, 5),
+        ("down", base_us + 7 * minute, 4),
+        ("down", base_us + 9 * minute, 4),
+    ]
