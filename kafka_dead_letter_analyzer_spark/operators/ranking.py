@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "rrf_fuse", "global_exclusive_prefix"]
+__all__ = ["auc_exact", "rrf_fuse", "global_exclusive_prefix", "spearman_exact"]
 
 
 def auc_exact(
@@ -237,3 +237,97 @@ def rrf_fuse(
             F.desc("rrf_score_ppb"), *[F.col(c) for c in item_cols]
         ).limit(int(top_n))
     return fused
+
+
+def spearman_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation sufficient statistics —
+    ``(*group_cols, num BIGINT, den_x BIGINT, den_y BIGINT, n BIGINT,
+    rho_e6 BIGINT)`` with ``rho = num / sqrt(den_x * den_y)``.
+
+    Ranks never materialize per row as floats: with ties, the average
+    rank of the c rows at value v is (C_lt + (c+1)/2); DOUBLED and
+    CENTERED it becomes the integer ``d = 2*C_lt + c - n`` (the doubled
+    mean rank is exactly n+1, so the centered doubled ranks sum to 0
+    per group and Pearson-on-ranks reduces to num = sum(dx*dy),
+    den = sum(d^2) — no n*Sxy - Sx*Sy cross terms, which keeps the
+    int64 bound at |d| < n => sums < n^3: exact to ~1.2e6 rows per
+    group, shard past that).  rho_e6 = floor(num*1e6/sqrt(dx)/sqrt(dy) + 0.5)
+    — every float op (int-to-double conversion, sqrt, divide, add,
+    floor) is IEEE exact-rounded, so engines agree bit-for-bit when
+    they run the same op sequence, and the +0.5 nearest-int keeps the
+    extremes exact (sqrt(a)*sqrt(b) lands half an ULP off sqrt(ab), so
+    a bare floor reports 999999 for perfect correlation); the integer
+    triple remains the primary surface.
+
+    Plan shape: two (group, value) count contractions with group-
+    partitioned cumulative windows (the same shape as auc_exact), each
+    joined back to the row set on RENAMED value keys (never the
+    same-lineage attribute), then one map-side-combined aggregate.
+    Rows with a NULL in either column are excluded; groups where
+    either column is constant drop (rho undefined)."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def _centered_map(col: str, out: str):
+        counts = base.groupBy(*groups, col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+        w_lt = wg.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        w_all = wg.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return counts.withColumn(
+            "cum_lt",
+            F.coalesce(F.sum("c").over(w_lt), F.lit(0).cast("bigint")),
+        ).withColumn("nn", F.sum("c").over(w_all)).select(
+            *groups,
+            F.col(col).alias(f"{col}v"),
+            F.expr("2 * cum_lt + c - nn").alias(out),
+        )
+
+    xm = _centered_map("x", "dx")
+    ym = _centered_map("y", "dy")
+    import functools
+
+    def _conj(conds):
+        return functools.reduce(lambda a, c: a & c, conds)
+
+    joined = base.alias("b").join(
+        xm.alias("xm"),
+        _conj([*(F.col(f"b.{g}") == F.col(f"xm.{g}") for g in groups),
+               F.col("b.x") == F.col("xm.xv")]),
+        "inner",
+    ).join(
+        ym.alias("ym"),
+        _conj([*(F.col(f"b.{g}") == F.col(f"ym.{g}") for g in groups),
+               F.col("b.y") == F.col("ym.yv")]),
+        "inner",
+    )
+    agg = joined.groupBy(*[F.col(f"b.{g}") for g in groups]).agg(
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("num"),
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("den_x"),
+        F.sum(F.expr("dy * dy")).cast("bigint").alias("den_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.filter((F.col("den_x") > 0) & (F.col("den_y") > 0)).select(
+        *groups,
+        "num",
+        "den_x",
+        "den_y",
+        "n",
+        F.expr(
+            "CAST(floor(num * 1000000.0 /"
+            " (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))"
+            " + 0.5) AS BIGINT)"
+        ).alias("rho_e6"),
+    )

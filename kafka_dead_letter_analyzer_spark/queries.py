@@ -7727,3 +7727,82 @@ def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.benford_audit(
         cents, value_col="price_cents", group_cols=["o_orderpriority"]
     )
+
+
+@_register(
+    "x_spearman_qty_price",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), xc AS (
+      SELECT l_returnflag, x, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), xm AS (
+      SELECT l_returnflag, x AS xv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY l_returnflag
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+               PRECEDING), 0) AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY l_returnflag)
+                 AS BIGINT) AS dx
+      FROM xc
+    ), yc AS (
+      SELECT l_returnflag, y, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), ym AS (
+      SELECT l_returnflag, y AS yv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY l_returnflag
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+               PRECEDING), 0) AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY l_returnflag)
+                 AS BIGINT) AS dy
+      FROM yc
+    ), joined AS (
+      SELECT b.l_returnflag, xm.dx, ym.dy
+      FROM base b
+      JOIN xm ON xm.l_returnflag = b.l_returnflag AND xm.xv = b.x
+      JOIN ym ON ym.l_returnflag = b.l_returnflag AND ym.yv = b.y
+    ), agg AS (
+      SELECT l_returnflag,
+             CAST(sum(dx * dy) AS BIGINT) AS num,
+             CAST(sum(dx * dx) AS BIGINT) AS den_x,
+             CAST(sum(dy * dy) AS BIGINT) AS den_y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM joined GROUP BY 1
+    )
+    SELECT l_returnflag, num, den_x, den_y, n,
+           CAST(floor(num * 1000000.0 /
+             (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
+             + 0.5) AS BIGINT) AS rho_e6
+    FROM agg WHERE den_x > 0 AND den_y > 0
+    """,
+)
+def x_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between quantity and
+    price per return flag (operators/ranking.py::spearman_exact) — the
+    monotone-dependence audit (is the relationship order-preserving,
+    regardless of shape?).  Ranks never materialize as floats: the
+    doubled-centered integer rank d = 2*C_lt + c - n makes
+    Pearson-on-ranks collapse to three n^3-bounded integer sums
+    (num, den_x, den_y), the primary hash surface; rho_e6 adds the
+    floor(num*1e6/sqrt(dx)/sqrt(dy) + 0.5) fixed-point via IEEE exact-rounded
+    ops run in the same order on both engines.  Plan: two (flag, value)
+    contractions with group-partitioned cumulative windows joined back
+    on renamed value keys, one map-side-combined aggregate."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    return RK.spearman_exact(
+        li, x_col="l_quantity", y_col="price_cents",
+        group_cols=["l_returnflag"],
+    )

@@ -188,3 +188,113 @@ def test_gini_zero_mass_group_drops_and_partition_independent(spark):
         flat.repartition(17, "v"), "v", range_partitions=5
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# spearman_exact
+
+
+def _spearman_ref(xs, ys):
+    """Fraction-exact Pearson-on-average-ranks (x4, doubled ranks)."""
+    import collections
+    from fractions import Fraction
+
+    def avg_ranks(v):
+        cnt = collections.Counter(v)
+        cum, r = 0, {}
+        for k in sorted(cnt):
+            r[k] = Fraction(2 * cum + cnt[k] + 1, 2)
+            cum += cnt[k]
+        return [r[t] for t in v]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    return 4 * num, 4 * dx, 4 * dy
+
+
+def test_spearman_matches_fraction_reference_randomized(spark):
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    rng = random.Random(0x5EA2)
+    for trial in range(10):
+        n = rng.randint(3, 50)
+        xs = [rng.randint(0, 9) for _ in range(n)]
+        ys = [x + rng.randint(-4, 4) for x in xs]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+        out = spearman_exact(df, "x", "y").collect()
+        num, dx, dy = _spearman_ref(xs, ys)
+        if dx == 0 or dy == 0:
+            assert out == [], (trial, xs, ys)
+            continue
+        r = out[0]
+        assert (r["num"], r["den_x"], r["den_y"], r["n"]) == (
+            num, dx, dy, n,
+        ), (trial, xs, ys)
+
+
+def test_spearman_monotone_extremes_and_tie_invariance(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    up = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 9)], "x long, y long"
+    )
+    assert spearman_exact(up, "x", "y").collect()[0]["rho_e6"] == 1_000_000
+    down = spark.createDataFrame(
+        [(i, -3 * i) for i in range(1, 9)], "x long, y long"
+    )
+    assert (
+        spearman_exact(down, "x", "y").collect()[0]["rho_e6"] == -1_000_000
+    )
+    # rho is rank-based: any monotone transform of y leaves it unchanged
+    a = [(1, 10), (2, 10), (3, 30), (4, 25)]
+    b = [(1, 100), (2, 100), (3, 900), (4, 600)]  # same y-RANKS incl. tie
+    ra = spearman_exact(
+        spark.createDataFrame(a, "x long, y long"), "x", "y"
+    ).collect()[0]
+    rb = spearman_exact(
+        spark.createDataFrame(b, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert (ra["num"], ra["den_x"], ra["den_y"]) == (
+        rb["num"], rb["den_x"], rb["den_y"],
+    )
+
+
+def test_spearman_constant_column_drops_nulls_excluded_grouped(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    rows = [
+        ("a", 1, 5), ("a", 2, 7), ("a", None, 9), ("a", 3, None),
+        ("b", 1, 4), ("b", 2, 4), ("b", 3, 4),  # constant y: drops
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = spearman_exact(df, "x", "y", group_cols=["g"]).collect()
+    assert [r["g"] for r in out] == ["a"]
+    assert out[0]["n"] == 2  # null rows excluded
+    assert out[0]["rho_e6"] == 1_000_000
+
+
+def test_spearman_grouped_plan_has_no_single_partition(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 3)], "g string, x long, y long"
+    )
+    plan = (
+        spearman_exact(df, "x", "y", group_cols=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
