@@ -331,3 +331,127 @@ def spearman_exact(
             " + 0.5) AS BIGINT)"
         ).alias("rho_e6"),
     )
+
+
+def kendall_tau_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    max_cells: int = 2000,
+) -> DataFrame:
+    """Exact Kendall tau-b concordance statistics —
+    ``(*group_cols, nc BIGINT, nd BIGINT, tx_pairs BIGINT,
+    ty_pairs BIGINT, n BIGINT, tau_e6 BIGINT)`` with
+    ``tau_b = (nc - nd) / sqrt((n0 - tx)(n0 - ty))``, ``n0 = C(n,2)``.
+
+    Spearman asks "are the RANKS linearly related"; Kendall asks the
+    sharper ordinal question "for a random pair, do the two columns
+    agree on the order" — robust to any monotone transform and the
+    standard effect size for ordinal-vs-ordinal audits.  The textbook
+    O(n^2) pair scan (or the sequential O(n log n) merge count, which
+    does not distribute) is re-shaped around the JOINT (x, y) value
+    contraction: concordant/discordant mass is
+    ``sum(c_i * c_j * sign((x_j-x_i)(y_j-y_i)))`` over DISTINCT cell
+    pairs — a self-join of contraction-sized frames per group, never
+    row-level pairs (550 cells -> 150k cell pairs regardless of
+    whether n is 60k or 60 billion).  Marginal tie masses come from
+    the two 1-D contractions as ``sum C(c,2)``.  ``max_cells`` probes
+    the joint domain with one aggregate and RAISES past the cap —
+    Kendall over two near-continuous columns (cells ~ n) is the wrong
+    tool; quantize or use spearman_exact.
+
+    All six statistics are integers; ``tau_e6`` is the IEEE
+    exact-rounded floor(x + 0.5) fixed point (same contract as
+    spearman_exact's rho_e6).  NULL rows are excluded; groups where
+    either column is constant drop (tau undefined)."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    cells = base.groupBy(*groups, "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    probe = (
+        cells.groupBy(*groups).count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    if probe is not None and probe > max_cells:
+        raise ValueError(
+            f"kendall_tau_exact: a group has {probe} distinct (x, y)"
+            f" cells (> max_cells={max_cells}); quantize the columns or"
+            " use spearman_exact"
+        )
+
+    a = cells.select(
+        *groups, F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.col("c").alias("c1"),
+    )
+    b = cells.select(
+        *groups, F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    import functools
+
+    cond = functools.reduce(
+        lambda acc, c: acc & c,
+        [*(a[g] == b[g] for g in groups), F.lit(True)],
+    ) & (
+        (b["x2"] > a["x1"])
+        | ((b["x2"] == a["x1"]) & (b["y2"] > a["y1"]))
+    )
+    pairs = a.join(b, cond, "inner") if groups else a.crossJoin(b).filter(
+        (F.col("x2") > F.col("x1"))
+        | ((F.col("x2") == F.col("x1")) & (F.col("y2") > F.col("y1")))
+    )
+    cd = pairs.groupBy(*[a[g] for g in groups]).agg(
+        F.sum(
+            F.when(
+                F.expr("(x2 - x1) * (y2 - y1) > 0"), F.expr("c1 * c2")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("nc"),
+        F.sum(
+            F.when(
+                F.expr("(x2 - x1) * (y2 - y1) < 0"), F.expr("c1 * c2")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("nd"),
+    )
+
+    def _tie_mass(col: str, out: str):
+        return (
+            base.groupBy(*groups, col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy(*groups)
+            .agg(
+                F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias(out),
+                F.sum("c").cast("bigint").alias(f"_n_{out}"),
+            )
+        )
+
+    tx = _tie_mass("x", "tx_pairs")
+    ty = _tie_mass("y", "ty_pairs").drop("_n_ty_pairs")
+    joined = (
+        cd.join(tx, groups, "inner").join(ty, groups, "inner")
+        if groups
+        else cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    )
+    out = joined.withColumnRenamed("_n_tx_pairs", "n").withColumn(
+        "n0", F.expr("n * (n - 1) DIV 2")
+    )
+    return out.filter(
+        (F.col("n0") > F.col("tx_pairs")) & (F.col("n0") > F.col("ty_pairs"))
+    ).select(
+        *groups,
+        "nc",
+        "nd",
+        "tx_pairs",
+        "ty_pairs",
+        "n",
+        F.expr(
+            "CAST(floor((nc - nd) * 1000000.0 /"
+            " (sqrt(CAST(n0 - tx_pairs AS DOUBLE))"
+            "  * sqrt(CAST(n0 - ty_pairs AS DOUBLE))) + 0.5) AS BIGINT)"
+        ).alias("tau_e6"),
+    )

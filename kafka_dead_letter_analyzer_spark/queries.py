@@ -7806,3 +7806,75 @@ def x_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, x_col="l_quantity", y_col="price_cents",
         group_cols=["l_returnflag"],
     )
+
+
+@_register(
+    "x_kendall_qty_discount",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ), cells AS (
+      SELECT l_returnflag, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), cd AS (
+      SELECT a.l_returnflag,
+             CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+               THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+               THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nd
+      FROM cells a JOIN cells b
+        ON a.l_returnflag = b.l_returnflag
+       AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
+      GROUP BY 1
+    ), tx AS (
+      SELECT l_returnflag,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS tx_pairs,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT l_returnflag, x, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2) GROUP BY 1
+    ), ty AS (
+      SELECT l_returnflag,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS ty_pairs
+      FROM (SELECT l_returnflag, y, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2) GROUP BY 1
+    ), joined AS (
+      SELECT cd.l_returnflag, nc, nd, tx_pairs, ty_pairs, n,
+             n * (n - 1) // 2 AS n0
+      FROM cd JOIN tx USING (l_returnflag) JOIN ty USING (l_returnflag)
+    )
+    SELECT l_returnflag, nc, nd, tx_pairs, ty_pairs, n,
+           CAST(floor((nc - nd) * 1000000.0 /
+             (sqrt(CAST(n0 - tx_pairs AS DOUBLE))
+              * sqrt(CAST(n0 - ty_pairs AS DOUBLE))) + 0.5)
+             AS BIGINT) AS tau_e6
+    FROM joined WHERE n0 > tx_pairs AND n0 > ty_pairs
+    """,
+)
+def x_kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between quantity and discount per return
+    flag (operators/ranking.py::kendall_tau_exact) — the ordinal
+    concordance audit: for a random pair of line items, do higher
+    quantities come with higher discounts?  The O(n^2) pair scan is
+    re-shaped around the JOINT (quantity, discount-cents) value
+    contraction (50 x 11 cells), so concordant/discordant mass is a
+    cell-pair self-join whose size is independent of row count;
+    marginal tie masses come from the two 1-D contractions as
+    sum C(c,2).  All six statistics are integers; tau_e6 is the same
+    IEEE floor(x + 0.5) fixed point as rho_e6."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("disc_cents"),
+    )
+    return RK.kendall_tau_exact(
+        li, x_col="l_quantity", y_col="disc_cents",
+        group_cols=["l_returnflag"],
+    )

@@ -298,3 +298,102 @@ def test_spearman_grouped_plan_has_no_single_partition(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_exact
+
+
+def _kendall_brute(xs, ys):
+    n = len(xs)
+    nc = nd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            if dx == 0:
+                tx += 1
+                if dy == 0:
+                    ty += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                nc += 1
+            else:
+                nd += 1
+    return nc, nd, tx, ty
+
+
+def test_kendall_matches_brute_force_randomized(spark):
+    import math
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        kendall_tau_exact,
+    )
+
+    rng = random.Random(0x7A0B)
+    for trial in range(8):
+        n = rng.randint(3, 40)
+        xs = [rng.randint(0, 5) for _ in range(n)]
+        ys = [x + rng.randint(-2, 2) for x in xs]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+        out = kendall_tau_exact(df, "x", "y").collect()
+        nc, nd, tx, ty = _kendall_brute(xs, ys)
+        n0 = n * (n - 1) // 2
+        if n0 == tx or n0 == ty:
+            assert out == [], (trial, xs, ys)
+            continue
+        r = out[0]
+        assert (r["nc"], r["nd"], r["tx_pairs"], r["ty_pairs"], r["n"]) == (
+            nc, nd, tx, ty, n,
+        ), (trial, xs, ys)
+        want = math.floor(
+            (nc - nd) * 1e6 / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+            + 0.5
+        )
+        assert r["tau_e6"] == want, (trial, xs, ys)
+
+
+def test_kendall_extremes_and_monotone_invariance(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        kendall_tau_exact,
+    )
+
+    up = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 9)], "x long, y long"
+    )
+    assert kendall_tau_exact(up, "x", "y").collect()[0]["tau_e6"] == 1_000_000
+    down = spark.createDataFrame(
+        [(i, 100 - i) for i in range(1, 9)], "x long, y long"
+    )
+    assert (
+        kendall_tau_exact(down, "x", "y").collect()[0]["tau_e6"]
+        == -1_000_000
+    )
+
+
+def test_kendall_constant_drops_and_grouped(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        kendall_tau_exact,
+    )
+
+    rows = [
+        ("a", 1, 2), ("a", 2, 5), ("a", 3, 4),
+        ("b", 1, 9), ("b", 2, 9),  # constant y: drops
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = kendall_tau_exact(df, "x", "y", group_cols=["g"]).collect()
+    assert [r["g"] for r in out] == ["a"]
+    assert (out[0]["nc"], out[0]["nd"]) == (2, 1)
+
+
+def test_kendall_max_cells_raises(spark):
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        kendall_tau_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(30)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        kendall_tau_exact(df, "x", "y", max_cells=10)
