@@ -1111,3 +1111,122 @@ def streaming_cusum_alerts(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mix-drift monitor (TVD vs a baseline mix, per closed bucket)
+# ---------------------------------------------------------------------------
+
+
+def _make_mix_drift_fn(baseline: dict, bus: int):
+    b_total = sum(baseline.values())
+    if b_total <= 0:
+        raise ValueError("mix_drift: baseline must have positive mass")
+
+    def _tvd_ppm(counts: dict, n: int) -> int:
+        # sum |c*B - b*n| * 1e6 / (2*n*B), exact in Python bigints
+        num = 0
+        for cat in set(counts) | set(baseline):
+            c = counts.get(cat, 0)
+            b = baseline.get(cat, 0)
+            num += abs(c * b_total - b * n)
+        return num * 1_000_000 // (2 * n * b_total)
+
+    def _mix_drift_fn(key, pdfs, state) -> Iterator:
+        """Per-key bucketed category-mix monitor: state = the OPEN
+        bucket's (cats, cnts) arrays plus its index. A bucket emits
+        when a later bucket first appears (same closing rule as the
+        CUSUM detector); empty gap buckets have no mix and emit
+        nothing; late rows fold into the open bucket. The emitted
+        tvd_ppm is the exact integer TVD between the closed bucket's
+        mix and the fixed baseline mix — Python bigint arithmetic, no
+        floats anywhere."""
+        import pandas as pd
+
+        if state.exists:
+            cur, cats, cnts = state.get
+            counts = dict(zip(list(cats), (int(c) for c in cnts)))
+            if cur < 0:
+                cur = None
+        else:
+            cur, counts = None, {}
+        out = []
+
+        def close(b: int, cts: dict) -> None:
+            n = sum(cts.values())
+            if n > 0:
+                out.append((b * bus, n, _tvd_ppm(cts, n)))
+
+        per_bucket: dict[int, dict] = {}
+        for pdf in pdfs:
+            for tb, cat in zip(pdf["tb"], pdf["cat"]):
+                per_bucket.setdefault(int(tb), {})
+                d = per_bucket[int(tb)]
+                d[cat] = d.get(cat, 0) + 1
+        for tb in sorted(per_bucket):
+            if cur is None:
+                cur = tb
+            if tb <= cur:
+                for cat, c in per_bucket[tb].items():
+                    counts[cat] = counts.get(cat, 0) + c
+                continue
+            close(cur, counts)
+            cur, counts = tb, dict(per_bucket[tb])
+        state.update(
+            (
+                cur if cur is not None else -1,
+                list(counts.keys()),
+                [counts[c] for c in counts],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]] * len(out),
+                    "bucket_start_us": [o[0] for o in out],
+                    "n": [o[1] for o in out],
+                    "tvd_ppm": [o[2] for o in out],
+                }
+            )
+
+    return _mix_drift_fn
+
+
+def streaming_mix_drift(
+    enriched: DataFrame,
+    baseline: dict,
+    bucket_us: int = 60_000_000,
+) -> DataFrame:
+    """Per-topic, per-closed-bucket total-variation distance between
+    the bucket's error-TYPE mix and a fixed ``baseline`` mix
+    (``{type: expected_count_or_weight}``) — the streaming dual of
+    ``operators/drift.py::tvd_drift``: the batch form compares early
+    vs late halves of a finished table, this one scores every time
+    bucket against the mix you expect, live.  A mix shift with a FLAT
+    rate (errors re-routing from one type to another) is invisible to
+    rate detectors like CUSUM and is exactly what TVD sees.
+
+    Output rows ``(topic, bucket_start_us, n, tvd_ppm)`` — one per
+    CLOSED bucket (buckets close when a later bucket first appears;
+    empty buckets have no mix and emit nothing).  tvd_ppm is exact
+    integer algebra end-to-end (Python bigints inside the state fn, no
+    float ever).  State per key = the open bucket's category counts —
+    bounded by the error-type domain, not traffic.  Alerting is a
+    downstream ``filter(tvd_ppm > h)``; emitting every bucket keeps
+    the surface a monitoring time series, not just alarms."""
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("cat"),
+        F.expr(
+            f"unix_micros(context.timestamp) DIV {bucket_us}"
+        ).alias("tb"),
+    )
+    return keyed.groupBy("topic").applyInPandasWithState(
+        _make_mix_drift_fn(dict(baseline), bucket_us),
+        outputStructType=(
+            "topic string, bucket_start_us long, n long, tvd_ppm long"
+        ),
+        stateStructType="cur long, cats array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

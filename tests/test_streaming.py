@@ -2026,3 +2026,117 @@ def test_streaming_cusum_alerts_end_to_end(spark, tmp_path, ts):
         ("down", base_us + 7 * minute, 4),
         ("down", base_us + 9 * minute, 4),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Streaming mix-drift monitor
+
+
+def test_mix_drift_fn_exact_tvd_per_closed_bucket():
+    import pandas as pd
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_mix_drift_fn,
+    )
+
+    fn = _make_mix_drift_fn({"A": 1, "B": 1}, bus=10)
+    st = _FakeState()
+    rows = []
+
+    def drive(tbs_cats):
+        pdf = pd.DataFrame(
+            {"tb": [t for t, _ in tbs_cats], "cat": [c for _, c in tbs_cats]}
+        )
+        for out in fn(("topic-1",), [pdf], st):
+            rows.extend(
+                (int(r.bucket_start_us), int(r.n), int(r.tvd_ppm))
+                for r in out.itertuples()
+            )
+
+    # bucket 0: perfectly balanced {A:2, B:2} vs 50/50 baseline -> 0
+    drive([(0, "A"), (0, "A"), (0, "B"), (0, "B")])
+    assert rows == []  # bucket still open
+    # bucket 2 opens -> bucket 0 closes; gap bucket 1 emits nothing
+    drive([(2, "A"), (2, "A"), (2, "A"), (2, "B")])
+    assert rows == [(0, 4, 0)]
+    # late row for bucket 1 folds into OPEN bucket 2 (documented)
+    drive([(1, "A")])
+    # bucket 5 opens -> bucket 2 closes with {A:4, B:1}:
+    # TVD = (|4/5 - 1/2| + |1/5 - 1/2|)/2 = 3/10 -> 300000 ppm
+    drive([(5, "C")])
+    assert rows == [(0, 4, 0), (20, 5, 300_000)]
+    # a category absent from the baseline contributes its whole mass:
+    # when bucket 5 {C:1} closes, TVD = (1/1 + 1/2 + 1/2)/2 = 1 -> 1e6
+    drive([(9, "A")])
+    assert rows[-1] == (50, 1, 1_000_000)
+
+
+def test_mix_drift_rejects_empty_baseline():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_mix_drift_fn,
+    )
+
+    with pytest.raises(ValueError, match="positive mass"):
+        _make_mix_drift_fn({}, bus=10)
+
+
+def test_streaming_mix_drift_end_to_end(spark, tmp_path, ts):
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_mix_drift,
+    )
+
+    # all fixtures share one (topic, type): baseline = that type only
+    batch1 = [
+        FX.envelope(offset=i, timestamp=ts(0),
+                    value_deadletter=FX.dead_letter_value())
+        for i in range(3)
+    ]
+    batch2 = [
+        FX.envelope(offset=10, timestamp=ts(5),
+                    value_deadletter=FX.dead_letter_value())
+    ]
+    src = str(tmp_path / "mixdrift_src")
+    _write_envelopes(spark, src, batch1)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched = enrich_with_context(dead_letters)
+    # pin the fixture's classified type from the BATCH topology so the
+    # baseline matches exactly and the expected TVD is 0
+    batch_enriched = enrich_with_context(
+        stream_dead_letters(FX.raw_frame(spark, batch1))[0]
+    )
+    [fixture_type] = [
+        r["type"]
+        for r in batch_enriched.select("error_key.type").distinct().collect()
+    ]
+    q = (
+        streaming_mix_drift(
+            enriched,
+            baseline={fixture_type: 1},
+            bucket_us=60_000_000,
+        )
+        .writeStream.format("memory")
+        .queryName("mixdrift_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("mixdrift_sink").count() == 0  # bucket open
+        _write_envelopes(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("mixdrift_sink").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 3
+    base_us = int(ts(0).timestamp() * 1_000_000)
+    assert r["bucket_start_us"] == base_us
+    assert r["tvd_ppm"] == 0  # bucket mix == baseline mix exactly
