@@ -359,3 +359,78 @@ def skyline_2d(
             F.col("_b").alias(min_col),
         )
     )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Association-rule strength for item PAIRS across baskets —
+    ``(type_a, type_b, support BIGINT, c_a BIGINT, c_b BIGINT,
+    n_baskets BIGINT, lift_e6 BIGINT, leverage_num BIGINT)`` where
+    ``lift = N*support / (c_a*c_b)`` (1e6 = independence, >1e6 =
+    attraction) and ``leverage_num = support*N - c_a*c_b`` (the
+    INTEGER numerator of P(ab) - P(a)P(b) over N^2 — sign alone
+    answers "attracted or repelled", no division at all).
+
+    The A-priori L2 support join (distinct (basket, item) contraction,
+    renamed-projection self-join with the `<` canonical order) is the
+    same shape as the plain support count; this adds the two marginals
+    (one groupBy over the contraction each) and the 1-row basket-count
+    anchor joined broadcast-side.  lift_e6 is the two-step long
+    division, exact for any numerator; int64 holds while
+    ``support * N * 1000`` fits — ~9e7 baskets, shard past that.
+    ``min_support`` prunes the pair table BEFORE the marginal joins
+    (the A-priori downward-closure cut)."""
+    b = df.select(
+        F.col(basket_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    x = b.select(F.col("u").alias("ux"), F.col("it").alias("type_a"))
+    y = b.select(F.col("u").alias("uy"), F.col("it").alias("type_b"))
+    pairs = (
+        x.join(
+            y,
+            (F.col("ux") == F.col("uy"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    marg = b.groupBy("it").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = b.agg(
+        F.count_distinct(F.col("u")).cast("bigint").alias("n_baskets")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("it").alias("type_a"),
+                                    F.col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("it").alias("type_b"),
+                                    F.col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "support",
+        "c_a",
+        "c_b",
+        "n_baskets",
+        F.expr(
+            "((support * n_baskets * 1000) DIV (c_a * c_b)) * 1000"
+            " + (((support * n_baskets * 1000) % (c_a * c_b)) * 1000)"
+            "   DIV (c_a * c_b)"
+        ).cast("bigint").alias("lift_e6"),
+        F.expr("support * n_baskets - c_a * c_b")
+        .cast("bigint")
+        .alias("leverage_num"),
+    )

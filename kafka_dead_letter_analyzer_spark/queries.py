@@ -7878,3 +7878,47 @@ def x_kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, x_col="l_quantity", y_col="disc_cents",
         group_cols=["l_returnflag"],
     )
+
+
+@_register(
+    "x_basket_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id AS u, event_type AS it FROM events
+    ), pairs AS (
+      SELECT x.it AS type_a, y.it AS type_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM b x JOIN b y ON x.u = y.u AND x.it < y.it
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT it, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_baskets FROM b
+    )
+    SELECT p.type_a, p.type_b, p.support,
+           ma.c AS c_a, mb.c AS c_b, n.n_baskets,
+           CAST(((p.support * n.n_baskets * 1000) // (ma.c * mb.c)) * 1000
+             + (((p.support * n.n_baskets * 1000) % (ma.c * mb.c)) * 1000)
+               // (ma.c * mb.c) AS BIGINT) AS lift_e6,
+           CAST(p.support * n.n_baskets - ma.c * mb.c AS BIGINT)
+             AS leverage_num
+    FROM pairs p
+    JOIN marg ma ON ma.it = p.type_a
+    JOIN marg mb ON mb.it = p.type_b
+    CROSS JOIN n
+    """,
+)
+def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift and leverage for event-type pairs across
+    user baskets (operators/analytics.py::basket_lift) — the
+    independence-normalized layer over x_basket_pairs' raw support:
+    lift_e6 (1e6 = independent, above = attraction) via two-step long
+    division, and the INTEGER leverage numerator support*N - c_a*c_b
+    whose sign answers attracted/repelled with no division at all.
+    Plan: the same distinct-contraction pair join as the support
+    count, two broadcast marginal joins, a 1-row broadcast basket-
+    count anchor."""
+    from kafka_dead_letter_analyzer_spark.operators import analytics as AN
+
+    ev = load_table(spark, sf_dir, "events")
+    return AN.basket_lift(ev, basket_col="user_id", item_col="event_type")

@@ -982,3 +982,53 @@ def test_gini_terms_and_quantile_normalize_scratch(spark):
     assert qn[2] == (3 - 1) * 1_000_000 // (4 - 1)
     assert qn[3] == 1_000_000
     assert qn[50] == 0
+
+
+# ---------------------------------------------------------------------------
+# basket_lift
+
+
+def test_basket_lift_hand_computed(spark):
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        basket_lift,
+    )
+
+    # 4 baskets: {a,b} {a,b} {a} {b} -> support(ab)=2, c_a=3, c_b=3, N=4
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "b"),  # duplicate item collapses
+        (3, "a"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, it string")
+    [r] = basket_lift(df, "u", "it").collect()
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["support"], r["c_a"], r["c_b"], r["n_baskets"]) == (2, 3, 3, 4)
+    # lift = 2*4/(3*3) = 8/9 -> 888888 ppm-of-1 (floored)
+    assert r["lift_e6"] == 8 * 10**6 // 9
+    assert r["leverage_num"] == 2 * 4 - 9  # = -1: slight repulsion
+
+
+def test_basket_lift_independence_is_exactly_1e6(spark):
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        basket_lift,
+    )
+
+    # a in baskets {1,2}, b in {1,3}: support=1, c_a=c_b=2, N=4
+    rows = [(1, "a"), (1, "b"), (2, "a"), (3, "b"), (4, "z")]
+    df = spark.createDataFrame(rows, "u long, it string")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           basket_lift(df, "u", "it").collect()}
+    r = out[("a", "b")]
+    assert r["lift_e6"] == 1_000_000 and r["leverage_num"] == 0
+
+
+def test_basket_lift_min_support_prunes(spark):
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        basket_lift,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "u long, it string")
+    out = basket_lift(df, "u", "it", min_support=2).collect()
+    assert [(r["type_a"], r["type_b"]) for r in out] == [("a", "c")]
