@@ -7922,3 +7922,101 @@ def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return AN.basket_lift(ev, basket_col="user_id", item_col="event_type")
+
+
+@_register(
+    "x_seasonal_anomaly",
+    """
+    WITH d0 AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), anchor AS (
+      SELECT max(day) AS today FROM d0
+    ), hist AS (
+      SELECT d0.* FROM d0, anchor WHERE day < today
+    ), ranked AS (
+      SELECT event_type, hod, cnt,
+             row_number() OVER (PARTITION BY event_type, hod
+               ORDER BY cnt ASC, day ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type, hod) AS m
+      FROM hist
+    ), med AS (
+      SELECT event_type, hod, cnt AS med_cnt,
+             CAST(m AS BIGINT) AS n_days
+      FROM ranked WHERE rn = (m + 1) // 2
+    ), today_cnt AS (
+      SELECT d0.event_type, d0.hod, d0.cnt
+      FROM d0, anchor WHERE day = today
+    )
+    SELECT m.event_type, CAST(m.hod AS BIGINT) AS hod,
+           COALESCE(t.cnt, 0) AS today_cnt, m.med_cnt, m.n_days,
+           CAST(((COALESCE(t.cnt, 0) * 1000) // m.med_cnt) * 1000
+             + (((COALESCE(t.cnt, 0) * 1000) % m.med_cnt) * 1000)
+               // m.med_cnt AS BIGINT) AS ratio_e6
+    FROM med m LEFT JOIN today_cnt t
+      ON t.event_type = m.event_type AND t.hod = m.hod
+    """,
+)
+def x_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly profile: today's hourly count per
+    event type against the strictly-HISTORICAL lower median for that
+    same hour — the "is tonight's 2am error rate normal FOR 2AM"
+    question that a flat mean-rate detector cannot ask.  ratio_e6 =
+    floor(today*1e6/median) via two-step division (1e6 = exactly at
+    the seasonal norm; the lower median of positive counts is >= 1 so
+    the division is always defined); hours the type never produced
+    BEFORE today have no baseline and drop, hours silent TODAY emit
+    ratio 0.  Plan: one (type, day, hod) count contraction is the full
+    data shuffle; the median is a row_number window over the
+    contraction per (type, hod); "today" is a 1-row broadcast anchor."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d0 = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.expr(
+                "(unix_micros(ts) % 86400000000) DIV 3600000000"
+            ).alias("hod"),
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    anchor = d0.agg(F.max("day").alias("today"))
+    hist = d0.crossJoin(F.broadcast(anchor)).filter(
+        F.col("day") < F.col("today")
+    )
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("event_type", "hod")
+    ranked = hist.withColumn(
+        "rn", F.row_number().over(wg.orderBy(F.asc("cnt"), F.asc("day")))
+    ).withColumn("m", F.count(F.lit(1)).over(wg))
+    med = ranked.filter(F.expr("rn = (m + 1) DIV 2")).select(
+        "event_type",
+        "hod",
+        F.col("cnt").alias("med_cnt"),
+        F.col("m").cast("bigint").alias("n_days"),
+    )
+    today_cnt = (
+        d0.crossJoin(F.broadcast(anchor))
+        .filter(F.col("day") == F.col("today"))
+        .select("event_type", "hod", F.col("cnt").alias("tcnt"))
+    )
+    joined = med.join(today_cnt, ["event_type", "hod"], "left").withColumn(
+        "today_cnt", F.coalesce("tcnt", F.lit(0).cast("bigint"))
+    )
+    return joined.select(
+        "event_type",
+        F.col("hod").cast("bigint").alias("hod"),
+        "today_cnt",
+        "med_cnt",
+        "n_days",
+        F.expr(
+            "((today_cnt * 1000) DIV med_cnt) * 1000"
+            " + (((today_cnt * 1000) % med_cnt) * 1000) DIV med_cnt"
+        ).cast("bigint").alias("ratio_e6"),
+    )

@@ -500,3 +500,57 @@ def test_benford_excludes_nonpositive_and_groups(spark):
     assert by[("a", 1)]["cnt"] == 1 and by[("a", 1)]["obs_ppm"] == 1_000_000
     assert by[("b", 9)]["cnt"] == 1
     assert by[("b", 1)]["cnt"] == 0
+
+
+# ---------------------------------------------------------------------------
+# x_seasonal_anomaly (query-level semantics)
+
+
+def test_seasonal_anomaly_semantics(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from kafka_dead_letter_analyzer_spark.queries import x_seasonal_anomaly
+
+    # three historical days with hourly profiles + a "today"
+    rows = []
+    eid = 0
+
+    def day_hours(day, hod_counts, typ="error"):
+        nonlocal eid
+        for hod, cnt in hod_counts.items():
+            for i in range(cnt):
+                rows.append(
+                    (eid, EPOCH + dt.timedelta(days=day, hours=hod,
+                                               minutes=i),
+                     1, typ, 0.0, "{}")
+                )
+                eid += 1
+
+    # hod 3: history 2,4,6 (median 4); today 8 -> ratio 2e6
+    day_hours(0, {3: 2})
+    day_hours(1, {3: 4})
+    day_hours(2, {3: 6})
+    day_hours(3, {3: 8})
+    # hod 5: history 5,5 (median 5); today silent -> ratio 0
+    day_hours(0, {5: 5})
+    day_hours(1, {5: 5})
+    # hod 7: today ONLY -> no baseline -> row absent
+    day_hours(3, {7: 9})
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out_dir = str(tmp_path / "events_seasonal")
+    df.coalesce(1).write.parquet(out_dir + "/events.parquet")
+    got = {
+        (r["event_type"], r["hod"]): r
+        for r in x_seasonal_anomaly(spark, out_dir).collect()
+    }
+    assert got[("error", 3)]["med_cnt"] == 4
+    assert got[("error", 3)]["today_cnt"] == 8
+    assert got[("error", 3)]["ratio_e6"] == 2_000_000
+    assert got[("error", 5)]["today_cnt"] == 0
+    assert got[("error", 5)]["ratio_e6"] == 0
+    assert got[("error", 5)]["med_cnt"] == 5
+    assert ("error", 7) not in got  # no historical baseline
