@@ -50,6 +50,7 @@ __all__ = [
     "tvd_drift",
     "wasserstein_drift",
     "theilsen_trend",
+    "leadlag_spearman",
 ]
 
 _BUCKET_US = {
@@ -496,3 +497,111 @@ def theilsen_trend(
         "n_buckets",
         F.col("np").alias("n_pairs"),
     )
+
+
+def leadlag_spearman(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    cat_a: str,
+    cat_b: str,
+    max_lag: int = 7,
+    bucket: str = "day",
+    max_buckets: int = 4000,
+) -> DataFrame:
+    """Lead-lag rank cross-correlation between two category RATE
+    series — ``(lag BIGINT, num BIGINT, den_x BIGINT, den_y BIGINT,
+    n BIGINT, rho_e6 BIGINT)``: for each lag 0..max_lag, the exact
+    tie-aware Spearman correlation between ``cat_a``'s per-bucket
+    count at time t and ``cat_b``'s at time t+lag.  The argmax lag
+    answers "does B FOLLOW A, and by how much?" — e.g. do error
+    bursts trail deploy events by two days — with rank correlation's
+    monotone-transform robustness (a 10x traffic day inflates both
+    series; their ranks still align).
+
+    Both series densify over the UNION span (zeros where silent —
+    dropping silent buckets would fake correlation between sparse
+    series), then each lag's pairing is an equi-join of the two
+    contraction-sized series offset by the lag (the lag table is a
+    broadcast literal), and all lags' statistics come from ONE
+    :func:`~kafka_dead_letter_analyzer_spark.operators.ranking.
+    spearman_exact` call with ``lag`` as the group column — per-lag
+    rank windows over at most span/bucket rows, parallel across lags.
+    ``max_buckets`` guards the densified span (RAISES, same contract
+    as theilsen_trend).  Lags with a constant series (e.g. the
+    overlap shrank to nothing) drop, per spearman's contract."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"leadlag_spearman: bucket must be one of {sorted(_BUCKET_US)},"
+            f" got {bucket!r}"
+        )
+    if max_lag < 0:
+        raise ValueError("leadlag_spearman: max_lag must be >= 0")
+    bus = _BUCKET_US[bucket]
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    ev = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(cat_col).isin([cat_a, cat_b])
+    ).select(
+        F.col(cat_col).alias("cat"),
+        F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
+    )
+    counts = ev.groupBy("cat", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    span = counts.agg(
+        F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
+    )
+    worst = span.collect()[0]
+    if worst["t_lo"] is None:
+        raise ValueError(
+            "leadlag_spearman: no rows for either category"
+        )
+    if worst["t_hi"] - worst["t_lo"] + 1 > max_buckets:
+        raise ValueError(
+            f"leadlag_spearman: span is"
+            f" {worst['t_hi'] - worst['t_lo'] + 1} {bucket} buckets"
+            f" (> max_buckets={max_buckets}); coarsen the bucket"
+        )
+    timeline = span.select(
+        F.explode(F.sequence("t_lo", "t_hi")).alias("t")
+    )
+
+    def _dense(cat: str, out: str):
+        side = counts.filter(F.col("cat") == cat).select(
+            F.col("t").alias(f"{out}_t"), F.col("x").alias(out)
+        )
+        return timeline.join(
+            side, timeline["t"] == side[f"{out}_t"], "left"
+        ).select(
+            timeline["t"],
+            F.coalesce(out, F.lit(0).cast("bigint")).alias(out),
+        )
+
+    a = _dense(cat_a, "xa")
+    b = _dense(cat_b, "xb")
+    spark = df.sparkSession
+    lags = spark.createDataFrame(
+        [(int(l),) for l in range(max_lag + 1)], "lag bigint"
+    )
+    # a and b both derive from the same timeline frame: qualify every
+    # side explicitly or Spark's same-lineage resolution can collapse
+    # the offset condition onto one side (the round-5 self-join trap)
+    paired = (
+        a.alias("LL_A")
+        .crossJoin(F.broadcast(lags).alias("LL_L"))
+        .join(
+            b.select(F.col("t").alias("tb"), "xb").alias("LL_B"),
+            F.col("LL_B.tb") == F.col("LL_A.t") + F.col("LL_L.lag"),
+            "inner",
+        )
+        .select(
+            F.col("LL_L.lag").alias("lag"),
+            F.col("LL_A.xa").alias("x"),
+            F.col("LL_B.xb").alias("y"),
+        )
+    )
+    return spearman_exact(paired, "x", "y", group_cols=["lag"])

@@ -8020,3 +8020,91 @@ def x_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (((today_cnt * 1000) % med_cnt) * 1000) DIV med_cnt"
         ).cast("bigint").alias("ratio_e6"),
     )
+
+
+@_register(
+    "x_leadlag_purchase_error",
+    """
+    WITH ev AS (
+      SELECT event_type AS cat, epoch_us(ts) // 86400000000 AS t
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')
+    ), counts AS (
+      SELECT cat, t, CAST(count(*) AS BIGINT) AS x FROM ev GROUP BY 1, 2
+    ), span AS (
+      SELECT min(t) AS t_lo, max(t) AS t_hi FROM counts
+    ), timeline AS (
+      SELECT unnest(generate_series(t_lo, t_hi)) AS t FROM span
+    ), a AS (
+      SELECT tl.t, COALESCE(c.x, 0) AS xa
+      FROM timeline tl LEFT JOIN counts c
+        ON c.cat = 'purchase' AND c.t = tl.t
+    ), b AS (
+      SELECT tl.t, COALESCE(c.x, 0) AS xb
+      FROM timeline tl LEFT JOIN counts c
+        ON c.cat = 'error' AND c.t = tl.t
+    ), lags AS (
+      SELECT unnest(generate_series(0, 5)) AS lag
+    ), paired AS (
+      SELECT l.lag, a.xa AS x, b.xb AS y
+      FROM a CROSS JOIN lags l JOIN b ON b.t = a.t + l.lag
+    ), xc AS (
+      SELECT lag, x, CAST(count(*) AS BIGINT) AS c
+      FROM paired GROUP BY 1, 2
+    ), xm AS (
+      SELECT lag, x AS xv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY lag ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY lag) AS BIGINT) AS dx
+      FROM xc
+    ), yc AS (
+      SELECT lag, y, CAST(count(*) AS BIGINT) AS c
+      FROM paired GROUP BY 1, 2
+    ), ym AS (
+      SELECT lag, y AS yv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY lag ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY lag) AS BIGINT) AS dy
+      FROM yc
+    ), joined AS (
+      SELECT p.lag, xm.dx, ym.dy
+      FROM paired p
+      JOIN xm ON xm.lag = p.lag AND xm.xv = p.x
+      JOIN ym ON ym.lag = p.lag AND ym.yv = p.y
+    ), agg AS (
+      SELECT lag,
+             CAST(sum(dx * dy) AS BIGINT) AS num,
+             CAST(sum(dx * dx) AS BIGINT) AS den_x,
+             CAST(sum(dy * dy) AS BIGINT) AS den_y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM joined GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, num, den_x, den_y, n,
+           CAST(floor(num * 1000000.0 /
+             (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
+             + 0.5) AS BIGINT) AS rho_e6
+    FROM agg WHERE den_x > 0 AND den_y > 0
+    """,
+)
+def x_leadlag_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag rank cross-correlation between the purchase and error
+    daily-rate series (operators/drift.py::leadlag_spearman): for each
+    lag 0..5 days, the exact tie-aware Spearman correlation between
+    purchases at day t and errors at day t+lag — "do error bursts
+    FOLLOW purchase bursts, and by how much?" with rank correlation's
+    monotone-transform robustness (a 10x traffic day inflates both
+    series; their ranks still align).  Both series densify over the
+    union span (zeros where silent), each lag pairs by a
+    contraction-sized offset equi-join against a broadcast lag table
+    (explicitly aliased — the same-lineage trap), and ALL lags'
+    statistics come from one spearman_exact call with lag as the
+    group column."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    return DR.leadlag_spearman(
+        ev, ts_col="ts", cat_col="event_type",
+        cat_a="purchase", cat_b="error", max_lag=5, bucket="day",
+    )

@@ -554,3 +554,100 @@ def test_seasonal_anomaly_semantics(spark, tmp_path):
     assert got[("error", 5)]["ratio_e6"] == 0
     assert got[("error", 5)]["med_cnt"] == 5
     assert ("error", 7) not in got  # no historical baseline
+
+
+# ---------------------------------------------------------------------------
+# leadlag_spearman
+
+
+def _leadlag_events(spark, shape, lag, cat_a="A", cat_b="B"):
+    rows = []
+    for d, c in enumerate(shape):
+        for i in range(c):
+            rows.append((cat_a, EPOCH + dt.timedelta(days=d, minutes=i)))
+            rows.append(
+                (cat_b, EPOCH + dt.timedelta(days=d + lag, minutes=i))
+            )
+    return spark.createDataFrame(rows, "cat string, ts timestamp")
+
+
+def test_leadlag_recovers_planted_lag(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        leadlag_spearman,
+    )
+
+    # non-monotone bump so only the true lag aligns perfectly
+    shape = [1, 5, 9, 2, 1, 1, 8, 3, 1, 1]
+    df = _leadlag_events(spark, shape, lag=2)
+    out = {
+        r["lag"]: r
+        for r in leadlag_spearman(
+            df, "ts", "cat", "A", "B", max_lag=4
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[2]["rho_e6"] == 1_000_000
+    assert all(out[l]["rho_e6"] < 1_000_000 for l in (0, 1, 3, 4))
+    # overlap shrinks by one pair per extra lag past the span
+    assert out[0]["n"] == len(shape) + 2
+    assert out[4]["n"] == len(shape) + 2 - 4
+
+
+def test_leadlag_matches_direct_spearman_per_lag(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        leadlag_spearman,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    shape = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = _leadlag_events(spark, shape, lag=1)
+    got = {
+        r["lag"]: r
+        for r in leadlag_spearman(
+            df, "ts", "cat", "A", "B", max_lag=2
+        ).collect()
+    }
+    # rebuild the dense series locally and check each lag against a
+    # direct spearman_exact call on the hand-paired vectors
+    span = len(shape) + 1  # B extends one day past A
+    a = [shape[d] if d < len(shape) else 0 for d in range(span)]
+    b = [shape[d - 1] if 1 <= d <= len(shape) else 0 for d in range(span)]
+    for lag in (0, 1, 2):
+        pairs = [
+            (a[t], b[t + lag]) for t in range(span - lag)
+        ]
+        direct = spearman_exact(
+            spark.createDataFrame(pairs, "x long, y long"), "x", "y"
+        ).collect()
+        if not direct:
+            assert lag not in got
+            continue
+        d0 = direct[0]
+        g = got[lag]
+        assert (g["num"], g["den_x"], g["den_y"], g["n"]) == (
+            d0["num"], d0["den_x"], d0["den_y"], d0["n"],
+        ), lag
+
+
+def test_leadlag_guards(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        leadlag_spearman,
+    )
+
+    df = _leadlag_events(spark, [1, 2], lag=0)
+    with pytest.raises(ValueError, match="max_lag"):
+        leadlag_spearman(df, "ts", "cat", "A", "B", max_lag=-1)
+    with pytest.raises(ValueError, match="bucket must be one of"):
+        leadlag_spearman(df, "ts", "cat", "A", "B", bucket="week")
+    with pytest.raises(ValueError, match="no rows"):
+        leadlag_spearman(df, "ts", "cat", "NOPE1", "NOPE2")
+    wide = _leadlag_events(spark, [1], lag=0)
+    far = spark.createDataFrame(
+        [("A", EPOCH + dt.timedelta(days=5000))], "cat string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        leadlag_spearman(
+            wide.unionByName(far), "ts", "cat", "A", "B", max_buckets=100
+        )
