@@ -8108,3 +8108,99 @@ def x_leadlag_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ts_col="ts", cat_col="event_type",
         cat_a="purchase", cat_b="error", max_lag=5, bucket="day",
     )
+
+
+def _duck_u32(expr: str) -> str:
+    """DuckDB reconstruction of sampling.py::hash_uniform_u32 (first 8
+    hex digits of md5 as BIGINT) for an arbitrary string expression."""
+    return (
+        f"list_sum([(strpos('0123456789abcdef', md5({expr})[i]) - 1)"
+        f" * ([{_HEX8_POWS}][i])::BIGINT for i in range(1, 9)])"
+    )
+
+
+@_register(
+    "x_bootstrap_doclen",
+    f"""
+    WITH exploded AS (
+      SELECT source, n_chars,
+             unnest(generate_series(0, 15)) AS b,
+             CAST(doc_id AS VARCHAR) AS k
+      FROM documents WHERE n_chars IS NOT NULL
+    ), weighted AS (
+      SELECT source, n_chars, b,
+             ({_duck_u32("k || ':' || CAST(b AS VARCHAR) || ':boot:'")}
+              % 2) * 2 AS w
+      FROM exploded
+    )
+    SELECT source, CAST(b AS BIGINT) AS b,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * n_chars) AS BIGINT) AS sum_v
+    FROM weighted GROUP BY 1, 2
+    """,
+)
+def x_bootstrap_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher multiplier bootstrap of mean document length per
+    source (operators/uncertainty.py::bootstrap_moments), 16
+    resamples: every (row, b) draws weight 0 or 2 from one md5 bit —
+    E[w]=1, Var[w]=1, the Poisson bootstrap's first two moments with
+    integer weights and full determinism across retries, partitions,
+    and engines.  The surface is the exact per-resample sufficient
+    statistics (n_eff, sum_v); the spread of sum_v/n_eff across b IS
+    the stderr of the mean, computed caller-side.  Plan: the resample
+    axis explodes 16x map-side and contracts to 16 x sources by
+    map-side combine in the same stage — one scan, no extra
+    shuffle width."""
+    from kafka_dead_letter_analyzer_spark.operators import (
+        uncertainty as UN,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return UN.bootstrap_moments(
+        docs, key="doc_id", value_col="n_chars",
+        group_cols=["source"], n_resamples=16,
+    )
+
+
+@_register(
+    "x_jackknife_doclen",
+    f"""
+    WITH blocks AS (
+      SELECT source,
+             {_duck_u32("CAST(doc_id AS VARCHAR) || ':jack:'")}
+               % 32 AS blk,
+             n_chars
+      FROM documents WHERE n_chars IS NOT NULL
+    ), per_blk AS (
+      SELECT source, blk,
+             CAST(count(*) AS BIGINT) AS blk_n,
+             CAST(sum(n_chars) AS BIGINT) AS blk_sum
+      FROM blocks GROUP BY 1, 2
+    )
+    SELECT source, CAST(blk AS BIGINT) AS blk,
+           CAST(sum(blk_n) OVER (PARTITION BY source) - blk_n
+             AS BIGINT) AS loo_n,
+           CAST(sum(blk_sum) OVER (PARTITION BY source) - blk_sum
+             AS BIGINT) AS loo_sum,
+           blk_n, blk_sum
+    FROM per_blk
+    """,
+)
+def x_jackknife_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife of mean document length per source
+    (operators/uncertainty.py::jackknife_blocks), 32 md5 blocks: each
+    output row carries the leave-that-block-out totals next to the
+    block's own, derived by a window over the BLOCK CONTRACTION — the
+    whole variance-estimator family costs one scan and one
+    (source, block) shuffle regardless of block count, where the
+    classic delete-one jackknife would be n replicates of nothing at
+    1e11 rows."""
+    from kafka_dead_letter_analyzer_spark.operators import (
+        uncertainty as UN,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return UN.jackknife_blocks(
+        docs, key="doc_id", value_col="n_chars",
+        group_cols=["source"], n_blocks=32,
+    )
