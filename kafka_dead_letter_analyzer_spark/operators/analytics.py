@@ -434,3 +434,56 @@ def basket_lift(
         .cast("bigint")
         .alias("leverage_num"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str,
+    group_cols: Sequence[str] | None = None,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group —
+    ``(*group_cols, threshold, n BIGINT, k BIGINT)``: the value at rank
+    ``k = ceil((1 - alpha) * (n + 1))`` (clamped to n) in the
+    (value, tiebreak) order over the calibration set.  With
+    exchangeable scores, predicting "conforming" whenever a fresh
+    score is <= threshold covers with probability >= 1 - alpha
+    (Vovk's split-conformal guarantee) — the (n+1) is the finite-sample
+    correction that a plain quantile misses; alpha is an exact
+    rational ``alpha_num/alpha_den`` so k is pure integer arithmetic:
+    ``k = min(n, ceil((den - num) * (n + 1) / den))``.
+
+    Plan shape: the same single-Exchange sorted window as
+    exact_percentiles (row_number + group size in one Window
+    operator); the threshold is an actual element of the column, never
+    an interpolation, so the surface is engine-portable and
+    type-preserving.  NULL scores are excluded (cross-engine NULL
+    ordering differs); groups smaller than their own correction still
+    emit (k clamps to n) — the guarantee degrades exactly as the
+    theory says for tiny calibration sets."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            "conformal_threshold: need 0 < alpha_num < alpha_den"
+        )
+    groups = list(group_cols or [])
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*groups).orderBy(value_col, tiebreak)
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        *groups,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+    )
+    num, den = int(alpha_den - alpha_num), int(alpha_den)
+    k = F.expr(f"least(_n, ({num} * (_n + 1) + {den - 1}) DIV {den})")
+    return ranked.filter(F.col("_rn") == k).select(
+        *groups,
+        F.col(value_col).alias("threshold"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_rn").cast("bigint").alias("k"),
+    )

@@ -8204,3 +8204,36 @@ def x_jackknife_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key="doc_id", value_col="n_chars",
         group_cols=["source"], n_blocks=32,
     )
+
+
+@_register(
+    "x_conformal_threshold",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT source, n_chars AS threshold,
+           CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS k
+    FROM ranked
+    WHERE rn = least(n, (9 * (n + 1) + 9) // 10)
+    """,
+)
+def x_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% calibration threshold of document length per
+    source (operators/analytics.py::conformal_threshold): the value at
+    rank ceil(0.9*(n+1)) — the finite-sample (n+1) correction gives
+    Vovk's coverage guarantee where a plain p90 quantile undercovers.
+    alpha = 1/10 as an exact rational keeps the rank pure integer
+    arithmetic; the threshold is an actual column element via the same
+    single-Exchange sorted window as exact_percentiles."""
+    from kafka_dead_letter_analyzer_spark.operators import analytics as AN
+
+    docs = load_table(spark, sf_dir, "documents")
+    return AN.conformal_threshold(
+        docs, value_col="n_chars", tiebreak="doc_id",
+        group_cols=["source"], alpha_num=1, alpha_den=10,
+    )

@@ -1032,3 +1032,50 @@ def test_basket_lift_min_support_prunes(spark):
     df = spark.createDataFrame(rows, "u long, it string")
     out = basket_lift(df, "u", "it", min_support=2).collect()
     assert [(r["type_a"], r["type_b"]) for r in out] == [("a", "c")]
+
+
+# ---------------------------------------------------------------------------
+# conformal_threshold
+
+
+def test_conformal_rank_correction_and_coverage(spark):
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        conformal_threshold,
+    )
+
+    # n = 9, alpha = 0.1: k = ceil(0.9 * 10) = 9 -> the MAX (a plain
+    # p90 nearest-rank would take ceil(0.9*9) = rank 9 too, but at
+    # n = 19: conformal k = ceil(0.9*20) = 18, plain = ceil(17.1) = 18;
+    # at n = 10: conformal k = ceil(9.9) = 10, plain = ceil(9) = 9 —
+    # the (n+1) correction shows up exactly there
+    vals10 = [(i, 10 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(vals10, "id long, v long")
+    [r] = conformal_threshold(df, "v", "id").collect()
+    assert (r["threshold"], r["n"], r["k"]) == (100, 10, 10)
+
+    # empirical coverage: threshold covers >= 90% of exchangeable draws
+    vals = [(i, (i * 37) % 1000) for i in range(200)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    [r] = conformal_threshold(df, "v", "id").collect()
+    covered = sum(1 for _, v in vals if v <= r["threshold"])
+    assert covered >= 0.9 * len(vals)
+
+
+def test_conformal_small_groups_clamp_and_guard(spark):
+    import pytest as _pytest
+
+    from kafka_dead_letter_analyzer_spark.operators.analytics import (
+        conformal_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 7), ("b", 1, 3), ("b", 2, 5)],
+        "g string, id long, v long",
+    )
+    out = {r["g"]: r for r in conformal_threshold(
+        df, "v", "id", group_cols=["g"]).collect()}
+    # singleton group: k clamps to n = 1, threshold = its only value
+    assert (out["a"]["threshold"], out["a"]["k"]) == (7, 1)
+    assert (out["b"]["threshold"], out["b"]["k"]) == (5, 2)
+    with _pytest.raises(ValueError, match="alpha"):
+        conformal_threshold(df, "v", "id", alpha_num=10, alpha_den=10)
