@@ -1104,3 +1104,85 @@ def test_mg_summary_threshold_is_take_ordered_no_window(spark, Q):
     assert "TakeOrdered" in s, s
     assert "Window" not in s, s
     assert "CartesianProduct" not in s, s
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-3 operators: drift, correlation, uncertainty
+
+
+def test_cusum_windows_reuse_one_contraction_exchange(spark, Q):
+    """The (type, bucket) count is the only full-data hash exchange;
+    the group windows and final agg reuse its partitioning (no second
+    full-width shuffle, no single-partition window)."""
+    s = plan_of(Q.x_cusum_changepoint(spark, SF))
+    assert "SinglePartition" not in s
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_tvd_and_w1_anchor_is_broadcast(spark, Q):
+    for q in (Q.x_tvd_drift, Q.x_wasserstein_drift):
+        s = plan_of(q(spark, SF))
+        # the 1-row midpoint anchor must arrive broadcast, never shuffled
+        assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+        assert "CartesianProduct" not in s
+
+
+def test_spearman_maps_join_without_cartesian_or_single_partition(spark, Q):
+    s = plan_of(Q.x_spearman_qty_price(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+
+
+def test_kendall_pair_join_is_contraction_sized_hash_join(spark, Q):
+    """The cell-pair join keys on the group column (equi part) — a hash
+    or broadcast join over contraction-sized sides, never a cartesian
+    product over row-level data."""
+    s = plan_of(Q.x_kendall_qty_discount(spark, SF))
+    assert "CartesianProduct" not in s
+
+
+def _node_headers(s: str, name: str) -> int:
+    """Count plan nodes by their detail-section headers ("(3) Exchange");
+    the formatted tree prints each node twice (tree + header)."""
+    import re as _re
+
+    return len(_re.findall(rf"^\(\d+\) {name}", s, _re.M))
+
+
+def test_bootstrap_is_single_scan_single_shuffle(spark, Q):
+    """The 16x resample explode is map-side; the only exchange is the
+    (source, b) partial-aggregate shuffle; documents scans once."""
+    s = plan_of(Q.x_bootstrap_doclen(spark, SF))
+    assert _node_headers(s, "Scan parquet") == 1
+    assert _node_headers(s, "Exchange") == 1
+    assert _node_headers(s, "Generate") == 1  # the map-side explode
+
+
+def test_jackknife_full_data_shuffles_once(spark, Q):
+    """One full-data exchange (the (source, blk) partial agg); the
+    window's exchange moves only the nb-x-groups block contraction."""
+    s = plan_of(Q.x_jackknife_doclen(spark, SF))
+    assert _node_headers(s, "Scan parquet") == 1
+    assert _node_headers(s, "Exchange") <= 2
+    assert "SinglePartition" not in s
+
+
+def test_conformal_reuses_window_partitioning_for_group_size(spark, Q):
+    """One hash exchange: row_number and the group count share the sort
+    (same contract as exact_percentiles)."""
+    s = plan_of(Q.x_conformal_threshold(spark, SF))
+    assert _node_headers(s, "Scan parquet") == 1
+    assert _node_headers(s, "Exchange") == 1
+    assert "SinglePartition" not in s
+
+
+def test_leadlag_lag_table_is_broadcast(spark, Q):
+    s = plan_of(Q.x_leadlag_purchase_error(spark, SF))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+
+
+def test_benford_constant_table_joins_broadcast(spark, Q):
+    s = plan_of(Q.x_benford_audit(spark, SF))
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
