@@ -1230,3 +1230,131 @@ def streaming_mix_drift(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming numeric-drift monitor (W1 vs a baseline histogram)
+# ---------------------------------------------------------------------------
+
+
+def _make_w1_drift_fn(baseline: dict, bus: int, max_values: int):
+    b_items = sorted((int(v), int(c)) for v, c in baseline.items())
+    b_total = sum(c for _, c in b_items)
+    if b_total <= 0:
+        raise ValueError("w1_drift: baseline must have positive mass")
+
+    def _w1_e6(counts: dict, n: int) -> int:
+        # exact sum |F_cur - F_base| * gap over the merged support,
+        # cleared of denominators: sum |cum_c*B - cum_b*n| * gap
+        # / (n*B), in Python bigints
+        support = sorted(set(counts) | {v for v, _ in b_items})
+        bmap = dict(b_items)
+        num = cum_c = cum_b = 0
+        for v, nxt in zip(support, support[1:]):
+            cum_c += counts.get(v, 0)
+            cum_b += bmap.get(v, 0)
+            num += abs(cum_c * b_total - cum_b * n) * (nxt - v)
+        return num * 1_000_000 // (n * b_total)
+
+    def _w1_drift_fn(key, pdfs, state) -> Iterator:
+        """Same bucket-closing protocol as the mix-drift monitor, over
+        an integer VALUE histogram instead of a category mix; the
+        emitted distance weighs HOW FAR the value mass moved (a p99
+        latency regression with a stable mean moves W1, not the
+        mean-rate detectors). State per key = the open bucket's value
+        histogram; max_values bounds it (RAISES — quantize upstream,
+        the same contract as kendall's max_cells)."""
+        import pandas as pd
+
+        if state.exists:
+            cur, vs, cs = state.get
+            counts = dict(zip((int(v) for v in vs),
+                              (int(c) for c in cs)))
+            if cur < 0:
+                cur = None
+        else:
+            cur, counts = None, {}
+        out = []
+
+        def close(b: int, cts: dict) -> None:
+            n = sum(cts.values())
+            if n > 0:
+                out.append((b * bus, n, _w1_e6(cts, n)))
+
+        per_bucket: dict[int, dict] = {}
+        for pdf in pdfs:
+            for tb, v in zip(pdf["tb"], pdf["v"]):
+                d = per_bucket.setdefault(int(tb), {})
+                d[int(v)] = d.get(int(v), 0) + 1
+        for tb in sorted(per_bucket):
+            if cur is None:
+                cur = tb
+            if tb <= cur:
+                for v, c in per_bucket[tb].items():
+                    counts[v] = counts.get(v, 0) + c
+            else:
+                close(cur, counts)
+                cur, counts = tb, dict(per_bucket[tb])
+            if len(counts) > max_values:
+                raise ValueError(
+                    f"w1_drift: open bucket holds {len(counts)} distinct"
+                    f" values (> max_values={max_values}); quantize the"
+                    " value upstream"
+                )
+        state.update(
+            (
+                cur if cur is not None else -1,
+                list(counts.keys()),
+                [counts[v] for v in counts],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]] * len(out),
+                    "bucket_start_us": [o[0] for o in out],
+                    "n": [o[1] for o in out],
+                    "w1_e6": [o[2] for o in out],
+                }
+            )
+
+    return _w1_drift_fn
+
+
+def streaming_w1_drift(
+    df: DataFrame,
+    value_expr: str,
+    baseline: dict,
+    key_col: str = "topic",
+    ts_expr: str = "unix_micros(context.timestamp)",
+    bucket_us: int = 60_000_000,
+    max_values: int = 10_000,
+) -> DataFrame:
+    """Per-key, per-closed-bucket Wasserstein-1 distance between the
+    bucket's integer-value histogram and a fixed ``baseline``
+    histogram (``{value: count_or_weight}``) — the streaming dual of
+    ``operators/drift.py::wasserstein_drift`` and the numeric member
+    of the live drift trio (CUSUM = rate, TVD = category mix, W1 =
+    value distribution).  A latency distribution whose p99 doubles
+    while the mean holds moves W1 and nothing else.
+
+    ``value_expr``/``ts_expr`` are SQL expressions over the input
+    frame (the value must be integer-typed — floats have no exact
+    cross-engine W1).  Output ``(topic, bucket_start_us, n, w1_e6)``
+    per closed bucket, exact bigint arithmetic end-to-end; state =
+    the open bucket's histogram, bounded by ``max_values`` (RAISES
+    past it — quantize upstream)."""
+    keyed = df.select(
+        F.col(key_col).alias("topic"),
+        F.expr(f"CAST(({value_expr}) AS BIGINT)").alias("v"),
+        F.expr(f"({ts_expr}) DIV {bucket_us}").alias("tb"),
+    ).filter(F.col("v").isNotNull() & F.col("tb").isNotNull())
+    return keyed.groupBy("topic").applyInPandasWithState(
+        _make_w1_drift_fn(dict(baseline), bucket_us, int(max_values)),
+        outputStructType=(
+            "topic string, bucket_start_us long, n long, w1_e6 long"
+        ),
+        stateStructType="cur long, vs array<long>, cs array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

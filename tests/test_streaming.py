@@ -2140,3 +2140,132 @@ def test_streaming_mix_drift_end_to_end(spark, tmp_path, ts):
     base_us = int(ts(0).timestamp() * 1_000_000)
     assert r["bucket_start_us"] == base_us
     assert r["tvd_ppm"] == 0  # bucket mix == baseline mix exactly
+
+
+# ---------------------------------------------------------------------------
+# Streaming W1 (numeric) drift monitor
+
+
+def test_w1_drift_fn_exact_distances_and_differential():
+    import pandas as pd
+    from fractions import Fraction
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_w1_drift_fn,
+    )
+
+    def brute_w1(cur: dict, base: dict):
+        n, B = sum(cur.values()), sum(base.values())
+        support = sorted(set(cur) | set(base))
+        tot, c1, c2 = Fraction(0), 0, 0
+        for v, nxt in zip(support, support[1:]):
+            c1 += cur.get(v, 0)
+            c2 += base.get(v, 0)
+            tot += abs(Fraction(c1, n) - Fraction(c2, B)) * (nxt - v)
+        return tot.numerator * 10**6 // tot.denominator if tot else 0
+
+    base = {10: 2, 20: 2}
+    fn = _make_w1_drift_fn(base, bus=10, max_values=100)
+    st = _FakeState()
+    rows = []
+
+    def drive(tb_vals):
+        pdf = pd.DataFrame(
+            {"tb": [t for t, _ in tb_vals], "v": [v for _, v in tb_vals]}
+        )
+        for out in fn(("t",), [pdf], st):
+            rows.extend(
+                (int(r.bucket_start_us), int(r.n), int(r.w1_e6))
+                for r in out.itertuples()
+            )
+
+    # bucket 0 matches the baseline exactly -> W1 = 0
+    drive([(0, 10), (0, 10), (0, 20), (0, 20)])
+    drive([(1, 30)])  # closes bucket 0
+    assert rows == [(0, 4, 0)]
+    # bucket 1 = {30: 1}: every unit of baseline mass travels to 30;
+    # W1 = |F diff| integral = brute
+    drive([(2, 10)])
+    assert rows[-1] == (10, 1, brute_w1({30: 1}, base))
+    # randomized differential on single-bucket closes
+    import random
+
+    rng = random.Random(0x3107)
+    b = 3
+    for _ in range(6):
+        cur = {}
+        for _ in range(rng.randint(1, 8)):
+            v = rng.randint(0, 40)
+            cur[v] = cur.get(v, 0) + 1
+        drive([(b, v) for v in sorted(
+            [v for v, c in cur.items() for _ in range(c)])])
+        drive([(b + 1, 10)])  # close it
+        assert rows[-1][2] == brute_w1(cur, base), cur
+        # the closer bucket (b+1, one {10} row) becomes the open one;
+        # the next iteration's bucket b+2 closes it before filling
+        b += 2
+
+
+def test_w1_drift_max_values_raises():
+    import pandas as pd
+    import pytest as _pytest
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_w1_drift_fn,
+    )
+
+    fn = _make_w1_drift_fn({1: 1}, bus=1, max_values=3)
+    st = _FakeState()
+    pdf = pd.DataFrame({"tb": [0, 0, 0, 0], "v": [1, 2, 3, 4]})
+    with _pytest.raises(ValueError, match="max_values"):
+        list(fn(("t",), [pdf], st))
+
+
+def test_streaming_w1_drift_end_to_end(spark, tmp_path, ts):
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_w1_drift,
+    )
+
+    # use the record OFFSET as the monitored integer value
+    batch1 = [
+        FX.envelope(offset=o, timestamp=ts(0),
+                    value_deadletter=FX.dead_letter_value())
+        for o in (10, 10, 20, 20)
+    ]
+    batch2 = [
+        FX.envelope(offset=30, timestamp=ts(5),
+                    value_deadletter=FX.dead_letter_value())
+    ]
+    src = str(tmp_path / "w1drift_src")
+    _write_envelopes(spark, src, batch1)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    q = (
+        streaming_w1_drift(
+            dead_letters.select(
+                "topic",
+                F.col("offset").alias("off"),
+                F.col("timestamp").alias("cts"),
+            ),
+            value_expr="off",
+            ts_expr="unix_micros(cts)",
+            baseline={10: 2, 20: 2},
+            bucket_us=60_000_000,
+        )
+        .writeStream.format("memory")
+        .queryName("w1drift_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("w1drift_sink").count() == 0
+        _write_envelopes(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    [r] = spark.table("w1drift_sink").collect()
+    assert r["n"] == 4 and r["w1_e6"] == 0  # matches baseline exactly
