@@ -8237,3 +8237,66 @@ def x_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, value_col="n_chars", tiebreak="doc_id",
         group_cols=["source"], alpha_num=1, alpha_den=10,
     )
+
+
+@_register(
+    "x_hampel_outliers",
+    """
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(t) AS t_lo, max(t) AS t_hi
+      FROM counts GROUP BY 1
+    ), timeline AS (
+      SELECT event_type, unnest(generate_series(t_lo, t_hi)) AS t
+      FROM span
+    ), dense AS (
+      SELECT tl.event_type, tl.t, COALESCE(c.x, 0) AS x
+      FROM timeline tl LEFT JOIN counts c USING (event_type, t)
+    ), arr AS (
+      SELECT *, list_sort(list(x) OVER (PARTITION BY event_type
+               ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+               AS win
+      FROM dense
+    ), scored AS (
+      SELECT *, win[(len(win) + 1) // 2] AS med
+      FROM arr
+    ), scored2 AS (
+      SELECT *,
+             list_sort(list_transform(win, v -> abs(v - med)))
+               [(len(win) + 1) // 2] AS mad
+      FROM scored
+    )
+    SELECT event_type, CAST(t * 86400000000 AS BIGINT) AS bucket_us,
+           x AS cnt, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+           (abs(x - med) > 3 * mad) AS flagged
+    FROM scored2
+    """,
+)
+def x_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel point-outlier filter over per-type daily counts
+    (operators/drift.py::hampel_outliers, ±3-day window, k=3): flags
+    the single poisoned day that CUSUM absorbs into its level and a
+    mean±3sigma rule masks (one 100x spike inflates sigma enough to
+    hide itself; the rolling median and MAD have 50% breakdown).
+    Medians are actual elements of the sorted 7-long window arrays
+    over the DENSIFIED contraction — integers end to end, the flag is
+    |cnt - med| > 3*mad in exact arithmetic.  The bucket timestamp
+    crosses the oracle boundary as epoch-micros."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    out = DR.hampel_outliers(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+        half_window=3, k_num=3, k_den=1,
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "cnt",
+        "med",
+        "mad",
+        "flagged",
+    )

@@ -651,3 +651,90 @@ def test_leadlag_guards(spark):
         leadlag_spearman(
             wide.unionByName(far), "ts", "cat", "A", "B", max_buckets=100
         )
+
+
+# ---------------------------------------------------------------------------
+# hampel_outliers
+
+
+def _run_hampel(spark, day_counts, **kw):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        hampel_outliers,
+    )
+
+    rows = []
+    for day, cnt in enumerate(day_counts):
+        for i in range(cnt):
+            rows.append(("g", EPOCH + dt.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = hampel_outliers(
+        df, ts_col="ts", group_cols=["grp"], bucket="day", **kw
+    ).collect()
+    byday = {}
+    for r in out:
+        d = int((r["bucket_ts"].replace(tzinfo=dt.timezone.utc) - EPOCH)
+                .total_seconds() // 86400)
+        byday[d] = r
+    return byday
+
+
+def _brute_hampel(day_counts, hw=3, k=3):
+    n = len(day_counts)
+    res = {}
+    for i, x in enumerate(day_counts):
+        win = sorted(day_counts[max(0, i - hw): i + hw + 1])
+        med = win[(len(win) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in win)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        res[i] = (x, med, mad, abs(x - med) > k * mad)
+    return res
+
+
+@pytest.mark.parametrize(
+    "day_counts",
+    [
+        [4, 4, 4, 4, 400, 4, 4, 4, 4],      # one poisoned day
+        [4] * 9,                            # constant: nothing flags
+        [1, 2, 3, 4, 5, 6, 7, 8, 9],        # smooth trend: nothing flags
+        [5, 5, 5, 0, 5, 5, 5],              # an OUTAGE day flags too
+        [2, 100, 2, 100, 2, 100, 2],        # alternating: median splits
+    ],
+    ids=["spike", "flat", "trend", "outage", "alternating"],
+)
+def test_hampel_matches_brute(spark, day_counts):
+    got = _run_hampel(spark, day_counts)
+    want = _brute_hampel(day_counts)
+    assert sorted(got) == sorted(want)
+    for d, (x, med, mad, fl) in want.items():
+        r = got[d]
+        assert (r["cnt"], r["med"], r["mad"], r["flagged"]) == (
+            x, med, mad, fl,
+        ), (d, day_counts)
+
+
+def test_hampel_spike_masks_itself_for_sigma_but_not_mad(spark):
+    counts = [4, 4, 4, 4, 400, 4, 4, 4, 4]
+    got = _run_hampel(spark, counts)
+    assert got[4]["flagged"] is True
+    assert all(not got[d]["flagged"] for d in got if d != 4)
+    # the sigma rule the docstring claims fails: mean±3sigma over the
+    # same window does NOT flag day 4
+    import statistics
+
+    win = counts
+    mu, sd = statistics.mean(win), statistics.pstdev(win)
+    assert abs(400 - mu) < 3 * sd  # sigma self-masking, the Hampel point
+
+
+def test_hampel_guards(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        hampel_outliers,
+    )
+
+    df = _events(spark, [0.5])
+    with pytest.raises(ValueError, match="half_window"):
+        hampel_outliers(df, group_cols=["grp"], half_window=0)
+    with pytest.raises(ValueError, match="k_num"):
+        hampel_outliers(df, group_cols=["grp"], k_den=0)
+    with pytest.raises(ValueError, match="bucket must be"):
+        hampel_outliers(df, group_cols=["grp"], bucket="week")
