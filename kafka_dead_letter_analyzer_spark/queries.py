@@ -8300,3 +8300,64 @@ def x_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         "flagged",
     )
+
+
+_DRIFT_REPORT_ORACLE = f"""
+    SELECT c.event_type,
+           c.n, c.up_ppm, c.down_ppm,
+           t.slope_num, t.slope_den,
+           h.flagged_days,
+           s.max_hour_ratio_e6
+    FROM ({_ORACLES["x_cusum_changepoint"]}) c
+    JOIN ({_ORACLES["x_theilsen_trend"]}) t USING (event_type)
+    JOIN (
+      SELECT event_type,
+             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged_days
+      FROM ({_ORACLES["x_hampel_outliers"]}) GROUP BY 1
+    ) h USING (event_type)
+    JOIN (
+      SELECT event_type, CAST(max(ratio_e6) AS BIGINT)
+               AS max_hour_ratio_e6
+      FROM ({_ORACLES["x_seasonal_anomaly"]}) GROUP BY 1
+    ) s USING (event_type)
+"""
+
+
+@_register("x_drift_report", _DRIFT_REPORT_ORACLE)
+def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-type drift DASHBOARD joining the four detectors the
+    library ships — the capstone composition: CUSUM's strongest
+    up/down level shift (x_cusum_changepoint), the Theil-Sen robust
+    trend rational (x_theilsen_trend), the count of Hampel-flagged
+    poisoned days (x_hampel_outliers), and the worst seasonal
+    hour-of-day ratio (x_seasonal_anomaly).  Each component is its own
+    independently oracle-verified query; the report reuses them
+    verbatim (the oracle literally joins the registered oracle SQLs as
+    subqueries), and the join keys on the handful of event types —
+    broadcast-sized by construction."""
+    cusum = x_cusum_changepoint(spark, sf_dir).select(
+        "event_type", "n", "up_ppm", "down_ppm"
+    )
+    trend = x_theilsen_trend(spark, sf_dir).select(
+        "event_type", "slope_num", "slope_den"
+    )
+    hampel = (
+        x_hampel_outliers(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_days")
+        )
+    )
+    seasonal = (
+        x_seasonal_anomaly(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.max("ratio_e6").cast("bigint").alias("max_hour_ratio_e6"))
+    )
+    return (
+        cusum.join(trend, "event_type")
+        .join(hampel, "event_type")
+        .join(seasonal, "event_type")
+    )
