@@ -397,3 +397,34 @@ def test_kendall_max_cells_raises(spark):
     )
     with pytest.raises(ValueError, match="max_cells"):
         kendall_tau_exact(df, "x", "y", max_cells=10)
+
+
+def test_spearman_two_phase_path_equals_window_path(spark):
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        spearman_exact,
+    )
+
+    rng = random.Random(0x2F5)
+    rows = [
+        (rng.choice(["a", "b"]), rng.randint(0, 6),
+         rng.randint(0, 1000))  # near-continuous y
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    key = lambda r: (r["g"],)
+    a = sorted(
+        (tuple(r) for r in spearman_exact(
+            df, "x", "y", group_cols=["g"]).collect()),
+    )
+    b = sorted(
+        (tuple(r) for r in spearman_exact(
+            df, "x", "y", group_cols=["g"], two_phase=True).collect()),
+    )
+    assert a == b
+    # global path too
+    ag = sorted(tuple(r) for r in spearman_exact(df, "x", "y").collect())
+    bg = sorted(tuple(r) for r in spearman_exact(
+        df, "x", "y", two_phase=True).collect())
+    assert ag == bg
