@@ -290,10 +290,15 @@ def wasserstein_drift(
 ) -> DataFrame:
     """Exact Wasserstein-1 (earth-mover) distance between the NUMERIC
     value distribution of the early and late halves of the stream —
-    ``(*group_cols, w1_e6 BIGINT, n_early BIGINT, n_late BIGINT,
-    n_values BIGINT)`` — the numeric complement of :func:`tvd_drift`
-    (TVD sees only category identity; W1 weighs HOW FAR the mass
-    moved, in value units x 1e6).
+    ``(*group_cols, w1_e6 BIGINT, ks_ppm BIGINT, n_early BIGINT,
+    n_late BIGINT, n_values BIGINT)`` — the numeric complement of
+    :func:`tvd_drift` (TVD sees only category identity; W1 weighs HOW
+    FAR the mass moved, in value units x 1e6).  ``ks_ppm`` is the
+    two-sample Kolmogorov-Smirnov statistic max|F1 - F2| in ppm —
+    computed from the SAME CDF-difference contraction (max instead of
+    gap-weighted sum), so the classic distribution-equality test rides
+    along at zero extra cost: W1 weighs distance, KS catches a sharp
+    divergence confined to a narrow value band that W1 dilutes.
 
     ``value_col`` must be integer-typed (callers cast integer-valued
     measures; floats have no exact cross-engine W1).  Over the sorted
@@ -361,6 +366,14 @@ def wasserstein_drift(
             F.sum(F.expr("abs(cum1 * n2 - cum2 * n1) * gap"))
             .cast("bigint")
             .alias("num"),
+            # the same CDF-difference contraction carries the
+            # Kolmogorov-Smirnov statistic for free: max instead of
+            # gap-weighted integral (here the last support point DOES
+            # participate — its |F1 - F2| can be the max even though
+            # its gap-weighted W1 contribution is zero)
+            F.max(F.expr("abs(cum1 * n2 - cum2 * n1)"))
+            .cast("bigint")
+            .alias("ks_num"),
             F.max("n1").alias("n_early"),
             F.max("n2").alias("n_late"),
             F.count(F.lit(1)).cast("bigint").alias("n_values"),
@@ -371,6 +384,9 @@ def wasserstein_drift(
         F.expr(_ppm2("num", "(n_early * n_late)"))
         .cast("bigint")
         .alias("w1_e6"),
+        F.expr(_ppm2("ks_num", "(n_early * n_late)"))
+        .cast("bigint")
+        .alias("ks_ppm"),
         "n_early",
         "n_late",
         "n_values",

@@ -7569,6 +7569,7 @@ def x_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT l_returnflag,
              CAST(sum(abs(cum1 * n2 - cum2 * n1) * gap) AS BIGINT) AS num,
+             CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
              CAST(max(n1) AS BIGINT) AS n_early,
              CAST(max(n2) AS BIGINT) AS n_late,
              CAST(count(*) AS BIGINT) AS n_values
@@ -7578,6 +7579,9 @@ def x_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(((num * 1000) // (n_early * n_late)) * 1000
              + (((num * 1000) % (n_early * n_late)) * 1000)
                // (n_early * n_late) AS BIGINT) AS w1_e6,
+           CAST(((ks_num * 1000) // (n_early * n_late)) * 1000
+             + (((ks_num * 1000) % (n_early * n_late)) * 1000)
+               // (n_early * n_late) AS BIGINT) AS ks_ppm,
            n_early, n_late, n_values
     FROM agg
     """,
@@ -7592,7 +7596,11 @@ def x_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative CDFs and support gaps are windows over the contraction
     (parallel across flags); the midpoint split is a 1-row broadcast
     anchor; W1 = sum |cum1*n2 - cum2*n1| * gap / (n1*n2) with the
-    two-step-division floor, exact for any numerator."""
+    two-step-division floor, exact for any numerator.  The same
+    CDF-difference contraction carries the two-sample KOLMOGOROV-
+    SMIRNOV statistic (ks_ppm = max|F1-F2|) at zero extra cost: KS
+    catches a sharp divergence confined to a narrow value band that
+    W1's integral dilutes."""
     from kafka_dead_letter_analyzer_spark.operators import drift as DR
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -738,3 +738,25 @@ def test_hampel_guards(spark):
         hampel_outliers(df, group_cols=["grp"], k_den=0)
     with pytest.raises(ValueError, match="bucket must be"):
         hampel_outliers(df, group_cols=["grp"], bucket="week")
+
+
+def test_ks_statistic_hand_computed_and_narrow_band(spark):
+    from fractions import Fraction
+
+    # disjoint: KS = 1
+    out = _run_w1(spark, [1, 2], [5, 6])[0]
+    assert out["ks_ppm"] == 1_000_000
+    # identical: KS = 0
+    assert _run_w1(spark, [1, 2, 3], [1, 2, 3])[0]["ks_ppm"] == 0
+    # narrow-band divergence: early has extra mass at one value only.
+    # F diff peaks at v=5: F1(5) = 6/8, F2(5) = 4/8 -> KS = 1/4,
+    # while W1 stays small (the band is narrow)
+    early = [1, 2, 3, 5, 5, 5, 9, 10]
+    late = [1, 2, 3, 5, 9, 9, 10, 10]
+    out = _run_w1(spark, early, late)[0]
+    f1 = Fraction(sum(1 for v in early if v <= 5), len(early))
+    f2 = Fraction(sum(1 for v in late if v <= 5), len(late))
+    want = abs(f1 - f2)
+    assert out["ks_ppm"] == want.numerator * 10**6 // want.denominator
+    # (no KS-vs-W1 magnitude comparison: KS is a dimensionless
+    # probability distance, W1 carries value units — incomparable)
