@@ -78,7 +78,10 @@ def bootstrap_moments(
         "k",
         "v",
         F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_resamples) - 1))
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.lit(int(n_resamples) - 1).cast("bigint"),
+            )
         ).alias("b"),
     ).withColumn(
         # one md5 bit per (row, resample): w in {0, 2}
