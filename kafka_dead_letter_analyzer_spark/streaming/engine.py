@@ -1358,3 +1358,139 @@ def streaming_w1_drift(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trailing-window Theil-Sen trend alerts
+# ---------------------------------------------------------------------------
+
+
+def _make_trend_fn(bus: int, window: int, thr_num: int, thr_den: int):
+    def _trend_fn(key, pdfs, state) -> Iterator:
+        """Trailing-window Theil-Sen: state = the last ``window``
+        CLOSED buckets' counts (plus the open bucket). On every bucket
+        close, the median pairwise slope over the trailing window
+        (zeros filled for silent buckets) is recomputed in exact
+        Python rationals — O(window^2) integer pairs, window <= 64 by
+        contract — and a row is emitted when |slope| >= thr_num/thr_den
+        (cross-multiplied compare, no division). The emitted slope is
+        the exact (dy, dx) pair of the selected median."""
+        from fractions import Fraction
+
+        import pandas as pd
+
+        if state.exists:
+            cur, ts_, xs_ = state.get
+            hist = dict(zip((int(t) for t in ts_), (int(x) for x in xs_)))
+            if cur < 0:
+                cur = None
+        else:
+            cur, hist = None, {}
+        out = []
+
+        def close(b: int, cnt: int) -> None:
+            hist[b] = cnt
+            lo = b - window + 1
+            for t in [t for t in hist if t < lo]:
+                del hist[t]
+            dense = [(t, hist.get(t, 0)) for t in range(max(lo, min(hist)), b + 1)]
+            if len(dense) < 2:
+                return
+            slopes = []
+            for i in range(len(dense)):
+                for j in range(i + 1, len(dense)):
+                    dy = dense[j][1] - dense[i][1]
+                    dx = dense[j][0] - dense[i][0]
+                    slopes.append((Fraction(dy, dx), dy, dx))
+            slopes.sort()
+            dy, dx = slopes[(len(slopes) + 1) // 2 - 1][1:]
+            # |dy/dx| >= thr_num/thr_den  <=>  |dy|*thr_den >= thr_num*dx
+            if abs(dy) * thr_den >= thr_num * dx:
+                out.append((b * bus, dy, dx, sum(x for _, x in dense)))
+
+        per_bucket: dict[int, int] = {}
+        for pdf in pdfs:
+            for tb in pdf["tb"]:
+                per_bucket[int(tb)] = per_bucket.get(int(tb), 0) + 1
+        cnt_open = hist.pop(cur, 0) if cur is not None else 0
+        for tb in sorted(per_bucket):
+            if cur is None:
+                cur, cnt_open = tb, 0
+            if tb <= cur:
+                cnt_open += per_bucket[tb]
+                continue
+            close(cur, cnt_open)
+            for gap_b in range(cur + 1, tb):
+                close(gap_b, 0)
+            cur, cnt_open = tb, per_bucket[tb]
+        if cur is not None:
+            hist[cur] = cnt_open  # stash the open bucket in the arrays
+        keep = sorted(hist)[-(window + 1):]
+        state.update(
+            (
+                cur if cur is not None else -1,
+                keep,
+                [hist[t] for t in keep],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]] * len(out),
+                    "type": [key[1]] * len(out),
+                    "bucket_start_us": [o[0] for o in out],
+                    "slope_num": [o[1] for o in out],
+                    "slope_den": [o[2] for o in out],
+                    "window_n": [o[3] for o in out],
+                }
+            )
+
+    return _trend_fn
+
+
+def streaming_trend_alerts(
+    enriched: DataFrame,
+    bucket_us: int = 60_000_000,
+    window: int = 16,
+    thr_num: int = 1,
+    thr_den: int = 1,
+) -> DataFrame:
+    """Trailing-window Theil-Sen trend alerts per (topic, type) — the
+    streaming dual of ``operators/drift.py::theilsen_trend``: on every
+    closed bucket, the exact median pairwise slope over the last
+    ``window`` buckets (zeros filled; an outage IS a downward trend),
+    emitted when ``|slope| >= thr_num/thr_den`` events/bucket^2 by
+    cross-multiplied integer compare.  The robustness matters exactly
+    here: one retry-storm bucket inside the window cannot fake a trend
+    alert (29.3% breakdown), where an EWMA-slope alert fires on it.
+    State per key = at most window+1 (bucket, count) pairs; the
+    O(window^2) slope enumeration runs in Python bigints per CLOSE,
+    not per record — window <= 64 keeps that at <= 2k pairs.  Every
+    empty bucket inside a gap closes individually (each can alert on
+    the decaying trend), so a very long outage costs O(gap * window^2)
+    Python ops in the batch that ends it — for pure outage paging at
+    coarse granularity prefer streaming_cusum_alerts, whose gap fold
+    is closed-form."""
+    if not (2 <= window <= 64):
+        raise ValueError("streaming_trend_alerts: need 2 <= window <= 64")
+    if thr_den < 1 or thr_num < 0:
+        raise ValueError(
+            "streaming_trend_alerts: need thr_num >= 0, thr_den >= 1"
+        )
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.expr(
+            f"unix_micros(context.timestamp) DIV {bucket_us}"
+        ).alias("tb"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_trend_fn(bucket_us, int(window), int(thr_num), int(thr_den)),
+        outputStructType=(
+            "topic string, type string, bucket_start_us long,"
+            " slope_num long, slope_den long, window_n long"
+        ),
+        stateStructType="cur long, ts array<long>, xs array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

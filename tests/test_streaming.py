@@ -2269,3 +2269,104 @@ def test_streaming_w1_drift_end_to_end(spark, tmp_path, ts):
         q.stop()
     [r] = spark.table("w1drift_sink").collect()
     assert r["n"] == 4 and r["w1_e6"] == 0  # matches baseline exactly
+
+
+# ---------------------------------------------------------------------------
+# Streaming trailing-window Theil-Sen trend alerts
+
+
+def _drive_trend(fn, bucket_batches):
+    import pandas as pd
+
+    st = _FakeState()
+    alerts = []
+    for tbs in bucket_batches:
+        for out in fn(("t", "ty"), [pd.DataFrame({"tb": tbs})], st):
+            alerts.extend(
+                (int(r.bucket_start_us), int(r.slope_num),
+                 int(r.slope_den), int(r.window_n))
+                for r in out.itertuples()
+            )
+    return alerts, st._v
+
+
+def _trend_brute(counts_by_bucket, window):
+    """Replay every close over the full timeline with a local
+    Fraction-exact trailing-window Theil-Sen."""
+    from fractions import Fraction
+
+    buckets = sorted(counts_by_bucket)
+    lo, hi = buckets[0], buckets[-1]
+    alerts = []
+    for b in range(lo, hi):  # hi stays open
+        start = max(lo, b - window + 1)
+        dense = [(t, counts_by_bucket.get(t, 0))
+                 for t in range(start, b + 1)]
+        if len(dense) < 2:
+            continue
+        slopes = sorted(
+            (Fraction(dense[j][1] - dense[i][1], dense[j][0] - dense[i][0]),
+             dense[j][1] - dense[i][1], dense[j][0] - dense[i][0])
+            for i in range(len(dense)) for j in range(i + 1, len(dense))
+        )
+        _, dy, dx = slopes[(len(slopes) + 1) // 2 - 1]
+        alerts.append((b, dy, dx, sum(x for _, x in dense)))
+    return alerts
+
+
+def test_trend_fn_matches_brute_replay_randomized():
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_trend_fn,
+    )
+
+    rng = random.Random(0x7E3D)
+    for trial in range(10):
+        window = rng.randint(2, 8)
+        counts = {}
+        b = 0
+        for _ in range(rng.randint(2, 12)):
+            counts[b] = rng.randint(1, 9)
+            b += rng.randint(1, 4)
+        tbs = sorted(t for t, c in counts.items() for _ in range(c))
+        cut = rng.randint(0, len(tbs))
+        # thr 0/1: every close alerts -> the alert stream IS the full
+        # slope trace, comparable to the brute replay
+        fn = _make_trend_fn(bus=1, window=window, thr_num=0, thr_den=1)
+        alerts, _ = _drive_trend(fn, [tbs[:cut], tbs[cut:]])
+        want = _trend_brute(counts, window)
+        assert alerts == want, (trial, counts, window, alerts, want)
+
+
+def test_trend_alert_fires_on_ramp_not_on_spike():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_trend_fn,
+    )
+
+    # steady ramp +2/bucket: slope 2 >= 1 -> alerts
+    ramp = [t for t in range(6) for _ in range(2 * t + 1)]
+    fn = _make_trend_fn(bus=1, window=8, thr_num=1, thr_den=1)
+    alerts, _ = _drive_trend(fn, [ramp, [9]])
+    assert alerts, "ramp must alert"
+    # flat with ONE spike bucket: median slope stays 0 -> silent
+    flat = [t for t in range(8) for _ in range(3)] + [3] * 50
+    fn2 = _make_trend_fn(bus=1, window=8, thr_num=1, thr_den=1)
+    alerts2, _ = _drive_trend(fn2, [sorted(flat), [9]])
+    assert alerts2 == [], alerts2
+
+
+def test_streaming_trend_alerts_guards(spark):
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_trend_alerts,
+    )
+
+    df = spark.range(1).select(
+        F.struct(F.lit("t").alias("topic"), F.lit("y").alias("type"))
+        .alias("error_key"),
+        F.struct(F.current_timestamp().alias("timestamp")).alias("context"),
+    )
+    with pytest.raises(ValueError, match="window"):
+        streaming_trend_alerts(df, window=1)
+    with pytest.raises(ValueError, match="thr_num"):
+        streaming_trend_alerts(df, thr_den=0)
