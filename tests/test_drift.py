@@ -760,3 +760,76 @@ def test_ks_statistic_hand_computed_and_narrow_band(spark):
     assert out["ks_ppm"] == want.numerator * 10**6 // want.denominator
     # (no KS-vs-W1 magnitude comparison: KS is a dimensionless
     # probability distance, W1 carries value units — incomparable)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties for the drift family
+
+
+def test_cusum_property_matches_full_timeline_reference(spark):
+    """Property (shrinking on failure): for ANY multiset of event
+    hours, the contraction-window cusum equals the full-timeline O(B)
+    reference on every output field."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10),  # bucket
+                st.integers(min_value=1, max_value=4),   # events in it
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(bucket_counts):
+        hours = []
+        for b, c in bucket_counts:
+            hours.extend(b + (i + 1) / 10 for i in range(c))
+        got = _run_cusum(spark, hours)
+        want = _brute_cusum(hours)
+        for k in ("n", "buckets", "up_ppm", "down_ppm", "up_bucket",
+                  "down_bucket"):
+            assert got[k] == want[k], (k, sorted(hours))
+
+    check()
+
+
+def test_drift_ppm_surfaces_are_bounded_property(spark):
+    """Property: tvd_ppm and cusum ppm live in [0, 1e6]; W1's ks_ppm
+    does too (w1_e6 itself carries value units and is bounded by
+    range * 1e6)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        tvd_drift,
+        wasserstein_drift,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", "C"]),
+                st.integers(min_value=0, max_value=20),   # value
+                st.integers(min_value=0, max_value=19),   # hour
+            ),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        data = [(c, v, _ts(h + 0.5)) for c, v, h in rows]
+        df = spark.createDataFrame(data, "cat string, v long, ts timestamp")
+        for r in tvd_drift(df, ts_col="ts", cat_col="cat").collect():
+            assert 0 <= r["tvd_ppm"] <= 1_000_000
+        vmin = min(v for _, v, _ in rows)
+        vmax = max(v for _, v, _ in rows)
+        for r in wasserstein_drift(df, ts_col="ts", value_col="v").collect():
+            assert 0 <= r["ks_ppm"] <= 1_000_000
+            assert 0 <= r["w1_e6"] <= (vmax - vmin) * 1_000_000
+
+    check()
