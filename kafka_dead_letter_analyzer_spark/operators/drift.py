@@ -52,6 +52,7 @@ __all__ = [
     "theilsen_trend",
     "leadlag_spearman",
     "hampel_outliers",
+    "mann_kendall",
 ]
 
 _BUCKET_US = {
@@ -708,4 +709,110 @@ def hampel_outliers(
         F.expr(f"{int(k_den)} * abs(x - med) > {int(k_num)} * mad").alias(
             "flagged"
         ),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] | None = None,
+    bucket: str = "day",
+    max_buckets: int = 4000,
+) -> DataFrame:
+    """Mann-Kendall trend TEST statistics per group —
+    ``(*group_cols, s_stat BIGINT, var18 BIGINT, n_buckets BIGINT,
+    n BIGINT)``: ``S = sum_{i<j} sign(x_j - x_i)`` over the group's
+    DENSIFIED per-bucket counts (Mann 1945; the hypothesis-test
+    companion of :func:`theilsen_trend` — Theil-Sen says how STEEP,
+    Mann-Kendall says whether a monotone trend exists at all, with a
+    null distribution that is exact under exchangeability).
+    ``var18 = 18 * Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)`` with
+    the standard tie correction (t = multiplicity of each repeated
+    count value) — kept x18 so the surface stays integer; callers form
+    z = (S -+ 1) / sqrt(var18/18) driver-side.  Zeros densify in (a
+    silent stretch is evidence of decline, not missing data).
+
+    Scale shape: identical to theilsen_trend — one (group, bucket)
+    count shuffle, sequence() densify, contraction self-join for the
+    sign pairs (O(B^2) per group, parallel across groups), one
+    value-multiplicity contraction for the tie term; ``max_buckets``
+    probes the span and RAISES (pre-aggregate to a coarser bucket)."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"mann_kendall: bucket must be one of {sorted(_BUCKET_US)},"
+            f" got {bucket!r}"
+        )
+    bus = _BUCKET_US[bucket]
+    groups = list(group_cols or [])
+
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *[df[g] for g in groups],
+            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
+        )
+        .groupBy(*groups, "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    span = counts.groupBy(*groups).agg(
+        F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
+    )
+    worst = span.agg(
+        F.max(F.col("t_hi") - F.col("t_lo") + 1).alias("b")
+    ).collect()[0]["b"]
+    if worst is not None and worst > max_buckets:
+        raise ValueError(
+            f"mann_kendall: a group spans {worst} {bucket} buckets"
+            f" (> max_buckets={max_buckets}); pre-aggregate to a coarser"
+            " bucket or raise the cap"
+        )
+    timeline = span.select(
+        *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
+    )
+    dense = timeline.join(counts, [*groups, "t"], "left").select(
+        *groups, "t",
+        F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
+    )
+
+    a = dense.select(
+        *groups, F.col("t").alias("t1"), F.col("x").alias("x1")
+    )
+    b = dense.select(
+        *groups, F.col("t").alias("t2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        a.join(b, groups, "inner") if groups else a.crossJoin(b)
+    ).filter(F.col("t2") > F.col("t1"))
+    s_agg = pairs.groupBy(*groups).agg(
+        F.sum(F.expr("sign(x2 - x1)")).cast("bigint").alias("s_stat")
+    )
+    ties = (
+        dense.groupBy(*groups, "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tcnt"))
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.expr("tcnt * (tcnt - 1) * (2 * tcnt + 5)"))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.sum("tcnt").cast("bigint").alias("n_buckets"),
+        )
+    )
+    totals = dense.groupBy(*groups).agg(
+        F.sum("x").cast("bigint").alias("n")
+    )
+    joined = (
+        s_agg.join(ties, groups, "inner").join(totals, groups, "inner")
+        if groups
+        else s_agg.crossJoin(F.broadcast(ties)).crossJoin(
+            F.broadcast(totals)
+        )
+    )
+    return joined.select(
+        *groups,
+        "s_stat",
+        F.expr(
+            "n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tie_term"
+        ).cast("bigint").alias("var18"),
+        "n_buckets",
+        "n",
     )

@@ -8369,3 +8369,58 @@ def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hampel, "event_type")
         .join(seasonal, "event_type")
     )
+
+
+@_register(
+    "x_mann_kendall",
+    """
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(t) AS t_lo, max(t) AS t_hi
+      FROM counts GROUP BY 1
+    ), timeline AS (
+      SELECT event_type, unnest(generate_series(t_lo, t_hi)) AS t
+      FROM span
+    ), dense AS (
+      SELECT tl.event_type, tl.t, COALESCE(c.x, 0) AS x
+      FROM timeline tl LEFT JOIN counts c USING (event_type, t)
+    ), s_agg AS (
+      SELECT a.event_type,
+             CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND b.t > a.t
+      GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT)
+               AS tie_term,
+             CAST(sum(tcnt) AS BIGINT) AS n_buckets
+      FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS tcnt
+            FROM dense GROUP BY 1, 2) GROUP BY 1
+    ), totals AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS n FROM dense GROUP BY 1
+    )
+    SELECT s.event_type, s.s_stat,
+           CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5)
+             - tie_term AS BIGINT) AS var18,
+           n_buckets, n
+    FROM s_agg s JOIN ties USING (event_type) JOIN totals USING (event_type)
+    """,
+)
+def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type
+    (operators/drift.py::mann_kendall) — the hypothesis-test companion
+    of x_theilsen_trend: S = sum sign(x_j - x_i) over the densified
+    daily counts, plus the tie-corrected 18*Var(S) kept as an integer
+    so the z-score forms driver-side.  Same contraction self-join
+    scale shape as Theil-Sen; the two share one capped span probe
+    contract."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    return DR.mann_kendall(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day"
+    )

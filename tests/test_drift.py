@@ -833,3 +833,81 @@ def test_drift_ppm_surfaces_are_bounded_property(spark):
             assert 0 <= r["w1_e6"] <= (vmax - vmin) * 1_000_000
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall
+
+
+def _mk_brute(day_counts):
+    n = len(day_counts)
+    s = sum(
+        (day_counts[j] > day_counts[i]) - (day_counts[j] < day_counts[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5)
+              for t in Counter(day_counts).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    return s, var18
+
+
+@pytest.mark.parametrize(
+    "day_counts",
+    [
+        [1, 2, 3, 4, 5],       # perfect up: S = C(5,2) = 10
+        [5, 4, 3, 2, 1],       # perfect down: S = -10
+        [3, 3, 3, 3],          # all tied: S = 0, var18 = 0
+        [2, 0, 5, 0, 7],       # zeros from gaps participate
+        [1, 2, 2, 3, 1, 4],    # partial ties
+    ],
+    ids=["up", "down", "tied", "gappy", "partial-ties"],
+)
+def test_mann_kendall_matches_brute(spark, day_counts):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        mann_kendall,
+    )
+
+    rows = []
+    for day, cnt in enumerate(day_counts):
+        for i in range(cnt):
+            rows.append(("g", EPOCH + dt.timedelta(days=day, minutes=i)))
+    if not rows:
+        return
+    # ensure empty-count days exist in the span via first/last nonzero
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = mann_kendall(
+        df, ts_col="ts", group_cols=["grp"], bucket="day"
+    ).collect()
+    # the operator densifies over [first nonzero day, last nonzero day]
+    lo = next(i for i, c in enumerate(day_counts) if c)
+    hi = len(day_counts) - 1 - next(
+        i for i, c in enumerate(reversed(day_counts)) if c
+    )
+    dense = day_counts[lo:hi + 1]
+    s, var18 = _mk_brute(dense)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s_stat"], r["var18"], r["n_buckets"], r["n"]) == (
+        s, var18, len(dense), sum(dense),
+    ), day_counts
+
+
+def test_mann_kendall_guard_and_theilsen_agreement(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        mann_kendall,
+        theilsen_trend,
+    )
+
+    rows = [("g", EPOCH), ("g", EPOCH + dt.timedelta(days=10))]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    with pytest.raises(ValueError, match="max_buckets"):
+        mann_kendall(df, ts_col="ts", group_cols=["grp"], max_buckets=5)
+    # directional agreement on a clear ramp: MK S > 0 iff TS slope > 0
+    ramp = [("g", EPOCH + dt.timedelta(days=d, minutes=i))
+            for d in range(6) for i in range(d + 1)]
+    rdf = spark.createDataFrame(ramp, "grp string, ts timestamp")
+    mk = mann_kendall(rdf, ts_col="ts", group_cols=["grp"]).collect()[0]
+    ts_ = theilsen_trend(rdf, ts_col="ts", group_cols=["grp"]).collect()[0]
+    assert mk["s_stat"] > 0 and ts_["slope_num"] > 0
