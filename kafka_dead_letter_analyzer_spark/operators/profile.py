@@ -453,3 +453,56 @@ def benford_audit(
             " + (((cnt * 1000) % n) * 1000) DIV n - exp_ppm)"
         ).cast("bigint").alias("dev_ppm"),
     )
+
+
+def contingency_profile(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Exact contingency-table association profile between two
+    categorical columns — one row per observed cell:
+    ``(row_cat, col_cat, observed BIGINT, row_total BIGINT,
+    col_total BIGINT, n BIGINT, leverage_num BIGINT)`` with
+    ``leverage_num = observed*n - row_total*col_total`` — the integer
+    numerator of P(r,c) - P(r)P(c) over n^2.  Its sign answers
+    "over- or under-represented vs independence" per cell with NO
+    division anywhere, its magnitude ranks the cells, and the
+    chi-square statistic is derivable caller-side as
+    ``sum(leverage_num^2 / (row_total*col_total)) / n`` — kept out of
+    the engine because per-cell division floors don't sum exactly.
+
+    Use: "is the error-type mix hour-of-day dependent?" — the
+    independence audit over any two discrete dimensions.  Plan: one
+    (row, col) count contraction is the full-data shuffle; the two
+    marginals are groupBys OVER THE CONTRACTION joined back broadcast
+    (category domains are small by definition — for a near-continuous
+    dimension quantize first, as with kendall_tau_exact); the 1-row n
+    anchor joins broadcast.  NULL categories count as real categories
+    (a NULL-heavy cell is exactly the kind of skew this audits)."""
+    cells = df.groupBy(
+        F.col(row_col).alias("row_cat"), F.col(col_col).alias("col_cat")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    rows_m = cells.groupBy("row_cat").agg(
+        F.sum("observed").cast("bigint").alias("row_total")
+    )
+    cols_m = cells.groupBy("col_cat").agg(
+        F.sum("observed").cast("bigint").alias("col_total")
+    )
+    n = cells.agg(F.sum("observed").cast("bigint").alias("n"))
+    return (
+        cells.join(F.broadcast(rows_m), "row_cat")
+        .join(F.broadcast(cols_m), "col_cat")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "row_cat",
+            "col_cat",
+            "observed",
+            "row_total",
+            "col_total",
+            "n",
+            F.expr("observed * n - row_total * col_total")
+            .cast("bigint")
+            .alias("leverage_num"),
+        )
+    )

@@ -8424,3 +8424,51 @@ def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.mann_kendall(
         ev, ts_col="ts", group_cols=["event_type"], bucket="day"
     )
+
+
+@_register(
+    "x_contingency_profile",
+    """
+    WITH cells AS (
+      SELECT event_type AS row_cat,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS col_cat,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), rows_m AS (
+      SELECT row_cat, CAST(sum(observed) AS BIGINT) AS row_total
+      FROM cells GROUP BY 1
+    ), cols_m AS (
+      SELECT col_cat, CAST(sum(observed) AS BIGINT) AS col_total
+      FROM cells GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells
+    )
+    SELECT c.row_cat, CAST(c.col_cat AS BIGINT) AS col_cat, c.observed,
+           r.row_total, m.col_total, n.n,
+           CAST(c.observed * n.n - r.row_total * m.col_total AS BIGINT)
+             AS leverage_num
+    FROM cells c
+    JOIN rows_m r USING (row_cat)
+    JOIN cols_m m USING (col_cat)
+    CROSS JOIN n
+    """,
+)
+def x_contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency association profile of event type x hour-of-day
+    (operators/profile.py::contingency_profile): per cell, the integer
+    leverage numerator observed*n - row_total*col_total — sign answers
+    over/under-represented vs independence with no division, magnitude
+    ranks the cells, and chi-square is derivable caller-side.  One
+    (type, hod) count contraction is the full-data shuffle; marginals
+    and the n anchor join broadcast."""
+    from kafka_dead_letter_analyzer_spark.operators import profile as PR
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn(
+            "hod",
+            F.expr("(unix_micros(ts) % 86400000000) DIV 3600000000"),
+        )
+    )
+    return PR.contingency_profile(ev, row_col="event_type", col_col="hod")

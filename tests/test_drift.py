@@ -911,3 +911,47 @@ def test_mann_kendall_guard_and_theilsen_agreement(spark):
     mk = mann_kendall(rdf, ts_col="ts", group_cols=["grp"]).collect()[0]
     ts_ = theilsen_trend(rdf, ts_col="ts", group_cols=["grp"]).collect()[0]
     assert mk["s_stat"] > 0 and ts_["slope_num"] > 0
+
+
+# ---------------------------------------------------------------------------
+# contingency_profile
+
+
+def test_contingency_leverage_hand_computed(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        contingency_profile,
+    )
+
+    # 2x2 with known dependence: (a,x) over-represented
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 2 + [
+        ("b", "y")
+    ] * 6
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(o["row_cat"], o["col_cat"]): o
+           for o in contingency_profile(df, "r", "c").collect()}
+    # n=16, row_a=8, col_x=8: E(a,x)=4 -> leverage = 6*16 - 64 = 32
+    assert out[("a", "x")]["leverage_num"] == 32
+    assert out[("a", "y")]["leverage_num"] == -32
+    assert out[("b", "x")]["leverage_num"] == -32
+    assert out[("b", "y")]["leverage_num"] == 32
+    # leverage sums to zero over any full table
+    assert sum(o["leverage_num"] for o in out.values()) == 0
+
+
+def test_contingency_independent_is_zero_and_null_counts(spark):
+    from kafka_dead_letter_analyzer_spark.operators.profile import (
+        contingency_profile,
+    )
+
+    rows = [(r, c) for r in ("a", "b") for c in ("x", "y") for _ in (1, 2)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = contingency_profile(df, "r", "c").collect()
+    assert all(o["leverage_num"] == 0 for o in out)
+    # NULL categories are real cells
+    rows2 = [("a", None), ("a", "x"), (None, "x"), (None, None)]
+    df2 = spark.createDataFrame(rows2, "r string, c string")
+    out2 = contingency_profile(df2, "r", "c").collect()
+    assert len(out2) == 4
+    assert {(o["row_cat"], o["col_cat"]) for o in out2} == {
+        ("a", None), ("a", "x"), (None, "x"), (None, None),
+    }
