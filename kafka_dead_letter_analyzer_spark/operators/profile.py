@@ -490,19 +490,29 @@ def contingency_profile(
         F.sum("observed").cast("bigint").alias("col_total")
     )
     n = cells.agg(F.sum("observed").cast("bigint").alias("n"))
-    return (
-        cells.join(F.broadcast(rows_m), "row_cat")
-        .join(F.broadcast(cols_m), "col_cat")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "row_cat",
-            "col_cat",
-            "observed",
-            "row_total",
-            "col_total",
-            "n",
-            F.expr("observed * n - row_total * col_total")
-            .cast("bigint")
-            .alias("leverage_num"),
+    # null-SAFE joins: a NULL category is a real cell by contract, and
+    # a null-unsafe key join would silently drop exactly the skew rows
+    # this operator exists to audit
+    joined = (
+        cells.alias("c")
+        .join(
+            F.broadcast(rows_m).alias("r"),
+            F.expr("c.row_cat <=> r.row_cat"),
         )
+        .join(
+            F.broadcast(cols_m).alias("m"),
+            F.expr("c.col_cat <=> m.col_cat"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        F.col("c.row_cat").alias("row_cat"),
+        F.col("c.col_cat").alias("col_cat"),
+        "observed",
+        "row_total",
+        "col_total",
+        "n",
+        F.expr("observed * n - row_total * col_total")
+        .cast("bigint")
+        .alias("leverage_num"),
     )

@@ -8448,8 +8448,8 @@ def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.observed * n.n - r.row_total * m.col_total AS BIGINT)
              AS leverage_num
     FROM cells c
-    JOIN rows_m r USING (row_cat)
-    JOIN cols_m m USING (col_cat)
+    JOIN rows_m r ON c.row_cat IS NOT DISTINCT FROM r.row_cat
+    JOIN cols_m m ON c.col_cat IS NOT DISTINCT FROM m.col_cat
     CROSS JOIN n
     """,
 )
