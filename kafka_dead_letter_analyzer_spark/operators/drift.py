@@ -76,6 +76,7 @@ def cusum_changepoint(
     ts_col: str = "ts",
     group_cols: Sequence[str] | None = None,
     bucket: str = "hour",
+    weight_expr: str | None = None,
 ) -> DataFrame:
     """Exact CUSUM change-point scan of event RATE per group —
     ``(*group_cols, n BIGINT, buckets BIGINT, up_cp_ts TIMESTAMP,
@@ -106,7 +107,18 @@ def cusum_changepoint(
     output is a pure integer function of the data.
 
     Use: a dead-letter burst is an upward cp on the error topic; an
-    outage (producer stopped emitting) is a downward cp.  ppm scale:
+    outage (producer stopped emitting) is a downward cp.  With
+    ``weight_expr`` (a SQL expression yielding a NON-NEGATIVE integer
+    per row) the detector watches WEIGHTED mass instead of row count —
+    e.g. quantity- or cents-weighted shift, which moves when big
+    orders migrate even while the order COUNT holds steady; the
+    algebra is unchanged (x = per-bucket weight sum; rows with NULL
+    weight are excluded; trailing zero-weight buckets cannot occur
+    because weights are non-negative and S_B = 0 still holds only up
+    to the last POSITIVE-mass bucket, so buckets are keyed by rows as
+    before and an all-zero-weight tail keeps B at the last row-bearing
+    bucket — documented: a zero-weight bucket is an observed zero, not
+    a missing bucket).  ppm scale:
     ``D <= n*B``, so ``up_ppm = D*1e6 div (n*B)`` via two-step
     division; 0 = perfectly steady rate, ->1e6 = all mass on one side
     of the cp.  Groups with a single bucket report 0/0 deviations
@@ -119,15 +131,23 @@ def cusum_changepoint(
     bus = _BUCKET_US[bucket]
     groups = list(group_cols or [])
 
+    base = df.filter(F.col(ts_col).isNotNull())
+    if weight_expr is not None:
+        base = base.filter(
+            F.expr(f"({weight_expr}) IS NOT NULL AND ({weight_expr}) >= 0")
+        )
     counts = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(
-            *[df[g] for g in groups],
+        base.select(
+            *[base[g] for g in groups],
             (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(ts_col)) % bus)
             .alias("bus"),
+            *( [F.expr(weight_expr).alias("__w")] if weight_expr else [] ),
         )
         .groupBy(*groups, "bus")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .agg(
+            (F.sum(F.expr("CAST(__w AS BIGINT)")) if weight_expr
+             else F.count(F.lit(1))).cast("bigint").alias("x")
+        )
     )
 
     wg = Window.partitionBy(*groups) if groups else Window.partitionBy()

@@ -8472,3 +8472,183 @@ def x_contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return PR.contingency_profile(ev, row_col="event_type", col_col="hod")
+
+
+@_register(
+    "x_cusum_quantity_mass",
+    """
+    WITH counts AS (
+      SELECT l_returnflag,
+             epoch_us(l_shipdate) - epoch_us(l_shipdate) % 86400000000
+               AS bus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity >= 0
+      GROUP BY 1, 2
+    ), c0 AS (
+      SELECT l_returnflag, bus, x,
+             CAST(sum(x) OVER (PARTITION BY l_returnflag ORDER BY bus)
+               AS BIGINT) AS p,
+             CAST(sum(x) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS total,
+             min(bus) OVER (PARTITION BY l_returnflag) AS min_bus
+      FROM counts
+    ), c1 AS (
+      SELECT *, (bus - min_bus) // 86400000000 + 1 AS t,
+             max((bus - min_bus) // 86400000000 + 1)
+               OVER (PARTITION BY l_returnflag) AS b
+      FROM c0
+    ), c2 AS (
+      SELECT *, p * b - t * total AS s,
+             (p - x) * b - (t - 1) * total AS pre,
+             (t = b) AS is_last
+      FROM c1
+    ), c3 AS (
+      SELECT *,
+             min(pre) OVER (PARTITION BY l_returnflag ORDER BY bus)
+               AS runmin_pre,
+             greatest(0, COALESCE(max(s) OVER (PARTITION BY l_returnflag
+               ORDER BY bus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS runmax_s_prev
+      FROM c2
+    ), c4 AS (
+      SELECT *, s - runmin_pre AS up_d,
+             CASE WHEN is_last THEN
+               greatest(runmax_s_prev - pre,
+                        greatest(runmax_s_prev, s) - s)
+             ELSE runmax_s_prev - pre END AS down_d
+      FROM c3
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY up_d DESC, bus ASC) AS r_up,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY down_d DESC, bus ASC) AS r_dn
+      FROM c4
+    ), agg AS (
+      SELECT l_returnflag,
+             max(total) AS n, max(b) AS buckets,
+             max(CASE WHEN r_up = 1 THEN bus END) AS up_bus,
+             max(CASE WHEN r_up = 1 THEN up_d END) AS up_d,
+             max(CASE WHEN r_dn = 1 THEN bus END) AS down_bus,
+             max(CASE WHEN r_dn = 1 THEN down_d END) AS down_d
+      FROM ranked GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(buckets AS BIGINT) AS buckets,
+           CAST(up_bus AS BIGINT) AS up_cp_us,
+           CAST(((up_d * 1000) // (n * buckets)) * 1000
+             + (((up_d * 1000) % (n * buckets)) * 1000) // (n * buckets)
+             AS BIGINT) AS up_ppm,
+           CAST(down_bus AS BIGINT) AS down_cp_us,
+           CAST(((down_d * 1000) // (n * buckets)) * 1000
+             + (((down_d * 1000) % (n * buckets)) * 1000) // (n * buckets)
+             AS BIGINT) AS down_ppm
+    FROM agg
+    """,
+)
+def x_cusum_quantity_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-MASS CUSUM change-point per return flag
+    (operators/drift.py::cusum_changepoint with weight_expr): the
+    detector watches where the WEIGHTED mass shifted, which moves when
+    big orders migrate across the timeline even while the order COUNT
+    holds steady — the n in the ppm scale becomes total quantity, the
+    algebra is otherwise the count detector's, exactly.  Int64 bound
+    tightens by the mean weight (documented in the operator)."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = DR.cusum_changepoint(
+        li, ts_col="l_shipdate", group_cols=["l_returnflag"],
+        bucket="day", weight_expr="CAST(l_quantity AS BIGINT)",
+    )
+    return cp.select(
+        "l_returnflag",
+        "n",
+        "buckets",
+        F.unix_micros("up_cp_ts").alias("up_cp_us"),
+        "up_ppm",
+        F.unix_micros("down_cp_ts").alias("down_cp_us"),
+        "down_ppm",
+    )
+
+
+@_register(
+    "x_rate_autocorr",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS t
+      FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+    ), counts AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS x FROM ev GROUP BY 1
+    ), span AS (
+      SELECT min(t) AS t_lo, max(t) AS t_hi FROM counts
+    ), timeline AS (
+      SELECT unnest(generate_series(t_lo, t_hi)) AS t FROM span
+    ), dense AS (
+      SELECT tl.t, COALESCE(c.x, 0) AS x
+      FROM timeline tl LEFT JOIN counts c USING (t)
+    ), lags AS (
+      SELECT unnest(generate_series(0, 7)) AS lag
+    ), paired AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM dense a CROSS JOIN lags l
+      JOIN dense b ON b.t = a.t + l.lag
+    ), xc AS (
+      SELECT lag, x, CAST(count(*) AS BIGINT) AS c
+      FROM paired GROUP BY 1, 2
+    ), xm AS (
+      SELECT lag, x AS xv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY lag ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY lag) AS BIGINT) AS dx
+      FROM xc
+    ), yc AS (
+      SELECT lag, y, CAST(count(*) AS BIGINT) AS c
+      FROM paired GROUP BY 1, 2
+    ), ym AS (
+      SELECT lag, y AS yv,
+             2 * CAST(COALESCE(sum(c) OVER (PARTITION BY lag ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + c
+               - CAST(sum(c) OVER (PARTITION BY lag) AS BIGINT) AS dy
+      FROM yc
+    ), joined AS (
+      SELECT p.lag, xm.dx, ym.dy
+      FROM paired p
+      JOIN xm ON xm.lag = p.lag AND xm.xv = p.x
+      JOIN ym ON ym.lag = p.lag AND ym.yv = p.y
+    ), agg AS (
+      SELECT lag,
+             CAST(sum(dx * dy) AS BIGINT) AS num,
+             CAST(sum(dx * dx) AS BIGINT) AS den_x,
+             CAST(sum(dy * dy) AS BIGINT) AS den_y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM joined GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, num, den_x, den_y, n,
+           CAST(floor(num * 1000000.0 /
+             (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
+             + 0.5) AS BIGINT) AS rho_e6
+    FROM agg WHERE den_x > 0 AND den_y > 0
+    """,
+)
+def x_rate_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank AUTOCORRELATION of the error daily-rate series at lags
+    0..7 — leadlag_spearman with both categories set to 'error': the
+    persistence fingerprint (how many days does an elevated error rate
+    echo?), lag 0 pinning rho = 1e6 as the built-in sanity row.  Zero
+    new operator code — the query demonstrates the lead-lag machinery
+    degrades correctly to self-correlation (A and B densify to the
+    SAME series; only the offset join differs per lag)."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    return DR.leadlag_spearman(
+        ev, ts_col="ts", cat_col="event_type",
+        cat_a="error", cat_b="error", max_lag=7, bucket="day",
+    )

@@ -955,3 +955,42 @@ def test_contingency_independent_is_zero_and_null_counts(spark):
     assert {(o["row_cat"], o["col_cat"]) for o in out2} == {
         ("a", None), ("a", "x"), (None, "x"), (None, None),
     }
+
+
+def test_weighted_cusum_and_autocorr_degenerations(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        cusum_changepoint,
+        leadlag_spearman,
+    )
+
+    # weight 1 per row == the count detector, field for field
+    hours = [0.1, 1.1, 2.1, 2.2, 2.3, 4.5]
+    rows = [("g", _ts(h), 1) for h in hours]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, w long")
+    plain = cusum_changepoint(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour"
+    ).collect()[0]
+    weighted = cusum_changepoint(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour",
+        weight_expr="w",
+    ).collect()[0]
+    assert plain.asDict() == weighted.asDict()
+    # doubling every weight doubles n and scales deviations with it:
+    # ppm (deviation / (n*B)) is INVARIANT
+    df2 = df.withColumn("w", F.lit(2))
+    w2 = cusum_changepoint(
+        df2, ts_col="ts", group_cols=["grp"], bucket="hour",
+        weight_expr="w",
+    ).collect()[0]
+    assert w2["n"] == 2 * plain["n"]
+    assert (w2["up_ppm"], w2["down_ppm"]) == (
+        plain["up_ppm"], plain["down_ppm"],
+    )
+    # autocorrelation at lag 0 is identically 1e6
+    ev = spark.createDataFrame(
+        [("e", _ts(24 * d + 0.5)) for d in range(6) for _ in range(d + 1)],
+        "cat string, ts timestamp",
+    )
+    out = {r["lag"]: r for r in leadlag_spearman(
+        ev, "ts", "cat", "e", "e", max_lag=2).collect()}
+    assert out[0]["rho_e6"] == 1_000_000
