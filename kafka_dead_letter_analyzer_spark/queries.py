@@ -8310,67 +8310,6 @@ def x_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIFT_REPORT_ORACLE = f"""
-    SELECT c.event_type,
-           c.n, c.up_ppm, c.down_ppm,
-           t.slope_num, t.slope_den,
-           h.flagged_days,
-           s.max_hour_ratio_e6
-    FROM ({_ORACLES["x_cusum_changepoint"]}) c
-    JOIN ({_ORACLES["x_theilsen_trend"]}) t USING (event_type)
-    JOIN (
-      SELECT event_type,
-             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
-               AS flagged_days
-      FROM ({_ORACLES["x_hampel_outliers"]}) GROUP BY 1
-    ) h USING (event_type)
-    JOIN (
-      SELECT event_type, CAST(max(ratio_e6) AS BIGINT)
-               AS max_hour_ratio_e6
-      FROM ({_ORACLES["x_seasonal_anomaly"]}) GROUP BY 1
-    ) s USING (event_type)
-"""
-
-
-@_register("x_drift_report", _DRIFT_REPORT_ORACLE)
-def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row-per-type drift DASHBOARD joining the four detectors the
-    library ships — the capstone composition: CUSUM's strongest
-    up/down level shift (x_cusum_changepoint), the Theil-Sen robust
-    trend rational (x_theilsen_trend), the count of Hampel-flagged
-    poisoned days (x_hampel_outliers), and the worst seasonal
-    hour-of-day ratio (x_seasonal_anomaly).  Each component is its own
-    independently oracle-verified query; the report reuses them
-    verbatim (the oracle literally joins the registered oracle SQLs as
-    subqueries), and the join keys on the handful of event types —
-    broadcast-sized by construction."""
-    cusum = x_cusum_changepoint(spark, sf_dir).select(
-        "event_type", "n", "up_ppm", "down_ppm"
-    )
-    trend = x_theilsen_trend(spark, sf_dir).select(
-        "event_type", "slope_num", "slope_den"
-    )
-    hampel = (
-        x_hampel_outliers(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("flagged_days")
-        )
-    )
-    seasonal = (
-        x_seasonal_anomaly(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.max("ratio_e6").cast("bigint").alias("max_hour_ratio_e6"))
-    )
-    return (
-        cusum.join(trend, "event_type")
-        .join(hampel, "event_type")
-        .join(seasonal, "event_type")
-    )
-
-
 @_register(
     "x_mann_kendall",
     """
@@ -8651,4 +8590,75 @@ def x_rate_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.leadlag_spearman(
         ev, ts_col="ts", cat_col="event_type",
         cat_a="error", cat_b="error", max_lag=7, bucket="day",
+    )
+
+
+_DRIFT_REPORT_ORACLE = f"""
+    SELECT c.event_type,
+           c.n, c.up_ppm, c.down_ppm,
+           t.slope_num, t.slope_den,
+           mk.s_stat, mk.var18,
+           h.flagged_days,
+           s.max_hour_ratio_e6
+    FROM ({_ORACLES["x_cusum_changepoint"]}) c
+    JOIN ({_ORACLES["x_theilsen_trend"]}) t USING (event_type)
+    JOIN (
+      SELECT event_type, s_stat, var18
+      FROM ({_ORACLES["x_mann_kendall"]})
+    ) mk USING (event_type)
+    JOIN (
+      SELECT event_type,
+             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged_days
+      FROM ({_ORACLES["x_hampel_outliers"]}) GROUP BY 1
+    ) h USING (event_type)
+    JOIN (
+      SELECT event_type, CAST(max(ratio_e6) AS BIGINT)
+               AS max_hour_ratio_e6
+      FROM ({_ORACLES["x_seasonal_anomaly"]}) GROUP BY 1
+    ) s USING (event_type)
+"""
+
+
+@_register("x_drift_report", _DRIFT_REPORT_ORACLE)
+def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-type drift DASHBOARD joining the four detectors the
+    library ships — the capstone composition: CUSUM's strongest
+    up/down level shift (x_cusum_changepoint), the Theil-Sen robust
+    trend rational (x_theilsen_trend), the Mann-Kendall test statistics
+    (x_mann_kendall — is the trend SIGNIFICANT), the count of
+    Hampel-flagged poisoned days (x_hampel_outliers), and the worst
+    seasonal hour-of-day ratio (x_seasonal_anomaly).  Each component is its own
+    independently oracle-verified query; the report reuses them
+    verbatim (the oracle literally joins the registered oracle SQLs as
+    subqueries), and the join keys on the handful of event types —
+    broadcast-sized by construction."""
+    cusum = x_cusum_changepoint(spark, sf_dir).select(
+        "event_type", "n", "up_ppm", "down_ppm"
+    )
+    trend = x_theilsen_trend(spark, sf_dir).select(
+        "event_type", "slope_num", "slope_den"
+    )
+    mk = x_mann_kendall(spark, sf_dir).select(
+        "event_type", "s_stat", "var18"
+    )
+    hampel = (
+        x_hampel_outliers(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_days")
+        )
+    )
+    seasonal = (
+        x_seasonal_anomaly(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.max("ratio_e6").cast("bigint").alias("max_hour_ratio_e6"))
+    )
+    return (
+        cusum.join(trend, "event_type")
+        .join(mk, "event_type")
+        .join(hampel, "event_type")
+        .join(seasonal, "event_type")
     )
