@@ -1494,3 +1494,114 @@ def streaming_trend_alerts(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# DGIM exponential histogram: sliding-window counts in O(log W) state
+# ---------------------------------------------------------------------------
+
+
+def _make_dgim_fn(window_us: int, k: int):
+    def _dgim_fn(key, pdfs, state) -> Iterator:
+        """Datar-Gionis-Indyk-Motwani exponential histogram per key:
+        state = O(k * log(events-in-window)) buckets of power-of-two
+        sizes, newest first.  Invariant: at most k+1 buckets of each
+        size; when a size overflows, the two OLDEST of that size merge
+        into one of double size (their timestamp = the newer one's).
+        The window estimate counts all buckets fully except the oldest
+        STRADDLING bucket, which contributes half its size — absolute
+        error <= oldest_size/2, i.e. relative error <= 1/(2k) once the
+        window holds >= 2^ceil(log k) events.  Rows are folded in
+        timestamp order within the batch; state is two long arrays."""
+        import pandas as pd
+
+        if state.exists:
+            last_ts, sizes_, ts_ = state.get
+            sizes = [int(s) for s in sizes_]  # oldest .. newest
+            tss = [int(t) for t in ts_]
+        else:
+            last_ts, sizes, tss = -1, [], []
+
+        def add(ts: int) -> None:
+            sizes.append(1)
+            tss.append(ts)
+            # merge cascade: more than k+1 buckets of a size -> merge
+            # the two oldest of that size
+            size = 1
+            while True:
+                idxs = [i for i, s in enumerate(sizes) if s == size]
+                if len(idxs) <= k + 1:
+                    break
+                i, j = idxs[0], idxs[1]  # oldest two (list is old->new)
+                sizes[j] = size * 2
+                # merged bucket keeps the NEWER closing timestamp
+                del sizes[i]
+                del tss[i]
+                size *= 2
+
+        events = []
+        for pdf in pdfs:
+            events.extend(int(t) for t in pdf["us"])
+        for ts in sorted(events):
+            if ts > last_ts:
+                last_ts = ts
+            add(ts)
+        # expire buckets wholly outside the window
+        cutoff = last_ts - window_us
+        while tss and tss[0] <= cutoff:
+            del tss[0]
+            del sizes[0]
+        state.update((last_ts, sizes, tss))
+        est = sum(sizes) - (sizes[0] // 2 if sizes else 0)
+        yield pd.DataFrame(
+            {
+                "topic": [key[0]],
+                "type": [key[1]],
+                "as_of_us": [last_ts],
+                "est_count": [est],
+                "n_buckets": [len(sizes)],
+            }
+        )
+
+    return _dgim_fn
+
+
+def streaming_sliding_count(
+    enriched: DataFrame,
+    window_us: int = 3_600_000_000,
+    k: int = 8,
+) -> DataFrame:
+    """Approximate SLIDING-window event count per (topic, type) in
+    O(k log W) state — the DGIM exponential histogram (Datar, Gionis,
+    Indyk, Motwani, SICOMP 2002).  Spark's own windowed aggregation
+    answers TUMBLING/hopping windows with state per open window; the
+    true trailing-window count ("dead letters in the LAST hour, as of
+    now") over an unbounded stream needs either every event buffered
+    (exact, O(W) state) or this: power-of-two buckets with at most k+1
+    per size, merged oldest-first, giving relative error <= 1/(2k)
+    with a few dozen longs of state per key regardless of rate.
+
+    Emits ``(topic, type, as_of_us, est_count, n_buckets)`` per
+    touched key per micro-batch — a live gauge, bounded-state by
+    construction; deterministic given the event multiset (rows fold in
+    timestamp order).  Late rows older than the window expire
+    immediately; k trades state for accuracy."""
+    if k < 1:
+        raise ValueError("streaming_sliding_count: k must be >= 1")
+    if window_us < 1:
+        raise ValueError("streaming_sliding_count: window_us must be >= 1")
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.expr("unix_micros(context.timestamp)").alias("us"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_dgim_fn(int(window_us), int(k)),
+        outputStructType=(
+            "topic string, type string, as_of_us long,"
+            " est_count long, n_buckets long"
+        ),
+        stateStructType="last_ts long, sizes array<long>, tss array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -2370,3 +2370,117 @@ def test_streaming_trend_alerts_guards(spark):
         streaming_trend_alerts(df, window=1)
     with pytest.raises(ValueError, match="thr_num"):
         streaming_trend_alerts(df, thr_den=0)
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window count
+
+
+def _drive_dgim(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    outs = []
+    for us_list in batches:
+        for out in fn(("t", "ty"), [pd.DataFrame({"us": us_list})], st):
+            outs.append(
+                (int(out["as_of_us"][0]), int(out["est_count"][0]),
+                 int(out["n_buckets"][0]))
+            )
+    return outs, st._v
+
+
+def test_dgim_error_bound_and_state_size_randomized():
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_fn,
+    )
+
+    rng = random.Random(0xD914)
+    W, k = 1000, 4
+    for trial in range(8):
+        fn = _make_dgim_fn(window_us=W, k=k)
+        events = sorted(rng.randint(0, 5000) for _ in range(rng.randint(
+            20, 400)))
+        # feed in 3 arbitrary sorted chunks
+        c1, c2 = sorted(rng.sample(range(len(events) + 1), 2))
+        outs, state = _drive_dgim(
+            fn, [events[:c1], events[c1:c2], events[c2:]]
+        )
+        as_of, est, nb = outs[-1]
+        exact = sum(1 for e in events if e > as_of - W)
+        sizes = [int(s) for s in state[1]]
+        oldest = sizes[0] if sizes else 0
+        # structural bound: only the straddling oldest bucket is
+        # uncertain, and it contributes half its size
+        assert abs(est - exact) <= (oldest + 1) // 2, (
+            trial, est, exact, sizes,
+        )
+        # DGIM state bound: at most (k+1) buckets per size level
+        from collections import Counter
+
+        assert all(c <= k + 1 for c in Counter(sizes).values())
+        # log-bounded state: sizes are powers of two
+        assert all(s & (s - 1) == 0 for s in sizes)
+
+
+def test_dgim_exact_while_window_small():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_fn,
+    )
+
+    # with k large relative to the event count, no merges happen and
+    # the estimate is EXACT (every bucket is size 1, oldest//2 = 0)
+    fn = _make_dgim_fn(window_us=100, k=64)
+    outs, _ = _drive_dgim(fn, [[1, 2, 3], [50, 90], [140]])
+    # as of 140, window (40, 140]: events 50, 90, 140 -> exactly 3
+    assert outs[-1][1] == 3
+
+
+def test_streaming_sliding_count_end_to_end(spark, tmp_path, ts):
+    from kafka_dead_letter_analyzer_spark.operators.enrich import (
+        enrich_with_context,
+    )
+    from kafka_dead_letter_analyzer_spark.plans.topology import (
+        stream_dead_letters,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_sliding_count,
+    )
+
+    batch1 = [
+        FX.envelope(offset=i, timestamp=ts(i),
+                    value_deadletter=FX.dead_letter_value())
+        for i in range(4)  # minutes 0..3
+    ]
+    batch2 = [
+        FX.envelope(offset=99, timestamp=ts(90),
+                    value_deadletter=FX.dead_letter_value())
+    ]
+    src = str(tmp_path / "dgim_src")
+    _write_envelopes(spark, src, batch1)
+    raw = spark.readStream.schema(RAW_ENVELOPE).parquet(src)
+    dead_letters, _ = stream_dead_letters(raw)
+    enriched = enrich_with_context(dead_letters)
+    q = (
+        streaming_sliding_count(
+            enriched, window_us=3_600_000_000, k=8  # 1h window
+        )
+        .writeStream.format("memory")
+        .queryName("dgim_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.table("dgim_sink").collect()
+        _write_envelopes(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # first batch: 4 events inside the hour, small enough to be exact
+    assert rows1[-1]["est_count"] == 4
+    rows = spark.table("dgim_sink").collect()
+    # at minute 90, only the minute-90 event is within the last hour
+    assert rows[-1]["est_count"] == 1
