@@ -40,6 +40,7 @@ class AnalyzerConfig:
     batch_output: str | None = None
     schema_registry_url: str | None = None  # accepted, unused without spark-avro
     rocksdb_state_store: bool = False  # reference store choice (Topology.java:220-226)
+    drift_report: bool = False  # batch: also write the per-key drift report
 
     @property
     def app_id(self) -> str:
@@ -76,6 +77,13 @@ def parse_args(argv: list[str] | None = None) -> AnalyzerConfig:
     p.add_argument("--batch-input", help="RAW_ENVELOPE parquet dir (batch mode)")
     p.add_argument("--batch-output", help="output dir for batch mode")
     p.add_argument(
+        "--drift-report",
+        action="store_true",
+        help="batch mode: also write a per-(topic, type) drift report "
+        "(CUSUM change-point, Theil-Sen trend, Mann-Kendall test, "
+        "Hampel outlier days) over the normalized dead-letter feed",
+    )
+    p.add_argument(
         "--rocksdb-state-store",
         action="store_true",
         help="use the RocksDB streaming state store (the reference's store; "
@@ -96,6 +104,7 @@ def parse_args(argv: list[str] | None = None) -> AnalyzerConfig:
         checkpoint_dir=a.checkpoint_dir,
         batch_input=a.batch_input,
         batch_output=a.batch_output,
+        drift_report=a.drift_report,
         schema_registry_url=a.schema_registry_url,
         rocksdb_state_store=a.rocksdb_state_store,
     )
@@ -124,6 +133,28 @@ def run_batch(spark, config: AnalyzerConfig) -> dict[str, str]:
         path = f"{config.batch_output}/{name}"
         df.write.mode("overwrite").parquet(path)
         paths[name] = path
+    if config.drift_report:
+        from pyspark.sql import functions as F
+
+        from kafka_dead_letter_analyzer_spark.functions.formatting import (
+            TS_PATTERN,
+        )
+        from kafka_dead_letter_analyzer_spark.operators.drift import (
+            dead_letter_drift_report,
+        )
+
+        # the full sink carries the reference's FORMATTED timestamp —
+        # parse it back once for the detectors
+        feed = spark.read.parquet(paths["full"]).withColumn(
+            "event_ts", F.to_timestamp("timestamp", TS_PATTERN)
+        )
+        report = dead_letter_drift_report(
+            feed, ts_col="event_ts", group_cols=["topic", "type"],
+            bucket="hour",
+        )
+        path = f"{config.batch_output}/drift"
+        report.write.mode("overwrite").parquet(path)
+        paths["drift"] = path
     return paths
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "leadlag_spearman",
     "hampel_outliers",
     "mann_kendall",
+    "dead_letter_drift_report",
 ]
 
 _BUCKET_US = {
@@ -836,3 +837,47 @@ def mann_kendall(
         "n_buckets",
         "n",
     )
+
+
+def dead_letter_drift_report(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    bucket: str = "hour",
+) -> DataFrame:
+    """The product-level drift dashboard over a dead-letter feed — one
+    row per group joining four detectors this module ships:
+    CUSUM's strongest up/down level shift (+ its ppm decisiveness),
+    the Theil-Sen robust trend rational, the Mann-Kendall test
+    statistics, and the count of Hampel-flagged poisoned buckets.
+    ``(*group_cols, n, buckets, up_cp_ts, up_ppm, down_cp_ts,
+    down_ppm, slope_num, slope_den, s_stat, var18, flagged_buckets)``.
+
+    This is what `--drift-report` in the CLI writes next to the
+    reference-shaped outputs: the reference emits per-key COUNTS and
+    leaves "did it change" to the dashboard; this runs the change
+    question inside the engine, on the same normalized feed.  Each
+    component is independently differential-tested; the join keys on
+    the error-key domain (broadcast-sized by construction)."""
+    cp = cusum_changepoint(
+        df, ts_col=ts_col, group_cols=list(group_cols), bucket=bucket
+    )
+    tr = theilsen_trend(
+        df, ts_col=ts_col, group_cols=list(group_cols), bucket=bucket
+    ).select(*group_cols, "slope_num", "slope_den")
+    mk = mann_kendall(
+        df, ts_col=ts_col, group_cols=list(group_cols), bucket=bucket
+    ).select(*group_cols, "s_stat", "var18")
+    hp = (
+        hampel_outliers(
+            df, ts_col=ts_col, group_cols=list(group_cols), bucket=bucket
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_buckets")
+        )
+    )
+    keys = list(group_cols)
+    return cp.join(tr, keys).join(mk, keys).join(hp, keys)

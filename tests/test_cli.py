@@ -55,3 +55,38 @@ def test_batch_mode_end_to_end(spark, tmp_path):
     errors = spark.read.parquet(paths["errors"]).collect()
     assert len(errors) == 1
     assert errors[0]["dead_letter"]["description"] == "Error analyzing dead letter"
+
+
+def test_batch_mode_drift_report(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [
+        FX.envelope(offset=i,
+                    timestamp=base + dt.timedelta(hours=i // 2),
+                    value_deadletter=FX.dead_letter_value())
+        for i in range(8)  # 2 dead letters per hour, 4 hours
+    ]
+    src = str(tmp_path / "raw_drift")
+    FX.raw_frame(spark, rows).write.parquet(src)
+
+    cfg = AnalyzerConfig(
+        batch_input=src, batch_output=str(tmp_path / "out_drift"),
+        drift_report=True,
+    )
+    paths = run_batch(spark, cfg)
+    assert "drift" in paths
+    report = spark.read.parquet(paths["drift"]).collect()
+    assert len(report) == 1
+    r = report[0]
+    assert r["n"] == 8 and r["buckets"] == 4
+    # perfectly steady rate: no level shift, flat robust trend,
+    # Mann-Kendall S = 0, nothing Hampel-flagged
+    assert r["up_ppm"] == 0 and r["down_ppm"] == 0
+    assert r["slope_num"] == 0 and r["s_stat"] == 0
+    assert r["flagged_buckets"] == 0
+    # the flag defaults off: a plain batch run writes no drift dir
+    cfg2 = AnalyzerConfig(
+        batch_input=src, batch_output=str(tmp_path / "out_plain")
+    )
+    assert "drift" not in run_batch(spark, cfg2)
