@@ -140,6 +140,7 @@ def run_batch(spark, config: AnalyzerConfig) -> dict[str, str]:
             TS_PATTERN,
         )
         from kafka_dead_letter_analyzer_spark.operators.drift import (
+            _pick_report_bucket,
             dead_letter_drift_report,
         )
 
@@ -148,9 +149,11 @@ def run_batch(spark, config: AnalyzerConfig) -> dict[str, str]:
         feed = spark.read.parquet(paths["full"]).withColumn(
             "event_ts", F.to_timestamp("timestamp", TS_PATTERN)
         )
+        # hour buckets when the feed's span fits the pair operators'
+        # cap, day otherwise (a long-retention feed must not raise)
         report = dead_letter_drift_report(
             feed, ts_col="event_ts", group_cols=["topic", "type"],
-            bucket="hour",
+            bucket=_pick_report_bucket(feed, "event_ts"),
         )
         path = f"{config.batch_output}/drift"
         report.write.mode("overwrite").parquet(path)

@@ -654,6 +654,7 @@ def hampel_outliers(
     half_window: int = 3,
     k_num: int = 3,
     k_den: int = 1,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Hampel filter over per-bucket event counts —
     ``(*group_cols, bucket_ts TIMESTAMP, cnt BIGINT, med BIGINT,
@@ -701,6 +702,19 @@ def hampel_outliers(
     span = counts.groupBy(*groups).agg(
         F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
     )
+    # densify guard: hampel's window work is LINEAR in the span (unlike
+    # the quadratic pair operators, so the default cap is generous),
+    # but an adversarial span — one stray 1970 timestamp at ms buckets —
+    # must raise, not materialize a gigarow sequence()
+    worst = span.agg(
+        F.max(F.col("t_hi") - F.col("t_lo") + 1).alias("b")
+    ).collect()[0]["b"]
+    if worst is not None and worst > max_buckets:
+        raise ValueError(
+            f"hampel_outliers: a group spans {worst} {bucket} buckets"
+            f" (> max_buckets={max_buckets}); coarsen the bucket or"
+            " filter the stray timestamps"
+        )
     timeline = span.select(
         *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
     )
@@ -881,3 +895,26 @@ def dead_letter_drift_report(
     )
     keys = list(group_cols)
     return cp.join(tr, keys).join(mk, keys).join(hp, keys)
+
+
+def _pick_report_bucket(
+    df: DataFrame, ts_col: str, max_buckets: int = 4000
+) -> str:
+    """Coarsest-fitting bucket for the drift report: hour when the
+    feed's span fits the pair operators' cap, else day (raises only
+    past ~11 years of days — filter stray timestamps instead)."""
+    lo_hi = df.filter(F.col(ts_col).isNotNull()).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return "hour"
+    span_us = lo_hi["hi"] - lo_hi["lo"]
+    if span_us // _BUCKET_US["hour"] + 1 <= max_buckets:
+        return "hour"
+    if span_us // _BUCKET_US["day"] + 1 <= max_buckets:
+        return "day"
+    raise ValueError(
+        "dead_letter_drift_report: feed spans more than"
+        f" {max_buckets} days; filter stray timestamps"
+    )

@@ -994,3 +994,24 @@ def test_weighted_cusum_and_autocorr_degenerations(spark):
     out = {r["lag"]: r for r in leadlag_spearman(
         ev, "ts", "cat", "e", "e", max_lag=2).collect()}
     assert out[0]["rho_e6"] == 1_000_000
+
+
+def test_hampel_span_guard_and_report_bucket_pick(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        _pick_report_bucket,
+        hampel_outliers,
+    )
+
+    stray = spark.createDataFrame(
+        [("g", _ts(0.5)), ("g", _ts(24 * 365 * 20.0))],
+        "grp string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        hampel_outliers(
+            stray, ts_col="ts", group_cols=["grp"], bucket="hour",
+            max_buckets=1000,
+        )
+    # short feed -> hour; multi-year feed -> day
+    short = _events(spark, [0.5, 5.5])
+    assert _pick_report_bucket(short, "ts") == "hour"
+    assert _pick_report_bucket(stray, "ts") == "day"
