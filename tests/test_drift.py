@@ -1003,7 +1003,7 @@ def test_hampel_span_guard_and_report_bucket_pick(spark):
     )
 
     stray = spark.createDataFrame(
-        [("g", _ts(0.5)), ("g", _ts(24 * 365 * 20.0))],
+        [("g", _ts(0.5)), ("g", _ts(24 * 365 * 5.0))],
         "grp string, ts timestamp",
     )
     with pytest.raises(ValueError, match="max_buckets"):
@@ -1015,3 +1015,10 @@ def test_hampel_span_guard_and_report_bucket_pick(spark):
     short = _events(spark, [0.5, 5.5])
     assert _pick_report_bucket(short, "ts") == "hour"
     assert _pick_report_bucket(stray, "ts") == "day"
+    # past the day cap, the picker raises with guidance
+    decade = spark.createDataFrame(
+        [("g", _ts(0.5)), ("g", _ts(24 * 365 * 20.0))],
+        "grp string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="stray timestamps"):
+        _pick_report_bucket(decade, "ts")
