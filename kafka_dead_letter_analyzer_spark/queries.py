@@ -8662,3 +8662,85 @@ def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hampel, "event_type")
         .join(seasonal, "event_type")
     )
+
+
+@_register(
+    "x_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS component FROM cc GROUP BY id),
+    keyed AS (
+      SELECT d.lang, d.doc_id,
+             COALESCE(c.component, d.doc_id) AS split_key,
+             (c.component IS NOT NULL) AS clustered
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    assigned AS (
+      SELECT lang, doc_id, clustered,
+             CASE WHEN h < {_SPLIT_HI1} THEN 'train'
+                  WHEN h < {_SPLIT_HI2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, doc_id, clustered,
+               list_sum([(strpos('0123456789abcdef',
+                   md5(CAST(split_key AS VARCHAR) || ':split')[i]) - 1)
+                   * ([{_HEX8_POWS}][i])::BIGINT
+                   for i in range(1, 9)]) AS h
+        FROM keyed
+      )
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: documents are assigned by the
+    salted hash of their near-dup CLUSTER representative (the connected
+    component's min id; unclustered docs hash their own id) — so two
+    near-duplicates can NEVER straddle the train/eval boundary, which
+    is the contamination mode a plain per-doc hash split (x_hash_split)
+    cannot prevent: a paraphrase of a test document lands in train with
+    probability 0 here, ~80% there.  Composition: minhash pairs
+    (exact-verified) -> connected components -> coalesce(component,
+    doc_id) -> the SAME salted hash_split; the only cost over the plain
+    split is the dedup pass a training pipeline runs anyway.  Surface:
+    per (split, lang) counts with min_doc_id pinning membership and
+    n_clustered pinning how many assignments flowed through a cluster
+    rep.  Zero-straddle is asserted as an invariant in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    )
+    comp = G.connected_components(
+        pairs, src="id_a", dst="id_b"
+    ).withColumnRenamed("id", "doc_id")
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "lang",
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("split_key"),
+        F.col("component").isNotNull().alias("clustered"),
+    )
+    assigned = SA.hash_split(keyed, key="split_key", fractions=_SPLIT_FRACS)
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.sum(F.when(F.col("clustered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clustered"),
+    )

@@ -1022,3 +1022,59 @@ def test_hampel_span_guard_and_report_bucket_pick(spark):
     )
     with pytest.raises(ValueError, match="stray timestamps"):
         _pick_report_bucket(decade, "ts")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split invariant
+
+
+def test_leakage_safe_split_zero_straddle_invariant(spark):
+    """The defining property: NO near-dup pair straddles two splits —
+    checked on the real sf0.001 corpus against the same pair set the
+    query uses (a per-doc hash split demonstrably violates it when any
+    pair exists)."""
+    import pyspark.sql.functions as SF
+
+    from kafka_dead_letter_analyzer_spark.operators import (
+        dedup as D,
+        graph as G,
+        sampling as SA,
+    )
+    from kafka_dead_letter_analyzer_spark.queries import _SPLIT_FRACS
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    ).cache()
+    assert pairs.count() > 0, "test corpus must contain near-dups"
+    comp = G.connected_components(
+        pairs, src="id_a", dst="id_b"
+    ).withColumnRenamed("id", "doc_id")
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id", SF.coalesce("component", "doc_id").alias("split_key")
+    )
+    safe = SA.hash_split(keyed, key="split_key", fractions=_SPLIT_FRACS)
+    a = safe.select(SF.col("doc_id").alias("id_a"),
+                    SF.col("split").alias("split_a"))
+    b = safe.select(SF.col("doc_id").alias("id_b"),
+                    SF.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert straddle == 0
+    # contrast: the per-doc split DOES straddle on the same pair set
+    plain = SA.hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
+    pa = plain.select(SF.col("doc_id").alias("id_a"),
+                      SF.col("split").alias("split_a"))
+    pb = plain.select(SF.col("doc_id").alias("id_b"),
+                      SF.col("split").alias("split_b"))
+    leaky = (
+        pairs.join(pa, "id_a").join(pb, "id_b")
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert leaky > 0
