@@ -79,7 +79,8 @@ def cusum_changepoint(
     bucket: str = "hour",
     weight_expr: str | None = None,
 ) -> DataFrame:
-    """Exact CUSUM change-point scan of event RATE per group —
+    """Exact CUSUM (Page 1954) change-point scan of event RATE per
+    group —
     ``(*group_cols, n BIGINT, buckets BIGINT, up_cp_ts TIMESTAMP,
     up_ppm BIGINT, down_cp_ts TIMESTAMP, down_ppm BIGINT)``: where
     did the rate most decisively rise above / fall below its own
@@ -422,7 +423,8 @@ def theilsen_trend(
     bucket: str = "day",
     max_buckets: int = 4000,
 ) -> DataFrame:
-    """Theil-Sen robust trend of the event rate per group —
+    """Theil-Sen (Theil 1950; Sen 1968) robust trend of the event
+    rate per group —
     ``(*group_cols, slope_num BIGINT, slope_den BIGINT, n BIGINT,
     n_buckets BIGINT, n_pairs BIGINT)`` where ``slope_num/slope_den``
     is the MEDIAN pairwise slope (events per bucket per bucket) over
@@ -656,7 +658,8 @@ def hampel_outliers(
     k_den: int = 1,
     max_buckets: int = 100_000,
 ) -> DataFrame:
-    """Hampel filter over per-bucket event counts —
+    """Hampel filter (Hampel 1974's robust location/scale pair as the
+    classic moving-window detector) over per-bucket event counts —
     ``(*group_cols, bucket_ts TIMESTAMP, cnt BIGINT, med BIGINT,
     mad BIGINT, flagged BOOLEAN)``: a bucket is flagged when its count
     deviates from the ROLLING median of its ±half_window neighbors by
