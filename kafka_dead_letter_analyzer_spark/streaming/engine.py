@@ -1032,6 +1032,12 @@ def _make_cusum_fn(bus: int, ref_up: int, ref_dn: int, threshold: int):
             d_up = max(0, d_up - g * ref_up)
             if ref_dn <= 0:
                 return
+            if threshold <= 0:
+                # alerts disabled — fold()'s threshold <= 0 contract.
+                # Without this guard need = threshold - d_dn <= 0 makes
+                # j <= 0 below and the crossing loop never terminates.
+                d_dn += g * ref_dn
+                return
             left, b = g, start
             while left > 0:
                 need = threshold - d_dn
@@ -1420,8 +1426,33 @@ def _make_trend_fn(bus: int, window: int, thr_num: int, thr_den: int):
                 cnt_open += per_bucket[tb]
                 continue
             close(cur, cnt_open)
-            for gap_b in range(cur + 1, tb):
+            # close the first `window` gap buckets individually (each
+            # sees a distinct decaying window); past that the trailing
+            # window is ALL ZEROS, so every further close evaluates the
+            # identical slope-0 window — close ONE canonical bucket and
+            # replicate its emission (nonempty only when thr_num == 0)
+            # instead of O(gap * window^2) Python work: one stray
+            # far-future timestamp at minute buckets must not stall the
+            # state function for this key.
+            gap_end = tb - 1
+            head_end = min(cur + window, gap_end)
+            for gap_b in range(cur + 1, head_end + 1):
                 close(gap_b, 0)
+            if head_end < gap_end:
+                before = len(out)
+                close(head_end + 1, 0)
+                if len(out) > before:
+                    _, dy0, dx0, wn0 = out[-1]
+                    out.extend(
+                        (b * bus, dy0, dx0, wn0)
+                        for b in range(head_end + 2, gap_end + 1)
+                    )
+                # seed the skipped zero buckets that future windows can
+                # still see (at most window-1 entries) — close() reads
+                # its left edge from hist, so holes would shrink the
+                # window below its true all-zero span
+                for t in range(max(tb - window + 1, head_end + 2), tb):
+                    hist[t] = 0
             cur, cnt_open = tb, per_bucket[tb]
         if cur is not None:
             hist[cur] = cnt_open  # stash the open bucket in the arrays
@@ -1465,12 +1496,15 @@ def streaming_trend_alerts(
     alert (29.3% breakdown), where an EWMA-slope alert fires on it.
     State per key = at most window+1 (bucket, count) pairs; the
     O(window^2) slope enumeration runs in Python bigints per CLOSE,
-    not per record — window <= 64 keeps that at <= 2k pairs.  Every
-    empty bucket inside a gap closes individually (each can alert on
-    the decaying trend), so a very long outage costs O(gap * window^2)
-    Python ops in the batch that ends it — for pure outage paging at
-    coarse granularity prefer streaming_cusum_alerts, whose gap fold
-    is closed-form."""
+    not per record — window <= 64 keeps that at <= 2k pairs.  The
+    first ``window`` empty buckets inside a gap close individually
+    (each sees a distinct decaying window); past that the trailing
+    window is all zeros and every further close is the identical
+    slope-0 evaluation, so the gap folds in O(window^2) total — its
+    emissions (nonempty only when thr_num == 0) are replicated, not
+    recomputed, and one stray far-future timestamp cannot stall the
+    key.  For pure outage paging at coarse granularity prefer
+    streaming_cusum_alerts, whose gap fold is closed-form."""
     if not (2 <= window <= 64):
         raise ValueError("streaming_trend_alerts: need 2 <= window <= 64")
     if thr_den < 1 or thr_num < 0:

@@ -1952,6 +1952,24 @@ def test_cusum_fn_gap_closed_form_matches_naive():
         assert state[2:] == (d_up, d_dn), (trial, counts)
 
 
+def test_cusum_fn_threshold_zero_disables_alerts_and_terminates():
+    """threshold <= 0 means alerts-disabled (fold()'s contract); the
+    gap fold must honor it too — before the guard, need = threshold -
+    d_dn <= 0 made j <= 0 and the crossing loop never terminated."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_cusum_fn,
+    )
+
+    for h in (0, -5):
+        fn = _make_cusum_fn(bus=1, ref_up=2, ref_dn=2, threshold=h)
+        # bucket 0 closes, then a 9-bucket empty gap before bucket 10
+        alerts, state = _drive_cusum(fn, [[0, 0, 0], [10]])
+        assert alerts == []
+        # fold(3@0): d_dn = max(0, 0 + 2 - 3) = 0; gap of 9 empties
+        # accumulates 9 * ref_dn = 18 with no alarm and no reset
+        assert state == (10, 1, 0, 18)
+
+
 def test_cusum_fn_late_rows_fold_into_current_bucket():
     from kafka_dead_letter_analyzer_spark.streaming.engine import (
         _make_cusum_fn,
@@ -2337,6 +2355,45 @@ def test_trend_fn_matches_brute_replay_randomized():
         alerts, _ = _drive_trend(fn, [tbs[:cut], tbs[cut:]])
         want = _trend_brute(counts, window)
         assert alerts == want, (trial, counts, window, alerts, want)
+
+
+def test_trend_fn_long_gap_bounded_and_exact():
+    """A gap far longer than the window must (a) match the unbounded
+    brute replay exactly — the skipped closes are provably identical
+    slope-0 evaluations whose emissions are replicated — and (b) leave
+    the post-gap state equal to a run that never skipped, so the
+    buckets AFTER the gap also match."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_trend_fn,
+    )
+
+    window = 5
+    counts = {0: 4, 1: 7, 2: 9, 500: 3, 501: 6, 503: 2}
+    tbs = sorted(t for t, c in counts.items() for _ in range(c))
+    # thr 0: every close alerts -> replication must reproduce the full
+    # slope trace of the 497-bucket gap bit-for-bit
+    fn = _make_trend_fn(bus=1, window=window, thr_num=0, thr_den=1)
+    alerts, state = _drive_trend(fn, [tbs])
+    want = _trend_brute(counts, window)
+    assert alerts == want
+    # thr 1/1: the zero-slope gap closes emit nothing; only the decay
+    # right after the burst and any post-gap trend can alert
+    fn2 = _make_trend_fn(bus=1, window=window, thr_num=1, thr_den=1)
+    alerts2, state2 = _drive_trend(fn2, [tbs])
+    want2 = [a for a in want if abs(a[1]) * 1 >= 1 * a[2]]
+    assert alerts2 == want2
+    # replication is O(window^2), not O(gap * window^2): a 10M-bucket
+    # gap (a stray ~19-year-future timestamp at minute buckets) returns
+    # promptly — this test HANGS rather than fails if the cap is lost
+    import time
+
+    t0 = time.time()
+    fn3 = _make_trend_fn(bus=1, window=8, thr_num=1, thr_den=1)
+    alerts3, _ = _drive_trend(fn3, [[0, 0, 0, 10_000_000]])
+    assert time.time() - t0 < 10.0
+    # only the post-burst decay closes can clear |slope| >= 1; the
+    # all-zero bulk of the gap emits nothing
+    assert 0 < len(alerts3) <= 8 and all(a[1] < 0 for a in alerts3)
 
 
 def test_trend_alert_fires_on_ramp_not_on_spike():
