@@ -33,9 +33,14 @@ grouped — parallel across groups; global form sorts the bounded
 bucket domain, fine for time ranges, documented).  tvd's only
 shuffle is the (group, category) conditional-count contraction; the
 split point arrives as a 1-row broadcast anchor (no driver action).
-Int64 bounds: cusum needs ``n * buckets * 1000`` to fit (9e18 —
-holds to ~1e10 rows x 1e5 buckets); tvd needs ``c * n_other`` to fit
-(holds to ~3e9 rows per half per group; shard past that).
+Int64 bounds (all RUNTIME-GUARDED since round 8 — a zero-cost
+``raise_error`` CASE over the exact per-group counts on the agg row,
+so a silent wrap can never escape as a plausible number): cusum needs
+``n * buckets * 1000`` to fit (9e18 — holds to ~1e10 rows x 1e5
+buckets); tvd needs ``2 * n1 * n2 * 1000`` to fit (holds to ~68M
+balanced rows per half per group; shard past that); wasserstein additionally
+carries the value span (``n1 * n2 * span * 1000``).  Each raise names
+the sharding remedy.
 """
 
 from __future__ import annotations
@@ -61,6 +66,10 @@ _BUCKET_US = {
     "day": 86_400_000_000,
     "minute": 60_000_000,
 }
+
+#: int64 ceiling used by the raise_error overflow guards; module-level
+#: so tests can monkeypatch it down to trigger the raise cheaply.
+_I64_MAX = 9223372036854775807
 
 
 def _ppm2(num: str, nt: str) -> str:
@@ -216,16 +225,32 @@ def cusum_changepoint(
         F.max(F.when(F.col("r_dn") == 1, F.col("bus"))).alias("down_bus"),
         F.max(F.when(F.col("r_dn") == 1, F.col("down_d"))).alias("down_d"),
     )
+    # division-form guard (cannot itself overflow) over the EXACT
+    # totals: n and buckets are plain counts/indices even when the
+    # window algebra upstream has wrapped, so the raise always fires
+    # before a wrapped ppm escapes
+    guard = (
+        f"n > {_I64_MAX} DIV 1000 DIV buckets"
+    )
+    raise_bigint = (
+        "CAST(raise_error('cusum_changepoint: a group exceeds the"
+        " n * buckets * 1000 < 2^63 exactness bound; shard the input"
+        " (e.g. by time range) or coarsen the bucket') AS BIGINT)"
+    )
     return agg.select(
         *groups,
         F.col("n"),
         F.col("buckets"),
         F.timestamp_micros(F.col("up_bus")).alias("up_cp_ts"),
-        F.expr(_ppm2("up_d", "(n * buckets)")).cast("bigint").alias("up_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN {raise_bigint}"
+            f" ELSE {_ppm2('up_d', '(n * buckets)')} END"
+        ).cast("bigint").alias("up_ppm"),
         F.timestamp_micros(F.col("down_bus")).alias("down_cp_ts"),
-        F.expr(_ppm2("down_d", "(n * buckets)"))
-        .cast("bigint")
-        .alias("down_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN {raise_bigint}"
+            f" ELSE {_ppm2('down_d', '(n * buckets)')} END"
+        ).cast("bigint").alias("down_ppm"),
     )
 
 
@@ -234,6 +259,7 @@ def tvd_drift(
     ts_col: str = "ts",
     cat_col: str = "event_type",
     group_cols: Sequence[str] | None = None,
+    anchor: str = "global",
 ) -> DataFrame:
     """Total-variation distance between the categorical mix of the
     EARLY and LATE halves of the stream — ``(*group_cols, tvd_ppm
@@ -245,27 +271,52 @@ def tvd_drift(
     other).
 
     The split point is the midpoint of the observed time range,
-    ``m = (min_us + max_us) DIV 2`` (1-row broadcast anchor, same
-    idiom as decay_weighted_counts' max anchor); early = ``ts <= m``.
+    ``m = (min_us + max_us) DIV 2``; early = ``ts <= m``.  With
+    ``anchor="global"`` (default) the midpoint is computed over the
+    WHOLE frame (1-row broadcast anchor, same idiom as
+    decay_weighted_counts' max anchor) — NOTE the grouped consequence:
+    a group whose activity sits entirely on one side of the GLOBAL
+    midpoint (e.g. an error type that only appeared recently) has an
+    empty half and DROPS; that is the right semantics when the groups
+    share one clock (cohorts of the same stream) and the question is
+    "how did each group's mix move across the stream's own midpoint",
+    but it silently excludes late-arriving groups.
+    ``anchor="per_group"`` computes the midpoint per group (a grouped
+    min/max aggregate joined back — broadcast-sized for bounded group
+    domains, AQE-planned otherwise), so every group with two distinct
+    timestamps reports drift over ITS OWN span — use it when the
+    groups are independent populations (per-topic feeds) and a
+    late-born group is exactly the drifted population being hunted.
     One conditional-sum scan builds per-category half-counts (a
     category absent from a half simply contributes its whole mass),
     then ``TVD = sum |c1*n2 - c2*n1| / (2*n1*n2)`` cleared of
     denominators, emitted as ppm via two-step long division
-    (``num <= nt = 2*n1*n2``).  Groups where either half is empty
-    (all mass on one timestamp) drop — drift is undefined there.
-    NULL categories count as a real category; NULL timestamps are
-    excluded."""
+    (``num <= nt = 2*n1*n2``; a raise_error CASE on the exact half
+    counts raises past ``2*n1*n2*1000 >= 2^63`` with a sharding
+    hint).  Groups where either half is empty (under "global": all
+    the group's mass on one side; under "per_group": all mass on one
+    timestamp) drop — drift is undefined there.  NULL categories
+    count as a real category; NULL timestamps are excluded."""
+    if anchor not in ("global", "per_group"):
+        raise ValueError(
+            f"tvd_drift: anchor must be 'global' or 'per_group',"
+            f" got {anchor!r}"
+        )
     groups = list(group_cols or [])
     ev = df.filter(F.col(ts_col).isNotNull())
-    anchor = ev.agg(
-        F.expr(
-            f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
-            " DIV 2"
-        ).alias("mid_us")
-    )
-    halved = ev.crossJoin(F.broadcast(anchor)).withColumn(
-        "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
-    )
+    mid_expr = F.expr(
+        f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
+        " DIV 2"
+    ).alias("mid_us")
+    if anchor == "per_group" and groups:
+        mids = ev.groupBy(*groups).agg(mid_expr)
+        halved = ev.join(mids, groups).withColumn(
+            "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+        )
+    else:
+        halved = ev.crossJoin(F.broadcast(ev.agg(mid_expr))).withColumn(
+            "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+        )
     per_cat = halved.groupBy(*groups, cat_col).agg(
         F.sum(F.when(F.col("is_early"), 1).otherwise(0))
         .cast("bigint")
@@ -294,9 +345,18 @@ def tvd_drift(
             F.count(F.lit(1)).cast("bigint").alias("n_cats"),
         )
     )
+    # division-form guard over the exact half counts: fires before a
+    # wrapped |c1*n2 - c2*n1| sum can escape as a plausible ppm
     return agg.filter(F.col("num").isNotNull()).select(
         *groups,
-        F.expr(_ppm2("num", "(2 * n_early * n_late)"))
+        F.expr(
+            f"CASE WHEN n_early > {_I64_MAX} DIV 2000 DIV n_late THEN"
+            " CAST(raise_error('tvd_drift: a group exceeds the"
+            " 2 * n_early * n_late * 1000 < 2^63 exactness bound;"
+            " shard the input (e.g. by a hash of the category) and"
+            " report the per-shard TVD distribution') AS BIGINT)"
+            f" ELSE {_ppm2('num', '(2 * n_early * n_late)')} END"
+        )
         .cast("bigint")
         .alias("tvd_ppm"),
         "n_early",
@@ -310,6 +370,7 @@ def wasserstein_drift(
     ts_col: str = "ts",
     value_col: str = "v",
     group_cols: Sequence[str] | None = None,
+    anchor: str = "global",
 ) -> DataFrame:
     """Exact Wasserstein-1 (earth-mover) distance between the NUMERIC
     value distribution of the early and late halves of the stream —
@@ -336,23 +397,39 @@ def wasserstein_drift(
     the only full-data shuffle; cumulative sums and gaps are windows
     over the contraction (per group — parallel across groups; the
     global form sorts the bounded distinct-value domain).  The split
-    anchor is the same 1-row broadcast as tvd_drift.  Int64 bound:
-    ``n1*n2*range*1000`` must fit — holds to ~3e6 rows per half per
-    group at range 1e3; shard or pre-bucket values past that.  Groups
-    with an empty half drop (drift undefined)."""
+    anchor follows ``anchor`` exactly as in :func:`tvd_drift`:
+    ``"global"`` (default) is the 1-row broadcast whole-frame
+    midpoint — a group entirely on one side of it has an empty half
+    and DROPS (right for cohorts of one stream, silently excludes
+    late-born groups); ``"per_group"`` splits each group over its own
+    span (grouped min/max joined back).  Int64 bound:
+    ``n1*n2*span*1000`` must fit — holds to ~3e6 rows per half per
+    group at span 1e3; a raise_error CASE over the exact half counts
+    and the group's own value span raises past it (shard or
+    pre-bucket values).  Groups with an empty half drop (drift
+    undefined)."""
+    if anchor not in ("global", "per_group"):
+        raise ValueError(
+            f"wasserstein_drift: anchor must be 'global' or"
+            f" 'per_group', got {anchor!r}"
+        )
     groups = list(group_cols or [])
     ev = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    anchor = ev.agg(
-        F.expr(
-            f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
-            " DIV 2"
-        ).alias("mid_us")
-    )
-    halved = ev.crossJoin(F.broadcast(anchor)).withColumn(
-        "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
-    )
+    mid_expr = F.expr(
+        f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col})))"
+        " DIV 2"
+    ).alias("mid_us")
+    if anchor == "per_group" and groups:
+        mids = ev.groupBy(*groups).agg(mid_expr)
+        halved = ev.join(mids, groups).withColumn(
+            "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+        )
+    else:
+        halved = ev.crossJoin(F.broadcast(ev.agg(mid_expr))).withColumn(
+            "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
+        )
     per_val = halved.groupBy(
         *groups, F.col(value_col).cast("bigint").alias("v")
     ).agg(
@@ -400,14 +477,36 @@ def wasserstein_drift(
             F.max("n1").alias("n_early"),
             F.max("n2").alias("n_late"),
             F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            # the group's own value span feeds the overflow guard:
+            # num <= n1 * n2 * span, so the guard must see span
+            F.expr("greatest(max(v) - min(v), 1)")
+            .cast("bigint")
+            .alias("_span"),
         )
+    )
+    # division-form guard (conservative by floor rounding) over exact
+    # counts and span — fires before a wrapped gap-weighted sum escapes
+    guard = (
+        f"n_early > {_I64_MAX} DIV 1000 DIV n_late DIV _span"
+    )
+    raise_bigint = (
+        "CAST(raise_error('wasserstein_drift: a group exceeds the"
+        " n_early * n_late * span * 1000 < 2^63 exactness bound;"
+        " pre-bucket the values to a coarser integer scale or shard"
+        " the input') AS BIGINT)"
     )
     return agg.filter(F.col("num").isNotNull()).select(
         *groups,
-        F.expr(_ppm2("num", "(n_early * n_late)"))
+        F.expr(
+            f"CASE WHEN {guard} THEN {raise_bigint}"
+            f" ELSE {_ppm2('num', '(n_early * n_late)')} END"
+        )
         .cast("bigint")
         .alias("w1_e6"),
-        F.expr(_ppm2("ks_num", "(n_early * n_late)"))
+        F.expr(
+            f"CASE WHEN {guard} THEN {raise_bigint}"
+            f" ELSE {_ppm2('ks_num', '(n_early * n_late)')} END"
+        )
         .cast("bigint")
         .alias("ks_ppm"),
         "n_early",
@@ -645,7 +744,12 @@ def leadlag_spearman(
             F.col("LL_B.xb").alias("y"),
         )
     )
-    return spearman_exact(paired, "x", "y", group_cols=["lag"])
+    # two_phase=False skips spearman's auto probe job: the paired
+    # series is bucket-bounded by max_buckets above, so the per-lag
+    # window over at most span/bucket rows is the right plan a priori
+    return spearman_exact(
+        paired, "x", "y", group_cols=["lag"], two_phase=False
+    )
 
 
 def hampel_outliers(

@@ -28,10 +28,16 @@ a shuffle no wider than the DISTINCT SCORE domain:
    ``auc_ppm = (U2 * 500_000) div (n_pos * n_neg)`` so the declared
    surface stays BIGINT-exact cross-engine (no float division).
 
-Overflow bound: ``U2 <= n_pos * n_neg`` fits a signed 64-bit int while
-``n_pos * n_neg < 2^63`` (~3e9 rows per class per group); past that,
-compute per-group/per-shard AUCs and report the distribution — a single
-global AUC over 1e10+ rows per class is statistically pointless anyway.
+Overflow bounds: ``U2 <= 2 * n_pos * n_neg`` fits a signed 64-bit int
+while ``n_pos * n_neg < 2^62``; ``auc_ppm``'s two-step long division
+(the same ``_ppm2`` shape as operators/drift.py) keeps every
+intermediate within ``2 * n_pos * n_neg * 1000``, exact while
+``n_pos * n_neg < 2^63/2000`` (~4.6e15 — balanced ~68M rows per class
+per group).  Past that the operator RAISES (a ``raise_error`` CASE on
+the exact integer counts — zero-cost, distributed, no driver probe):
+compute per-group/per-shard AUCs and report the distribution — a
+single global AUC over 1e8+ rows per class is statistically pointless
+anyway.
 
 :func:`rrf_fuse` is reciprocal-rank fusion (Cormack, Clarke & Buettcher,
 SIGIR'09): combine N rankings of the same items by
@@ -52,7 +58,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "rrf_fuse", "global_exclusive_prefix", "spearman_exact"]
+__all__ = [
+    "auc_exact",
+    "rrf_fuse",
+    "global_exclusive_prefix",
+    "spearman_exact",
+    "kendall_tau_exact",
+    "kendall_tau_quantized",
+]
+
+#: int64 ceiling used by the raise_error overflow guards; module-level
+#: so tests can monkeypatch it down to trigger the raise cheaply.
+_I64_MAX = 9223372036854775807
+
+#: Largest per-group row count whose centered-rank sums stay
+#: int64-exact (n^3 < 2^63); spearman_exact raises past it.
+_SPEARMAN_N_MAX = 2_097_151
+
+#: Largest per-group row count whose Kendall pair masses stay
+#: int64-exact (C(n,2) < 2^63); kendall_tau_exact raises past it.
+_KENDALL_N_MAX = 4_294_967_295
+
+#: A grouped cumulative window sorts each group's value contraction in
+#: ONE task.  Below this many distinct values per group that sort is
+#: cheap and the window path wins the measured local A/B (docstrings
+#: below); above it the single-task sort is the scale bottleneck and
+#: the auto path swaps in the grouped range-partitioned prefix.  Tests
+#: pass a lower value to pin the plan at fixture scale.
+_TWO_PHASE_MIN_DISTINCT = 2_000_000
+
+
+def _distinct_probe(
+    base: DataFrame, groups: list[str], value_cols: list[str],
+    frac_checks: dict[str, str] | None = None,
+):
+    """One partial-aggregated scan: per-group row count and
+    approx-distinct per value column, reduced to their maxima over
+    groups (plus optional fractional-value flags) and collected as a
+    single driver row.  Feeds the window-vs-two-phase path choice —
+    the plan shape must come from the DATA, and Spark plans are
+    static, so a 1-row driver probe is the price of a data-dependent
+    physical strategy (same contract as theilsen_trend's span probe)."""
+    per_g = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.approx_count_distinct(c).alias(f"_d_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.max(F.when(F.expr(e), 1).otherwise(0)).alias(f"_f_{c}")
+            for c, e in (frac_checks or {}).items()
+        ],
+    )
+    return per_g.agg(
+        F.max("_n").alias("n"),
+        *[F.max(f"_d_{c}").alias(f"d_{c}") for c in value_cols],
+        *[
+            F.max(f"_f_{c}").alias(f"f_{c}")
+            for c in (frac_checks or {})
+        ],
+    ).collect()[0]
 
 
 def auc_exact(
@@ -61,18 +126,39 @@ def auc_exact(
     label_col: str,
     group_cols: list[str] | None = None,
     range_partitions: int = 32,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Exact AUC sufficient statistics of ``score_col`` against boolean
     ``label_col`` — ``(*group_cols, u2 BIGINT, n_pos BIGINT,
     n_neg BIGINT, auc_ppm BIGINT)``, dropping groups with an empty
     class (AUC undefined).  See the module docstring for the plan
-    shape; rows with a NULL score or label are excluded."""
+    shape; rows with a NULL score or label are excluded.
+
+    ``two_phase`` (grouped path only; the global path is ALWAYS the
+    two-phase range prefix): ``None`` (default) probes the data — one
+    partial-aggregated scan for the max per-group approx-distinct
+    score count — and swaps the per-group cumulative window for the
+    grouped range-partitioned prefix when any group's score domain
+    exceeds ``_TWO_PHASE_MIN_DISTINCT`` (a near-continuous score would
+    otherwise sort a whole group's contraction in one task at cluster
+    scale).  ``True``/``False`` skip the probe and force the path.
+    ``auc_ppm`` is emitted via two-step long division (exact while
+    ``n_pos * n_neg < 2^63/2000``; a raise_error CASE on the exact
+    class counts raises past that with a sharding hint)."""
     groups = list(group_cols or [])
     base = df.select(
         *[df[g] for g in groups],
         F.col(score_col).alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+
+    if groups and two_phase is None:
+        probe = _distinct_probe(base, groups, ["s"])
+        two_phase = (
+            probe["d_s"] is not None
+            and probe["d_s"] > _TWO_PHASE_MIN_DISTINCT
+        )
+
     counts = base.groupBy(*groups, "s").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0))
         .cast("bigint")
@@ -82,7 +168,7 @@ def auc_exact(
         .alias("neg"),
     )
 
-    if groups:
+    if groups and not two_phase:
         # per-group cumulative: each group's (bounded) score domain
         # sorts in its own task — parallel across groups, never global
         w = (
@@ -97,6 +183,7 @@ def auc_exact(
         cum = global_exclusive_prefix(
             counts, order_col="s", sum_col="neg", out_col="cum_lt",
             range_partitions=range_partitions,
+            group_cols=groups or None,
         )
 
     agg = cum.groupBy(*groups).agg(
@@ -108,12 +195,30 @@ def auc_exact(
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum("neg").cast("bigint").alias("n_neg"),
     )
+    # two-step long division keeps every intermediate within
+    # 2*n_pos*n_neg*1000; the guard condition is division-form (cannot
+    # itself overflow) over the EXACT class counts, so it fires even
+    # when u2's sum has already wrapped
+    ppm = (
+        "((u2 * 1000) DIV (2 * n_pos * n_neg)) * 1000"
+        " + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)"
+        " DIV (2 * n_pos * n_neg)"
+    )
+    guard = (
+        f"n_pos > {_I64_MAX} DIV 2000 DIV n_neg"
+    )
     return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
         *groups,
         "u2",
         "n_pos",
         "n_neg",
-        F.expr("(u2 * 500000) DIV (n_pos * n_neg)").alias("auc_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST(raise_error('auc_exact:"
+            " n_pos*n_neg exceeds the exact-ppm int64 bound (2^63/2000);"
+            " shard the input (e.g. by a hash of the id) and report the"
+            " per-shard AUC distribution') AS BIGINT)"
+            f" ELSE {ppm} END"
+        ).cast("bigint").alias("auc_ppm"),
     )
 
 
@@ -257,7 +362,7 @@ def spearman_exact(
     x_col: str,
     y_col: str,
     group_cols: list[str] | None = None,
-    two_phase: bool = False,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Exact tie-aware Spearman rank correlation sufficient statistics —
     ``(*group_cols, num BIGINT, den_x BIGINT, den_y BIGINT, n BIGINT,
@@ -282,27 +387,105 @@ def spearman_exact(
     partitioned cumulative windows (the same shape as auc_exact), each
     joined back to the row set on RENAMED value keys (never the
     same-lineage attribute), then one map-side-combined aggregate.
-    ``two_phase=True`` swaps the windows for the grouped
-    range-partitioned prefix (global_exclusive_prefix) — the path for
-    NEAR-CONTINUOUS columns at cluster scale, where a contraction is
-    row-sized and the window would sort a whole group in one task;
-    A/B-measured SLOWER on local[32] through 6M rows/group (two Arrow
-    map passes + a persist: 5.0 vs 2.7 s at sf0.1), so the window
-    stays the default.  Differential-tested equal.
-    Rows with a NULL in either column are excluded; groups where
-    either column is constant drop (rho undefined)."""
+    ``two_phase`` picks the cumulative-prefix strategy PER COLUMN:
+
+    * ``None`` (default) probes the data — ONE partial-aggregated scan
+      for per-group row count, per-column approx-distinct, and
+      fractional-value flags — and swaps a column's window for the
+      grouped range-partitioned prefix (global_exclusive_prefix) when
+      any group's distinct-value count for THAT column exceeds
+      ``_TWO_PHASE_MIN_DISTINCT``: a near-continuous column (a price in
+      cents) has a row-sized contraction, and the window would sort a
+      whole group in one task at cluster scale, while a bounded column
+      (a 1-50 quantity) keeps the cheaper window.  The probe also
+      RAISES on fractional values (see below) and on groups past the
+      int64 exactness bound.
+    * ``True`` / ``False`` skip the probe and force both columns onto
+      the prefix / window path (the window is A/B-measured faster on
+      local[32] through 6M rows/group — two Arrow map passes + a
+      persist: 5.0 vs 2.7 s at sf0.1 with both columns forced — which
+      is exactly why the default probes the data instead of trusting
+      the local benchmark).  Differential-tested equal.
+
+    Input contract: ``x_col``/``y_col`` must be INTEGER-VALUED (any
+    numeric type whose values are whole — ranks of fractional scores
+    are not preserved by the bigint cast: a double quality score in
+    [0,1) would collapse to the constant 0 and silently drop the
+    group).  The default probe raises ``ValueError`` on fractional
+    values; explicit ``two_phase`` skips the probe, and the caller
+    owns the contract (same wording as kendall_tau_exact /
+    wasserstein_drift: quantize first).  Rows with a NULL in either
+    column are excluded; groups where either column is constant drop
+    (rho undefined).  Exactness bound: the centered-rank sums need
+    ``n^3 < 2^63`` (n <= 2,097,151 rows per group) — the probe raises
+    past it, and a zero-cost raise_error CASE on the exact per-group
+    count backstops the explicit-``two_phase`` path; shard the input
+    and report the per-shard distribution past that."""
     groups = list(group_cols or [])
-    base = df.select(
+    base0 = df.select(
         *[df[g] for g in groups],
-        F.col(x_col).cast("bigint").alias("x"),
-        F.col(y_col).cast("bigint").alias("y"),
+        F.col(x_col).alias("x0"),
+        F.col(y_col).alias("y0"),
+    ).filter(F.col("x0").isNotNull() & F.col("y0").isNotNull())
+
+    two_phase_x = two_phase_y = bool(two_phase)
+    if two_phase is None:
+        from pyspark.sql import types as T
+
+        def _frac_check(col: str, dt) -> str | None:
+            # integral types cannot carry fractional values; only
+            # float/double/decimal(scale>0) need the value check
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return f"{col} != floor({col})"
+            if isinstance(dt, T.DecimalType) and dt.scale > 0:
+                return f"{col} != floor({col})"
+            return None
+
+        checks = {
+            c: e
+            for c, dt in (("x0", base0.schema["x0"].dataType),
+                          ("y0", base0.schema["y0"].dataType))
+            for e in [_frac_check(c, dt)]
+            if e is not None
+        }
+        probe = _distinct_probe(base0, groups, ["x0", "y0"], checks)
+        for c, col_name in (("x0", x_col), ("y0", y_col)):
+            if f"f_{c}" in probe.asDict() and probe[f"f_{c}"] == 1:
+                raise ValueError(
+                    f"spearman_exact: column {col_name!r} carries"
+                    " fractional values — ranks are not preserved by"
+                    " the bigint cast; quantize to an integer scale"
+                    " first (e.g. cents / e6 fixed-point)"
+                )
+        if probe["n"] is not None and probe["n"] > _SPEARMAN_N_MAX:
+            raise ValueError(
+                f"spearman_exact: a group has {probe['n']} rows — the"
+                " centered-rank sums are int64-exact only to n^3 <"
+                " 2^63 (n <= 2,097,151 per group); shard the input"
+                " (e.g. by a hash of the id) and report the per-shard"
+                " rho distribution"
+            )
+        two_phase_x = (
+            probe["d_x0"] is not None
+            and probe["d_x0"] > _TWO_PHASE_MIN_DISTINCT
+        )
+        two_phase_y = (
+            probe["d_y0"] is not None
+            and probe["d_y0"] > _TWO_PHASE_MIN_DISTINCT
+        )
+
+    base = base0.select(
+        *[base0[g] for g in groups],
+        F.col("x0").cast("bigint").alias("x"),
+        F.col("y0").cast("bigint").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
 
     def _centered_map(col: str, out: str):
+        col_two_phase = two_phase_x if col == "x" else two_phase_y
         counts = base.groupBy(*groups, col).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        if not two_phase:
+        if not col_two_phase:
             # default: per-group cumulative window over the contraction
             # (A/B-measured faster locally; see docstring)
             wg = (
@@ -376,7 +559,17 @@ def spearman_exact(
     )
     return agg.filter((F.col("den_x") > 0) & (F.col("den_y") > 0)).select(
         *groups,
-        "num",
+        # zero-cost distributed backstop for the explicit-two_phase
+        # path (the default probe raises earlier): n is an exact count
+        # even when the n^3-bounded sums have wrapped, so the guard
+        # always fires before a wrapped statistic escapes
+        F.expr(
+            f"CASE WHEN n > {_SPEARMAN_N_MAX} THEN"
+            " CAST(raise_error('spearman_exact: a group exceeds the"
+            " n^3 < 2^63 exactness bound (n <= 2,097,151 rows per"
+            " group); shard the input and report the per-shard rho"
+            " distribution') AS BIGINT) ELSE num END"
+        ).alias("num"),
         "den_x",
         "den_y",
         "n",
@@ -419,7 +612,10 @@ def kendall_tau_exact(
     All six statistics are integers; ``tau_e6`` is the IEEE
     exact-rounded floor(x + 0.5) fixed point (same contract as
     spearman_exact's rho_e6).  NULL rows are excluded; groups where
-    either column is constant drop (tau undefined)."""
+    either column is constant drop (tau undefined).  Exactness bound:
+    pair masses need ``C(n,2) < 2^63`` (n <= ~4.29e9 rows per group) —
+    a zero-cost raise_error CASE on the exact per-group count raises
+    past it with a sharding hint."""
     groups = list(group_cols or [])
     base = df.select(
         *[df[g] for g in groups],
@@ -492,8 +688,210 @@ def kendall_tau_exact(
         if groups
         else cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
     )
+    # the guard lives INSIDE n0 (evaluated by the undefined-tau filter
+    # below, before any row could be silently dropped by a wrapped
+    # n*(n-1)): n is an exact count even when the C(n,2)-bounded pair
+    # masses have wrapped, so the raise always precedes a wrapped
+    # statistic escaping (zero cost: a CASE on the agg row)
     out = joined.withColumnRenamed("_n_tx_pairs", "n").withColumn(
-        "n0", F.expr("n * (n - 1) DIV 2")
+        "n0",
+        F.expr(
+            f"CASE WHEN n > {_KENDALL_N_MAX} THEN"
+            " CAST(raise_error('kendall_tau_exact: a group exceeds the"
+            " C(n,2) < 2^63 exactness bound (n <= 4,294,967,295 rows"
+            " per group); shard the input and report the per-shard tau"
+            " distribution') AS BIGINT)"
+            " ELSE n * (n - 1) DIV 2 END"
+        ),
+    )
+    return out.filter(
+        (F.col("n0") > F.col("tx_pairs")) & (F.col("n0") > F.col("ty_pairs"))
+    ).select(
+        *groups,
+        "nc",
+        "nd",
+        "tx_pairs",
+        "ty_pairs",
+        "n",
+        F.expr(
+            "CAST(floor((nc - nd) * 1000000.0 /"
+            " (sqrt(CAST(n0 - tx_pairs AS DOUBLE))"
+            "  * sqrt(CAST(n0 - ty_pairs AS DOUBLE))) + 0.5) AS BIGINT)"
+        ).alias("tau_e6"),
+    )
+
+
+def kendall_tau_quantized(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    x_buckets: int = 0,
+    y_buckets: int = 256,
+    max_grid: int = 1_000_000,
+) -> DataFrame:
+    """Kendall tau-b over QUANTIZED near-continuous columns — the same
+    output schema as :func:`kendall_tau_exact` (``nc nd tx_pairs
+    ty_pairs n tau_e6``), exact for the quantized data, computed by
+    GRID-PREFIX dominance counting instead of the cell-pair self-join:
+    O(grid) per group where the exact operator is O(cells^2).
+
+    Why it exists: ``kendall_tau_exact`` RAISES past ``max_cells``
+    because its concordance self-join is quadratic in the joint value
+    domain — correct for genuinely ordinal columns (a 50 x 11 grid),
+    hopeless for a price-in-cents column where cells ~ n.  Quantizing
+    the continuous column into ``y_buckets`` equi-width buckets over
+    each group's own [min, max] span (``q = ((v - lo) * B) DIV
+    (hi - lo + 1)``, integer-exact, q in [0, B-1]) bounds the grid at
+    ``D_x * B``; the dominance masses then come from PREFIX SUMS over
+    the densified (x-value x y-bucket) grid rather than cell pairs:
+
+    * ``A(x, yb)`` = points with x' < x in column yb — one cumulative
+      window partitioned by (group, yb) ordered by x;
+    * ``D_ll(x, yb) = sum_{yb' < yb} A(x, yb')`` (concordant-below
+      mass) and ``D_lg`` (discordant-above, the reversed window) —
+      windows partitioned by (group, x) over the B-bounded bucket
+      axis;
+    * ``nc = sum c * D_ll``, ``nd = sum c * D_lg`` — every pair
+      counted once at its greater-x cell; equal-x and equal-bucket
+      pairs are ties, handled by tau-b's marginal corrections.
+
+    Every stage is grid-wide (<= ``max_grid``, probed and RAISED past
+    — same contract as theilsen_trend), never pair-wide: the plan
+    survives any row count the buckets can absorb.
+
+    Bias bound (quantization is MONOTONE, so no pair's order ever
+    inverts — near pairs can only merge into ties): with ``S = nc -
+    nd`` and ``D`` the tau-b denominator, only pairs sharing a bucket
+    change status, so ``|S_q - S| <= P_w`` (the within-bucket pair
+    count) and ``|tau_q - tau| <= P_w / D_q + |tau| * (D - D_q) / D_q
+    <= 2 * P_w / D_q``.  For B equi-width buckets over a
+    density-bounded column, ``P_w / C(n,2) = O(1/B)`` — at the default
+    B = 256 the bias is under ~1% of the pair mass, and doubling B
+    halves it.  ``x_buckets = 0`` (default) leaves x unquantized (use
+    for an already-ordinal x); int64 bound is kendall_tau_exact's
+    ``C(n,2) < 2^63`` with the same raise_error backstop.
+
+    Reference scope note: like the rest of this module, an extension —
+    the reference (bakdata kafka-dead-letter-analyzer) has no
+    evaluation-metric surface."""
+    if y_buckets < 2 and x_buckets < 2:
+        raise ValueError(
+            "kendall_tau_quantized: need at least one of"
+            " x_buckets/y_buckets >= 2 (else use kendall_tau_exact)"
+        )
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def _quantize(frame: DataFrame, col: str, b: int) -> DataFrame:
+        if b < 2:
+            return frame
+        mm = frame.groupBy(*groups).agg(
+            F.min(col).alias("_lo"), F.max(col).alias("_hi")
+        )
+        # broadcast-sized per-group span table joined back BEFORE the
+        # contraction, so quantization is map-side and the contraction
+        # shuffle is already bucket-width
+        joined = (
+            frame.join(mm, groups)
+            if groups
+            else frame.crossJoin(F.broadcast(mm))
+        )
+        q = (
+            f"CASE WHEN _hi - _lo + 1 > {_I64_MAX} DIV {b} THEN"
+            f" CAST(raise_error('kendall_tau_quantized: value span of"
+            f" {col} too wide for {b} buckets (span * buckets must fit"
+            " int64); rescale the column first') AS BIGINT)"
+            f" ELSE (({col} - _lo) * {b}) DIV (_hi - _lo + 1) END"
+        )
+        return joined.withColumn(col, F.expr(q)).drop("_lo", "_hi")
+
+    q = _quantize(_quantize(base, "y", int(y_buckets)), "x", int(x_buckets))
+
+    cells = q.groupBy(*groups, "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    xs = cells.select(*groups, "x").distinct()
+    ys = cells.select(*groups, "y").distinct()
+    grid = xs.join(ys, groups) if groups else xs.crossJoin(ys)
+
+    probe = (
+        grid.groupBy(*groups).count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    if probe is not None and probe > max_grid:
+        raise ValueError(
+            f"kendall_tau_quantized: a group has a {probe}-point"
+            f" (x, y-bucket) grid (> max_grid={max_grid}); quantize x"
+            " too (x_buckets) or lower the bucket counts"
+        )
+
+    gridc = grid.join(cells, [*groups, "x", "y"], "left").select(
+        *groups, "x", "y",
+        F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+    )
+    wg_yb = Window.partitionBy(*groups, "y") if groups else (
+        Window.partitionBy("y")
+    )
+    w_a = wg_yb.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    wg_x = Window.partitionBy(*groups, "x") if groups else (
+        Window.partitionBy("x")
+    )
+    w_ll = wg_x.orderBy(F.asc("y")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_lg = wg_x.orderBy(F.desc("y")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dom = (
+        gridc.withColumn(
+            "a", F.coalesce(F.sum("c").over(w_a), F.lit(0).cast("bigint"))
+        )
+        .withColumn(
+            "d_ll",
+            F.coalesce(F.sum("a").over(w_ll), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "d_lg",
+            F.coalesce(F.sum("a").over(w_lg), F.lit(0).cast("bigint")),
+        )
+    )
+    cd = dom.groupBy(*groups).agg(
+        F.sum(F.expr("c * d_ll")).cast("bigint").alias("nc"),
+        F.sum(F.expr("c * d_lg")).cast("bigint").alias("nd"),
+    )
+
+    def _tie_mass(col: str, out: str):
+        return (
+            q.groupBy(*groups, col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy(*groups)
+            .agg(
+                F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias(out),
+                F.sum("c").cast("bigint").alias(f"_n_{out}"),
+            )
+        )
+
+    tx = _tie_mass("x", "tx_pairs")
+    ty = _tie_mass("y", "ty_pairs").drop("_n_ty_pairs")
+    joined = (
+        cd.join(tx, groups, "inner").join(ty, groups, "inner")
+        if groups
+        else cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    )
+    out = joined.withColumnRenamed("_n_tx_pairs", "n").withColumn(
+        "n0",
+        F.expr(
+            f"CASE WHEN n > {_KENDALL_N_MAX} THEN"
+            " CAST(raise_error('kendall_tau_quantized: a group exceeds"
+            " the C(n,2) < 2^63 exactness bound (n <= 4,294,967,295"
+            " rows per group); shard the input and report the"
+            " per-shard tau distribution') AS BIGINT)"
+            " ELSE n * (n - 1) DIV 2 END"
+        ),
     )
     return out.filter(
         (F.col("n0") > F.col("tx_pairs")) & (F.col("n0") > F.col("ty_pairs"))

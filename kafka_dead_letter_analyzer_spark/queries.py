@@ -7143,7 +7143,9 @@ def x_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT u2, n_pos, n_neg,
-           CAST((u2 * 500000) // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST(((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
+             + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
+               // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
     FROM agg WHERE n_pos > 0 AND n_neg > 0
     """,
 )
@@ -7156,8 +7158,10 @@ def x_auc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-per-partition offset broadcast) — no single-task window at
     any score cardinality, and the result is independent of the sampled
     range boundaries.  U2 doubles the U statistic so tie half-credit
-    stays integer; auc_ppm = (u2 * 500000) div (n_pos * n_neg) keeps
-    the surface BIGINT-exact cross-engine."""
+    stays integer; auc_ppm = floor(u2 * 1e6 / (2 * n_pos * n_neg)) via
+    TWO-STEP long division (no intermediate beyond 2*n_pos*n_neg*1000,
+    exact to n_pos*n_neg < 2^63/2000 with a raise_error guard past it)
+    keeps the surface BIGINT-exact cross-engine."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -7194,7 +7198,9 @@ def x_auc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w GROUP BY 1
     )
     SELECT source, u2, n_pos, n_neg,
-           CAST((u2 * 500000) // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST(((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
+             + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
+               // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
     FROM agg WHERE n_pos > 0 AND n_neg > 0
     """,
 )

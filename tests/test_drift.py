@@ -1078,3 +1078,102 @@ def test_leakage_safe_split_zero_straddle_invariant(spark):
         .count()
     )
     assert leaky > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 8: per-group anchors and int64 raise_error guards
+# ---------------------------------------------------------------------------
+
+
+def test_tvd_per_group_anchor_keeps_late_born_group(spark):
+    """Under anchor='per_group' a group confined to one side of the
+    GLOBAL midpoint (the late-born error type — exactly the drifted
+    population) splits over its OWN span instead of dropping."""
+    rows = [
+        ("g1", "A", _ts(0.1)),
+        ("g1", "B", _ts(9.9)),
+        ("g2", "A", _ts(8.0)),
+        ("g2", "B", _ts(9.0)),
+    ]
+    df = spark.createDataFrame(rows, "grp string, cat string, ts timestamp")
+    out = {
+        r["grp"]: r
+        for r in tvd_drift(
+            df, ts_col="ts", cat_col="cat", group_cols=["grp"],
+            anchor="per_group",
+        ).collect()
+    }
+    # g2 now splits at (8.0 + 9.0)/2: early = {A}, late = {B} -> TVD 1
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"]["tvd_ppm"] == 1_000_000
+    assert out["g2"]["tvd_ppm"] == 1_000_000
+    # groups whose span matches the global midpoint agree across modes
+    solo = df.filter(F.col("grp") == "g1")
+    a = tvd_drift(solo, ts_col="ts", cat_col="cat", group_cols=["grp"])
+    b = tvd_drift(
+        solo, ts_col="ts", cat_col="cat", group_cols=["grp"],
+        anchor="per_group",
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    with pytest.raises(ValueError, match="anchor"):
+        tvd_drift(df, ts_col="ts", cat_col="cat", anchor="middle")
+
+
+def test_w1_per_group_anchor_keeps_late_born_group(spark):
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        wasserstein_drift,
+    )
+
+    rows = [
+        ("g1", 1, _ts(0.1)),
+        ("g1", 5, _ts(9.9)),
+        ("g2", 2, _ts(8.0)),
+        ("g2", 9, _ts(9.0)),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, ts timestamp")
+    glob = wasserstein_drift(
+        df, ts_col="ts", value_col="v", group_cols=["grp"]
+    ).collect()
+    assert [r["grp"] for r in glob] == ["g1"]
+    per = {
+        r["grp"]: r
+        for r in wasserstein_drift(
+            df, ts_col="ts", value_col="v", group_cols=["grp"],
+            anchor="per_group",
+        ).collect()
+    }
+    assert set(per) == {"g1", "g2"}
+    # g2: one point at 2 early, one at 9 late -> W1 = 7
+    assert per["g2"]["w1_e6"] == 7_000_000
+
+
+def test_drift_int64_guards_raise_with_sharding_hint(spark, monkeypatch):
+    """Each detector's documented int64 bound is now a runtime
+    raise_error guard over exact counts — monkeypatch the ceiling down
+    so tiny inputs cross it, and assert the raise carries the remedy."""
+    import kafka_dead_letter_analyzer_spark.operators.drift as DR
+
+    monkeypatch.setattr(DR, "_I64_MAX", 1000)
+    ev = _events(spark, [0.1, 1.2, 2.3, 3.4, 4.5])
+    with pytest.raises(Exception, match="shard|coarsen"):
+        DR.cusum_changepoint(ev, ts_col="ts").collect()
+    cats = spark.createDataFrame(
+        [("A", _ts(0.1)), ("B", _ts(5.0)), ("A", _ts(9.9))],
+        "cat string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="shard"):
+        DR.tvd_drift(cats, ts_col="ts", cat_col="cat").collect()
+    vals = spark.createDataFrame(
+        [(1, _ts(0.1)), (900, _ts(5.0)), (3, _ts(9.9))],
+        "v long, ts timestamp",
+    )
+    with pytest.raises(Exception, match="bucket|shard"):
+        DR.wasserstein_drift(vals, ts_col="ts", value_col="v").collect()
+
+
+def test_drift_guards_do_not_fire_at_real_bounds(spark):
+    """Sanity: with the real int64 ceiling the guards are inert on
+    normal inputs (values identical to the unguarded algebra)."""
+    ev = _events(spark, [0.1, 1.2, 1.5, 2.3, 3.4, 7.9])
+    row = cusum_changepoint(ev, ts_col="ts").collect()[0]
+    assert row["up_ppm"] >= 0 and row["down_ppm"] >= 0

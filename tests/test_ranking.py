@@ -428,3 +428,208 @@ def test_spearman_two_phase_path_equals_window_path(spark):
     bg = sorted(tuple(r) for r in spearman_exact(
         df, "x", "y", two_phase=True).collect())
     assert ag == bg
+
+
+# ---------------------------------------------------------------------------
+# Round 8: overflow guards, data-driven two-phase, quantized Kendall
+# ---------------------------------------------------------------------------
+
+
+def test_auc_ppm_two_step_division_is_exact_floor(spark):
+    """auc_ppm must equal floor(u2 * 1e6 / (2*n_pos*n_neg)) exactly —
+    the two-step long division replaced the single-step form whose
+    u2*500000 product wrapped past n_pos*n_neg ~ 9.2e12."""
+    from fractions import Fraction
+
+    rng = random.Random(81)
+    rows = [(rng.randint(0, 37), rng.random() < 0.3) for _ in range(2500)]
+    df = spark.createDataFrame(rows, "s bigint, y boolean")
+    r = R.auc_exact(df, "s", "y").collect()[0]
+    want = int(Fraction(r["u2"] * 1_000_000, 2 * r["n_pos"] * r["n_neg"]))
+    assert r["auc_ppm"] == want
+
+
+def test_auc_overflow_guard_raises_with_sharding_hint(spark, monkeypatch):
+    """Past the exact-ppm bound the operator must RAISE (distributed
+    raise_error CASE on the exact class counts), never emit a wrapped
+    ppm.  The ceiling is monkeypatched down so a tiny input crosses."""
+    monkeypatch.setattr(R, "_I64_MAX", 1000)
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "s bigint, y boolean"
+    )
+    with pytest.raises(Exception, match="shard"):
+        R.auc_exact(df, "s", "y").collect()
+
+
+def test_auc_grouped_auto_two_phase_matches_window(spark, monkeypatch):
+    """With the distinct threshold probed PAST, the grouped path must
+    swap to the range-partitioned prefix and agree with the window
+    path bit-for-bit."""
+    rng = random.Random(82)
+    rows = [
+        (f"g{i % 2}", rng.randint(0, 100_000), rng.random() < 0.5)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    window = sorted(
+        tuple(r)
+        for r in R.auc_exact(
+            df, "s", "y", group_cols=["g"], two_phase=False
+        ).collect()
+    )
+    monkeypatch.setattr(R, "_TWO_PHASE_MIN_DISTINCT", 10)
+    auto = sorted(
+        tuple(r)
+        for r in R.auc_exact(df, "s", "y", group_cols=["g"]).collect()
+    )
+    assert auto == window
+
+
+def test_spearman_fractional_input_raises(spark):
+    """A double score in [0,1) collapses to constant 0 under the
+    bigint cast — the default probe must refuse it loudly instead of
+    silently dropping the group."""
+    df = spark.createDataFrame(
+        [(1, 0.25), (2, 0.75), (3, 0.5)], "x long, y double"
+    )
+    with pytest.raises(ValueError, match="fractional"):
+        R.spearman_exact(df, "x", "y")
+    # integer-VALUED doubles pass and match the integer-typed run
+    ok = spark.createDataFrame(
+        [(1, 3.0), (2, 1.0), (3, 2.0), (4, 4.0)], "x long, y double"
+    )
+    got = R.spearman_exact(ok, "x", "y").collect()[0]
+    ints = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2), (4, 4)], "x long, y long"
+    )
+    want = R.spearman_exact(ints, "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_spearman_auto_two_phase_per_column_matches_window(
+    spark, monkeypatch
+):
+    """The probe picks the path PER COLUMN (a near-continuous y swaps
+    to the grouped range prefix while a bounded x keeps the window);
+    results must equal both forced paths bit-for-bit."""
+    rng = random.Random(83)
+    rows = [
+        (f"g{i % 3}", rng.randint(1, 8), rng.randint(0, 1_000_000))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    forced_window = sorted(
+        tuple(r)
+        for r in R.spearman_exact(
+            df, "x", "y", group_cols=["g"], two_phase=False
+        ).collect()
+    )
+    forced_prefix = sorted(
+        tuple(r)
+        for r in R.spearman_exact(
+            df, "x", "y", group_cols=["g"], two_phase=True
+        ).collect()
+    )
+    monkeypatch.setattr(R, "_TWO_PHASE_MIN_DISTINCT", 50)
+    auto = sorted(
+        tuple(r)
+        for r in R.spearman_exact(
+            df, "x", "y", group_cols=["g"]
+        ).collect()
+    )
+    assert auto == forced_window == forced_prefix
+
+
+def test_spearman_n_bound_probe_raises(spark, monkeypatch):
+    monkeypatch.setattr(R, "_SPEARMAN_N_MAX", 50)
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="shard"):
+        R.spearman_exact(df, "x", "y")
+
+
+def test_spearman_n_bound_backstop_raises_without_probe(
+    spark, monkeypatch
+):
+    """Explicit two_phase skips the driver probe; the distributed
+    raise_error CASE on the exact per-group count must still fire."""
+    monkeypatch.setattr(R, "_SPEARMAN_N_MAX", 50)
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="shard"):
+        R.spearman_exact(df, "x", "y", two_phase=False).collect()
+
+
+def test_kendall_backstop_guard_raises(spark, monkeypatch):
+    monkeypatch.setattr(R, "_KENDALL_N_MAX", 10)
+    df = spark.createDataFrame(
+        [(i % 5, i % 3) for i in range(20)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="shard"):
+        R.kendall_tau_exact(df, "x", "y").collect()
+
+
+def test_kendall_quantized_grid_prefix_matches_cell_pair(spark):
+    """The grid-prefix dominance algebra must agree with the exact
+    cell-pair self-join on the SAME quantized data (the algorithmic
+    differential), across random grouped inputs."""
+    rng = random.Random(84)
+    for trial in range(4):
+        b = rng.choice([3, 5, 8])
+        rows = [
+            (f"g{i % 2}", rng.randint(1, 12), rng.randint(0, 5000))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        got = sorted(
+            tuple(r)
+            for r in R.kendall_tau_quantized(
+                df, "x", "y", group_cols=["g"], y_buckets=b
+            ).collect()
+        )
+        # reference: quantize in Python with the same integer formula,
+        # then run the exact cell-pair operator
+        spans = {}
+        for g, _, y in rows:
+            lo, hi = spans.get(g, (y, y))
+            spans[g] = (min(lo, y), max(hi, y))
+        qrows = [
+            (g, x, ((y - spans[g][0]) * b) // (spans[g][1] - spans[g][0] + 1))
+            for g, x, y in rows
+        ]
+        qdf = spark.createDataFrame(qrows, "g string, x long, y long")
+        want = sorted(
+            tuple(r)
+            for r in R.kendall_tau_exact(
+                qdf, "x", "y", group_cols=["g"]
+            ).collect()
+        )
+        assert got == want, (trial, b)
+
+
+def test_kendall_quantized_injective_buckets_equal_exact(spark):
+    """With bucket count >= the value span, quantization is strictly
+    monotone (injective) and tau-b is invariant — the quantized
+    operator must reproduce kendall_tau_exact on the raw data."""
+    rng = random.Random(85)
+    rows = [(rng.randint(1, 9), rng.randint(100, 160)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    exact = R.kendall_tau_exact(df, "x", "y").collect()[0]
+    quant = R.kendall_tau_quantized(df, "x", "y", y_buckets=61).collect()[0]
+    assert (
+        quant["nc"], quant["nd"], quant["tx_pairs"], quant["ty_pairs"],
+        quant["n"], quant["tau_e6"],
+    ) == (
+        exact["nc"], exact["nd"], exact["tx_pairs"], exact["ty_pairs"],
+        exact["n"], exact["tau_e6"],
+    )
+
+
+def test_kendall_quantized_grid_probe_raises(spark):
+    df = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(50)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="grid"):
+        R.kendall_tau_quantized(df, "x", "y", y_buckets=16, max_grid=4)
