@@ -7895,6 +7895,161 @@ def x_kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_kendall_price_quantized",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS y0
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), mm AS (
+      SELECT g, min(y0) AS lo, max(y0) AS hi FROM base GROUP BY 1
+    ), q AS (
+      SELECT b.g, b.x, ((b.y0 - m.lo) * 256) // (m.hi - m.lo + 1) AS y
+      FROM base b JOIN mm m ON m.g = b.g
+    ), cells AS (
+      SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT xs.g, xs.x, ys.y
+      FROM (SELECT DISTINCT g, x FROM cells) xs
+      JOIN (SELECT DISTINCT g, y FROM cells) ys ON ys.g = xs.g
+    ), a AS (
+      SELECT grid.g, grid.x, grid.y, COALESCE(c.c, 0) AS c,
+             CAST(COALESCE(sum(COALESCE(c.c, 0)) OVER (
+               PARTITION BY grid.g, grid.y ORDER BY grid.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS acum
+      FROM grid LEFT JOIN cells c
+        ON c.g = grid.g AND c.x = grid.x AND c.y = grid.y
+    ), dom AS (
+      SELECT g, c,
+             CAST(COALESCE(sum(acum) OVER (PARTITION BY g, x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS d_ll,
+             CAST(COALESCE(sum(acum) OVER (PARTITION BY g, x
+               ORDER BY y DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS d_lg
+      FROM a
+    ), cd AS (
+      SELECT g, CAST(sum(c * d_ll) AS BIGINT) AS nc,
+             CAST(sum(c * d_lg) AS BIGINT) AS nd
+      FROM dom GROUP BY 1
+    ), tx AS (
+      SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS tx_pairs,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+            FROM q GROUP BY 1, 2) GROUP BY 1
+    ), ty AS (
+      SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS ty_pairs
+      FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+            FROM q GROUP BY 1, 2) GROUP BY 1
+    ), j AS (
+      SELECT cd.g, nc, nd, tx_pairs, ty_pairs, n,
+             n * (n - 1) // 2 AS n0
+      FROM cd JOIN tx ON tx.g = cd.g JOIN ty ON ty.g = cd.g
+    )
+    SELECT g AS l_returnflag, nc, nd, tx_pairs, ty_pairs, n,
+           CAST(floor((nc - nd) * 1000000.0 /
+             (sqrt(CAST(n0 - tx_pairs AS DOUBLE))
+              * sqrt(CAST(n0 - ty_pairs AS DOUBLE))) + 0.5)
+             AS BIGINT) AS tau_e6
+    FROM j WHERE n0 > tx_pairs AND n0 > ty_pairs
+    """,
+)
+def x_kendall_price_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and PRICE — a near-continuous
+    column the exact cell-pair operator rightly refuses (cells ~ n;
+    its self-join is quadratic in them) — via
+    operators/ranking.py::kendall_tau_quantized: price quantizes into
+    256 equi-width buckets over each flag's own [min, max] span
+    (integer-exact, monotone — order never inverts, near pairs only
+    merge into ties; bias O(1/256) of the pair mass), then
+    concordant/discordant masses come from GRID-PREFIX dominance
+    counting — three cumulative windows over the densified
+    (quantity x bucket) grid, O(grid) per group where the exact
+    operator is O(cells^2).  Every stage is grid-wide (<= 50 x 256
+    per flag), never pair-wide: the plan shape is independent of row
+    count."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    return RK.kendall_tau_quantized(
+        li, x_col="l_quantity", y_col="price_cents",
+        group_cols=["l_returnflag"], y_buckets=256,
+    )
+
+
+@_register(
+    "x_tvd_drift_group_anchor",
+    """
+    WITH ev AS (
+      SELECT event_type, user_id % 4 AS cohort, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), mids AS (
+      SELECT event_type, (min(us) + max(us)) // 2 AS mid_us
+      FROM ev GROUP BY 1
+    ), per_cat AS (
+      SELECT e.event_type, e.cohort,
+             CAST(sum(CASE WHEN e.us <= m.mid_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN e.us <= m.mid_us THEN 0 ELSE 1 END)
+               AS BIGINT) AS c2
+      FROM ev e JOIN mids m ON m.event_type = e.event_type
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT *,
+             CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+      FROM per_cat
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS num,
+             CAST(max(n1) AS BIGINT) AS n_early,
+             CAST(max(n2) AS BIGINT) AS n_late,
+             CAST(count(*) AS BIGINT) AS n_cats
+      FROM scored WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(((num * 1000) // (2 * n_early * n_late)) * 1000
+             + (((num * 1000) % (2 * n_early * n_late)) * 1000)
+               // (2 * n_early * n_late) AS BIGINT) AS tvd_ppm,
+           n_early, n_late, n_cats
+    FROM agg
+    """,
+)
+def x_tvd_drift_group_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVD drift of the user-cohort mix per EVENT TYPE with the
+    PER-GROUP split anchor (tvd_drift(anchor='per_group')): each type
+    splits at the midpoint of its OWN observed span — the variant for
+    independent per-group populations, where a late-born group
+    (exactly the drifted population a detector exists to surface)
+    must report drift over its own clock instead of silently dropping
+    against the global midpoint.  Plan: the anchor becomes a grouped
+    min/max aggregate joined back (AQE-planned; broadcast-sized for
+    bounded group domains) instead of the 1-row broadcast; everything
+    downstream is the same single (type, cohort) conditional-count
+    contraction and two-step-division ppm."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.expr("user_id % 4")
+    )
+    return DR.tvd_drift(
+        ev, ts_col="ts", cat_col="cohort", group_cols=["event_type"],
+        anchor="per_group",
+    )
+
+
+@_register(
     "x_basket_lift",
     """
     WITH b AS (

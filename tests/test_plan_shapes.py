@@ -1186,3 +1186,39 @@ def test_benford_constant_table_joins_broadcast(spark, Q):
     s = plan_of(Q.x_benford_audit(spark, SF))
     assert "BroadcastExchange" in s
     assert "CartesianProduct" not in s
+
+
+def test_spearman_near_continuous_column_has_no_per_group_sort(spark):
+    """When the probe flags a column as near-continuous (distinct
+    count past the single-task-sort threshold), spearman's plan for
+    THAT column must be the grouped range-partitioned prefix — no
+    window (= no single-task per-group contraction sort) ordered by
+    the near-continuous value anywhere in the physical plan, while
+    the bounded column keeps its cheap window."""
+    import random
+    import re
+
+    import kafka_dead_letter_analyzer_spark.operators.ranking as R
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", rng.randint(1, 8), rng.randint(0, 1_000_000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    old = R._TWO_PHASE_MIN_DISTINCT
+    R._TWO_PHASE_MIN_DISTINCT = 50
+    try:
+        out = R.spearman_exact(df, "x", "y", group_cols=["g"])
+    finally:
+        R._TWO_PHASE_MIN_DISTINCT = old
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p  # the local-prefix pass engaged for y
+    assert "rangepartitioning" in p  # range phase, not a group sort
+    assert "SinglePartition" not in p
+    # every window orders by the bounded x or the bounded pid column —
+    # none by the near-continuous y attribute
+    y_attr = re.findall(r"\by#\d+L", p)
+    assert y_attr, "plan should still reference the y column"
+    for spec in re.findall(r"windowspecdefinition\([^\)]+", p):
+        assert not re.search(r"\by#\d+L ASC", spec), spec
