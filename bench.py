@@ -87,7 +87,29 @@ def machine_context() -> dict:
             ctx["cpu_mhz"] = round(sum(mhz) / len(mhz), 0)
     except (OSError, ValueError, IndexError):
         pass
+    # fixed-work CPU microprobe: elapsed ms for a pinned md5 chain, so a
+    # host-speed window (round-6 split-brain, round-7's +10% hypervisor
+    # window) is CORRECTABLE from the artifacts — divide a run's warm
+    # total by (calib_md5_ms / reference run's calib_md5_ms) to
+    # renormalize — not just attributable (round-7 verdict item #7)
+    ctx["calib_md5_ms"] = _cpu_calibration_ms()
     return ctx
+
+
+def _cpu_calibration_ms(n: int = 200_000) -> float:
+    """Elapsed milliseconds for a FIXED amount of single-thread CPU
+    work: n chained md5 digests of a 16-byte state.  Pure CPU,
+    allocation-light, identical work every call — the number moves
+    only with effective single-core speed (hypervisor steal, turbo
+    state), which is exactly the signal two rounds of forensic
+    cross-run arguments needed.  ~100 ms at this host's baseline."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-calibration"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return round((time.perf_counter() - t0) * 1000.0, 2)
 
 # headline queries: the flagship analyzer pipeline + scan/agg/join breadth
 # + (as added) the extension operators

@@ -65,6 +65,7 @@ __all__ = [
     "spearman_exact",
     "kendall_tau_exact",
     "kendall_tau_quantized",
+    "isotonic_calibrate",
 ]
 
 #: int64 ceiling used by the raise_error overflow guards; module-level
@@ -908,3 +909,98 @@ def kendall_tau_quantized(
             "  * sqrt(CAST(n0 - ty_pairs AS DOUBLE))) + 0.5) AS BIGINT)"
         ).alias("tau_e6"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    max_buckets: int = 200_000,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a classifier score against a
+    boolean label — ``(*group_cols, s BIGINT, n BIGINT, pos BIGINT,
+    cal_num BIGINT, cal_den BIGINT)``: one row per distinct score,
+    where ``cal_num / cal_den`` is the isotonic-regression estimate of
+    ``P(label | score)`` — the least-squares non-decreasing fit to the
+    per-score positive rates, computed by pool-adjacent-violators
+    (Ayer et al. 1955; Robertson, Wright & Dykstra 1988).  The missing
+    piece of the scorer-audit family next to :func:`auc_exact` (AUC
+    says the score RANKS well; calibration says whether 0.9 MEANS
+    ninety percent) and ``x_conformal_threshold``.
+
+    Exactness: the calibrated rate is emitted AS the pooled block's
+    integer ``(sum pos, sum n)`` rational — never divided, so the
+    surface is BIGINT-exact and deterministic (the PAV fit is the
+    unique isotonic least-squares solution; pooling compares rates by
+    cross-multiplication, no floats anywhere).  ROWS-ONLY like the KLL
+    sketches: the pooling recursion (merge-while-violating over an
+    ordered stack) is not SQL-expressible, so there is no DuckDB
+    oracle — correctness is differential-tested against an independent
+    fixed-point NumPy reference plus the isotonic/mass-preservation
+    invariants.
+
+    Scale shape: ONE full-data shuffle builds the (group, score)
+    contraction (map-side combined); the PAV stack then runs inside
+    ``applyInPandas`` over each group's contraction — O(buckets) time
+    and memory per group (each bucket is pushed and popped at most
+    once), parallel across groups, bounded by ``max_buckets`` (the
+    worker RAISES past it: quantize the score first, the calibration
+    of a near-continuous score is per-bucket anyway).  The global form
+    is one task over its own contraction — inherently sequential, same
+    bound.  Scores cast to bigint (quantize fractional scores to a
+    fixed-point grid first, as everywhere in this module)."""
+    from pyspark.sql.types import StructType
+
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    counts = base.groupBy(*groups, "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    schema = (
+        StructType(list(counts.schema.fields))
+        .add("cal_num", "long")
+        .add("cal_den", "long")
+    )
+    cap = int(max_buckets)
+
+    def _pav(pdf):
+        if len(pdf) > cap:
+            raise ValueError(
+                f"isotonic_calibrate: a group has {len(pdf)} distinct"
+                f" scores (> max_buckets={cap}); quantize the score to"
+                " a coarser fixed-point grid first"
+            )
+        pdf = pdf.sort_values("s").reset_index(drop=True)
+        # PAV stack: blocks of (sum pos, sum n, buckets swallowed);
+        # merge while the incoming rate undercuts the stack top
+        # (cross-multiplied integer compare — no float rates)
+        blocks: list[list[int]] = []
+        for pos, n in zip(pdf["pos"], pdf["n"]):
+            b = [int(pos), int(n), 1]
+            while blocks and b[0] * blocks[-1][1] <= blocks[-1][0] * b[1]:
+                if b[0] * blocks[-1][1] == blocks[-1][0] * b[1]:
+                    # equal rates: merging is a no-op for the fit but
+                    # canonicalizes the emitted rational (2/4 == 1/2)
+                    pass
+                t = blocks.pop()
+                b = [b[0] + t[0], b[1] + t[1], b[2] + t[2]]
+            blocks.append(b)
+        cal_num: list[int] = []
+        cal_den: list[int] = []
+        for bpos, bn, c in blocks:
+            cal_num.extend([bpos] * c)
+            cal_den.extend([bn] * c)
+        out = pdf.copy()
+        out["cal_num"] = cal_num
+        out["cal_den"] = cal_den
+        return out
+
+    return counts.groupBy(*groups).applyInPandas(_pav, schema=schema)

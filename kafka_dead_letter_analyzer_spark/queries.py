@@ -7223,6 +7223,34 @@ def x_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x_isotonic_calibration")
+def x_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of document length as a predictor of
+    English, per source (operators/ranking.py::isotonic_calibrate) —
+    the scorer-audit complement of x_auc_by_source: AUC says length
+    RANKS English docs well; the calibrated curve says what a given
+    length is actually worth as a probability, as the exact integer
+    rational (cal_num, cal_den) of each PAV-pooled block.  ROWS-ONLY
+    by design (like x_kll_quantiles): the pool-adjacent-violators
+    recursion is not SQL-expressible, so there is no DuckDB oracle —
+    the operator is differential-tested against an independent
+    fixed-point PAV reference plus the isotonic/mass-preservation
+    invariants (tests/test_ranking.py).  Plan: one (source, n_chars)
+    contraction shuffle, then applyInPandas runs the O(buckets) stack
+    per source, parallel across sources."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return RK.isotonic_calibrate(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+    )
+
+
 @_register(
     "x_rrf_fusion",
     """

@@ -633,3 +633,121 @@ def test_kendall_quantized_grid_probe_raises(spark):
     )
     with pytest.raises(ValueError, match="grid"):
         R.kendall_tau_quantized(df, "x", "y", y_buckets=16, max_grid=4)
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibrate (PAV)
+
+
+def _pav_reference(scores_pos_n):
+    """Independent O(n^2) fixed-point PAV: repeatedly merge the first
+    adjacent violating pair until the sequence is isotonic — a
+    different control flow from the operator's one-pass stack."""
+    from fractions import Fraction
+
+    blocks = [
+        [Fraction(p, n), p, n, [s]] for s, p, n in sorted(scores_pos_n)
+    ]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] >= blocks[i + 1][0]:
+                a, b = blocks[i], blocks[i + 1]
+                merged = [
+                    Fraction(a[1] + b[1], a[2] + b[2]),
+                    a[1] + b[1],
+                    a[2] + b[2],
+                    a[3] + b[3],
+                ]
+                blocks[i : i + 2] = [merged]
+                changed = True
+                break
+    out = {}
+    for rate, p, n, ss in blocks:
+        for s in ss:
+            out[s] = (p, n)
+    return out
+
+
+def test_isotonic_matches_fixed_point_reference_randomized(spark):
+    rng = random.Random(86)
+    for trial in range(5):
+        rows = []
+        per_score = {}
+        for _ in range(600):
+            s = rng.randint(0, 25)
+            y = rng.random() < min(0.9, 0.1 + 0.03 * s + rng.random() * 0.2)
+            rows.append((s, y))
+            p, n = per_score.get(s, (0, 0))
+            per_score[s] = (p + int(y), n + 1)
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        got = {
+            r["s"]: (r["cal_num"], r["cal_den"])
+            for r in R.isotonic_calibrate(df, "s", "y").collect()
+        }
+        want = _pav_reference(
+            [(s, p, n) for s, (p, n) in per_score.items()]
+        )
+        from fractions import Fraction
+
+        assert set(got) == set(want), trial
+        for s in got:
+            assert Fraction(*got[s]) == Fraction(*want[s]), (trial, s)
+
+
+def test_isotonic_invariants_and_grouping(spark):
+    rng = random.Random(87)
+    rows = [
+        (f"g{i % 2}", rng.randint(0, 40), rng.random() < 0.5)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, y boolean")
+    out = R.isotonic_calibrate(df, "s", "y", group_cols=["g"]).collect()
+    from collections import defaultdict
+    from fractions import Fraction
+
+    per_g = defaultdict(list)
+    for r in out:
+        per_g[r["g"]].append(r)
+    raw = defaultdict(lambda: [0, 0])
+    for g, s, y in rows:
+        raw[g][0] += int(y)
+        raw[g][1] += 1
+    for g, rs in per_g.items():
+        rs.sort(key=lambda r: r["s"])
+        rates = [Fraction(r["cal_num"], r["cal_den"]) for r in rs]
+        # isotonic: calibrated rates never decrease in score
+        assert all(a <= b for a, b in zip(rates, rates[1:])), g
+        # mass preservation: each pooled block's rational is the block's
+        # own (pos, n), so sum over rows of n == group rows and
+        # per-block identity pos/n holds; check the block partition sums
+        total_n = sum(r["n"] for r in rs)
+        assert total_n == raw[g][1]
+        # weighted mean of calibrated rates == raw positive rate
+        acc = sum(Fraction(r["cal_num"], r["cal_den"]) * r["n"] for r in rs)
+        assert acc == Fraction(raw[g][0], 1)
+
+
+def test_isotonic_cap_raises(spark):
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(100)], "s long, y boolean"
+    )
+    with pytest.raises(Exception, match="quantize"):
+        R.isotonic_calibrate(df, "s", "y", max_buckets=10).collect()
+
+
+def test_isotonic_plan_is_contraction_then_grouped_pandas(spark):
+    df = spark.createDataFrame(
+        [("g", 1, True), ("g", 2, False)], "g string, s long, y boolean"
+    )
+    p = (
+        R.isotonic_calibrate(df, "s", "y", group_cols=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the PAV pandas stage consumes the (group, score) CONTRACTION —
+    # an aggregate must sit below FlatMapGroupsInPandas, and the only
+    # exchanges are the contraction's and the group regroup
+    assert "FlatMapGroupsInPandas" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
