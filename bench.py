@@ -189,10 +189,10 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         n = spark.read.parquet(src).count()  # also warms the footers
         schema = spark.read.parquet(src).schema
 
-        def _stream_source():
+        def _stream_source(mft: int = 2):
             return (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 2)
+                .option("maxFilesPerTrigger", mft)
                 .parquet(src)
             )
 
@@ -227,6 +227,37 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         topo = build_streaming_topology(decode_kafka_records(_stream_source()))
         t_full, batches = _run(topo.error_statistics, "update", "full")
 
+        # amortization probe (round-7 verdict #3): the dominant
+        # route/parse/enrich delta was attributed to PER-MICRO-BATCH
+        # incremental planning of the dialect-cascade tree — rerun the
+        # same route prefix with all 8 files in ONE trigger; if the
+        # attribution is right, the one-batch run sheds ~3/4 of the
+        # planning overhead at identical record count
+        topo_one = build_streaming_topology(
+            decode_kafka_records(_stream_source(mft=8))
+        )
+        t_route1, _ = _run(
+            topo_one.full_dead_letters, "append", "route1"
+        )
+
+        # seasonal baseline stage: the hour-of-day stateful detector
+        # (streaming twin of x_seasonal_anomaly) over the same enriched
+        # feed the stats operator consumes
+        from kafka_dead_letter_analyzer_spark.streaming.engine import (
+            enrich_with_context,
+            split_errors,
+            stream_dead_letters,
+            streaming_seasonal_alerts,
+        )
+
+        dl_s, _ = stream_dead_letters(
+            decode_kafka_records(_stream_source())
+        )
+        enriched_s, _ = split_errors(enrich_with_context(dl_s))
+        t_seas, _ = _run(
+            streaming_seasonal_alerts(enriched_s), "update", "seasonal"
+        )
+
         deltas = {
             "decode": round(t_dec - t_src, 3),
             "route_parse_enrich": round(t_route - t_dec, 3),
@@ -258,9 +289,23 @@ def bench_streaming(spark, sf_dir: str) -> dict:
                     "seconds": round(t_full, 3),
                     "records_per_sec": round(n / t_full, 1),
                 },
+                "route_one_batch": {
+                    "seconds": round(t_route1, 3),
+                    "records_per_sec": round(n / t_route1, 1),
+                    "micro_batches": 1,
+                },
+                "plus_seasonal_baseline": {
+                    "seconds": round(t_seas, 3),
+                    "records_per_sec": round(n / t_seas, 1),
+                },
             },
             "deltas_sec": deltas,
             "dominant_stage": dominant,
+            # per-micro-batch planning overhead of the dominant stage,
+            # attributed by the 4-batch vs 1-batch route delta
+            "route_per_batch_overhead_sec": round(
+                max(0.0, (t_route - t_route1)) / 3, 3
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -1639,3 +1639,165 @@ def streaming_sliding_count(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonal (hour-of-day) baseline — the live twin of
+# queries.py::x_seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+
+def _make_seasonal_fn(history_days: int, max_gap_closes: int):
+    def _seasonal_fn(key, pdfs, state) -> Iterator:
+        """Per-key seasonal baseline over (day, hour-of-day) buckets.
+
+        State: the open bucket (linear hour index + count) plus the
+        POSITIVE closed-bucket counts of the last ``history_days``
+        days — at most history_days x 24 (day, hod, cnt) triples, the
+        bounded per-key state the batch detector cannot offer (it
+        re-reads history every run).  A bucket CLOSES when a later
+        bucket first appears (late rows fold into the open bucket —
+        the arrival-order approximation every state-v1 operator here
+        shares).  On close, the bucket's count is compared against the
+        LOWER MEDIAN of the strictly-prior days' positive counts for
+        the SAME hour of day — exactly x_seasonal_anomaly's algebra
+        (zeros never enter the history; silent-hour closes emit
+        ratio 0 against the existing baseline; hours with no baseline
+        emit nothing).  ratio_e6 uses the same two-step long division
+        as the batch query, so the streaming emission for a closed day
+        equals the batch rows for that day bit-for-bit
+        (differential-tested).  Gap buckets close individually up to
+        ``max_gap_closes`` per gap (each can emit a ratio-0 outage row
+        for a baselined hour); past that the remainder is skipped —
+        zeros never mutate state, so skipping loses only repeated
+        ratio-0 emissions, never correctness of later baselines."""
+        import pandas as pd
+
+        if state.exists:
+            cur, cur_cnt, days_, hods_, cnts_ = state.get
+            hist = {
+                (int(d), int(h)): int(c)
+                for d, h, c in zip(days_, hods_, cnts_)
+            }
+            if cur < 0:
+                cur = None
+        else:
+            cur, cur_cnt, hist = None, 0, {}
+        out: list[tuple] = []
+
+        def close(tb: int, cnt: int) -> None:
+            day, hod = divmod(tb, 24)
+            # the window filter here (not just prune-on-record) matters
+            # after silent days: zeros never record, so stale entries
+            # can outlive their window until the next positive close
+            prior = sorted(
+                c
+                for (d, h), c in hist.items()
+                if h == hod and day - history_days <= d < day
+            )
+            if prior:
+                med = prior[(len(prior) + 1) // 2 - 1]
+                ratio = ((cnt * 1000) // med) * 1000 + (
+                    ((cnt * 1000) % med) * 1000
+                ) // med
+                out.append((day, hod, cnt, med, len(prior), ratio))
+            if cnt > 0:
+                hist[(day, hod)] = cnt
+                lo = day - history_days + 1
+                for k in [k for k in hist if k[0] < lo]:
+                    del hist[k]
+
+        per_bucket: dict[int, int] = {}
+        for pdf in pdfs:
+            for tb in pdf["tb"]:
+                per_bucket[int(tb)] = per_bucket.get(int(tb), 0) + 1
+        for tb in sorted(per_bucket):
+            if cur is None:
+                cur, cur_cnt = tb, 0
+            if tb <= cur:
+                cur_cnt += per_bucket[tb]
+                continue
+            close(cur, cur_cnt)
+            gap_end = min(tb - 1, cur + max_gap_closes)
+            for gap_b in range(cur + 1, gap_end + 1):
+                close(gap_b, 0)
+            cur, cur_cnt = tb, per_bucket[tb]
+        state.update(
+            (
+                cur if cur is not None else -1,
+                cur_cnt,
+                [d for d, _ in hist],
+                [h for _, h in hist],
+                [hist[k] for k in hist],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "topic": [key[0]] * len(out),
+                    "type": [key[1]] * len(out),
+                    "day": [o[0] for o in out],
+                    "hod": [o[1] for o in out],
+                    "cnt": [o[2] for o in out],
+                    "med_cnt": [o[3] for o in out],
+                    "n_days": [o[4] for o in out],
+                    "ratio_e6": [o[5] for o in out],
+                }
+            )
+
+    return _seasonal_fn
+
+
+def streaming_seasonal_alerts(
+    enriched: DataFrame,
+    history_days: int = 28,
+    max_gap_closes: int = 168,
+) -> DataFrame:
+    """Live seasonal (hour-of-day) anomaly baseline per (topic, type) —
+    the streaming twin of ``queries.py::x_seasonal_anomaly``, closing
+    the drift layer's last batch-only detector family.  On every
+    closed hour bucket it emits ``(topic, type, day, hod, cnt,
+    med_cnt, n_days, ratio_e6)``: the hour's count against the lower
+    median of the same hour's positive counts over the prior
+    ``history_days`` days — "is tonight's 2am error rate normal FOR
+    2AM", per key, live, with ratio_e6 the same two-step-division
+    fixed point as the batch query (1e6 = exactly seasonal norm).
+
+    State per key is BOUNDED: at most ``history_days * 24`` positive
+    bucket counts plus the open bucket — independent of traffic
+    volume, the property that keeps a per-key seasonal baseline
+    viable on an unbounded stream (the batch detector re-reads all of
+    history each run instead).  Emissions for a fully closed day equal
+    the batch query's rows for that day anchored there
+    (differential-tested on a shared fixture); hours with no prior
+    baseline emit nothing and silent hours emit ratio 0, both exactly
+    the batch conventions.  Long outages close at most
+    ``max_gap_closes`` buckets per gap (zeros never enter the
+    history, so the skipped remainder loses only repeated ratio-0
+    rows)."""
+    if history_days < 1:
+        raise ValueError(
+            "streaming_seasonal_alerts: history_days must be >= 1"
+        )
+    if max_gap_closes < 0:
+        raise ValueError(
+            "streaming_seasonal_alerts: max_gap_closes must be >= 0"
+        )
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.expr("unix_micros(context.timestamp) DIV 3600000000").alias("tb"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_seasonal_fn(int(history_days), int(max_gap_closes)),
+        outputStructType=(
+            "topic string, type string, day long, hod long, cnt long,"
+            " med_cnt long, n_days long, ratio_e6 long"
+        ),
+        stateStructType=(
+            "cur long, cnt long, days array<long>, hods array<long>,"
+            " cnts array<long>"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -2541,3 +2541,170 @@ def test_streaming_sliding_count_end_to_end(spark, tmp_path, ts):
     rows = spark.table("dgim_sink").collect()
     # at minute 90, only the minute-90 event is within the last hour
     assert rows[-1]["est_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonal (hour-of-day) baseline
+
+
+def _drive_seasonal(fn, bucket_batches):
+    import pandas as pd
+
+    st = _FakeState()
+    rows = []
+    for tbs in bucket_batches:
+        for out in fn(("t", "ty"), [pd.DataFrame({"tb": tbs})], st):
+            rows.extend(
+                (int(r.day), int(r.hod), int(r.cnt), int(r.med_cnt),
+                 int(r.n_days), int(r.ratio_e6))
+                for r in out.itertuples()
+            )
+    return rows, st._v
+
+
+def _batch_seasonal_ref(counts, today):
+    """x_seasonal_anomaly's algebra in pure Python, anchored at
+    ``today``: per hod, today's count vs the lower median of the
+    strictly-prior days' POSITIVE counts for that hod; hods with no
+    baseline drop, silent-today hods emit ratio 0."""
+    rows = []
+    for hod in range(24):
+        prior = sorted(
+            c for (d, h), c in counts.items()
+            if h == hod and d < today and c > 0
+        )
+        if not prior:
+            continue
+        med = prior[(len(prior) + 1) // 2 - 1]
+        cnt = counts.get((today, hod), 0)
+        ratio = ((cnt * 1000) // med) * 1000 + (
+            ((cnt * 1000) % med) * 1000
+        ) // med
+        rows.append((today, hod, cnt, med, len(prior), ratio))
+    return rows
+
+
+def test_seasonal_fn_matches_batch_algebra_for_closed_day():
+    """Emissions for a fully CLOSED day must equal the batch seasonal
+    query's rows anchored at that day, bit for bit — including ratio-0
+    rows for baselined hours silent that day (closed via the gap)."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_seasonal_fn,
+    )
+
+    rng = random.Random(0x5EA5)
+    for trial in range(5):
+        counts: dict[tuple, int] = {}
+        for d in range(5):
+            for hod in rng.sample(range(24), rng.randint(4, 12)):
+                counts[(d, hod)] = rng.randint(1, 9)
+        today = 4
+        tbs = sorted(
+            d * 24 + h
+            for (d, h), c in counts.items()
+            for _ in range(c)
+        )
+        # sentinel event the day after closes every bucket of `today`
+        tbs.append((today + 1) * 24 + 0)
+        cut = rng.randint(0, len(tbs))
+        fn = _make_seasonal_fn(history_days=28, max_gap_closes=168)
+        rows, _ = _drive_seasonal(fn, [tbs[:cut], tbs[cut:]])
+        got = sorted(r for r in rows if r[0] == today)
+        want = sorted(_batch_seasonal_ref(counts, today))
+        assert got == want, (trial, got, want)
+
+
+def test_seasonal_fn_history_bound_and_gap_cap():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_seasonal_fn,
+    )
+
+    # history_days=2: day-0 counts must age out of day-3's baseline
+    fn = _make_seasonal_fn(history_days=2, max_gap_closes=168)
+    tbs = []
+    for d, c in ((0, 9), (1, 3), (2, 5), (3, 4)):
+        tbs.extend([d * 24 + 6] * c)
+    tbs.append(4 * 24)  # close day 3
+    rows, state = _drive_seasonal(fn, [tbs])
+    by_day = {r[0]: r for r in rows if r[1] == 6}
+    # day 3's window is the 2 strictly-prior days [1, 2]: counts
+    # {3, 5}, lower median 3 over 2 baseline days (day 0's 9 aged out)
+    assert by_day[3][3] == 3 and by_day[3][4] == 2
+    # state stays bounded: at most history_days*24 history entries
+    assert len(state[2]) <= 2 * 24
+    # a huge gap returns promptly and closes at most max_gap_closes
+    import time
+
+    t0 = time.time()
+    fn2 = _make_seasonal_fn(history_days=28, max_gap_closes=48)
+    rows2, _ = _drive_seasonal(
+        fn2, [[6] * 5, [10_000_000]]
+    )
+    assert time.time() - t0 < 5.0
+    # ratio-0 rows only for the 48 capped closes at baselined hour 6
+    assert all(r[1] == 6 and r[2] == 0 for r in rows2)
+    assert len(rows2) <= 48 // 24 + 1
+
+
+def test_streaming_seasonal_alerts_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run over file micro-batches: the
+    operator wires (error_key, context.timestamp) and emits baseline
+    comparisons in update mode."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_seasonal_alerts,
+    )
+
+    epoch = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for d in range(3):
+        for rep in range(2 + d):  # hour 5 of each day, growing count
+            rows.append((d * 24 + 5, rep))
+    rows.append((3 * 24 + 0, 0))  # closes day 2
+    schema = (
+        "error_key struct<topic:string,type:string>,"
+        " context struct<timestamp:timestamp>"
+    )
+    data = [
+        (
+            ("t1", "E"),
+            (epoch + dt.timedelta(hours=tb),),
+        )
+        for tb, _ in rows
+    ]
+    src = str(tmp_path / "seasonal_src")
+    # one coalesced file per day, appended in order: buckets never go
+    # backwards across micro-batches (the operators' shared contract)
+    by_day: dict[int, list] = {}
+    for (ek, ctx), (tb, _) in zip(data, rows):
+        by_day.setdefault(tb // 24, []).append((ek, ctx))
+    for d in sorted(by_day):
+        spark.createDataFrame(by_day[d], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_seasonal_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("seasonal_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["day"], r["hod"]): (r["cnt"], r["med_cnt"], r["ratio_e6"])
+            for r in spark.table("seasonal_sink").collect()
+        }
+    finally:
+        q.stop()
+    base_day = int(epoch.timestamp()) // 86400  # absolute epoch day
+    # day 1 hour 5: cnt 3 vs baseline median {2} -> ratio 1.5e6
+    assert got[(base_day + 1, 5)] == (3, 2, 1_500_000)
+    # day 2 hour 5: cnt 4 vs lower median of {2, 3} = 2 -> 2e6
+    assert got[(base_day + 2, 5)] == (4, 2, 2_000_000)
