@@ -66,6 +66,7 @@ __all__ = [
     "kendall_tau_exact",
     "kendall_tau_quantized",
     "isotonic_calibrate",
+    "roc_curve_points",
 ]
 
 #: int64 ceiling used by the raise_error overflow guards; module-level
@@ -1004,3 +1005,84 @@ def isotonic_calibrate(
         return out
 
     return counts.groupBy(*groups).applyInPandas(_pav, schema=schema)
+
+
+def roc_curve_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    max_points: int = 2_000_000,
+) -> DataFrame:
+    """The full ROC operating table of a score against a boolean label
+    — one row per DISTINCT SCORE treated as the decision threshold
+    ("predict positive when score >= s"): ``(*group_cols, s, tp, fp,
+    fn, tn)``, all BIGINT.  AUC (:func:`auc_exact`) compresses the
+    curve to one number; threshold SELECTION — "what do precision and
+    recall look like if we gate the corpus at s?" — needs the curve
+    itself, and every point is exact integer arithmetic over the same
+    per-score contraction AUC uses:
+
+    ``tp(s) = n_pos - cum_pos_lt(s)`` and ``fp(s) = n_neg -
+    cum_neg_lt(s)`` — one groupBy(score) contraction (the only
+    full-data shuffle, map-side combined), one cumulative window per
+    group carrying BOTH class sums, two broadcast-joined (grouped:
+    AQE-planned) class totals.  Precision/recall/F-beta are ratios of
+    these integers — left to the caller so the surface stays
+    division-free and hash-exact.
+
+    The OUTPUT is contraction-sized by construction, so there is no
+    two-phase escape hatch here: if the distinct-score domain is too
+    big to sort per group, it is also too big to RETURN — quantize the
+    score first (the kendall_tau_quantized precedent); ``max_points``
+    probes the worst group and RAISES past the cap.  Rows with NULL
+    score or label are excluded; groups with an empty class are kept
+    (the curve is still defined — one of tp/fp is identically 0)."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    counts = base.groupBy(*groups, "s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    probe = (
+        counts.groupBy(*groups).count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    if probe is not None and probe > max_points:
+        raise ValueError(
+            f"roc_curve_points: a group has {probe} distinct scores"
+            f" (> max_points={max_points}) — the curve itself would be"
+            " that large; quantize the score to a coarser grid first"
+        )
+    wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_lt = wg.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = wg.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        counts.withColumn(
+            "cum_pos_lt",
+            F.coalesce(F.sum("pos").over(w_lt), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "cum_neg_lt",
+            F.coalesce(F.sum("neg").over(w_lt), F.lit(0).cast("bigint")),
+        )
+        .withColumn("n_pos", F.sum("pos").over(w_all))
+        .withColumn("n_neg", F.sum("neg").over(w_all))
+    )
+    return cum.select(
+        *groups,
+        "s",
+        F.expr("n_pos - cum_pos_lt").cast("bigint").alias("tp"),
+        F.expr("n_neg - cum_neg_lt").cast("bigint").alias("fp"),
+        F.expr("cum_pos_lt").cast("bigint").alias("fn"),
+        F.expr("cum_neg_lt").cast("bigint").alias("tn"),
+    )

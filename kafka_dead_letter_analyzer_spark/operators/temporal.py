@@ -49,6 +49,7 @@ __all__ = [
     "event_transitions",
     "state_history",
     "series_similarity_topk",
+    "funnel_steps",
 ]
 
 
@@ -695,4 +696,102 @@ def decay_weighted_counts(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum("_w").cast("bigint").alias("weighted_pressure"),
         )
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: how many keys reached step 1, then
+    step 2 STRICTLY AFTER their step 1, then step 3 after that, ... —
+    ``(step_idx BIGINT, step STRING, users BIGINT, conv_ppm BIGINT)``
+    with ``conv_ppm = floor(users_i * 1e6 / users_1)`` via two-step
+    long division (step 1 emits exactly 1e6; an empty funnel emits 0s).
+    The classic behavioral query a dead-letter feed turns into "how
+    many producers hit parse-error -> retry -> gave-up", and a training
+    pipeline into acquisition funnels over event logs.
+
+    Semantics: each step's time is the EARLIEST event of that type
+    strictly later than the previous step's time (the greedy chain —
+    the standard funnel convention: taking the earliest feasible event
+    at each step maximizes completion, so no backtracking search is
+    needed); ``within_us`` additionally bounds each step to at most
+    that many microseconds after the PREVIOUS step.  Ties at the exact
+    same microsecond do not advance the funnel (strictly-after).
+
+    Plan shape: ONE hash exchange on the key, then k chained
+    UNORDERED window minima over it (each step's conditional min
+    consumes the previous step's column; no orderBy, so no sort — the
+    plan is exchange + k WindowExec + one per-key aggregate + a 1-row
+    total), then a k-row stack.  Nothing in the plan scales with
+    anything but the event count; per-key state is k longs."""
+    if len(steps) < 2:
+        raise ValueError("funnel_steps: need at least 2 steps")
+    if within_us is not None and within_us <= 0:
+        raise ValueError("funnel_steps: within_us must be positive")
+    k = len(steps)
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(state_col).isin(list(steps))
+        & F.col(key).isNotNull()
+    ).select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("st"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    w = Window.partitionBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = ev
+    for i, s in enumerate(steps):
+        if i == 0:
+            cond = F.col("st") == s
+        else:
+            cond = (F.col("st") == s) & (
+                F.col("us") > F.col(f"t{i - 1}")
+            )
+            if within_us is not None:
+                cond = cond & (
+                    F.col("us") <= F.col(f"t{i - 1}") + int(within_us)
+                )
+        cur = cur.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col("us"))).over(w)
+        )
+    per_key = cur.groupBy("k").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(k)]
+    )
+    totals = per_key.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS BIGINT), '{s}', u{i}" for i, s in enumerate(steps)
+    )
+    stacked = totals.selectExpr(
+        f"stack({k}, {stack_args}) AS (step_idx, step, users)",
+        "u0 AS base",
+    )
+    return stacked.select(
+        "step_idx",
+        "step",
+        "users",
+        F.expr(
+            "CASE WHEN base = 0 THEN CAST(0 AS BIGINT) ELSE"
+            " ((users * 1000) DIV base) * 1000"
+            " + (((users * 1000) % base) * 1000) DIV base END"
+        ).cast("bigint").alias("conv_ppm"),
     )

@@ -7223,6 +7223,127 @@ def x_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_roc_curve",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, s,
+             CAST(COALESCE(sum(pos) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_pos_lt,
+             CAST(COALESCE(sum(neg) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_neg_lt,
+             CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS n_pos,
+             CAST(sum(neg) OVER (PARTITION BY source) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT source, s,
+           CAST(n_pos - cum_pos_lt AS BIGINT) AS tp,
+           CAST(n_neg - cum_neg_lt AS BIGINT) AS fp,
+           cum_pos_lt AS fn,
+           cum_neg_lt AS tn
+    FROM w
+    """,
+)
+def x_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-source ROC operating table of document length as an
+    English-document gate (operators/ranking.py::roc_curve_points):
+    one exact integer (tp, fp, fn, tn) row per distinct length
+    threshold — x_auc_by_source compresses this curve to one number;
+    threshold SELECTION ("gate the corpus at length s: what do
+    precision and recall become?") needs the curve itself.  Plan: the
+    same per-score contraction as AUC, one per-source cumulative
+    window carrying both class sums; the output IS the contraction, so
+    the operator probes and RAISES past max_points instead of offering
+    a two-phase path (a curve too big to sort is too big to return —
+    quantize first)."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return RK.roc_curve_points(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+    )
+
+
+@_register(
+    "x_funnel_conversion",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, event_type AS st, epoch_us(ts) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+    ), w0 AS (
+      SELECT *, min(CASE WHEN st = 'view' THEN us END)
+        OVER (PARTITION BY k) AS t0 FROM ev
+    ), w1 AS (
+      SELECT *, min(CASE WHEN st = 'click' AND us > t0
+        AND us <= t0 + 259200000000 THEN us END)
+        OVER (PARTITION BY k) AS t1 FROM w0
+    ), w2 AS (
+      SELECT *, min(CASE WHEN st = 'purchase' AND us > t1
+        AND us <= t1 + 259200000000 THEN us END)
+        OVER (PARTITION BY k) AS t2 FROM w1
+    ), pk AS (
+      SELECT k, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM w2 GROUP BY 1
+    ), tot AS (
+      SELECT
+        CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+        CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2
+      FROM pk
+    ), stacked AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             u0 AS users, u0 AS base FROM tot
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', u1, u0 FROM tot
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', u2, u0 FROM tot
+    )
+    SELECT step_idx, step, users,
+           CAST(CASE WHEN base = 0 THEN 0 ELSE
+             ((users * 1000) // base) * 1000
+             + (((users * 1000) % base) * 1000) // base END
+             AS BIGINT) AS conv_ppm
+    FROM stacked
+    """,
+)
+def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over user event logs,
+    each step within 72h of the previous
+    (operators/temporal.py::funnel_steps): users reaching each step
+    via the greedy earliest-feasible chain (step i = earliest event
+    strictly after step i-1's time), conversion vs step 1 as
+    two-step-division ppm.  Plan: one hash exchange on user_id, three
+    chained UNORDERED window minima over it (no sort anywhere), one
+    per-user aggregate, a 3-row stack."""
+    from kafka_dead_letter_analyzer_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    return T.funnel_steps(
+        ev,
+        steps=["view", "click", "purchase"],
+        within_us=259_200_000_000,
+    )
+
+
 @_register("x_isotonic_calibration")
 def x_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of document length as a predictor of

@@ -72,8 +72,13 @@ def test_bench_emits_parseable_final_line_and_detail(tmp_path):
     # prefixes, attributed deltas, and a named dominant stage
     assert set(st["stages"]) == {
         "source_sink", "plus_decode", "plus_route_parse_enrich",
-        "full_with_stateful_stats",
+        "full_with_stateful_stats", "route_one_batch",
+        "plus_seasonal_baseline",
     }
+    # the amortization probe (round-8): one-trigger route run + the
+    # attributed per-micro-batch planning overhead
+    assert st["stages"]["route_one_batch"]["micro_batches"] == 1
+    assert st["route_per_batch_overhead_sec"] >= 0
     assert all(
         v["seconds"] > 0 and v["records_per_sec"] > 0
         for v in st["stages"].values()

@@ -751,3 +751,56 @@ def test_isotonic_plan_is_contraction_then_grouped_pandas(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# roc_curve_points
+
+
+def test_roc_curve_matches_brute_and_ties_to_auc(spark):
+    rng = random.Random(88)
+    rows = [(rng.randint(0, 30), rng.random() < 0.4) for _ in range(1200)]
+    df = spark.createDataFrame(rows, "s bigint, y boolean")
+    got = {
+        r["s"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in R.roc_curve_points(df, "s", "y").collect()
+    }
+    scores = sorted({s for s, _ in rows})
+    assert set(got) == set(scores)
+    for t in scores:
+        tp = sum(1 for s, y in rows if y and s >= t)
+        fp = sum(1 for s, y in rows if not y and s >= t)
+        fn = sum(1 for s, y in rows if y and s < t)
+        tn = sum(1 for s, y in rows if not y and s < t)
+        assert got[t] == (tp, fp, fn, tn), t
+    # trapezoid over the curve's (fp, tp) points == auc_exact's U2:
+    # sum over thresholds of (fp_gap) * (tp_above + tp_below) = u2
+    pts = sorted(got)  # ascending score = descending (fp, tp)
+    curve = [(got[t][1], got[t][0]) for t in pts] + [(0, 0)]  # (fp, tp)
+    u2 = sum(
+        (fp1 - fp2) * (tp1 + tp2)
+        for (fp1, tp1), (fp2, tp2) in zip(curve, curve[1:])
+    )
+    want = R.auc_exact(df, "s", "y").collect()[0]
+    assert u2 == want["u2"]
+    # the lowest threshold predicts everything positive: (fp, tp) =
+    # (n_neg, n_pos)
+    assert curve[0] == (want["n_neg"], want["n_pos"])
+
+
+def test_roc_curve_grouped_keeps_empty_class_and_caps(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, True), ("g1", 2, True), ("g2", 1, True), ("g2", 2, False)],
+        "g string, s bigint, y boolean",
+    )
+    out = {
+        (r["g"], r["s"]): (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in R.roc_curve_points(
+            df, "s", "y", group_cols=["g"]
+        ).collect()
+    }
+    # g1 has no negatives: curve still defined with fp = tn = 0
+    assert out[("g1", 2)] == (1, 0, 1, 0)
+    assert out[("g2", 2)] == (0, 1, 1, 0)
+    with pytest.raises(ValueError, match="quantize"):
+        R.roc_curve_points(df, "s", "y", max_points=1)

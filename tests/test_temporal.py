@@ -1194,3 +1194,76 @@ def test_decay_weighted_counts_exact_weights(spark):
         "a": (4, 1_000_000 + 1_000_000 + 500_000 + 250_000),
         "b": (2, 1_000_000 // (1 << 10) + 0),
     }, got
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps
+
+
+def test_funnel_greedy_chain_strict_after_and_within(spark):
+    import datetime as dt
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+
+    def ts(mins):
+        return e + dt.timedelta(minutes=mins)
+
+    rows = [
+        # u1 completes: view@0 -> click@10 -> buy@20
+        ("u1", "view", ts(0)), ("u1", "click", ts(10)), ("u1", "buy", ts(20)),
+        # u2: click BEFORE view -> not strictly after -> stops at view
+        ("u2", "click", ts(0)), ("u2", "view", ts(5)),
+        # u3: click at the SAME instant as view -> strictly-after fails
+        ("u3", "view", ts(0)), ("u3", "click", ts(0)),
+        # u4: click past the within bound (view@0, click@100 > 60m cap)
+        ("u4", "view", ts(0)), ("u4", "click", ts(100)),
+        # u5: GREEDY chain: view@0, clicks at 5 and 50, buy@30 — the
+        # earliest feasible click (5) lets buy@30 count even though the
+        # later click (50) would not
+        ("u5", "view", ts(0)), ("u5", "click", ts(5)),
+        ("u5", "click", ts(50)), ("u5", "buy", ts(30)),
+        # u6 never views
+        ("u6", "click", ts(1)), ("u6", "buy", ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    out = {
+        r["step"]: (r["step_idx"], r["users"], r["conv_ppm"])
+        for r in funnel_steps(
+            df, ["view", "click", "buy"], within_us=60 * 60_000_000
+        ).collect()
+    }
+    assert out["view"] == (1, 5, 1_000_000)   # u1..u5 viewed
+    assert out["click"] == (2, 2, 400_000)    # u1, u5
+    assert out["buy"] == (3, 2, 400_000)      # u1, u5 (greedy chain)
+
+    with pytest.raises(ValueError, match="steps"):
+        funnel_steps(df, ["view"])
+    with pytest.raises(ValueError, match="within_us"):
+        funnel_steps(df, ["view", "click"], within_us=0)
+
+
+def test_funnel_empty_and_plan_has_single_key_exchange(spark):
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id string, event_type string, ts timestamp"
+    )
+    rows = funnel_steps(empty, ["a", "b"]).collect()
+    assert [(r["users"], r["conv_ppm"]) for r in rows] == [(0, 0), (0, 0)]
+    df = spark.createDataFrame(
+        [("u", "a", None)], "user_id string, event_type string, ts timestamp"
+    )
+    plan = (
+        funnel_steps(df, ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one key exchange feeds the chained unordered windows; funnel
+    # windows add no sort (the final 1-row total is SinglePartition by
+    # nature, over k longs)
+    assert plan.count("Exchange hashpartitioning") <= 2
