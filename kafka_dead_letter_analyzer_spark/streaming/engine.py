@@ -1535,6 +1535,25 @@ def streaming_trend_alerts(
 # ---------------------------------------------------------------------------
 
 
+def _dgim_add(sizes: list, tss: list, ts: int, k: int) -> None:
+    """Fold one event at ``ts`` into a DGIM bucket list (oldest ..
+    newest): append a size-1 bucket, then cascade-merge the two OLDEST
+    buckets of any size that exceeds k+1 occurrences (the merged
+    bucket keeps the newer closing timestamp)."""
+    sizes.append(1)
+    tss.append(ts)
+    size = 1
+    while True:
+        idxs = [i for i, s in enumerate(sizes) if s == size]
+        if len(idxs) <= k + 1:
+            break
+        i, j = idxs[0], idxs[1]  # oldest two (list is old->new)
+        sizes[j] = size * 2
+        del sizes[i]
+        del tss[i]
+        size *= 2
+
+
 def _make_dgim_fn(window_us: int, k: int):
     def _dgim_fn(key, pdfs, state) -> Iterator:
         """Datar-Gionis-Indyk-Motwani exponential histogram per key:
@@ -1556,30 +1575,13 @@ def _make_dgim_fn(window_us: int, k: int):
         else:
             last_ts, sizes, tss = -1, [], []
 
-        def add(ts: int) -> None:
-            sizes.append(1)
-            tss.append(ts)
-            # merge cascade: more than k+1 buckets of a size -> merge
-            # the two oldest of that size
-            size = 1
-            while True:
-                idxs = [i for i, s in enumerate(sizes) if s == size]
-                if len(idxs) <= k + 1:
-                    break
-                i, j = idxs[0], idxs[1]  # oldest two (list is old->new)
-                sizes[j] = size * 2
-                # merged bucket keeps the NEWER closing timestamp
-                del sizes[i]
-                del tss[i]
-                size *= 2
-
         events = []
         for pdf in pdfs:
             events.extend(int(t) for t in pdf["us"])
         for ts in sorted(events):
             if ts > last_ts:
                 last_ts = ts
-            add(ts)
+            _dgim_add(sizes, tss, ts, k)
         # expire buckets wholly outside the window
         cutoff = last_ts - window_us
         while tss and tss[0] <= cutoff:
@@ -1636,6 +1638,139 @@ def streaming_sliding_count(
             " est_count long, n_buckets long"
         ),
         stateStructType="last_ts long, sizes array<long>, tss array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _make_dgim_sum_fn(window_us: int, k: int, weight_bits: int):
+    def _dgim_sum_fn(key, pdfs, state) -> Iterator:
+        """Bit-plane DGIM: one exponential histogram PER BIT of the
+        integer weight — an event of weight w inserts a size-1 bucket
+        into plane b for every set bit b, so plane b's window count is
+        the number of in-window events with bit b set and the window
+        SUM is sum_b 2^b * count_b.  Each plane carries DGIM's own
+        absolute bound (oldest straddling bucket / 2), so the summed
+        bound err = sum_b 2^b * oldest_b//2 <= (1/2k) * true window
+        sum — the estimate ships its own certificate.  State is flat
+        (plane, size, ts) triples: O(weight_bits * k * log W) longs per
+        key, independent of rate."""
+        import pandas as pd
+
+        if state.exists:
+            last_ts, planes_, sizes_, tss_ = state.get
+            per: dict[int, tuple[list, list]] = {}
+            for b, s, t in zip(planes_, sizes_, tss_):
+                per.setdefault(int(b), ([], []))
+                per[int(b)][0].append(int(s))
+                per[int(b)][1].append(int(t))
+        else:
+            last_ts, per = -1, {}
+
+        events: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for ts, w in zip(pdf["us"], pdf["w"]):
+                w = int(w)
+                if w < 0 or w >> weight_bits:
+                    raise ValueError(
+                        f"streaming_sliding_sum: weight {w} outside"
+                        f" [0, 2^{weight_bits}); rescale the weight or"
+                        " raise weight_bits"
+                    )
+                events.append((int(ts), w))
+        for ts, w in sorted(events):
+            if ts > last_ts:
+                last_ts = ts
+            b = 0
+            while w:
+                if w & 1:
+                    sizes, tss = per.setdefault(b, ([], []))
+                    _dgim_add(sizes, tss, ts, k)
+                w >>= 1
+                b += 1
+        cutoff = last_ts - window_us
+        est = err = nb = 0
+        flat_p: list[int] = []
+        flat_s: list[int] = []
+        flat_t: list[int] = []
+        for b in sorted(per):
+            sizes, tss = per[b]
+            while tss and tss[0] <= cutoff:
+                del tss[0]
+                del sizes[0]
+            if not sizes:
+                continue
+            est += (1 << b) * (sum(sizes) - sizes[0] // 2)
+            err += (1 << b) * (sizes[0] // 2)
+            nb += len(sizes)
+            flat_p.extend([b] * len(sizes))
+            flat_s.extend(sizes)
+            flat_t.extend(tss)
+        state.update((last_ts, flat_p, flat_s, flat_t))
+        yield pd.DataFrame(
+            {
+                "topic": [key[0]],
+                "type": [key[1]],
+                "as_of_us": [last_ts],
+                "est_sum": [est],
+                "err_bound": [err],
+                "n_buckets": [nb],
+            }
+        )
+
+    return _dgim_sum_fn
+
+
+def streaming_sliding_sum(
+    enriched: DataFrame,
+    weight_expr: str,
+    window_us: int = 3_600_000_000,
+    k: int = 8,
+    weight_bits: int = 20,
+) -> DataFrame:
+    """Approximate SLIDING-window weighted sum per (topic, type) —
+    "how many BYTES of dead letters in the last hour, as of now" —
+    in O(weight_bits * k * log W) state: the bit-plane extension of
+    :func:`streaming_sliding_count` (NOTES round-7 candidate).  The
+    integer weight (``weight_expr``, a SQL expression over the
+    enriched stream yielding a non-negative integer < 2^weight_bits)
+    splits into its binary planes; each plane runs an independent DGIM
+    exponential histogram over the events with that bit set, and the
+    window sum reassembles as ``sum_b 2^b * plane_count_b``.
+
+    Emits ``(topic, type, as_of_us, est_sum, err_bound, n_buckets)``
+    per touched key per micro-batch.  ``err_bound`` is the exact
+    summed straddling-bucket bound — ``|est_sum - true_sum| <=
+    err_bound <= true_sum / (2k)`` once each active plane's window
+    holds >= ~2k events — so every emission certifies itself, and in
+    the exact regime (k+1 >= buckets per size everywhere: no merges
+    ever) ``est_sum`` EQUALS the true sliding sum with err_bound 0
+    (differential-tested).  Rows with NULL/invalid weights raise
+    (honest contract; filter upstream to opt out)."""
+    if k < 1:
+        raise ValueError("streaming_sliding_sum: k must be >= 1")
+    if window_us < 1:
+        raise ValueError("streaming_sliding_sum: window_us must be >= 1")
+    if not (1 <= weight_bits <= 62):
+        raise ValueError(
+            "streaming_sliding_sum: weight_bits must be in [1, 62]"
+        )
+    keyed = enriched.select(
+        F.col("error_key.topic").alias("topic"),
+        F.col("error_key.type").alias("type"),
+        F.expr("unix_micros(context.timestamp)").alias("us"),
+        F.expr(f"CAST(({weight_expr}) AS BIGINT)").alias("w"),
+    )
+    return keyed.groupBy("topic", "type").applyInPandasWithState(
+        _make_dgim_sum_fn(int(window_us), int(k), int(weight_bits)),
+        outputStructType=(
+            "topic string, type string, as_of_us long, est_sum long,"
+            " err_bound long, n_buckets long"
+        ),
+        stateStructType=(
+            "last_ts long, planes array<long>, sizes array<long>,"
+            " tss array<long>"
+        ),
         outputMode="update",
         timeoutConf="NoTimeout",
     )

@@ -2708,3 +2708,116 @@ def test_streaming_seasonal_alerts_end_to_end(spark, tmp_path):
     assert got[(base_day + 1, 5)] == (3, 2, 1_500_000)
     # day 2 hour 5: cnt 4 vs lower median of {2, 3} = 2 -> 2e6
     assert got[(base_day + 2, 5)] == (4, 2, 2_000_000)
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window SUM (bit planes)
+
+
+def _drive_dgim_sum(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    outs = []
+    for pairs in batches:
+        pdf = pd.DataFrame(
+            {"us": [u for u, _ in pairs], "w": [w for _, w in pairs]}
+        )
+        for out in fn(("t", "ty"), [pdf], st):
+            outs.append(
+                (int(out["as_of_us"][0]), int(out["est_sum"][0]),
+                 int(out["err_bound"][0]), int(out["n_buckets"][0]))
+            )
+    return outs, st._v
+
+
+def test_dgim_sum_exact_regime_equals_true_sliding_sum():
+    """With k large enough that no plane ever merges, the estimate IS
+    the exact sliding sum and the certificate is 0 — across random
+    weights, windows, and arbitrary micro-batch splits."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_sum_fn,
+    )
+
+    rng = random.Random(0xD61)
+    for trial in range(5):
+        window = rng.randint(20, 60)
+        events = sorted(
+            (rng.randint(0, 200), rng.randint(0, 1023))
+            for _ in range(rng.randint(10, 60))
+        )
+        cut = rng.randint(0, len(events))
+        fn = _make_dgim_sum_fn(window, k=10_000, weight_bits=10)
+        outs, _ = _drive_dgim_sum(fn, [events[:cut], events[cut:]])
+        # check the FINAL emission against the exact trailing window
+        as_of, est, err, _ = outs[-1]
+        true = sum(w for u, w in events if as_of - window < u <= as_of)
+        assert err == 0
+        assert est == true, (trial, est, true)
+
+
+def test_dgim_sum_certificate_holds_under_merging():
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_sum_fn,
+    )
+
+    rng = random.Random(0xD62)
+    for k in (1, 2, 4):
+        events = sorted(
+            (rng.randint(0, 500), rng.choice([1, 3, 7, 12, 100, 900]))
+            for _ in range(400)
+        )
+        fn = _make_dgim_sum_fn(100, k=k, weight_bits=10)
+        outs, _ = _drive_dgim_sum(fn, [events])
+        as_of, est, err, nb = outs[-1]
+        true = sum(w for u, w in events if as_of - 100 < u <= as_of)
+        assert abs(est - true) <= err, (k, est, true, err)
+        # a filled window's certificate is a small fraction of the sum
+        assert err <= true, (k, err, true)
+
+
+def test_dgim_sum_weight_one_matches_sliding_count():
+    """All-ones weights degenerate to plane 0 == the count histogram:
+    the sum estimate must equal streaming_sliding_count's estimate on
+    the same event times (same k, same window)."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_fn,
+        _make_dgim_sum_fn,
+    )
+
+    rng = random.Random(0xD63)
+    uss = sorted(rng.randint(0, 300) for _ in range(200))
+    fn_cnt = _make_dgim_fn(80, k=3)
+    outs_cnt, _ = _drive_dgim(fn_cnt, [uss])
+    fn_sum = _make_dgim_sum_fn(80, k=3, weight_bits=4)
+    outs_sum, _ = _drive_dgim_sum(fn_sum, [[(u, 1) for u in uss]])
+    assert outs_cnt[-1][0] == outs_sum[-1][0]  # same as_of
+    assert outs_cnt[-1][1] == outs_sum[-1][1]  # same estimate
+
+
+def test_dgim_sum_weight_guard_and_arg_validation(spark):
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_dgim_sum_fn,
+        streaming_sliding_sum,
+    )
+
+    fn = _make_dgim_sum_fn(100, k=4, weight_bits=4)
+    with pytest.raises(ValueError, match="weight"):
+        _drive_dgim_sum(fn, [[(1, 16)]])  # 16 >= 2^4
+    with pytest.raises(ValueError, match="weight"):
+        _drive_dgim_sum(fn, [[(1, -1)]])
+    df = spark.range(1).select(
+        F.struct(F.lit("t").alias("topic"), F.lit("y").alias("type"))
+        .alias("error_key"),
+        F.struct(F.current_timestamp().alias("timestamp")).alias("context"),
+    )
+    with pytest.raises(ValueError, match="weight_bits"):
+        streaming_sliding_sum(df, "1", weight_bits=63)
+    with pytest.raises(ValueError, match="k must"):
+        streaming_sliding_sum(df, "1", k=0)
