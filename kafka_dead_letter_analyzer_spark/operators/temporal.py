@@ -729,7 +729,18 @@ def funnel_steps(
     consumes the previous step's column; no orderBy, so no sort — the
     plan is exchange + k WindowExec + one per-key aggregate + a 1-row
     total), then a k-row stack.  Nothing in the plan scales with
-    anything but the event count; per-key state is k longs."""
+    anything but the event count; per-key state is k longs.
+
+    Relationship to ``queries.py::x_event_funnel`` (the join-chain
+    form): that one scans the fact table once PER STAGE with the
+    stage's type predicate pushed to parquet and chains equi-joins —
+    the right plan when stage types are highly selective (each scan
+    reads a sliver of 100 TB) and there is no time bound.  This one
+    reads the matching events ONCE and chains window minima — the
+    right plan when the steps cover much of the table, when a
+    ``within_us`` bound applies (the join form would need k-1
+    range-join stages), or when k is large.  Both keep one timestamp
+    per (key, stage), never an event list."""
     if len(steps) < 2:
         raise ValueError("funnel_steps: need at least 2 steps")
     if within_us is not None and within_us <= 0:

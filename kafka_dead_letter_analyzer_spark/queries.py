@@ -7333,7 +7333,12 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after step i-1's time), conversion vs step 1 as
     two-step-division ppm.  Plan: one hash exchange on user_id, three
     chained UNORDERED window minima over it (no sort anywhere), one
-    per-user aggregate, a 3-row stack."""
+    per-user aggregate, a 3-row stack.  The WINDOW-CHAIN complement of
+    x_event_funnel's join-chain plan: that form pushes each stage's
+    type predicate into its own parquet scan (wins when stages are
+    selective slivers of 100 TB, but has no time bound); this form
+    reads matching events once and carries the 72h within-bound that
+    the join form would need k-1 range joins to express."""
     from kafka_dead_letter_analyzer_spark.operators import temporal as T
 
     ev = load_table(spark, sf_dir, "events")
