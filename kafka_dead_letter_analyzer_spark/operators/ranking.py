@@ -628,6 +628,14 @@ def kendall_tau_exact(
     cells = base.groupBy(*groups, "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # the cap probe materializes cells anyway; the pair join consumes
+    # it twice and both tie masses derive from it — persist the
+    # (bounded, <= max_cells per group) contraction so the base scans
+    # once, not five times
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    cells = cells.persist()
+    cache_registry.track(cells)
     probe = (
         cells.groupBy(*groups).count().agg(F.max("count").alias("m"))
     ).collect()[0]["m"]
@@ -673,13 +681,17 @@ def kendall_tau_exact(
     )
 
     def _tie_mass(col: str, out: str):
+        # marginal multiplicities from the persisted joint contraction
+        # (sum of cell counts), not another base scan
         return (
-            base.groupBy(*groups, col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            cells.groupBy(*groups, col)
+            .agg(F.sum("c").cast("bigint").alias("cc"))
             .groupBy(*groups)
             .agg(
-                F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias(out),
-                F.sum("c").cast("bigint").alias(f"_n_{out}"),
+                F.sum(F.expr("cc * (cc - 1) DIV 2"))
+                .cast("bigint")
+                .alias(out),
+                F.sum("cc").cast("bigint").alias(f"_n_{out}"),
             )
         )
 
@@ -817,6 +829,16 @@ def kendall_tau_quantized(
     cells = q.groupBy(*groups, "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # the grid-size probe materializes cells anyway, and FIVE downstream
+    # consumers (grid x/y distincts, the dominance windows, both tie
+    # masses) re-derive it — without the persist each re-derivation is
+    # a full base scan + quantize join (measured 2.5 s at sf0.1, ~6
+    # scans); with it, one scan builds the bucket-bounded contraction
+    # and everything after is contraction-sized
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    cells = cells.persist()
+    cache_registry.track(cells)
     xs = cells.select(*groups, "x").distinct()
     ys = cells.select(*groups, "y").distinct()
     grid = xs.join(ys, groups) if groups else xs.crossJoin(ys)
@@ -867,13 +889,18 @@ def kendall_tau_quantized(
     )
 
     def _tie_mass(col: str, out: str):
+        # marginal multiplicities come from the persisted cells
+        # contraction (sum of joint-cell counts), never another base
+        # scan
         return (
-            q.groupBy(*groups, col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            cells.groupBy(*groups, col)
+            .agg(F.sum("c").cast("bigint").alias("cc"))
             .groupBy(*groups)
             .agg(
-                F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias(out),
-                F.sum("c").cast("bigint").alias(f"_n_{out}"),
+                F.sum(F.expr("cc * (cc - 1) DIV 2"))
+                .cast("bigint")
+                .alias(out),
+                F.sum("cc").cast("bigint").alias(f"_n_{out}"),
             )
         )
 
