@@ -1222,3 +1222,35 @@ def test_spearman_near_continuous_column_has_no_per_group_sort(spark):
     assert y_attr, "plan should still reference the y column"
     for spec in re.findall(r"windowspecdefinition\([^\)]+", p):
         assert not re.search(r"\by#\d+L ASC", spec), spec
+
+
+def test_roc_curve_single_contraction_no_cartesian(spark, Q):
+    s = plan_of(Q.x_roc_curve(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+    # one contraction exchange + the window regroup is the ceiling
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_kendall_quantized_grid_windows_partition_on_group(spark, Q):
+    s = plan_of(Q.x_kendall_price_quantized(spark, SF))
+    assert "CartesianProduct" not in s
+    # every window partitions on (group, axis) — no single-task stage
+    assert "SinglePartition" not in s
+    # the bounded contraction is materialized once (persisted cells)
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s
+
+
+def test_funnel_windows_are_unordered_single_key_exchange(spark, Q):
+    s = plan_of(Q.x_funnel_conversion(spark, SF))
+    assert "CartesianProduct" not in s
+    # chained funnel windows share ONE user_id exchange; no sort is
+    # required by an unordered frame
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_isotonic_contraction_feeds_grouped_pandas(spark, Q):
+    s = plan_of(Q.x_isotonic_calibration(spark, SF))
+    assert "FlatMapGroupsInPandas" in s
+    assert "HashAggregate" in s
+    assert "CartesianProduct" not in s
