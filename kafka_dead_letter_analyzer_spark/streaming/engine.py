@@ -1936,3 +1936,91 @@ def streaming_seasonal_alerts(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming stratified quota sample (live twin of sampling.stratified_quota)
+# ---------------------------------------------------------------------------
+
+
+def _make_quota_fn(k: int):
+    def _quota_fn(key, pdfs, state) -> Iterator:
+        """Bottom-k-by-hash reservoir per stratum: state = the k
+        (md5hex, key) pairs smallest in lexicographic (hash, key)
+        order, plus the exact row count.  Because membership is a pure
+        function of the row SET ("the k smallest hashes seen"), the
+        state after any prefix of micro-batches equals the batch
+        ``stratified_quota`` of exactly those rows — arrival order and
+        batch boundaries cannot change it (the property a true
+        random-eviction reservoir lacks, and the reason every sampler
+        in this engine draws by hash)."""
+        import pandas as pd
+
+        if state.exists:
+            n, hs, ids = state.get
+            pairs = list(zip(hs, ids))
+        else:
+            n, pairs = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            pairs.extend(zip(pdf["h"], pdf["id"]))
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(
+            (n, [h for h, _ in pairs], [i for _, i in pairs])
+        )
+        yield pd.DataFrame(
+            {
+                "stratum": [str(key[0])] * len(pairs),
+                "id": [i for _, i in pairs],
+                "sample_rank": list(range(1, len(pairs) + 1)),
+                "n": [n] * len(pairs),
+            }
+        )
+
+    return _quota_fn
+
+
+def streaming_stratified_quota(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Live stratified quota sample — the streaming twin of
+    ``operators/sampling.py::stratified_quota``: at every trigger each
+    touched stratum re-emits its current ``min(k, rows-so-far)``
+    sample ``(stratum, id, sample_rank, n)`` in update mode (``n``
+    strictly increases — downstream keeps the max-n rows per stratum,
+    the same upsert consumption model as the sketches).
+
+    EXACTNESS CONTRACT (differential-tested): after any sequence of
+    micro-batches, a stratum's emitted id set EQUALS the batch
+    ``stratified_quota`` over the same rows, because selection is
+    bottom-k by the SAME salted md5 rank with the same (hash, key)
+    tiebreak — a deterministic function of the row set, independent of
+    arrival order, batching, and partitioning.  State per stratum is
+    O(k) strings regardless of stream length; the md5 is computed
+    JVM-side (codegen) before the state operator, so the Python side
+    only merges sorted pairs."""
+    if k < 1:
+        raise ValueError("streaming_stratified_quota: k must be >= 1")
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        _salted_key,
+    )
+
+    keyed = df.select(
+        F.col(stratum).cast("string").alias("stratum"),
+        F.md5(_salted_key(F.col(key), salt)).alias("h"),
+        F.col(key).cast("string").alias("id"),
+    ).filter(F.col("id").isNotNull())
+    return keyed.groupBy("stratum").applyInPandasWithState(
+        _make_quota_fn(int(k)),
+        outputStructType=(
+            "stratum string, id string, sample_rank long, n long"
+        ),
+        stateStructType="n long, hs array<string>, ids array<string>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

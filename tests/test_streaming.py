@@ -2821,3 +2821,108 @@ def test_dgim_sum_weight_guard_and_arg_validation(spark):
         streaming_sliding_sum(df, "1", weight_bits=63)
     with pytest.raises(ValueError, match="k must"):
         streaming_sliding_sum(df, "1", k=0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming stratified quota sample
+
+
+def test_quota_fn_batching_invariant_and_bounded():
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_quota_fn,
+    )
+
+    rng = random.Random(0x5A11)
+    ids = [f"k{rng.randint(0, 400)}" for _ in range(300)]
+    rows = [(hashlib.md5(i.encode()).hexdigest(), i) for i in ids]
+
+    def run(splits):
+        st = _FakeState()
+        fn = _make_quota_fn(10)
+        last = None
+        for chunk in splits:
+            pdf = pd.DataFrame(
+                {"h": [h for h, _ in chunk], "id": [i for _, i in chunk]}
+            )
+            for out in fn(("s",), [pdf], st):
+                last = [(r.id, r.sample_rank, r.n) for r in out.itertuples()]
+        return last, st._v
+
+    cut = rng.randint(0, len(rows))
+    a, sa = run([rows])
+    b, sb = run([rows[:cut], rows[cut:]])
+    c, sc = run([rows[i:i + 7] for i in range(0, len(rows), 7)])
+    assert a == b == c
+    assert sa == sb == sc
+    assert len(sa[1]) <= 10 and sa[0] == len(rows)
+    # reference: bottom-10 of the full multiset by (hash, id)
+    want = [i for _, i in sorted(rows)[:10]]
+    assert [i for i, _, _ in a] == want
+
+
+def test_streaming_quota_equals_batch_stratified_quota(spark, tmp_path):
+    """The live sample after all micro-batches must equal the batch
+    stratified_quota over the same rows — same salted md5 rank, same
+    tiebreak, so the twin is exact, not approximate."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        stratified_quota,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_stratified_quota,
+    )
+
+    rng = random.Random(0x5A12)
+    rows = [
+        (f"s{i % 3}", f"doc{rng.randint(0, 500)}") for i in range(400)
+    ]
+    schema = "stratum string, doc_id string"
+    src = str(tmp_path / "quota_src")
+    for i in range(0, 400, 100):  # 4 ordered micro-batch files
+        spark.createDataFrame(rows[i:i + 100], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_stratified_quota(
+            stream, stratum="stratum", key="doc_id", k=7, salt="tw"
+        )
+        .writeStream.format("memory")
+        .queryName("quota_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.table("quota_sink").collect()
+    finally:
+        q.stop()
+    # keep each stratum's max-n emission (the upsert consumption model)
+    latest: dict = {}
+    for r in emitted:
+        cur = latest.setdefault(r["stratum"], {})
+        if not cur or r["n"] > cur["n"]:
+            latest[r["stratum"]] = {
+                "n": r["n"], "ids": {(r["id"], r["sample_rank"])}
+            }
+        elif r["n"] == cur["n"]:
+            cur["ids"].add((r["id"], r["sample_rank"]))
+    batch = stratified_quota(
+        spark.createDataFrame(rows, schema),
+        stratum="stratum", key="doc_id", k=7, salt="tw",
+    ).collect()
+    want: dict = {}
+    for r in batch:
+        want.setdefault(r["stratum"], set()).add(
+            (r["doc_id"], r["sample_rank"])
+        )
+    got = {s: v["ids"] for s, v in latest.items()}
+    assert got == want
