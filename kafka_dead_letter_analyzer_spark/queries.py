@@ -7349,6 +7349,27 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x_pca_projection")
+def x_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PCA of the embedding corpus, projected to 4
+    components (operators/similarity.py::pca_fit + pca_project) — the
+    dimensionality audit/reduction step of an embedding pipeline.  The
+    fit is ONE corpus scan reducing each partition to d + d^2 doubles
+    (numpy X^T X per Arrow batch inside mapInPandas; vectors never
+    shuffle), the driver eigendecomposes the 64 x 64 covariance, and
+    the projection is one broadcast-matmul pandas UDF pass.  ROWS-ONLY
+    by design: projections are doubles, which this repo's oracle rules
+    ban from the hash surface — correctness is differential-tested
+    against a direct numpy PCA of the same rows plus orthonormality /
+    partition-independence / variance-spectrum invariants
+    (tests/test_extensions.py)."""
+    from kafka_dead_letter_analyzer_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mean, _n = S.pca_fit(emb, n_components=4)
+    return S.pca_project(emb, comps, mean)
+
+
 @_register("x_isotonic_calibration")
 def x_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of document length as a predictor of

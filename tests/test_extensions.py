@@ -1798,3 +1798,85 @@ def test_bfs_hops_matches_bruteforce_both_strategies(spark):
     for limit in (1_000_000, None):
         with _pytest.raises(RuntimeError, match="frontier still expanding"):
             bfs_hops(edf, sdf, max_hops=3, driver_pair_limit=limit)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (Gram-matrix accumulation)
+
+
+def test_pca_matches_direct_numpy_and_is_partition_independent(spark):
+    import random
+
+    import numpy as np
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = random.Random(0xAC1)
+    d, n = 12, 400
+    # anisotropic cloud: two dominant directions + noise
+    base = np.array([rng.gauss(0, 1) for _ in range(d)])
+    rows = []
+    for i in range(n):
+        v = (
+            rng.gauss(0, 5) * np.eye(d)[0]
+            + rng.gauss(0, 2) * np.eye(d)[1]
+            + np.array([rng.gauss(0, 0.3) for _ in range(d)])
+            + base
+        )
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    comps, vals, mean, cnt = pca_fit(df, n_components=3)
+    assert cnt == n
+    # reference: direct numpy on the same matrix
+    M = np.array([v for _, v in rows])
+    mu = M.mean(axis=0)
+    C = (M - mu).T @ (M - mu) / n
+    ev, evec = np.linalg.eigh(C)
+    order = np.argsort(ev)[::-1][:3]
+    ref = evec[:, order].T.copy()
+    for i in range(3):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(vals, ev[order], rtol=1e-9, atol=1e-9)
+    assert np.allclose(comps, ref, rtol=1e-7, atol=1e-9)
+    assert np.allclose(mean, mu, rtol=1e-12, atol=1e-12)
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+    # partition independence of the accumulation
+    comps2, vals2, mean2, cnt2 = pca_fit(df.repartition(13), n_components=3)
+    assert cnt2 == n and np.allclose(comps2, comps, atol=1e-9)
+
+    # projection equals (X - mu) @ W^T rowwise
+    proj = {
+        r["vec_id"]: np.array(r["pc"])
+        for r in pca_project(df, comps, mean).collect()
+    }
+    want = (M - mu) @ comps.T
+    for i in range(n):
+        assert np.allclose(proj[i], want[i], atol=1e-9), i
+    # variance along pc0 ~ eigval0
+    P = np.array([proj[i] for i in range(n)])
+    assert np.allclose(P.var(axis=0), vals, rtol=1e-6)
+
+
+def test_pca_guards(spark):
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        pca_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pt.raises(ValueError, match="n_components"):
+        pca_fit(df, n_components=3)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pt.raises(ValueError, match="empty"):
+        pca_fit(empty)
