@@ -524,6 +524,71 @@ def bloom_contains(
     return True
 
 
+def bloom_probe(
+    df: DataFrame,
+    sketch: DataFrame,
+    key: str,
+    num_hashes: int = 4,
+    num_words: int = 64,
+) -> DataFrame:
+    """DISTRIBUTED Bloom membership probe — ``(key, maybe_member
+    BOOLEAN)`` for every distinct probe key: True = possibly in the
+    sketched set (false positives at the standard rate), False =
+    definitely absent.  The scale complement of
+    :func:`bloom_contains` (which probes a COLLECTED bitmap
+    driver-side): here the bitmap stays a DataFrame and the probe set
+    can be billions of rows — the "filter the corpus against
+    yesterday's fingerprints" prefilter in front of an exact
+    anti-join, shrinking its build side by the true-negative rate.
+
+    Plan shape: distinct probe keys fan out ``num_hashes``x (literal
+    explode, same as the build), each (word, bit) lookup LEFT-joins
+    the BROADCAST bitmap (num_words rows — always broadcast-sized by
+    construction; a missing word is an unset bit), and one map-side
+    combined ``min(bit)`` per key ANDs the probes back together.  The
+    only full-width shuffle is the final per-key aggregate, carrying
+    one flag per probe row.  Hash recipe and word layout are exactly
+    the build's (md5-u60, 63-bit words), so no-false-negatives is
+    structural."""
+    if num_hashes < 1 or num_words < 1:
+        raise ValueError(
+            f"bloom_probe: bad num_hashes={num_hashes}"
+            f" num_words={num_words}"
+        )
+    m = _BLOOM_BITS_PER_WORD * num_words
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    salted = F.concat(
+        F.col(key).cast("string"), F.lit("!"), F.col("d").cast("string")
+    )
+    probes = (
+        df.select(F.col(key)).distinct()
+        .select(F.explode(seeds).alias("d"), key)
+        .select(
+            F.col(key),
+            (md5_u60(salted) % m).alias("h"),
+        )
+        .select(
+            F.col(key),
+            F.expr(f"h DIV {_BLOOM_BITS_PER_WORD}")
+            .cast("int")
+            .alias("word"),
+            F.expr(f"CAST(h % {_BLOOM_BITS_PER_WORD} AS INT)").alias(
+                "bit"
+            ),
+        )
+    )
+    looked = probes.join(F.broadcast(sketch), "word", "left").select(
+        F.col(key),
+        F.expr(
+            "CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit)"
+            " & 1 AS INT)"
+        ).alias("hit"),
+    )
+    return looked.groupBy(key).agg(
+        (F.min("hit") == 1).alias("maybe_member")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries — deterministic heavy-hitter summary
 # ---------------------------------------------------------------------------

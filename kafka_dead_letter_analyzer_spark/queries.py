@@ -5958,6 +5958,91 @@ def x_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank_int(edges, "id_a", "id_b", iters=3)
 
 
+@_register("x_bloom_prefilter_audit")
+def x_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom PROBE audit — build the bitmap over the
+    customer keys that placed URGENT orders, probe EVERY customer key against
+    it at scale (operators/sketches.py::bloom_probe — the broadcast
+    word-lookup complement of the driver-side bloom_contains), and
+    report ``(n_probed, n_maybe, n_true, false_pos)``: no false
+    negatives is structural (n_maybe >= n_true always; the oracle
+    equality pins the exact FP count at this m/k/n), and false_pos
+    measures the (1 - e^{-kn/m})^k rate the prefilter pays to shrink
+    an exact anti-join's build side.  Plan: num_hashes-way literal
+    explode of the DISTINCT probe keys, LEFT join against the
+    BROADCAST 64-row bitmap, one map-side-combined min per key, one
+    1-row summary aggregate."""
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    sk = SK.bloom_sketch(orders, key="o_custkey", num_hashes=4, num_words=64)
+    probed = SK.bloom_probe(cust, sk, key="c_custkey")
+    truth = orders.select(F.col("o_custkey").alias("tk")).distinct()
+    joined = probed.join(
+        truth, probed["c_custkey"] == truth["tk"], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("tk").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when(F.col("maybe_member") & F.col("tk").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_pos"),
+    )
+
+
+_ORACLES["x_bloom_prefilter_audit"] = f"""
+    WITH sk AS (
+      SELECT CAST(h // 63 AS INT) AS word,
+             CAST(bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS BIGINT)
+               AS bits
+      FROM (
+        SELECT ({_duck_u60("CAST(o_custkey AS VARCHAR) || '!' || CAST(ds.d AS VARCHAR)")})
+               % 4032 AS h
+        FROM orders CROSS JOIN (SELECT unnest(range(4)) AS d) ds
+        WHERE o_orderpriority = '1-URGENT'
+      ) GROUP BY 1
+    ), probes AS (
+      SELECT c_custkey, CAST(h // 63 AS INT) AS word,
+             CAST(h % 63 AS INT) AS bit
+      FROM (
+        SELECT c_custkey,
+               ({_duck_u60("CAST(c_custkey AS VARCHAR) || '!' || CAST(ds.d AS VARCHAR)")})
+               % 4032 AS h
+        FROM (SELECT DISTINCT c_custkey FROM customer)
+        CROSS JOIN (SELECT unnest(range(4)) AS d) ds
+      )
+    ), looked AS (
+      SELECT c_custkey,
+             CAST(((COALESCE(bits, 0) >> bit) & 1) AS INT) AS hit
+      FROM probes LEFT JOIN sk USING (word)
+    ), mem AS (
+      SELECT c_custkey, min(hit) = 1 AS maybe FROM looked GROUP BY 1
+    ), truth AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT')
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(sum(CASE WHEN t.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN maybe AND t.o_custkey IS NULL THEN 1
+             ELSE 0 END) AS BIGINT) AS false_pos
+    FROM mem LEFT JOIN truth t ON t.o_custkey = mem.c_custkey
+    """
+
+
 @_register(
     "x_bloom_filter",
     f"""

@@ -619,3 +619,46 @@ def test_ss_vs_mg_bracket_the_truth_together(spark):
         assert lo[item] <= true[item] <= hi[item], (
             item, lo[item], true[item], hi[item],
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom probe (round 8)
+
+
+def test_bloom_probe_no_false_negatives_and_agrees_with_driver(spark):
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        bloom_contains,
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "k string"
+    )
+    sk = bloom_sketch(members, key="k", num_hashes=4, num_words=16)
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)]
+        + [(f"x{i}",) for i in range(300)],
+        "k string",
+    )
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(
+            probes, sk, key="k", num_hashes=4, num_words=16
+        ).collect()
+    }
+    # structural: every true member answers True
+    assert all(got[f"m{i}"] for i in range(200))
+    # the distributed probe agrees with the driver-side probe, key by key
+    rows = sk.collect()
+    for k, v in got.items():
+        assert v == bloom_contains(rows, k, num_hashes=4, num_words=16), k
+    # at 16 words (1008 bits) / 200 keys / 4 hashes some but not all
+    # non-members pass — the FP band sanity check
+    fps = sum(1 for i in range(300) if got[f"x{i}"])
+    assert 0 < fps < 300
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="bloom_probe"):
+        bloom_probe(probes, sk, key="k", num_hashes=0)
