@@ -7434,6 +7434,100 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_f1_threshold",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, s,
+             CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT)
+               - CAST(COALESCE(sum(pos) OVER (PARTITION BY source
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                 PRECEDING), 0) AS BIGINT) AS tp,
+             CAST(sum(neg) OVER (PARTITION BY source) AS BIGINT)
+               - CAST(COALESCE(sum(neg) OVER (PARTITION BY source
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                 PRECEDING), 0) AS BIGINT) AS fp,
+             CAST(COALESCE(sum(pos) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS fn
+      FROM c
+    ), scored AS (
+      SELECT source, s, tp, fp, fn,
+             CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE
+               ((2 * tp * 1000) // (2 * tp + fp + fn)) * 1000
+               + (((2 * tp * 1000) % (2 * tp + fp + fn)) * 1000)
+                 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+      FROM w
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY f1_ppm DESC, s ASC) AS rn
+      FROM scored
+    )
+    SELECT source, s AS threshold, tp, fp, fn, f1_ppm
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-optimal gating threshold per source — the decision layer on
+    top of x_roc_curve: for each source, the score threshold whose
+    "predict positive when n_chars >= s" rule maximizes F1 =
+    2tp/(2tp+fp+fn), with the F1 emitted as a two-step-division ppm
+    (ties break to the LOWEST threshold — deterministic on both
+    engines at ppm resolution).  This is the query a quality-filter
+    deployment actually runs after auditing the curve: one number per
+    source to put in the gate config.  Plan: the ROC contraction and
+    windows (roc_curve_points), one f1_ppm projection, one per-source
+    row_number argmax — everything contraction-sized after the single
+    full-data shuffle."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    curve = RK.roc_curve_points(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+    )
+    scored = curve.withColumn(
+        "f1_ppm",
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE"
+            " ((2 * tp * 1000) DIV (2 * tp + fp + fn)) * 1000"
+            " + (((2 * tp * 1000) % (2 * tp + fp + fn)) * 1000)"
+            " DIV (2 * tp + fp + fn) END AS BIGINT)"
+        ),
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.desc("f1_ppm"), F.asc("s")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "source",
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "f1_ppm",
+    )
+
+
 @_register("x_pca_projection")
 def x_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed PCA of the embedding corpus, projected to 4
