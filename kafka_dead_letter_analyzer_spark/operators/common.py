@@ -1,0 +1,52 @@
+"""Shared exact-arithmetic and join idioms used across operator
+modules — hoisted (round-8 review) so the overflow-sensitive division
+pattern is maintained in ONE place instead of per-module copies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ppm2(num: str, nt: str) -> str:
+    """Two-step long-division ppm: exact ``floor(num * 1e6 / nt)`` for
+    ``0 <= num <= nt`` with no intermediate beyond ``nt * 1000`` —
+    identical SQL text on Spark and DuckDB (modulo ``DIV`` vs ``//``,
+    which callers' oracles mirror).  The identity holds for ANY
+    non-negative num (write num*1000 = nt*d1 + r: num*1e6 = nt*d1*1000
+    + r*1000, so floor(num*1e6/nt) = d1*1000 + floor(r*1000/nt)); the
+    num <= nt phrasing is the bound callers use to size ``nt * 1000``
+    against int64."""
+    return (
+        f"(({num} * 1000) DIV {nt}) * 1000"
+        f" + ((({num} * 1000) % {nt}) * 1000) DIV {nt}"
+    )
+
+
+def null_safe_group_join(
+    left: DataFrame, right: DataFrame, groups: list[str]
+) -> DataFrame:
+    """Inner-join ``right`` onto ``left`` by the group columns with
+    NULL-SAFE equality, keeping left's columns plus right's non-group
+    columns.  A plain ``join(right, groups)`` silently drops rows
+    whose group key is NULL — but ``groupBy`` keeps NULL as a real
+    group, so an aggregate-join-back pattern (per-group anchors,
+    per-group spans) would otherwise lose exactly the NULL group that
+    the aggregation produced a row for."""
+    if not groups:
+        raise ValueError("null_safe_group_join: needs group columns")
+    l, r = left.alias("_nsl"), right.alias("_nsr")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_nsl.{g}").eqNullSafe(F.col(f"_nsr.{g}"))
+            for g in groups
+        ],
+    )
+    extra = [c for c in right.columns if c not in groups]
+    return l.join(r, cond, "inner").select(
+        "_nsl.*", *[F.col(f"_nsr.{c}") for c in extra]
+    )

@@ -73,12 +73,12 @@ _I64_MAX = 9223372036854775807
 
 
 def _ppm2(num: str, nt: str) -> str:
-    """Two-step long-division ppm: exact ``num*1e6 div nt`` for
-    ``0 <= num <= nt`` with no intermediate beyond ``nt*1000``."""
-    return (
-        f"(({num} * 1000) DIV {nt}) * 1000"
-        f" + ((({num} * 1000) % {nt}) * 1000) DIV {nt}"
-    )
+    """Two-step long-division ppm — delegates to the shared
+    :func:`operators.common.ppm2` (hoisted round 8; one maintained copy
+    of the overflow-sensitive idiom)."""
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    return ppm2(num, nt)
 
 
 def cusum_changepoint(
@@ -282,9 +282,10 @@ def tvd_drift(
     "how did each group's mix move across the stream's own midpoint",
     but it silently excludes late-arriving groups.
     ``anchor="per_group"`` computes the midpoint per group (a grouped
-    min/max aggregate joined back — broadcast-sized for bounded group
-    domains, AQE-planned otherwise), so every group with two distinct
-    timestamps reports drift over ITS OWN span — use it when the
+    min/max aggregate joined back NULL-SAFELY — a NULL group key is a
+    real group under groupBy and keeps its row; broadcast-sized for
+    bounded group domains, AQE-planned otherwise), so every group with
+    two distinct timestamps reports drift over ITS OWN span — use it when the
     groups are independent populations (per-topic feeds) and a
     late-born group is exactly the drifted population being hunted.
     One conditional-sum scan builds per-category half-counts (a
@@ -309,8 +310,14 @@ def tvd_drift(
         " DIV 2"
     ).alias("mid_us")
     if anchor == "per_group" and groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
         mids = ev.groupBy(*groups).agg(mid_expr)
-        halved = ev.join(mids, groups).withColumn(
+        # null-safe: groupBy kept NULL as a real group; a plain
+        # USING-join would silently drop exactly that group's rows
+        halved = null_safe_group_join(ev, mids, groups).withColumn(
             "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
         )
     else:
@@ -422,8 +429,14 @@ def wasserstein_drift(
         " DIV 2"
     ).alias("mid_us")
     if anchor == "per_group" and groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
         mids = ev.groupBy(*groups).agg(mid_expr)
-        halved = ev.join(mids, groups).withColumn(
+        # null-safe: groupBy kept NULL as a real group; a plain
+        # USING-join would silently drop exactly that group's rows
+        halved = null_safe_group_join(ev, mids, groups).withColumn(
             "is_early", F.unix_micros(F.col(ts_col)) <= F.col("mid_us")
         )
     else:

@@ -201,11 +201,9 @@ def auc_exact(
     # 2*n_pos*n_neg*1000; the guard condition is division-form (cannot
     # itself overflow) over the EXACT class counts, so it fires even
     # when u2's sum has already wrapped
-    ppm = (
-        "((u2 * 1000) DIV (2 * n_pos * n_neg)) * 1000"
-        " + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)"
-        " DIV (2 * n_pos * n_neg)"
-    )
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    ppm = ppm2("u2", "(2 * n_pos * n_neg)")
     guard = (
         f"n_pos > {_I64_MAX} DIV 2000 DIV n_neg"
     )
@@ -559,19 +557,27 @@ def spearman_exact(
         F.sum(F.expr("dy * dy")).cast("bigint").alias("den_y"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    return agg.filter((F.col("den_x") > 0) & (F.col("den_y") > 0)).select(
-        *groups,
-        # zero-cost distributed backstop for the explicit-two_phase
-        # path (the default probe raises earlier): n is an exact count
-        # even when the n^3-bounded sums have wrapped, so the guard
-        # always fires before a wrapped statistic escapes
+    # zero-cost distributed backstop for the explicit-two_phase path
+    # (the default probe raises earlier): n is an exact count even when
+    # the n^3-bounded sums have wrapped.  The guard lives INSIDE den_x,
+    # BEFORE the undefined-rho filter — a wrapped den_x can land <= 0,
+    # and filtering first would silently drop the past-bound group
+    # instead of raising (the kendall n0 placement, same reason).
+    guarded = agg.withColumn(
+        "den_x",
         F.expr(
             f"CASE WHEN n > {_SPEARMAN_N_MAX} THEN"
             " CAST(raise_error('spearman_exact: a group exceeds the"
             " n^3 < 2^63 exactness bound (n <= 2,097,151 rows per"
             " group); shard the input and report the per-shard rho"
-            " distribution') AS BIGINT) ELSE num END"
-        ).alias("num"),
+            " distribution') AS BIGINT) ELSE den_x END"
+        ),
+    )
+    return guarded.filter(
+        (F.col("den_x") > 0) & (F.col("den_y") > 0)
+    ).select(
+        *groups,
+        "num",
         "den_x",
         "den_y",
         "n",
@@ -715,7 +721,11 @@ def kendall_tau_exact(
             " C(n,2) < 2^63 exactness bound (n <= 4,294,967,295 rows"
             " per group); shard the input and report the per-shard tau"
             " distribution') AS BIGINT)"
-            " ELSE n * (n - 1) DIV 2 END"
+            # parity-split C(n,2): n*(n-1) alone wraps for n > ~3.04e9
+            # even INSIDE the guarded range, so halve the even factor
+            # BEFORE multiplying — intermediates equal the result
+            " ELSE CASE WHEN n % 2 = 0 THEN (n DIV 2) * (n - 1)"
+            "      ELSE n * ((n - 1) DIV 2) END END"
         ),
     )
     return out.filter(
@@ -810,11 +820,15 @@ def kendall_tau_quantized(
         # broadcast-sized per-group span table joined back BEFORE the
         # contraction, so quantization is map-side and the contraction
         # shuffle is already bucket-width
-        joined = (
-            frame.join(mm, groups)
-            if groups
-            else frame.crossJoin(F.broadcast(mm))
-        )
+        if groups:
+            from kafka_dead_letter_analyzer_spark.operators.common import (
+                null_safe_group_join,
+            )
+
+            # null-safe: a NULL group key is a real group under groupBy
+            joined = null_safe_group_join(frame, mm, groups)
+        else:
+            joined = frame.crossJoin(F.broadcast(mm))
         q = (
             f"CASE WHEN _hi - _lo + 1 > {_I64_MAX} DIV {b} THEN"
             f" CAST(raise_error('kendall_tau_quantized: value span of"
@@ -919,7 +933,11 @@ def kendall_tau_quantized(
             " the C(n,2) < 2^63 exactness bound (n <= 4,294,967,295"
             " rows per group); shard the input and report the"
             " per-shard tau distribution') AS BIGINT)"
-            " ELSE n * (n - 1) DIV 2 END"
+            # parity-split C(n,2): n*(n-1) alone wraps for n > ~3.04e9
+            # even INSIDE the guarded range, so halve the even factor
+            # BEFORE multiplying — intermediates equal the result
+            " ELSE CASE WHEN n % 2 = 0 THEN (n DIV 2) * (n - 1)"
+            "      ELSE n * ((n - 1) DIV 2) END END"
         ),
     )
     return out.filter(
@@ -1013,11 +1031,9 @@ def isotonic_calibrate(
         blocks: list[list[int]] = []
         for pos, n in zip(pdf["pos"], pdf["n"]):
             b = [int(pos), int(n), 1]
+            # <= merges EQUAL rates too: a no-op for the fit, but it
+            # canonicalizes the emitted rational (2/4 becomes pooled)
             while blocks and b[0] * blocks[-1][1] <= blocks[-1][0] * b[1]:
-                if b[0] * blocks[-1][1] == blocks[-1][0] * b[1]:
-                    # equal rates: merging is a no-op for the fit but
-                    # canonicalizes the emitted rational (2/4 == 1/2)
-                    pass
                 t = blocks.pop()
                 b = [b[0] + t[0], b[1] + t[1], b[2] + t[2]]
             blocks.append(b)

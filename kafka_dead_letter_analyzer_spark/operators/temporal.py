@@ -716,13 +716,22 @@ def funnel_steps(
     many producers hit parse-error -> retry -> gave-up", and a training
     pipeline into acquisition funnels over event logs.
 
-    Semantics: each step's time is the EARLIEST event of that type
-    strictly later than the previous step's time (the greedy chain —
-    the standard funnel convention: taking the earliest feasible event
-    at each step maximizes completion, so no backtracking search is
-    needed); ``within_us`` additionally bounds each step to at most
-    that many microseconds after the PREVIOUS step.  Ties at the exact
-    same microsecond do not advance the funnel (strictly-after).
+    Semantics: FIRST-TOUCH anchoring — each step's time is the
+    EARLIEST event of that type strictly later than the previous
+    step's anchor, and ``within_us`` additionally bounds each step to
+    at most that many microseconds after the PREVIOUS anchor.  Without
+    a time bound the greedy chain provably maximizes completion
+    (earliest feasible anchors dominate), so the counts are the true
+    "could complete" numbers.  WITH ``within_us`` this is the standard
+    product-analytics first-touch convention, NOT a search over
+    anchors: a user whose earliest step-1 event is stale but who would
+    convert via a LATER step-1 event is counted as non-converting
+    (view@0, view@100, click@150 with a 100-bound anchors at view@0
+    and reports no click).  An exhaustive any-anchor funnel is a
+    different, quadratic-per-key operator — if you need it, pre-filter
+    the anchor step to the relevant recency window instead.  Ties at
+    the exact same microsecond do not advance the funnel
+    (strictly-after).
 
     Plan shape: ONE hash exchange on the key, then k chained
     UNORDERED window minima over it (each step's conditional min
@@ -789,8 +798,13 @@ def funnel_steps(
             for i in range(k)
         ]
     )
+    def _sql_str(s: str) -> str:
+        # step names are data, not SQL — escape for the literal
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"CAST({i + 1} AS BIGINT), '{s}', u{i}" for i, s in enumerate(steps)
+        f"CAST({i + 1} AS BIGINT), {_sql_str(s)}, u{i}"
+        for i, s in enumerate(steps)
     )
     stacked = totals.selectExpr(
         f"stack({k}, {stack_args}) AS (step_idx, step, users)",

@@ -7414,8 +7414,10 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel over user event logs,
     each step within 72h of the previous
     (operators/temporal.py::funnel_steps): users reaching each step
-    via the greedy earliest-feasible chain (step i = earliest event
-    strictly after step i-1's time), conversion vs step 1 as
+    under FIRST-TOUCH anchoring (step i = earliest event strictly
+    after step i-1's anchor; with the time bound this is the standard
+    product-analytics convention, not an any-anchor search — see the
+    operator docstring), conversion vs step 1 as
     two-step-division ppm.  Plan: one hash exchange on user_id, three
     chained UNORDERED window minima over it (no sort anywhere), one
     per-user aggregate, a 3-row stack.  The WINDOW-CHAIN complement of

@@ -1787,8 +1787,11 @@ def _make_seasonal_fn(history_days: int, max_gap_closes: int):
         """Per-key seasonal baseline over (day, hour-of-day) buckets.
 
         State: the open bucket (linear hour index + count) plus the
-        POSITIVE closed-bucket counts of the last ``history_days``
-        days — at most history_days x 24 (day, hod, cnt) triples, the
+        POSITIVE closed-bucket counts of the last ``history_days`` (+1
+        — the oldest in-window day survives until the closing day
+        itself records, so sibling hours of one day all read the same
+        baseline) days — at most (history_days + 1) x 24 (day, hod,
+        cnt) triples, the
         bounded per-key state the batch detector cannot offer (it
         re-reads history every run).  A bucket CLOSES when a later
         bucket first appears (late rows fold into the open bucket —
@@ -1838,7 +1841,13 @@ def _make_seasonal_fn(history_days: int, max_gap_closes: int):
                 out.append((day, hod, cnt, med, len(prior), ratio))
             if cnt > 0:
                 hist[(day, hod)] = cnt
-                lo = day - history_days + 1
+                # keep day - history_days itself: OTHER hours of the
+                # closing day are still open and their windows read
+                # [day - history_days, day - 1] — pruning one day
+                # tighter made the median arrival-order-dependent
+                # (different hods of one day closing in different
+                # orders saw different baselines)
+                lo = day - history_days
                 for k in [k for k in hist if k[0] < lo]:
                     del hist[k]
 
@@ -1898,8 +1907,8 @@ def streaming_seasonal_alerts(
     2AM", per key, live, with ratio_e6 the same two-step-division
     fixed point as the batch query (1e6 = exactly seasonal norm).
 
-    State per key is BOUNDED: at most ``history_days * 24`` positive
-    bucket counts plus the open bucket — independent of traffic
+    State per key is BOUNDED: at most ``(history_days + 1) * 24``
+    positive bucket counts plus the open bucket — independent of traffic
     volume, the property that keeps a per-key seasonal baseline
     viable on an unbounded stream (the batch detector re-reads all of
     history each run instead).  Emissions for a fully closed day equal

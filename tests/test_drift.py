@@ -1177,3 +1177,23 @@ def test_drift_guards_do_not_fire_at_real_bounds(spark):
     ev = _events(spark, [0.1, 1.2, 1.5, 2.3, 3.4, 7.9])
     row = cusum_changepoint(ev, ts_col="ts").collect()[0]
     assert row["up_ppm"] >= 0 and row["down_ppm"] >= 0
+
+
+def test_per_group_anchor_keeps_null_group(spark):
+    """groupBy keeps NULL as a real group; the per-group anchor join
+    must be null-safe or exactly that group's rows silently vanish
+    (round-8 review)."""
+    rows = [
+        (None, "A", _ts(1.0)), (None, "B", _ts(9.0)),
+        ("g1", "A", _ts(2.0)), ("g1", "B", _ts(8.0)),
+    ]
+    df = spark.createDataFrame(rows, "grp string, cat string, ts timestamp")
+    out = {
+        r["grp"]: r["tvd_ppm"]
+        for r in tvd_drift(
+            df, ts_col="ts", cat_col="cat", group_cols=["grp"],
+            anchor="per_group",
+        ).collect()
+    }
+    assert set(out) == {None, "g1"}
+    assert out[None] == 1_000_000 and out["g1"] == 1_000_000

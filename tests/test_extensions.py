@@ -1880,3 +1880,20 @@ def test_pca_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pt.raises(ValueError, match="empty"):
         pca_fit(empty)
+
+
+def test_pca_mixed_length_vectors_use_majority_dimension(spark):
+    import numpy as np
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        pca_fit,
+    )
+
+    rows = [(i, [float(i % 7), 1.0, 2.0, float(i % 3)]) for i in range(50)]
+    rows += [(100 + i, [9.9, 9.9]) for i in range(3)]  # corrupt slivers
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, vals, mean, n = pca_fit(df.repartition(7), n_components=2)
+    assert n == 50  # the majority length wins; slivers excluded
+    assert comps.shape == (2, 4)
+    comps2, _, _, n2 = pca_fit(df.repartition(3), n_components=2)
+    assert n2 == 50 and np.allclose(comps, comps2)

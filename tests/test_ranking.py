@@ -804,3 +804,32 @@ def test_roc_curve_grouped_keeps_empty_class_and_caps(spark):
     assert out[("g2", 2)] == (0, 1, 1, 0)
     with pytest.raises(ValueError, match="quantize"):
         R.roc_curve_points(df, "s", "y", max_points=1)
+
+
+def test_kendall_n0_expression_exact_through_guarded_range(spark):
+    """C(n,2) must be exact for every n the guard admits — the naive
+    n*(n-1) DIV 2 wraps at n > ~3.04e9, INSIDE the guarded range
+    (round-8 review).  Check the emitted parity-split expression at
+    the wrap boundary and at the guard ceiling."""
+    for n in (3_037_000_499, 3_037_000_500, 4_000_000_000, 4_294_967_295):
+        [r] = spark.sql(
+            f"SELECT CASE WHEN {n} % 2 = 0 THEN ({n} DIV 2) * ({n} - 1)"
+            f" ELSE {n} * (({n} - 1) DIV 2) END AS n0"
+        ).collect()
+        assert r["n0"] == n * (n - 1) // 2, n
+
+
+def test_spearman_guard_fires_before_undefined_rho_filter(
+    spark, monkeypatch
+):
+    """A past-bound group whose den_x is degenerate (or wrapped
+    negative) must RAISE, not be silently dropped by the den > 0
+    filter — the guard lives inside den_x (round-8 review)."""
+    monkeypatch.setattr(R, "_SPEARMAN_N_MAX", 50)
+    # constant x: den_x = 0, so an after-filter guard would never see
+    # this group at all
+    df = spark.createDataFrame(
+        [(7, i) for i in range(100)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="shard"):
+        R.spearman_exact(df, "x", "y", two_phase=False).collect()

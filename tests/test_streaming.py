@@ -2632,8 +2632,8 @@ def test_seasonal_fn_history_bound_and_gap_cap():
     # day 3's window is the 2 strictly-prior days [1, 2]: counts
     # {3, 5}, lower median 3 over 2 baseline days (day 0's 9 aged out)
     assert by_day[3][3] == 3 and by_day[3][4] == 2
-    # state stays bounded: at most history_days*24 history entries
-    assert len(state[2]) <= 2 * 24
+    # state stays bounded: at most (history_days+1)*24 history entries
+    assert len(state[2]) <= 3 * 24
     # a huge gap returns promptly and closes at most max_gap_closes
     import time
 
@@ -2646,6 +2646,29 @@ def test_seasonal_fn_history_bound_and_gap_cap():
     # ratio-0 rows only for the 48 capped closes at baselined hour 6
     assert all(r[1] == 6 and r[2] == 0 for r in rows2)
     assert len(rows2) <= 48 // 24 + 1
+
+
+def test_seasonal_fn_same_day_hods_share_one_baseline_window():
+    """Regression (round-8 review): recording one hour of day D must
+    not prune the oldest in-window day before D's OTHER hours close —
+    every hour of a day reads the same [D - history_days, D - 1]
+    baseline regardless of close order."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_seasonal_fn,
+    )
+
+    fn = _make_seasonal_fn(history_days=2, max_gap_closes=168)
+    # day0 h6 = 1; day1 h6 = 9; day2: h5 = 2 then h6 = 4; close via day3
+    tbs = (
+        [0 * 24 + 6] * 1 + [1 * 24 + 6] * 9
+        + [2 * 24 + 5] * 2 + [2 * 24 + 6] * 4
+        + [3 * 24]
+    )
+    rows, _ = _drive_seasonal(fn, [tbs])
+    got = {(r[0], r[1]): r for r in rows}
+    # day2 h6 must see prior {1 (day0), 9 (day1)} -> lower median 1,
+    # n_days 2, ratio 4e6 — even though day2 h5 recorded first
+    assert got[(2, 6)] == (2, 6, 4, 1, 2, 4_000_000)
 
 
 def test_streaming_seasonal_alerts_end_to_end(spark, tmp_path):

@@ -1267,3 +1267,27 @@ def test_funnel_empty_and_plan_has_single_key_exchange(spark):
     # windows add no sort (the final 1-row total is SinglePartition by
     # nature, over k longs)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_funnel_step_names_with_quotes(spark):
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("u1", "parse-error", e),
+        ("u1", "producer's-retry", e + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_steps(
+            df, ["parse-error", "producer's-retry"]
+        ).collect()
+    }
+    assert out == {"parse-error": 1, "producer's-retry": 1}
