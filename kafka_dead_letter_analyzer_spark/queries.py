@@ -7530,6 +7530,116 @@ def x_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_precision_at_recall",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, s,
+             CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT)
+               - CAST(COALESCE(sum(pos) OVER (PARTITION BY source
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                 PRECEDING), 0) AS BIGINT) AS tp,
+             CAST(sum(neg) OVER (PARTITION BY source) AS BIGINT)
+               - CAST(COALESCE(sum(neg) OVER (PARTITION BY source
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                 PRECEDING), 0) AS BIGINT) AS fp,
+             CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS np
+      FROM c
+    ), ok AS (
+      -- recall floor: tp / np >= 90% by cross-multiplication
+      SELECT * FROM w WHERE np > 0 AND 10 * tp >= 9 * np
+    ), ranked AS (
+      -- among qualifying thresholds take max precision (integer
+      -- cross-compare via ppm), HIGHEST threshold on ties (the
+      -- tightest gate that still meets the floor)
+      SELECT source, s, tp, fp,
+             CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE
+               ((tp * 1000) // (tp + fp)) * 1000
+               + (((tp * 1000) % (tp + fp)) * 1000) // (tp + fp) END
+               AS BIGINT) AS precision_ppm,
+             CAST(((tp * 1000) // np) * 1000
+               + (((tp * 1000) % np) * 1000) // np AS BIGINT)
+               AS recall_ppm,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CASE WHEN tp + fp = 0 THEN 0 ELSE
+                 ((tp * 1000) // (tp + fp)) * 1000
+                 + (((tp * 1000) % (tp + fp)) * 1000) // (tp + fp) END
+               DESC, s DESC) AS rn
+      FROM ok
+    )
+    SELECT source, s AS threshold, tp, fp, precision_ppm, recall_ppm
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_precision_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-at-recall threshold selection per source — the
+    OTHER deployment rule next to x_f1_threshold: "keep at least 90%
+    of the English docs; among thresholds meeting that floor, gate at
+    the most precise one" (ties to the HIGHEST threshold — the
+    tightest qualifying gate).  Recall floors are how production
+    quality filters are actually specified (the cost of losing true
+    data is asymmetric to letting noise through).  All selection
+    arithmetic is integer: the recall floor is the cross-multiplied
+    ``10 * tp >= 9 * n_pos`` and precision orders by its exact
+    two-step-division ppm.  Plan: the same single-shuffle ROC
+    contraction (roc_curve_points), one filter, one per-source
+    row_number argmax."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    curve = RK.roc_curve_points(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+    )
+    w = curve.withColumn("np", F.expr("tp + fn"))
+    ok = w.filter(F.expr("np > 0 AND 10 * tp >= 9 * np"))
+    prec = (
+        "CASE WHEN tp + fp = 0 THEN 0 ELSE"
+        " ((tp * 1000) DIV (tp + fp)) * 1000"
+        " + (((tp * 1000) % (tp + fp)) * 1000) DIV (tp + fp) END"
+    )
+    scored = ok.withColumn(
+        "precision_ppm", F.expr(prec).cast("bigint")
+    ).withColumn(
+        "recall_ppm",
+        F.expr(
+            "((tp * 1000) DIV np) * 1000"
+            " + (((tp * 1000) % np) * 1000) DIV np"
+        ).cast("bigint"),
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.desc("precision_ppm"), F.desc("s")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "source",
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        "precision_ppm",
+        "recall_ppm",
+    )
+
+
 @_register("x_pca_projection")
 def x_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed PCA of the embedding corpus, projected to 4

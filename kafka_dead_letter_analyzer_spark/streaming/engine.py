@@ -2033,3 +2033,115 @@ def streaming_stratified_quota(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel (live twin of temporal.funnel_steps)
+# ---------------------------------------------------------------------------
+
+
+def _make_funnel_fn(steps: list, within_us):
+    k = len(steps)
+
+    def _funnel_fn(key, pdfs, state) -> Iterator:
+        """Per-key first-touch funnel chain: state = the k anchor
+        timestamps (-1 = step not yet reached).  Rows fold in
+        event-time order within the batch; the chain's first UNSET
+        step is the only advance point, and an event advances it when
+        it matches that step's type and falls strictly after (and
+        within the bound of) the previous anchor.  Under ts-ordered
+        arrival this reproduces the batch operator's first-touch
+        anchors exactly (the first feasible event seen IS the earliest
+        feasible event); late rows that precede an existing anchor are
+        ignored — the arrival-order approximation every state-v1
+        operator here shares.  Emits one append row per step ADVANCE
+        (key, step_idx, step, anchor_us); state is k longs."""
+        import pandas as pd
+
+        if state.exists:
+            anchors = [int(a) for a in state.get[0]]
+        else:
+            anchors = [-1] * k
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(u), str(s)) for u, s in zip(pdf["us"], pdf["st"])
+            )
+        out: list[tuple[int, int]] = []
+        j = anchors.index(-1) if -1 in anchors else k
+        for us, st in sorted(rows):
+            if j >= k:
+                break
+            if st != steps[j]:
+                continue
+            if j > 0:
+                prev = anchors[j - 1]
+                if us <= prev:
+                    continue
+                if within_us is not None and us > prev + within_us:
+                    continue
+            anchors[j] = us
+            out.append((j, us))
+            j += 1
+        state.update((anchors,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "k": [str(key[0])] * len(out),
+                    "step_idx": [i + 1 for i, _ in out],
+                    "step": [steps[i] for i, _ in out],
+                    "anchor_us": [u for _, u in out],
+                }
+            )
+
+    return _funnel_fn
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Live ordered funnel — the streaming twin of
+    ``operators/temporal.py::funnel_steps``: one append-mode row per
+    key per step ADVANCE ``(k, step_idx, step, anchor_us)``, under the
+    same FIRST-TOUCH semantics (step i anchors at the first feasible
+    event strictly after — and within ``within_us`` of — step i-1's
+    anchor).  Downstream counts distinct keys per step_idx for the
+    live conversion board; because each (key, step) emits at most
+    once, the count is a plain streaming aggregate.
+
+    EXACTNESS: under event-time-ordered arrival the anchors equal the
+    batch operator's (the first feasible event seen is the earliest
+    feasible event), differential-tested per step against
+    funnel_steps on the same rows; out-of-order rows older than an
+    already-set anchor are ignored (arrival-order approximation,
+    documented).  State per key is exactly ``len(steps)`` longs —
+    independent of traffic, the property that makes a funnel over an
+    unbounded stream viable."""
+    if len(steps) < 2:
+        raise ValueError("streaming_funnel: need at least 2 steps")
+    if within_us is not None and within_us <= 0:
+        raise ValueError("streaming_funnel: within_us must be positive")
+    keyed = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(state_col).isin(list(steps))
+        & F.col(key).isNotNull()
+    ).select(
+        F.col(key).cast("string").alias("k"),
+        F.col(state_col).cast("string").alias("st"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    return keyed.groupBy("k").applyInPandasWithState(
+        _make_funnel_fn([str(s) for s in steps],
+                        None if within_us is None else int(within_us)),
+        outputStructType=(
+            "k string, step_idx long, step string, anchor_us long"
+        ),
+        stateStructType="anchors array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

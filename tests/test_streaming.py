@@ -2949,3 +2949,140 @@ def test_streaming_quota_equals_batch_stratified_quota(spark, tmp_path):
         )
     got = {s: v["ids"] for s, v in latest.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel
+
+
+def _drive_funnel(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    rows = []
+    for chunk in batches:
+        pdf = pd.DataFrame(
+            {"us": [u for u, _ in chunk], "st": [s for _, s in chunk]}
+        )
+        for out in fn(("u",), [pdf], st):
+            rows.extend(
+                (int(r.step_idx), r.step, int(r.anchor_us))
+                for r in out.itertuples()
+            )
+    return rows, st._v
+
+
+def test_funnel_fn_matches_batch_first_touch_randomized(spark):
+    """Under ts-ordered arrival the streaming chain's anchors (and
+    therefore per-step user counts) must equal the batch
+    funnel_steps on the same rows — across random event soups, time
+    bounds, and micro-batch splits."""
+    import datetime as dt
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_funnel_fn,
+    )
+
+    rng = random.Random(0xF0FE)
+    steps = ["a", "b", "c"]
+    epoch = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    for trial in range(4):
+        within = rng.choice([None, 40, 120])
+        users = {}
+        for u in range(40):
+            evs = sorted(
+                (rng.randint(0, 300), rng.choice(["a", "b", "c", "x"]))
+                for _ in range(rng.randint(0, 12))
+            )
+            users[f"u{u}"] = evs
+        # streaming: drive each user's fn over ts-ordered batches
+        reached = {}
+        for u, evs in users.items():
+            fn = _make_funnel_fn(steps, within)
+            cut = rng.randint(0, len(evs))
+            rows, _ = _drive_funnel(fn, [evs[:cut], evs[cut:]])
+            reached[u] = {i for i, _, _ in rows}
+        stream_counts = {
+            i: sum(1 for v in reached.values() if i in v)
+            for i in (1, 2, 3)
+        }
+        # batch reference on the same rows
+        flat = [
+            (u, s, epoch + dt.timedelta(seconds=t))
+            for u, evs in users.items()
+            for t, s in evs
+        ]
+        df = spark.createDataFrame(
+            flat, "user_id string, event_type string, ts timestamp"
+        )
+        batch = {
+            r["step_idx"]: r["users"]
+            for r in funnel_steps(
+                df, steps,
+                within_us=None if within is None else within * 1_000_000,
+            ).collect()
+        }
+        assert stream_counts == batch, (trial, within)
+
+
+def test_funnel_fn_state_is_k_longs_and_emits_once(spark):
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_funnel_fn,
+    )
+
+    fn = _make_funnel_fn(["a", "b"], None)
+    rows1, st1 = _drive_funnel(fn, [[(1, "a"), (2, "b"), (3, "b")]])
+    assert rows1 == [(1, "a", 1), (2, "b", 2)]
+    # replaying more matching events after completion emits nothing
+    fn2 = _make_funnel_fn(["a", "b"], None)
+    rows2, st2 = _drive_funnel(fn2, [[(1, "a"), (2, "b")], [(5, "a"), (6, "b")]])
+    assert rows2 == [(1, "a", 1), (2, "b", 2)]
+    assert list(st2[0]) == [1, 2]
+
+
+def test_streaming_funnel_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_funnel,
+    )
+
+    e = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    days = [
+        [("u1", "view", e), ("u2", "view", e)],
+        [("u1", "click", e + dt.timedelta(minutes=1))],
+        [("u1", "buy", e + dt.timedelta(minutes=2)),
+         ("u2", "buy", e + dt.timedelta(minutes=3))],  # u2 skipped click
+    ]
+    schema = "user_id string, event_type string, ts timestamp"
+    src = str(tmp_path / "funnel_src")
+    for batch in days:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_funnel(stream, ["view", "click", "buy"])
+        .writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["step_idx"], r["step"])
+            for r in spark.table("funnel_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "buy"),
+        ("u2", 1, "view"),
+    ]
