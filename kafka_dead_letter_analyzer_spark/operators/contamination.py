@@ -56,3 +56,58 @@ def ngram_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def ngram_overlap_prefiltered(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 4,
+    num_words: int = 4096,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """:func:`ngram_overlap` with a Bloom PREFILTER in front of the
+    exact join — BYTE-IDENTICAL output (the filter has no false
+    negatives; its false positives are removed by the exact join that
+    follows), which the declared query pins by passing the same
+    DuckDB oracle as the unfiltered operator.
+
+    Why it exists at 100 TB: when the benchmark's distinct gram set
+    outgrows the broadcast threshold, the exact join becomes a
+    shuffle join over EVERY corpus gram string.  The Bloom bitmap
+    stays broadcast-sized no matter how many grams it absorbs
+    (``num_words`` rows), so probing the corpus' DISTINCT grams
+    against it first — one broadcast lookup join plus a semi join —
+    cuts the expensive exact join's probe side to the benchmark-hit
+    grams plus the Bloom FP rate, BEFORE any gram string shuffles.
+
+    Plan: corpus grams -> distinct-gram bloom_probe (num_hashes-way
+    fan-out against the broadcast bitmap) -> left-semi prune of the
+    gram table (AQE broadcasts the surviving gram set when small) ->
+    the original exact join + per-doc count."""
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    c = spread_for_cpu(corpus).select(
+        id_col, F.explode(token_shingles(F.col(text_col), n)).alias("sh")
+    )
+    b = benchmark.select(
+        F.explode(token_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    sk = bloom_sketch(b, key="sh", num_hashes=num_hashes, num_words=num_words)
+    maybe = bloom_probe(
+        c.select("sh"), sk, key="sh",
+        num_hashes=num_hashes, num_words=num_words,
+    ).filter(F.col("maybe_member")).select("sh")
+    pruned = c.join(maybe, "sh", "left_semi")
+    bb = F.broadcast(b) if broadcast_benchmark else b
+    return (
+        pruned.join(bb, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

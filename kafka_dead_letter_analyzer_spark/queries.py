@@ -2563,6 +2563,36 @@ def x_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_contamination_prefiltered",
+    f"""
+    WITH {_SHINGLE8_CTES},
+    bench AS (SELECT DISTINCT sh FROM s8 WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, sh FROM s8 WHERE source <> 'src0')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM corpus JOIN bench USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def x_contamination_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_contamination_overlap with the Bloom PREFILTER in front of
+    the exact join (operators/contamination.py::
+    ngram_overlap_prefiltered) — and the SAME oracle SQL as the
+    unfiltered query ON PURPOSE: the hash gate itself proves the
+    prefilter is lossless (no false negatives structurally; false
+    positives die in the exact join).  The prefilter's value is the
+    regime where the benchmark gram set outgrows broadcast: the
+    bitmap stays 4096 rows regardless, so corpus grams prune against
+    a broadcast BEFORE any gram string reaches the exact join's
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CN.ngram_overlap_prefiltered(
+        corpus=docs.filter(F.col("source") != "src0"),
+        benchmark=docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@_register(
     "x_repetition_ratio",
     r"""
     WITH t AS (

@@ -1897,3 +1897,40 @@ def test_pca_mixed_length_vectors_use_majority_dimension(spark):
     assert comps.shape == (2, 4)
     comps2, _, _, n2 = pca_fit(df.repartition(3), n_components=2)
     assert n2 == 50 and np.allclose(comps, comps2)
+
+
+def test_prefiltered_contamination_equals_exact(spark):
+    """The Bloom prefilter must be output-invisible: byte-identical
+    per-doc shared-gram counts vs the plain exact operator, including
+    at an aggressively small bitmap (high FP rate — FPs must die in
+    the exact join, never inflate a count)."""
+    from kafka_dead_letter_analyzer_spark.operators.contamination import (
+        ngram_overlap,
+        ngram_overlap_prefiltered,
+    )
+
+    import random
+
+    rng = random.Random(0xB100)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(60)
+    ]
+    bench = [
+        (f"b{i}", " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(10)
+    ]
+    cdf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench, "doc_id string, text string")
+    exact = sorted(
+        tuple(r) for r in ngram_overlap(cdf, bdf, n=4).collect()
+    )
+    for words in (2, 4096):  # tiny bitmap = FP-heavy; big = FP-light
+        pre = sorted(
+            tuple(r)
+            for r in ngram_overlap_prefiltered(
+                cdf, bdf, n=4, num_words=words
+            ).collect()
+        )
+        assert pre == exact, words
