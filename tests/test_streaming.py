@@ -186,7 +186,12 @@ def test_e3_broker_roundtrip_error_topic_reenters_decoder(spark):
 
 
 def _write_envelopes(spark, path: str, rows) -> None:
-    FX.raw_frame(spark, rows).write.mode("append").parquet(path)
+    # ONE ordered file per call: a small createDataFrame spreads over
+    # many partitions, and multi-file writes can be discovered across
+    # micro-batch boundaries in arbitrary order under load — which
+    # breaks the arrival-order assumptions of tests like the
+    # rate-limit cap (observed flaky only under full-suite load)
+    FX.raw_frame(spark, rows).coalesce(1).write.mode("append").parquet(path)
 
 
 def _run_updates(spark, src_dir: str, out_df_name: str, name: str, batches):
