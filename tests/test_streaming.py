@@ -3091,3 +3091,60 @@ def test_streaming_funnel_end_to_end(spark, tmp_path):
         ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "buy"),
         ("u2", 1, "view"),
     ]
+
+
+def test_streaming_sliding_sum_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run of the bit-plane DGIM sum: wiring
+    (error_key/context + weight expr), update-mode emission, and the
+    exact-regime equality with the true trailing sum."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_sliding_sum,
+    )
+
+    epoch = dt.datetime(2024, 7, 1, tzinfo=dt.timezone.utc)
+    batches = [
+        [(0, 5), (60, 9)],           # seconds offset, weight
+        [(120, 3), (4000, 7)],       # 4000s later: first two expire
+    ]
+    schema = (
+        "error_key struct<topic:string,type:string>,"
+        " context struct<timestamp:timestamp>, w long"
+    )
+    src = str(tmp_path / "dgim_sum_src")
+    for batch in batches:
+        rows = [
+            (("t", "E"), (epoch + dt.timedelta(seconds=off),), w)
+            for off, w in batch
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_sliding_sum(
+        stream, weight_expr="w", window_us=3_600_000_000, k=100
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dgim_sum_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r["as_of_us"], r["est_sum"], r["err_bound"])
+            for r in spark.table("dgim_sum_sink").collect()
+        )
+    finally:
+        q.stop()
+    base_us = int(epoch.timestamp()) * 1_000_000
+    # batch 1: window holds 5+9 = 14; batch 2: as-of 4000s — the hour
+    # window (3600s) keeps only 3 (t=120 is 3880s old -> out; only
+    # t=4000's 7... wait: window is (as_of - 3600s, as_of]: t=120 at
+    # 3880s before as_of is OUT, t=4000 itself IN -> 7
+    assert rows[0] == (base_us + 60_000_000, 14, 0)
+    assert rows[-1] == (base_us + 4_000_000_000, 7, 0)
