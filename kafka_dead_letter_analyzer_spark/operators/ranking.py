@@ -306,9 +306,27 @@ def global_exclusive_prefix(
         "offset", F.coalesce(F.sum("part_sum").over(wp), F.lit(0))
     ).select("pid", *groups, "offset")
 
+    if groups:
+        # null-safe on the group columns (pid can stay plain): groupBy
+        # keeps NULL as a real group, so a plain equi-join here would
+        # silently drop exactly the NULL-keyed group the aggregation
+        # produced offsets for — null_safe_group_join semantics.  No
+        # forced broadcast either: offsets is range_partitions x
+        # #groups rows, which is NOT bounded when the group domain is
+        # large (millions of groups); let AQE pick the strategy.
+        l, r = local.alias("_gpl"), offsets.alias("_gpr")
+        cond = F.col("_gpl.pid") == F.col("_gpr.pid")
+        for g in groups:
+            cond = cond & F.col(f"_gpl.{g}").eqNullSafe(F.col(f"_gpr.{g}"))
+        joined = l.join(r, cond, "inner").select(
+            "_gpl.*", F.col("_gpr.offset")
+        )
+    else:
+        # ungrouped: offsets is exactly range_partitions rows — a
+        # genuinely bounded table, broadcast is always right
+        joined = local.join(F.broadcast(offsets), ["pid"])
     return (
-        local.join(F.broadcast(offsets), ["pid", *groups])
-        .withColumn(out_col, F.col("offset") + F.col("local_lt"))
+        joined.withColumn(out_col, F.col("offset") + F.col("local_lt"))
         .drop("pid", "local_lt", "offset")
     )
 
@@ -662,9 +680,11 @@ def kendall_tau_exact(
     )
     import functools
 
+    # eqNullSafe on the group key: a NULL group is a real group under
+    # the cells groupBy and must pair with itself here
     cond = functools.reduce(
         lambda acc, c: acc & c,
-        [*(a[g] == b[g] for g in groups), F.lit(True)],
+        [*(a[g].eqNullSafe(b[g]) for g in groups), F.lit(True)],
     ) & (
         (b["x2"] > a["x1"])
         | ((b["x2"] == a["x1"]) & (b["y2"] > a["y1"]))
@@ -703,11 +723,18 @@ def kendall_tau_exact(
 
     tx = _tie_mass("x", "tx_pairs")
     ty = _tie_mass("y", "ty_pairs").drop("_n_ty_pairs")
-    joined = (
-        cd.join(tx, groups, "inner").join(ty, groups, "inner")
-        if groups
-        else cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-    )
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        # null-safe: groupBy keeps NULL as a real group, so a plain
+        # equi-join here would drop exactly the NULL-keyed group
+        joined = null_safe_group_join(
+            null_safe_group_join(cd, tx, groups), ty, groups
+        )
+    else:
+        joined = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
     # the guard lives INSIDE n0 (evaluated by the undefined-tau filter
     # below, before any row could be silently dropped by a wrapped
     # n*(n-1)): n is an exact count even when the C(n,2)-bounded pair
@@ -829,11 +856,24 @@ def kendall_tau_quantized(
             joined = null_safe_group_join(frame, mm, groups)
         else:
             joined = frame.crossJoin(F.broadcast(mm))
+        # the guard must not form the span itself: _hi - _lo wraps
+        # int64 when _lo is very negative and _hi very positive, and a
+        # wrapped (possibly negative) span would sail past the
+        # comparison.  Wrap is only possible when the signs differ, so
+        # arm 1 catches span > int64 without any subtraction that can
+        # overflow ({_I64_MAX} + _lo is exact for _lo < 0); once arm 1
+        # is false the span fits int64 and arm 2's `_hi - _lo > T-1`
+        # phrasing (no +1) is exact.  CASE arms evaluate sequentially,
+        # so arm 2's subtraction never runs on a wrapping pair.
+        msg = (
+            f"kendall_tau_quantized: value span of {col} too wide for"
+            f" {b} buckets (span * buckets must fit int64); rescale"
+            " the column first"
+        )
+        raise_b = f"CAST(raise_error('{msg}') AS BIGINT)"
         q = (
-            f"CASE WHEN _hi - _lo + 1 > {_I64_MAX} DIV {b} THEN"
-            f" CAST(raise_error('kendall_tau_quantized: value span of"
-            f" {col} too wide for {b} buckets (span * buckets must fit"
-            " int64); rescale the column first') AS BIGINT)"
+            f"CASE WHEN _lo < 0 AND _hi > {_I64_MAX} + _lo THEN {raise_b}"
+            f" WHEN _hi - _lo > {_I64_MAX // b - 1} THEN {raise_b}"
             f" ELSE (({col} - _lo) * {b}) DIV (_hi - _lo + 1) END"
         )
         return joined.withColumn(col, F.expr(q)).drop("_lo", "_hi")
@@ -855,7 +895,17 @@ def kendall_tau_quantized(
     cache_registry.track(cells)
     xs = cells.select(*groups, "x").distinct()
     ys = cells.select(*groups, "y").distinct()
-    grid = xs.join(ys, groups) if groups else xs.crossJoin(ys)
+    if groups:
+        # null-safe on the group key: a NULL group survives the
+        # quantize join (null_safe_group_join) and must survive here
+        # too, or its grid — and the whole group — silently vanishes
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        grid = null_safe_group_join(xs, ys, groups)
+    else:
+        grid = xs.crossJoin(ys)
 
     probe = (
         grid.groupBy(*groups).count().agg(F.max("count").alias("m"))
@@ -867,10 +917,31 @@ def kendall_tau_quantized(
             " too (x_buckets) or lower the bucket counts"
         )
 
-    gridc = grid.join(cells, [*groups, "x", "y"], "left").select(
-        *groups, "x", "y",
-        F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
-    )
+    if groups:
+        # same NULL-group hazard as the grid build: plain equality on
+        # the group columns would leave every cell of a NULL-keyed
+        # group unmatched (c=0 across the board — a silent wrong tau)
+        gl, gr = grid.alias("_kgl"), cells.alias("_kgr")
+        cond = (F.col("_kgl.x") == F.col("_kgr.x")) & (
+            F.col("_kgl.y") == F.col("_kgr.y")
+        )
+        for g in groups:
+            cond = cond & F.col(f"_kgl.{g}").eqNullSafe(
+                F.col(f"_kgr.{g}")
+            )
+        gridc = gl.join(gr, cond, "left").select(
+            *[F.col(f"_kgl.{g}") for g in groups],
+            F.col("_kgl.x").alias("x"),
+            F.col("_kgl.y").alias("y"),
+            F.coalesce(
+                F.col("_kgr.c"), F.lit(0).cast("bigint")
+            ).alias("c"),
+        )
+    else:
+        gridc = grid.join(cells, ["x", "y"], "left").select(
+            "x", "y",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+        )
     wg_yb = Window.partitionBy(*groups, "y") if groups else (
         Window.partitionBy("y")
     )
@@ -920,11 +991,18 @@ def kendall_tau_quantized(
 
     tx = _tie_mass("x", "tx_pairs")
     ty = _tie_mass("y", "ty_pairs").drop("_n_ty_pairs")
-    joined = (
-        cd.join(tx, groups, "inner").join(ty, groups, "inner")
-        if groups
-        else cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-    )
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        # null-safe: groupBy keeps NULL as a real group, so a plain
+        # equi-join here would drop exactly the NULL-keyed group
+        joined = null_safe_group_join(
+            null_safe_group_join(cd, tx, groups), ty, groups
+        )
+    else:
+        joined = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
     out = joined.withColumnRenamed("_n_tx_pairs", "n").withColumn(
         "n0",
         F.expr(

@@ -8499,7 +8499,8 @@ def x_kendall_price_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS c1,
              CAST(sum(CASE WHEN e.us <= m.mid_us THEN 0 ELSE 1 END)
                AS BIGINT) AS c2
-      FROM ev e JOIN mids m ON m.event_type = e.event_type
+      FROM ev e JOIN mids m
+        ON m.event_type IS NOT DISTINCT FROM e.event_type
       GROUP BY 1, 2
     ), scored AS (
       SELECT *,

@@ -833,3 +833,123 @@ def test_spearman_guard_fires_before_undefined_rho_filter(
     )
     with pytest.raises(Exception, match="shard"):
         R.spearman_exact(df, "x", "y", two_phase=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# Round 9: NULL-group safety on the two-phase / kendall paths, wrap-proof
+# quantize span guard (driver ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_auc_two_phase_keeps_null_group(spark):
+    """The grouped range-prefix path joins offsets back NULL-SAFELY: a
+    NULL group key — a real group under groupBy — must appear in the
+    two-phase output exactly as it does under the window path (the r8
+    join dropped it via plain group equality)."""
+    rng = random.Random(91)
+    rows = [
+        (rng.choice(["a", None]), rng.randint(0, 50), rng.random() < 0.5)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    key = lambda t: tuple(map(str, t))
+    window = sorted(
+        (
+            tuple(r)
+            for r in R.auc_exact(
+                df, "s", "y", group_cols=["g"], two_phase=False
+            ).collect()
+        ),
+        key=key,
+    )
+    prefix = sorted(
+        (
+            tuple(r)
+            for r in R.auc_exact(
+                df, "s", "y", group_cols=["g"], two_phase=True
+            ).collect()
+        ),
+        key=key,
+    )
+    assert sum(1 for t in window if t[0] is None) == 1  # NULL group exists
+    assert prefix == window
+
+
+def test_two_phase_grouped_offsets_join_not_forced_broadcast(spark):
+    """Grouped offsets are range_partitions x #groups rows — NOT
+    bounded at millions of groups, so the join-back must carry NO
+    broadcast hint (AQE picks at runtime); the ungrouped offsets table
+    (exactly range_partitions rows) keeps its hint."""
+    df = spark.createDataFrame(
+        [("a" if i % 2 else "b", i, i % 3) for i in range(50)],
+        "g string, s bigint, neg bigint",
+    )
+    grouped = R.global_exclusive_prefix(
+        df, order_col="s", sum_col="neg", out_col="o", group_cols=["g"]
+    )
+    g_plan = grouped._jdf.queryExecution().analyzed().toString().lower()
+    assert "broadcast" not in g_plan
+    glob = R.global_exclusive_prefix(
+        df, order_col="s", sum_col="neg", out_col="o"
+    )
+    u_plan = glob._jdf.queryExecution().analyzed().toString().lower()
+    assert "broadcast" in u_plan
+
+
+def test_kendall_quantized_span_guard_is_wrap_proof(spark):
+    """lo=-2^62, hi=2^62: the true span (2^63+1) WRAPS int64, so a
+    guard that forms hi-lo+1 compares a wrapped negative and passes;
+    the sign-split guard must still raise."""
+    df = spark.createDataFrame(
+        [(-(2**62), 0), (2**62, 1), (0, 1)], "x bigint, y bigint"
+    )
+    with pytest.raises(Exception, match="rescale"):
+        R.kendall_tau_quantized(
+            df, "x", "y", x_buckets=16, y_buckets=2
+        ).collect()
+
+
+def test_kendall_quantized_span_guard_same_sign_overwide(spark):
+    """Same-sign bounds that fit int64 but exceed I64_MAX/buckets must
+    still raise through the no-wrap arm (hi - lo > T - 1)."""
+    df = spark.createDataFrame(
+        [(0, 0), (2**61, 1), (5, 1)], "x bigint, y bigint"
+    )
+    with pytest.raises(Exception, match="rescale"):
+        R.kendall_tau_quantized(
+            df, "x", "y", x_buckets=16, y_buckets=2
+        ).collect()
+
+
+def test_kendall_null_group_kept_exact_and_quantized(spark):
+    """A NULL group key is a real group under groupBy: both kendall
+    variants must emit its row, identical to the same data under a
+    non-NULL key (the r8 grid/pair/tie joins dropped it via plain
+    group equality)."""
+    data = [(1, 5), (2, 3), (3, 9), (4, 1), (5, 7), (2, 8)]
+    rows = [("a", x, y) for x, y in data] + [
+        (None, x, y) for x, y in data
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    out = {
+        r["g"]: r
+        for r in R.kendall_tau_exact(
+            df, "x", "y", group_cols=["g"]
+        ).collect()
+    }
+    assert set(out) == {"a", None}
+    a, n = out["a"], out[None]
+    assert (a["nc"], a["nd"], a["tx_pairs"], a["ty_pairs"], a["tau_e6"]) == (
+        n["nc"], n["nd"], n["tx_pairs"], n["ty_pairs"], n["tau_e6"]
+    )
+    outq = {
+        r["g"]: r
+        for r in R.kendall_tau_quantized(
+            df, "x", "y", group_cols=["g"], y_buckets=4
+        ).collect()
+    }
+    assert set(outq) == {"a", None}
+    qa, qn = outq["a"], outq[None]
+    assert (qa["nc"], qa["nd"], qa["tau_e6"]) == (
+        qn["nc"], qn["nd"], qn["tau_e6"]
+    )
