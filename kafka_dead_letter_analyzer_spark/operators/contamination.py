@@ -65,7 +65,10 @@ def ngram_overlap_prefiltered(
     text_col: str = "text",
     n: int = 8,
     num_hashes: int = 4,
-    num_words: int = 4096,
+    num_words: int | None = None,
+    target_fp: float = 0.01,
+    max_words: int = 1 << 22,
+    saturation_bound: float = 0.5,
     broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """:func:`ngram_overlap` with a Bloom PREFILTER in front of the
@@ -83,12 +86,30 @@ def ngram_overlap_prefiltered(
     cuts the expensive exact join's probe side to the benchmark-hit
     grams plus the Bloom FP rate, BEFORE any gram string shuffles.
 
+    Bitmap sizing (the theilsen_trend pattern — probe, then refuse to
+    run a silently-degenerate plan): ``num_words=None`` (default)
+    COUNTS the benchmark's distinct grams (one tiny benchmark-side
+    job; the gram set is persisted and reused by the sketch build and
+    the exact join) and sizes the bitmap for ``target_fp`` via the
+    standard ``m = -k*n / ln(1 - fp^(1/k))``, raising past
+    ``max_words`` (2^22 words = 32 MB — comfortably broadcastable;
+    beyond it, pass ``broadcast_benchmark=False`` and skip the
+    prefilter).  An EXPLICIT ``num_words`` is validated against the
+    same count: when the expected fill ``1 - e^{-kn/m}`` exceeds
+    ``saturation_bound`` the prefilter would approach a no-op that
+    still pays the probe (FP rate -> 1), so it RAISES with the
+    auto-size hint instead of silently degrading.
+
     Plan: corpus grams -> distinct-gram bloom_probe (num_hashes-way
     fan-out against the broadcast bitmap) -> left-semi prune of the
     gram table (AQE broadcasts the surviving gram set when small) ->
     the original exact join + per-doc count."""
+    import math
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
     from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
     from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        _BLOOM_BITS_PER_WORD,
         bloom_probe,
         bloom_sketch,
     )
@@ -99,6 +120,41 @@ def ngram_overlap_prefiltered(
     b = benchmark.select(
         F.explode(token_shingles(F.col(text_col), n)).alias("sh")
     ).distinct()
+    # the gram set feeds the sizing count, the sketch build, and the
+    # exact join — persist or the benchmark shingles three times
+    b = b.persist()
+    cache_registry.track(b)
+    n_grams = b.count()
+    k = int(num_hashes)
+    if num_words is None:
+        if n_grams == 0:
+            num_words = 1
+        else:
+            bits = -k * n_grams / math.log(1.0 - target_fp ** (1.0 / k))
+            num_words = max(
+                1, int(math.ceil(bits / _BLOOM_BITS_PER_WORD))
+            )
+        if num_words > max_words:
+            raise ValueError(
+                f"ngram_overlap_prefiltered: {n_grams} benchmark grams"
+                f" need {num_words} bitmap words for"
+                f" target_fp={target_fp} (> max_words={max_words},"
+                " the broadcast-safety bound); raise max_words, relax"
+                " target_fp, or skip the prefilter"
+                " (broadcast_benchmark=False + ngram_overlap)"
+            )
+    else:
+        m = _BLOOM_BITS_PER_WORD * int(num_words)
+        fill = 1.0 - math.exp(-k * n_grams / m)
+        if fill > saturation_bound:
+            raise ValueError(
+                f"ngram_overlap_prefiltered: num_words={num_words}"
+                f" saturates on {n_grams} benchmark grams (expected"
+                f" fill {fill:.3f} > {saturation_bound}) — the"
+                " prefilter would pass ~everything while still paying"
+                " the probe; pass num_words=None to auto-size for"
+                f" target_fp={target_fp}"
+            )
     sk = bloom_sketch(b, key="sh", num_hashes=num_hashes, num_words=num_words)
     maybe = bloom_probe(
         c.select("sh"), sk, key="sh",

@@ -2579,10 +2579,13 @@ def x_contamination_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_overlap_prefiltered) — and the SAME oracle SQL as the
     unfiltered query ON PURPOSE: the hash gate itself proves the
     prefilter is lossless (no false negatives structurally; false
-    positives die in the exact join).  The prefilter's value is the
-    regime where the benchmark gram set outgrows broadcast: the
-    bitmap stays 4096 rows regardless, so corpus grams prune against
-    a broadcast BEFORE any gram string reaches the exact join's
+    positives die in the exact join).  The bitmap is AUTO-SIZED
+    (round 9) from the counted benchmark gram set for a 1% FP target
+    — never statically sized, so it cannot silently saturate as the
+    benchmark grows.  The prefilter's value is the regime where the
+    benchmark gram set outgrows broadcast: the bitmap stays
+    words-bounded regardless, so corpus grams prune against a
+    broadcast BEFORE any gram string reaches the exact join's
     shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return CN.ngram_overlap_prefiltered(
@@ -6016,7 +6019,7 @@ def x_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = probed.join(
         truth, probed["c_custkey"] == truth["tk"], "left"
     )
-    return joined.agg(
+    agg = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probed"),
         F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
         .cast("bigint")
@@ -6030,6 +6033,25 @@ def x_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("false_pos"),
+    )
+    # in-query FP-rate assertion (round 9): a false-positive rate past
+    # 50% of the probed keys means the bitmap is saturated for this
+    # m/k/n and the prefilter it models is a no-op that still pays the
+    # probe — raise instead of reporting a silently-degenerate audit.
+    # Zero-cost when healthy: the ELSE arm is the plain count, so the
+    # oracle (which never saturates at this fixture) is unchanged.
+    return agg.select(
+        "n_probed",
+        "n_maybe",
+        "n_true",
+        F.expr(
+            "CASE WHEN false_pos * 2 > n_probed THEN"
+            " CAST(raise_error('x_bloom_prefilter_audit: false-positive"
+            " rate exceeds 50% — the bitmap is saturated for this"
+            " m/k/n; auto-size it (ngram_overlap_prefiltered"
+            " num_words=None)') AS BIGINT)"
+            " ELSE false_pos END"
+        ).cast("bigint").alias("false_pos"),
     )
 
 

@@ -1926,14 +1926,50 @@ def test_prefiltered_contamination_equals_exact(spark):
     exact = sorted(
         tuple(r) for r in ngram_overlap(cdf, bdf, n=4).collect()
     )
-    for words in (2, 4096):  # tiny bitmap = FP-heavy; big = FP-light
+    # tiny bitmap = FP-heavy (saturation override to prove FPs die in
+    # the exact join); big = FP-light; None = auto-sized from the
+    # counted benchmark gram set
+    for words in (2, 4096, None):
         pre = sorted(
             tuple(r)
             for r in ngram_overlap_prefiltered(
-                cdf, bdf, n=4, num_words=words
+                cdf, bdf, n=4, num_words=words, saturation_bound=1.0
             ).collect()
         )
         assert pre == exact, words
+
+
+def test_prefiltered_contamination_saturated_bitmap_raises(spark):
+    """Round-9 (r8 VERDICT #2): an explicitly-sized bitmap whose
+    expected fill exceeds the saturation bound must RAISE with the
+    auto-size hint — a saturated prefilter passes ~everything while
+    still paying the probe — and the auto path must refuse a gram set
+    whose target-fp bitmap would outgrow the broadcast-safety bound."""
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.operators.contamination import (
+        ngram_overlap_prefiltered,
+    )
+
+    import random
+
+    rng = random.Random(0xB101)
+    vocab = [f"w{i}" for i in range(40)]
+    cdf = spark.createDataFrame(
+        [("d0", " ".join(rng.choice(vocab) for _ in range(30)))],
+        "doc_id string, text string",
+    )
+    bdf = spark.createDataFrame(
+        [
+            (f"b{i}", " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(10)
+        ],
+        "doc_id string, text string",
+    )
+    with pt.raises(ValueError, match="auto-size|num_words=None"):
+        ngram_overlap_prefiltered(cdf, bdf, n=4, num_words=1)
+    with pt.raises(ValueError, match="max_words"):
+        ngram_overlap_prefiltered(cdf, bdf, n=4, max_words=1)
 
 
 def test_pca_partial_merge_is_distributed_and_partition_independent(spark):
