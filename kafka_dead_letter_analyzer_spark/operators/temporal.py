@@ -699,6 +699,14 @@ def decay_weighted_counts(
     )
 
 
+# strategy-probe threshold: when the steps' rows cover at most this
+# fraction of the event table, the per-stage parquet-pushdown join
+# chain reads k slivers instead of one big scan and wins; above it the
+# single-scan window chain wins.  Monkeypatch target for tests (the
+# spearman _TWO_PHASE_MIN_DISTINCT pattern).
+_FUNNEL_SELECTIVE_MAX_FRAC = 0.2
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],
@@ -706,6 +714,7 @@ def funnel_steps(
     state_col: str = "event_type",
     ts_col: str = "ts",
     within_us: int | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many keys reached step 1, then
     step 2 STRICTLY AFTER their step 1, then step 3 after that, ... —
@@ -740,21 +749,57 @@ def funnel_steps(
     total), then a k-row stack.  Nothing in the plan scales with
     anything but the event count; per-key state is k longs.
 
-    Relationship to ``queries.py::x_event_funnel`` (the join-chain
-    form): that one scans the fact table once PER STAGE with the
-    stage's type predicate pushed to parquet and chains equi-joins —
-    the right plan when stage types are highly selective (each scan
-    reads a sliver of 100 TB) and there is no time bound.  This one
-    reads the matching events ONCE and chains window minima — the
-    right plan when the steps cover much of the table, when a
-    ``within_us`` bound applies (the join form would need k-1
-    range-join stages), or when k is large.  Both keep one timestamp
-    per (key, stage), never an event list."""
+    Strategy (``strategy``): the two physical plans for the same
+    semantics are the WINDOW CHAIN (read the matching events once,
+    one key exchange, k chained unordered window minima) and the JOIN
+    CHAIN (``queries.py::x_event_funnel``'s shape: one fact scan PER
+    STAGE with that stage's type predicate pushed to parquet, chained
+    user-keyed equi-joins carrying the previous anchor — the
+    ``within_us`` bound rides the post-join filter, no range join
+    needed).  ``None`` (default) PROBES the data — one column-pruned
+    partial-agg scan counting the steps' coverage of the table — and
+    picks the join chain when coverage <= ``_FUNNEL_SELECTIVE_MAX_FRAC``
+    (each pushdown scan reads a sliver of 100 TB, k slivers beat one
+    60%-scan), the window chain otherwise (one scan beats k
+    near-full scans); the spearman/auc probe pattern, and like them
+    the probe job is the documented price of the scale-correct plan.
+    ``'window'`` / ``'joins'`` force a side (the probe-free paths for
+    callers that know their data).  Both strategies are
+    differential-equal (tests/test_temporal.py) and keep one
+    timestamp per (key, stage), never an event list."""
     if len(steps) < 2:
         raise ValueError("funnel_steps: need at least 2 steps")
     if within_us is not None and within_us <= 0:
         raise ValueError("funnel_steps: within_us must be positive")
+    if strategy not in (None, "window", "joins"):
+        raise ValueError(
+            f"funnel_steps: unknown strategy {strategy!r}"
+            " (None | 'window' | 'joins')"
+        )
     k = len(steps)
+    if strategy is None:
+        # ONE partial-aggregated, column-pruned scan: total valid rows
+        # and how many belong to any step — the coverage ratio decides
+        # whether k pushdown slivers beat one combined scan
+        probe = events.filter(
+            F.col(ts_col).isNotNull() & F.col(key).isNotNull()
+        ).agg(
+            F.count(F.lit(1)).alias("_tot"),
+            F.sum(
+                F.when(F.col(state_col).isin(list(steps)), 1).otherwise(0)
+            ).alias("_hit"),
+        ).collect()[0]
+        tot, hit = probe["_tot"] or 0, probe["_hit"] or 0
+        strategy = (
+            "joins"
+            if tot > 0 and hit <= _FUNNEL_SELECTIVE_MAX_FRAC * tot
+            else "window"
+        )
+    if strategy == "joins":
+        totals = _funnel_join_chain_totals(
+            events, steps, key, state_col, ts_col, within_us
+        )
+        return _funnel_emit(totals, steps)
     ev = events.filter(
         F.col(ts_col).isNotNull()
         & F.col(state_col).isin(list(steps))
@@ -798,6 +843,65 @@ def funnel_steps(
             for i in range(k)
         ]
     )
+    return _funnel_emit(totals, steps)
+
+
+def _funnel_join_chain_totals(
+    events: DataFrame,
+    steps: list[str],
+    key: str,
+    state_col: str,
+    ts_col: str,
+    within_us: int | None,
+) -> DataFrame:
+    """Join-chain funnel totals — a 1-row (u0..u{k-1}) frame with the
+    same first-touch semantics as the window chain: stage i's anchor
+    is the earliest type-s_i event strictly after (and within
+    ``within_us`` of) stage i-1's anchor.  Each stage is its own fact
+    scan with the type equality pushed to parquet; every join and
+    aggregate keys on the funnel key, so one partitioning threads the
+    chain.  Stage frames persist (each feeds its own count AND the
+    next stage's join; one (key, anchor) row per qualifying key)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    valid = events.filter(
+        F.col(ts_col).isNotNull() & F.col(key).isNotNull()
+    )
+    prev: DataFrame | None = None
+    counts = []
+    for i, s in enumerate(steps):
+        st = valid.filter(F.col(state_col) == s).select(
+            F.col(key).alias("k"), F.unix_micros(F.col(ts_col)).alias("us")
+        )
+        if prev is not None:
+            st = st.join(prev, "k").filter(F.col("us") > F.col("t"))
+            if within_us is not None:
+                st = st.filter(
+                    F.col("us") <= F.col("t") + int(within_us)
+                )
+            st = st.drop("t")
+        stage = st.groupBy("k").agg(F.min("us").alias("t"))
+        if i < len(steps) - 1:
+            stage = cache_registry.track(stage.persist())
+        counts.append(
+            stage.agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"u{i}")
+            )
+        )
+        prev = stage
+    totals = counts[0]
+    for c in counts[1:]:
+        # 1-row aggregates: broadcast cross joins by construction
+        totals = totals.crossJoin(F.broadcast(c))
+    return totals
+
+
+def _funnel_emit(totals: DataFrame, steps: list[str]) -> DataFrame:
+    """Shared funnel tail: stack the 1-row (u0..u{k-1}) totals into
+    ``(step_idx, step, users, conv_ppm)`` with two-step-division ppm
+    vs step 1."""
+    k = len(steps)
+
     def _sql_str(s: str) -> str:
         # step names are data, not SQL — escape for the literal
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -7470,14 +7470,17 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     after step i-1's anchor; with the time bound this is the standard
     product-analytics convention, not an any-anchor search — see the
     operator docstring), conversion vs step 1 as
-    two-step-division ppm.  Plan: one hash exchange on user_id, three
-    chained UNORDERED window minima over it (no sort anywhere), one
-    per-user aggregate, a 3-row stack.  The WINDOW-CHAIN complement of
-    x_event_funnel's join-chain plan: that form pushes each stage's
-    type predicate into its own parquet scan (wins when stages are
-    selective slivers of 100 TB, but has no time bound); this form
-    reads matching events once and carries the 72h within-bound that
-    the join form would need k-1 range joins to express."""
+    two-step-division ppm.  STRATEGY IS PROBED (round 9): one
+    column-pruned partial-agg scan measures the steps' coverage of
+    the table and picks the per-stage parquet-pushdown JOIN CHAIN
+    when the steps are selective slivers, the single-scan WINDOW
+    CHAIN otherwise — on this fixture coverage is ~60%, so the plan
+    is one hash exchange on user_id, three chained UNORDERED window
+    minima (no sort anywhere), one per-user aggregate, a 3-row stack.
+    Both strategies are differential-equal and both carry the 72h
+    within-bound (the join chain applies it on the post-join filter).
+    The probe job is the documented price of the scale-correct pick
+    (the spearman/auc pattern)."""
     from kafka_dead_letter_analyzer_spark.operators import temporal as T
 
     ev = load_table(spark, sf_dir, "events")

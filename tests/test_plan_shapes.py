@@ -1254,3 +1254,33 @@ def test_isotonic_contraction_feeds_grouped_pandas(spark, Q):
     assert "FlatMapGroupsInPandas" in s
     assert "HashAggregate" in s
     assert "CartesianProduct" not in s
+
+
+def test_funnel_join_chain_pushes_stage_predicates(spark):
+    """Round-9: the funnel's join-chain strategy must push each
+    stage's type equality into its own parquet scan (the whole point
+    of the strategy — k sliver scans instead of one 60% scan) and
+    carry no window anywhere; the forced window strategy keeps the
+    single isin-pushed scan + window chain."""
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+    from kafka_dead_letter_analyzer_spark.queries import load_table
+
+    ev = load_table(spark, SF, "events")
+    j = plan_of(
+        funnel_steps(
+            ev, ["view", "click", "purchase"], strategy="joins"
+        )
+    )
+    assert "EqualTo(event_type,view)" in j
+    assert "EqualTo(event_type,click)" in j
+    assert "EqualTo(event_type,purchase)" in j
+    assert "Window" not in j
+    w = plan_of(
+        funnel_steps(
+            ev, ["view", "click", "purchase"], strategy="window"
+        )
+    )
+    assert "Window" in w
+    assert "In(event_type" in w

@@ -1291,3 +1291,85 @@ def test_funnel_step_names_with_quotes(spark):
         ).collect()
     }
     assert out == {"parse-error": 1, "producer's-retry": 1}
+
+
+def test_funnel_join_chain_equals_window_chain_randomized(spark):
+    """Round-9 (r8 VERDICT #3): the join-chain strategy must be
+    differential-equal to the window chain — with and without a time
+    bound — across random event soups (first-touch anchors, strict
+    after, ties)."""
+    import datetime as dt
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    rng = random.Random(0xF91)
+    rows = [
+        (
+            f"u{rng.randint(0, 40)}",
+            rng.choice(["view", "click", "buy", "other"]),
+            e + dt.timedelta(minutes=rng.randint(0, 120)),
+        )
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    for within in (None, 30 * 60_000_000):
+        w = sorted(
+            tuple(r)
+            for r in funnel_steps(
+                df, ["view", "click", "buy"], within_us=within,
+                strategy="window",
+            ).collect()
+        )
+        j = sorted(
+            tuple(r)
+            for r in funnel_steps(
+                df, ["view", "click", "buy"], within_us=within,
+                strategy="joins",
+            ).collect()
+        )
+        assert j == w, within
+
+
+def test_funnel_probe_flips_strategy_on_threshold(spark, monkeypatch):
+    """The default probe must pick the join chain when step coverage
+    is under the (monkeypatched) threshold and the window chain above
+    it — pinned by plan shape: the join chain has per-stage joins and
+    NO window, the window chain has the chained window and no
+    stage-count joins."""
+    import datetime as dt
+
+    import kafka_dead_letter_analyzer_spark.operators.temporal as T
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    rows = [("u1", "view", e), ("u1", "click", e + dt.timedelta(minutes=1))]
+    rows += [
+        (f"u{i}", "other", e + dt.timedelta(minutes=i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    # coverage = 2/22 < 0.5 -> joins
+    monkeypatch.setattr(T, "_FUNNEL_SELECTIVE_MAX_FRAC", 0.5)
+    out = T.funnel_steps(df, ["view", "click"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" in plan
+    assert {(r["step"], r["users"]) for r in out.collect()} == {
+        ("view", 1), ("click", 1)
+    }
+    # coverage > 0 -> window under a 0 threshold
+    monkeypatch.setattr(T, "_FUNNEL_SELECTIVE_MAX_FRAC", 0.0)
+    out2 = T.funnel_steps(df, ["view", "click"])
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan2
+    assert {(r["step"], r["users"]) for r in out2.collect()} == {
+        ("view", 1), ("click", 1)
+    }
+    with pytest.raises(ValueError, match="strategy"):
+        T.funnel_steps(df, ["view", "click"], strategy="bogus")
