@@ -150,3 +150,60 @@ def test_bench_tiers_env_var(tmp_path):
         sum(detail["queries_exec"].values()), 3
     )
     assert d["value_cold"] == 0
+
+
+def test_compare_to_reference_renormalizes_and_never_raises(tmp_path):
+    """Round-9 (r8 VERDICT #4): the cross-round comparison divides the
+    common-set warm total by the calib ratio, reports the one-number
+    renorm_vs_ref, and returns None (never raises) for a missing or
+    malformed reference."""
+    import json as _json
+
+    import bench
+
+    ref = {
+        "queries": {"q1": 1.0, "q2": 2.0, "dropped": 5.0},
+        "machine_start": {"calib_md5_ms": 100.0},
+        "machine_end": {"calib_md5_ms": 100.0},
+        "ref_name": "fixture",
+    }
+    rp = tmp_path / "REF.json"
+    rp.write_text(_json.dumps(ref))
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_BENCH_REF"] = str(rp)
+    try:
+        # host ran 2x slower (calib 200 vs 100): raw 6.0 over the
+        # common set renormalizes to 3.0 -> ratio vs ref's 3.0 = 1.0
+        got = bench.compare_to_reference(
+            {"q1": 2.0, "q2": 4.0, "brand_new": 9.0},
+            {"calib_md5_ms": 200.0},
+            {"calib_md5_ms": 200.0},
+        )
+        assert got["calib_ratio"] == 2.0
+        assert got["common_queries"] == 2
+        assert got["new_queries"] == ["brand_new"]
+        assert got["raw_common_total_sec"] == 6.0
+        assert got["renorm_common_total_sec"] == 3.0
+        assert got["renorm_vs_ref"] == 1.0
+        assert {r["query"] for r in got["top_renorm_regressions_sec"]} == {
+            "q1", "q2"
+        }
+        # the compact final line carries the one-number verdict
+        line = bench.format_final_line(
+            {"q1": 2.0}, {}, {}, "0.1", None, got
+        )
+        parsed = _json.loads(line)
+        assert parsed["renorm_vs_ref"] == 1.0
+        assert parsed["calib_ratio"] == 2.0
+        # malformed / missing refs -> None, never an exception
+        rp.write_text("{not json")
+        assert bench.compare_to_reference(
+            {"q1": 1.0}, {"calib_md5_ms": 1.0}, {"calib_md5_ms": 1.0}
+        ) is None
+        _os.environ["SPARK_GRAFT_BENCH_REF"] = str(tmp_path / "absent.json")
+        assert bench.compare_to_reference(
+            {"q1": 1.0}, {"calib_md5_ms": 1.0}, {"calib_md5_ms": 1.0}
+        ) is None
+    finally:
+        _os.environ.pop("SPARK_GRAFT_BENCH_REF", None)
