@@ -896,6 +896,111 @@ def _funnel_join_chain_totals(
     return totals
 
 
+def funnel_steps_any_anchor(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    within_us: int | None = None,
+    max_events_per_key: int = 100_000,
+) -> DataFrame:
+    """EXHAUSTIVE ordered-funnel conversion — ``(step_idx, step,
+    users, conv_ppm)`` like :func:`funnel_steps`, but a key reaches
+    step i if ANY chain of anchors does, not just the first-touch
+    chain: step i's feasible anchors are every type-s_i event strictly
+    after (and within ``within_us`` of) SOME feasible step-(i-1)
+    anchor.  The variant for "would this user convert at all"
+    audits: first-touch counts a user whose earliest anchor is stale
+    as non-converting even when a later anchor chain completes
+    (view@0, view@100, click@150 under a 100-bound converts HERE and
+    not there).  Without ``within_us`` the two agree (the greedy
+    earliest chain provably dominates unbounded) — this operator
+    exists for the bounded case.
+
+    Plan shape: ONE hash exchange on the key
+    (``applyInPandas``), then a per-key feasibility sweep: the
+    feasible-anchor set propagates step to step with sorted-array
+    binary searches — O(E log E) per key, NOT the naive
+    quadratic pair scan, but the per-key event list DOES materialize
+    in one task (unlike funnel_steps' k-longs state).
+    ``max_events_per_key`` is that contract: a key with more
+    step-typed events RAISES with a sharding hint instead of silently
+    OOMing the task (the kendall max_cells pattern).  Totals and ppm
+    reuse the shared funnel tail."""
+    import pandas as pd  # noqa: F401
+
+    if len(steps) < 2:
+        raise ValueError("funnel_steps_any_anchor: need at least 2 steps")
+    if within_us is not None and within_us <= 0:
+        raise ValueError(
+            "funnel_steps_any_anchor: within_us must be positive"
+        )
+    if max_events_per_key < 1:
+        raise ValueError(
+            "funnel_steps_any_anchor: max_events_per_key must be >= 1"
+        )
+    k = len(steps)
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(state_col).isin(list(steps))
+        & F.col(key).isNotNull()
+    ).select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("st"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    step_list = list(steps)
+    cap = int(max_events_per_key)
+    bound = None if within_us is None else int(within_us)
+
+    def _reach(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) > cap:
+            raise ValueError(
+                "funnel_steps_any_anchor: a key has"
+                f" {len(pdf)} step-typed events"
+                f" (> max_events_per_key={cap}); pre-filter the anchor"
+                " steps to the relevant recency window or raise the cap"
+            )
+        us = pdf["us"].to_numpy(dtype=np.int64)
+        st = pdf["st"].to_numpy()
+        feas = np.sort(us[st == step_list[0]])
+        reached = [1 if len(feas) else 0]
+        for s in step_list[1:]:
+            if len(feas) == 0:
+                reached.append(0)
+                continue
+            cand = np.sort(us[st == s])
+            if bound is None:
+                # unbounded: anything after the earliest feasible
+                # anchor is feasible
+                feas = cand[cand > feas[0]]
+            else:
+                # t is feasible iff some feasible t' lies in [t-W, t)
+                lt = np.searchsorted(feas, cand, side="left")
+                ge = np.searchsorted(feas, cand - bound, side="left")
+                feas = cand[lt > ge]
+            reached.append(1 if len(feas) else 0)
+        return pd.DataFrame(
+            [reached], columns=[f"r{i}" for i in range(k)]
+        )
+
+    schema = ", ".join(f"r{i} int" for i in range(k))
+    flags = ev.groupBy("k").applyInPandas(_reach, schema=schema)
+    totals = flags.agg(
+        *[
+            F.coalesce(F.sum(f"r{i}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        ]
+    )
+    return _funnel_emit(totals, steps)
+
+
 def _funnel_emit(totals: DataFrame, steps: list[str]) -> DataFrame:
     """Shared funnel tail: stack the 1-row (u0..u{k-1}) totals into
     ``(step_idx, step, users, conv_ppm)`` with two-step-division ppm

@@ -7492,6 +7492,72 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_funnel_any_anchor",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+    ), u0 AS (
+      SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+    ), cf AS (
+      SELECT DISTINCT c.user_id, c.us
+      FROM ev c JOIN ev v
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.us > v.us AND c.us <= v.us + 259200000000
+    ), u1 AS (SELECT DISTINCT user_id FROM cf),
+    u2 AS (
+      SELECT DISTINCT p.user_id
+      FROM ev p JOIN cf
+        ON cf.user_id = p.user_id
+       AND p.event_type = 'purchase'
+       AND p.us > cf.us AND p.us <= cf.us + 259200000000
+    ), tot AS (
+      SELECT CAST((SELECT count(*) FROM u0) AS BIGINT) AS c0,
+             CAST((SELECT count(*) FROM u1) AS BIGINT) AS c1,
+             CAST((SELECT count(*) FROM u2) AS BIGINT) AS c2
+    ), stacked AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             c0 AS users, c0 AS base FROM tot
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', c1, c0 FROM tot
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', c2, c0 FROM tot
+    )
+    SELECT step_idx, step, users,
+           CAST(CASE WHEN base = 0 THEN 0 ELSE
+             ((users * 1000) // base) * 1000
+             + (((users * 1000) % base) * 1000) // base END
+             AS BIGINT) AS conv_ppm
+    FROM stacked
+    """,
+)
+def x_funnel_any_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-ANCHOR view -> click -> purchase funnel, each step within
+    72h of SOME feasible previous anchor
+    (operators/temporal.py::funnel_steps_any_anchor): the exhaustive
+    complement of x_funnel_conversion's first-touch convention — a
+    user whose earliest view is stale but who completes via a later
+    view counts as converting here.  Plan: one hash exchange on
+    user_id into an Arrow-batched per-key feasibility sweep
+    (sorted-array binary searches propagate the feasible-anchor set
+    step to step — O(E log E) per key, not the naive quadratic), with
+    a max_events_per_key raise as the per-task memory contract; the
+    oracle expresses the same semantics as chained DISTINCT
+    feasible-anchor joins (quadratic, fine at oracle scale)."""
+    from kafka_dead_letter_analyzer_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    return T.funnel_steps_any_anchor(
+        ev,
+        steps=["view", "click", "purchase"],
+        within_us=259_200_000_000,
+    )
+
+
+@_register(
     "x_f1_threshold",
     """
     WITH c AS (

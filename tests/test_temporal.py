@@ -1373,3 +1373,141 @@ def test_funnel_probe_flips_strategy_on_threshold(spark, monkeypatch):
     }
     with pytest.raises(ValueError, match="strategy"):
         T.funnel_steps(df, ["view", "click"], strategy="bogus")
+
+
+def test_funnel_any_anchor_matches_brute_force_randomized(spark):
+    """Round-9 (r8 VERDICT #5): the any-anchor funnel must count a key
+    at step i iff ANY chain of anchors reaches it — checked against an
+    exhaustive DFS over every event combination, bounded and
+    unbounded."""
+    import datetime as dt
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps_any_anchor,
+    )
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    rng = random.Random(0xAA91)
+    steps = ["view", "click", "buy"]
+    rows = [
+        (
+            f"u{rng.randint(0, 25)}",
+            rng.choice(steps + ["other"]),
+            e + dt.timedelta(minutes=rng.randint(0, 90)),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+
+    def exists_chain(evs, prefix, W):
+        def dfs(i, prev_us):
+            if i == len(prefix):
+                return True
+            for st, us in evs:
+                if st != prefix[i]:
+                    continue
+                if prev_us is not None:
+                    if not (us > prev_us):
+                        continue
+                    if W is not None and us > prev_us + W:
+                        continue
+                if dfs(i + 1, us):
+                    return True
+            return False
+
+        return dfs(0, None)
+
+    by_user: dict = {}
+    for u, st, ts in rows:
+        by_user.setdefault(u, []).append(
+            (st, int(ts.timestamp() * 1_000_000))
+        )
+    for W in (None, 20 * 60_000_000):
+        want = [
+            sum(
+                1
+                for evs in by_user.values()
+                if exists_chain(evs, steps[: i + 1], W)
+            )
+            for i in range(3)
+        ]
+        got = {
+            r["step_idx"]: r["users"]
+            for r in funnel_steps_any_anchor(
+                df, steps, within_us=W
+            ).collect()
+        }
+        assert [got[1], got[2], got[3]] == want, W
+
+
+def test_funnel_any_anchor_beats_first_touch_on_stale_anchor(spark):
+    """The motivating case: view@0, view@100, click@150 under a
+    100-minute bound — first-touch anchors at view@0 and reports no
+    click; any-anchor converts via view@100."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps,
+        funnel_steps_any_anchor,
+    )
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+
+    def ts(mins):
+        return e + dt.timedelta(minutes=mins)
+
+    rows = [
+        ("u1", "view", ts(0)), ("u1", "view", ts(100)),
+        ("u1", "click", ts(150)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    W = 100 * 60_000_000
+    ft = {
+        r["step"]: r["users"]
+        for r in funnel_steps(
+            df, ["view", "click"], within_us=W, strategy="window"
+        ).collect()
+    }
+    aa = {
+        r["step"]: r["users"]
+        for r in funnel_steps_any_anchor(
+            df, ["view", "click"], within_us=W
+        ).collect()
+    }
+    assert ft == {"view": 1, "click": 0}
+    assert aa == {"view": 1, "click": 1}
+
+
+def test_funnel_any_anchor_cap_raises_and_validates(spark):
+    import datetime as dt
+
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps_any_anchor,
+    )
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("u1", "view", e + dt.timedelta(minutes=i)) for i in range(5)
+    ] + [("u1", "click", e + dt.timedelta(minutes=9))]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    with pt.raises(Exception, match="max_events_per_key"):
+        funnel_steps_any_anchor(
+            df, ["view", "click"], max_events_per_key=3
+        ).collect()
+    with pt.raises(ValueError, match="steps"):
+        funnel_steps_any_anchor(df, ["view"])
+    with pt.raises(ValueError, match="within_us"):
+        funnel_steps_any_anchor(df, ["view", "click"], within_us=0)
+    with pt.raises(ValueError, match="max_events_per_key"):
+        funnel_steps_any_anchor(
+            df, ["view", "click"], max_events_per_key=0
+        )
