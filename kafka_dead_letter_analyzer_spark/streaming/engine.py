@@ -2145,3 +2145,160 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming scorer audit (live twin of the batch ROC/threshold family)
+# ---------------------------------------------------------------------------
+
+
+def _make_scorer_audit_fn(max_scores: int):
+    _I64_MAX = (1 << 63) - 1
+
+    def _audit_fn(key, pdfs, state) -> Iterator:
+        """Per-group live scorer audit: state = the exact (score ->
+        pos, neg) contraction — the SAME sufficient statistic the
+        batch ROC/AUC/threshold family reduces to, so every emitted
+        number is bit-equal to the batch operator over the stream
+        prefix REGARDLESS of arrival order or batch boundaries
+        (unlike the anchors-style twins, contraction state is a
+        commutative fold).  Each trigger folds the batch's
+        per-score class counts and sweeps the sorted contraction
+        once: Mann-Whitney u2 (auc_exact's integers), and the
+        F1-optimal threshold with x_f1_threshold's exact rule (ppm
+        two-step division, ties to the LOWEST threshold).  State is
+        O(distinct scores), capped by ``max_scores`` with a
+        quantize hint — a live monitor should gate a quantized
+        score, and the cap is the bounded-state contract."""
+        import pandas as pd
+
+        if state.exists:
+            ss0, ps0, ns0 = state.get
+            tbl = {
+                int(s): [int(p), int(nn)]
+                for s, p, nn in zip(ss0, ps0, ns0)
+            }
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            for s, y in zip(pdf["s"], pdf["y"]):
+                e = tbl.setdefault(int(s), [0, 0])
+                e[0 if bool(y) else 1] += 1
+        if len(tbl) > max_scores:
+            raise ValueError(
+                f"streaming_scorer_audit: group {key[0]!r} has"
+                f" {len(tbl)} distinct scores"
+                f" (> max_scores={max_scores}); quantize the score to"
+                " a coarser grid before monitoring"
+            )
+        ss = sorted(tbl)
+        state.update(
+            (ss, [tbl[s][0] for s in ss], [tbl[s][1] for s in ss])
+        )
+        n_pos = sum(tbl[s][0] for s in ss)
+        n_neg = sum(tbl[s][1] for s in ss)
+        # division-form guard, same bound as auc_exact's raise
+        if n_pos > 0 and n_neg > 0 and n_pos > _I64_MAX // 2000 // n_neg:
+            raise ValueError(
+                "streaming_scorer_audit: n_pos*n_neg exceeds the"
+                " exact-ppm int64 bound (2^63/2000); shard the stream"
+                " key and monitor per-shard"
+            )
+        cum_p = cum_n = 0
+        u2 = 0
+        best = None  # (f1_ppm, -s) max => ties to lowest s
+        best_row = None
+        for s in ss:
+            p, nn = tbl[s]
+            u2 += p * (2 * cum_n + nn)
+            tp = n_pos - cum_p
+            fp = n_neg - cum_n
+            fn = cum_p
+            d = 2 * tp + fp + fn
+            # exact floor(x*1e6/d): Python ints == the engines'
+            # two-step long division (see operators/common.py::ppm2)
+            f1 = 0 if d == 0 else (2 * tp * 1_000_000) // d
+            if best is None or (f1, -s) > best:
+                best = (f1, -s)
+                best_row = (s, tp, fp, fn, f1)
+            cum_p += p
+            cum_n += nn
+        auc = (
+            None
+            if n_pos == 0 or n_neg == 0
+            else (u2 * 1_000_000) // (2 * n_pos * n_neg)
+        )
+        s_best, tp_b, fp_b, fn_b, f1_b = best_row
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "n": [n_pos + n_neg],
+                "n_pos": [n_pos],
+                "n_neg": [n_neg],
+                "auc_ppm": pd.array([auc], dtype="Int64"),
+                "threshold": [s_best],
+                "tp": [tp_b],
+                "fp": [fp_b],
+                "fn": [fn_b],
+                "f1_ppm": [f1_b],
+            }
+        )
+
+    return _audit_fn
+
+
+def streaming_scorer_audit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    max_scores: int = 100_000,
+) -> DataFrame:
+    """Live model-score monitor — the streaming twin of the batch
+    scorer-audit family (``x_roc_curve`` / ``x_f1_threshold`` /
+    ``auc_exact``): per group, every trigger re-emits ``(group_key,
+    n, n_pos, n_neg, auc_ppm, threshold, tp, fp, fn, f1_ppm)`` —
+    the running AUC and the currently-F1-optimal gating threshold of
+    the stream's (quantized) score against its boolean label, in
+    update mode (``n`` strictly increases; downstream keeps the max-n
+    row per group, the Elasticsearch-upsert consumption model).
+
+    EXACTNESS (tested): after any micro-batch sequence, a group's
+    emission EQUALS the batch operators over the same rows — the
+    state is the per-score class-count contraction itself, a
+    commutative fold with no arrival-order sensitivity; AUC uses
+    auc_exact's Mann-Whitney integers and the threshold uses
+    x_f1_threshold's exact tie rule (max f1_ppm, lowest threshold).
+    State per group is O(distinct scores), capped by ``max_scores``
+    (raise with a quantize hint); the int64 AUC bound raises with
+    auc_exact's sharding hint.  The drift family's batch<->streaming
+    pairing, applied to scorer quality."""
+    if max_scores < 1:
+        raise ValueError(
+            "streaming_scorer_audit: max_scores must be >= 1"
+        )
+    gk = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    keyed = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        gk.alias("group_key"),
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    )
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_scorer_audit_fn(int(max_scores)),
+        outputStructType=(
+            "group_key string, n long, n_pos long, n_neg long,"
+            " auc_ppm long, threshold long, tp long, fp long,"
+            " fn long, f1_ppm long"
+        ),
+        stateStructType=(
+            "scores array<long>, pos array<long>, neg array<long>"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

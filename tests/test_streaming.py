@@ -3148,3 +3148,182 @@ def test_streaming_sliding_sum_end_to_end(spark, tmp_path):
     # 3880s before as_of is OUT, t=4000 itself IN -> 7
     assert rows[0] == (base_us + 60_000_000, 14, 0)
     assert rows[-1] == (base_us + 4_000_000_000, 7, 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming scorer audit
+
+
+def _drive_audit(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    last = None
+    for chunk in batches:
+        pdf = pd.DataFrame(
+            {"s": [s for s, _ in chunk], "y": [y for _, y in chunk]}
+        )
+        for out in fn(("g",), [pdf], st):
+            last = out.iloc[0]
+    return last, st
+
+
+def test_scorer_audit_fn_matches_batch_randomized(spark):
+    """Round-9 (r8 VERDICT #6): after ANY micro-batch split and
+    arrival order, the audit's emission must equal the batch family
+    on the same rows — auc_exact's (u2-derived) auc_ppm and
+    x_f1_threshold's exact selection rule over roc_curve_points."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.operators import ranking as R
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_scorer_audit_fn,
+    )
+
+    rng = random.Random(0x5CA9)
+    for trial in range(3):
+        rows = [
+            (rng.randint(0, 30), rng.random() < 0.4)
+            for _ in range(rng.randint(50, 300))
+        ]
+        rng.shuffle(rows)
+        cuts = sorted(rng.sample(range(len(rows)), 2))
+        batches = [
+            rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]
+        ]
+        last, st = _drive_audit(_make_scorer_audit_fn(100_000), batches)
+
+        df = spark.createDataFrame(rows, "s bigint, y boolean")
+        auc = R.auc_exact(df, "s", "y").collect()[0]
+        assert int(last["auc_ppm"]) == auc["auc_ppm"], trial
+        assert (int(last["n_pos"]), int(last["n_neg"])) == (
+            auc["n_pos"], auc["n_neg"]
+        ), trial
+        curve = R.roc_curve_points(df, "s", "y")
+        scored = curve.withColumn(
+            "f1_ppm",
+            F.expr(
+                "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE"
+                " ((2 * tp * 1000) DIV (2 * tp + fp + fn)) * 1000"
+                " + (((2 * tp * 1000) % (2 * tp + fp + fn)) * 1000)"
+                " DIV (2 * tp + fp + fn) END AS BIGINT)"
+            ),
+        )
+        best = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy(F.lit(1)).orderBy(
+                        F.desc("f1_ppm"), F.asc("s")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .collect()[0]
+        )
+        assert (
+            int(last["threshold"]),
+            int(last["tp"]),
+            int(last["fp"]),
+            int(last["fn"]),
+            int(last["f1_ppm"]),
+        ) == (best["s"], best["tp"], best["fp"], best["fn"],
+              best["f1_ppm"]), trial
+        # state is the exact sorted contraction
+        ss, ps, ns = st._v
+        assert list(ss) == sorted(set(s for s, _ in rows))
+
+
+def test_scorer_audit_fn_single_class_and_caps():
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_scorer_audit_fn,
+    )
+
+    # all-positive: auc undefined (null), threshold still selected
+    last, _ = _drive_audit(
+        _make_scorer_audit_fn(100), [[(1, True), (2, True)]]
+    )
+    import pandas as pd
+
+    assert pd.isna(last["auc_ppm"])
+    assert int(last["threshold"]) == 1  # tie at f1: lowest threshold
+    assert int(last["f1_ppm"]) == 1_000_000  # tp=2 fp=0 fn=0
+    with pt.raises(ValueError, match="max_scores"):
+        _drive_audit(
+            _make_scorer_audit_fn(2),
+            [[(1, True), (2, False), (3, True)]],
+        )
+
+
+def test_scorer_audit_overflow_guard_raises():
+    import pandas as pd
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_scorer_audit_fn,
+    )
+
+    fn = _make_scorer_audit_fn(10)
+    st = _FakeState()
+    big = 1 << 40
+    st.update(([5, 6], [big, 0], [0, big]))
+    pdf = pd.DataFrame({"s": [5], "y": [True]})
+    with pt.raises(ValueError, match="shard"):
+        list(fn(("g",), [pdf], st))
+
+
+def test_streaming_scorer_audit_end_to_end(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.operators import ranking as R
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_scorer_audit,
+    )
+
+    import random
+
+    rng = random.Random(0x5CAA)
+    rows = [
+        ("a" if i % 2 else "b", rng.randint(0, 9), rng.random() < 0.5)
+        for i in range(120)
+    ]
+    schema = "src string, score bigint, label boolean"
+    src = str(tmp_path / "audit_src")
+    third = len(rows) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : None if i == 2 else (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_scorer_audit(
+            stream, "score", "label", group_col="src"
+        )
+        .writeStream.format("memory")
+        .queryName("audit_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT * FROM audit_sink ORDER BY n"
+    ).collect()
+    # keep the max-n row per group (the upsert consumption model)
+    final = {}
+    for r in out:
+        final[r["group_key"]] = r
+    df = spark.createDataFrame(rows, schema)
+    for g in ("a", "b"):
+        sub = df.filter(F.col("src") == g)
+        auc = R.auc_exact(sub, "score", "label").collect()[0]
+        got = final[g]
+        assert got["auc_ppm"] == auc["auc_ppm"], g
+        assert got["n"] == auc["n_pos"] + auc["n_neg"], g
