@@ -2024,3 +2024,63 @@ def test_pca_partial_merge_is_distributed_and_partition_independent(spark):
     assert cnt_a == cnt_b == n
     assert np.allclose(comps_a, comps_b, atol=1e-9)
     assert np.allclose(vals_a, vals_b, atol=1e-9)
+
+
+def test_pca_randomized_matches_exact_on_low_rank(spark):
+    """Round-9 (r8 VERDICT #7): method='randomized' must recover the
+    exact fit's principal subspace on synthetic low-rank data — the
+    d-linear escape hatch for embedding-scale d.  Checked by subspace
+    angle (|cos| of each component against the exact one) and
+    eigenvalue closeness; also deterministic (seeded probe) and
+    partition-independent."""
+    import random
+
+    import numpy as np
+
+    from kafka_dead_letter_analyzer_spark.operators.similarity import (
+        pca_fit,
+    )
+
+    rng = random.Random(0xAC2)
+    d, n, r = 16, 500, 3
+    # rank-3 signal with well-separated spectrum + small noise
+    basis = np.linalg.qr(
+        np.array(
+            [[rng.gauss(0, 1) for _ in range(r)] for _ in range(d)]
+        )
+    )[0]
+    scales = [9.0, 5.0, 2.5]
+    rows = []
+    for i in range(n):
+        v = basis @ np.array(
+            [rng.gauss(0, s) for s in scales]
+        ) + 0.01 * np.array([rng.gauss(0, 1) for _ in range(d)])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    exact_c, exact_v, exact_mu, _ = pca_fit(df, n_components=r)
+    rnd_c, rnd_v, rnd_mu, cnt = pca_fit(
+        df, n_components=r, method="randomized", n_iter=2
+    )
+    assert cnt == n
+    assert np.allclose(rnd_mu, exact_mu, atol=1e-9)
+    for i in range(r):
+        cos = abs(float(np.dot(rnd_c[i], exact_c[i])))
+        assert cos > 0.999, (i, cos)
+    assert np.allclose(rnd_v, exact_v, rtol=0.02)
+    # orthonormal output
+    assert np.allclose(rnd_c @ rnd_c.T, np.eye(r), atol=1e-8)
+    # deterministic + partition-independent (seeded probe; float sums
+    # commute to tolerance)
+    rnd_c2, _, _, _ = pca_fit(
+        df.repartition(13), n_components=r, method="randomized",
+        n_iter=2,
+    )
+    assert np.allclose(np.abs(rnd_c2), np.abs(rnd_c), atol=1e-6)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="method"):
+        pca_fit(df, n_components=2, method="bogus")
+    with pt.raises(ValueError, match="n_iter"):
+        pca_fit(df, n_components=2, method="randomized", n_iter=-1)
