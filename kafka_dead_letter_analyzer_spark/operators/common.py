@@ -27,26 +27,37 @@ def ppm2(num: str, nt: str) -> str:
 
 
 def null_safe_group_join(
-    left: DataFrame, right: DataFrame, groups: list[str]
+    left: DataFrame,
+    right: DataFrame,
+    groups: list[str],
+    plain_keys: list[str] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``right`` onto ``left`` by the group columns with
-    NULL-SAFE equality, keeping left's columns plus right's non-group
+    """Join ``right`` onto ``left`` by the group columns with
+    NULL-SAFE equality, keeping left's columns plus right's non-key
     columns.  A plain ``join(right, groups)`` silently drops rows
     whose group key is NULL — but ``groupBy`` keeps NULL as a real
     group, so an aggregate-join-back pattern (per-group anchors,
     per-group spans) would otherwise lose exactly the NULL group that
-    the aggregation produced a row for."""
+    the aggregation produced a row for.  ``plain_keys`` are
+    additional join columns compared with ORDINARY equality (keys
+    that are non-null by construction — partition ids, contraction
+    cell coordinates); ``how`` extends the pattern to outer shapes
+    (the grid left-join)."""
     if not groups:
         raise ValueError("null_safe_group_join: needs group columns")
+    plains = list(plain_keys or [])
     l, r = left.alias("_nsl"), right.alias("_nsr")
     cond = functools.reduce(
         lambda a, b: a & b,
         [
             F.col(f"_nsl.{g}").eqNullSafe(F.col(f"_nsr.{g}"))
             for g in groups
-        ],
+        ]
+        + [F.col(f"_nsl.{p}") == F.col(f"_nsr.{p}") for p in plains],
     )
-    extra = [c for c in right.columns if c not in groups]
-    return l.join(r, cond, "inner").select(
+    keys = set(groups) | set(plains)
+    extra = [c for c in right.columns if c not in keys]
+    return l.join(r, cond, how).select(
         "_nsl.*", *[F.col(f"_nsr.{c}") for c in extra]
     )

@@ -114,6 +114,16 @@ def ngram_overlap_prefiltered(
         bloom_sketch,
     )
 
+    if not (0.0 < target_fp < 1.0):
+        raise ValueError(
+            f"ngram_overlap_prefiltered: target_fp={target_fp} must be"
+            " in (0, 1)"
+        )
+    if not (0.0 < saturation_bound <= 1.0):
+        raise ValueError(
+            "ngram_overlap_prefiltered:"
+            f" saturation_bound={saturation_bound} must be in (0, 1]"
+        )
     c = spread_for_cpu(corpus).select(
         id_col, F.explode(token_shingles(F.col(text_col), n)).alias("sh")
     )

@@ -260,6 +260,15 @@ def global_exclusive_prefix(
     def _local_prefix(batches):
         import pandas as pd
 
+        def _norm(v):
+            # a NULL group key must be ONE carry key: pandas hands a
+            # nullable numeric group over as NaN, and NaN != NaN makes
+            # every NaN a DISTINCT dict key (id-based fallback), which
+            # would silently pin local_lt at 0 for the whole NULL
+            # group (round-9 review); normalize every null-ish scalar
+            # (None / NaN / pd.NA / NaT) to None
+            return None if pd.isna(v) else v
+
         carry: dict[tuple, int] = {}
         for pdf in batches:
             # rows arrive sorted by (groups, order col) within the
@@ -268,7 +277,7 @@ def global_exclusive_prefix(
             cums = []
             gcols = [pdf[g] for g in groups]
             for pid, v, *gs in zip(pdf["pid"], pdf[sum_col], *gcols):
-                k = (int(pid), *gs)
+                k = (int(pid), *(_norm(g) for g in gs))
                 c = carry.get(k, 0)
                 cums.append(c)
                 carry[k] = c + int(v)
@@ -310,16 +319,16 @@ def global_exclusive_prefix(
         # null-safe on the group columns (pid can stay plain): groupBy
         # keeps NULL as a real group, so a plain equi-join here would
         # silently drop exactly the NULL-keyed group the aggregation
-        # produced offsets for — null_safe_group_join semantics.  No
-        # forced broadcast either: offsets is range_partitions x
-        # #groups rows, which is NOT bounded when the group domain is
-        # large (millions of groups); let AQE pick the strategy.
-        l, r = local.alias("_gpl"), offsets.alias("_gpr")
-        cond = F.col("_gpl.pid") == F.col("_gpr.pid")
-        for g in groups:
-            cond = cond & F.col(f"_gpl.{g}").eqNullSafe(F.col(f"_gpr.{g}"))
-        joined = l.join(r, cond, "inner").select(
-            "_gpl.*", F.col("_gpr.offset")
+        # produced offsets for.  No forced broadcast either: offsets
+        # is range_partitions x #groups rows, which is NOT bounded
+        # when the group domain is large (millions of groups); let AQE
+        # pick the strategy.
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        joined = null_safe_group_join(
+            local, offsets, groups, plain_keys=["pid"]
         )
     else:
         # ungrouped: offsets is exactly range_partitions rows — a
@@ -921,21 +930,11 @@ def kendall_tau_quantized(
         # same NULL-group hazard as the grid build: plain equality on
         # the group columns would leave every cell of a NULL-keyed
         # group unmatched (c=0 across the board — a silent wrong tau)
-        gl, gr = grid.alias("_kgl"), cells.alias("_kgr")
-        cond = (F.col("_kgl.x") == F.col("_kgr.x")) & (
-            F.col("_kgl.y") == F.col("_kgr.y")
-        )
-        for g in groups:
-            cond = cond & F.col(f"_kgl.{g}").eqNullSafe(
-                F.col(f"_kgr.{g}")
-            )
-        gridc = gl.join(gr, cond, "left").select(
-            *[F.col(f"_kgl.{g}") for g in groups],
-            F.col("_kgl.x").alias("x"),
-            F.col("_kgl.y").alias("y"),
-            F.coalesce(
-                F.col("_kgr.c"), F.lit(0).cast("bigint")
-            ).alias("c"),
+        gridc = null_safe_group_join(
+            grid, cells, groups, plain_keys=["x", "y"], how="left"
+        ).select(
+            *groups, "x", "y",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
         )
     else:
         gridc = grid.join(cells, ["x", "y"], "left").select(

@@ -2282,13 +2282,17 @@ def streaming_scorer_audit(
         if group_col
         else F.lit("all")
     )
-    keyed = df.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
+    # try_cast + filter AFTER: a value that survives isNotNull but
+    # does not cast (a non-numeric string score) must neither crash
+    # the long-running query — ANSI cast throws, and a NaN reaching
+    # the stateful fn raises — nor be silently misclassified; with
+    # try_cast it becomes NULL and is filtered like any other null
+    # (round-9 review)
+    keyed = df.select(
         gk.alias("group_key"),
-        F.col(score_col).cast("bigint").alias("s"),
-        F.col(label_col).cast("boolean").alias("y"),
-    )
+        F.col(score_col).try_cast("bigint").alias("s"),
+        F.col(label_col).try_cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
     return keyed.groupBy("group_key").applyInPandasWithState(
         _make_scorer_audit_fn(int(max_scores)),
         outputStructType=(

@@ -2010,7 +2010,7 @@ def test_pca_partial_merge_is_distributed_and_partition_independent(spark):
 
     for parts_in in (7, 64):
         vecs = df.repartition(parts_in).select("embedding")
-        merged = S._pca_merged_moments(vecs, "embedding", d, _partials)
+        merged = S._pca_merged_moments(vecs, _partials)
         assert merged.count() == d * d + d + 1, parts_in
     # plan: distributed hash aggregate, no single-partition funnel
     plan = merged._jdf.queryExecution().executedPlan().toString()
@@ -2084,3 +2084,20 @@ def test_pca_randomized_matches_exact_on_low_rank(spark):
         pca_fit(df, n_components=2, method="bogus")
     with pt.raises(ValueError, match="n_iter"):
         pca_fit(df, n_components=2, method="randomized", n_iter=-1)
+
+
+def test_prefiltered_contamination_validates_target_fp(spark):
+    import pytest as pt
+
+    from kafka_dead_letter_analyzer_spark.operators.contamination import (
+        ngram_overlap_prefiltered,
+    )
+
+    df = spark.createDataFrame(
+        [("d0", "a b c d")], "doc_id string, text string"
+    )
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pt.raises(ValueError, match="target_fp"):
+            ngram_overlap_prefiltered(df, df, n=2, target_fp=bad)
+    with pt.raises(ValueError, match="saturation_bound"):
+        ngram_overlap_prefiltered(df, df, n=2, saturation_bound=0.0)

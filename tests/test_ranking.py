@@ -953,3 +953,38 @@ def test_kendall_null_group_kept_exact_and_quantized(spark):
     assert (qa["nc"], qa["nd"], qa["tau_e6"]) == (
         qn["nc"], qn["nd"], qn["tau_e6"]
     )
+
+
+def test_auc_two_phase_null_group_numeric_key(spark):
+    """Round-9 review: a nullable NUMERIC group column reaches the
+    local-prefix pandas pass as NaN, and NaN != NaN would scatter the
+    carry dict (local_lt pinned to 0 for the whole NULL group) — the
+    normalized key must make the two-phase path agree with the window
+    path bit-for-bit, NULL group included."""
+    rng = random.Random(92)
+    rows = [
+        (rng.choice([7, None]), rng.randint(0, 40), rng.random() < 0.5)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g bigint, s bigint, y boolean")
+    key = lambda t: tuple(map(str, t))
+    window = sorted(
+        (
+            tuple(r)
+            for r in R.auc_exact(
+                df, "s", "y", group_cols=["g"], two_phase=False
+            ).collect()
+        ),
+        key=key,
+    )
+    prefix = sorted(
+        (
+            tuple(r)
+            for r in R.auc_exact(
+                df, "s", "y", group_cols=["g"], two_phase=True
+            ).collect()
+        ),
+        key=key,
+    )
+    assert sum(1 for t in window if t[0] is None) == 1
+    assert prefix == window

@@ -3327,3 +3327,40 @@ def test_streaming_scorer_audit_end_to_end(spark, tmp_path):
         got = final[g]
         assert got["auc_ppm"] == auc["auc_ppm"], g
         assert got["n"] == auc["n_pos"] + auc["n_neg"], g
+
+
+def test_streaming_scorer_audit_survives_uncastable_rows(spark, tmp_path):
+    """Round-9 review: a string score that casts to NULL must be
+    filtered AFTER the cast — not crash the long-running query as a
+    NaN inside the stateful fn — and an uncastable label must not be
+    silently counted as a class member."""
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_scorer_audit,
+    )
+
+    rows = [
+        ("g", "3", True), ("g", "abc", True), ("g", "5", False),
+        ("g", None, True), ("g", "7", True),
+    ]
+    schema = "src string, score string, label boolean"
+    src = str(tmp_path / "audit_poison")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_scorer_audit(stream, "score", "label", group_col="src")
+        .writeStream.format("memory")
+        .queryName("audit_poison_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM audit_poison_sink").collect()
+    assert len(out) == 1
+    r = out[0]
+    # only the 3 castable rows count: scores 3,7 pos / 5 neg
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (3, 2, 1)
