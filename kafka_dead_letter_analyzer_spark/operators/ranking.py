@@ -260,24 +260,25 @@ def global_exclusive_prefix(
     def _local_prefix(batches):
         import pandas as pd
 
-        def _norm(v):
-            # a NULL group key must be ONE carry key: pandas hands a
-            # nullable numeric group over as NaN, and NaN != NaN makes
-            # every NaN a DISTINCT dict key (id-based fallback), which
-            # would silently pin local_lt at 0 for the whole NULL
-            # group (round-9 review); normalize every null-ish scalar
-            # (None / NaN / pd.NA / NaT) to None
-            return None if pd.isna(v) else v
-
         carry: dict[tuple, int] = {}
         for pdf in batches:
             # rows arrive sorted by (groups, order col) within the
             # partition; a partition holds exactly one pid
             out = pdf.copy()
             cums = []
-            gcols = [pdf[g] for g in groups]
+            # a NULL group key must be ONE carry key: pandas hands a
+            # nullable numeric group over as NaN, and NaN != NaN makes
+            # every NaN a DISTINCT dict key (id-based fallback), which
+            # would silently pin local_lt at 0 for the whole NULL
+            # group (round-9 review).  Normalize null-ish values
+            # (None / NaN / pd.NA / NaT) to None ONCE per batch,
+            # vectorized — not per row in the hot loop.
+            gcols = [
+                pdf[g].astype(object).where(pd.notna(pdf[g]), None)
+                for g in groups
+            ]
             for pid, v, *gs in zip(pdf["pid"], pdf[sum_col], *gcols):
-                k = (int(pid), *(_norm(g) for g in gs))
+                k = (int(pid), *gs)
                 c = carry.get(k, 0)
                 cums.append(c)
                 carry[k] = c + int(v)

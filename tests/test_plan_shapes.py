@@ -1284,3 +1284,16 @@ def test_funnel_join_chain_pushes_stage_predicates(spark):
     )
     assert "Window" in w
     assert "In(event_type" in w
+
+
+def test_funnel_any_anchor_single_exchange_pandas_sweep(spark, Q):
+    """x_funnel_any_anchor: ONE hash exchange on the funnel key into
+    the Arrow-batched per-key sweep — no sort, no join, no second
+    full-data exchange (the 1-row totals aggregate is the only other
+    exchange-shaped node)."""
+    s = plan_of(Q.x_funnel_any_anchor(spark, SF))
+    assert "FlatMapGroupsInPandas" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    # key exchange + the 1-row final aggregate
+    assert s.count("Exchange hashpartitioning") <= 1
