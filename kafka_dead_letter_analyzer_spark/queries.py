@@ -7491,6 +7491,30 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_funnel_conversion_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_funnel_conversion FORCED onto the join-chain strategy — and
+    registered with the SAME oracle SQL as the window-chain query ON
+    PURPOSE (the x_contamination_prefiltered trick): the driver's
+    hash gate itself proves the two physical strategies compute
+    identical funnels, at gate scale, every round.  Plan: one
+    type-pushed parquet scan per stage chained by user-keyed
+    equi-joins with the 72h bound on the post-join filter
+    (plan-pinned in tests/test_plan_shapes.py)."""
+    from kafka_dead_letter_analyzer_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    return T.funnel_steps(
+        ev,
+        steps=["view", "click", "purchase"],
+        within_us=259_200_000_000,
+        strategy="joins",
+    )
+
+
+_QUERIES["x_funnel_conversion_joins"] = x_funnel_conversion_joins
+_ORACLES["x_funnel_conversion_joins"] = _ORACLES["x_funnel_conversion"]
+
+
 @_register(
     "x_funnel_any_anchor",
     """
