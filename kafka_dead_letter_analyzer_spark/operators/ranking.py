@@ -1207,3 +1207,80 @@ def roc_curve_points(
         F.expr("cum_pos_lt").cast("bigint").alias("fn"),
         F.expr("cum_neg_lt").cast("bigint").alias("tn"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table — the calibration member of the
+    scorer-audit family (AUC says "does the score RANK well"; this
+    says "does a bin of the score MEAN what it claims"): equal-width
+    bins over each group's observed score span, one row per non-empty
+    ``(*group_cols, bin)`` with ``(bin BIGINT, bin_lo BIGINT,
+    n BIGINT, n_pos BIGINT, pos_rate_ppm BIGINT)``, where
+    ``pos_rate_ppm = floor(n_pos * 1e6 / n)`` (two-step long division,
+    BIGINT-exact cross-engine) and ``bin_lo`` is the bin's inclusive
+    integer lower edge ``lo + (bin * span) DIV bins``.
+
+    Plan shape: one per-group min/max contraction joined back
+    NULL-SAFELY (broadcast when ungrouped, AQE otherwise — the
+    kendall_tau_quantized quantize shape, including its WRAP-PROOF
+    span guard: the span itself never forms when the sign-split arm
+    already proves it exceeds int64/bins), then ONE map-side-combined
+    aggregate on (group, bin) — output is bins-bounded per group.
+    Rows with NULL score or label are excluded."""
+    if bins < 2:
+        raise ValueError(f"calibration_bins: bins must be >= 2, got {bins}")
+    groups = list(group_cols or [])
+    b = int(bins)
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    mm = base.groupBy(*groups).agg(
+        F.min("s").alias("_lo"), F.max("s").alias("_hi")
+    )
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        joined = null_safe_group_join(base, mm, groups)
+    else:
+        joined = base.crossJoin(F.broadcast(mm))
+    msg = (
+        f"calibration_bins: score span too wide for {b} bins"
+        " (span * bins must fit int64); rescale the score first"
+    )
+    raise_b = f"CAST(raise_error('{msg}') AS BIGINT)"
+    bin_expr = (
+        f"CASE WHEN _lo < 0 AND _hi > {_I64_MAX} + _lo THEN {raise_b}"
+        f" WHEN _hi - _lo > {_I64_MAX // b - 1} THEN {raise_b}"
+        f" ELSE ((s - _lo) * {b}) DIV (_hi - _lo + 1) END"
+    )
+    binned = joined.withColumn("bin", F.expr(bin_expr))
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    agg = binned.groupBy(*groups, "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.min("_lo").alias("_lo"),
+        F.min("_hi").alias("_hi"),
+    )
+    return agg.select(
+        *groups,
+        F.col("bin").cast("bigint").alias("bin"),
+        F.expr(f"_lo + (bin * (_hi - _lo + 1)) DIV {b}")
+        .cast("bigint")
+        .alias("bin_lo"),
+        "n",
+        "n_pos",
+        F.expr(ppm2("n_pos", "n")).cast("bigint").alias("pos_rate_ppm"),
+    )

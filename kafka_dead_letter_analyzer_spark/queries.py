@@ -7676,6 +7676,63 @@ def x_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_calibration_bins",
+    """
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS s, (lang = 'en') AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), mm AS (
+      SELECT source, min(s) AS lo, max(s) AS hi FROM c GROUP BY 1
+    ), binned AS (
+      SELECT c.source,
+             ((c.s - m.lo) * 8) // (m.hi - m.lo + 1) AS bin,
+             m.lo AS lo, m.hi AS hi, c.y
+      FROM c JOIN mm m ON m.source = c.source
+    ), agg AS (
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(min(lo) + (bin * (min(hi) - min(lo) + 1)) // 8
+               AS BIGINT) AS bin_lo,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+      FROM binned GROUP BY source, bin
+    )
+    SELECT source, bin, bin_lo, n, n_pos,
+           CAST(((n_pos * 1000) // n) * 1000
+             + (((n_pos * 1000) % n) * 1000) // n AS BIGINT)
+             AS pos_rate_ppm
+    FROM agg
+    """,
+)
+def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the n_chars score against the
+    English-language label, 8 equal-width bins per source
+    (operators/ranking.py::calibration_bins): does a score bin's
+    empirical positive rate track its position — the calibration
+    member of the scorer-audit family (AUC/ROC say the score RANKS;
+    this says what a bin MEANS before a threshold gates 100 TB on
+    it).  Every division is non-negative two-step integer long
+    division (trunc == floor, so Spark DIV and DuckDB // agree);
+    plan is one min/max contraction joined back (wrap-proof span
+    guard) + one map-side-combined (source, bin) aggregate —
+    bins-bounded output."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return RK.calibration_bins(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+        bins=8,
+    )
+
+
+@_register(
     "x_precision_at_recall",
     """
     WITH c AS (

@@ -988,3 +988,83 @@ def test_auc_two_phase_null_group_numeric_key(spark):
     )
     assert sum(1 for t in window if t[0] is None) == 1
     assert prefix == window
+
+
+def test_calibration_bins_matches_brute_force_randomized(spark):
+    """Round-9: bin assignment, edges, counts, and ppm rates against a
+    pure-Python reference, grouped and global, NULL group included."""
+    from fractions import Fraction
+
+    rng = random.Random(0xCB91)
+    rows = [
+        (rng.choice(["a", "b", None]), rng.randint(-50, 200),
+         rng.random() < 0.3)
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    B = 8
+    got = {
+        (r["g"], r["bin"]): (
+            r["bin_lo"], r["n"], r["n_pos"], r["pos_rate_ppm"]
+        )
+        for r in R.calibration_bins(
+            df, "s", "y", group_cols=["g"], bins=B
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, s, y in rows:
+        by_g.setdefault(g, []).append((s, y))
+    want = {}
+    for g, vals in by_g.items():
+        lo = min(s for s, _ in vals)
+        hi = max(s for s, _ in vals)
+        span = hi - lo + 1
+        per: dict = {}
+        for s, y in vals:
+            bin_ = ((s - lo) * B) // span
+            n, np_ = per.get(bin_, (0, 0))
+            per[bin_] = (n + 1, np_ + (1 if y else 0))
+        for bin_, (n, np_) in per.items():
+            want[(g, bin_)] = (
+                lo + (bin_ * span) // B,
+                n,
+                np_,
+                int(Fraction(np_ * 1_000_000, n)),
+            )
+    assert got == want
+    assert any(k[0] is None for k in got)  # NULL group kept
+    # global path
+    gg = {
+        r["bin"]: (r["n"], r["n_pos"])
+        for r in R.calibration_bins(df, "s", "y", bins=B).collect()
+    }
+    flat = [(s, y) for _, s, y in rows]
+    lo = min(s for s, _ in flat)
+    hi = max(s for s, _ in flat)
+    want_g: dict = {}
+    for s, y in flat:
+        bin_ = ((s - lo) * B) // (hi - lo + 1)
+        n, np_ = want_g.get(bin_, (0, 0))
+        want_g[bin_] = (n + 1, np_ + (1 if y else 0))
+    assert gg == want_g
+
+
+def test_calibration_bins_guards(spark):
+    df = spark.createDataFrame(
+        [(-(2**62), True), (2**62, False)], "s bigint, y boolean"
+    )
+    # wrap-proof span guard (same arms as kendall quantize)
+    with pytest.raises(Exception, match="rescale"):
+        R.calibration_bins(df, "s", "y", bins=8).collect()
+    small = spark.createDataFrame([(1, True)], "s bigint, y boolean")
+    with pytest.raises(ValueError, match="bins"):
+        R.calibration_bins(small, "s", "y", bins=1)
+    # constant score: everything lands in bin 0, rate exact
+    const = spark.createDataFrame(
+        [(5, True), (5, False), (5, True)], "s bigint, y boolean"
+    )
+    out = R.calibration_bins(const, "s", "y", bins=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bin"], r["bin_lo"], r["n"], r["n_pos"]) == (0, 5, 3, 2)
+    assert r["pos_rate_ppm"] == 666_666
