@@ -1215,26 +1215,45 @@ def calibration_bins(
     label_col: str,
     group_cols: list[str] | None = None,
     bins: int = 10,
+    mode: str = "width",
 ) -> DataFrame:
     """Reliability-diagram table — the calibration member of the
     scorer-audit family (AUC says "does the score RANK well"; this
-    says "does a bin of the score MEAN what it claims"): equal-width
-    bins over each group's observed score span, one row per non-empty
-    ``(*group_cols, bin)`` with ``(bin BIGINT, bin_lo BIGINT,
-    n BIGINT, n_pos BIGINT, pos_rate_ppm BIGINT)``, where
+    says "does a bin of the score MEAN what it claims"): one row per
+    non-empty ``(*group_cols, bin)`` with ``(bin BIGINT, bin_lo
+    BIGINT, n BIGINT, n_pos BIGINT, pos_rate_ppm BIGINT)``, where
     ``pos_rate_ppm = floor(n_pos * 1e6 / n)`` (two-step long division,
     BIGINT-exact cross-engine) and ``bin_lo`` is the bin's inclusive
-    integer lower edge ``lo + (bin * span) DIV bins``.
+    integer lower score edge.
 
-    Plan shape: one per-group min/max contraction joined back
-    NULL-SAFELY (broadcast when ungrouped, AQE otherwise — the
-    kendall_tau_quantized quantize shape, including its WRAP-PROOF
+    ``mode='width'``: equal-width bins over each group's observed
+    score span — ``bin = ((s - lo) * bins) DIV span``, ``bin_lo = lo +
+    (bin * span) DIV bins``.  Plan: one per-group min/max contraction
+    joined back NULL-SAFELY (broadcast when ungrouped, AQE otherwise —
+    the kendall_tau_quantized quantize shape, including its WRAP-PROOF
     span guard: the span itself never forms when the sign-split arm
     already proves it exceeds int64/bins), then ONE map-side-combined
-    aggregate on (group, bin) — output is bins-bounded per group.
-    Rows with NULL score or label are excluded."""
+    aggregate on (group, bin).
+
+    ``mode='mass'``: equal-mass (quantile) bins — the standard
+    reliability-diagram convention when the score is long-tailed.
+    Built on the SAME per-score contraction the ROC family uses: a
+    per-group cumulative window assigns each DISTINCT score value the
+    bin of its first rank, ``bin = (cum_lt * bins) DIV n_group`` —
+    deterministic under ties (a tied value lands whole in one bin; a
+    row-level ntile would split ties nondeterministically), and
+    ``bin_lo`` is the bin's minimum score.  The window sorts only the
+    per-group DISTINCT-score contraction (roc_curve_points' shape and
+    caveat); n_group is guarded against ``n * bins`` int64 wrap.
+
+    Both modes: output is bins-bounded per group; rows with NULL
+    score or label are excluded."""
     if bins < 2:
         raise ValueError(f"calibration_bins: bins must be >= 2, got {bins}")
+    if mode not in ("width", "mass"):
+        raise ValueError(
+            f"calibration_bins: unknown mode {mode!r} ('width' | 'mass')"
+        )
     groups = list(group_cols or [])
     b = int(bins)
     base = df.select(
@@ -1242,6 +1261,48 @@ def calibration_bins(
         F.col(score_col).cast("bigint").alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    if mode == "mass":
+        counts = base.groupBy(*groups, "s").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cp"),
+        )
+        wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+        w_lt = wg.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        w_all = wg.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = counts.withColumn(
+            "cum_lt",
+            F.coalesce(F.sum("c").over(w_lt), F.lit(0).cast("bigint")),
+        ).withColumn("n_all", F.sum("c").over(w_all))
+        msg = (
+            f"calibration_bins: a group row count times {b} bins"
+            " exceeds int64; shard the input"
+        )
+        bin_expr = (
+            f"CASE WHEN n_all > {_I64_MAX // b} THEN"
+            f" CAST(raise_error('{msg}') AS BIGINT)"
+            f" ELSE (cum_lt * {b}) DIV n_all END"
+        )
+        binned = cum.withColumn("bin", F.expr(bin_expr))
+        agg = binned.groupBy(*groups, "bin").agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum("cp").cast("bigint").alias("n_pos"),
+            F.min("s").cast("bigint").alias("bin_lo"),
+        )
+        return agg.select(
+            *groups,
+            F.col("bin").cast("bigint").alias("bin"),
+            "bin_lo",
+            "n",
+            "n_pos",
+            F.expr(ppm2("n_pos", "n")).cast("bigint").alias("pos_rate_ppm"),
+        )
+
     mm = base.groupBy(*groups).agg(
         F.min("s").alias("_lo"), F.max("s").alias("_hi")
     )
@@ -1264,8 +1325,6 @@ def calibration_bins(
         f" ELSE ((s - _lo) * {b}) DIV (_hi - _lo + 1) END"
     )
     binned = joined.withColumn("bin", F.expr(bin_expr))
-    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
-
     agg = binned.groupBy(*groups, "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("y"), 1).otherwise(0))

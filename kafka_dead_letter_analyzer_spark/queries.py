@@ -7733,6 +7733,65 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_calibration_deciles",
+    """
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS s, (lang = 'en') AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), cnt AS (
+      SELECT source, s, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      FROM c GROUP BY 1, 2
+    ), w AS (
+      SELECT source, s, c, cp,
+             CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_all
+      FROM cnt
+    ), binned AS (
+      SELECT source, (cum_lt * 10) // n_all AS bin, s, c, cp FROM w
+    ), agg AS (
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(min(s) AS BIGINT) AS bin_lo,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cp) AS BIGINT) AS n_pos
+      FROM binned GROUP BY source, bin
+    )
+    SELECT source, bin, bin_lo, n, n_pos,
+           CAST(((n_pos * 1000) // n) * 1000
+             + (((n_pos * 1000) % n) * 1000) // n AS BIGINT)
+             AS pos_rate_ppm
+    FROM agg
+    """,
+)
+def x_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-MASS (decile) reliability diagram per source
+    (operators/ranking.py::calibration_bins(mode='mass')) — the
+    standard convention for a long-tailed score, where x_calibration_
+    bins' equal-width bins would pile most rows into one bin.  Built
+    on the same per-score contraction the ROC family uses; a tied
+    score value lands whole in the bin of its first rank
+    (deterministic — a row-level ntile would split ties by arbitrary
+    row order and never hash-match)."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return RK.calibration_bins(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        group_cols=["source"],
+        bins=10,
+        mode="mass",
+    )
+
+
+@_register(
     "x_precision_at_recall",
     """
     WITH c AS (

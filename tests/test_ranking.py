@@ -1068,3 +1068,54 @@ def test_calibration_bins_guards(spark):
     r = out[0]
     assert (r["bin"], r["bin_lo"], r["n"], r["n_pos"]) == (0, 5, 3, 2)
     assert r["pos_rate_ppm"] == 666_666
+
+
+def test_calibration_bins_mass_mode_matches_brute_force(spark):
+    """Equal-mass bins: a tied score value lands whole in the bin of
+    its first rank — checked against a pure-Python replica over
+    tie-heavy random data, grouped and global."""
+    from fractions import Fraction
+
+    rng = random.Random(0xCB92)
+    rows = [
+        (rng.choice(["a", "b"]), rng.randint(0, 12), rng.random() < 0.4)
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    B = 5
+    got = {
+        (r["g"], r["bin"]): (
+            r["bin_lo"], r["n"], r["n_pos"], r["pos_rate_ppm"]
+        )
+        for r in R.calibration_bins(
+            df, "s", "y", group_cols=["g"], bins=B, mode="mass"
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, s, y in rows:
+        by_g.setdefault(g, []).append((s, y))
+    want = {}
+    for g, vals in by_g.items():
+        n_all = len(vals)
+        per_s: dict = {}
+        for s, y in vals:
+            c, cp = per_s.get(s, (0, 0))
+            per_s[s] = (c + 1, cp + (1 if y else 0))
+        cum = 0
+        bins_acc: dict = {}
+        for s in sorted(per_s):
+            c, cp = per_s[s]
+            bin_ = (cum * B) // n_all
+            lo, n, np_ = bins_acc.get(bin_, (s, 0, 0))
+            bins_acc[bin_] = (min(lo, s), n + c, np_ + cp)
+            cum += c
+        for bin_, (lo, n, np_) in bins_acc.items():
+            want[(g, bin_)] = (lo, n, np_, int(Fraction(np_ * 1_000_000, n)))
+    assert got == want
+    with pytest.raises(ValueError, match="mode"):
+        R.calibration_bins(df, "s", "y", mode="bogus")
+    # mass bins sum to the group totals and n is balanced within the
+    # tie-granularity (no bin exceeds ceil(n/B) + max tie mass)
+    for g in ("a", "b"):
+        tot = sum(v[1] for k, v in got.items() if k[0] == g)
+        assert tot == len(by_g[g])
