@@ -1343,3 +1343,96 @@ def calibration_bins(
         "n_pos",
         F.expr(ppm2("n_pos", "n")).cast("bigint").alias("pos_rate_ppm"),
     )
+
+
+# guard bound for cohens_kappa: pe's two-step ppm needs S*1000 <= 2^63
+# with S <= n^2, i.e. n <= sqrt(2^63/2000) ~ 6.79e7 rows per group
+_KAPPA_N_MAX = 67_900_000
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa sufficient statistics — chance-corrected agreement
+    between two categorical labelings of the same rows (two quality
+    classifiers before one replaces the other in the gate, a heuristic
+    lang-id against a reference column, two dedup strategies' flags):
+    ``(*group_cols, n BIGINT, agree BIGINT, po_ppm BIGINT, pe_ppm
+    BIGINT)`` with ``po = agree/n`` (observed agreement), ``pe =
+    sum_k(rowtot_k * coltot_k)/n^2`` (chance agreement from the
+    marginals), both exact two-step-division ppm;
+    ``kappa = (po - pe) / (1 - pe)`` is left to the caller — it can be
+    negative, and a truncating DIV and a flooring ``//`` disagree on
+    negatives, so the declared surface stays non-negative integers
+    (the repo's cross-engine rule).
+
+    Plan shape: ONE full-data contraction shuffle on (groups, a, b) —
+    map-side combined, output bounded by the label-pair domain — then
+    contraction-sized marginal aggregations joined back null-safely on
+    the category; nothing downstream scales with the row count.
+    Exactness bound: pe's ppm needs ``n <= ~6.79e7`` rows per group
+    (sum(r_k*c_k)*1000 <= 2^63); a division-form raise_error CASE on
+    the exact n fires past it — even if the marginal-product sum
+    already wrapped — with a sharding hint.  Rows with a NULL label on
+    either side are excluded; NULL GROUP keys are real groups."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(rater_a).cast("string").alias("a"),
+        F.col(rater_b).cast("string").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = base.groupBy(*groups, "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    # cells feeds totals, agreement, and both marginals — one scan
+    cells = cells.persist()
+    cache_registry.track(cells)
+    tot = cells.groupBy(*groups).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rows_m = cells.groupBy(*groups, "a").agg(
+        F.sum("c").cast("bigint").alias("r")
+    ).withColumnRenamed("a", "cat")
+    cols_m = cells.groupBy(*groups, "b").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    ).withColumnRenamed("b", "cat")
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        marg = null_safe_group_join(rows_m, cols_m, groups, plain_keys=["cat"])
+    else:
+        marg = rows_m.join(cols_m, ["cat"])
+    s = marg.groupBy(*groups).agg(
+        F.sum(F.expr("r * cc")).cast("bigint").alias("s_rc")
+    )
+    if groups:
+        joined = null_safe_group_join(tot, s, groups)
+    else:
+        joined = tot.crossJoin(F.broadcast(s))
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    guard = f"n > {_KAPPA_N_MAX}"
+    return joined.select(
+        *groups,
+        "n",
+        "agree",
+        F.expr(ppm2("agree", "n")).cast("bigint").alias("po_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST(raise_error('cohens_kappa:"
+            " a group exceeds the exact-ppm bound (n <= ~6.79e7 rows"
+            " per group: sum of marginal products must fit int64);"
+            " shard the input and report the per-shard kappa"
+            " distribution') AS BIGINT)"
+            f" ELSE {ppm2('s_rc', '(n * n)')} END"
+        ).cast("bigint").alias("pe_ppm"),
+    )

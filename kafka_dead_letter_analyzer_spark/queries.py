@@ -7733,6 +7733,66 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_rater_agreement",
+    f"""
+    WITH base AS (
+      SELECT source, lang AS a, {TX.lang_id_sql('text')} AS b
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+        AND text IS NOT NULL
+    ), cells AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells GROUP BY 1
+    ), rm AS (
+      SELECT source, a AS cat, CAST(sum(c) AS BIGINT) AS r
+      FROM cells GROUP BY 1, 2
+    ), cm AS (
+      SELECT source, b AS cat, CAST(sum(c) AS BIGINT) AS cc
+      FROM cells GROUP BY 1, 2
+    ), s AS (
+      SELECT rm.source, CAST(sum(rm.r * cm.cc) AS BIGINT) AS s_rc
+      FROM rm JOIN cm ON cm.source = rm.source AND cm.cat = rm.cat
+      GROUP BY 1
+    )
+    SELECT t.source, t.n, t.agree,
+           CAST(((t.agree * 1000) // t.n) * 1000
+             + (((t.agree * 1000) % t.n) * 1000) // t.n AS BIGINT)
+             AS po_ppm,
+           CAST(((s.s_rc * 1000) // (t.n * t.n)) * 1000
+             + (((s.s_rc * 1000) % (t.n * t.n)) * 1000) // (t.n * t.n)
+             AS BIGINT) AS pe_ppm
+    FROM tot t JOIN s ON s.source = t.source
+    """,
+)
+def x_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa sufficient statistics between the documents'
+    ``lang`` column and the heuristic lang-id prediction, per source
+    (operators/ranking.py::cohens_kappa over
+    operators/text.py::with_lang_id): the swap-a-classifier audit —
+    observed vs chance agreement as exact ppm integers; kappa =
+    (po - pe)/(1 - pe) is caller-side (it can be negative, and the
+    declared surface stays non-negative so Spark DIV and DuckDB //
+    agree).  Plan: one (source, lang, pred) contraction shuffle, then
+    contraction-sized marginal joins."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    pred = TX.with_lang_id(docs.select("source", "lang", "text"))
+    return RK.cohens_kappa(
+        pred, rater_a="lang", rater_b="pred_lang", group_cols=["source"]
+    )
+
+
+@_register(
     "x_calibration_deciles",
     """
     WITH c AS (

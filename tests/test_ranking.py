@@ -1119,3 +1119,66 @@ def test_calibration_bins_mass_mode_matches_brute_force(spark):
     for g in ("a", "b"):
         tot = sum(v[1] for k, v in got.items() if k[0] == g)
         assert tot == len(by_g[g])
+
+
+def test_cohens_kappa_matches_brute_force_randomized(spark):
+    """po/pe ppm against a pure-Python contingency replica, grouped
+    (with a NULL group) and global; kappa derivation sanity on the
+    perfect-agreement and independence extremes."""
+    from fractions import Fraction
+
+    rng = random.Random(0xCA99)
+    cats = ["en", "de", "fr", "und"]
+    rows = [
+        (rng.choice(["a", None]), rng.choice(cats), rng.choice(cats))
+        for _ in range(700)
+    ]
+    df = spark.createDataFrame(rows, "g string, ra string, rb string")
+    got = {
+        r["g"]: (r["n"], r["agree"], r["po_ppm"], r["pe_ppm"])
+        for r in R.cohens_kappa(
+            df, "ra", "rb", group_cols=["g"]
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, a, b in rows:
+        by_g.setdefault(g, []).append((a, b))
+    for g, vals in by_g.items():
+        n = len(vals)
+        agree = sum(1 for a, b in vals if a == b)
+        from collections import Counter
+
+        ra = Counter(a for a, _ in vals)
+        rb = Counter(b for _, b in vals)
+        s = sum(ra[k] * rb.get(k, 0) for k in ra)
+        want = (
+            n,
+            agree,
+            int(Fraction(agree * 1_000_000, n)),
+            int(Fraction(s * 1_000_000, n * n)),
+        )
+        assert got[g] == want, g
+    assert None in got  # NULL group kept
+    # perfect agreement: po_ppm = 1e6
+    perf = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "ra string, rb string"
+    )
+    r = R.cohens_kappa(perf, "ra", "rb").collect()[0]
+    assert (r["n"], r["agree"], r["po_ppm"]) == (3, 3, 1_000_000)
+    # independence-ish: constant rater b -> pe = marginal of a's match
+    const = spark.createDataFrame(
+        [("x", "z"), ("y", "z"), ("z", "z"), ("z", "z")],
+        "ra string, rb string",
+    )
+    r = R.cohens_kappa(const, "ra", "rb").collect()[0]
+    # pe = sum(r_k * c_k)/n^2 = (r_z * 4)/16 = 8/16
+    assert (r["agree"], r["pe_ppm"]) == (2, 500_000)
+
+
+def test_cohens_kappa_overflow_guard_raises(spark, monkeypatch):
+    monkeypatch.setattr(R, "_KAPPA_N_MAX", 2)
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "x"), ("x", "y")], "ra string, rb string"
+    )
+    with pytest.raises(Exception, match="shard"):
+        R.cohens_kappa(df, "ra", "rb").collect()
