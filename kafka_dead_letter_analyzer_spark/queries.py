@@ -7733,6 +7733,115 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_vocab_richness",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE trim(lower(coalesce(text, ''))) != ''
+    ), c AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks WHERE token != '' GROUP BY lang, token
+    ), agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM c GROUP BY lang
+    )
+    SELECT lang, vocab, n_tokens, f1, f2,
+           CAST(vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+             AS chao1_est,
+           CAST(((f1 * 1000) // n_tokens) * 1000
+             + (((f1 * 1000) % n_tokens) * 1000) // n_tokens AS BIGINT)
+             AS unseen_mass_ppm
+    FROM agg
+    """,
+)
+def x_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness and coverage per language — the "is the
+    corpus big enough for the tokenizer" audit: observed vocabulary,
+    token count, singleton/doubleton counts, the bias-corrected Chao1
+    total-vocabulary estimate ``vocab + f1(f1-1)/(2(f2+1))`` (all
+    integer arithmetic — the correction term is a plain floor
+    division of non-negative ints), and the Good-Turing unseen-mass
+    estimate ``f1/N`` as two-step-division ppm (the probability the
+    NEXT token drawn is a never-seen type).  Scale shape: the same
+    map-side-combined (lang, token) contraction x_token_vocab_topk
+    uses — the combiner collapses each partition's token stream to a
+    local vocabulary before the ONE hash exchange; everything after
+    is contraction-sized.  Guards are structural: f1(f1-1) wraps only
+    past ~3e9 singleton types per language (a vocabulary no corpus
+    has); unseen_mass uses the shared two-step ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(D._tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    c = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return agg.select(
+        "lang",
+        "vocab",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.expr("vocab + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))")
+        .cast("bigint")
+        .alias("chao1_est"),
+        F.expr(ppm2("f1", "n_tokens"))
+        .cast("bigint")
+        .alias("unseen_mass_ppm"),
+    )
+
+
+@_register(
+    "x_lang_confusion",
+    f"""
+    WITH base AS (
+      SELECT source, lang AS truth, {TX.lang_id_sql('text')} AS pred
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+        AND text IS NOT NULL
+    )
+    SELECT source, truth, pred, CAST(count(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2, 3
+    """,
+)
+def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic lang-id against the lang
+    column per source — the cell-level companion of
+    x_rater_agreement's kappa (which cells drive the disagreement).
+    One map-side-combined (source, truth, pred) contraction; output
+    bounded by the label-pair domain."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    pred = TX.with_lang_id(docs.select("source", "lang", "text"))
+    return pred.groupBy(
+        "source",
+        F.col("lang").alias("truth"),
+        F.col("pred_lang").alias("pred"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@_register(
     "x_rater_agreement",
     f"""
     WITH base AS (
