@@ -2306,3 +2306,125 @@ def streaming_scorer_audit(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-state content dedup (fixed memory, unbounded horizon)
+# ---------------------------------------------------------------------------
+
+
+def _make_bloom_dedup_fn(key_col: str, num_hashes: int, num_words: int,
+                         columns: list):
+    _BITS = 63  # sketches._BLOOM_BITS_PER_WORD — non-negative BIGINT words
+
+    def _dedup_fn(key, pdfs, state) -> Iterator:
+        """Per-shard first-seen filter: state = ONE fixed-size Bloom
+        bitmap (num_words longs) + exact admitted/dropped counters.
+        Each row probes the bitmap with the same pure-Python md5 salt
+        chain as sketches.bloom_contains; a maybe-member DROPS (a
+        false positive drops a never-seen doc — the documented price
+        of fixed memory), a definite-absent EMITS and sets its bits.
+        STRUCTURAL guarantee: no key is ever emitted twice (bits only
+        accumulate).  Arrival order within a batch decides which
+        duplicate copy survives — the same arrival-order contract as
+        the other state-v1 twins."""
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            words, n_seen, n_dropped = state.get
+            words = list(words)
+        else:
+            words = [0] * num_words
+            n_seen = n_dropped = 0
+        m = _BITS * num_words
+        keep_masks = []
+        for pdf in pdfs:
+            keep = []
+            for v in pdf[key_col]:
+                hs = [
+                    int(
+                        hashlib.md5(f"{v}!{d}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % m
+                    for d in range(num_hashes)
+                ]
+                if all(
+                    (words[h // _BITS] >> (h % _BITS)) & 1 for h in hs
+                ):
+                    keep.append(False)
+                    n_dropped += 1
+                else:
+                    keep.append(True)
+                    n_seen += 1
+                    for h in hs:
+                        words[h // _BITS] |= 1 << (h % _BITS)
+            keep_masks.append(pdf[keep])
+        state.update((words, n_seen, n_dropped))
+        out = pd.concat(keep_masks) if keep_masks else None
+        if out is not None and len(out):
+            yield out[columns]
+
+    return _dedup_fn
+
+
+def streaming_dedup_bloom(
+    df: DataFrame,
+    key_col: str,
+    num_hashes: int = 4,
+    num_words: int = 1 << 14,
+    shards: int = 64,
+) -> DataFrame:
+    """Live FIRST-SEEN content dedup with FIXED memory over an
+    UNBOUNDED horizon — the third point on the streaming-dedup
+    spectrum: Spark's ``dropDuplicates`` keeps every key forever
+    (state grows without bound), ``streaming_dedup_records``
+    (dropDuplicatesWithinWatermark) bounds state by FORGETTING keys
+    older than the watermark, and THIS operator never forgets and
+    never grows — each of ``shards`` Bloom bitmaps is exactly
+    ``num_words`` longs (total memory shards x num_words x 8 B,
+    ~8 MB at the defaults) at a quantified cost: a false positive
+    DROPS a never-seen document at the standard
+    ``(1 - e^{-kn/m})^k`` rate (n = keys absorbed per shard), the
+    right trade for training-data ingest where a duplicate admitted
+    is worse than a rare document lost.  Emits the surviving rows
+    (append mode, all input columns); the structural guarantee — no
+    key ever emitted twice — holds regardless of FP rate, because
+    bits only accumulate.
+
+    Plan shape: one shard exchange (md5 of the key mod ``shards`` —
+    the same salt chain as sketches.bloom_sketch, JVM-side), then the
+    per-shard stateful probe.  Exact-regime contract (tested): with
+    the bitmap comfortably above the key cardinality, the admitted
+    set EQUALS batch first-seen dedup over the same rows."""
+    from kafka_dead_letter_analyzer_spark.operators.sketches import md5_u60
+
+    if num_hashes < 1 or num_words < 1 or shards < 1:
+        raise ValueError(
+            "streaming_dedup_bloom: num_hashes, num_words, shards must"
+            " be >= 1"
+        )
+    cols = list(df.columns)
+    keyed = df.filter(F.col(key_col).isNotNull()).withColumn(
+        "_shard",
+        (
+            md5_u60(
+                F.concat(F.lit("bdd:"), F.col(key_col).cast("string"))
+            )
+            % shards
+        ).cast("int"),
+    )
+    fn = _make_bloom_dedup_fn(
+        key_col, int(num_hashes), int(num_words), cols
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        fn,
+        outputStructType=df.schema,
+        stateStructType=(
+            "words array<long>, n_seen long, n_dropped long"
+        ),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

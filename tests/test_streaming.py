@@ -3364,3 +3364,81 @@ def test_streaming_scorer_audit_survives_uncastable_rows(spark, tmp_path):
     r = out[0]
     # only the 3 castable rows count: scores 3,7 pos / 5 neg
     assert (r["n"], r["n_pos"], r["n_neg"]) == (3, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-state dedup
+
+
+def test_bloom_dedup_fn_never_emits_a_key_twice():
+    """Structural guarantee: bits only accumulate, so even a 1-word
+    (FP-saturated) bitmap can only OVER-drop — a key must never be
+    emitted twice across any batch sequence."""
+    import pandas as pd
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_bloom_dedup_fn,
+    )
+
+    import random
+
+    rng = random.Random(0xBDD1)
+    for words in (1, 1024):
+        fn = _make_bloom_dedup_fn("k", 4, words, ["k"])
+        st = _FakeState()
+        emitted = []
+        stream = [
+            [f"k{rng.randint(0, 30)}" for _ in range(40)]
+            for _ in range(4)
+        ]
+        for chunk in stream:
+            for out in fn((0,), [pd.DataFrame({"k": chunk})], st):
+                emitted.extend(out["k"])
+        assert len(emitted) == len(set(emitted)), words
+        if words == 1024:
+            # exact regime: every distinct key admitted exactly once
+            assert set(emitted) == {k for chunk in stream for k in chunk}
+        ws, n_seen, n_dropped = st._v
+        assert len(ws) == words  # state size is FIXED
+        total = sum(len(c) for c in stream)
+        assert n_seen + n_dropped == total
+        assert n_seen == len(emitted)
+
+
+def test_streaming_dedup_bloom_end_to_end_matches_first_seen(spark, tmp_path):
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_dedup_bloom,
+    )
+
+    batches = [
+        [("d1", "alpha"), ("d2", "beta"), ("d1", "alpha-copy")],
+        [("d3", "gamma"), ("d2", "beta-copy")],
+        [("d4", "delta"), ("d1", "alpha-copy2"), ("d5", "eps")],
+    ]
+    schema = "doc_id string, text string"
+    src = str(tmp_path / "bdd_src")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedup_bloom(stream, "doc_id", num_words=4096)
+        .writeStream.format("memory")
+        .queryName("bdd_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT doc_id FROM bdd_sink").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == ["d1", "d2", "d3", "d4", "d5"]
+    import pytest as pt
+
+    with pt.raises(ValueError, match="num_hashes"):
+        streaming_dedup_bloom(stream, "doc_id", num_hashes=0)
