@@ -7733,6 +7733,134 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_dedup_agreement",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z0-9]', '', 'g')) AS f
+      FROM documents WHERE source IS NOT NULL
+    ), fc AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS nc FROM fp GROUP BY 1
+    ), t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents WHERE source IS NOT NULL
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                          for i in range(1, len(toks) - 1)]
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE []::VARCHAR[] END) AS sh
+      FROM t WHERE len(toks) > 0
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / greatest(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)), 1),
+                     6) AS jaccard
+        FROM s a, s b WHERE a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ), flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs)
+    ), base AS (
+      SELECT fp.source,
+             CASE WHEN fc.nc > 1 THEN 'dup' ELSE 'uniq' END AS a,
+             CASE WHEN fl.doc_id IS NOT NULL THEN 'dup' ELSE 'uniq'
+               END AS b
+      FROM fp JOIN fc USING (f)
+      LEFT JOIN flagged fl ON fl.doc_id = fp.doc_id
+    ), cells AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells GROUP BY 1
+    ), rm AS (
+      SELECT source, a AS cat, CAST(sum(c) AS BIGINT) AS r
+      FROM cells GROUP BY 1, 2
+    ), cm AS (
+      SELECT source, b AS cat, CAST(sum(c) AS BIGINT) AS cc
+      FROM cells GROUP BY 1, 2
+    ), srcs AS (
+      SELECT rm.source, CAST(sum(rm.r * cm.cc) AS BIGINT) AS s_rc
+      FROM rm JOIN cm ON cm.source = rm.source AND cm.cat = rm.cat
+      GROUP BY 1
+    )
+    SELECT t.source, t.n, t.agree,
+           CAST(((t.agree * 1000) // t.n) * 1000
+             + (((t.agree * 1000) % t.n) * 1000) // t.n AS BIGINT)
+             AS po_ppm,
+           CAST(((srcs.s_rc * 1000) // (t.n * t.n)) * 1000
+             + (((srcs.s_rc * 1000) % (t.n * t.n)) * 1000)
+               // (t.n * t.n) AS BIGINT) AS pe_ppm
+    FROM tot t JOIN srcs ON srcs.source = t.source
+    """,
+)
+def x_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa agreement between the CHEAP and EXPENSIVE dedup
+    strategies' per-doc flags, per source — "how much of what minhash
+    near-dup flags would exact-fingerprint dedup already catch":
+    rater A = in an exact normalized-content duplicate group, rater B
+    = endpoint of any verified minhash near-dup pair (j >= 0.5).
+    The composition audit a pipeline runs before dropping the
+    expensive pass on a new corpus slice.  Plan: the exact-dedup
+    fingerprint contraction + the banded minhash candidate join (both
+    audited operators), two boolean flags joined onto the doc set,
+    then cohens_kappa's single contingency contraction."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[^a-z0-9]",
+                "",
+            )
+        ).alias("f"),
+    )
+    fc = fp.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    pairs = D.dedup_near_minhash(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    )
+    flagged = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_fl", F.lit(1))
+    )
+    base = (
+        fp.join(fc, "f")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("nc") > 1, F.lit("dup"))
+            .otherwise(F.lit("uniq"))
+            .alias("a"),
+            F.when(F.col("_fl").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("uniq"))
+            .alias("b"),
+        )
+    )
+    return RK.cohens_kappa(base, "a", "b", group_cols=["source"])
+
+
+@_register(
     "x_vocab_richness",
     r"""
     WITH toks AS (
