@@ -163,6 +163,28 @@ def compare_to_reference(timings: dict, ctx_start: dict, ctx_end: dict):
             reverse=True,
         )
         renorm = round(raw / ratio, 3)
+
+        # interpolated variant: both r8 and r9 artifacts show the host
+        # drifting WITHIN a run (calib_end > calib_start), so the mean
+        # ratio under-corrects late-run queries.  Queries execute in
+        # dict order; linearly interpolate each run's calib over its
+        # own query sequence and renormalize BOTH sides to a canonical
+        # 100 ms-calib host before comparing.  Emitted alongside the
+        # mean-ratio number, not instead of it.
+        def _canon(qdict, calibs):
+            names = list(qdict)
+            c0, c1 = calibs[0], calibs[-1]
+            n = max(len(names) - 1, 1)
+            tot = 0.0
+            for i, q in enumerate(names):
+                if q not in common:
+                    continue
+                ci = c0 + (c1 - c0) * (i / n)
+                tot += qdict[q] / (ci / 100.0)
+            return tot
+
+        cur_canon = _canon(timings, calibs_cur)
+        ref_canon = _canon(ref_q, calibs_ref)
         return {
             "ref": os.path.basename(ref_path),
             "ref_name": ref.get("ref_name"),
@@ -174,6 +196,9 @@ def compare_to_reference(timings: dict, ctx_start: dict, ctx_end: dict):
             "renorm_common_total_sec": renorm,
             "renorm_vs_ref": round(renorm / ref_total, 4)
             if ref_total
+            else None,
+            "renorm_interp_vs_ref": round(cur_canon / ref_canon, 4)
+            if ref_canon
             else None,
             # renormalized per-query deltas, worst regressions first
             "top_renorm_regressions_sec": [

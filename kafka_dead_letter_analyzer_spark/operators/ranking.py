@@ -114,6 +114,12 @@ def _distinct_probe(
     )
     return per_g.agg(
         F.max("_n").alias("n"),
+        # the group COUNT rides the same probe for free: it bounds the
+        # two-phase offsets table (range_partitions x n_groups rows),
+        # so callers can restore the broadcast hint when it is
+        # provably safe instead of paying AQE's shuffle-write of the
+        # contraction before the runtime broadcast conversion
+        F.count(F.lit(1)).alias("n_groups"),
         *[F.max(f"_d_{c}").alias(f"d_{c}") for c in value_cols],
         *[
             F.max(f"_f_{c}").alias(f"f_{c}")
@@ -154,11 +160,16 @@ def auc_exact(
         F.col(label_col).cast("boolean").alias("y"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
 
+    bc_offsets = False
     if groups and two_phase is None:
         probe = _distinct_probe(base, groups, ["s"])
         two_phase = (
             probe["d_s"] is not None
             and probe["d_s"] > _TWO_PHASE_MIN_DISTINCT
+        )
+        bc_offsets = (
+            probe["n_groups"] is not None
+            and probe["n_groups"] <= _OFFSETS_BROADCAST_MAX_GROUPS
         )
 
     counts = base.groupBy(*groups, "s").agg(
@@ -186,6 +197,7 @@ def auc_exact(
             counts, order_col="s", sum_col="neg", out_col="cum_lt",
             range_partitions=range_partitions,
             group_cols=groups or None,
+            broadcast_offsets=bc_offsets,
         )
 
     agg = cum.groupBy(*groups).agg(
@@ -222,6 +234,12 @@ def auc_exact(
     )
 
 
+# a probe-verified group count at or under this makes the grouped
+# offsets table (range_partitions x n_groups rows) safely
+# broadcast-sized; above it — or unprobed — AQE decides at runtime
+_OFFSETS_BROADCAST_MAX_GROUPS = 8192
+
+
 def global_exclusive_prefix(
     df: DataFrame,
     order_col: str,
@@ -229,6 +247,7 @@ def global_exclusive_prefix(
     out_col: str,
     range_partitions: int = 32,
     group_cols: list[str] | None = None,
+    broadcast_offsets: bool = False,
 ) -> DataFrame:
     """Two-phase exclusive prefix sum: ``out_col = sum(sum_col) over
     ([partition by group_cols] order by order_col rows unbounded
@@ -320,16 +339,23 @@ def global_exclusive_prefix(
         # null-safe on the group columns (pid can stay plain): groupBy
         # keeps NULL as a real group, so a plain equi-join here would
         # silently drop exactly the NULL-keyed group the aggregation
-        # produced offsets for.  No forced broadcast either: offsets
-        # is range_partitions x #groups rows, which is NOT bounded
-        # when the group domain is large (millions of groups); let AQE
-        # pick the strategy.
+        # produced offsets for.  No forced broadcast BY DEFAULT:
+        # offsets is range_partitions x #groups rows, which is NOT
+        # bounded when the group domain is large (millions of groups)
+        # — AQE picks the strategy, at the price of a shuffle-write of
+        # the local frame before the runtime conversion.  Callers that
+        # PROBED the group count (auc/spearman's _distinct_probe) pass
+        # broadcast_offsets=True to skip that write when the table is
+        # provably small.
         from kafka_dead_letter_analyzer_spark.operators.common import (
             null_safe_group_join,
         )
 
         joined = null_safe_group_join(
-            local, offsets, groups, plain_keys=["pid"]
+            local,
+            F.broadcast(offsets) if broadcast_offsets else offsets,
+            groups,
+            plain_keys=["pid"],
         )
     else:
         # ungrouped: offsets is exactly range_partitions rows — a
@@ -457,6 +483,7 @@ def spearman_exact(
     ).filter(F.col("x0").isNotNull() & F.col("y0").isNotNull())
 
     two_phase_x = two_phase_y = bool(two_phase)
+    bc_offsets = False  # probe-verified group counts may enable it
     if two_phase is None:
         from pyspark.sql import types as T
 
@@ -501,6 +528,10 @@ def spearman_exact(
             probe["d_y0"] is not None
             and probe["d_y0"] > _TWO_PHASE_MIN_DISTINCT
         )
+        bc_offsets = (
+            probe["n_groups"] is not None
+            and probe["n_groups"] <= _OFFSETS_BROADCAST_MAX_GROUPS
+        )
 
     base = base0.select(
         *[base0[g] for g in groups],
@@ -542,19 +573,29 @@ def spearman_exact(
         # range-partition-wide, no fat per-group sort anywhere
         cum = global_exclusive_prefix(
             counts, order_col=col, sum_col="c", out_col="cum_lt",
-            group_cols=groups,
+            group_cols=groups, broadcast_offsets=bc_offsets,
         )
         totals = counts.groupBy(*groups).agg(
             F.sum("c").cast("bigint").alias("nn")
         )
-        # grouped: plain equi-join (AQE broadcasts when the group domain
-        # is small; a forced broadcast would be wrong at millions of
-        # groups); global: the totals frame is one row, broadcast it
-        withn = (
-            cum.join(totals, groups, "inner")
-            if groups
-            else cum.crossJoin(F.broadcast(totals))
-        )
+        # grouped: NULL-SAFE join (groupBy keeps NULL as a real group;
+        # plain equality would drop it here only on the two-phase
+        # path — the auc/kendall asymmetry, round 9), broadcast hint
+        # only when the probe verified the group count (a forced
+        # broadcast would be wrong at millions of groups); global:
+        # the totals frame is one row, broadcast it
+        if groups:
+            from kafka_dead_letter_analyzer_spark.operators.common import (
+                null_safe_group_join,
+            )
+
+            withn = null_safe_group_join(
+                cum,
+                F.broadcast(totals) if bc_offsets else totals,
+                groups,
+            )
+        else:
+            withn = cum.crossJoin(F.broadcast(totals))
         return withn.select(
             *groups,
             F.col(col).alias(f"{col}v"),
@@ -568,14 +609,19 @@ def spearman_exact(
     def _conj(conds):
         return functools.reduce(lambda a, c: a & c, conds)
 
+    # eqNullSafe on the group key (round 9): a NULL group is a real
+    # group under the contraction groupBys, and plain equality here
+    # silently dropped it from the final statistics
     joined = base.alias("b").join(
         xm.alias("xm"),
-        _conj([*(F.col(f"b.{g}") == F.col(f"xm.{g}") for g in groups),
+        _conj([*(F.col(f"b.{g}").eqNullSafe(F.col(f"xm.{g}"))
+                 for g in groups),
                F.col("b.x") == F.col("xm.xv")]),
         "inner",
     ).join(
         ym.alias("ym"),
-        _conj([*(F.col(f"b.{g}") == F.col(f"ym.{g}") for g in groups),
+        _conj([*(F.col(f"b.{g}").eqNullSafe(F.col(f"ym.{g}"))
+                 for g in groups),
                F.col("b.y") == F.col("ym.yv")]),
         "inner",
     )

@@ -1182,3 +1182,55 @@ def test_cohens_kappa_overflow_guard_raises(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="shard"):
         R.cohens_kappa(df, "ra", "rb").collect()
+
+
+def test_spearman_null_group_kept_both_paths(spark):
+    """Round-9: spearman's value joins (and the two-phase totals
+    join) must be null-safe on the group key — a NULL group's rho
+    must appear on BOTH strategy paths, equal to the same data under
+    a non-NULL key."""
+    data = [(1, 5), (2, 3), (3, 9), (4, 1), (5, 7), (2, 8)]
+    rows = [("a", x, y) for x, y in data] + [
+        (None, x, y) for x, y in data
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    for tp in (False, True):
+        out = {
+            r["g"]: r
+            for r in R.spearman_exact(
+                df, "x", "y", group_cols=["g"], two_phase=tp
+            ).collect()
+        }
+        assert set(out) == {"a", None}, tp
+        a, n = out["a"], out[None]
+        assert (a["num"], a["den_x"], a["den_y"], a["rho_e6"]) == (
+            n["num"], n["den_x"], n["den_y"], n["rho_e6"]
+        ), tp
+
+
+def test_probe_verified_group_count_restores_broadcast_hint(
+    spark, monkeypatch
+):
+    """Round-9: when the probe proves the group count small, the
+    two-phase offsets/totals joins carry the broadcast hint again
+    (skipping AQE's pre-conversion shuffle-write of the contraction);
+    with the threshold forced to 0 the hint must be absent (AQE
+    decides at scale)."""
+    rng = random.Random(93)
+    rows = [
+        ("g%d" % (i % 3), rng.randint(0, 100_000), rng.random() < 0.5)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y boolean")
+    monkeypatch.setattr(R, "_TWO_PHASE_MIN_DISTINCT", 10)
+    out = R.auc_exact(df, "s", "y", group_cols=["g"])
+    plan = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "broadcast" in plan
+    monkeypatch.setattr(R, "_OFFSETS_BROADCAST_MAX_GROUPS", 0)
+    out2 = R.auc_exact(df, "s", "y", group_cols=["g"])
+    plan2 = out2._jdf.queryExecution().analyzed().toString().lower()
+    assert "broadcast" not in plan2
+    # values identical either way
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
