@@ -599,7 +599,20 @@ def theilsen_trend(
         *groups,
         F.explode(F.sequence("t_lo", "t_hi")).alias("t"),
     )
-    dense = timeline.join(counts, [*groups, "t"], "left").select(
+    # null-safe on the group key throughout (round 9): a NULL group is
+    # a real group under the span/counts groupBys, and plain equality
+    # silently dropped it from the trend output
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        dense = null_safe_group_join(
+            timeline, counts, groups, plain_keys=["t"], how="left"
+        )
+    else:
+        dense = timeline.join(counts, ["t"], "left")
+    dense = dense.select(
         *groups,
         "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
@@ -612,7 +625,7 @@ def theilsen_trend(
         *groups, F.col("t").alias("t2"), F.col("x").alias("x2")
     )
     pairs = (
-        a.join(b, groups, "inner")
+        null_safe_group_join(a, b, groups)
         if groups
         else a.crossJoin(b)
     ).filter(F.col("t2") > F.col("t1"))
@@ -638,7 +651,7 @@ def theilsen_trend(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
     out = (
-        med.join(totals, groups, "inner")
+        null_safe_group_join(med, totals, groups)
         if groups
         else med.crossJoin(F.broadcast(totals))
     )
@@ -838,7 +851,18 @@ def hampel_outliers(
     timeline = span.select(
         *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
     )
-    dense = timeline.join(counts, [*groups, "t"], "left").select(
+    # null-safe on the group key (round 9): keeps the NULL group
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        dense = null_safe_group_join(
+            timeline, counts, groups, plain_keys=["t"], how="left"
+        )
+    else:
+        dense = timeline.join(counts, ["t"], "left")
+    dense = dense.select(
         *groups, "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
     )
@@ -924,7 +948,18 @@ def mann_kendall(
     timeline = span.select(
         *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
     )
-    dense = timeline.join(counts, [*groups, "t"], "left").select(
+    # null-safe on the group key throughout (round 9)
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        dense = null_safe_group_join(
+            timeline, counts, groups, plain_keys=["t"], how="left"
+        )
+    else:
+        dense = timeline.join(counts, ["t"], "left")
+    dense = dense.select(
         *groups, "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
     )
@@ -936,7 +971,7 @@ def mann_kendall(
         *groups, F.col("t").alias("t2"), F.col("x").alias("x2")
     )
     pairs = (
-        a.join(b, groups, "inner") if groups else a.crossJoin(b)
+        null_safe_group_join(a, b, groups) if groups else a.crossJoin(b)
     ).filter(F.col("t2") > F.col("t1"))
     s_agg = pairs.groupBy(*groups).agg(
         F.sum(F.expr("sign(x2 - x1)")).cast("bigint").alias("s_stat")
@@ -956,7 +991,9 @@ def mann_kendall(
         F.sum("x").cast("bigint").alias("n")
     )
     joined = (
-        s_agg.join(ties, groups, "inner").join(totals, groups, "inner")
+        null_safe_group_join(
+            null_safe_group_join(s_agg, ties, groups), totals, groups
+        )
         if groups
         else s_agg.crossJoin(F.broadcast(ties)).crossJoin(
             F.broadcast(totals)

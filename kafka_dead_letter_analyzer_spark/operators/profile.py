@@ -425,10 +425,17 @@ def benford_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
         domains = obs.select(*groups).distinct().crossJoin(
             F.broadcast(const)
         )
-        full = domains.join(obs, [*groups, "digit"], "left")
+        # null-safe on the group key (round 9): keeps the NULL group
+        full = null_safe_group_join(
+            domains, obs, groups, plain_keys=["digit"], how="left"
+        )
     else:
         full = F.broadcast(const).join(obs, ["digit"], "left")
     wg = (

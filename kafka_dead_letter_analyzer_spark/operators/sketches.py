@@ -711,8 +711,13 @@ def _mg_contract(comb: DataFrame, kk: int, groups: list[str]) -> DataFrame:
         thr = ranked.filter(F.col("rn") == kk + 1).select(
             *groups, F.col("c").alias("thr")
         )
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        # null-safe on the group key (round 9): keeps the NULL group
         return (
-            comb.join(thr, groups, "left")
+            null_safe_group_join(comb, thr, groups, how="left")
             .select(
                 *groups,
                 "item",

@@ -1197,3 +1197,68 @@ def test_per_group_anchor_keeps_null_group(spark):
     }
     assert set(out) == {None, "g1"}
     assert out[None] == 1_000_000 and out["g1"] == 1_000_000
+
+
+def test_null_group_kept_across_timeline_operators(spark):
+    """Round-9 sweep: theilsen_trend, mann_kendall, hampel_outliers,
+    and the grouped MG contraction must all keep a NULL group key —
+    groupBy treats NULL as a real group, and the timeline/threshold
+    join-backs previously dropped it via plain equality.  Each NULL
+    group's statistics must equal the same data under a non-NULL
+    key."""
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    evs = [
+        (h, 1 + (h % 3)) for h in range(8)
+    ]  # 8 hourly buckets, varying counts
+    rows = []
+    for g in ("a", None):
+        for h, c in evs:
+            for _ in range(c):
+                rows.append((g, e + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+
+    ts = {
+        r["g"]: (r["slope_num"], r["slope_den"], r["n"])
+        for r in DR.theilsen_trend(
+            df, ts_col="ts", group_cols=["g"], bucket="hour"
+        ).collect()
+    }
+    assert set(ts) == {"a", None}
+    assert ts["a"] == ts[None]
+
+    mk = {
+        r["g"]: (r["s_stat"], r["var18"], r["n_buckets"])
+        for r in DR.mann_kendall(
+            df, ts_col="ts", group_cols=["g"], bucket="hour"
+        ).collect()
+    }
+    assert set(mk) == {"a", None}
+    assert mk["a"] == mk[None]
+
+    ham = DR.hampel_outliers(
+        df, ts_col="ts", group_cols=["g"], bucket="hour"
+    ).collect()
+    by_g = {}
+    for r in ham:
+        by_g.setdefault(r["g"], []).append(r)
+    assert set(by_g) == {"a", None}
+    assert len(by_g["a"]) == len(by_g[None]) == 8
+
+    from kafka_dead_letter_analyzer_spark.operators import sketches as SK
+
+    items = [("x", "i1")] * 5 + [("x", "i2")] * 3 + [("x", "i3")] * 1
+    items += [(None, "i1")] * 5 + [(None, "i2")] * 3 + [(None, "i3")] * 1
+    idf = spark.createDataFrame(items, "g string, item string")
+    mg = SK.mg_summary(idf, key="item", k=2, group_cols=["g"])
+    out = {}
+    for r in mg.collect():
+        out.setdefault(r["g"], set()).add(
+            (r["item"], r["count_lower"])
+        )
+    # both groups present with identical summaries
+    assert set(out) == {"x", None}
+    assert out["x"] == out[None]
