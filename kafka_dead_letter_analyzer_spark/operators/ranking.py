@@ -277,31 +277,57 @@ def global_exclusive_prefix(
     )
 
     def _local_prefix(batches):
+        import numpy as np
         import pandas as pd
 
-        carry: dict[tuple, int] = {}
-        for pdf in batches:
-            # rows arrive sorted by (groups, order col) within the
-            # partition; a partition holds exactly one pid
-            out = pdf.copy()
-            cums = []
+        def _normk(k) -> tuple:
             # a NULL group key must be ONE carry key: pandas hands a
             # nullable numeric group over as NaN, and NaN != NaN makes
             # every NaN a DISTINCT dict key (id-based fallback), which
             # would silently pin local_lt at 0 for the whole NULL
-            # group (round-9 review).  Normalize null-ish values
-            # (None / NaN / pd.NA / NaT) to None ONCE per batch,
-            # vectorized — not per row in the hot loop.
-            gcols = [
-                pdf[g].astype(object).where(pd.notna(pdf[g]), None)
-                for g in groups
-            ]
-            for pid, v, *gs in zip(pdf["pid"], pdf[sum_col], *gcols):
-                k = (int(pid), *gs)
-                c = carry.get(k, 0)
-                cums.append(c)
-                carry[k] = c + int(v)
-            out["local_lt"] = pd.Series(cums, index=pdf.index, dtype="int64")
+            # group (round-9 review).  Normalization runs once per
+            # DISTINCT key per batch, never per row.
+            kt = k if isinstance(k, tuple) else (k,)
+            return tuple(None if pd.isna(x) else x for x in kt)
+
+        # all prefix arithmetic is VECTORIZED (round-9 perf pass: the
+        # per-row Python loop was ~half of spearman's exec time at
+        # sf0.1 — the contraction for a near-continuous column is
+        # row-count-sized).  A partition holds exactly one pid and
+        # rows arrive sorted by (groups, order col), so the exclusive
+        # prefix is a C-speed groupby-cumsum; only the per-DISTINCT-KEY
+        # carry bookkeeping crosses into Python.
+        carry: dict[tuple, int] = {}
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["local_lt"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            vals = pdf[sum_col].to_numpy(dtype=np.int64)
+            if groups:
+                gb = pdf.groupby(list(groups), dropna=False, sort=False)
+                excl = (
+                    gb[sum_col].cumsum().to_numpy(dtype=np.int64) - vals
+                )
+                codes = gb.ngroup().to_numpy()
+                gsums = gb[sum_col].sum()  # appearance order (sort=False)
+                keys = [_normk(k) for k in gsums.index]
+                carr = np.array(
+                    [carry.get(k, 0) for k in keys], dtype=np.int64
+                )
+                out["local_lt"] = pd.Series(
+                    excl + carr[codes], index=pdf.index, dtype="int64"
+                )
+                for k, s in zip(keys, gsums.to_numpy(dtype=np.int64)):
+                    carry[k] = carry.get(k, 0) + int(s)
+            else:
+                base_carry = carry.get((), 0)
+                excl = np.cumsum(vals) - vals + base_carry
+                out["local_lt"] = pd.Series(
+                    excl, index=pdf.index, dtype="int64"
+                )
+                carry[()] = base_carry + int(vals.sum())
             yield out
 
     from pyspark.sql.types import StructType
