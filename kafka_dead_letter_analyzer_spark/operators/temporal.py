@@ -904,6 +904,7 @@ def funnel_steps_any_anchor(
     ts_col: str = "ts",
     within_us: int | None = None,
     max_events_per_key: int = 100_000,
+    method: str = "window",
 ) -> DataFrame:
     """EXHAUSTIVE ordered-funnel conversion — ``(step_idx, step,
     users, conv_ppm)`` like :func:`funnel_steps`, but a key reaches
@@ -918,16 +919,23 @@ def funnel_steps_any_anchor(
     earliest chain provably dominates unbounded) — this operator
     exists for the bounded case.
 
-    Plan shape: ONE hash exchange on the key
-    (``applyInPandas``), then a per-key feasibility sweep: the
-    feasible-anchor set propagates step to step with sorted-array
-    binary searches — O(E log E) per key, NOT the naive
-    quadratic pair scan, but the per-key event list DOES materialize
-    in one task (unlike funnel_steps' k-longs state).
-    ``max_events_per_key`` is that contract: a key with more
-    step-typed events RAISES with a sharding hint instead of silently
-    OOMing the task (the kendall max_cells pattern).  Totals and ppm
-    reuse the shared funnel tail."""
+    ``method='window'`` (default) is the JVM-only LATEST-ANCHOR DP: a
+    candidate t for step i is feasible iff SOME feasible step-(i-1)
+    anchor lies in ``[t - W, t)``, and because every feasible anchor
+    p satisfies ``p + W >= t  <=>  p >= t - W`` monotonically, the
+    LATEST feasible anchor strictly before t decides it exactly — so
+    feasibility chains through k ``max`` windows over
+    ``rangeBetween(unboundedPreceding, -1)`` on the integer
+    microsecond axis (range -1 = strictly earlier, the tie rule).
+    ONE key exchange + one sort reused by all k windows; per-key
+    state never materializes.  ``method='pandas'`` is the original
+    sorted-array set-propagation sweep (``applyInPandas``) kept as an
+    independently-derived reference — both are differential-equal to
+    exhaustive DFS, and to each other, in tests.
+    ``max_events_per_key`` applies to the pandas path only (its
+    per-key event list materializes in one task; the kendall
+    max_cells pattern).  Totals and ppm reuse the shared funnel
+    tail."""
     import pandas as pd  # noqa: F401
 
     if len(steps) < 2:
@@ -939,6 +947,11 @@ def funnel_steps_any_anchor(
     if max_events_per_key < 1:
         raise ValueError(
             "funnel_steps_any_anchor: max_events_per_key must be >= 1"
+        )
+    if method not in ("window", "pandas"):
+        raise ValueError(
+            f"funnel_steps_any_anchor: unknown method {method!r}"
+            " ('window' | 'pandas')"
         )
     k = len(steps)
     ev = events.filter(
@@ -953,6 +966,45 @@ def funnel_steps_any_anchor(
     step_list = list(steps)
     cap = int(max_events_per_key)
     bound = None if within_us is None else int(within_us)
+
+    if method == "window":
+        w = (
+            Window.partitionBy("k")
+            .orderBy("us")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        cur = ev
+        for i, s in enumerate(step_list):
+            if i == 0:
+                feas = F.col("st") == s
+            else:
+                feas = (F.col("st") == s) & F.col(f"m{i - 1}").isNotNull()
+                if bound is not None:
+                    feas = feas & (
+                        F.col("us") <= F.col(f"m{i - 1}") + bound
+                    )
+            cur = cur.withColumn(f"f{i}", F.when(feas, F.col("us")))
+            if i < k - 1:
+                cur = cur.withColumn(f"m{i}", F.max(f"f{i}").over(w))
+        per_key = cur.groupBy("k").agg(
+            *[
+                F.max(
+                    F.when(F.col(f"f{i}").isNotNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"r{i}")
+                for i in range(k)
+            ]
+        )
+        totals = per_key.agg(
+            *[
+                F.coalesce(F.sum(f"r{i}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"u{i}")
+                for i in range(k)
+            ]
+        )
+        return _funnel_emit(totals, steps)
 
     def _reach(pdf):
         import numpy as np

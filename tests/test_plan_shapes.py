@@ -1286,14 +1286,30 @@ def test_funnel_join_chain_pushes_stage_predicates(spark):
     assert "In(event_type" in w
 
 
-def test_funnel_any_anchor_single_exchange_pandas_sweep(spark, Q):
-    """x_funnel_any_anchor: ONE hash exchange on the funnel key into
-    the Arrow-batched per-key sweep — no sort, no join, no second
-    full-data exchange (the 1-row totals aggregate is the only other
-    exchange-shaped node)."""
+def test_funnel_any_anchor_window_dp_plan(spark, Q):
+    """x_funnel_any_anchor (default method='window'): ONE hash
+    exchange on the funnel key, ONE sort reused by the k chained
+    latest-anchor range windows, no Python, no join, no cartesian;
+    the pandas reference path keeps its grouped Arrow sweep."""
     s = plan_of(Q.x_funnel_any_anchor(spark, SF))
-    assert "FlatMapGroupsInPandas" in s
+    assert "Window" in s
+    assert "FlatMapGroupsInPandas" not in s
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
-    # key exchange + the 1-row final aggregate
     assert s.count("Exchange hashpartitioning") <= 1
+    # one sort feeds all k windows
+    assert s.count("Sort ") <= 1 or s.count("[Sort") <= 1
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps_any_anchor,
+    )
+    from kafka_dead_letter_analyzer_spark.queries import load_table
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(
+        funnel_steps_any_anchor(
+            ev, ["view", "click", "purchase"], method="pandas"
+        )
+    )
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") <= 1

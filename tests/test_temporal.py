@@ -1434,13 +1434,14 @@ def test_funnel_any_anchor_matches_brute_force_randomized(spark):
             )
             for i in range(3)
         ]
-        got = {
-            r["step_idx"]: r["users"]
-            for r in funnel_steps_any_anchor(
-                df, steps, within_us=W
-            ).collect()
-        }
-        assert [got[1], got[2], got[3]] == want, W
+        for method in ("window", "pandas"):
+            got = {
+                r["step_idx"]: r["users"]
+                for r in funnel_steps_any_anchor(
+                    df, steps, within_us=W, method=method
+                ).collect()
+            }
+            assert [got[1], got[2], got[3]] == want, (W, method)
 
 
 def test_funnel_any_anchor_beats_first_touch_on_stale_anchor(spark):
@@ -1501,8 +1502,11 @@ def test_funnel_any_anchor_cap_raises_and_validates(spark):
     )
     with pt.raises(Exception, match="max_events_per_key"):
         funnel_steps_any_anchor(
-            df, ["view", "click"], max_events_per_key=3
+            df, ["view", "click"], max_events_per_key=3,
+            method="pandas",
         ).collect()
+    with pt.raises(ValueError, match="method"):
+        funnel_steps_any_anchor(df, ["view", "click"], method="bogus")
     with pt.raises(ValueError, match="steps"):
         funnel_steps_any_anchor(df, ["view"])
     with pt.raises(ValueError, match="within_us"):
