@@ -843,3 +843,92 @@ def bigram_memorization_ppm(
             "* 1000000 DIV count(*) AS BIGINT)"
         ).alias("shared_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Script detection (unicode-block histogram)
+# ---------------------------------------------------------------------------
+
+# major writing-system BMP ranges; (java_regex, re2_regex) pairs keep the
+# Spark expression and the DuckDB oracle byte-for-byte on the same class
+_SCRIPT_RANGES: dict[str, tuple[str, str]] = {
+    "arabic": (r"[؀-ۿ]", r"[\x{0600}-\x{06FF}]"),
+    "cjk": (
+        r"[一-鿿぀-ヿ]",
+        r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    ),
+    "cyrillic": (r"[Ѐ-ӿ]", r"[\x{0400}-\x{04FF}]"),
+    "devanagari": (r"[ऀ-ॿ]", r"[\x{0900}-\x{097F}]"),
+    "greek": (r"[Ͱ-Ͽ]", r"[\x{0370}-\x{03FF}]"),
+    "hangul": (r"[가-힯]", r"[\x{AC00}-\x{D7AF}]"),
+    "latin": (r"[A-Za-zÀ-ɏ]", r"[A-Za-z\x{00C0}-\x{024F}]"),
+}
+
+
+def script_counts(text: Column | str) -> dict[str, Column]:
+    """Per-script character counts of a text column — one
+    ``regexp_extract_all`` length per major writing-system BMP range
+    (pure codegen projections, the lang_scores shape).  The complement
+    of the stopword lang-id: that one only separates languages that
+    share the Latin script, while a CJK/Cyrillic/Arabic document
+    collapses to 'und' — the script histogram is the first routing
+    decision a multilingual corpus pipeline makes."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.coalesce(t, F.lit(""))
+    return {
+        name: F.size(F.regexp_extract_all(t, F.lit(java_pat), F.lit(0)))
+        for name, (java_pat, _) in _SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(cols: dict[str, Column]) -> Column:
+    """argmax of per-script counts; 'none' when all zero.  Tie-break:
+    alphabetical script order (the _argmax_lang rule — reversed
+    iteration so earlier names win ties via later when-overwrite)."""
+    best = F.greatest(*cols.values())
+    result = F.lit("none")
+    for name in sorted(cols, reverse=True):
+        result = F.when(cols[name] == best, F.lit(name)).otherwise(result)
+    return F.when(best == 0, F.lit("none")).otherwise(result)
+
+
+def with_script_profile(
+    df: DataFrame, text_col: str = "text", out_col: str = "script"
+) -> DataFrame:
+    """Frame-level script profile: per-script count columns
+    (``n_<script>``) plus the dominant-script label — counts
+    materialize once in their own Project so the argmax runs over
+    cheap column refs (the with_lang_id pattern)."""
+    scored = df.select(
+        "*",
+        *[
+            c.alias(f"n_{name}")
+            for name, c in script_counts(text_col).items()
+        ],
+    )
+    cols = {name: F.col(f"n_{name}") for name in _SCRIPT_RANGES}
+    return scored.withColumn(out_col, dominant_script(cols))
+
+
+def script_counts_sql(col: str) -> dict[str, str]:
+    """DuckDB twins of :func:`script_counts` (RE2 ``\\x{..}`` range
+    syntax; same classes character for character)."""
+    return {
+        name: (
+            f"len(regexp_extract_all(coalesce({col}, ''),"
+            f" '{re2_pat}'))"
+        )
+        for name, (_, re2_pat) in _SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script_sql(col: str) -> str:
+    score = script_counts_sql(col)
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    expr = "'none'"
+    for name in sorted(score, reverse=True):
+        expr = (
+            f"CASE WHEN {score[name]} = {best} THEN '{name}'"
+            f" ELSE {expr} END"
+        )
+    return f"CASE WHEN {best} = 0 THEN 'none' ELSE {expr} END"

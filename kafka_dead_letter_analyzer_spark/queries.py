@@ -7861,6 +7861,48 @@ def x_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_script_mix",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             {TX.dominant_script_sql('text')} AS script,
+             {TX.script_counts_sql('text')['latin']} AS n_latin,
+             {TX.script_counts_sql('text')['cyrillic']} AS n_cyrillic,
+             {TX.script_counts_sql('text')['cjk']} AS n_cjk
+      FROM documents
+      WHERE source IS NOT NULL
+    )
+    SELECT source, script,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_latin) AS BIGINT) AS latin_chars,
+           CAST(sum(n_cyrillic) AS BIGINT) AS cyrillic_chars,
+           CAST(sum(n_cjk) AS BIGINT) AS cjk_chars
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def x_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system mix per source
+    (operators/text.py::with_script_profile): dominant-script doc
+    counts plus per-script character mass — the routing decision a
+    multilingual pipeline makes BEFORE language-id (the stopword
+    lang-id only separates Latin-script languages; everything else
+    lands in 'und' without this).  Pure codegen regexp counts (one
+    per BMP script range, Java and RE2 classes pinned character for
+    character), one map-side-combined (source, script) aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    prof = TX.with_script_profile(docs.select("source", "text"))
+    return prof.groupBy("source", "script").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_latin").cast("bigint").alias("latin_chars"),
+        F.sum("n_cyrillic").cast("bigint").alias("cyrillic_chars"),
+        F.sum("n_cjk").cast("bigint").alias("cjk_chars"),
+    )
+
+
+@_register(
     "x_vocab_richness",
     r"""
     WITH toks AS (

@@ -1079,3 +1079,68 @@ def test_conformal_small_groups_clamp_and_guard(spark):
     assert (out["b"]["threshold"], out["b"]["k"]) == (5, 2)
     with _pytest.raises(ValueError, match="alpha"):
         conformal_threshold(df, "v", "id", alpha_num=10, alpha_den=10)
+
+
+def test_script_profile_matches_codepoint_brute_force(spark):
+    """Round-9: per-script counts and the dominant label against a
+    pure-Python codepoint scan over the same BMP ranges, including
+    ties (alphabetical winner), all-zero ('none'), and NULL text."""
+    from kafka_dead_letter_analyzer_spark.operators.text import (
+        _SCRIPT_RANGES,
+        with_script_profile,
+    )
+
+    ranges = {
+        "arabic": [(0x0600, 0x06FF)],
+        "cjk": [(0x4E00, 0x9FFF), (0x3040, 0x30FF)],
+        "cyrillic": [(0x0400, 0x04FF)],
+        "devanagari": [(0x0900, 0x097F)],
+        "greek": [(0x0370, 0x03FF)],
+        "hangul": [(0xAC00, 0xD7AF)],
+        "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    }
+    texts = [
+        "hello world",
+        "привет мир",
+        "你好 世界 と ひらがな",
+        "مرحبا بالعالم",
+        "नमस्ते दुनिया",
+        "Γειά σου Κόσμε",
+        "안녕하세요 세계",
+        "mixed: привет hello 你好",
+        "12345 !!! ...",
+        "",
+        None,
+        "ab вг",  # 2 vs 2 tie -> alphabetical: cyrillic
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_script_profile(df).collect()
+    }
+
+    def brute(t):
+        t = t or ""
+        counts = {
+            name: sum(
+                1
+                for ch in t
+                for lo, hi in rs
+                if lo <= ord(ch) <= hi
+            )
+            for name, rs in ranges.items()
+        }
+        best = max(counts.values()) if counts else 0
+        if best == 0:
+            return counts, "none"
+        dom = min(k for k, v in counts.items() if v == best)
+        return counts, dom
+
+    for i, t in enumerate(texts):
+        counts, dom = brute(t)
+        r = out[i]
+        for name in _SCRIPT_RANGES:
+            assert r[f"n_{name}"] == counts[name], (i, name, t)
+        assert r["script"] == dom, (i, t)
