@@ -43,9 +43,18 @@ def null_safe_group_join(
     additional join columns compared with ORDINARY equality (keys
     that are non-null by construction — partition ids, contraction
     cell coordinates); ``how`` extends the pattern to outer shapes
-    (the grid left-join)."""
+    (the grid left-join).  EMPTY ``groups`` with ``plain_keys``
+    delegates to a plain join on those keys, so a caller with an
+    optional group list makes ONE unconditional call instead of
+    repeating an if-groups branch that, when forgotten, reintroduces
+    exactly the NULL-group drop this helper exists to prevent
+    (round-9 review)."""
     if not groups:
-        raise ValueError("null_safe_group_join: needs group columns")
+        if plain_keys:
+            return left.join(right, list(plain_keys), how)
+        raise ValueError(
+            "null_safe_group_join: needs group columns or plain_keys"
+        )
     plains = list(plain_keys or [])
     l, r = left.alias("_nsl"), right.alias("_nsr")
     cond = functools.reduce(

@@ -50,6 +50,10 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_dead_letter_analyzer_spark.operators.common import (
+    null_safe_group_join,
+)
+
 __all__ = [
     "cusum_changepoint",
     "tvd_drift",
@@ -310,10 +314,6 @@ def tvd_drift(
         " DIV 2"
     ).alias("mid_us")
     if anchor == "per_group" and groups:
-        from kafka_dead_letter_analyzer_spark.operators.common import (
-            null_safe_group_join,
-        )
-
         mids = ev.groupBy(*groups).agg(mid_expr)
         # null-safe: groupBy kept NULL as a real group; a plain
         # USING-join would silently drop exactly that group's rows
@@ -429,10 +429,6 @@ def wasserstein_drift(
         " DIV 2"
     ).alias("mid_us")
     if anchor == "per_group" and groups:
-        from kafka_dead_letter_analyzer_spark.operators.common import (
-            null_safe_group_join,
-        )
-
         mids = ev.groupBy(*groups).agg(mid_expr)
         # null-safe: groupBy kept NULL as a real group; a plain
         # USING-join would silently drop exactly that group's rows
@@ -602,17 +598,9 @@ def theilsen_trend(
     # null-safe on the group key throughout (round 9): a NULL group is
     # a real group under the span/counts groupBys, and plain equality
     # silently dropped it from the trend output
-    if groups:
-        from kafka_dead_letter_analyzer_spark.operators.common import (
-            null_safe_group_join,
-        )
-
-        dense = null_safe_group_join(
-            timeline, counts, groups, plain_keys=["t"], how="left"
-        )
-    else:
-        dense = timeline.join(counts, ["t"], "left")
-    dense = dense.select(
+    dense = null_safe_group_join(
+        timeline, counts, groups, plain_keys=["t"], how="left"
+    ).select(
         *groups,
         "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
@@ -852,17 +840,9 @@ def hampel_outliers(
         *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
     )
     # null-safe on the group key (round 9): keeps the NULL group
-    if groups:
-        from kafka_dead_letter_analyzer_spark.operators.common import (
-            null_safe_group_join,
-        )
-
-        dense = null_safe_group_join(
-            timeline, counts, groups, plain_keys=["t"], how="left"
-        )
-    else:
-        dense = timeline.join(counts, ["t"], "left")
-    dense = dense.select(
+    dense = null_safe_group_join(
+        timeline, counts, groups, plain_keys=["t"], how="left"
+    ).select(
         *groups, "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
     )
@@ -949,17 +929,9 @@ def mann_kendall(
         *groups, F.explode(F.sequence("t_lo", "t_hi")).alias("t")
     )
     # null-safe on the group key throughout (round 9)
-    if groups:
-        from kafka_dead_letter_analyzer_spark.operators.common import (
-            null_safe_group_join,
-        )
-
-        dense = null_safe_group_join(
-            timeline, counts, groups, plain_keys=["t"], how="left"
-        )
-    else:
-        dense = timeline.join(counts, ["t"], "left")
-    dense = dense.select(
+    dense = null_safe_group_join(
+        timeline, counts, groups, plain_keys=["t"], how="left"
+    ).select(
         *groups, "t",
         F.coalesce("x", F.lit(0).cast("bigint")).alias("x"),
     )

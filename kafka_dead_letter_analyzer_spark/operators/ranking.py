@@ -1487,10 +1487,18 @@ def cohens_kappa(
     s = marg.groupBy(*groups).agg(
         F.sum(F.expr("r * cc")).cast("bigint").alias("s_rc")
     )
+    # LEFT join + coalesce (round-9 review): when the two raters share
+    # NO category in a group, the marginal join is empty and pe is
+    # mathematically 0 — an inner join here silently dropped exactly
+    # the total-disagreement group a kappa audit exists to surface
+    # (ungrouped, the global agg yields one NULL s_rc row instead)
     if groups:
-        joined = null_safe_group_join(tot, s, groups)
+        joined = null_safe_group_join(tot, s, groups, how="left")
     else:
         joined = tot.crossJoin(F.broadcast(s))
+    joined = joined.withColumn(
+        "s_rc", F.coalesce("s_rc", F.lit(0).cast("bigint"))
+    )
     from kafka_dead_letter_analyzer_spark.operators.common import ppm2
 
     guard = f"n > {_KAPPA_N_MAX}"

@@ -74,15 +74,32 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     }
 
 
-def _argmax_lang(cols: dict[str, Column]) -> Column:
-    """argmax of per-language scores; 'und' (undetermined) when all zero.
-    Tie-break: alphabetical language order (reversed iteration so earlier
-    langs win ties via later when-overwrite) — deterministic."""
+def _argmax_label(cols: dict[str, Column], default: str) -> Column:
+    """argmax of per-label scores; ``default`` when all zero.
+    Tie-break: alphabetical label order (reversed iteration so earlier
+    labels win ties via later when-overwrite) — deterministic.  Shared
+    by the lang-id ('und') and script-detection ('none') families."""
     best = F.greatest(*cols.values())
-    result = F.lit("und")
-    for lang in sorted(cols, reverse=True):
-        result = F.when(cols[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best == 0, F.lit("und")).otherwise(result)
+    result = F.lit(default)
+    for name in sorted(cols, reverse=True):
+        result = F.when(cols[name] == best, F.lit(name)).otherwise(result)
+    return F.when(best == 0, F.lit(default)).otherwise(result)
+
+
+def _argmax_label_sql(score: dict[str, str], default: str) -> str:
+    """DuckDB twin of :func:`_argmax_label` (same tie/zero rules)."""
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    expr = f"'{default}'"
+    for name in sorted(score, reverse=True):
+        expr = (
+            f"CASE WHEN {score[name]} = {best} THEN '{name}'"
+            f" ELSE {expr} END"
+        )
+    return f"CASE WHEN {best} = 0 THEN '{default}' ELSE {expr} END"
+
+
+def _argmax_lang(cols: dict[str, Column]) -> Column:
+    return _argmax_label(cols, "und")
 
 
 def lang_id(text: Column | str) -> Column:
@@ -115,11 +132,7 @@ def lang_id_sql(col: str) -> str:
         lang: f"len(regexp_extract_all(lower({col}), '{pat}'))"
         for lang, pat in LANG_STOPWORDS.items()
     }
-    best = "greatest(" + ", ".join(score.values()) + ")"
-    expr = "'und'"
-    for lang in sorted(score, reverse=True):
-        expr = f"CASE WHEN {score[lang]} = {best} THEN '{lang}' ELSE {expr} END"
-    return f"CASE WHEN {best} = 0 THEN 'und' ELSE {expr} END"
+    return _argmax_label_sql(score, "und")
 
 
 # ---------------------------------------------------------------------------
@@ -882,14 +895,9 @@ def script_counts(text: Column | str) -> dict[str, Column]:
 
 
 def dominant_script(cols: dict[str, Column]) -> Column:
-    """argmax of per-script counts; 'none' when all zero.  Tie-break:
-    alphabetical script order (the _argmax_lang rule — reversed
-    iteration so earlier names win ties via later when-overwrite)."""
-    best = F.greatest(*cols.values())
-    result = F.lit("none")
-    for name in sorted(cols, reverse=True):
-        result = F.when(cols[name] == best, F.lit(name)).otherwise(result)
-    return F.when(best == 0, F.lit("none")).otherwise(result)
+    """argmax of per-script counts via the shared :func:`_argmax_label`
+    rule; 'none' when all zero."""
+    return _argmax_label(cols, "none")
 
 
 def with_script_profile(
@@ -923,12 +931,4 @@ def script_counts_sql(col: str) -> dict[str, str]:
 
 
 def dominant_script_sql(col: str) -> str:
-    score = script_counts_sql(col)
-    best = "greatest(" + ", ".join(score.values()) + ")"
-    expr = "'none'"
-    for name in sorted(score, reverse=True):
-        expr = (
-            f"CASE WHEN {score[name]} = {best} THEN '{name}'"
-            f" ELSE {expr} END"
-        )
-    return f"CASE WHEN {best} = 0 THEN 'none' ELSE {expr} END"
+    return _argmax_label_sql(script_counts_sql(col), "none")

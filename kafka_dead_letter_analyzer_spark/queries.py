@@ -7734,39 +7734,24 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x_dedup_agreement",
-    r"""
-    WITH fp AS (
+    f"""
+    WITH {_MINHASH_CTES},
+    allpairs AS ({_MINHASH_PAIRS_SELECT}),
+    fp AS (
       SELECT doc_id, source,
              md5(regexp_replace(lower(coalesce(text, '')),
                                 '[^a-z0-9]', '', 'g')) AS f
       FROM documents WHERE source IS NOT NULL
     ), fc AS (
       SELECT f, CAST(count(*) AS BIGINT) AS nc FROM fp GROUP BY 1
-    ), t AS (
-      SELECT doc_id,
-             CASE WHEN trim(lower(coalesce(text, ''))) = ''
-                  THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-             END AS toks
-      FROM documents WHERE source IS NOT NULL
-    ), s AS (
-      SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(toks) >= 3
-                    THEN [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
-                          for i in range(1, len(toks) - 1)]
-                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-                    ELSE []::VARCHAR[] END) AS sh
-      FROM t WHERE len(toks) > 0
     ), pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / greatest(len(a.sh) + len(b.sh)
-                                - len(list_intersect(a.sh, b.sh)), 1),
-                     6) AS jaccard
-        FROM s a, s b WHERE a.doc_id < b.doc_id
-      ) WHERE jaccard >= 0.5
+      -- the SHARED verified pair set (x_dedup_minhash's oracle),
+      -- endpoint-restricted to the filtered doc set: jaccard is a
+      -- pairwise property, so this equals recomputing pairs over the
+      -- filtered docs (which is what the Spark side does)
+      SELECT id_a, id_b FROM allpairs
+      WHERE id_a IN (SELECT doc_id FROM fp)
+        AND id_b IN (SELECT doc_id FROM fp)
     ), flagged AS (
       SELECT DISTINCT doc_id FROM (
         SELECT id_a AS doc_id FROM pairs
@@ -7801,10 +7786,10 @@ def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(((t.agree * 1000) // t.n) * 1000
              + (((t.agree * 1000) % t.n) * 1000) // t.n AS BIGINT)
              AS po_ppm,
-           CAST(((srcs.s_rc * 1000) // (t.n * t.n)) * 1000
-             + (((srcs.s_rc * 1000) % (t.n * t.n)) * 1000)
+           CAST(((COALESCE(srcs.s_rc, 0) * 1000) // (t.n * t.n)) * 1000
+             + (((COALESCE(srcs.s_rc, 0) * 1000) % (t.n * t.n)) * 1000)
                // (t.n * t.n) AS BIGINT) AS pe_ppm
-    FROM tot t JOIN srcs ON srcs.source = t.source
+    FROM tot t LEFT JOIN srcs ON srcs.source = t.source
     """,
 )
 def x_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8042,10 +8027,11 @@ def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(((t.agree * 1000) // t.n) * 1000
              + (((t.agree * 1000) % t.n) * 1000) // t.n AS BIGINT)
              AS po_ppm,
-           CAST(((s.s_rc * 1000) // (t.n * t.n)) * 1000
-             + (((s.s_rc * 1000) % (t.n * t.n)) * 1000) // (t.n * t.n)
+           CAST(((COALESCE(s.s_rc, 0) * 1000) // (t.n * t.n)) * 1000
+             + (((COALESCE(s.s_rc, 0) * 1000) % (t.n * t.n)) * 1000)
+               // (t.n * t.n)
              AS BIGINT) AS pe_ppm
-    FROM tot t JOIN s ON s.source = t.source
+    FROM tot t LEFT JOIN s ON s.source = t.source
     """,
 )
 def x_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2398,7 +2398,16 @@ def streaming_dedup_bloom(
     the same salt chain as sketches.bloom_sketch, JVM-side), then the
     per-shard stateful probe.  Exact-regime contract (tested): with
     the bitmap comfortably above the key cardinality, the admitted
-    set EQUALS batch first-seen dedup over the same rows."""
+    set EQUALS batch first-seen dedup over the same rows.
+
+    NULL-key rows are EXCLUDED from the output (this repo's key-
+    operator convention — funnel keys, MG items — NOT Spark's
+    ``dropDuplicates``, which treats NULL as a dedup key): a NULL
+    content key means the fingerprinting upstream failed, and
+    admitting every such row would make the "no key emitted twice"
+    guarantee vacuous while dropping all-but-one would silently
+    collapse unrelated documents.  Filter or surrogate-fill upstream
+    if NULL-keyed rows must survive."""
     from kafka_dead_letter_analyzer_spark.operators.sketches import md5_u60
 
     if num_hashes < 1 or num_words < 1 or shards < 1:

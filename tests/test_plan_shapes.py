@@ -1297,8 +1297,12 @@ def test_funnel_any_anchor_window_dp_plan(spark, Q):
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
     assert s.count("Exchange hashpartitioning") <= 1
-    # one sort feeds all k windows
-    assert s.count("Sort ") <= 1 or s.count("[Sort") <= 1
+    # one sort feeds all k windows (formatted explain prints each sort
+    # node once as '(N) Sort'; a regression to one sort per chained
+    # window would show k of them)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Sort$", s, re.M)) == 1, s
 
     from kafka_dead_letter_analyzer_spark.operators.temporal import (
         funnel_steps_any_anchor,

@@ -1234,3 +1234,26 @@ def test_probe_verified_group_count_restores_broadcast_hint(
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_cohens_kappa_disjoint_categories_and_empty_overlap(spark):
+    """Round-9 review: a group where the raters share NO category must
+    still be emitted with pe_ppm = 0 (total disagreement is exactly
+    what a kappa audit exists to surface), grouped and ungrouped."""
+    df = spark.createDataFrame(
+        [("g1", "x", "y"), ("g1", "x", "z"), ("g2", "a", "a")],
+        "g string, ra string, rb string",
+    )
+    out = {
+        r["g"]: (r["n"], r["agree"], r["po_ppm"], r["pe_ppm"])
+        for r in R.cohens_kappa(
+            df, "ra", "rb", group_cols=["g"]
+        ).collect()
+    }
+    assert out["g1"] == (2, 0, 0, 0)
+    assert out["g2"] == (1, 1, 1_000_000, 1_000_000)
+    flat = spark.createDataFrame(
+        [("x", "y"), ("x", "z")], "ra string, rb string"
+    )
+    r = R.cohens_kappa(flat, "ra", "rb").collect()[0]
+    assert (r["n"], r["agree"], r["po_ppm"], r["pe_ppm"]) == (2, 0, 0, 0)
