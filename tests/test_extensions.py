@@ -1970,6 +1970,23 @@ def test_prefiltered_contamination_saturated_bitmap_raises(spark):
         ngram_overlap_prefiltered(cdf, bdf, n=4, num_words=1)
     with pt.raises(ValueError, match="max_words"):
         ngram_overlap_prefiltered(cdf, bdf, n=4, max_words=1)
+    # r9 ADVICE opt-out: explicit num_words + saturation_bound=None
+    # skips the sizing count AND its validation — the same num_words=1
+    # bitmap that raised above now constructs lazily, and the exact
+    # join behind the (saturated) prefilter keeps output byte-identical
+    from kafka_dead_letter_analyzer_spark.operators.contamination import (
+        ngram_overlap,
+    )
+
+    lazy = ngram_overlap_prefiltered(
+        cdf, bdf, n=4, num_words=1, saturation_bound=None
+    )
+    exact = ngram_overlap(cdf, bdf, n=4)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    with pt.raises(ValueError, match="saturation_bound"):
+        ngram_overlap_prefiltered(cdf, bdf, n=4, saturation_bound=-1.0)
 
 
 def test_pca_partial_merge_is_distributed_and_partition_independent(spark):

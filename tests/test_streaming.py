@@ -3398,11 +3398,51 @@ def test_bloom_dedup_fn_never_emits_a_key_twice():
         if words == 1024:
             # exact regime: every distinct key admitted exactly once
             assert set(emitted) == {k for chunk in stream for k in chunk}
-        ws, n_seen, n_dropped = st._v
+        ws, n_seen, n_dropped, bits_set = st._v
         assert len(ws) == words  # state size is FIXED
         total = sum(len(c) for c in stream)
         assert n_seen + n_dropped == total
         assert n_seen == len(emitted)
+        # incremental popcount in state == true popcount of the bitmap
+        assert bits_set == sum(bin(w).count("1") for w in ws)
+
+
+def test_bloom_dedup_fill_col_surfaces_saturation():
+    """r9 VERDICT #1 done-condition: a deliberately undersized bitmap's
+    emitted fill crosses the documented ~30% alert bound while the
+    no-double-emit structural guarantee still holds; a comfortably
+    sized bitmap stays far below it.  Also pins the fill_col value to
+    the exact state popcount (ppm, floor division)."""
+    import pandas as pd
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_bloom_dedup_fn,
+    )
+
+    import random
+
+    rng = random.Random(0xF111)
+    stream = [
+        [f"doc{rng.randint(0, 4000)}" for _ in range(500)]
+        for _ in range(4)
+    ]
+    for words, expect_saturated in ((4, True), (4096, False)):
+        fn = _make_bloom_dedup_fn("k", 4, words, ["k"], fill_col="fill_ppm")
+        st = _FakeState()
+        emitted, fills = [], []
+        for chunk in stream:
+            for out in fn((0,), [pd.DataFrame({"k": chunk})], st):
+                emitted.extend(out["k"])
+                fills.extend(out["fill_ppm"])
+        assert len(emitted) == len(set(emitted)), words  # structural
+        ws, n_seen, n_dropped, bits_set = st._v
+        m = 63 * words
+        # final emitted fill == exact popcount ppm of the final bitmap
+        assert fills[-1] == (bits_set * 1_000_000) // m
+        # fill is monotone non-decreasing (bits only accumulate)
+        assert fills == sorted(fills)
+        crossed = max(fills) > 300_000  # documented ~1% FP alert bound
+        assert crossed == expect_saturated, (words, max(fills))
 
 
 def test_streaming_dedup_bloom_end_to_end_matches_first_seen(spark, tmp_path):
@@ -3442,3 +3482,25 @@ def test_streaming_dedup_bloom_end_to_end_matches_first_seen(spark, tmp_path):
 
     with pt.raises(ValueError, match="num_hashes"):
         streaming_dedup_bloom(stream, "doc_id", num_hashes=0)
+    with pt.raises(ValueError, match="collides"):
+        streaming_dedup_bloom(stream, "doc_id", fill_col="text")
+    # fill_col variant: schema gains the ppm column end-to-end, values
+    # sane (exact regime: 5 keys x 4 hashes <= 20 bits of 4096*63)
+    q2 = (
+        streaming_dedup_bloom(
+            stream, "doc_id", num_words=4096, fill_col="fill_ppm"
+        )
+        .writeStream.format("memory")
+        .queryName("bdd_fill_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.sql(
+        "SELECT doc_id, fill_ppm FROM bdd_fill_sink"
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == ["d1", "d2", "d3", "d4", "d5"]
+    assert all(0 < r["fill_ppm"] < 1000 for r in rows)

@@ -1375,7 +1375,29 @@ def test_funnel_probe_flips_strategy_on_threshold(spark, monkeypatch):
         T.funnel_steps(df, ["view", "click"], strategy="bogus")
 
 
-def test_funnel_any_anchor_matches_brute_force_randomized(spark):
+def test_funnel_default_strategy_skips_probe_on_streaming_frame(spark):
+    """r9 ADVICE: strategy=None runs an eager collect() probe — on a
+    streaming frame that would throw at construction time.  The
+    short-circuit must force the window chain (no probe job) and
+    return a plan lazily; execution-time support is Spark's concern,
+    construction must not launch a job."""
+    import kafka_dead_letter_analyzer_spark.operators.temporal as T
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("user_id"),
+            F.when(F.col("value") % 2 == 0, "view")
+            .otherwise("click")
+            .alias("event_type"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    out = T.funnel_steps(stream, ["view", "click"])  # must not collect()
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "step_idx", "step", "users", "conv_ppm"
+    ]
     """Round-9 (r8 VERDICT #5): the any-anchor funnel must count a key
     at step i iff ANY chain of anchors reaches it — checked against an
     exhaustive DFS over every event combination, bounded and
