@@ -1491,11 +1491,22 @@ def cohens_kappa(
     # NO category in a group, the marginal join is empty and pe is
     # mathematically 0 — an inner join here silently dropped exactly
     # the total-disagreement group a kappa audit exists to surface
-    # (ungrouped, the global agg yields one NULL s_rc row instead)
+    # (ungrouped, the global agg yields one NULL s_rc row instead).
+    # crossJoin invariant (r9 VERDICT): `s` AND `tot` are UNGROUPED
+    # aggregates here, so each yields EXACTLY one row always — global
+    # aggs never return zero rows, even on empty input — making the
+    # broadcast cross join a 1x1 product, never a fan-out.  On EMPTY
+    # input that one row is the SQL sentinel (n = sum() over nothing
+    # = NULL); the n-isNotNull filter below removes it so the
+    # operator's contract is empty-in -> empty-out like the grouped
+    # path, instead of one all-NULL row.  Pinned by
+    # test_kappa_ungrouped_crossjoin_invariant.
     if groups:
         joined = null_safe_group_join(tot, s, groups, how="left")
     else:
-        joined = tot.crossJoin(F.broadcast(s))
+        joined = tot.crossJoin(F.broadcast(s)).filter(
+            F.col("n").isNotNull()
+        )
     joined = joined.withColumn(
         "s_rc", F.coalesce("s_rc", F.lit(0).cast("bigint"))
     )
@@ -1514,5 +1525,157 @@ def cohens_kappa(
             " shard the input and report the per-shard kappa"
             " distribution') AS BIGINT)"
             f" ELSE {ppm2('s_rc', '(n * n)')} END"
+        ).cast("bigint").alias("pe_ppm"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    n_raters: int | None = None,
+) -> DataFrame:
+    """Fleiss' kappa sufficient statistics — chance-corrected agreement
+    among ANY number of raters (Fleiss 1971), the >=2-annotator
+    generalization :func:`cohens_kappa` can't express: a labeling
+    round with 3+ annotators, an ensemble of quality classifiers, or
+    N dedup strategies voting per document.  Input is LONG format —
+    one row per RATING ``(item_col, label_col)`` — because Fleiss'
+    statistic is rater-anonymous by construction (only the per-item
+    category counts n_ij matter, not which rater said what; that is
+    its defining difference from averaged pairwise Cohen's).
+
+    Emits ``(*group_cols, n_items BIGINT, n_items_dropped BIGINT,
+    n_raters BIGINT, po_ppm BIGINT, pe_ppm BIGINT)`` where, over the
+    CONFORMING items (exactly ``n_raters`` ratings each):
+    ``po = (sum_ij n_ij^2 - N*n) / (N*n*(n-1))`` (mean per-item
+    observed agreement) and ``pe = sum_j c_j^2 / (N*n)^2`` (squared
+    category shares), both exact two-step-division ppm;
+    ``kappa = (po - pe)/(1 - pe)`` stays caller-side (it can be
+    negative — the repo's non-negative declared-surface rule, same as
+    cohens_kappa).  With ``n_raters=None`` the expected count is
+    inferred PER GROUP as ``max(n_i)``; items with fewer ratings (an
+    annotator skipped them) are DROPPED from the statistic and
+    surfaced in ``n_items_dropped`` — attrition is visible, never
+    silent.  An explicit ``n_raters`` drops items with MORE ratings
+    too (accidental double-rating).  Groups with ZERO conforming
+    items vanish from the output (there is no n to divide by);
+    NULL-item or NULL-label rows are excluded; NULL GROUP keys are
+    real groups.
+
+    Plan shape: ONE full-data contraction shuffle on (groups, item,
+    label) — map-side combined, bounded by items x categories — then
+    item-level and group-level contractions of it; nothing downstream
+    rescans the ratings.  Exactness bounds (division-form runtime
+    guards, hash-neutral): pe needs ``N*n <= ~6.79e7`` conforming
+    ratings per group ((N*n)^2 * 1000 <= 2^63); inferred ``n < 2``
+    raises (agreement over one rating per item is undefined —
+    po's denominator is N*n*(n-1))."""
+    if n_raters is not None and n_raters < 2:
+        raise ValueError(
+            f"fleiss_kappa: n_raters={n_raters} must be >= 2 (po"
+            " divides by n*(n-1))"
+        )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators.common import (
+        null_safe_group_join,
+        ppm2,
+    )
+
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(item_col).alias("_it"),
+        F.col(label_col).cast("string").alias("_lab"),
+    ).filter(F.col("_it").isNotNull() & F.col("_lab").isNotNull())
+    cells = base.groupBy(*groups, "_it", "_lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # cells feeds the item counts AND the conforming category totals
+    cells = cells.persist()
+    cache_registry.track(cells)
+    item = cells.groupBy(*groups, "_it").agg(
+        F.sum("c").cast("bigint").alias("ni"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("ssq"),
+    )
+    if n_raters is None:
+        nexp = item.groupBy(*groups).agg(
+            F.max("ni").cast("bigint").alias("n_r")
+        )
+        if groups:
+            item = null_safe_group_join(item, nexp, groups)
+        else:
+            # same 1-row broadcast cross-join invariant as
+            # cohens_kappa: nexp is an ungrouped aggregate — exactly
+            # one row when item has rows; empty item => empty product
+            item = item.crossJoin(F.broadcast(nexp))
+    else:
+        item = item.withColumn(
+            "n_r", F.lit(int(n_raters)).cast("bigint")
+        )
+    conform = item.filter(F.col("ni") == F.col("n_r"))
+    gstat = conform.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("ssq").cast("bigint").alias("sum_sq"),
+        F.max("n_r").cast("bigint").alias("n_raters"),
+    )
+    alls = item.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items_all")
+    )
+    # category totals over CONFORMING items only: prune cells by the
+    # conforming item set (null-safe on groups, plain on the item id
+    # — non-null by construction), then contract to category sums
+    conf_keys = conform.select(*groups, "_it")
+    kept = null_safe_group_join(
+        cells, conf_keys, groups, plain_keys=["_it"]
+    ) if groups else cells.join(conf_keys, ["_it"])
+    cat = kept.groupBy(*groups, "_lab").agg(
+        F.sum("c").cast("bigint").alias("cj")
+    )
+    scc = cat.groupBy(*groups).agg(
+        F.sum(F.expr("cj * cj")).cast("bigint").alias("s_cc")
+    )
+    if groups:
+        joined = null_safe_group_join(gstat, alls, groups)
+        joined = null_safe_group_join(joined, scc, groups)
+    else:
+        joined = gstat.crossJoin(F.broadcast(alls)).crossJoin(
+            F.broadcast(scc)
+        )
+    # division-form guards (never overflow themselves); N*n > M is
+    # equivalent to N > M DIV n for positive integer n
+    ratings = "(n_items * n_raters)"
+    overflow = f"n_items > {_KAPPA_N_MAX} DIV n_raters"
+    degenerate = "n_raters < 2"
+    po_num = f"(sum_sq - {ratings})"
+    po_den = f"({ratings} * (n_raters - 1))"
+    pe_den = f"({ratings} * {ratings})"
+    err = (
+        "CASE WHEN {d} THEN CAST(raise_error('fleiss_kappa: a group"
+        " inferred n_raters < 2 — po divides by n*(n-1); filter"
+        " single-rating items or pass n_raters explicitly') AS BIGINT)"
+        " WHEN {o} THEN CAST(raise_error('fleiss_kappa: a group"
+        " exceeds the exact-ppm bound (n_items * n_raters <= ~6.79e7"
+        " conforming ratings per group: (N*n)^2 * 1000 must fit"
+        " int64); shard the items and report the per-shard kappa"
+        " distribution') AS BIGINT) ELSE {e} END"
+    )
+    # drop the ungrouped empty-input sentinel (global aggs always
+    # yield one row; with no conforming items n_items counts 0):
+    # empty-in -> empty-out, matching "zero-conforming groups vanish"
+    joined = joined.filter(F.col("n_items") > 0)
+    return joined.select(
+        *groups,
+        "n_items",
+        (F.col("n_items_all") - F.col("n_items"))
+        .cast("bigint")
+        .alias("n_items_dropped"),
+        "n_raters",
+        F.expr(
+            err.format(d=degenerate, o=overflow, e=ppm2(po_num, po_den))
+        ).cast("bigint").alias("po_ppm"),
+        F.expr(
+            err.format(d=degenerate, o=overflow, e=ppm2("s_cc", pe_den))
         ).cast("bigint").alias("pe_ppm"),
     )

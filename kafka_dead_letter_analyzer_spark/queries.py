@@ -8058,6 +8058,114 @@ def x_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_fleiss_agreement",
+    f"""
+    WITH docs AS (
+      SELECT source, doc_id, lang, {TX.lang_id_sql('text')} AS pred,
+             n_chars
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+        AND text IS NOT NULL AND doc_id IS NOT NULL
+        AND n_chars IS NOT NULL
+    ), long AS (
+      SELECT source, doc_id, lang AS lab FROM docs
+      UNION ALL
+      SELECT source, doc_id, pred FROM docs
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN n_chars % 3 = 0 THEN lang ELSE pred END
+      FROM docs WHERE n_chars % 5 <> 0
+    ), cells AS (
+      SELECT source, doc_id, lab, CAST(count(*) AS BIGINT) AS c
+      FROM long GROUP BY 1, 2, 3
+    ), item AS (
+      SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS ni,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM cells GROUP BY 1, 2
+    ), conform AS (
+      SELECT * FROM item WHERE ni = 3
+    ), gstat AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(ssq) AS BIGINT) AS sum_sq
+      FROM conform GROUP BY 1
+    ), alls AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_items_all
+      FROM item GROUP BY 1
+    ), cat AS (
+      SELECT ce.source, ce.lab, CAST(sum(ce.c) AS BIGINT) AS cj
+      FROM cells ce JOIN conform f
+        ON f.source = ce.source AND f.doc_id = ce.doc_id
+      GROUP BY 1, 2
+    ), scc AS (
+      SELECT source, CAST(sum(cj * cj) AS BIGINT) AS s_cc
+      FROM cat GROUP BY 1
+    )
+    SELECT g.source, g.n_items,
+           CAST(a.n_items_all - g.n_items AS BIGINT) AS n_items_dropped,
+           CAST(3 AS BIGINT) AS n_raters,
+           CAST((((g.sum_sq - g.n_items * 3) * 1000)
+              // (g.n_items * 3 * 2)) * 1000
+             + ((((g.sum_sq - g.n_items * 3) * 1000)
+                 % (g.n_items * 3 * 2)) * 1000)
+               // (g.n_items * 3 * 2) AS BIGINT) AS po_ppm,
+           CAST(((s.s_cc * 1000)
+              // (g.n_items * 3 * g.n_items * 3)) * 1000
+             + (((s.s_cc * 1000)
+                 % (g.n_items * 3 * g.n_items * 3)) * 1000)
+               // (g.n_items * 3 * g.n_items * 3) AS BIGINT) AS pe_ppm
+    FROM gstat g
+    JOIN alls a ON a.source = g.source
+    JOIN scc s ON s.source = g.source
+    """,
+)
+def x_fleiss_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa sufficient statistics over a 3-annotator panel
+    per source (operators/ranking.py::fleiss_kappa): rater 1 = the
+    documents' lang column, rater 2 = the heuristic lang-id, rater 3
+    = a deterministic mixed rater that ABSTAINS on every fifth doc
+    (n_chars % 5 == 0) — so the drop-incomplete contract is exercised
+    in the gate itself: abstained items carry 2 ratings, are dropped
+    from the statistic, and surface in n_items_dropped.  kappa =
+    (po - pe)/(1 - pe) stays caller-side (can be negative).  Plan:
+    ONE documents scan (the panel is an array-explode projection, not
+    a 3-way union — a union re-scans the 100 TB fact once per rater;
+    abstention is a NULL label, which fleiss_kappa excludes by
+    contract), then one (source, doc_id, label) contraction shuffle
+    and contraction-sized group reductions."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    pred = TX.with_lang_id(
+        docs.select("source", "doc_id", "lang", "text", "n_chars")
+    ).select("source", "doc_id", "lang", "pred_lang", "n_chars")
+    ratings = pred.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.col("pred_lang"),
+                F.when(
+                    F.col("n_chars") % 5 != 0,
+                    F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
+                    .otherwise(F.col("pred_lang")),
+                ),  # every 5th doc: rater 3 abstains (NULL label)
+            )
+        ).alias("lab"),
+    )
+    return RK.fleiss_kappa(
+        ratings, item_col="doc_id", label_col="lab",
+        group_cols=["source"], n_raters=3,
+    )
+
+
+@_register(
     "x_calibration_deciles",
     """
     WITH c AS (

@@ -1317,3 +1317,17 @@ def test_funnel_any_anchor_window_dp_plan(spark, Q):
     )
     assert "FlatMapGroupsInPandas" in p
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_fleiss_panel_is_single_scan_explode_not_union(spark, Q):
+    """The 3-rater panel must come from ONE documents scan (array
+    explode; abstention = NULL label) — a per-rater UNION re-scans
+    the 100 TB fact once per rater.  Contraction discipline as the
+    other agreement queries: no cartesian, no single-task stage."""
+    import re
+
+    s = plan_of(Q.x_fleiss_agreement(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+    assert "Union" not in s
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1

@@ -1257,3 +1257,147 @@ def test_cohens_kappa_disjoint_categories_and_empty_overlap(spark):
     )
     r = R.cohens_kappa(flat, "ra", "rb").collect()[0]
     assert (r["n"], r["agree"], r["po_ppm"], r["pe_ppm"]) == (2, 0, 0, 0)
+
+
+def _fleiss_expected(ratings, n_exp):
+    """Pure-Python Fleiss replica: ratings = [(item, label)] for ONE
+    group; returns (n_items, n_dropped, po_ppm, pe_ppm) over items
+    with exactly n_exp ratings, or None if no item conforms."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    per_item: dict = defaultdict(Counter)
+    for it, lab in ratings:
+        per_item[it][lab] += 1
+    conform = {
+        it: c for it, c in per_item.items()
+        if sum(c.values()) == n_exp
+    }
+    n_dropped = len(per_item) - len(conform)
+    if not conform:
+        return None
+    N, n = len(conform), n_exp
+    sum_sq = sum(v * v for c in conform.values() for v in c.values())
+    cat = Counter()
+    for c in conform.values():
+        cat.update(c)
+    s_cc = sum(v * v for v in cat.values())
+    po = int(Fraction((sum_sq - N * n) * 1_000_000, N * n * (n - 1)))
+    pe = int(Fraction(s_cc * 1_000_000, (N * n) * (N * n)))
+    return (N, n_dropped, po, pe)
+
+
+def test_fleiss_kappa_matches_brute_force_randomized(spark):
+    """po/pe ppm against a pure-Python n_ij replica, grouped (with a
+    NULL group), items with missing/extra ratings dropped and counted;
+    perfect-agreement and single-category extremes."""
+    rng = random.Random(0xF1E5)
+    cats = ["en", "de", "fr", "und"]
+    rows = []
+    for g in ("a", "b", None):
+        for it in range(40):
+            # 2-5 ratings per item: only the 3-rating items conform
+            for _ in range(rng.choice([2, 3, 3, 3, 4, 5])):
+                rows.append((g, it, rng.choice(cats)))
+    df = spark.createDataFrame(rows, "g string, item int, lab string")
+    got = {
+        r["g"]: (
+            r["n_items"], r["n_items_dropped"], r["n_raters"],
+            r["po_ppm"], r["pe_ppm"],
+        )
+        for r in R.fleiss_kappa(
+            df, "item", "lab", group_cols=["g"], n_raters=3
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, it, lab in rows:
+        by_g.setdefault(g, []).append((it, lab))
+    for g, vals in by_g.items():
+        want = _fleiss_expected(vals, 3)
+        assert want is not None
+        n, dropped, po, pe = want
+        assert got[g] == (n, dropped, 3, po, pe), g
+    assert None in got  # NULL group kept
+    # perfect agreement: every item unanimous -> po = 1e6
+    perf = spark.createDataFrame(
+        [(i, lab) for i, lab in enumerate(["x", "y", "x"]) for _ in range(3)],
+        "item int, lab string",
+    )
+    r = R.fleiss_kappa(perf, "item", "lab", n_raters=3).collect()[0]
+    assert (r["n_items"], r["po_ppm"], r["n_items_dropped"]) == (
+        3, 1_000_000, 0,
+    )
+    # one category everywhere: pe = 1e6 as well (kappa undefined 0/0)
+    assert r["pe_ppm"] < 1_000_000  # two categories above
+    mono = spark.createDataFrame(
+        [(i, "x") for i in range(4) for _ in range(3)],
+        "item int, lab string",
+    )
+    r = R.fleiss_kappa(mono, "item", "lab", n_raters=3).collect()[0]
+    assert (r["po_ppm"], r["pe_ppm"]) == (1_000_000, 1_000_000)
+
+
+def test_fleiss_kappa_inferred_raters_null_rows_and_guards(spark):
+    """n_raters=None infers the per-group max and drops items below
+    it; NULL item/label rows are excluded; inferred n < 2 raises at
+    execution, explicit n_raters < 2 raises at construction; the
+    overflow guard fires past the (monkeypatched) ppm bound."""
+    rows = [
+        # group a: items 0,1 rated 3x, item 2 rated twice -> dropped
+        *[("a", 0, lab) for lab in ("x", "x", "y")],
+        *[("a", 1, lab) for lab in ("y", "y", "y")],
+        *[("a", 2, lab) for lab in ("x", "y")],
+        # NULL rows: excluded entirely
+        ("a", None, "x"),
+        ("a", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, item int, lab string")
+    out = R.fleiss_kappa(df, "item", "lab", group_cols=["g"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    want = _fleiss_expected(
+        [(0, "x"), (0, "x"), (0, "y"), (1, "y"), (1, "y"), (1, "y"),
+         (2, "x"), (2, "y")], 3,
+    )
+    assert (
+        r["n_items"], r["n_items_dropped"], r["po_ppm"], r["pe_ppm"]
+    ) == (want[0], want[1], want[2], want[3])
+    assert r["n_raters"] == 3
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_raters"):
+        R.fleiss_kappa(df, "item", "lab", n_raters=1)
+    single = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "item int, lab string"
+    )
+    with pt.raises(Exception, match="n_raters < 2"):
+        R.fleiss_kappa(single, "item", "lab").collect()
+
+
+def test_fleiss_kappa_overflow_guard_raises(spark, monkeypatch):
+    monkeypatch.setattr(R, "_KAPPA_N_MAX", 5)
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(4) for _ in range(2)],
+        "item int, lab string",
+    )
+    with pytest.raises(Exception, match="exact-ppm bound"):
+        R.fleiss_kappa(df, "item", "lab", n_raters=2).collect()
+
+
+def test_kappa_ungrouped_crossjoin_invariant(spark):
+    """r9 VERDICT cosmetic: the ungrouped cohens_kappa cross-joins the
+    totals against a broadcast GLOBAL aggregate — pin the invariant
+    that makes it safe: empty input -> zero rows out (never a
+    fabricated row), non-empty input -> exactly one row (never a
+    fan-out), even when the raters share no category (pe = 0)."""
+    empty = spark.createDataFrame([], "ra string, rb string")
+    assert R.cohens_kappa(empty, "ra", "rb").count() == 0
+    disjoint = spark.createDataFrame(
+        [("x", "p"), ("y", "q"), ("x", "q")], "ra string, rb string"
+    )
+    out = R.cohens_kappa(disjoint, "ra", "rb").collect()
+    assert len(out) == 1
+    assert (out[0]["agree"], out[0]["pe_ppm"]) == (0, 0)
+    # same invariant for fleiss' inferred-raters path
+    e2 = spark.createDataFrame([], "item int, lab string")
+    assert R.fleiss_kappa(e2, "item", "lab").count() == 0
