@@ -1096,3 +1096,116 @@ def _funnel_emit(totals: DataFrame, steps: list[str]) -> DataFrame:
             " + (((users * 1000) % base) * 1000) DIV base END"
         ).cast("bigint").alias("conv_ppm"),
     )
+
+
+def funnel_steps_sessionized(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    within_us: int | None = None,
+) -> DataFrame:
+    """Session-scoped ordered funnel: :func:`funnel_steps`'s
+    first-touch chain restarted per SESSION — a new session begins
+    when the gap since the key's previous step event EXCEEDS
+    ``gap_us`` (the :func:`sessionize` boundary), and each session
+    runs its own funnel from scratch.  The counting unit is the
+    (key, session) pair: ``(step_idx BIGINT, step STRING, sessions
+    BIGINT, conv_ppm BIGINT)`` with ``conv_ppm`` vs step-1 sessions —
+    the "how many VISITS converted" question, where
+    :func:`funnel_steps` answers "how many users ever did".  A user
+    who views in the morning and buys at night counts as two sessions
+    (one converting at step 1 only, one... none — the purchase
+    session never saw a view), which is exactly the behavioral
+    distinction sessionization exists to make.
+
+    SESSION SCOPE CONTRACT: sessions are defined over the funnel's
+    OWN step events (rows whose ``state_col`` is in ``steps``, after
+    null filtering) — an unrelated event type between two step events
+    does NOT hold a session open.  If sessions must span other
+    activity, sessionize upstream and call funnel_steps grouped by
+    (key, session) instead.  ``within_us`` additionally bounds each
+    step to that many microseconds after the previous anchor, WITHIN
+    the session, exactly as in funnel_steps.
+
+    Plan shape: ONE hash exchange on the key; the gaps-and-islands
+    session index (lag + running sum, one (k, us) sort) and the k
+    chained UNORDERED window minima over (k, sess) all reuse it —
+    hash(k) already clusters (k, sess), so Catalyst inserts only a
+    local re-sort, no second exchange (pinned in
+    tests/test_plan_shapes.py).  Then one per-(key, session)
+    aggregate and a 1-row total; per-session state is k longs.
+    The streaming twin is
+    ``streaming/engine.py::streaming_funnel_sessions`` (same
+    semantics, emit-per-advance, differential-tested)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_steps_sessionized: need at least 2 steps")
+    if gap_us <= 0:
+        raise ValueError("funnel_steps_sessionized: gap_us must be positive")
+    if within_us is not None and within_us <= 0:
+        raise ValueError(
+            "funnel_steps_sessionized: within_us must be positive"
+        )
+    k = len(steps)
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(state_col).isin(list(steps))
+        & F.col(key).isNotNull()
+    ).select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("st"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    # gaps-and-islands on integer microseconds (sessionize semantics:
+    # boundary only when the gap EXCEEDS gap_us; ties share a session
+    # regardless of lag order among equal us)
+    wlag = Window.partitionBy("k").orderBy("us")
+    boundary = F.when(
+        F.lag("us").over(wlag).isNull()
+        | ((F.col("us") - F.lag("us").over(wlag)) > int(gap_us)),
+        1,
+    ).otherwise(0)
+    cur = ev.withColumn(
+        "sess",
+        F.sum(boundary).over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wks = Window.partitionBy("k", "sess").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for i, s in enumerate(steps):
+        if i == 0:
+            cond = F.col("st") == s
+        else:
+            cond = (F.col("st") == s) & (
+                F.col("us") > F.col(f"t{i - 1}")
+            )
+            if within_us is not None:
+                cond = cond & (
+                    F.col("us") <= F.col(f"t{i - 1}") + int(within_us)
+                )
+        cur = cur.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col("us"))).over(wks)
+        )
+    per_sess = cur.groupBy("k", "sess").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(k)]
+    )
+    totals = per_sess.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        ]
+    )
+    return _funnel_emit(totals, steps).withColumnRenamed(
+        "users", "sessions"
+    )

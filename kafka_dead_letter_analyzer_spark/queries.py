@@ -7582,6 +7582,80 @@ def x_funnel_any_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_funnel_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, event_type AS st, epoch_us(ts) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+    ), b AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 21600000000
+                THEN 1 ELSE 0 END AS bnd
+      FROM ev WINDOW w AS (PARTITION BY k ORDER BY us)
+    ), s AS (
+      SELECT *, sum(bnd) OVER (PARTITION BY k ORDER BY us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM b
+    ), w0 AS (
+      SELECT *, min(CASE WHEN st = 'view' THEN us END)
+        OVER (PARTITION BY k, sess) AS t0 FROM s
+    ), w1 AS (
+      SELECT *, min(CASE WHEN st = 'click' AND us > t0 THEN us END)
+        OVER (PARTITION BY k, sess) AS t1 FROM w0
+    ), w2 AS (
+      SELECT *, min(CASE WHEN st = 'purchase' AND us > t1 THEN us END)
+        OVER (PARTITION BY k, sess) AS t2 FROM w1
+    ), pk AS (
+      SELECT k, sess, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM w2 GROUP BY 1, 2
+    ), tot AS (
+      SELECT
+        CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+        CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2
+      FROM pk
+    ), stacked AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             u0 AS sessions, u0 AS base FROM tot
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', u1, u0 FROM tot
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', u2, u0 FROM tot
+    )
+    SELECT step_idx, step, sessions,
+           CAST(CASE WHEN base = 0 THEN 0 ELSE
+             ((sessions * 1000) // base) * 1000
+             + (((sessions * 1000) % base) * 1000) // base END
+             AS BIGINT) AS conv_ppm
+    FROM stacked
+    """,
+)
+def x_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZED view -> click -> purchase funnel with a 6-hour
+    session gap (operators/temporal.py::funnel_steps_sessionized):
+    the per-VISIT conversion complement of x_funnel_conversion's
+    per-user funnel — the first-touch chain restarts whenever a key
+    goes quiet for more than the gap, and the counting unit is the
+    (user, session) pair.  Plan: ONE hash exchange on user_id shared
+    by the gaps-and-islands session index and the k chained unordered
+    per-(key, session) window minima (hash(k) clusters (k, sess) —
+    only a local re-sort, pinned), then a per-session aggregate and a
+    1-row total.  The streaming twin is
+    streaming/engine.py::streaming_funnel_sessions
+    (differential-tested)."""
+    from kafka_dead_letter_analyzer_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    return T.funnel_steps_sessionized(
+        ev,
+        steps=["view", "click", "purchase"],
+        gap_us=21_600_000_000,
+    )
+
+
+@_register(
     "x_f1_threshold",
     """
     WITH c AS (

@@ -1331,3 +1331,26 @@ def test_fleiss_panel_is_single_scan_explode_not_union(spark, Q):
     assert "SinglePartition" not in s
     assert "Union" not in s
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+
+
+def test_funnel_sessionized_single_key_exchange(spark):
+    """The sessionized funnel's gaps-and-islands index AND the k
+    chained per-(key, session) window minima must share ONE hash
+    exchange on the key — hash(k) already clusters (k, sess), so
+    Catalyst needs only a local re-sort for the session-scoped
+    windows, never a second full-data shuffle.  The only other
+    exchange is the 1-row totals' SinglePartition."""
+    import re
+
+    from kafka_dead_letter_analyzer_spark.operators import temporal as T
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF, "events")
+    s = plan_of(
+        T.funnel_steps_sessionized(
+            ev, ["view", "click", "purchase"], gap_us=3_600 * 1_000_000
+        )
+    )
+    assert "CartesianProduct" not in s
+    assert s.count("Arguments: hashpartitioning") == 1
+    assert s.count("Arguments: SinglePartition") == 1

@@ -3504,3 +3504,173 @@ def test_streaming_dedup_bloom_end_to_end_matches_first_seen(spark, tmp_path):
     ).collect()
     assert sorted(r["doc_id"] for r in rows) == ["d1", "d2", "d3", "d4", "d5"]
     assert all(0 < r["fill_ppm"] < 1000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionized funnel
+
+
+def _drive_session_funnel(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    rows = []
+    for chunk in batches:
+        pdf = pd.DataFrame(
+            {"us": [u for u, _ in chunk], "st": [s for _, s in chunk]}
+        )
+        for out in fn(("u",), [pdf], st):
+            rows.extend(
+                (int(r.sess), int(r.step_idx), r.step, int(r.anchor_us))
+                for r in out.itertuples()
+            )
+    return rows, st._v
+
+
+def test_session_funnel_fn_matches_batch_sessionized_randomized(spark):
+    """r9 VERDICT #3 done-condition: under ts-ordered arrival the
+    per-step distinct-session counts from the streaming operator must
+    equal funnel_steps_sessionized on the same rows — across random
+    soups, gaps, time bounds, and micro-batch splits."""
+    import datetime as dt
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps_sessionized,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_session_funnel_fn,
+    )
+
+    rng = random.Random(0x5E5F)
+    steps = ["a", "b", "c"]
+    epoch = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    for trial in range(3):
+        gap_s = rng.choice([30, 90])
+        within = rng.choice([None, 40])
+        users = {
+            f"u{u}": sorted(
+                (rng.randint(0, 600), rng.choice(["a", "b", "c", "x"]))
+                for _ in range(rng.randint(0, 15))
+            )
+            for u in range(30)
+        }
+        stream_counts = {1: 0, 2: 0, 3: 0}
+        for u, evs in users.items():
+            fevs = [(t * 1_000_000, s) for t, s in evs if s in steps]
+            fn = _make_session_funnel_fn(
+                steps, gap_s * 1_000_000,
+                None if within is None else within * 1_000_000,
+            )
+            cut = rng.randint(0, len(fevs))
+            rows, st = _drive_session_funnel(fn, [fevs[:cut], fevs[cut:]])
+            # emit-once per (sess, step)
+            assert len(rows) == len({(s, i) for s, i, _, _ in rows})
+            for _, i, _, _ in rows:
+                stream_counts[i] += 1
+            # bounded state: k anchors + last_us + sess
+            if fevs:
+                anchors, last_us, sess = st
+                assert len(anchors) == 3
+                assert last_us == max(u for u, _ in fevs)
+                assert sess >= 1
+        flat = [
+            (u, s, epoch + dt.timedelta(seconds=t))
+            for u, evs in users.items()
+            for t, s in evs
+        ]
+        if not flat:
+            continue
+        df = spark.createDataFrame(
+            flat, "user_id string, event_type string, ts timestamp"
+        )
+        batch = {
+            r["step_idx"]: r["sessions"]
+            for r in funnel_steps_sessionized(
+                df, steps, gap_us=gap_s * 1_000_000,
+                within_us=None if within is None else within * 1_000_000,
+            ).collect()
+        }
+        assert stream_counts == batch, (trial, gap_s, within)
+
+
+def test_session_funnel_fn_resets_anchors_per_session():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_session_funnel_fn,
+    )
+
+    fn = _make_session_funnel_fn(["a", "b"], 10, None)
+    rows, st = _drive_session_funnel(
+        fn,
+        [
+            [(1, "a"), (2, "b")],          # session 1 completes
+            [(100, "a")],                  # gap > 10 -> session 2
+            [(105, "b"), (106, "a")],      # session 2 completes; extra a
+        ],
+    )
+    assert rows == [
+        (1, 1, "a", 1), (1, 2, "b", 2),
+        (2, 1, "a", 100), (2, 2, "b", 105),
+    ]
+    anchors, last_us, sess = st
+    assert (list(anchors), last_us, sess) == ([100, 105], 106, 2)
+    # a within bound applies INSIDE the session only
+    fn2 = _make_session_funnel_fn(["a", "b"], 1000, 3)
+    rows2, _ = _drive_session_funnel(
+        fn2, [[(1, "a"), (10, "b"), (11, "a"), (13, "b")]]
+    )
+    # first b misses the 3us bound; second a can't re-anchor (first-
+    # touch), so only step 1 emits in the single session
+    assert rows2 == [(1, 1, "a", 1)]
+
+
+def test_streaming_funnel_sessions_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_funnel_sessions,
+    )
+
+    e = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    m = dt.timedelta(minutes=1)
+    batches = [
+        [("u1", "view", e), ("u2", "view", e)],
+        [("u1", "click", e + m)],
+        # 2h later: u1's new session (view only), u2 clicks 3 minutes
+        # into their original session (within the default 30min gap)
+        [("u1", "view", e + dt.timedelta(hours=2)),
+         ("u2", "click", e + 3 * m)],
+    ]
+    schema = "user_id string, event_type string, ts timestamp"
+    src = str(tmp_path / "sfunnel_src")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_funnel_sessions(stream, ["view", "click"])
+        .writeStream.format("memory")
+        .queryName("sfunnel_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["sess"], r["step_idx"], r["step"])
+            for r in spark.table("sfunnel_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [
+        ("u1", 1, 1, "view"), ("u1", 1, 2, "click"),
+        ("u1", 2, 1, "view"),
+        ("u2", 1, 1, "view"), ("u2", 1, 2, "click"),
+    ]
+    import pytest as pt
+
+    with pt.raises(ValueError, match="gap_us"):
+        streaming_funnel_sessions(stream, ["view", "click"], gap_us=-5)

@@ -1537,3 +1537,135 @@ def test_funnel_any_anchor_cap_raises_and_validates(spark):
         funnel_steps_any_anchor(
             df, ["view", "click"], max_events_per_key=0
         )
+
+
+def _session_funnel_brute(events, steps, gap_us, within_us):
+    """Pure-Python replica of funnel_steps_sessionized for ONE key:
+    events = [(us, type)], returns per-step session counts [u0..]."""
+    evs = sorted((u, s) for u, s in events if s in steps)
+    sessions: list[list] = []
+    last = None
+    for us, st in evs:
+        if last is None or us - last > gap_us:
+            sessions.append([])
+        sessions[-1].append((us, st))
+        last = us
+    counts = [0] * len(steps)
+    for sess in sessions:
+        anchors = []
+        j = 0
+        for us, st in sess:
+            if j >= len(steps):
+                break
+            if st != steps[j]:
+                continue
+            if j > 0:
+                if us <= anchors[j - 1]:
+                    continue
+                if within_us is not None and us > anchors[j - 1] + within_us:
+                    continue
+            anchors.append(us)
+            counts[j] += 1
+            j += 1
+    return counts
+
+
+def test_funnel_sessionized_matches_brute_force_randomized(spark):
+    """Per-step SESSION counts against a pure-Python gaps-and-islands
+    + per-session first-touch replica, across random event soups,
+    gaps, and time bounds; conv_ppm two-step division vs step-1
+    sessions."""
+    import datetime as dt
+    import random
+
+    from fractions import Fraction
+
+    rng = random.Random(0x5E55)
+    steps = ["a", "b", "c"]
+    epoch = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    for trial in range(3):
+        gap = rng.choice([30, 90])
+        within = rng.choice([None, 40])
+        users = {
+            f"u{u}": [
+                (rng.randint(0, 600), rng.choice(["a", "b", "c", "x"]))
+                for _ in range(rng.randint(0, 15))
+            ]
+            for u in range(30)
+        }
+        flat = [
+            (u, s, epoch + dt.timedelta(seconds=t))
+            for u, evs in users.items()
+            for t, s in evs
+        ]
+        if not flat:
+            continue
+        df = spark.createDataFrame(
+            flat, "user_id string, event_type string, ts timestamp"
+        )
+        got = {
+            r["step_idx"]: (r["sessions"], r["conv_ppm"])
+            for r in T.funnel_steps_sessionized(
+                df, steps, gap_us=gap * 1_000_000,
+                within_us=None if within is None else within * 1_000_000,
+            ).collect()
+        }
+        want = [0] * len(steps)
+        for evs in users.values():
+            cs = _session_funnel_brute(
+                [(t * 1_000_000, s) for t, s in evs],
+                steps, gap * 1_000_000,
+                None if within is None else within * 1_000_000,
+            )
+            want = [a + b for a, b in zip(want, cs)]
+        for i, u in enumerate(want):
+            ppm = 0 if want[0] == 0 else int(
+                Fraction(u * 1_000_000, want[0])
+            )
+            assert got[i + 1] == (u, ppm), (trial, i)
+
+
+def test_funnel_sessionized_splits_and_validates(spark):
+    """A user whose view->click->buy repeats across a gap counts two
+    sessions at each reached step (funnel_steps would count the user
+    once); empty input emits all-zero rows; validation raises."""
+    import datetime as dt
+
+    e = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session 1: full conversion
+        ("u1", "view", e), ("u1", "click", e + m), ("u1", "buy", e + 2 * m),
+        # 2h gap -> session 2: view only
+        ("u1", "view", e + dt.timedelta(hours=2)),
+        # u2: one session, view+click
+        ("u2", "view", e), ("u2", "click", e + 3 * m),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    got = {
+        r["step_idx"]: (r["step"], r["sessions"], r["conv_ppm"])
+        for r in T.funnel_steps_sessionized(
+            df, ["view", "click", "buy"]
+        ).collect()
+    }
+    assert got == {
+        1: ("view", 3, 1_000_000),
+        2: ("click", 2, 666666),
+        3: ("buy", 1, 333333),
+    }
+    empty = df.filter(F.lit(False))
+    z = {
+        r["step_idx"]: r["sessions"]
+        for r in T.funnel_steps_sessionized(
+            empty, ["view", "click", "buy"]
+        ).collect()
+    }
+    assert z == {1: 0, 2: 0, 3: 0}
+    with pytest.raises(ValueError, match="gap_us"):
+        T.funnel_steps_sessionized(df, ["view", "click"], gap_us=0)
+    with pytest.raises(ValueError, match="2 steps"):
+        T.funnel_steps_sessionized(df, ["view"])
+    with pytest.raises(ValueError, match="within_us"):
+        T.funnel_steps_sessionized(df, ["view", "click"], within_us=-1)
