@@ -2118,3 +2118,30 @@ def test_prefiltered_contamination_validates_target_fp(spark):
             ngram_overlap_prefiltered(df, df, n=2, target_fp=bad)
     with pt.raises(ValueError, match="saturation_bound"):
         ngram_overlap_prefiltered(df, df, n=2, saturation_bound=0.0)
+
+
+def test_bpe_train_collects_exactly_one_row_per_iteration(spark, monkeypatch):
+    """r9 VERDICT #8 (driver-memory claims): bpe_train's per-iteration
+    driver traffic is the argmax pair ONLY — limit(1) in the plan, so
+    every internal collect is exactly <= 1 row regardless of vocab or
+    corpus size."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from kafka_dead_letter_analyzer_spark.operators.bpe import bpe_train
+
+    captured = []
+    orig = CDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        captured.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(CDF, "collect", spy)
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ate the cat",)],
+        "text string",
+    )
+    merges = bpe_train(docs, n_merges=5)
+    assert len(merges) >= 1
+    assert captured and all(n <= 1 for n in captured)

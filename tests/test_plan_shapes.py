@@ -1354,3 +1354,39 @@ def test_funnel_sessionized_single_key_exchange(spark):
     assert "CartesianProduct" not in s
     assert s.count("Arguments: hashpartitioning") == 1
     assert s.count("Arguments: SinglePartition") == 1
+
+
+def test_funnel_any_anchor_dense_fixture_single_sort(spark):
+    """r9 VERDICT #5: the dense-key shape (few hot keys, everything
+    funnel-relevant) must still plan ONE sort shared by all k chained
+    latest-anchor range windows — the k passes are per-partition
+    scans over that sort, so per-key density raises scan cost
+    linearly but never adds a sort or a shuffle (10x rehearsal in
+    NOTES.md: 9.6M rows / 4 hot keys = 8.9 s cold on local[32])."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.operators.temporal import (
+        funnel_steps_any_anchor,
+    )
+
+    ev = spark.range(8_000).select(
+        (F.col("id") % 4).cast("string").alias("user_id"),
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"), F.lit("purchase"),
+                F.lit("x"),
+            ),
+            (((F.xxhash64("id") % 4 + 4) % 4) + 1).cast("int"),
+        ).alias("event_type"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    s = plan_of(
+        funnel_steps_any_anchor(
+            ev, ["view", "click", "purchase"], within_us=3_600_000_000
+        )
+    )
+    assert "FlatMapGroupsInPandas" not in s
+    assert "CartesianProduct" not in s
+    assert len(re.findall(r"^\(\d+\) Sort$", s, re.M)) == 1, s
