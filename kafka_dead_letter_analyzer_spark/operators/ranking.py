@@ -1679,3 +1679,291 @@ def fleiss_kappa(
             err.format(d=degenerate, o=overflow, e=ppm2("s_cc", pe_den))
         ).cast("bigint").alias("pe_ppm"),
     )
+
+
+# LCM(1..11): the fixed common denominator that makes Krippendorff's
+# per-item 1/(n_u - 1) weights integer for any item with <= 12 ratings.
+_KRIPP_LCM = 27_720
+_KRIPP_MAX_RATINGS_PER_ITEM = 12
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Krippendorff's alpha sufficient statistics (nominal metric) —
+    chance-corrected agreement that, unlike :func:`fleiss_kappa`,
+    KEEPS items with missing ratings: an annotation panel where
+    raters abstain leaves items with 2 ratings next to items with 3,
+    and Krippendorff (1970/2004) weights each item's disagreeing
+    pairs by ``1/(n_u - 1)`` instead of dropping it.  Input is LONG
+    format — one row per rating ``(item_col, label_col)`` — and, like
+    Fleiss, the statistic is rater-anonymous (only per-item category
+    counts matter).
+
+    Emits ``(*group_cols, n_ratings BIGINT, n_items BIGINT,
+    n_items_dropped BIGINT, do_ppm BIGINT, de_ppm BIGINT)`` over the
+    PAIRABLE items (>= 2 ratings; singletons contribute no pairs and
+    are counted in ``n_items_dropped``):
+
+    - observed disagreement ``Do = (1/n) * sum_u D_u / (n_u - 1)``
+      with ``D_u = n_u^2 - sum_c n_uc^2`` (ordered disagreeing pairs
+      in item u) and ``n = sum_u n_u`` over pairable items;
+    - expected disagreement ``De = (n^2 - sum_c n_c^2) / (n*(n-1))``
+      from the pooled category totals ``n_c`` of pairable items;
+    - ``alpha = 1 - Do/De`` stays caller-side (it can be negative —
+      the repo's non-negative declared-surface rule, same as both
+      kappas).  ``De = 0`` (a unanimous group) makes alpha undefined;
+      the caller sees ``do_ppm = de_ppm = 0`` and decides.
+
+    EXACTNESS: the per-item ``1/(n_u - 1)`` weights are made integer
+    by the fixed common denominator ``L = lcm(1..11) = 27720``:
+    ``do_num = sum_u D_u * (L div (n_u - 1))`` is exact for any item
+    with ``n_u <= 12`` ratings, and ``do_ppm = ppm2(do_num, L * n)``.
+    A division-form runtime guard raises past 12 ratings per item
+    (annotation panels are small; a 13-rater panel should use
+    :func:`fleiss_kappa` on the conforming subset or shard raters).
+    ``de_ppm = ppm2(n^2 - sum_c n_c^2, n*(n-1))`` needs
+    ``n <= ~6.79e7`` pairable ratings per group (same int64 ppm bound
+    as the kappas), division-form guarded.
+
+    Plan shape: ONE full-data contraction shuffle on (groups, item,
+    label) — map-side combined, bounded by items x categories — then
+    item-level and group-level contractions of it; nothing downstream
+    rescans the ratings.  Rows with a NULL item or label are excluded
+    (an abstention IS a missing rating — the case this operator
+    exists for); NULL GROUP keys are real groups; groups with zero
+    pairable items vanish (empty-in -> empty-out, pinned like the
+    kappas' ungrouped sentinel filter)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators.common import (
+        null_safe_group_join,
+        ppm2,
+    )
+
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(item_col).alias("_it"),
+        F.col(label_col).cast("string").alias("_lab"),
+    ).filter(F.col("_it").isNotNull() & F.col("_lab").isNotNull())
+    cells = base.groupBy(*groups, "_it", "_lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # cells feeds the item stats AND the pairable category totals
+    cells = cells.persist()
+    cache_registry.track(cells)
+    item = cells.groupBy(*groups, "_it").agg(
+        F.sum("c").cast("bigint").alias("ni"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("ssq"),
+    )
+    pair = item.filter(F.col("ni") >= 2)
+    # D_u * (L div (n_u - 1)) is exact iff (n_u - 1) divides L, i.e.
+    # n_u <= 12; the max_nu guard below raises before an inexact sum
+    # can escape (same fire-at-emit pattern as fleiss' wrap guard)
+    gstat = pair.groupBy(*groups).agg(
+        F.sum("ni").cast("bigint").alias("n_ratings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.max("ni").cast("bigint").alias("max_nu"),
+        F.sum(
+            F.expr(f"(ni * ni - ssq) * ({_KRIPP_LCM} DIV (ni - 1))")
+        ).cast("bigint").alias("do_num"),
+    )
+    alls = item.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items_all")
+    )
+    # pooled category totals over PAIRABLE items only
+    pair_keys = pair.select(*groups, "_it")
+    kept = null_safe_group_join(
+        cells, pair_keys, groups, plain_keys=["_it"]
+    ) if groups else cells.join(pair_keys, ["_it"])
+    cat = kept.groupBy(*groups, "_lab").agg(
+        F.sum("c").cast("bigint").alias("cj")
+    )
+    scc = cat.groupBy(*groups).agg(
+        F.sum(F.expr("cj * cj")).cast("bigint").alias("s_cc")
+    )
+    if groups:
+        joined = null_safe_group_join(gstat, alls, groups)
+        joined = null_safe_group_join(joined, scc, groups)
+    else:
+        joined = gstat.crossJoin(F.broadcast(alls)).crossJoin(
+            F.broadcast(scc)
+        )
+    # ungrouped empty-input sentinel: gstat's global agg yields one
+    # row with n_items = 0 on empty/unpairable input; drop it so
+    # empty-in -> empty-out matches the grouped path
+    joined = joined.filter(F.col("n_items") > 0)
+    too_wide = f"max_nu > {_KRIPP_MAX_RATINGS_PER_ITEM}"
+    too_big = f"n_ratings > {_KAPPA_N_MAX}"
+    err = (
+        "CASE WHEN {w} THEN CAST(raise_error('krippendorff_alpha: an"
+        " item has > 12 ratings — the exact 1/(n_u-1) weighting uses"
+        " the fixed denominator lcm(1..11); cap ratings per item or"
+        " use fleiss_kappa on a conforming subset') AS BIGINT)"
+        " WHEN {b} THEN CAST(raise_error('krippendorff_alpha: a group"
+        " exceeds the exact-ppm bound (<= ~6.79e7 pairable ratings"
+        " per group: n^2 * 1000 must fit int64); shard the items and"
+        " report the per-shard alpha distribution') AS BIGINT)"
+        " ELSE {e} END"
+    )
+    do_den = f"({_KRIPP_LCM} * n_ratings)"
+    de_num = "(n_ratings * n_ratings - s_cc)"
+    de_den = "(n_ratings * (n_ratings - 1))"
+    return joined.select(
+        *groups,
+        "n_ratings",
+        "n_items",
+        (F.col("n_items_all") - F.col("n_items"))
+        .cast("bigint")
+        .alias("n_items_dropped"),
+        F.expr(
+            err.format(w=too_wide, b=too_big, e=ppm2("do_num", do_den))
+        ).cast("bigint").alias("do_ppm"),
+        F.expr(
+            err.format(w=too_wide, b=too_big, e=ppm2(de_num, de_den))
+        ).cast("bigint").alias("de_ppm"),
+    )
+
+
+def cohens_kappa_weighted(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa sufficient statistics — chance-corrected
+    agreement between two ORDINAL labelings where disagreeing by one
+    grade is better than disagreeing by four (two 0-4 quality scorers
+    before one replaces the other in the gate, severity triage levels,
+    star ratings).  Cohen (1968); ``weights='quadratic'`` penalizes
+    ``(a-b)^2`` (the ICC-equivalent default), ``'linear'`` penalizes
+    ``|a-b|``.  Both weights are INTEGER on integer ordinals, so the
+    whole statistic stays int64-exact:
+
+    ``kappa_w = 1 - (n * swo) / swe`` with ``swo = sum_ab w(a,b) *
+    O_ab`` (observed weighted disagreement) and ``swe = sum_ab w(a,b)
+    * r_a * c_b`` (expected from the marginals).  Emits
+    ``(*group_cols, n BIGINT, swo BIGINT, ratio_ppm BIGINT)`` where
+    ``ratio_ppm = ppm2(n * swo, swe)`` is the exact ppm of
+    ``Do_w/De_w`` — it EXCEEDS 1e6 exactly when kappa_w is negative,
+    and ``kappa_w = 1 - ratio_ppm/1e6`` caller-side (the declared
+    surface stays non-negative integers, the repo's cross-engine
+    rule).  ``swe = 0`` (both marginals unanimous on one category —
+    zero-entropy raters, agreement undefined) emits NULL ratio_ppm
+    rather than dividing by zero; the zero-information case is the
+    caller's policy call, not an error.
+
+    Both raters must already be INTEGRAL columns — a silent
+    string-to-int cast would turn unparseable labels into excluded
+    NULLs, hiding data problems the audit exists to find; non-integral
+    dtypes raise at construction.
+
+    Plan shape: identical to :func:`cohens_kappa` — ONE full-data
+    contraction shuffle on (groups, a, b), then contraction-sized
+    marginal products (the weighted cross term needs the r_a x c_b
+    grid, bounded by the label-domain square, never the row count).
+    Exactness bounds (division-form guards per group): ``n <= ~6.79e7``
+    rows (the same cap as the unweighted kappa — it bounds ppm2's
+    re-multiplied first quotient, since the ratio is <= n because
+    ``swe >= swo`` always), ``n * swo * 1000 <= 2^63``, and
+    ``swe * 1000 <= 2^63``.  NULL labels on either side are excluded;
+    NULL GROUP keys are real groups."""
+    if weights not in ("quadratic", "linear"):
+        raise ValueError(
+            f"cohens_kappa_weighted: weights={weights!r} must be"
+            " 'quadratic' or 'linear'"
+        )
+    integral = ("tinyint", "smallint", "int", "bigint")
+    for c in (rater_a, rater_b):
+        dt = dict(df.dtypes).get(c)
+        if dt not in integral:
+            raise ValueError(
+                f"cohens_kappa_weighted: column {c!r} has type {dt!r};"
+                " ordinal raters must be integral (cast explicitly —"
+                " a silent cast would hide unparseable labels as"
+                " excluded NULLs)"
+            )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators.common import (
+        null_safe_group_join,
+        ppm2,
+    )
+
+    groups = list(group_cols or [])
+    w = (
+        "(a - b) * (a - b)"
+        if weights == "quadratic"
+        else "abs(a - b)"
+    )
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(rater_a).cast("bigint").alias("a"),
+        F.col(rater_b).cast("bigint").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = base.groupBy(*groups, "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # cells feeds totals, the weighted observed sum, and both
+    # marginals — one scan
+    cells = cells.persist()
+    cache_registry.track(cells)
+    tot = cells.groupBy(*groups).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr(f"({w}) * c")).cast("bigint").alias("swo"),
+    )
+    rows_m = cells.groupBy(*groups, "a").agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    cols_m = cells.groupBy(*groups, "b").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    )
+    # the weighted expected term needs the FULL r_a x c_b grid (w is
+    # nonzero off-diagonal), not the diagonal join plain kappa uses:
+    # a per-group cross of two label-domain-sized contractions
+    if groups:
+        grid = null_safe_group_join(rows_m, cols_m, groups)
+    else:
+        grid = rows_m.crossJoin(F.broadcast(cols_m))
+    s = grid.groupBy(*groups).agg(
+        F.sum(F.expr(f"({w}) * r * cc")).cast("bigint").alias("swe")
+    )
+    if groups:
+        joined = null_safe_group_join(tot, s, groups, how="left")
+    else:
+        # same 1-row invariant as cohens_kappa: both are ungrouped
+        # aggregates (exactly one row each; the empty-input sentinel
+        # row has NULL n and is filtered)
+        joined = tot.crossJoin(F.broadcast(s)).filter(
+            F.col("n").isNotNull()
+        )
+    joined = joined.withColumn(
+        "swe", F.coalesce("swe", F.lit(0).cast("bigint"))
+    )
+    # three division-form bounds: num*1000 = n*swo*1000 fits int64;
+    # nt*1000 = swe*1000 fits; and ppm2's first quotient re-multiplied
+    # (ratio is <= n since swe >= swo whenever every occupied cell has
+    # r_a, c_b >= its own count — always true — so d1*1000 <= n*1e6,
+    # bounded by the same n <= ~6.79e7 cap the unweighted kappa uses)
+    maxd = 9_223_372_036_854_775_807 // 1000
+    guard = (
+        f"n > {_KAPPA_N_MAX} OR (swo > 0 AND n > {maxd} DIV swo)"
+        f" OR swe > {maxd}"
+    )
+    return joined.select(
+        *groups,
+        "n",
+        "swo",
+        F.expr(
+            f"CASE WHEN {guard} THEN"
+            " CAST(raise_error('cohens_kappa_weighted: a group"
+            " exceeds the exact-ppm bound (n * swo * 1000 and"
+            " swe * 1000 must fit int64); shard the input and report"
+            " the per-shard kappa distribution') AS BIGINT)"
+            " WHEN swe = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE {ppm2('(n * swo)', 'swe')} END"
+        ).cast("bigint").alias("ratio_ppm"),
+    )

@@ -10140,3 +10140,243 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clustered"),
     )
+
+
+@_register(
+    "x_krippendorff",
+    f"""
+    WITH docs AS (
+      SELECT source, doc_id, lang, {TX.lang_id_sql('text')} AS pred,
+             n_chars
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+        AND text IS NOT NULL AND doc_id IS NOT NULL
+        AND n_chars IS NOT NULL
+    ), long AS (
+      SELECT source, doc_id, lang AS lab FROM docs
+      UNION ALL
+      SELECT source, doc_id, pred FROM docs WHERE n_chars % 7 <> 0
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN n_chars % 3 = 0 THEN lang ELSE pred END
+      FROM docs WHERE n_chars % 5 <> 0
+    ), cells AS (
+      SELECT source, doc_id, lab, CAST(count(*) AS BIGINT) AS c
+      FROM long GROUP BY 1, 2, 3
+    ), item AS (
+      SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS ni,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM cells GROUP BY 1, 2
+    ), pair AS (
+      SELECT * FROM item WHERE ni >= 2
+    ), gstat AS (
+      SELECT source, CAST(sum(ni) AS BIGINT) AS n_ratings,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum((ni * ni - ssq) * (27720 // (ni - 1)))
+               AS BIGINT) AS do_num
+      FROM pair GROUP BY 1
+    ), alls AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_items_all
+      FROM item GROUP BY 1
+    ), cat AS (
+      SELECT ce.source, ce.lab, CAST(sum(ce.c) AS BIGINT) AS cj
+      FROM cells ce JOIN pair p
+        ON p.source = ce.source AND p.doc_id = ce.doc_id
+      GROUP BY 1, 2
+    ), scc AS (
+      SELECT source, CAST(sum(cj * cj) AS BIGINT) AS s_cc
+      FROM cat GROUP BY 1
+    )
+    SELECT g.source, g.n_ratings, g.n_items,
+           CAST(a.n_items_all - g.n_items AS BIGINT) AS n_items_dropped,
+           CAST(((g.do_num * 1000) // (27720 * g.n_ratings)) * 1000
+             + (((g.do_num * 1000) % (27720 * g.n_ratings)) * 1000)
+               // (27720 * g.n_ratings) AS BIGINT) AS do_ppm,
+           CAST((((g.n_ratings * g.n_ratings - s.s_cc) * 1000)
+               // (g.n_ratings * (g.n_ratings - 1))) * 1000
+             + ((((g.n_ratings * g.n_ratings - s.s_cc) * 1000)
+                 % (g.n_ratings * (g.n_ratings - 1))) * 1000)
+               // (g.n_ratings * (g.n_ratings - 1)) AS BIGINT) AS de_ppm
+    FROM gstat g
+    JOIN alls a ON a.source = g.source
+    JOIN scc s ON s.source = g.source
+    """,
+)
+def x_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha sufficient statistics over a 3-annotator
+    panel WITH MISSING RATINGS per source
+    (operators/ranking.py::krippendorff_alpha): rater 1 = the
+    documents' lang column (always rates), rater 2 = the heuristic
+    lang-id ABSTAINING on every 7th doc, rater 3 = the mixed rater
+    ABSTAINING on every 5th doc — so items carry 3, 2, or (when both
+    abstain, n_chars % 35 == 0) just 1 rating.  This is exactly the
+    panel shape Fleiss' kappa must throw away (x_fleiss_agreement
+    drops every incomplete item); Krippendorff keeps the 2-rating
+    items via the 1/(n_u - 1) pair weighting and drops only the
+    unpairable singletons, surfaced in n_items_dropped.  alpha =
+    1 - do/de stays caller-side (can be negative).  Plan: ONE
+    documents scan (array-explode panel, not a 3-way union — a union
+    re-scans the 100 TB fact once per rater), one (source, doc_id,
+    label) contraction shuffle, then contraction-sized reductions."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    pred = TX.with_lang_id(
+        docs.select("source", "doc_id", "lang", "text", "n_chars")
+    ).select("source", "doc_id", "lang", "pred_lang", "n_chars")
+    ratings = pred.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("lang"),
+                # rater 2 abstains on every 7th doc (NULL label)
+                F.when(F.col("n_chars") % 7 != 0, F.col("pred_lang")),
+                # rater 3 abstains on every 5th doc
+                F.when(
+                    F.col("n_chars") % 5 != 0,
+                    F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
+                    .otherwise(F.col("pred_lang")),
+                ),
+            )
+        ).alias("lab"),
+    )
+    return RK.krippendorff_alpha(
+        ratings, item_col="doc_id", label_col="lab",
+        group_cols=["source"],
+    )
+
+
+@_register(
+    "x_weighted_kappa",
+    f"""
+    WITH d AS (
+      SELECT source,
+             least(n_chars // 120, 4) AS a,
+             least((len(regexp_extract_all(lower(text),
+                     '{TX.ANY_STOPWORD_RE}')) * 30)
+               // greatest({TX.token_count_sql('text')}, 1), 4) AS b
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+        AND n_chars IS NOT NULL
+    ), cells AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum((a - b) * (a - b) * c) AS BIGINT) AS swo
+      FROM cells GROUP BY 1
+    ), rows_m AS (
+      SELECT source, a, CAST(sum(c) AS BIGINT) AS r
+      FROM cells GROUP BY 1, 2
+    ), cols_m AS (
+      SELECT source, b, CAST(sum(c) AS BIGINT) AS cc
+      FROM cells GROUP BY 1, 2
+    ), s AS (
+      SELECT r.source,
+             CAST(sum((r.a - c.b) * (r.a - c.b) * r.r * c.cc)
+               AS BIGINT) AS swe
+      FROM rows_m r JOIN cols_m c ON c.source = r.source
+      GROUP BY 1
+    )
+    SELECT t.source, t.n, t.swo,
+           CASE WHEN COALESCE(s.swe, 0) = 0 THEN NULL
+             ELSE CAST(((t.n * t.swo * 1000) // s.swe) * 1000
+               + (((t.n * t.swo * 1000) % s.swe) * 1000) // s.swe
+               AS BIGINT) END AS ratio_ppm
+    FROM tot t LEFT JOIN s ON s.source = t.source
+    """,
+)
+def x_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa sufficient statistics between
+    two ORDINAL 0-4 quality raters per source
+    (operators/ranking.py::cohens_kappa_weighted): rater A buckets
+    documents by length (n_chars DIV 120, capped at 4), rater B by
+    stopword density ((n_stop * 30) DIV n_tokens, capped) — the
+    does-my-cheap-length-heuristic-track-the-linguistic-one audit,
+    where disagreeing by one grade costs 1 and by four grades costs
+    16.  kappa_w = 1 - ratio_ppm/1e6 caller-side (negative exactly
+    when ratio_ppm > 1e6).  Plan: one codegen projection computes
+    both ordinals in the same scan, then ONE (source, a, b)
+    contraction shuffle and label-domain-sized marginal products."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    n_tokens = TX.token_count("text")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TX.ANY_STOPWORD_RE), F.lit(0)
+        )
+    )
+    # integer div on both ordinals — float floor-division would be a
+    # cross-engine hazard the moment the numerators grow
+    density = (n_stop.cast("bigint") * 30).cast("bigint")
+    tokens = F.greatest(n_tokens.cast("bigint"), F.lit(1).cast("bigint"))
+    rated = docs.select(
+        "source",
+        F.least(F.expr("n_chars DIV 120"), F.lit(4).cast("bigint"))
+        .cast("bigint")
+        .alias("a"),
+        F.least(
+            (density - density % tokens) / tokens,
+            F.lit(4).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    return RK.cohens_kappa_weighted(
+        rated, rater_a="a", rater_b="b", group_cols=["source"],
+        weights="quadratic",
+    )
+
+
+@_register(
+    "x_semdedup",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            for x in embedding])) AS nrm
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ), dup AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM n a, n b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_sum([CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)
+                            for i in range(1, len(a.embedding) + 1)])
+                  / (a.nrm * b.nrm), 6) >= 0.4
+    )
+    SELECT e.vec_id, CAST(0 AS INTEGER) AS cell,
+           e.vec_id IN (SELECT vid FROM dup) AS is_dup
+    FROM embeddings e
+    WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+    """,
+)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication flags in the EXHAUSTIVE
+    configuration (operators/similarity.py::semdedup, n_clusters=1 ->
+    one cell, exact over all pairs) so the whole keep/drop surface —
+    unit-gram cosine, 6-decimal rounding, dominated-by-earlier-id
+    rule — is oracle-checked per vector, not just pair counts.  The
+    clustered scale path (pair work sum(|cell|^2) instead of n^2) is
+    pinned in tests as a strict SUBSET of these exhaustive drops with
+    planted same-cell duplicates caught.  (threshold 0.4 tuned to the
+    synthetic embeddings' similarity range, matching
+    x_dedup_embedding; production semantic dedup would use ~0.95.)"""
+    return S.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_clusters=1,
+    )

@@ -2145,3 +2145,105 @@ def test_bpe_train_collects_exactly_one_row_per_iteration(spark, monkeypatch):
     merges = bpe_train(docs, n_merges=5)
     assert len(merges) >= 1
     assert captured and all(n <= 1 for n in captured)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_dup_flags(vecs, thr):
+    """Pure-Python dominated-by-earlier-id replica: vecs = [(id,
+    list)]; returns {id: is_dup} with 6-decimal rounded cosine."""
+    import numpy as np
+
+    vecs = sorted(vecs)
+    flags = {}
+    for j, (jid, vj) in enumerate(vecs):
+        vj = np.asarray(vj, dtype=np.float64)
+        nj = np.linalg.norm(vj)
+        dup = False
+        for iid, vi in vecs[:j]:
+            vi = np.asarray(vi, dtype=np.float64)
+            ni = np.linalg.norm(vi)
+            if ni == 0 or nj == 0:
+                continue
+            if round(float(vi @ vj) / (ni * nj), 6) >= thr:
+                dup = True
+                break
+        flags[jid] = dup
+    return flags
+
+
+def test_semdedup_exhaustive_matches_brute_force(spark):
+    """n_clusters=1 flags equal the pure-Python pairwise replica on
+    random vectors; zero vectors never match anything; NULL id/vector
+    rows are excluded."""
+    import random
+
+    rng = random.Random(0x5E3D)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    vecs.append((60, [0.0] * 8))  # zero vector: never a dup
+    rows = vecs + [(None, [1.0] * 8), (61, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in S.semdedup(df, threshold=0.8, n_clusters=1).collect()
+    }
+    assert None not in got and 61 not in got  # NULLs excluded
+    want = _brute_dup_flags(vecs, 0.8)
+    assert got == want
+    assert got[60] is False  # zero vector
+    # at least one planted-style dup exists at this threshold? make one
+    planted = vecs + [(100, vecs[3][1])]  # exact copy, higher id
+    df2 = spark.createDataFrame(
+        planted, "vec_id long, embedding array<double>"
+    )
+    got2 = {
+        r["vec_id"]: r["is_dup"]
+        for r in S.semdedup(df2, threshold=0.8, n_clusters=1).collect()
+    }
+    assert got2[100] is True
+
+
+def test_semdedup_clustered_subset_and_planted_recall(spark):
+    """The clustered scale path may only MISS cross-cell pairs: its
+    drop set is a strict subset of the exhaustive drops, and an exact
+    planted duplicate (identical vector, higher id) is always caught
+    — identical vectors argmax to the same cell."""
+    import random
+
+    rng = random.Random(0xC1D0)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    planted = [(200 + i, base[i][1]) for i in range(10)]
+    df = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+    exh = {
+        r["vec_id"]
+        for r in S.semdedup(df, threshold=0.9, n_clusters=1).collect()
+        if r["is_dup"]
+    }
+    clu = {
+        r["vec_id"]
+        for r in S.semdedup(
+            df, threshold=0.9, n_clusters=4, sample_size=64
+        ).collect()
+        if r["is_dup"]
+    }
+    assert clu <= exh  # clustering only removes candidate pairs
+    assert {200 + i for i in range(10)} <= clu  # planted dups caught
+    # cells actually split the space (the scale path is real)
+    cells = {
+        r["cell"]
+        for r in S.semdedup(
+            df, threshold=0.9, n_clusters=4, sample_size=64
+        ).collect()
+    }
+    assert len(cells) > 1

@@ -1390,3 +1390,31 @@ def test_funnel_any_anchor_dense_fixture_single_sort(spark):
     assert "FlatMapGroupsInPandas" not in s
     assert "CartesianProduct" not in s
     assert len(re.findall(r"^\(\d+\) Sort$", s, re.M)) == 1, s
+
+
+def test_krippendorff_panel_is_single_scan_explode_not_union(spark, Q):
+    """Same contraction discipline as the Fleiss pin: the 3-rater
+    missing-ratings panel comes from ONE documents scan (array
+    explode; abstention = NULL label), never a per-rater UNION; no
+    cartesian, no single-task stage."""
+    import re
+
+    s = plan_of(Q.x_krippendorff(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+    assert "Union" not in s
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+
+
+def test_weighted_kappa_single_scan_contraction(spark, Q):
+    """Both ordinal raters are computed in ONE documents scan (a
+    codegen projection), and everything past the (source, a, b)
+    contraction is label-domain-sized: no cartesian product (the
+    marginal grid is a per-source join of two contractions), no
+    single-task stage, no re-scan."""
+    import re
+
+    s = plan_of(Q.x_weighted_kappa(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1

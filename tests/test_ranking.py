@@ -1401,3 +1401,227 @@ def test_kappa_ungrouped_crossjoin_invariant(spark):
     # same invariant for fleiss' inferred-raters path
     e2 = spark.createDataFrame([], "item int, lab string")
     assert R.fleiss_kappa(e2, "item", "lab").count() == 0
+
+
+def _kripp_expected(ratings):
+    """Pure-Python Krippendorff (nominal) replica: ratings = [(item,
+    label)] for ONE group; returns (n_ratings, n_items, n_dropped,
+    do_ppm, de_ppm) over pairable items (>= 2 ratings), or None if no
+    item is pairable.  ppm values are exact floor(x * 1e6) via
+    Fraction — the two-step ppm2 division equals that floor."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    per_item: dict = defaultdict(Counter)
+    for it, lab in ratings:
+        per_item[it][lab] += 1
+    pair = {
+        it: c for it, c in per_item.items() if sum(c.values()) >= 2
+    }
+    dropped = len(per_item) - len(pair)
+    if not pair:
+        return None
+    n = sum(sum(c.values()) for c in pair.values())
+    L = 27_720
+    do_num = 0
+    for c in pair.values():
+        nu = sum(c.values())
+        ssq = sum(v * v for v in c.values())
+        do_num += (nu * nu - ssq) * (L // (nu - 1))
+    cat = Counter()
+    for c in pair.values():
+        cat.update(c)
+    s_cc = sum(v * v for v in cat.values())
+    do = int(Fraction(do_num * 1_000_000, L * n))
+    de = int(Fraction((n * n - s_cc) * 1_000_000, n * (n - 1)))
+    return (n, len(pair), dropped, do, de)
+
+
+def test_krippendorff_matches_brute_force_randomized(spark):
+    """do/de ppm against a pure-Python replica, grouped (with a NULL
+    group), items with 1-5 ratings so singletons are dropped and the
+    1/(n_u - 1) weighting is exercised across mixed rater counts —
+    the exact shape Fleiss must throw away; perfect-agreement and
+    unanimous extremes."""
+    rng = random.Random(0xA1FA)
+    cats = ["en", "de", "fr", "und"]
+    rows = []
+    for g in ("a", "b", None):
+        for it in range(40):
+            for _ in range(rng.choice([1, 2, 2, 3, 3, 3, 4, 5])):
+                rows.append((g, it, rng.choice(cats)))
+    df = spark.createDataFrame(rows, "g string, item int, lab string")
+    got = {
+        r["g"]: (
+            r["n_ratings"], r["n_items"], r["n_items_dropped"],
+            r["do_ppm"], r["de_ppm"],
+        )
+        for r in R.krippendorff_alpha(
+            df, "item", "lab", group_cols=["g"]
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, it, lab in rows:
+        by_g.setdefault(g, []).append((it, lab))
+    for g, vals in by_g.items():
+        want = _kripp_expected(vals)
+        assert want is not None
+        assert got[g] == want, g
+    assert None in got  # NULL group kept
+    # perfect agreement with 2 categories: Do = 0, De > 0 -> alpha 1
+    perf = spark.createDataFrame(
+        [(i, lab) for i, lab in enumerate(["x", "y", "x"])
+         for _ in range(3)],
+        "item int, lab string",
+    )
+    r = R.krippendorff_alpha(perf, "item", "lab").collect()[0]
+    assert r["do_ppm"] == 0 and r["de_ppm"] > 0
+    assert r["n_items_dropped"] == 0
+    # unanimous single category: De = 0 too (alpha undefined,
+    # caller-side 0/0 by contract)
+    mono = spark.createDataFrame(
+        [(i, "x") for i in range(4) for _ in range(2)],
+        "item int, lab string",
+    )
+    r = R.krippendorff_alpha(mono, "item", "lab").collect()[0]
+    assert (r["do_ppm"], r["de_ppm"]) == (0, 0)
+
+
+def test_krippendorff_guards_nulls_and_invariants(spark, monkeypatch):
+    """NULL item/label rows are excluded (abstention = missing
+    rating); an item with > 12 ratings raises (the lcm(1..11) exact
+    bound); the ppm overflow guard fires past the (monkeypatched)
+    bound; ungrouped empty input -> zero rows (the sentinel filter);
+    a group whose every item is a singleton vanishes."""
+    rows = [
+        ("a", 0, "x"), ("a", 0, "y"), ("a", 1, "x"), ("a", 1, "x"),
+        ("a", None, "x"), ("a", 0, None),
+        # group b: only singletons -> no pairable items -> no row
+        ("b", 0, "x"), ("b", 1, "y"),
+    ]
+    df = spark.createDataFrame(rows, "g string, item int, lab string")
+    out = R.krippendorff_alpha(df, "item", "lab", group_cols=["g"]).collect()
+    assert len(out) == 1 and out[0]["g"] == "a"
+    want = _kripp_expected(
+        [(0, "x"), (0, "y"), (1, "x"), (1, "x")]
+    )
+    r = out[0]
+    assert (
+        r["n_ratings"], r["n_items"], r["n_items_dropped"],
+        r["do_ppm"], r["de_ppm"],
+    ) == want
+    # > 12 ratings on one item: division-form raise at emit
+    wide = spark.createDataFrame(
+        [(0, "x" if i % 2 else "y") for i in range(13)],
+        "item int, lab string",
+    )
+    with pytest.raises(Exception, match="12 ratings"):
+        R.krippendorff_alpha(wide, "item", "lab").collect()
+    # ppm bound guard (monkeypatched tiny)
+    monkeypatch.setattr(R, "_KAPPA_N_MAX", 5)
+    big = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(4) for _ in range(2)],
+        "item int, lab string",
+    )
+    with pytest.raises(Exception, match="exact-ppm bound"):
+        R.krippendorff_alpha(big, "item", "lab").collect()
+    monkeypatch.undo()
+    # ungrouped empty-in -> empty-out (crossjoin sentinel filter)
+    empty = spark.createDataFrame([], "item int, lab string")
+    assert R.krippendorff_alpha(empty, "item", "lab").count() == 0
+
+
+def _wkappa_expected(pairs, weights="quadratic"):
+    """Pure-Python weighted-kappa replica for ONE group: pairs =
+    [(a, b)]; returns (n, swo, ratio_ppm|None)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    w = (
+        (lambda a, b: (a - b) * (a - b))
+        if weights == "quadratic"
+        else (lambda a, b: abs(a - b))
+    )
+    cells = Counter(pairs)
+    n = sum(cells.values())
+    swo = sum(w(a, b) * c for (a, b), c in cells.items())
+    rm, cm = Counter(), Counter()
+    for (a, b), c in cells.items():
+        rm[a] += c
+        cm[b] += c
+    swe = sum(
+        w(a, b) * ra * cb for a, ra in rm.items() for b, cb in cm.items()
+    )
+    if swe == 0:
+        return (n, swo, None)
+    return (n, swo, int(Fraction(n * swo * 1_000_000, swe)))
+
+
+def test_weighted_kappa_matches_brute_force_randomized(spark):
+    """ratio ppm against a pure-Python replica, grouped (with a NULL
+    group), both weight schemes; the perfect-agreement and
+    anti-correlated (negative kappa -> ratio > 1e6) extremes."""
+    rng = random.Random(0x3A11)
+    rows = [
+        (g, rng.randint(0, 4), rng.randint(0, 4))
+        for g in ("a", "b", None)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, ra int, rb int")
+    for weights in ("quadratic", "linear"):
+        got = {
+            r["g"]: (r["n"], r["swo"], r["ratio_ppm"])
+            for r in R.cohens_kappa_weighted(
+                df, "ra", "rb", group_cols=["g"], weights=weights
+            ).collect()
+        }
+        by_g: dict = {}
+        for g, a, b in rows:
+            by_g.setdefault(g, []).append((a, b))
+        for g, vals in by_g.items():
+            assert got[g] == _wkappa_expected(vals, weights), (g, weights)
+        assert None in got
+    # perfect agreement: swo = 0, ratio = 0 -> kappa_w = 1
+    perf = spark.createDataFrame(
+        [(i % 5, i % 5) for i in range(50)], "ra int, rb int"
+    )
+    r = R.cohens_kappa_weighted(perf, "ra", "rb").collect()[0]
+    assert (r["swo"], r["ratio_ppm"]) == (0, 0)
+    # anti-correlated: ratio exceeds 1e6 exactly when kappa_w < 0
+    anti = spark.createDataFrame(
+        [(0, 4), (4, 0), (0, 4), (4, 0), (1, 3), (3, 1)],
+        "ra int, rb int",
+    )
+    r = R.cohens_kappa_weighted(anti, "ra", "rb").collect()[0]
+    want = _wkappa_expected([(0, 4), (4, 0), (0, 4), (4, 0), (1, 3), (3, 1)])
+    assert (r["n"], r["swo"], r["ratio_ppm"]) == want
+    assert r["ratio_ppm"] > 1_000_000
+
+
+def test_weighted_kappa_contracts_and_guards(spark, monkeypatch):
+    """Non-integral rater dtype raises at construction (silent casts
+    would hide unparseable labels); bad weights raises; NULL labels
+    excluded; zero-entropy marginals (swe = 0) emit NULL ratio, not a
+    division error; ungrouped empty-in -> empty-out; the ppm bound
+    guard fires past the (monkeypatched) n cap."""
+    strs = spark.createDataFrame([("1", 1)], "ra string, rb int")
+    with pytest.raises(ValueError, match="integral"):
+        R.cohens_kappa_weighted(strs, "ra", "rb")
+    ints = spark.createDataFrame([(1, 1)], "ra int, rb int")
+    with pytest.raises(ValueError, match="weights"):
+        R.cohens_kappa_weighted(ints, "ra", "rb", weights="cubic")
+    # NULLs excluded; unanimous-on-one-category marginals -> swe = 0
+    mono = spark.createDataFrame(
+        [(2, 2), (2, 2), (None, 2), (2, None)], "ra int, rb int"
+    )
+    r = R.cohens_kappa_weighted(mono, "ra", "rb").collect()[0]
+    assert (r["n"], r["swo"]) == (2, 0)
+    assert r["ratio_ppm"] is None
+    empty = spark.createDataFrame([], "ra int, rb int")
+    assert R.cohens_kappa_weighted(empty, "ra", "rb").count() == 0
+    monkeypatch.setattr(R, "_KAPPA_N_MAX", 5)
+    big = spark.createDataFrame(
+        [(i % 5, (i + 1) % 5) for i in range(8)], "ra int, rb int"
+    )
+    with pytest.raises(Exception, match="exact-ppm bound"):
+        R.cohens_kappa_weighted(big, "ra", "rb").collect()
