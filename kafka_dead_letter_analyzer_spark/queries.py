@@ -10380,3 +10380,52 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         n_clusters=1,
     )
+
+
+@_register(
+    "x_ngram_typicality",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i + 1]
+                     for i in range(1, len(t))]) AS g
+      FROM toks
+    ), counts AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g
+    ), agg AS (
+      SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(c.c) AS BIGINT) AS sum_freq,
+             CAST(min(c.c) AS BIGINT) AS min_freq
+      FROM grams gr JOIN counts c ON c.g = gr.g GROUP BY 1
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(a.sum_freq, 0) AS BIGINT) AS sum_freq,
+           a.min_freq,
+           CASE WHEN a.n_ngrams IS NULL THEN NULL
+             ELSE CAST(((a.sum_freq * 1000) // a.n_ngrams) * 1000
+               + (((a.sum_freq * 1000) % a.n_ngrams) * 1000)
+                 // a.n_ngrams AS BIGINT)
+           END AS typicality_ppm
+    FROM toks tk LEFT JOIN agg a ON a.doc_id = tk.doc_id
+    """,
+)
+def x_ngram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram typicality per document
+    (operators/text.py::ngram_typicality, n=2): the integer-exact
+    LM-perplexity proxy — mean corpus frequency of the document's
+    bigrams in ppm, plus the rarest bigram's corpus count (min_freq=1
+    flags corpus-unique content).  A CCNet-style quality gate without
+    a float log anywhere, so the whole score is oracle-hashable.
+    Plan: EXACTLY ONE scan explodes codegen bigrams, corpus counts
+    via a window over the gram key (the count-table join formulation
+    re-explodes the corpus for the probe side — 3 scans), one (doc)
+    contraction; empty docs survive via explode_outer + per-doc
+    sentinel key, no spine join-back (pinned)."""
+    return TX.ngram_typicality(
+        load_table(spark, sf_dir, "documents"), n=2
+    )

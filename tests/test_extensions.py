@@ -2247,3 +2247,90 @@ def test_semdedup_clustered_subset_and_planted_recall(spark):
         ).collect()
     }
     assert len(cells) > 1
+
+
+# ---------------------------------------------------------------------------
+# N-gram typicality (corpus-frequency LM proxy)
+# ---------------------------------------------------------------------------
+
+
+def _brute_typicality(docs, n):
+    """Pure-Python replica: docs = [(id, text)]; returns {id:
+    (n_ngrams, sum_freq, min_freq, typicality_ppm)} with the exact
+    floor-ppm mean."""
+    import re as _re
+    from collections import Counter
+    from fractions import Fraction
+
+    grams_of = {}
+    corpus = Counter()
+    for i, t in docs:
+        toks = _re.findall(r"[a-z0-9]+", t.lower())
+        gs = [
+            " ".join(toks[j : j + n])
+            for j in range(len(toks) - n + 1)
+        ]
+        grams_of[i] = gs
+        corpus.update(gs)
+    out = {}
+    for i, gs in grams_of.items():
+        if not gs:
+            out[i] = (0, 0, None, None)
+            continue
+        freqs = [corpus[g] for g in gs]
+        s = sum(freqs)
+        out[i] = (
+            len(gs), s, min(freqs),
+            int(Fraction(s * 1_000_000, len(gs))),
+        )
+    return out
+
+
+def test_ngram_typicality_matches_brute_force(spark):
+    """Counts/sum/min/ppm against a pure-Python corpus replica for
+    n in {1, 2, 3}, including docs too short to produce any n-gram
+    (kept with zero counts — the gate scores everything), mixed case
+    and punctuation normalization, NULL id/text exclusion."""
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "The CAT sat!"),
+        (3, "single"),
+        (4, ""),
+        (5, "a b a b a"),
+        (6, "zq9 unique tokens here"),
+    ]
+    rows = docs + [(None, "x y"), (7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        got = {
+            r["doc_id"]: (
+                r["n_ngrams"], r["sum_freq"], r["min_freq"],
+                r["typicality_ppm"],
+            )
+            for r in TX.ngram_typicality(df, n=n).collect()
+        }
+        assert None not in got and 7 not in got
+        assert got == _brute_typicality(docs, n), n
+    with pytest.raises(ValueError, match="n="):
+        TX.ngram_typicality(df, n=0)
+
+
+def test_ngram_typicality_single_scan_window_not_join(spark, docs):
+    """The 100 TB plan contract: EXACTLY ONE parquet scan (the naive
+    count-table formulation re-explodes the corpus for the join probe
+    side — measured 3 scans), corpus counts via a window over the
+    gram key (one full-data exchange + the doc contraction, nothing
+    else), no Python, no join."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        TX.ngram_typicality(docs, n=2).explain("formatted")
+    s = buf.getvalue()
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
+    assert "Join" not in s
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in s
