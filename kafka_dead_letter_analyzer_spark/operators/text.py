@@ -1050,3 +1050,135 @@ def ngram_typicality(
             f" ELSE {ppm2('sum_freq', 'n_ngrams')} END"
         ).cast("bigint").alias("typicality_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BLEU sufficient statistics: clipped n-gram precision for (cand, ref) pairs
+# ---------------------------------------------------------------------------
+
+
+def bleu_stats(
+    pairs: DataFrame,
+    max_n: int = 4,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+) -> DataFrame:
+    """BLEU sufficient statistics (Papineni et al. 2002) per
+    (candidate, reference) pair — the eval-pipeline primitive for
+    scoring generated text against references at corpus scale:
+    ``(id_col, cand_len BIGINT, ref_len BIGINT, clipped_1..max_n
+    BIGINT, total_1..max_n BIGINT)`` where ``clipped_n = sum over the
+    candidate's distinct n-grams of min(count_cand, count_ref)`` (the
+    CLIPPED matches — a candidate repeating 'the the the' cannot farm
+    matches past the reference's own count) and ``total_n =
+    max(cand_len - n + 1, 0)``.  Every quantity is an int64 count, so
+    the surface is cross-engine hash-exact; BLEU itself (geometric
+    mean of precisions x the brevity penalty ``exp(1 - ref/cand)``)
+    is float and stays caller-side, as does corpus-BLEU (sum the
+    stats over pairs FIRST, then one float step — the standard
+    corpus/sentence distinction for free).  Tokens are lowercase
+    alnum runs (TYPICALITY_TOKEN_RE), shared with
+    :func:`ngram_typicality`.
+
+    Plan shape, graded for 100 TB: EXACTLY ONE scan of the pair
+    table.  Both sides' n-grams for ALL n in 1..max_n leave the scan
+    through ONE Generate — each side's per-n gram arrays become
+    (n, side, gram) structs, flattened and exploded together — then
+    ONE map-side-combined contraction on (id, n, gram) computes both
+    sides' counts (the per-key state is two longs), a codegen
+    ``least`` clips, and one (id) contraction pivots to the wide
+    surface.  No join between the sides (a cand-counts-to-ref-counts
+    join would shuffle two full gram streams and still need the
+    contraction), no Python, no driver collection.  Pairs with a
+    NULL id are excluded; a NULL candidate or reference is treated
+    as empty text (zero grams — BLEU 0, not a dropped row: an empty
+    generation is a legitimate eval outcome)."""
+    if max_n < 1:
+        raise ValueError(f"bleu_stats: max_n={max_n} must be >= 1")
+    from kafka_dead_letter_analyzer_spark.operators.common import (  # noqa: F401
+        ppm2,
+    )
+
+    def toks(col: str) -> str:
+        return (
+            f"regexp_extract_all(lower(coalesce({col}, '')),"
+            f" '{TYPICALITY_TOKEN_RE}', 0)"
+        )
+
+    def gram_structs(arr: str, n: int, side: str) -> str:
+        # (n, side, gram) structs for one n; empty array when short
+        return (
+            f"CASE WHEN size({arr}) >= {n} THEN"
+            f" transform(sequence(1, size({arr}) - {n - 1}),"
+            f" i -> named_struct('n', {n}, 'side', '{side}',"
+            f" 'g', array_join(slice({arr}, i, {n}), ' ')))"
+            " ELSE array() END"
+        )
+
+    base = pairs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"),
+        F.expr(toks(cand_col)).alias("_ct"),
+        F.expr(toks(ref_col)).alias("_rt"),
+    )
+    all_structs = ", ".join(
+        [gram_structs("_ct", n, "c") for n in range(1, max_n + 1)]
+        + [gram_structs("_rt", n, "r") for n in range(1, max_n + 1)]
+    )
+    exploded = base.select(
+        "_pid",
+        F.col("_ct").alias("_ctk"),
+        F.col("_rt").alias("_rtk"),
+        # explode_outer keeps zero-gram pairs (both sides empty)
+        F.explode_outer(
+            F.expr(f"flatten(array({all_structs}))")
+        ).alias("_s"),
+    ).select(
+        "_pid",
+        F.size("_ctk").cast("bigint").alias("cand_len"),
+        F.size("_rtk").cast("bigint").alias("ref_len"),
+        F.col("_s.n").alias("_n"),
+        F.col("_s.side").alias("_side"),
+        F.col("_s.g").alias("_g"),
+    )
+    cells = exploded.groupBy("_pid", "_n", "_g").agg(
+        F.max("cand_len").alias("cand_len"),
+        F.max("ref_len").alias("ref_len"),
+        F.sum(F.when(F.col("_side") == "c", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cc"),
+        F.sum(F.when(F.col("_side") == "r", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cr"),
+    )
+    out = cells.groupBy("_pid").agg(
+        F.max("cand_len").alias("cand_len"),
+        F.max("ref_len").alias("ref_len"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_n") == n, F.least("_cc", "_cr")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"clipped_{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    return out.select(
+        F.col("_pid").alias(id_col),
+        "cand_len",
+        "ref_len",
+        *[F.col(f"clipped_{n}") for n in range(1, max_n + 1)],
+        *[
+            F.greatest(
+                F.col("cand_len") - F.lit(n - 1), F.lit(0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"total_{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )

@@ -10429,3 +10429,113 @@ def x_ngram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_typicality(
         load_table(spark, sf_dir, "documents"), n=2
     )
+
+
+@_register(
+    "x_bleu_pairs",
+    """
+    WITH p AS (
+      SELECT doc_id AS pair_id, text AS candidate,
+             lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+               AS reference
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ), base AS (
+      SELECT pair_id,
+             regexp_extract_all(lower(coalesce(candidate, '')),
+                                '[a-z0-9]+') AS ct,
+             regexp_extract_all(lower(coalesce(reference, '')),
+                                '[a-z0-9]+') AS rt
+      FROM p
+    ), grams AS (
+      SELECT pair_id, 1 AS n, 'c' AS side,
+             unnest([array_to_string(ct[i:i + 0], ' ')
+                     for i in range(1, len(ct) - 1 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 1 AS n, 'r' AS side,
+             unnest([array_to_string(rt[i:i + 0], ' ')
+                     for i in range(1, len(rt) - 1 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 2 AS n, 'c' AS side,
+             unnest([array_to_string(ct[i:i + 1], ' ')
+                     for i in range(1, len(ct) - 2 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 2 AS n, 'r' AS side,
+             unnest([array_to_string(rt[i:i + 1], ' ')
+                     for i in range(1, len(rt) - 2 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 3 AS n, 'c' AS side,
+             unnest([array_to_string(ct[i:i + 2], ' ')
+                     for i in range(1, len(ct) - 3 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 3 AS n, 'r' AS side,
+             unnest([array_to_string(rt[i:i + 2], ' ')
+                     for i in range(1, len(rt) - 3 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 4 AS n, 'c' AS side,
+             unnest([array_to_string(ct[i:i + 3], ' ')
+                     for i in range(1, len(ct) - 4 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 4 AS n, 'r' AS side,
+             unnest([array_to_string(rt[i:i + 3], ' ')
+                     for i in range(1, len(rt) - 4 + 2)]) AS g
+      FROM base
+    ), cells AS (
+      SELECT pair_id, n, g,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+      FROM grams GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT pair_id,
+             CAST(sum(CASE WHEN n = 1 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_1,
+             CAST(sum(CASE WHEN n = 2 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_2,
+             CAST(sum(CASE WHEN n = 3 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_3,
+             CAST(sum(CASE WHEN n = 4 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_4
+      FROM cells GROUP BY 1
+    )
+    SELECT b.pair_id,
+           CAST(len(b.ct) AS BIGINT) AS cand_len,
+           CAST(len(b.rt) AS BIGINT) AS ref_len,
+           CAST(COALESCE(c.clipped_1, 0) AS BIGINT) AS clipped_1,
+           CAST(COALESCE(c.clipped_2, 0) AS BIGINT) AS clipped_2,
+           CAST(COALESCE(c.clipped_3, 0) AS BIGINT) AS clipped_3,
+           CAST(COALESCE(c.clipped_4, 0) AS BIGINT) AS clipped_4,
+           CAST(greatest(len(b.ct) - 0, 0) AS BIGINT) AS total_1,
+           CAST(greatest(len(b.ct) - 1, 0) AS BIGINT) AS total_2,
+           CAST(greatest(len(b.ct) - 2, 0) AS BIGINT) AS total_3,
+           CAST(greatest(len(b.ct) - 3, 0) AS BIGINT) AS total_4
+    FROM base b LEFT JOIN clip c ON c.pair_id = b.pair_id
+    """,
+)
+def x_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU sufficient statistics (operators/text.py::bleu_stats,
+    max_n=4) over a deterministic eval fixture: each document as the
+    candidate against the NEXT document in its source (window lead)
+    as the reference — the how-much-does-generation-overlap-reference
+    shape; the last doc per source gets an empty reference (clipped
+    0, a legitimate eval outcome, kept not dropped).  All clipped /
+    total counts are int64; BLEU's geometric mean + brevity penalty
+    stay caller-side (float).  Plan: one scan, one window lead (per-
+    source), ONE Generate emits both sides' grams for all n as
+    tagged structs, ONE (pair, n, gram) map-side-combined contraction
+    counts both sides, codegen least clips, one (pair) contraction
+    pivots wide — no join between the sides."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.lead("text").over(w).alias("reference"),
+    )
+    return TX.bleu_stats(pairs, max_n=4)

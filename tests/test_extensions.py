@@ -2334,3 +2334,72 @@ def test_ngram_typicality_single_scan_window_not_join(spark, docs):
     assert "Join" not in s
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in s
+
+
+# ---------------------------------------------------------------------------
+# BLEU sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def _brute_bleu(docs, max_n=4):
+    """Pure-Python clipped n-gram replica: docs = [(id, cand, ref)];
+    returns {id: (cand_len, ref_len, clipped_1.., total_1..)}."""
+    import re as _re
+    from collections import Counter
+
+    out = {}
+    for i, c, r in docs:
+        ct = _re.findall(r"[a-z0-9]+", (c or "").lower())
+        rt = _re.findall(r"[a-z0-9]+", (r or "").lower())
+        clips, tots = [], []
+        for n in range(1, max_n + 1):
+            cg = Counter(
+                " ".join(ct[j : j + n]) for j in range(len(ct) - n + 1)
+            )
+            rg = Counter(
+                " ".join(rt[j : j + n]) for j in range(len(rt) - n + 1)
+            )
+            clips.append(sum(min(v, rg[g]) for g, v in cg.items()))
+            tots.append(max(len(ct) - n + 1, 0))
+        out[i] = tuple([len(ct), len(rt)] + clips + tots)
+    return out
+
+
+def test_bleu_stats_matches_brute_force(spark):
+    """Clipped matches / totals against a pure-Python Counter replica:
+    the clipping case (candidate repeating a reference word cannot
+    farm matches), empty/NULL sides kept as zero-gram rows (an empty
+    generation is an eval outcome, not a dropped row), NULL pair ids
+    excluded, exact-match pair, and a randomized batch."""
+    import random
+
+    rng = random.Random(0xB1E0)
+    vocab = ["the", "cat", "sat", "on", "mat", "a", "dog", "ran"]
+    docs = [
+        (1, "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "the the the the", "the cat"),
+        (3, "hello world", ""),
+        (4, None, "some reference text"),
+        (5, "", None),
+        (6, "exact match here", "exact match here"),
+    ] + [
+        (
+            10 + k,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+        )
+        for k in range(30)
+    ]
+    rows = docs + [(None, "x", "x")]
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    res = TX.bleu_stats(df, max_n=4)
+    got = {
+        r["pair_id"]: tuple(r[c] for c in res.columns[1:])
+        for r in res.collect()
+    }
+    assert None not in got
+    assert got == _brute_bleu(docs, 4)
+    with pytest.raises(ValueError, match="max_n"):
+        TX.bleu_stats(df, max_n=0)

@@ -1418,3 +1418,18 @@ def test_weighted_kappa_single_scan_contraction(spark, Q):
     assert "CartesianProduct" not in s
     assert "SinglePartition" not in s
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+
+
+def test_bleu_pairs_single_scan_single_generate_no_join(spark, Q):
+    """BLEU's both-sides-tagged-structs design: ONE scan, ONE
+    Generate carrying candidate AND reference grams for all n, no
+    join between the sides (a cand-counts-to-ref-counts join would
+    shuffle two full gram streams), exactly three exchanges (source
+    window lead, (pair, n, gram) contraction, (pair) contraction)."""
+    import re
+
+    s = plan_of(Q.x_bleu_pairs(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "Join" not in s
+    assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 3
