@@ -2622,3 +2622,132 @@ def streaming_dedup_bloom(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rater agreement (live twin of the batch kappa family)
+# ---------------------------------------------------------------------------
+
+
+def _make_rater_agreement_fn(max_cells: int):
+    _KAPPA_N_MAX = 67_900_000  # operators/ranking.py::_KAPPA_N_MAX
+
+    def _agree_fn(key, pdfs, state) -> Iterator:
+        """Per-group live agreement audit: state = the exact
+        (label_a, label_b) -> count contingency contraction — the
+        SAME sufficient statistic batch cohens_kappa reduces to, so
+        every emission is bit-equal to the batch operator over the
+        stream prefix regardless of arrival order or batch
+        boundaries (a commutative fold, like the scorer audit's
+        contraction).  Each trigger folds the batch's cells and
+        recomputes (n, agree, po_ppm, pe_ppm) from the marginals;
+        Python's unbounded ints make ``(x * 1_000_000) // d`` exactly
+        the engines' two-step ppm division."""
+        import pandas as pd
+
+        if state.exists:
+            aa, bb, cc = state.get
+            tbl = {
+                (a, b): int(c) for a, b, c in zip(aa, bb, cc)
+            }
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                k2 = (str(a), str(b))
+                tbl[k2] = tbl.get(k2, 0) + 1
+        if len(tbl) > max_cells:
+            raise ValueError(
+                f"streaming_rater_agreement: group {key[0]!r} has"
+                f" {len(tbl)} distinct label pairs"
+                f" (> max_cells={max_cells}); collapse the label"
+                " domain before monitoring"
+            )
+        cells = sorted(tbl)
+        state.update(
+            (
+                [a for a, _ in cells],
+                [b for _, b in cells],
+                [tbl[c] for c in cells],
+            )
+        )
+        n = sum(tbl.values())
+        if n > _KAPPA_N_MAX:
+            raise ValueError(
+                "streaming_rater_agreement: group exceeds the"
+                " exact-ppm bound (n <= ~6.79e7 rows per group);"
+                " shard the stream key and monitor per-shard"
+            )
+        agree = sum(c for (a, b), c in tbl.items() if a == b)
+        rm: dict = {}
+        cm: dict = {}
+        for (a, b), c in tbl.items():
+            rm[a] = rm.get(a, 0) + c
+            cm[b] = cm.get(b, 0) + c
+        s_rc = sum(r * cm.get(a, 0) for a, r in rm.items())
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "n": [n],
+                "agree": [agree],
+                "po_ppm": [(agree * 1_000_000) // n],
+                "pe_ppm": [(s_rc * 1_000_000) // (n * n)],
+            }
+        )
+
+    return _agree_fn
+
+
+def streaming_rater_agreement(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_col: str | None = None,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Live annotator/classifier agreement monitor — the streaming
+    twin of the batch agreement family (``cohens_kappa`` /
+    ``x_rater_agreement``): per group, every trigger re-emits
+    ``(group_key, n, agree, po_ppm, pe_ppm)`` — the running observed
+    and chance agreement of two categorical labelings — in update
+    mode (``n`` strictly increases; downstream keeps the max-n row
+    per group).  The canonical use: a new quality classifier shadows
+    the incumbent on live traffic, and the monitor shows kappa =
+    (po - pe)/(1 - pe) converging (or not) BEFORE the swap, instead
+    of after a batch backfill.
+
+    EXACTNESS (tested): after any micro-batch sequence, a group's
+    emission EQUALS batch ``cohens_kappa`` over the same rows — the
+    state is the (label_a, label_b) contingency contraction itself,
+    a commutative fold with no arrival-order sensitivity, and the
+    ppm divisions are the same exact floor the batch two-step DIV
+    computes.  State per group is O(label-pair domain), capped by
+    ``max_cells`` (raise with a collapse hint); the int64 ppm bound
+    raises with the batch operator's sharding hint.  NULL labels on
+    either side are excluded (the batch contract)."""
+    if max_cells < 1:
+        raise ValueError(
+            "streaming_rater_agreement: max_cells must be >= 1"
+        )
+    gk = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    keyed = df.select(
+        gk.alias("group_key"),
+        F.col(rater_a).cast("string").alias("a"),
+        F.col(rater_b).cast("string").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_rater_agreement_fn(int(max_cells)),
+        outputStructType=(
+            "group_key string, n long, agree long, po_ppm long,"
+            " pe_ppm long"
+        ),
+        stateStructType=(
+            "la array<string>, lb array<string>, cnt array<long>"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -3674,3 +3674,131 @@ def test_streaming_funnel_sessions_end_to_end(spark, tmp_path):
 
     with pt.raises(ValueError, match="gap_us"):
         streaming_funnel_sessions(stream, ["view", "click"], gap_us=-5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming rater agreement (live kappa twin)
+# ---------------------------------------------------------------------------
+
+
+def _drive_agreement(fn, batches):
+    import pandas as pd
+
+    st = _FakeState()
+    last = None
+    for chunk in batches:
+        pdf = pd.DataFrame(
+            {"a": [a for a, _ in chunk], "b": [b for _, b in chunk]}
+        )
+        for out in fn(("g",), [pdf], st):
+            last = out.iloc[0]
+    return last, st
+
+
+def test_rater_agreement_fn_matches_batch_randomized(spark):
+    """After ANY micro-batch split, the live emission must equal
+    batch cohens_kappa on the same rows — the contingency contraction
+    is a commutative fold, so arrival order and batch boundaries
+    cannot matter."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators import ranking as R
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_rater_agreement_fn,
+    )
+
+    rng = random.Random(0xA6EE)
+    cats = ["en", "de", "fr", "und"]
+    for _ in range(3):
+        rows = [
+            (rng.choice(cats), rng.choice(cats))
+            for _ in range(rng.randint(40, 200))
+        ]
+        cuts = sorted(rng.sample(range(1, len(rows)), 2))
+        batches = [
+            rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]
+        ]
+        last, _ = _drive_agreement(
+            _make_rater_agreement_fn(100_000), batches
+        )
+        want = R.cohens_kappa(
+            spark.createDataFrame(rows, "ra string, rb string"),
+            "ra",
+            "rb",
+        ).collect()[0]
+        assert (
+            last["n"], last["agree"], last["po_ppm"], last["pe_ppm"]
+        ) == (want["n"], want["agree"], want["po_ppm"], want["pe_ppm"])
+
+
+def test_rater_agreement_fn_caps_raise():
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        _make_rater_agreement_fn,
+    )
+
+    with pytest.raises(ValueError, match="max_cells"):
+        _drive_agreement(
+            _make_rater_agreement_fn(2),
+            [[("a", "a"), ("a", "b"), ("b", "a")]],
+        )
+
+
+def test_streaming_rater_agreement_end_to_end(spark, tmp_path):
+    """File-source e2e across three triggers: the max-n row per group
+    equals grouped batch cohens_kappa over all rows; NULL labels are
+    excluded like the batch contract."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators import ranking as R
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_rater_agreement,
+    )
+
+    rng = random.Random(0xA6EF)
+    cats = ["en", "de", "fr"]
+    rows = [
+        (
+            "a" if i % 2 else "b",
+            rng.choice(cats),
+            rng.choice(cats + [None]),
+        )
+        for i in range(150)
+    ]
+    schema = "src string, ra string, rb string"
+    src = str(tmp_path / "agree_src")
+    third = len(rows) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : None if i == 2 else (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_rater_agreement(stream, "ra", "rb", group_col="src")
+        .writeStream.format("memory")
+        .queryName("agree_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM agree_sink ORDER BY n").collect():
+        final[r["group_key"]] = r
+    batch = {
+        r["src"]: r
+        for r in R.cohens_kappa(
+            spark.createDataFrame(rows, schema),
+            "ra",
+            "rb",
+            group_cols=["src"],
+        ).collect()
+    }
+    for g in ("a", "b"):
+        got, want = final[g], batch[g]
+        assert (
+            got["n"], got["agree"], got["po_ppm"], got["pe_ppm"]
+        ) == (want["n"], want["agree"], want["po_ppm"], want["pe_ppm"]), g
