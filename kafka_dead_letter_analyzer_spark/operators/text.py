@@ -947,6 +947,7 @@ def ngram_typicality(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "window",
 ) -> DataFrame:
     """Corpus n-gram typicality score — the integer-exact stand-in for
     an LM-perplexity quality gate (CCNet trains a KenLM and keeps the
@@ -971,25 +972,44 @@ def ngram_typicality(
     ``n_ngrams = 0`` and NULL min/typicality.  Tokens are lowercase
     alnum runs (TYPICALITY_TOKEN_RE) — identical on both engines.
 
-    Plan shape, graded for 100 TB: EXACTLY ONE documents scan.  The
-    scan explodes to the n-gram occurrence table (codegen
-    ``transform(sequence(...))`` + explode_outer, no Python); corpus
-    counts come from a WINDOW count over the gram key instead of a
-    groupBy-then-self-join — the naive count-table join re-scans and
-    re-explodes the corpus for the probe side and shuffles the full
-    occurrence table a second time (measured: 3 parquet scans), while
-    the window form shuffles the occurrences ONCE; then one (id)
-    contraction.  Empty docs survive without a spine join-back:
-    ``explode_outer`` keeps them as a NULL-gram row whose window key
-    is a per-doc sentinel (a corpus-wide NULL-gram partition would
-    funnel every short doc into one task — the sentinel keeps those
-    windows singleton).  No broadcast of the vocabulary (it scales
-    with the corpus), no driver collection, no UDF.  Exactness bound:
-    ``sum_freq * 1000`` and ``(sum_freq DIV n_ngrams) * 1e6`` must
-    fit int64 — satisfied whenever the corpus has < ~9e12 total
-    n-gram occurrences, far past 100 TB of text."""
+    Two hash-gate-equal physical strategies (both start from the same
+    codegen ``transform(sequence(...))`` + explode_outer — no Python,
+    no driver collection, no vocabulary broadcast):
+
+    - ``method='window'`` (default): EXACTLY ONE scan — corpus counts
+      come from a window count over the gram key, occurrences shuffle
+      ONCE, then one (id) contraction.  Empty docs survive without a
+      spine join-back: explode_outer keeps them as a NULL-gram row
+      whose window key is a per-doc sentinel (a corpus-wide NULL-gram
+      partition would funnel every short doc into one task).  SKEW
+      BOUND: a window partition is one task, so the single most
+      frequent n-gram's TOTAL occurrence count must fit one task —
+      fine into the ~1e8 range, but a Zipf-head bigram at true 100 TB
+      ('of the' at ~1% of all occurrences) breaks it, and AQE cannot
+      split window partitions.
+    - ``method='join'``: the skew-robust scale path.  Occurrences
+      first contract to (id, gram, in-doc count) — map-side combined,
+      so a hot gram is spread across its documents before anything
+      shuffles by gram alone — then corpus counts contract from THAT,
+      and a gram-keyed join (AQE skew-split-able, unlike a window)
+      delivers them back; ``sum_freq = sum(dc * c)`` over the doc's
+      DISTINCT grams is identical to the occurrence sum.  Costs a
+      second scan (the (id, gram) contraction feeds two consumers)
+      and a second full contraction shuffle — the price of removing
+      the per-gram single-task bound entirely (the widest key is now
+      (gram) x distinct-docs-containing-it at join time, split by
+      AQE).
+
+    Exactness bound (both): ``sum_freq * 1000`` and ``(sum_freq DIV
+    n_ngrams) * 1e6`` must fit int64 — satisfied whenever the corpus
+    has < ~9e12 total n-gram occurrences, far past 100 TB of text."""
     if n < 1:
         raise ValueError(f"ngram_typicality: n={n} must be >= 1")
+    if method not in ("window", "join"):
+        raise ValueError(
+            f"ngram_typicality: method={method!r} must be 'window'"
+            " or 'join'"
+        )
     from kafka_dead_letter_analyzer_spark.operators.common import ppm2
 
     toks = docs.filter(
@@ -1018,28 +1038,59 @@ def ngram_typicality(
             )
         ).alias("_g"),
     )
-    # window key: the gram, or a per-doc sentinel for the NULL-gram
-    # row (real grams are lowercase alnum + spaces — the \\x00 prefix
-    # cannot collide); sentinel windows are singleton by construction
-    grams = grams.withColumn(
-        "_gk",
-        F.coalesce(
-            F.col("_g"),
-            F.concat(F.lit("\x00:"), F.col("_id").cast("string")),
-        ),
-    )
-    counted = grams.withColumn(
-        "_c",
-        F.count(F.lit(1)).over(Window.partitionBy("_gk")).cast("bigint"),
-    )
     real = F.col("_g").isNotNull()
-    out = counted.groupBy("_id").agg(
-        F.count(F.when(real, 1)).cast("bigint").alias("n_ngrams"),
-        F.coalesce(
-            F.sum(F.when(real, F.col("_c"))), F.lit(0)
-        ).cast("bigint").alias("sum_freq"),
-        F.min(F.when(real, F.col("_c"))).cast("bigint").alias("min_freq"),
-    )
+    if method == "window":
+        # window key: the gram, or a per-doc sentinel for the
+        # NULL-gram row (real grams are lowercase alnum + spaces —
+        # the \x00 prefix cannot collide); sentinel windows are
+        # singleton by construction
+        keyed = grams.withColumn(
+            "_gk",
+            F.coalesce(
+                F.col("_g"),
+                F.concat(F.lit("\x00:"), F.col("_id").cast("string")),
+            ),
+        )
+        counted = keyed.withColumn(
+            "_c",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_gk"))
+            .cast("bigint"),
+        )
+        out = counted.groupBy("_id").agg(
+            F.count(F.when(real, 1)).cast("bigint").alias("n_ngrams"),
+            F.coalesce(
+                F.sum(F.when(real, F.col("_c"))), F.lit(0)
+            ).cast("bigint").alias("sum_freq"),
+            F.min(F.when(real, F.col("_c")))
+            .cast("bigint")
+            .alias("min_freq"),
+        )
+    else:
+        # (id, gram) pre-contraction spreads a hot gram across its
+        # documents; the NULL-gram row of an empty doc survives the
+        # LEFT join (NULL keys never match) and is masked in the agg
+        cell = grams.groupBy("_id", "_g").agg(
+            F.count(F.when(real, 1)).cast("bigint").alias("_dc")
+        )
+        corpus = (
+            cell.filter(real)
+            .groupBy("_g")
+            .agg(F.sum("_dc").cast("bigint").alias("_c"))
+        )
+        joined = cell.join(corpus, "_g", "left")
+        out = joined.groupBy("_id").agg(
+            F.coalesce(
+                F.sum(F.when(real, F.col("_dc"))), F.lit(0)
+            ).cast("bigint").alias("n_ngrams"),
+            F.coalesce(
+                F.sum(F.when(real, F.col("_dc") * F.col("_c"))),
+                F.lit(0),
+            ).cast("bigint").alias("sum_freq"),
+            F.min(F.when(real, F.col("_c")))
+            .cast("bigint")
+            .alias("min_freq"),
+        )
     return out.select(
         F.col("_id").alias(id_col),
         "n_ngrams",

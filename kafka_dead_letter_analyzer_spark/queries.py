@@ -10539,3 +10539,19 @@ def x_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("text").over(w).alias("reference"),
     )
     return TX.bleu_stats(pairs, max_n=4)
+
+
+def x_ngram_typicality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-robust strategy of x_ngram_typicality
+    (method='join': (doc, gram) pre-contraction + AQE-splittable gram
+    join instead of the window count — a Zipf-head gram at true
+    100 TB exceeds the window path's one-task-per-gram bound).
+    Registered against the SAME oracle, so the driver hash gate
+    proves the two physical strategies compute identical results."""
+    return TX.ngram_typicality(
+        load_table(spark, sf_dir, "documents"), n=2, method="join"
+    )
+
+
+_QUERIES["x_ngram_typicality_join"] = x_ngram_typicality_join
+_ORACLES["x_ngram_typicality_join"] = _ORACLES["x_ngram_typicality"]

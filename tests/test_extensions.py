@@ -2302,17 +2302,22 @@ def test_ngram_typicality_matches_brute_force(spark):
     rows = docs + [(None, "x y"), (7, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (1, 2, 3):
-        got = {
-            r["doc_id"]: (
-                r["n_ngrams"], r["sum_freq"], r["min_freq"],
-                r["typicality_ppm"],
-            )
-            for r in TX.ngram_typicality(df, n=n).collect()
-        }
-        assert None not in got and 7 not in got
-        assert got == _brute_typicality(docs, n), n
+        for method in ("window", "join"):
+            got = {
+                r["doc_id"]: (
+                    r["n_ngrams"], r["sum_freq"], r["min_freq"],
+                    r["typicality_ppm"],
+                )
+                for r in TX.ngram_typicality(
+                    df, n=n, method=method
+                ).collect()
+            }
+            assert None not in got and 7 not in got
+            assert got == _brute_typicality(docs, n), (n, method)
     with pytest.raises(ValueError, match="n="):
         TX.ngram_typicality(df, n=0)
+    with pytest.raises(ValueError, match="method"):
+        TX.ngram_typicality(df, method="sort")
 
 
 def test_ngram_typicality_single_scan_window_not_join(spark, docs):

@@ -1433,3 +1433,17 @@ def test_bleu_pairs_single_scan_single_generate_no_join(spark, Q):
     assert len(re.findall(r"\(\d+\) Generate", s)) == 1
     assert "Join" not in s
     assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 3
+
+
+def test_ngram_typicality_join_strategy_no_window(spark, Q):
+    """The skew-robust strategy's contract: corpus counts reach the
+    documents through a gram-keyed JOIN (AQE can split a skewed join
+    partition; it can never split a window partition), fed by the
+    (doc, gram) pre-contraction — so the plan has NO Window node and
+    the join is present; the second scan is the documented price."""
+    import re
+
+    s = plan_of(Q.x_ngram_typicality_join(spark, SF))
+    assert "Window" not in s
+    assert "Join" in s
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) <= 2
