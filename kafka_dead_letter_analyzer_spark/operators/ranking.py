@@ -1692,16 +1692,21 @@ def krippendorff_alpha(
     item_col: str,
     label_col: str,
     group_cols: list[str] | None = None,
+    metric: str = "nominal",
 ) -> DataFrame:
-    """Krippendorff's alpha sufficient statistics (nominal metric) —
-    chance-corrected agreement that, unlike :func:`fleiss_kappa`,
-    KEEPS items with missing ratings: an annotation panel where
-    raters abstain leaves items with 2 ratings next to items with 3,
-    and Krippendorff (1970/2004) weights each item's disagreeing
-    pairs by ``1/(n_u - 1)`` instead of dropping it.  Input is LONG
-    format — one row per rating ``(item_col, label_col)`` — and, like
-    Fleiss, the statistic is rater-anonymous (only per-item category
-    counts matter).
+    """Krippendorff's alpha sufficient statistics — chance-corrected
+    agreement that, unlike :func:`fleiss_kappa`, KEEPS items with
+    missing ratings: an annotation panel where raters abstain leaves
+    items with 2 ratings next to items with 3, and Krippendorff
+    (1970/2004) weights each item's disagreeing pairs by
+    ``1/(n_u - 1)`` instead of dropping it.  Input is LONG format —
+    one row per rating ``(item_col, label_col)`` — and, like Fleiss,
+    the statistic is rater-anonymous.  ``metric='nominal'`` treats
+    labels as categories (any-disagreement distance);
+    ``metric='interval'`` treats them as INTEGER magnitudes with
+    squared-difference distance ``(x - y)^2`` — the missing-data
+    counterpart of :func:`cohens_kappa_weighted`'s quadratic weights
+    (integral dtype required, same silent-cast rationale).
 
     Emits ``(*group_cols, n_ratings BIGINT, n_items BIGINT,
     n_items_dropped BIGINT, do_ppm BIGINT, de_ppm BIGINT)`` over the
@@ -1709,10 +1714,13 @@ def krippendorff_alpha(
     are counted in ``n_items_dropped``):
 
     - observed disagreement ``Do = (1/n) * sum_u D_u / (n_u - 1)``
-      with ``D_u = n_u^2 - sum_c n_uc^2`` (ordered disagreeing pairs
-      in item u) and ``n = sum_u n_u`` over pairable items;
-    - expected disagreement ``De = (n^2 - sum_c n_c^2) / (n*(n-1))``
-      from the pooled category totals ``n_c`` of pairable items;
+      over pairable items, where nominal ``D_u = n_u^2 - sum_c
+      n_uc^2`` (ordered disagreeing pairs) and interval ``D_u =
+      sum over ordered pairs (x - y)^2 = 2*(n_u*S2_u - S1_u^2)``
+      (the pair-sum identity — no per-item pair join needed);
+    - expected disagreement from the pooled pairable ratings:
+      nominal ``De = (n^2 - sum_c n_c^2) / (n*(n-1))``, interval
+      ``De = 2*(n*S2 - S1^2) / (n*(n-1))``;
     - ``alpha = 1 - Do/De`` stays caller-side (it can be negative —
       the repo's non-negative declared-surface rule, same as both
       kappas).  ``De = 0`` (a unanimous group) makes alpha undefined;
@@ -1725,18 +1733,36 @@ def krippendorff_alpha(
     A division-form runtime guard raises past 12 ratings per item
     (annotation panels are small; a 13-rater panel should use
     :func:`fleiss_kappa` on the conforming subset or shard raters).
-    ``de_ppm = ppm2(n^2 - sum_c n_c^2, n*(n-1))`` needs
-    ``n <= ~6.79e7`` pairable ratings per group (same int64 ppm bound
-    as the kappas), division-form guarded.
+    Nominal needs ``n <= ~6.79e7`` pairable ratings per group (the
+    kappas' int64 ppm bound); interval additionally bounds the label
+    magnitude M = max|label|: ``n * M <= ~6.7e7`` (De's ``2*n^2*M^2 *
+    1000`` must fit int64) and ``n * M^2 <= ~8.3e10`` (Do's
+    LCM-inflated sum) — both division-form guarded against the exact
+    per-group n and M with a rescale/shard hint.
 
     Plan shape: ONE full-data contraction shuffle on (groups, item,
     label) — map-side combined, bounded by items x categories — then
-    item-level and group-level contractions of it; nothing downstream
-    rescans the ratings.  Rows with a NULL item or label are excluded
-    (an abstention IS a missing rating — the case this operator
-    exists for); NULL GROUP keys are real groups; groups with zero
-    pairable items vanish (empty-in -> empty-out, pinned like the
-    kappas' ungrouped sentinel filter)."""
+    item-level and group-level contractions of it; the interval
+    metric needs NO pooled-category join at all (its pooled De terms
+    are sums of the item sums).  Rows with a NULL item or label are
+    excluded (an abstention IS a missing rating — the case this
+    operator exists for); NULL GROUP keys are real groups; groups
+    with zero pairable items vanish (empty-in -> empty-out, pinned
+    like the kappas' ungrouped sentinel filter)."""
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"krippendorff_alpha: metric={metric!r} must be 'nominal'"
+            " or 'interval'"
+        )
+    if metric == "interval":
+        dt = dict(df.dtypes).get(label_col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"krippendorff_alpha: column {label_col!r} has type"
+                f" {dt!r}; interval labels must be integral (cast"
+                " explicitly — a silent cast would hide unparseable"
+                " labels as excluded NULLs)"
+            )
     from kafka_dead_letter_analyzer_spark import cache_registry
     from kafka_dead_letter_analyzer_spark.operators.common import (
         null_safe_group_join,
@@ -1744,21 +1770,45 @@ def krippendorff_alpha(
     )
 
     groups = list(group_cols or [])
+    lab = (
+        F.col(label_col).cast("string")
+        if metric == "nominal"
+        else F.col(label_col).cast("bigint")
+    )
     base = df.select(
         *[df[g] for g in groups],
         F.col(item_col).alias("_it"),
-        F.col(label_col).cast("string").alias("_lab"),
+        lab.alias("_lab"),
     ).filter(F.col("_it").isNotNull() & F.col("_lab").isNotNull())
     cells = base.groupBy(*groups, "_it", "_lab").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    # cells feeds the item stats AND the pairable category totals
+    # cells feeds the item stats AND (nominal) the pooled category
+    # totals
     cells = cells.persist()
     cache_registry.track(cells)
-    item = cells.groupBy(*groups, "_it").agg(
-        F.sum("c").cast("bigint").alias("ni"),
-        F.sum(F.expr("c * c")).cast("bigint").alias("ssq"),
-    )
+    if metric == "nominal":
+        item = cells.groupBy(*groups, "_it").agg(
+            F.sum("c").cast("bigint").alias("ni"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("ssq"),
+        )
+        du = f"(ni * ni - ssq) * ({_KRIPP_LCM} DIV (ni - 1))"
+        extra_g = []
+    else:
+        item = cells.groupBy(*groups, "_it").agg(
+            F.sum("c").cast("bigint").alias("ni"),
+            F.sum(F.expr("c * _lab")).cast("bigint").alias("s1"),
+            F.sum(F.expr("c * _lab * _lab")).cast("bigint").alias("s2"),
+            F.max(F.expr("abs(_lab)")).cast("bigint").alias("ab"),
+        )
+        du = (
+            f"2 * (ni * s2 - s1 * s1) * ({_KRIPP_LCM} DIV (ni - 1))"
+        )
+        extra_g = [
+            F.max("ab").cast("bigint").alias("max_abs"),
+            F.sum("s1").cast("bigint").alias("s1_all"),
+            F.sum("s2").cast("bigint").alias("s2_all"),
+        ]
     pair = item.filter(F.col("ni") >= 2)
     # D_u * (L div (n_u - 1)) is exact iff (n_u - 1) divides L, i.e.
     # n_u <= 12; the max_nu guard below raises before an inexact sum
@@ -1767,50 +1817,73 @@ def krippendorff_alpha(
         F.sum("ni").cast("bigint").alias("n_ratings"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.max("ni").cast("bigint").alias("max_nu"),
-        F.sum(
-            F.expr(f"(ni * ni - ssq) * ({_KRIPP_LCM} DIV (ni - 1))")
-        ).cast("bigint").alias("do_num"),
+        F.sum(F.expr(du)).cast("bigint").alias("do_num"),
+        *extra_g,
     )
     alls = item.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items_all")
     )
-    # pooled category totals over PAIRABLE items only
-    pair_keys = pair.select(*groups, "_it")
-    kept = null_safe_group_join(
-        cells, pair_keys, groups, plain_keys=["_it"]
-    ) if groups else cells.join(pair_keys, ["_it"])
-    cat = kept.groupBy(*groups, "_lab").agg(
-        F.sum("c").cast("bigint").alias("cj")
-    )
-    scc = cat.groupBy(*groups).agg(
-        F.sum(F.expr("cj * cj")).cast("bigint").alias("s_cc")
-    )
     if groups:
         joined = null_safe_group_join(gstat, alls, groups)
-        joined = null_safe_group_join(joined, scc, groups)
     else:
-        joined = gstat.crossJoin(F.broadcast(alls)).crossJoin(
-            F.broadcast(scc)
+        joined = gstat.crossJoin(F.broadcast(alls))
+    if metric == "nominal":
+        # pooled category totals over PAIRABLE items only
+        pair_keys = pair.select(*groups, "_it")
+        kept = null_safe_group_join(
+            cells, pair_keys, groups, plain_keys=["_it"]
+        ) if groups else cells.join(pair_keys, ["_it"])
+        cat = kept.groupBy(*groups, "_lab").agg(
+            F.sum("c").cast("bigint").alias("cj")
         )
+        scc = cat.groupBy(*groups).agg(
+            F.sum(F.expr("cj * cj")).cast("bigint").alias("s_cc")
+        )
+        if groups:
+            joined = null_safe_group_join(joined, scc, groups)
+        else:
+            joined = joined.crossJoin(F.broadcast(scc))
     # ungrouped empty-input sentinel: gstat's global agg yields one
     # row with n_items = 0 on empty/unpairable input; drop it so
     # empty-in -> empty-out matches the grouped path
     joined = joined.filter(F.col("n_items") > 0)
     too_wide = f"max_nu > {_KRIPP_MAX_RATINGS_PER_ITEM}"
-    too_big = f"n_ratings > {_KAPPA_N_MAX}"
+    if metric == "nominal":
+        too_big = f"n_ratings > {_KAPPA_N_MAX}"
+        big_msg = (
+            "a group exceeds the exact-ppm bound (<= ~6.79e7 pairable"
+            " ratings per group: n^2 * 1000 must fit int64); shard the"
+            " items and report the per-shard alpha distribution"
+        )
+        de_num = "(n_ratings * n_ratings - s_cc)"
+    else:
+        # De needs 2*n^2*M^2*1000 <= 2^63 (n*M <= ~6.78e7); Do's
+        # LCM-inflated sum needs ~110880*n*M^2*1000 <= 2^63
+        # (n*M^2 <= ~8.3e10) — both division-form on exact n and M
+        too_big = (
+            "(max_abs > 0 AND (max_abs > 67800000 DIV n_ratings"
+            " OR max_abs * max_abs > 83000000000 DIV n_ratings))"
+            f" OR n_ratings > {_KAPPA_N_MAX}"
+        )
+        big_msg = (
+            "a group exceeds the interval exact-ppm bounds"
+            " (n * max|label| <= ~6.7e7 and n * max|label|^2 <="
+            " ~8.3e10 per group); rescale the label domain or shard"
+            " the items"
+        )
+        de_num = (
+            "(2 * (n_ratings * s2_all - s1_all * s1_all))"
+        )
     err = (
         "CASE WHEN {w} THEN CAST(raise_error('krippendorff_alpha: an"
         " item has > 12 ratings — the exact 1/(n_u-1) weighting uses"
         " the fixed denominator lcm(1..11); cap ratings per item or"
         " use fleiss_kappa on a conforming subset') AS BIGINT)"
-        " WHEN {b} THEN CAST(raise_error('krippendorff_alpha: a group"
-        " exceeds the exact-ppm bound (<= ~6.79e7 pairable ratings"
-        " per group: n^2 * 1000 must fit int64); shard the items and"
-        " report the per-shard alpha distribution') AS BIGINT)"
-        " ELSE {e} END"
+        " WHEN {b} THEN CAST(raise_error('krippendorff_alpha: "
+        + big_msg
+        + "') AS BIGINT) ELSE {e} END"
     )
     do_den = f"({_KRIPP_LCM} * n_ratings)"
-    de_num = "(n_ratings * n_ratings - s_cc)"
     de_den = "(n_ratings * (n_ratings - 1))"
     return joined.select(
         *groups,

@@ -10555,3 +10555,121 @@ def x_ngram_typicality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["x_ngram_typicality_join"] = x_ngram_typicality_join
 _ORACLES["x_ngram_typicality_join"] = _ORACLES["x_ngram_typicality"]
+
+
+@_register(
+    "x_krippendorff_interval",
+    f"""
+    WITH docs AS (
+      SELECT source, doc_id, n_chars,
+             least(n_chars // 120, 4) AS a,
+             least((len(regexp_extract_all(lower(text),
+                     '{TX.ANY_STOPWORD_RE}')) * 30)
+               // greatest({TX.token_count_sql('text')}, 1), 4) AS b
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+        AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ), long AS (
+      SELECT source, doc_id, CAST(a AS BIGINT) AS lab FROM docs
+      UNION ALL
+      SELECT source, doc_id, CAST(b AS BIGINT) FROM docs
+      WHERE n_chars % 7 <> 0
+      UNION ALL
+      SELECT source, doc_id, CAST((a + b) // 2 AS BIGINT) FROM docs
+      WHERE n_chars % 5 <> 0
+    ), cells AS (
+      SELECT source, doc_id, lab, CAST(count(*) AS BIGINT) AS c
+      FROM long GROUP BY 1, 2, 3
+    ), item AS (
+      SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS ni,
+             CAST(sum(c * lab) AS BIGINT) AS s1,
+             CAST(sum(c * lab * lab) AS BIGINT) AS s2
+      FROM cells GROUP BY 1, 2
+    ), pair AS (
+      SELECT * FROM item WHERE ni >= 2
+    ), gstat AS (
+      SELECT source, CAST(sum(ni) AS BIGINT) AS n_ratings,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(2 * (ni * s2 - s1 * s1)
+                      * (27720 // (ni - 1))) AS BIGINT) AS do_num,
+             CAST(sum(s1) AS BIGINT) AS s1a,
+             CAST(sum(s2) AS BIGINT) AS s2a
+      FROM pair GROUP BY 1
+    ), alls AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_items_all
+      FROM item GROUP BY 1
+    )
+    SELECT g.source, g.n_ratings, g.n_items,
+           CAST(a.n_items_all - g.n_items AS BIGINT) AS n_items_dropped,
+           CAST(((g.do_num * 1000) // (27720 * g.n_ratings)) * 1000
+             + (((g.do_num * 1000) % (27720 * g.n_ratings)) * 1000)
+               // (27720 * g.n_ratings) AS BIGINT) AS do_ppm,
+           CAST(((2 * (g.n_ratings * g.s2a - g.s1a * g.s1a) * 1000)
+               // (g.n_ratings * (g.n_ratings - 1))) * 1000
+             + (((2 * (g.n_ratings * g.s2a - g.s1a * g.s1a) * 1000)
+                 % (g.n_ratings * (g.n_ratings - 1))) * 1000)
+               // (g.n_ratings * (g.n_ratings - 1)) AS BIGINT) AS de_ppm
+    FROM gstat g JOIN alls a ON a.source = g.source
+    """,
+)
+def x_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, INTERVAL metric, over a 3-rater ordinal
+    panel with missing ratings per source
+    (operators/ranking.py::krippendorff_alpha, metric='interval'):
+    rater 1 = the 0-4 length bucket (always rates), rater 2 = the
+    stopword-density bucket ABSTAINING on every 7th doc, rater 3 =
+    their midpoint ABSTAINING on every 5th — so disagreeing by one
+    grade costs 1 and by four grades costs 16, on the panel shape
+    (2-3 ratings per item, singletons dropped) Fleiss cannot keep.
+    The interval De needs NO pooled-category contraction — its pooled
+    terms are sums of the item sums (the pair-sum identity).  Plan:
+    ONE documents scan (array-explode panel), one (source, doc_id,
+    label) contraction, group contractions."""
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    n_tokens = TX.token_count("text")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TX.ANY_STOPWORD_RE), F.lit(0)
+        )
+    )
+    density = (n_stop.cast("bigint") * 30).cast("bigint")
+    tokens = F.greatest(n_tokens.cast("bigint"), F.lit(1).cast("bigint"))
+    rated = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.least(F.expr("n_chars DIV 120"), F.lit(4).cast("bigint"))
+        .cast("bigint")
+        .alias("a"),
+        F.least(
+            (density - density % tokens) / tokens,
+            F.lit(4).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    ratings = rated.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("a"),
+                F.when(F.col("n_chars") % 7 != 0, F.col("b")),
+                F.when(
+                    F.col("n_chars") % 5 != 0,
+                    F.expr("(a + b) DIV 2"),
+                ),
+            )
+        ).alias("lab"),
+    )
+    return RK.krippendorff_alpha(
+        ratings, item_col="doc_id", label_col="lab",
+        group_cols=["source"], metric="interval",
+    )

@@ -1625,3 +1625,98 @@ def test_weighted_kappa_contracts_and_guards(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="exact-ppm bound"):
         R.cohens_kappa_weighted(big, "ra", "rb").collect()
+
+
+def _kripp_interval_expected(ratings):
+    """Pure-Python interval-metric replica: ratings = [(item, int)]
+    for ONE group; returns (n_ratings, n_items, n_dropped, do_ppm,
+    de_ppm) or None if nothing is pairable."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    per: dict = defaultdict(list)
+    for it, v in ratings:
+        per[it].append(v)
+    pair = {it: vs for it, vs in per.items() if len(vs) >= 2}
+    dropped = len(per) - len(pair)
+    if not pair:
+        return None
+    n = sum(len(vs) for vs in pair.values())
+    L = 27_720
+    do_num = 0
+    for vs in pair.values():
+        nu = len(vs)
+        d = sum((x - y) ** 2 for x in vs for y in vs)
+        do_num += d * (L // (nu - 1))
+    allv = [v for vs in pair.values() for v in vs]
+    s1, s2 = sum(allv), sum(v * v for v in allv)
+    do = int(Fraction(do_num * 1_000_000, L * n))
+    de = int(Fraction(2 * (n * s2 - s1 * s1) * 1_000_000, n * (n - 1)))
+    return (n, len(pair), dropped, do, de)
+
+
+def test_krippendorff_interval_matches_brute_force(spark):
+    """Interval metric (squared-difference distance on integer
+    labels, incl. negatives) against the pair-sum-identity replica,
+    grouped with a NULL group and mixed 1-5 rater counts; unanimous
+    extreme (do = de = 0); dtype and magnitude guards; nominal and
+    interval DISAGREE on a fixture built to separate them (distance
+    magnitude matters to interval only)."""
+    rng = random.Random(0x1472)
+    rows = []
+    for g in ("a", "b", None):
+        for it in range(40):
+            for _ in range(rng.choice([1, 2, 2, 3, 3, 4, 5])):
+                rows.append((g, it, rng.randint(-2, 4)))
+    df = spark.createDataFrame(rows, "g string, item int, lab int")
+    got = {
+        r["g"]: (
+            r["n_ratings"], r["n_items"], r["n_items_dropped"],
+            r["do_ppm"], r["de_ppm"],
+        )
+        for r in R.krippendorff_alpha(
+            df, "item", "lab", group_cols=["g"], metric="interval"
+        ).collect()
+    }
+    by: dict = {}
+    for g, it, v in rows:
+        by.setdefault(g, []).append((it, v))
+    for g, vals in by.items():
+        assert got[g] == _kripp_interval_expected(vals), g
+    assert None in got
+    # unanimous: both disagreements zero
+    mono = spark.createDataFrame(
+        [(i, 3) for i in range(4) for _ in range(2)],
+        "item int, lab int",
+    )
+    r = R.krippendorff_alpha(
+        mono, "item", "lab", metric="interval"
+    ).collect()[0]
+    assert (r["do_ppm"], r["de_ppm"]) == (0, 0)
+    # nominal vs interval separation: {0 vs 1} and {0 vs 4} are the
+    # same nominal disagreement but 16x apart on the interval metric
+    near = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    far = [(0, 0), (0, 4), (1, 0), (1, 4)]
+    def _do(pairs, metric):
+        d = spark.createDataFrame(pairs, "item int, lab int")
+        return R.krippendorff_alpha(
+            d, "item", "lab", metric=metric
+        ).collect()[0]["do_ppm"]
+    assert _do(near, "nominal") == _do(far, "nominal")
+    assert _do(far, "interval") == 16 * _do(near, "interval")
+    with pytest.raises(ValueError, match="integral"):
+        R.krippendorff_alpha(
+            df.withColumn("lab", F.col("lab").cast("string")),
+            "item", "lab", metric="interval",
+        )
+    with pytest.raises(ValueError, match="metric"):
+        R.krippendorff_alpha(df, "item", "lab", metric="ratio")
+    # magnitude guard (division-form, exact n and max|label|)
+    big = spark.createDataFrame(
+        [(i, 10**8 if i % 2 else 0) for i in range(4) for _ in range(2)],
+        "item int, lab long",
+    )
+    with pytest.raises(Exception, match="interval exact-ppm"):
+        R.krippendorff_alpha(
+            big, "item", "lab", metric="interval"
+        ).collect()
