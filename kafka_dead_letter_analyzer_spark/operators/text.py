@@ -1147,9 +1147,6 @@ def bleu_stats(
     generation is a legitimate eval outcome)."""
     if max_n < 1:
         raise ValueError(f"bleu_stats: max_n={max_n} must be >= 1")
-    from kafka_dead_letter_analyzer_spark.operators.common import (  # noqa: F401
-        ppm2,
-    )
 
     def toks(col: str) -> str:
         return (

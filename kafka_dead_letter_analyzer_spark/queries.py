@@ -10318,8 +10318,9 @@ def x_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("text"), F.lit(TX.ANY_STOPWORD_RE), F.lit(0)
         )
     )
-    # integer div on both ordinals — float floor-division would be a
-    # cross-engine hazard the moment the numerators grow
+    # (density - density % tokens) / tokens: the numerator is made
+    # exactly divisible first, so the float division yields an exact
+    # integer (both operands far under 2^53) — equal to DuckDB's //
     density = (n_stop.cast("bigint") * 30).cast("bigint")
     tokens = F.greatest(n_tokens.cast("bigint"), F.lit(1).cast("bigint"))
     rated = docs.select(
