@@ -1133,18 +1133,28 @@ def bleu_stats(
     :func:`ngram_typicality`.
 
     Plan shape, graded for 100 TB: EXACTLY ONE scan of the pair
-    table.  Both sides' n-grams for ALL n in 1..max_n leave the scan
-    through ONE Generate — each side's per-n gram arrays become
-    (n, side, gram) structs, flattened and exploded together — then
-    ONE map-side-combined contraction on (id, n, gram) computes both
-    sides' counts (the per-key state is two longs), a codegen
-    ``least`` clips, and one (id) contraction pivots to the wide
-    surface.  No join between the sides (a cand-counts-to-ref-counts
-    join would shuffle two full gram streams and still need the
-    contraction), no Python, no driver collection.  Pairs with a
-    NULL id are excluded; a NULL candidate or reference is treated
-    as empty text (zero grams — BLEU 0, not a dropped row: an empty
-    generation is a legitimate eval outcome)."""
+    table, then an EXPLICIT pre-explosion rebalance (the pair table
+    is compact until the ~8x-per-token gram explosion; AQE sizes
+    post-shuffle partitions by pre-explosion bytes, so without the
+    pinned repartition a windowed/joined input coalesces to a few
+    partitions and the Generate runs near-serial — measured 7.5 ->
+    1.8 s at sf0.1).  Both sides' n-grams for ALL n in 1..max_n
+    leave the scan through ONE Generate — each side's per-n gram
+    arrays become (n, side, gram) structs, flattened and exploded
+    together — then ONE map-side-combined contraction on (id, n,
+    gram) computes both sides' counts (the per-key state is two
+    longs), a codegen ``least`` clips, and one (id) contraction
+    pivots to the wide surface.  Because the rebalance hashes on the
+    pair id, hashpartitioning(id) already satisfies
+    ClusteredDistribution for BOTH contractions (their keys are
+    id-subsumed) — the exploded gram stream itself never shuffles
+    (pinned: two exchanges total, both upstream of the Generate).  No join between the sides (a
+    cand-counts-to-ref-counts join would shuffle two full gram
+    streams and still need the contraction), no Python, no driver
+    collection.  Pairs with a NULL id are excluded; a NULL candidate
+    or reference is treated as empty text (zero grams — BLEU 0, not
+    a dropped row: an empty generation is a legitimate eval
+    outcome)."""
     if max_n < 1:
         raise ValueError(f"bleu_stats: max_n={max_n} must be >= 1")
 
@@ -1169,6 +1179,18 @@ def bleu_stats(
         F.expr(toks(cand_col)).alias("_ct"),
         F.expr(toks(ref_col)).alias("_rt"),
     )
+    # Rebalance BEFORE the ~8x-per-token explosion with an EXPLICIT
+    # partition count: AQE sizes post-shuffle partitions by the
+    # pre-explosion bytes, so a pair table arriving from a window or
+    # join gets coalesced to a handful of partitions and the whole
+    # Generate+aggregate runs near-serial (measured 7.5 -> 1.8 s at
+    # sf0.1 — the pair table is the compact side, so this exchange is
+    # ~free relative to the explosion it parallelizes; the explicit
+    # count pins it against AQE re-coalescing).
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = base.repartition(n_parts, "_pid")
     all_structs = ", ".join(
         [gram_structs("_ct", n, "c") for n in range(1, max_n + 1)]
         + [gram_structs("_rt", n, "r") for n in range(1, max_n + 1)]
