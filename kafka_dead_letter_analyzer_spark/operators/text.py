@@ -1252,3 +1252,131 @@ def bleu_stats(
             for n in range(1, max_n + 1)
         ],
     )
+
+
+def chrf_stats(
+    pairs: DataFrame,
+    max_n: int = 6,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+) -> DataFrame:
+    """chrF sufficient statistics (Popović 2015) per (candidate,
+    reference) pair — the character-level eval companion of
+    :func:`bleu_stats`, robust to tokenization and morphology:
+    ``(id_col, cand_len BIGINT, ref_len BIGINT, clipped_1..max_n,
+    cand_total_1..max_n, ref_total_1..max_n)`` over CHARACTER n-grams
+    of the whitespace-stripped lowercase text (sacrebleu's chrF
+    convention).  Unlike BLEU, chrF is an F-score, so BOTH
+    denominators are emitted: ``precision_n = clipped_n /
+    cand_total_n``, ``recall_n = clipped_n / ref_total_n``, and the
+    ``F_beta`` harmonic mean (beta = 2 standard) stays caller-side —
+    all emitted quantities are int64 counts, cross-engine hash-exact;
+    corpus chrF = sum the stats first, one float step after.
+
+    Plan shape: identical to bleu_stats — ONE scan, the pinned
+    pre-explosion REPARTITION_BY_NUM rebalance on the pair id (the
+    char explosion is ~2 * max_n * chars per pair — an even higher
+    inflation than BLEU's token grams, so the AQE
+    coalesce-before-explode trap costs proportionally more), ONE
+    Generate emitting both sides' char n-grams for all n as tagged
+    structs via codegen ``substring``, ONE (id, n, gram) contraction
+    whose exchange is elided under the id partitioning, one (id)
+    contraction.  NULL ids excluded; NULL text = empty (zero grams,
+    kept)."""
+    if max_n < 1:
+        raise ValueError(f"chrf_stats: max_n={max_n} must be >= 1")
+
+    def chars(col: str) -> str:
+        # sacrebleu chrF: whitespace removed entirely, case-folded
+        return (
+            f"regexp_replace(lower(coalesce({col}, '')),"
+            r" '\\s+', '')"
+        )
+
+    def gram_structs(s: str, n: int, side: str) -> str:
+        return (
+            f"CASE WHEN length({s}) >= {n} THEN"
+            f" transform(sequence(1, length({s}) - {n - 1}),"
+            f" i -> named_struct('n', {n}, 'side', '{side}',"
+            f" 'g', substring({s}, i, {n})))"
+            " ELSE array() END"
+        )
+
+    base = pairs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"),
+        F.expr(chars(cand_col)).alias("_cs"),
+        F.expr(chars(ref_col)).alias("_rs"),
+    )
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = base.repartition(n_parts, "_pid")
+    all_structs = ", ".join(
+        [gram_structs("_cs", n, "c") for n in range(1, max_n + 1)]
+        + [gram_structs("_rs", n, "r") for n in range(1, max_n + 1)]
+    )
+    exploded = base.select(
+        "_pid",
+        F.length("_cs").cast("bigint").alias("cand_len"),
+        F.length("_rs").cast("bigint").alias("ref_len"),
+        F.explode_outer(
+            F.expr(f"flatten(array({all_structs}))")
+        ).alias("_s"),
+    ).select(
+        "_pid",
+        "cand_len",
+        "ref_len",
+        F.col("_s.n").alias("_n"),
+        F.col("_s.side").alias("_side"),
+        F.col("_s.g").alias("_g"),
+    )
+    cells = exploded.groupBy("_pid", "_n", "_g").agg(
+        F.max("cand_len").alias("cand_len"),
+        F.max("ref_len").alias("ref_len"),
+        F.sum(F.when(F.col("_side") == "c", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cc"),
+        F.sum(F.when(F.col("_side") == "r", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cr"),
+    )
+    out = cells.groupBy("_pid").agg(
+        F.max("cand_len").alias("cand_len"),
+        F.max("ref_len").alias("ref_len"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_n") == n, F.least("_cc", "_cr"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"clipped_{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    return out.select(
+        F.col("_pid").alias(id_col),
+        "cand_len",
+        "ref_len",
+        *[F.col(f"clipped_{n}") for n in range(1, max_n + 1)],
+        *[
+            F.greatest(
+                F.col("cand_len") - F.lit(n - 1),
+                F.lit(0).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias(f"cand_total_{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.greatest(
+                F.col("ref_len") - F.lit(n - 1),
+                F.lit(0).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias(f"ref_total_{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )

@@ -10674,3 +10674,141 @@ def x_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratings, item_col="doc_id", label_col="lab",
         group_cols=["source"], metric="interval",
     )
+
+
+@_register(
+    "x_chrf_pairs",
+    """
+    WITH p AS (
+      SELECT doc_id AS pair_id, text AS candidate,
+             lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+               AS reference
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ), base AS (
+      SELECT pair_id,
+             regexp_replace(lower(coalesce(candidate, '')),
+                            '\\s+', '', 'g') AS cs,
+             regexp_replace(lower(coalesce(reference, '')),
+                            '\\s+', '', 'g') AS rs
+      FROM p
+    ), grams AS (
+      SELECT pair_id, 1 AS n, 'c' AS side,
+             unnest([substring(cs, i, 1)
+                     for i in range(1, length(cs) - 1 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 1 AS n, 'r' AS side,
+             unnest([substring(rs, i, 1)
+                     for i in range(1, length(rs) - 1 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 2 AS n, 'c' AS side,
+             unnest([substring(cs, i, 2)
+                     for i in range(1, length(cs) - 2 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 2 AS n, 'r' AS side,
+             unnest([substring(rs, i, 2)
+                     for i in range(1, length(rs) - 2 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 3 AS n, 'c' AS side,
+             unnest([substring(cs, i, 3)
+                     for i in range(1, length(cs) - 3 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 3 AS n, 'r' AS side,
+             unnest([substring(rs, i, 3)
+                     for i in range(1, length(rs) - 3 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 4 AS n, 'c' AS side,
+             unnest([substring(cs, i, 4)
+                     for i in range(1, length(cs) - 4 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 4 AS n, 'r' AS side,
+             unnest([substring(rs, i, 4)
+                     for i in range(1, length(rs) - 4 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 5 AS n, 'c' AS side,
+             unnest([substring(cs, i, 5)
+                     for i in range(1, length(cs) - 5 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 5 AS n, 'r' AS side,
+             unnest([substring(rs, i, 5)
+                     for i in range(1, length(rs) - 5 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 6 AS n, 'c' AS side,
+             unnest([substring(cs, i, 6)
+                     for i in range(1, length(cs) - 6 + 2)]) AS g
+      FROM base
+      UNION ALL
+      SELECT pair_id, 6 AS n, 'r' AS side,
+             unnest([substring(rs, i, 6)
+                     for i in range(1, length(rs) - 6 + 2)]) AS g
+      FROM base
+    ), cells AS (
+      SELECT pair_id, n, g,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+      FROM grams GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT pair_id,
+             CAST(sum(CASE WHEN n = 1 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_1,
+             CAST(sum(CASE WHEN n = 2 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_2,
+             CAST(sum(CASE WHEN n = 3 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_3,
+             CAST(sum(CASE WHEN n = 4 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_4,
+             CAST(sum(CASE WHEN n = 5 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_5,
+             CAST(sum(CASE WHEN n = 6 THEN least(cc, cr) ELSE 0 END) AS BIGINT) AS clipped_6
+      FROM cells GROUP BY 1
+    )
+    SELECT b.pair_id,
+           CAST(length(b.cs) AS BIGINT) AS cand_len,
+           CAST(length(b.rs) AS BIGINT) AS ref_len,
+           CAST(COALESCE(c.clipped_1, 0) AS BIGINT) AS clipped_1,
+           CAST(COALESCE(c.clipped_2, 0) AS BIGINT) AS clipped_2,
+           CAST(COALESCE(c.clipped_3, 0) AS BIGINT) AS clipped_3,
+           CAST(COALESCE(c.clipped_4, 0) AS BIGINT) AS clipped_4,
+           CAST(COALESCE(c.clipped_5, 0) AS BIGINT) AS clipped_5,
+           CAST(COALESCE(c.clipped_6, 0) AS BIGINT) AS clipped_6,
+           CAST(greatest(length(b.cs) - 0, 0) AS BIGINT) AS cand_total_1,
+           CAST(greatest(length(b.cs) - 1, 0) AS BIGINT) AS cand_total_2,
+           CAST(greatest(length(b.cs) - 2, 0) AS BIGINT) AS cand_total_3,
+           CAST(greatest(length(b.cs) - 3, 0) AS BIGINT) AS cand_total_4,
+           CAST(greatest(length(b.cs) - 4, 0) AS BIGINT) AS cand_total_5,
+           CAST(greatest(length(b.cs) - 5, 0) AS BIGINT) AS cand_total_6,
+           CAST(greatest(length(b.rs) - 0, 0) AS BIGINT) AS ref_total_1,
+           CAST(greatest(length(b.rs) - 1, 0) AS BIGINT) AS ref_total_2,
+           CAST(greatest(length(b.rs) - 2, 0) AS BIGINT) AS ref_total_3,
+           CAST(greatest(length(b.rs) - 3, 0) AS BIGINT) AS ref_total_4,
+           CAST(greatest(length(b.rs) - 4, 0) AS BIGINT) AS ref_total_5,
+           CAST(greatest(length(b.rs) - 5, 0) AS BIGINT) AS ref_total_6
+    FROM base b LEFT JOIN clip c ON c.pair_id = b.pair_id
+    """,
+)
+def x_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF sufficient statistics (operators/text.py::chrf_stats,
+    max_n=6) over the same next-doc-in-source eval fixture as
+    x_bleu_pairs — the character-level, tokenization-robust
+    companion: clipped char-n-gram matches plus BOTH denominators
+    (chrF is an F-score), all int64; F_beta and corpus aggregation
+    stay caller-side.  Plan: identical to bleu_stats — one scan,
+    pinned pre-explosion rebalance, ONE Generate (codegen substring),
+    contractions with id-subsumed exchanges."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.lead("text").over(w).alias("reference"),
+    )
+    return TX.chrf_stats(pairs, max_n=6)

@@ -2408,3 +2408,60 @@ def test_bleu_stats_matches_brute_force(spark):
     assert got == _brute_bleu(docs, 4)
     with pytest.raises(ValueError, match="max_n"):
         TX.bleu_stats(df, max_n=0)
+
+
+def _brute_chrf(docs, max_n=6):
+    """Pure-Python char-n-gram replica: docs = [(id, cand, ref)]."""
+    import re as _re
+    from collections import Counter
+
+    out = {}
+    for i, c, r in docs:
+        cs = _re.sub(r"\s+", "", (c or "").lower())
+        rs = _re.sub(r"\s+", "", (r or "").lower())
+        clips, ct, rt = [], [], []
+        for n in range(1, max_n + 1):
+            cg = Counter(cs[j : j + n] for j in range(len(cs) - n + 1))
+            rg = Counter(rs[j : j + n] for j in range(len(rs) - n + 1))
+            clips.append(sum(min(v, rg[g]) for g, v in cg.items()))
+            ct.append(max(len(cs) - n + 1, 0))
+            rt.append(max(len(rs) - n + 1, 0))
+        out[i] = tuple([len(cs), len(rs)] + clips + ct + rt)
+    return out
+
+
+def test_chrf_stats_matches_brute_force(spark):
+    """Char-n-gram clipped matches and both denominators against a
+    pure-Python Counter replica: whitespace stripped entirely
+    (sacrebleu chrF convention), clipping, empty/NULL sides kept as
+    zero-gram rows, NULL ids excluded, randomized batch."""
+    import random
+
+    rng = random.Random(0xC4F)
+    docs = [
+        (1, "the cat sat", "the cat sat"),
+        (2, "aaaa", "aa"),
+        (3, "hello world", ""),
+        (4, None, "ref text"),
+        (5, "", None),
+    ] + [
+        (
+            10 + k,
+            "".join(rng.choices("abcd efg", k=rng.randint(0, 40))),
+            "".join(rng.choices("abcd efg", k=rng.randint(0, 40))),
+        )
+        for k in range(30)
+    ]
+    rows = docs + [(None, "x", "x")]
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    res = TX.chrf_stats(df, max_n=6)
+    got = {
+        r["pair_id"]: tuple(r[c] for c in res.columns[1:])
+        for r in res.collect()
+    }
+    assert None not in got
+    assert got == _brute_chrf(docs, 6)
+    with pytest.raises(ValueError, match="max_n"):
+        TX.chrf_stats(df, max_n=0)

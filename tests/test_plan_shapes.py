@@ -1457,3 +1457,18 @@ def test_ngram_typicality_join_strategy_no_window(spark, Q):
     assert "Window" not in s
     assert "Join" in s
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) <= 2
+
+
+def test_chrf_pairs_same_plan_contract_as_bleu(spark, Q):
+    """chrF inherits bleu's plan contract: ONE scan, ONE Generate for
+    both sides x all n, no side-to-side join, two exchanges (window
+    lead + the pinned pre-explosion rebalance; both contractions'
+    exchanges are pid-subsumed)."""
+    import re
+
+    s = plan_of(Q.x_chrf_pairs(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "Join" not in s
+    assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
+    assert "REPARTITION_BY_NUM" in s
