@@ -1119,18 +1119,22 @@ def bleu_stats(
     (candidate, reference) pair — the eval-pipeline primitive for
     scoring generated text against references at corpus scale:
     ``(id_col, cand_len BIGINT, ref_len BIGINT, clipped_1..max_n
-    BIGINT, total_1..max_n BIGINT)`` where ``clipped_n = sum over the
-    candidate's distinct n-grams of min(count_cand, count_ref)`` (the
-    CLIPPED matches — a candidate repeating 'the the the' cannot farm
-    matches past the reference's own count) and ``total_n =
-    max(cand_len - n + 1, 0)``.  Every quantity is an int64 count, so
-    the surface is cross-engine hash-exact; BLEU itself (geometric
-    mean of precisions x the brevity penalty ``exp(1 - ref/cand)``)
-    is float and stays caller-side, as does corpus-BLEU (sum the
-    stats over pairs FIRST, then one float step — the standard
-    corpus/sentence distinction for free).  Tokens are lowercase
-    alnum runs (TYPICALITY_TOKEN_RE), shared with
-    :func:`ngram_typicality`.
+    BIGINT, total_1..max_n BIGINT, ref_total_1..max_n BIGINT)`` where
+    ``clipped_n = sum over the candidate's distinct n-grams of
+    min(count_cand, count_ref)`` (the CLIPPED matches — a candidate
+    repeating 'the the the' cannot farm matches past the reference's
+    own count), ``total_n = max(cand_len - n + 1, 0)`` and
+    ``ref_total_n = max(ref_len - n + 1, 0)``.  The clipped sum is
+    SYMMETRIC in the two sides, so the same row serves both metric
+    families: BLEU precision = ``clipped_n / total_n`` and ROUGE-N
+    recall = ``clipped_n / ref_total_n`` (Lin 2004) — one pass, two
+    eval metrics.  Every quantity is an int64 count, so the surface
+    is cross-engine hash-exact; BLEU itself (geometric mean of
+    precisions x the brevity penalty ``exp(1 - ref/cand)``) is float
+    and stays caller-side, as does corpus-BLEU (sum the stats over
+    pairs FIRST, then one float step — the standard corpus/sentence
+    distinction for free).  Tokens are lowercase alnum runs
+    (TYPICALITY_TOKEN_RE), shared with :func:`ngram_typicality`.
 
     Plan shape, graded for 100 TB: EXACTLY ONE scan of the pair
     table, then an EXPLICIT pre-explosion rebalance (the pair table
@@ -1249,6 +1253,14 @@ def bleu_stats(
             )
             .cast("bigint")
             .alias(f"total_{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.greatest(
+                F.col("ref_len") - F.lit(n - 1), F.lit(0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"ref_total_{n}")
             for n in range(1, max_n + 1)
         ],
     )

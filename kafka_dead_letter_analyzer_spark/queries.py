@@ -10511,7 +10511,11 @@ def x_ngram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(greatest(len(b.ct) - 0, 0) AS BIGINT) AS total_1,
            CAST(greatest(len(b.ct) - 1, 0) AS BIGINT) AS total_2,
            CAST(greatest(len(b.ct) - 2, 0) AS BIGINT) AS total_3,
-           CAST(greatest(len(b.ct) - 3, 0) AS BIGINT) AS total_4
+           CAST(greatest(len(b.ct) - 3, 0) AS BIGINT) AS total_4,
+           CAST(len(b.rt) AS BIGINT) AS ref_total_1,
+           CAST(greatest(len(b.rt) - 1, 0) AS BIGINT) AS ref_total_2,
+           CAST(greatest(len(b.rt) - 2, 0) AS BIGINT) AS ref_total_3,
+           CAST(greatest(len(b.rt) - 3, 0) AS BIGINT) AS ref_total_4
     FROM base b LEFT JOIN clip c ON c.pair_id = b.pair_id
     """,
 )
@@ -10522,8 +10526,9 @@ def x_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the reference — the how-much-does-generation-overlap-reference
     shape; the last doc per source gets an empty reference (clipped
     0, a legitimate eval outcome, kept not dropped).  All clipped /
-    total counts are int64; BLEU's geometric mean + brevity penalty
-    stay caller-side (float).  Plan: one scan, one window lead (per-
+    total counts are int64 — and since the clipped sum is symmetric,
+    the same row serves BLEU precision (clipped/total) AND ROUGE-N
+    recall (clipped/ref_total, Lin 2004); float steps caller-side.  Plan: one scan, one window lead (per-
     source), ONE Generate emits both sides' grams for all n as
     tagged structs, ONE (pair, n, gram) map-side-combined contraction
     counts both sides, codegen least clips, one (pair) contraction

@@ -2356,7 +2356,7 @@ def _brute_bleu(docs, max_n=4):
     for i, c, r in docs:
         ct = _re.findall(r"[a-z0-9]+", (c or "").lower())
         rt = _re.findall(r"[a-z0-9]+", (r or "").lower())
-        clips, tots = [], []
+        clips, tots, rtots = [], [], []
         for n in range(1, max_n + 1):
             cg = Counter(
                 " ".join(ct[j : j + n]) for j in range(len(ct) - n + 1)
@@ -2366,7 +2366,8 @@ def _brute_bleu(docs, max_n=4):
             )
             clips.append(sum(min(v, rg[g]) for g, v in cg.items()))
             tots.append(max(len(ct) - n + 1, 0))
-        out[i] = tuple([len(ct), len(rt)] + clips + tots)
+            rtots.append(max(len(rt) - n + 1, 0))
+        out[i] = tuple([len(ct), len(rt)] + clips + tots + rtots)
     return out
 
 
