@@ -1392,3 +1392,113 @@ def chrf_stats(
             for n in range(1, max_n + 1)
         ],
     )
+
+
+def rouge_l_stats(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """ROUGE-L sufficient statistics (Lin 2004) per (candidate,
+    reference) pair — the longest-common-SUBSEQUENCE eval companion
+    of :func:`bleu_stats`/:func:`chrf_stats`, rewarding in-order
+    coverage without requiring contiguity: ``(id_col, cand_len
+    BIGINT, ref_len BIGINT, lcs_len BIGINT, truncated BOOLEAN)``;
+    ``P = lcs/cand_len``, ``R = lcs/ref_len`` and the F stay
+    caller-side.  Tokens are lowercase alnum runs
+    (TYPICALITY_TOKEN_RE, shared with the rest of the eval family).
+
+    LCS is inherently quadratic per pair, so this is the eval
+    family's one Python operator — Arrow-batched ``mapInPandas``
+    with a VECTORIZED numpy row update (the standard prefix-max
+    identity ``curr = maximum.accumulate(where(match, prev[:-1]+1,
+    prev[1:]))`` — one O(m) numpy op per candidate token instead of
+    an O(n*m) Python loop), and a hard ``max_tokens`` cost ceiling:
+    longer sides are TRUNCATED (flagged in ``truncated``, never
+    silently) because the O(n*m) cliff is a per-row cost bomb a
+    100 TB scan cannot absorb — callers wanting exact long-document
+    LCS shard by length explicitly.  NOT SQL-expressible (no
+    relational LCS), so the declared query is rows-only and the
+    gate is the from-scratch differential test — the KLL/PCA
+    precedent.  Plan: one output row per input row — no explosion —
+    but the pinned rebalance is STILL required, for the dual reason:
+    AQE sizes partitions by BYTES, and a pair row's cost here is its
+    quadratic DP, not its bytes, so a windowed input coalesced to one
+    task serializes all the CPU (measured: sf0.1 ran 1-task without
+    it).  NULL ids excluded, NULL text = empty (lcs 0, kept)."""
+    if max_tokens < 1:
+        raise ValueError(
+            f"rouge_l_stats: max_tokens={max_tokens} must be >= 1"
+        )
+    import pandas as pd
+
+    base = pairs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"),
+        F.expr(
+            f"regexp_extract_all(lower(coalesce({cand_col}, '')),"
+            f" '{TYPICALITY_TOKEN_RE}', 0)"
+        ).alias("_ct"),
+        F.expr(
+            f"regexp_extract_all(lower(coalesce({ref_col}, '')),"
+            f" '{TYPICALITY_TOKEN_RE}', 0)"
+        ).alias("_rt"),
+    )
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = base.repartition(n_parts, "_pid")
+    out_schema = (
+        f"{id_col} bigint, cand_len bigint, ref_len bigint,"
+        " lcs_len bigint, truncated boolean"
+    )
+    cap = int(max_tokens)
+
+    def lcs_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, cls, rls, lcss, trs = [], [], [], [], []
+            for pid, ct, rt in zip(pdf["_pid"], pdf["_ct"], pdf["_rt"]):
+                ct, rt = list(ct), list(rt)
+                cl, rl = len(ct), len(rt)
+                tr = cl > cap or rl > cap
+                c, r = ct[:cap], rt[:cap]
+                if not c or not r:
+                    lcs = 0
+                else:
+                    # intern to int codes once; mismatched vocab
+                    # never matches, code -1 vs -2 sentinel unused
+                    vocab = {t: k for k, t in enumerate(set(c) | set(r))}
+                    a = np.fromiter(
+                        (vocab[t] for t in c), dtype=np.int32, count=len(c)
+                    )
+                    b = np.fromiter(
+                        (vocab[t] for t in r), dtype=np.int32, count=len(r)
+                    )
+                    prev = np.zeros(len(b) + 1, dtype=np.int32)
+                    curr = np.empty_like(prev)
+                    for tok in a:
+                        curr[0] = 0
+                        curr[1:] = np.maximum.accumulate(
+                            np.where(b == tok, prev[:-1] + 1, prev[1:])
+                        )
+                        prev, curr = curr, prev
+                    lcs = int(prev[-1])
+                ids.append(pid)
+                cls.append(cl)
+                rls.append(rl)
+                lcss.append(lcs)
+                trs.append(tr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "cand_len": pd.array(cls, dtype="int64"),
+                    "ref_len": pd.array(rls, dtype="int64"),
+                    "lcs_len": pd.array(lcss, dtype="int64"),
+                    "truncated": pd.array(trs, dtype="bool"),
+                }
+            )
+
+    return base.mapInPandas(lcs_rows, out_schema)

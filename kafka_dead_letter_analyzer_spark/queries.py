@@ -10817,3 +10817,30 @@ def x_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("text").over(w).alias("reference"),
     )
     return TX.chrf_stats(pairs, max_n=6)
+
+
+@_register("x_rouge_l_pairs")  # rows-only: LCS is not SQL-expressible
+def x_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L sufficient statistics (operators/text.py::
+    rouge_l_stats) over the shared next-doc-in-source eval fixture:
+    longest-common-subsequence length + both lengths per pair, int64;
+    P/R/F caller-side.  ROWS-ONLY by design — LCS has no relational
+    formulation DuckDB can run (the KLL/isotonic/PCA precedent); the
+    correctness gate is the from-scratch quadratic-DP differential in
+    tests (randomized + adversarial cases + truncation contract).
+    Plan: one scan + the window lead + the pinned rebalance (AQE
+    sizes partitions by bytes, but a pair's cost here is its
+    quadratic DP — unrebalanced, sf0.1 ran single-task), then a pure
+    narrow Arrow-batched map."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.lead("text").over(w).alias("reference"),
+    )
+    return TX.rouge_l_stats(pairs)

@@ -2466,3 +2466,67 @@ def test_chrf_stats_matches_brute_force(spark):
     assert got == _brute_chrf(docs, 6)
     with pytest.raises(ValueError, match="max_n"):
         TX.chrf_stats(df, max_n=0)
+
+
+def _brute_lcs(a, b):
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[n][m]
+
+
+def test_rouge_l_matches_quadratic_dp(spark):
+    """The vectorized prefix-max LCS row update against the textbook
+    quadratic DP: randomized token pairs, identical/empty/NULL sides,
+    NULL-id exclusion, and the explicit truncation contract (flagged,
+    never silent)."""
+    import random
+    import re as _re
+
+    rng = random.Random(0x70C5)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "a"]
+    docs = [
+        (1, "the cat sat on the mat", "the dog sat on a mat"),
+        (2, "", "x y"),
+        (3, None, "x"),
+        (4, "a b", None),
+        (5, "exact same text", "exact same text"),
+    ] + [
+        (
+            10 + k,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 15))),
+            " ".join(rng.choices(vocab, k=rng.randint(0, 15))),
+        )
+        for k in range(40)
+    ]
+    rows = docs + [(None, "x", "x")]
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    got = {
+        r["pair_id"]: (
+            r["cand_len"], r["ref_len"], r["lcs_len"], r["truncated"]
+        )
+        for r in TX.rouge_l_stats(df).collect()
+    }
+    assert None not in got
+    for i, c, r in docs:
+        ct = _re.findall(r"[a-z0-9]+", (c or "").lower())
+        rt = _re.findall(r"[a-z0-9]+", (r or "").lower())
+        assert got[i] == (len(ct), len(rt), _brute_lcs(ct, rt), False), i
+    # truncation: sides beyond max_tokens are cut AND flagged
+    long = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(600)), "w5 w6")],
+        "pair_id long, candidate string, reference string",
+    )
+    t = TX.rouge_l_stats(long, max_tokens=512).collect()[0]
+    assert t["truncated"] is True and t["cand_len"] == 600
+    assert t["lcs_len"] == 2  # w5 w6 are inside the kept prefix
+    with pytest.raises(ValueError, match="max_tokens"):
+        TX.rouge_l_stats(df, max_tokens=0)
