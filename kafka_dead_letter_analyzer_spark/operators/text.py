@@ -1190,7 +1190,11 @@ def bleu_stats(
     # Generate+aggregate runs near-serial (measured 7.5 -> 1.8 s at
     # sf0.1 — the pair table is the compact side, so this exchange is
     # ~free relative to the explosion it parallelizes; the explicit
-    # count pins it against AQE re-coalescing).
+    # count pins it against AQE re-coalescing).  io.spread_for_cpu is
+    # the wrong tool here: its pre-execution partition probe sees the
+    # window exchange's full width and no-ops, while AQE's RUNTIME
+    # coalesce still collapses it — and its .rdd probe cannot run on
+    # a streaming frame at all.
     n_parts = int(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
