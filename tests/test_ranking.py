@@ -1720,3 +1720,57 @@ def test_krippendorff_interval_matches_brute_force(spark):
         R.krippendorff_alpha(
             big, "item", "lab", metric="interval"
         ).collect()
+
+
+def test_agreement_family_invariances(spark):
+    """Structural invariances the distance algebra must satisfy
+    EXACTLY (integer arithmetic — no tolerance): nominal alpha is
+    invariant under any label bijection; interval alpha and weighted
+    kappa are invariant under a common label SHIFT (the (x-y)^2 /
+    |x-y| distances see only differences); and Cohen's kappa is
+    invariant under swapping the two raters in po (and pe, whose
+    marginal product is symmetric)."""
+    rng = random.Random(0x1234)
+    rows = [
+        (it, rng.randint(0, 4))
+        for it in range(50)
+        for _ in range(rng.choice([2, 3, 3, 4]))
+    ]
+    df = spark.createDataFrame(rows, "item int, lab int")
+    # interval alpha: shift every label by +7 -> identical output
+    base = R.krippendorff_alpha(
+        df, "item", "lab", metric="interval"
+    ).collect()[0]
+    shifted = R.krippendorff_alpha(
+        df.withColumn("lab", F.col("lab") + 7),
+        "item", "lab", metric="interval",
+    ).collect()[0]
+    assert tuple(base) == tuple(shifted)
+    # nominal alpha: relabel through a bijection -> identical output
+    renamed = df.withColumn(
+        "lab", F.expr("concat('cat_', CAST(lab * 13 + 5 AS STRING))")
+    )
+    a1 = R.krippendorff_alpha(df, "item", "lab").collect()[0]
+    a2 = R.krippendorff_alpha(renamed, "item", "lab").collect()[0]
+    assert tuple(a1) == tuple(a2)
+    # weighted kappa: common shift of both raters -> identical output
+    pairs = [
+        (rng.randint(0, 4), rng.randint(0, 4)) for _ in range(300)
+    ]
+    pdf = spark.createDataFrame(pairs, "ra int, rb int")
+    for weights in ("quadratic", "linear"):
+        k1 = R.cohens_kappa_weighted(pdf, "ra", "rb", weights=weights)
+        k2 = R.cohens_kappa_weighted(
+            pdf.select(
+                (F.col("ra") + 3).alias("ra"), (F.col("rb") + 3).alias("rb")
+            ),
+            "ra", "rb", weights=weights,
+        )
+        assert k1.collect() == k2.collect(), weights
+    # plain kappa: rater swap leaves (n, agree, po, pe) unchanged
+    spdf = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "ra string, rb string"
+    )
+    c1 = R.cohens_kappa(spdf, "ra", "rb").collect()[0]
+    c2 = R.cohens_kappa(spdf, "rb", "ra").collect()[0]
+    assert tuple(c1) == tuple(c2)
