@@ -2530,3 +2530,57 @@ def test_rouge_l_matches_quadratic_dp(spark):
     assert t["lcs_len"] == 2  # w5 w6 are inside the kept prefix
     with pytest.raises(ValueError, match="max_tokens"):
         TX.rouge_l_stats(df, max_tokens=0)
+
+
+def test_eval_family_swap_symmetry(spark):
+    """Exact structural symmetry: swapping candidate and reference
+    leaves the clipped match counts (bleu/chrf) and the LCS length
+    (rouge_l) INVARIANT while the two sides' lengths/totals swap —
+    min(c_cand, c_ref) and LCS are symmetric by definition, so any
+    asymmetry is an implementation bug.  Also pins partition
+    independence: ngram_typicality is identical at 1 and 13 input
+    partitions."""
+    import random
+
+    rng = random.Random(0x5111)
+    vocab = ["the", "cat", "sat", "dog", "ran", "a", "mat"]
+    docs = [
+        (
+            k,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+        )
+        for k in range(30)
+    ]
+    schema = "pair_id long, candidate string, reference string"
+    fwd = spark.createDataFrame(docs, schema)
+    rev = spark.createDataFrame(
+        [(k, r, c) for k, c, r in docs], schema
+    )
+    for op, max_n in ((TX.bleu_stats, 4), (TX.chrf_stats, 6)):
+        a = {r["pair_id"]: r for r in op(fwd, max_n=max_n).collect()}
+        b = {r["pair_id"]: r for r in op(rev, max_n=max_n).collect()}
+        for k in a:
+            assert a[k]["cand_len"] == b[k]["ref_len"], (op, k)
+            assert a[k]["ref_len"] == b[k]["cand_len"], (op, k)
+            for n in range(1, max_n + 1):
+                assert (
+                    a[k][f"clipped_{n}"] == b[k][f"clipped_{n}"]
+                ), (op, k, n)
+    la = {r["pair_id"]: r for r in TX.rouge_l_stats(fwd).collect()}
+    lb = {r["pair_id"]: r for r in TX.rouge_l_stats(rev).collect()}
+    for k in la:
+        assert la[k]["lcs_len"] == lb[k]["lcs_len"], k
+        assert la[k]["cand_len"] == lb[k]["ref_len"], k
+    # typicality: partition independence (window keys and contraction
+    # keys are data, not layout)
+    one = spark.createDataFrame(
+        [(k, c) for k, c, _ in docs], "doc_id long, text string"
+    )
+    r1 = sorted(
+        map(tuple, TX.ngram_typicality(one.coalesce(1)).collect())
+    )
+    r13 = sorted(
+        map(tuple, TX.ngram_typicality(one.repartition(13)).collect())
+    )
+    assert r1 == r13
