@@ -10844,3 +10844,21 @@ def x_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("text").over(w).alias("reference"),
     )
     return TX.rouge_l_stats(pairs)
+
+
+@_register("x_semdedup_clustered")  # rows-only: float Lloyd quantizer
+def x_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE configuration of semdedup (n_clusters=8): pair work
+    drops from n^2 to sum(|cell|^2) through the deterministic
+    bounded-sample k-means quantizer.  ROWS-ONLY — the float Lloyd
+    centroids are not SQL-expressible (the kmeans precedent); the
+    correctness gates are the exhaustive-config oracle (x_semdedup)
+    plus the structural tests: clustered drops are a SUBSET of
+    exhaustive drops, planted identical vectors are always caught
+    (they argmax to the same cell), and the flags differential vs
+    the pure-Python replica."""
+    return S.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_clusters=8,
+    )
