@@ -30,9 +30,28 @@ __all__ = [
     "write_clustered",
     "write_jsonl",
     "write_sized",
+    "shuffle_partitions",
     "zorder_value",
     "zorder_sql",
 ]
+
+
+def shuffle_partitions(spark, default: int = 200) -> int:
+    """The session's shuffle-partition count as an ``int``, robust to
+    platforms that set the conf to a NON-NUMERIC sentinel (Databricks
+    AQE auto-optimized shuffle sets it to ``"auto"``) — a bare
+    ``int(conf.get(...))`` raises ValueError at operator CONSTRUCTION
+    time there. Fallback order: the numeric conf value, then
+    ``sparkContext.defaultParallelism`` (the cluster's real width —
+    unavailable under Spark Connect), then ``default``."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        pass
+    try:
+        return int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        return default
 
 
 def estimated_plan_bytes(df: DataFrame) -> int | None:
@@ -78,7 +97,7 @@ def write_sized(
     """
     est = estimated_plan_bytes(df)
     if est is None:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        n = shuffle_partitions(df.sparkSession)
     else:
         n = max(1, math.ceil(est / target_file_bytes))
     n = min(n, max_files)
@@ -151,9 +170,7 @@ def write_clustered(
     Returns the file-count target used (``num_files`` or the session's
     shuffle-partition count).
     """
-    n = num_files or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n = num_files or shuffle_partitions(df.sparkSession)
     clustered = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
         *cluster_by
     )

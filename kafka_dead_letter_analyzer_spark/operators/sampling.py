@@ -224,7 +224,9 @@ def global_order_index(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from kafka_dead_letter_analyzer_spark.operators.io import shuffle_partitions
+
+    n = partitions or shuffle_partitions(spark)
     h = F.md5(_salted_key(F.col(key), salt))
     bkt = (
         (F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint") * n)

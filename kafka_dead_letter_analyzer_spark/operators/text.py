@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from kafka_dead_letter_analyzer_spark import cache_registry
+from kafka_dead_letter_analyzer_spark.operators.io import shuffle_partitions
 
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + a BPE-ish subword proxy
@@ -947,7 +948,7 @@ def ngram_typicality(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    method: str = "window",
+    method: str = "join",
 ) -> DataFrame:
     """Corpus n-gram typicality score — the integer-exact stand-in for
     an LM-perplexity quality gate (CCNet trains a KenLM and keeps the
@@ -976,29 +977,32 @@ def ngram_typicality(
     codegen ``transform(sequence(...))`` + explode_outer — no Python,
     no driver collection, no vocabulary broadcast):
 
-    - ``method='window'`` (default): EXACTLY ONE scan — corpus counts
-      come from a window count over the gram key, occurrences shuffle
-      ONCE, then one (id) contraction.  Empty docs survive without a
-      spine join-back: explode_outer keeps them as a NULL-gram row
-      whose window key is a per-doc sentinel (a corpus-wide NULL-gram
-      partition would funnel every short doc into one task).  SKEW
-      BOUND: a window partition is one task, so the single most
+    - ``method='join'`` (DEFAULT — the skew-robust scale path).
+      Occurrences first contract to (id, gram, in-doc count) —
+      map-side combined, so a hot gram is spread across its documents
+      before anything shuffles by gram alone — then corpus counts
+      contract from THAT, and a gram-keyed join (AQE skew-split-able,
+      unlike a window) delivers them back; ``sum_freq = sum(dc * c)``
+      over the doc's DISTINCT grams is identical to the occurrence
+      sum.  Costs a second scan (the (id, gram) contraction feeds two
+      consumers) and a second full contraction shuffle — the price of
+      removing the per-gram single-task bound entirely (the widest
+      key is now (gram) x distinct-docs-containing-it at join time,
+      split by AQE).  The default because a natural-language corpus
+      ALWAYS has a Zipf head: at true 100 TB the hottest bigram ('of
+      the', ~1% of occurrences) alone breaks the window path below.
+    - ``method='window'`` (explicit small-corpus opt-in): EXACTLY ONE
+      scan — corpus counts come from a window count over the gram
+      key, occurrences shuffle ONCE, then one (id) contraction.
+      Empty docs survive without a spine join-back: explode_outer
+      keeps them as a NULL-gram row whose window key is a per-doc
+      sentinel (a corpus-wide NULL-gram partition would funnel every
+      short doc into one task).  SKEW BOUND — the reason this is NOT
+      the default: a window partition is one task, so the single most
       frequent n-gram's TOTAL occurrence count must fit one task —
-      fine into the ~1e8 range, but a Zipf-head bigram at true 100 TB
-      ('of the' at ~1% of all occurrences) breaks it, and AQE cannot
-      split window partitions.
-    - ``method='join'``: the skew-robust scale path.  Occurrences
-      first contract to (id, gram, in-doc count) — map-side combined,
-      so a hot gram is spread across its documents before anything
-      shuffles by gram alone — then corpus counts contract from THAT,
-      and a gram-keyed join (AQE skew-split-able, unlike a window)
-      delivers them back; ``sum_freq = sum(dc * c)`` over the doc's
-      DISTINCT grams is identical to the occurrence sum.  Costs a
-      second scan (the (id, gram) contraction feeds two consumers)
-      and a second full contraction shuffle — the price of removing
-      the per-gram single-task bound entirely (the widest key is now
-      (gram) x distinct-docs-containing-it at join time, split by
-      AQE).
+      fine into the ~1e8 range, fatal past it, and AQE cannot split
+      window partitions.  Opt in when the corpus is known-small and
+      the saved scan matters.
 
     Exactness bound (both): ``sum_freq * 1000`` and ``(sum_freq DIV
     n_ngrams) * 1e6`` must fit int64 — satisfied whenever the corpus
@@ -1108,12 +1112,36 @@ def ngram_typicality(
 # ---------------------------------------------------------------------------
 
 
+def _check_group_cols(pairs, group_cols, id_col: str, max_n: int) -> None:
+    """Shared validation for the eval family's ``group_cols``
+    passthrough: the columns must exist in the pair table and must
+    not collide with the id, the internal names, or the stat
+    surface."""
+    reserved = {id_col, "_pid", "_ct", "_rt", "_cs", "_rs", "_s",
+                "_n", "_side", "_g", "_cc", "_cr",
+                "cand_len", "ref_len"}
+    for n in range(1, max_n + 1):
+        reserved |= {f"clipped_{n}", f"total_{n}",
+                     f"cand_total_{n}", f"ref_total_{n}"}
+    for c in group_cols:
+        if c not in pairs.columns:
+            raise ValueError(
+                f"group_cols: {c!r} is not a column of the pair table"
+                f" (has {pairs.columns})"
+            )
+        if c in reserved:
+            raise ValueError(
+                f"group_cols: {c!r} collides with the stats surface"
+            )
+
+
 def bleu_stats(
     pairs: DataFrame,
     max_n: int = 4,
     id_col: str = "pair_id",
     cand_col: str = "candidate",
     ref_col: str = "reference",
+    group_cols: tuple = (),
 ) -> DataFrame:
     """BLEU sufficient statistics (Papineni et al. 2002) per
     (candidate, reference) pair — the eval-pipeline primitive for
@@ -1133,8 +1161,18 @@ def bleu_stats(
     precisions x the brevity penalty ``exp(1 - ref/cand)``) is float
     and stays caller-side, as does corpus-BLEU (sum the stats over
     pairs FIRST, then one float step — the standard corpus/sentence
-    distinction for free).  Tokens are lowercase alnum runs
+    distinction for free; :func:`corpus_eval_rollup` is that sum as
+    an operator).  Tokens are lowercase alnum runs
     (TYPICALITY_TOKEN_RE), shared with :func:`ngram_typicality`.
+
+    ``group_cols``: extra per-pair columns (functionally dependent on
+    the pair id — e.g. the corpus/source a pair belongs to) carried
+    through to the output for downstream corpus rollups WITHOUT a
+    join back to the pair table.  They ride the gram stream (one
+    extra column through the explosion — modest next to the gram
+    strings) and contract via ``max`` (per-id-constant by contract);
+    both contraction keys stay id-only, so the pinned two-exchange
+    plan shape is unchanged.
 
     Plan shape, graded for 100 TB: EXACTLY ONE scan of the pair
     table, then an EXPLICIT pre-explosion rebalance (the pair table
@@ -1178,8 +1216,10 @@ def bleu_stats(
             " ELSE array() END"
         )
 
+    _check_group_cols(pairs, group_cols, id_col, max_n)
     base = pairs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_pid"),
+        *[F.col(c) for c in group_cols],
         F.expr(toks(cand_col)).alias("_ct"),
         F.expr(toks(ref_col)).alias("_rt"),
     )
@@ -1195,9 +1235,7 @@ def bleu_stats(
     # window exchange's full width and no-ops, while AQE's RUNTIME
     # coalesce still collapses it — and its .rdd probe cannot run on
     # a streaming frame at all.
-    n_parts = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_parts = shuffle_partitions(pairs.sparkSession)
     base = base.repartition(n_parts, "_pid")
     all_structs = ", ".join(
         [gram_structs("_ct", n, "c") for n in range(1, max_n + 1)]
@@ -1205,6 +1243,7 @@ def bleu_stats(
     )
     exploded = base.select(
         "_pid",
+        *group_cols,
         F.col("_ct").alias("_ctk"),
         F.col("_rt").alias("_rtk"),
         # explode_outer keeps zero-gram pairs (both sides empty)
@@ -1213,6 +1252,7 @@ def bleu_stats(
         ).alias("_s"),
     ).select(
         "_pid",
+        *group_cols,
         F.size("_ctk").cast("bigint").alias("cand_len"),
         F.size("_rtk").cast("bigint").alias("ref_len"),
         F.col("_s.n").alias("_n"),
@@ -1220,6 +1260,7 @@ def bleu_stats(
         F.col("_s.g").alias("_g"),
     )
     cells = exploded.groupBy("_pid", "_n", "_g").agg(
+        *[F.max(c).alias(c) for c in group_cols],
         F.max("cand_len").alias("cand_len"),
         F.max("ref_len").alias("ref_len"),
         F.sum(F.when(F.col("_side") == "c", 1).otherwise(0))
@@ -1230,6 +1271,7 @@ def bleu_stats(
         .alias("_cr"),
     )
     out = cells.groupBy("_pid").agg(
+        *[F.max(c).alias(c) for c in group_cols],
         F.max("cand_len").alias("cand_len"),
         F.max("ref_len").alias("ref_len"),
         *[
@@ -1248,6 +1290,7 @@ def bleu_stats(
     )
     return out.select(
         F.col("_pid").alias(id_col),
+        *group_cols,
         "cand_len",
         "ref_len",
         *[F.col(f"clipped_{n}") for n in range(1, max_n + 1)],
@@ -1276,6 +1319,7 @@ def chrf_stats(
     id_col: str = "pair_id",
     cand_col: str = "candidate",
     ref_col: str = "reference",
+    group_cols: tuple = (),
 ) -> DataFrame:
     """chrF sufficient statistics (Popović 2015) per (candidate,
     reference) pair — the character-level eval companion of
@@ -1288,7 +1332,10 @@ def chrf_stats(
     cand_total_n``, ``recall_n = clipped_n / ref_total_n``, and the
     ``F_beta`` harmonic mean (beta = 2 standard) stays caller-side —
     all emitted quantities are int64 counts, cross-engine hash-exact;
-    corpus chrF = sum the stats first, one float step after.
+    corpus chrF = sum the stats first, one float step after
+    (:func:`corpus_eval_rollup`).  ``group_cols``: per-pair-constant
+    passthrough columns for the rollup, same contract as
+    :func:`bleu_stats`.
 
     Plan shape: identical to bleu_stats — ONE scan, the pinned
     pre-explosion REPARTITION_BY_NUM rebalance on the pair id (the
@@ -1319,14 +1366,14 @@ def chrf_stats(
             " ELSE array() END"
         )
 
+    _check_group_cols(pairs, group_cols, id_col, max_n)
     base = pairs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_pid"),
+        *[F.col(c) for c in group_cols],
         F.expr(chars(cand_col)).alias("_cs"),
         F.expr(chars(ref_col)).alias("_rs"),
     )
-    n_parts = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_parts = shuffle_partitions(pairs.sparkSession)
     base = base.repartition(n_parts, "_pid")
     all_structs = ", ".join(
         [gram_structs("_cs", n, "c") for n in range(1, max_n + 1)]
@@ -1334,6 +1381,7 @@ def chrf_stats(
     )
     exploded = base.select(
         "_pid",
+        *group_cols,
         F.length("_cs").cast("bigint").alias("cand_len"),
         F.length("_rs").cast("bigint").alias("ref_len"),
         F.explode_outer(
@@ -1341,6 +1389,7 @@ def chrf_stats(
         ).alias("_s"),
     ).select(
         "_pid",
+        *group_cols,
         "cand_len",
         "ref_len",
         F.col("_s.n").alias("_n"),
@@ -1348,6 +1397,7 @@ def chrf_stats(
         F.col("_s.g").alias("_g"),
     )
     cells = exploded.groupBy("_pid", "_n", "_g").agg(
+        *[F.max(c).alias(c) for c in group_cols],
         F.max("cand_len").alias("cand_len"),
         F.max("ref_len").alias("ref_len"),
         F.sum(F.when(F.col("_side") == "c", 1).otherwise(0))
@@ -1358,6 +1408,7 @@ def chrf_stats(
         .alias("_cr"),
     )
     out = cells.groupBy("_pid").agg(
+        *[F.max(c).alias(c) for c in group_cols],
         F.max("cand_len").alias("cand_len"),
         F.max("ref_len").alias("ref_len"),
         *[
@@ -1374,6 +1425,7 @@ def chrf_stats(
     )
     return out.select(
         F.col("_pid").alias(id_col),
+        *group_cols,
         "cand_len",
         "ref_len",
         *[F.col(f"clipped_{n}") for n in range(1, max_n + 1)],
@@ -1395,6 +1447,49 @@ def chrf_stats(
             .alias(f"ref_total_{n}")
             for n in range(1, max_n + 1)
         ],
+    )
+
+
+def corpus_eval_rollup(
+    stats: DataFrame,
+    group_cols: tuple = (),
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Corpus-level rollup of a per-pair eval-stats surface
+    (:func:`bleu_stats`, :func:`chrf_stats`, :func:`rouge_l_stats`):
+    sum EVERY int64 stat column per group and count the pairs —
+    corpus-BLEU/chrF/ROUGE is by definition "aggregate the clipped /
+    total counts over the corpus FIRST, then one float step"
+    (Papineni et al. 2002 §5; Popović 2015), NOT a mean of per-pair
+    scores, so the rollup stays entirely in int64 and remains
+    cross-engine hash-exact; the single float step (geometric mean x
+    brevity penalty, or the F-beta harmonic mean) stays caller-side
+    on the handful of returned rows.
+
+    ``group_cols`` are the grouping keys (pass the same columns
+    through ``bleu_stats(..., group_cols=...)`` to have them on the
+    stats surface without a join back); ``()`` gives the global
+    one-row corpus rollup.  Output: ``(group_cols..., n_pairs BIGINT,
+    <every bigint stat column summed, same names>)``.
+
+    Scale shape: the input is already the per-pair contraction (a few
+    dozen int64s per pair), so this adds ONE tiny exchange on the
+    group key over pair-count rows — map-side combined to
+    |groups| x partitions rows before it moves; nothing from the gram
+    stream is revisited (no new scan)."""
+    gset = set(group_cols) | {id_col}
+    sums = [
+        F.sum(F.col(c)).cast("bigint").alias(c)
+        for c, t in stats.dtypes
+        if t == "bigint" and c not in gset
+    ]
+    if not sums:
+        raise ValueError(
+            "corpus_eval_rollup: no bigint stat columns to sum in"
+            f" {stats.columns}"
+        )
+    return stats.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"), *sums
     )
 
 
@@ -1449,9 +1544,7 @@ def rouge_l_stats(
             f" '{TYPICALITY_TOKEN_RE}', 0)"
         ).alias("_rt"),
     )
-    n_parts = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_parts = shuffle_partitions(pairs.sparkSession)
     base = base.repartition(n_parts, "_pid")
     out_schema = (
         f"{id_col} bigint, cand_len bigint, ref_len bigint,"

@@ -10354,6 +10354,9 @@ def x_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT b.vec_id AS vid
       FROM n a, n b
       WHERE a.vec_id < b.vec_id
+        -- zero vectors never match (operator sets their norm to inf);
+        -- without the guard DuckDB's 0/0 = NaN orders ABOVE all values
+        AND a.nrm > 0 AND b.nrm > 0
         AND round(list_sum([CAST(a.embedding[i] AS DOUBLE)
                             * CAST(b.embedding[i] AS DOUBLE)
                             for i in range(1, len(a.embedding) + 1)])
@@ -10422,11 +10425,14 @@ def x_ngram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams in ppm, plus the rarest bigram's corpus count (min_freq=1
     flags corpus-unique content).  A CCNet-style quality gate without
     a float log anywhere, so the whole score is oracle-hashable.
-    Plan: EXACTLY ONE scan explodes codegen bigrams, corpus counts
-    via a window over the gram key (the count-table join formulation
-    re-explodes the corpus for the probe side — 3 scans), one (doc)
-    contraction; empty docs survive via explode_outer + per-doc
-    sentinel key, no spine join-back (pinned)."""
+    Plan (the skew-safe default, method='join'): (doc, gram)
+    pre-contraction spreads every Zipf-head gram across its documents
+    before anything shuffles by gram alone, then an AQE-skew-
+    splittable gram-keyed join delivers corpus counts back — no
+    Window node anywhere, so no one-task-per-gram bound (pinned).
+    The single-scan window strategy remains as the explicit
+    small-corpus opt-in, hash-gate-equal via
+    x_ngram_typicality_window."""
     return TX.ngram_typicality(
         load_table(spark, sf_dir, "documents"), n=2
     )
@@ -10547,20 +10553,21 @@ def x_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bleu_stats(pairs, max_n=4)
 
 
-def x_ngram_typicality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-robust strategy of x_ngram_typicality
-    (method='join': (doc, gram) pre-contraction + AQE-splittable gram
-    join instead of the window count — a Zipf-head gram at true
-    100 TB exceeds the window path's one-task-per-gram bound).
-    Registered against the SAME oracle, so the driver hash gate
-    proves the two physical strategies compute identical results."""
+def x_ngram_typicality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan window strategy of x_ngram_typicality
+    (method='window', the explicit small-corpus opt-in since round 11
+    — the headline/default is the skew-robust join plan, because the
+    window's one-task-per-gram bound breaks on any Zipf-head gram at
+    true 100 TB and AQE cannot split window partitions).  Registered
+    against the SAME oracle, so the driver hash gate proves the two
+    physical strategies compute identical results."""
     return TX.ngram_typicality(
-        load_table(spark, sf_dir, "documents"), n=2, method="join"
+        load_table(spark, sf_dir, "documents"), n=2, method="window"
     )
 
 
-_QUERIES["x_ngram_typicality_join"] = x_ngram_typicality_join
-_ORACLES["x_ngram_typicality_join"] = _ORACLES["x_ngram_typicality"]
+_QUERIES["x_ngram_typicality_window"] = x_ngram_typicality_window
+_ORACLES["x_ngram_typicality_window"] = _ORACLES["x_ngram_typicality"]
 
 
 @_register(
@@ -10817,6 +10824,149 @@ def x_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("text").over(w).alias("reference"),
     )
     return TX.chrf_stats(pairs, max_n=6)
+
+
+def _corpus_eval_sql(token: bool, max_n: int) -> str:
+    """Build the DuckDB oracle for a corpus-level eval rollup: the
+    SAME per-pair clipped-count CTEs as the x_bleu_pairs /
+    x_chrf_pairs oracles (token word-grams or chrF char-grams),
+    carrying ``source`` through and GROUPing the final select by it —
+    corpus-BLEU/chrF aggregates the int64 counts FIRST (Papineni 2002
+    §5), so the rollup oracle is just sums over the per-pair
+    surface."""
+    if token:
+        norm = (
+            "regexp_extract_all(lower(coalesce({c}, '')),"
+            " '[a-z0-9]+')"
+        )
+        cols, ln, tot = ("ct", "rt"), "len", "total"
+        gram = (
+            "unnest([array_to_string({a}[i:i + {m}], ' ')\n"
+            "                     for i in range(1, len({a}) - {n} + 2)]) AS g"
+        )
+    else:
+        norm = (
+            "regexp_replace(lower(coalesce({c}, '')),"
+            " '\\s+', '', 'g')"
+        )
+        cols, ln, tot = ("cs", "rs"), "length", "cand_total"
+        gram = (
+            "unnest([substring({a}, i, {n})\n"
+            "                     for i in range(1, length({a}) - {n} + 2)]) AS g"
+        )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT pair_id, {n} AS n, '{s}' AS side,\n             "
+        + gram.format(a=a, n=n, m=n - 1)
+        + "\n      FROM base"
+        for n in range(1, max_n + 1)
+        for s, a in (("c", cols[0]), ("r", cols[1]))
+    )
+    clip_cols = ",\n".join(
+        f"             CAST(sum(CASE WHEN n = {n} THEN least(cc, cr)"
+        f" ELSE 0 END) AS BIGINT) AS clipped_{n}"
+        for n in range(1, max_n + 1)
+    )
+    final = ",\n".join(
+        [
+            f"           CAST(sum(COALESCE(c.clipped_{n}, 0)) AS BIGINT)"
+            f" AS clipped_{n}"
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            f"           CAST(sum(greatest({ln}(b.{cols[0]}) - {n - 1},"
+            f" 0)) AS BIGINT) AS {tot}_{n}"
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            f"           CAST(sum(greatest({ln}(b.{cols[1]}) - {n - 1},"
+            f" 0)) AS BIGINT) AS ref_total_{n}"
+            for n in range(1, max_n + 1)
+        ]
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS pair_id, source, text AS candidate,
+             lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+               AS reference
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ), base AS (
+      SELECT pair_id, source,
+             {norm.format(c='candidate')} AS {cols[0]},
+             {norm.format(c='reference')} AS {cols[1]}
+      FROM p
+    ), grams AS (
+{unions}
+    ), cells AS (
+      SELECT pair_id, n, g,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+      FROM grams GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT pair_id,
+{clip_cols}
+      FROM cells GROUP BY 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum({ln}(b.{cols[0]})) AS BIGINT) AS cand_len,
+           CAST(sum({ln}(b.{cols[1]})) AS BIGINT) AS ref_len,
+{final}
+    FROM base b LEFT JOIN clip c ON c.pair_id = b.pair_id
+    GROUP BY 1
+    """
+
+
+def _eval_pairs_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        F.col("doc_id").alias("pair_id"),
+        "source",
+        F.col("text").alias("candidate"),
+        F.lead("text").over(w).alias("reference"),
+    )
+
+
+@_register("x_corpus_bleu", _corpus_eval_sql(token=True, max_n=4))
+def x_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BLEU sufficient statistics per source
+    (operators/text.py::corpus_eval_rollup over bleu_stats with the
+    group_cols passthrough): corpus-BLEU is by definition the
+    aggregate of the clipped/total counts over the corpus FIRST
+    (Papineni 2002 §5 — NOT a mean of sentence BLEUs), so the whole
+    rollup stays int64 and hash-gates end-to-end; the one float step
+    (geometric mean x brevity penalty) is caller-side on |sources|
+    rows.  Plan: the SAME single-scan pinned bleu_stats pass (source
+    rides the gram stream as a passthrough column; both contraction
+    keys stay pair-id-only, exchanges unchanged) + ONE tiny
+    group-key exchange over per-pair rows."""
+    stats = TX.bleu_stats(
+        _eval_pairs_with_source(spark, sf_dir),
+        max_n=4,
+        group_cols=("source",),
+    )
+    return TX.corpus_eval_rollup(stats, group_cols=("source",))
+
+
+@_register("x_corpus_chrf", _corpus_eval_sql(token=False, max_n=6))
+def x_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-chrF sufficient statistics per source — the char-level
+    companion of x_corpus_bleu (Popović 2015: corpus chrF sums the
+    clipped counts and BOTH denominators first, one F_beta float step
+    after, caller-side).  Same plan contract: the pinned single-scan
+    chrf_stats pass with the source passthrough + one tiny group-key
+    exchange."""
+    stats = TX.chrf_stats(
+        _eval_pairs_with_source(spark, sf_dir),
+        max_n=6,
+        group_cols=("source",),
+    )
+    return TX.corpus_eval_rollup(stats, group_cols=("source",))
 
 
 @_register("x_rouge_l_pairs")  # rows-only: LCS is not SQL-expressible

@@ -2630,7 +2630,14 @@ def streaming_dedup_bloom(
 
 
 def _make_rater_agreement_fn(max_cells: int):
-    _KAPPA_N_MAX = 67_900_000  # operators/ranking.py::_KAPPA_N_MAX
+    # captured in the closure so executors don't re-import ranking;
+    # importing (not re-declaring) keeps the streaming twin's
+    # bit-equality contract pinned to the batch bound if it changes
+    from kafka_dead_letter_analyzer_spark.operators.ranking import (
+        _KAPPA_N_MAX as _kappa_max,
+    )
+
+    _KAPPA_N_MAX = _kappa_max
 
     def _agree_fn(key, pdfs, state) -> Iterator:
         """Per-group live agreement audit: state = the exact

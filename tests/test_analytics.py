@@ -1144,3 +1144,37 @@ def test_script_profile_matches_codepoint_brute_force(spark):
         for name in _SCRIPT_RANGES:
             assert r[f"n_{name}"] == counts[name], (i, name, t)
         assert r["script"] == dom, (i, t)
+
+
+def test_shuffle_partitions_robust_to_non_numeric_conf(spark):
+    """ADVICE r10: platforms that set spark.sql.shuffle.partitions to a
+    non-numeric sentinel (Databricks AQE auto-optimized shuffle uses
+    "auto") must not crash operator construction — the helper falls
+    back to defaultParallelism, then the caller default."""
+    from kafka_dead_letter_analyzer_spark.operators.io import shuffle_partitions
+
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _FakeConf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class _FakeSC:
+        defaultParallelism = 7
+
+    class _FakeSpark:
+        conf = _FakeConf()
+        sparkContext = _FakeSC()
+
+    assert shuffle_partitions(_FakeSpark()) == 7
+
+    class _NoSC:  # Spark Connect: sparkContext raises client-side
+        conf = _FakeConf()
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("not supported in Spark Connect")
+
+    assert shuffle_partitions(_NoSC()) == 200

@@ -2249,6 +2249,37 @@ def test_semdedup_clustered_subset_and_planted_recall(spark):
     assert len(cells) > 1
 
 
+def test_semdedup_hot_cell_guard_raises_with_hint(spark):
+    """r10 VERDICT: a cell lands whole in one applyInPandas task and
+    np.stack materializes |cell| x d float64 — the guard must fail
+    BEFORE the silent task OOM.  A deliberately tiny max_cell_bytes
+    makes the 40-row single cell 'hot'; the raise names the bound and
+    suggests a concrete n_clusters; max_cell_bytes=None opts out; the
+    default budget passes untouched fixtures."""
+    import random
+
+    rng = random.Random(0xB07CE11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # per_row = 16*8 + 8*1024 = 8320 bytes; budget for ~2 rows
+    with pytest.raises(ValueError, match="n_clusters"):
+        S.semdedup(df, threshold=0.9, n_clusters=1, max_cell_bytes=20_000)
+    # guard message carries the sizing hint, not just a refusal
+    try:
+        S.semdedup(df, threshold=0.9, n_clusters=1, max_cell_bytes=20_000)
+    except ValueError as e:
+        msg = str(e)
+        assert "hottest cell has 40" in msg
+        assert "max_cell_bytes=None" in msg
+    # explicit opt-out still computes
+    n = S.semdedup(
+        df, threshold=0.9, n_clusters=1, max_cell_bytes=None
+    ).count()
+    assert n == 40
+    # the default 2 GiB budget clears a small corpus without raising
+    assert S.semdedup(df, threshold=0.9, n_clusters=1).count() == 40
+
+
 # ---------------------------------------------------------------------------
 # N-gram typicality (corpus-frequency LM proxy)
 # ---------------------------------------------------------------------------
@@ -2320,25 +2351,43 @@ def test_ngram_typicality_matches_brute_force(spark):
         TX.ngram_typicality(df, method="sort")
 
 
-def test_ngram_typicality_single_scan_window_not_join(spark, docs):
-    """The 100 TB plan contract: EXACTLY ONE parquet scan (the naive
-    count-table formulation re-explodes the corpus for the join probe
-    side — measured 3 scans), corpus counts via a window over the
-    gram key (one full-data exchange + the doc contraction, nothing
-    else), no Python, no join."""
+def test_ngram_typicality_window_optin_single_scan(spark, docs):
+    """The window OPT-IN's plan contract: EXACTLY ONE parquet scan
+    (the naive count-table formulation re-explodes the corpus for the
+    join probe side — measured 3 scans), corpus counts via a window
+    over the gram key (one full-data exchange + the doc contraction,
+    nothing else), no Python, no join.  Since round 11 this plan must
+    be asked for explicitly — its one-task-per-gram bound makes it a
+    small-corpus tool, not the default."""
     import contextlib
     import io
     import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        TX.ngram_typicality(docs, n=2).explain("formatted")
+        TX.ngram_typicality(docs, n=2, method="window").explain("formatted")
     s = buf.getvalue()
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
     assert "Join" not in s
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in s
+
+
+def test_ngram_typicality_default_is_skew_robust_join(spark, docs):
+    """The DEFAULT plan (no method argument) is the skew-robust join
+    strategy: no Window node, a gram-keyed join present — the plan
+    you'd run at 100x, where any Zipf-head gram breaks the window
+    path's single-task bound."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        TX.ngram_typicality(docs, n=2).explain("formatted")
+    s = buf.getvalue()
+    assert "Window" not in s
+    assert "Join" in s
 
 
 # ---------------------------------------------------------------------------
@@ -2466,6 +2515,56 @@ def test_chrf_stats_matches_brute_force(spark):
     assert got == _brute_chrf(docs, 6)
     with pytest.raises(ValueError, match="max_n"):
         TX.chrf_stats(df, max_n=0)
+
+
+def test_corpus_eval_rollup_sums_per_pair_stats(spark):
+    """The corpus rollup is exactly the column-wise int64 sum of the
+    per-pair stats per group plus n_pairs (the corpus/sentence
+    distinction: aggregate counts FIRST, float once after — Papineni
+    2002 §5), for bleu AND chrf surfaces, grouped and global; the
+    group_cols passthrough carries a per-pair-constant column through
+    the gram pipeline and validates its input."""
+    rows = [
+        (1, "g1", "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "g1", "the the the the", "the cat"),
+        (3, "g2", "hello world", ""),
+        (4, "g2", None, "some reference text"),
+        (5, "g2", "exact match here", "exact match here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, grp string, candidate string, reference string"
+    )
+    for fn, kw in ((TX.bleu_stats, {"max_n": 4}), (TX.chrf_stats, {"max_n": 6})):
+        stats = fn(df, group_cols=("grp",), **kw)
+        per_pair = stats.collect()
+        stat_cols = [
+            c for c, t in stats.dtypes if t == "bigint" and c != "pair_id"
+        ]
+        want = {}
+        for r in per_pair:
+            acc = want.setdefault(r["grp"], [0] * (len(stat_cols) + 1))
+            acc[0] += 1
+            for i, c in enumerate(stat_cols):
+                acc[i + 1] += r[c]
+        rolled = TX.corpus_eval_rollup(stats, group_cols=("grp",))
+        got = {
+            r["grp"]: [r["n_pairs"]] + [r[c] for c in stat_cols]
+            for r in rolled.collect()
+        }
+        assert got == want, fn.__name__
+        # global (ungrouped) rollup: one row, sums over everything
+        glob = TX.corpus_eval_rollup(stats.drop("grp")).collect()
+        assert len(glob) == 1 and glob[0]["n_pairs"] == len(per_pair)
+    # validation: unknown column and stat-surface collision both raise
+    with pytest.raises(ValueError, match="not a column"):
+        TX.bleu_stats(df, group_cols=("nope",))
+    with pytest.raises(ValueError, match="collides"):
+        TX.bleu_stats(
+            df.withColumnRenamed("grp", "cand_len"),
+            group_cols=("cand_len",),
+        )
+    with pytest.raises(ValueError, match="no bigint"):
+        TX.corpus_eval_rollup(df.select("pair_id", "grp"), ("grp",))
 
 
 def _brute_lcs(a, b):

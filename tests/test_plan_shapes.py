@@ -1445,18 +1445,51 @@ def test_bleu_pairs_single_scan_single_generate_no_join(spark, Q):
     assert "REPARTITION_BY_NUM" in s
 
 
-def test_ngram_typicality_join_strategy_no_window(spark, Q):
-    """The skew-robust strategy's contract: corpus counts reach the
-    documents through a gram-keyed JOIN (AQE can split a skewed join
-    partition; it can never split a window partition), fed by the
-    (doc, gram) pre-contraction — so the plan has NO Window node and
-    the join is present; the second scan is the documented price."""
+def test_ngram_typicality_headline_is_skew_robust_join(spark, Q):
+    """The HEADLINE query (and the operator default) run the
+    skew-robust strategy: corpus counts reach the documents through a
+    gram-keyed JOIN (AQE can split a skewed join partition; it can
+    never split a window partition), fed by the (doc, gram)
+    pre-contraction — so the plan has NO Window node and the join is
+    present; the second scan is the documented price.  Flipped from
+    'window' in round 11: a default whose single hottest n-gram bounds
+    task size is not the plan you'd run at 100x."""
     import re
 
-    s = plan_of(Q.x_ngram_typicality_join(spark, SF))
+    s = plan_of(Q.x_ngram_typicality(spark, SF))
     assert "Window" not in s
     assert "Join" in s
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) <= 2
+
+
+def test_ngram_typicality_window_optin_single_scan(spark, Q):
+    """The explicit window opt-in keeps its single-scan contract:
+    EXACTLY ONE parquet scan, corpus counts via the gram-key window,
+    no Join node."""
+    import re
+
+    s = plan_of(Q.x_ngram_typicality_window(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+    assert "Window" in s
+    assert "Join" not in s
+
+
+def test_corpus_bleu_rollup_adds_one_exchange_only(spark, Q):
+    """The corpus rollup reuses the pinned bleu_stats pass — the
+    source passthrough rides the gram stream, both contraction keys
+    stay pair-id-only — so the plan is bleu's (ONE scan, ONE
+    Generate, no join, REPARTITION_BY_NUM pinned) plus EXACTLY ONE
+    extra exchange: the tiny group-key contraction over per-pair
+    rows.  A rollup that re-scanned or joined back to the pair table
+    would show a second scan / a Join here."""
+    import re
+
+    s = plan_of(Q.x_corpus_bleu(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "Join" not in s
+    assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 3
+    assert "REPARTITION_BY_NUM" in s
 
 
 def test_chrf_pairs_same_plan_contract_as_bleu(spark, Q):
