@@ -1,0 +1,248 @@
+"""Interleaved A/B bench: r9 tree vs HEAD, paired per-query ratios.
+
+The r10 round closed with one unresolved number: renorm_vs_ref 1.3033 on
+the 198 common queries vs r9's REF run, on a diff that only APPENDED
+operators — with strong circumstantial evidence (6x streaming collapse on
+unchanged code, loadavg 14-20, a 2x pytest wall slowdown measured by the
+judge outside this harness) that the host, not the code, degraded across
+the r10 session.  Endpoint calibration could not settle it (the
+single-thread md5 probe is blind to multi-core contention).
+
+This harness runs the DECISIVE experiment the r10 verdict asked for
+(item #1): in ONE session, alternate the r9 working tree (git worktree at
+the r9 closing commit) and HEAD, running the exec tier over the common
+query set back-to-back in A-B / B-A / A-B order.  Pairing cancels host
+drift by construction: whatever the host is doing during pair k hits both
+trees within minutes of each other, and the order swap cancels
+first-vs-second systematic bias.  The per-query statistic is the MEDIAN
+over pairs of (HEAD exec sec / r9 exec sec); a query that is genuinely
+slower in HEAD shows a median ratio > 1 in every pair regardless of host
+state.
+
+Usage:
+    python ab_bench.py [--pairs 3] [--sf-dir /root/testdata/sf0.1]
+                       [--out bench_runs/ab_r11_r9_vs_head.json]
+
+Writes one JSON artifact with per-run metadata, per-pair totals, the
+paired per-query ratio table, and the flagged (>1.2x median, >0.2 s
+absolute) regressions.  Exit code 0 always — this is an instrument, not
+a gate; read the artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+R9_TREE = os.path.join(HERE, ".ab_r9")
+
+
+def _declared_queries(tree: str) -> set[str]:
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "from kafka_dead_letter_analyzer_spark import queries as Q;"
+            "print('\\n'.join(sorted(Q.queries())))",
+        ],
+        cwd=tree,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return {l.strip() for l in out.stdout.splitlines() if l.strip()}
+
+
+def _run_exec_tier(
+    tree: str, names: list[str], sf_dir: str, detail_path: str
+) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_BENCH_TIERS": "exec",
+            "SPARK_GRAFT_BENCH_QUERIES": ",".join(names),
+            "SPARK_GRAFT_BENCH_DETAIL": detail_path,
+        }
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    wall = round(time.time() - t0, 1)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench in {tree} rc={proc.returncode}:\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )
+    with open(detail_path) as f:
+        detail = json.load(f)
+    return {
+        "tree": tree,
+        "wall_sec": wall,
+        "exec": detail["queries_exec"],
+        "machine_start": detail.get("machine_start", {}),
+        "machine_end": detail.get("machine_end", {}),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument(
+        "--out", default=os.path.join("bench_runs", "ab_r11_r9_vs_head.json")
+    )
+    args = ap.parse_args()
+
+    if not os.path.isdir(R9_TREE):
+        raise SystemExit(
+            f"missing r9 worktree at {R9_TREE}: "
+            "git worktree add .ab_r9 <r9-closing-commit>"
+        )
+    r9_sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        cwd=R9_TREE, capture_output=True, text=True,
+    ).stdout.strip()
+    head_sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        cwd=HERE, capture_output=True, text=True,
+    ).stdout.strip()
+
+    common = sorted(_declared_queries(R9_TREE) & _declared_queries(HERE))
+    print(f"common queries: {len(common)}", flush=True)
+
+    tmp = "/tmp/ab_bench_detail.json"
+    runs: list[dict] = []
+    # order swap per pair: A-B, B-A, A-B, ... cancels first/second bias
+    for k in range(args.pairs):
+        order = (
+            [("r9", R9_TREE), ("head", HERE)]
+            if k % 2 == 0
+            else [("head", HERE), ("r9", R9_TREE)]
+        )
+        for label, tree in order:
+            print(f"pair {k + 1}/{args.pairs}: running {label} ...", flush=True)
+            r = _run_exec_tier(tree, common, args.sf_dir, tmp)
+            r["pair"] = k
+            r["label"] = label
+            runs.append(r)
+            tot = round(sum(r["exec"].values()), 2)
+            print(f"  {label} exec total {tot}s wall {r['wall_sec']}s", flush=True)
+
+    # paired analysis
+    pair_totals = []
+    per_query_ratios: dict[str, list[float]] = {q: [] for q in common}
+    for k in range(args.pairs):
+        a = next(r for r in runs if r["pair"] == k and r["label"] == "r9")
+        b = next(r for r in runs if r["pair"] == k and r["label"] == "head")
+        ta = sum(a["exec"].get(q, 0.0) for q in common)
+        tb = sum(b["exec"].get(q, 0.0) for q in common)
+        pair_totals.append(
+            {
+                "pair": k,
+                "r9_total_sec": round(ta, 3),
+                "head_total_sec": round(tb, 3),
+                "head_over_r9": round(tb / ta, 4) if ta else None,
+            }
+        )
+        for q in common:
+            qa, qb = a["exec"].get(q), b["exec"].get(q)
+            if qa and qb and qa > 0:
+                per_query_ratios[q].append(qb / qa)
+
+    def med(xs: list[float]) -> float | None:
+        if not xs:
+            return None
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    table = []
+    for q in common:
+        ratios = per_query_ratios[q]
+        mr = med(ratios)
+        if mr is None:
+            continue
+        head_med = med(
+            [r["exec"][q] for r in runs if r["label"] == "head" and q in r["exec"]]
+        )
+        r9_med = med(
+            [r["exec"][q] for r in runs if r["label"] == "r9" and q in r["exec"]]
+        )
+        table.append(
+            {
+                "query": q,
+                "median_ratio": round(mr, 3),
+                "r9_median_sec": round(r9_med, 3),
+                "head_median_sec": round(head_med, 3),
+                "delta_sec": round(head_med - r9_med, 3),
+                "ratios": [round(x, 3) for x in ratios],
+            }
+        )
+    table.sort(key=lambda r: -r["median_ratio"])
+    flagged = [
+        r
+        for r in table
+        if r["median_ratio"] > 1.2 and r["delta_sec"] > 0.2
+    ]
+    total_ratios = [p["head_over_r9"] for p in pair_totals if p["head_over_r9"]]
+    artifact = {
+        "what": "interleaved A/B exec-tier bench, r9 closing tree vs HEAD"
+                " (r10 verdict item #1: settle the 1.30 renorm as"
+                " host-vs-code with paired same-window measurements)",
+        "r9_sha": r9_sha,
+        "head_sha": head_sha,
+        "sf_dir": args.sf_dir,
+        "pairs": args.pairs,
+        "common_queries": len(common),
+        "pair_totals": pair_totals,
+        "median_total_ratio": med(total_ratios),
+        "flagged_regressions": flagged,
+        "top20_by_median_ratio": table[:20],
+        "runs_meta": [
+            {
+                "pair": r["pair"],
+                "label": r["label"],
+                "wall_sec": r["wall_sec"],
+                "exec_total_sec": round(sum(r["exec"].values()), 3),
+                "loadavg_start": r["machine_start"].get("loadavg"),
+                "loadavg_end": r["machine_end"].get("loadavg"),
+                "calib_md5_ms": r["machine_start"].get("calib_md5_ms"),
+                "calib_par_ms": r["machine_start"].get("calib_par_ms"),
+            }
+            for r in runs
+        ],
+        "per_query": table,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "median_total_ratio": artifact["median_total_ratio"],
+                "pair_totals": pair_totals,
+                "flagged": [r["query"] for r in flagged],
+                "out": args.out,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

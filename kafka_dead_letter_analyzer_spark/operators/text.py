@@ -1499,6 +1499,7 @@ def rouge_l_stats(
     cand_col: str = "candidate",
     ref_col: str = "reference",
     max_tokens: int = 512,
+    escalations: int = 0,
 ) -> DataFrame:
     """ROUGE-L sufficient statistics (Lin 2004) per (candidate,
     reference) pair — the longest-common-SUBSEQUENCE eval companion
@@ -1518,7 +1519,24 @@ def rouge_l_stats(
     longer sides are TRUNCATED (flagged in ``truncated``, never
     silently) because the O(n*m) cliff is a per-row cost bomb a
     100 TB scan cannot absorb — callers wanting exact long-document
-    LCS shard by length explicitly.  NOT SQL-expressible (no
+    LCS use the LENGTH-BUCKETED ESCALATION below.
+
+    ``escalations`` (r11, the sharded-exact recipe): with
+    ``escalations = K > 0``, each pair's DP cap is the smallest
+    ``max_tokens * 2**k`` (k <= K) that covers BOTH sides — so a
+    doc pair longer than ``max_tokens`` still gets its EXACT LCS as
+    long as it fits the top bucket ``max_tokens * 2**K``, and only
+    pairs beyond THAT are truncated (still flagged, still never
+    silent).  The cost ceiling stays hard and visible: the worst
+    per-row cost is ``(max_tokens * 2**K)**2`` token comparisons —
+    each doubling of K quadruples the worst row, which is why the
+    escalation is an explicit opt-in with a bounded ladder rather
+    than an unbounded exact mode; per-row cost scales with the
+    PAIR'S OWN length squared, not the global cap, so short pairs
+    pay nothing for the ladder.  ``escalations = 0`` is today's
+    single-cap behavior, bit-identical.
+
+    NOT SQL-expressible (no
     relational LCS), so the declared query is rows-only and the
     gate is the from-scratch differential test — the KLL/PCA
     precedent.  Plan: one output row per input row — no explosion —
@@ -1530,6 +1548,12 @@ def rouge_l_stats(
     if max_tokens < 1:
         raise ValueError(
             f"rouge_l_stats: max_tokens={max_tokens} must be >= 1"
+        )
+    if not (0 <= int(escalations) <= 8):
+        # 2**8 = 256x the base cap = 65536x the base worst-row cost:
+        # past that the ladder is an unbounded exact mode in disguise
+        raise ValueError(
+            f"rouge_l_stats: escalations={escalations} must be in 0..8"
         )
     import pandas as pd
 
@@ -1550,7 +1574,8 @@ def rouge_l_stats(
         f"{id_col} bigint, cand_len bigint, ref_len bigint,"
         " lcs_len bigint, truncated boolean"
     )
-    cap = int(max_tokens)
+    base_cap = int(max_tokens)
+    top_cap = base_cap * (2 ** int(escalations))
 
     def lcs_rows(batches):
         import numpy as np
@@ -1560,6 +1585,11 @@ def rouge_l_stats(
             for pid, ct, rt in zip(pdf["_pid"], pdf["_ct"], pdf["_rt"]):
                 ct, rt = list(ct), list(rt)
                 cl, rl = len(ct), len(rt)
+                # smallest ladder rung covering both sides, capped at
+                # the top rung; rows past the top rung truncate there
+                cap = base_cap
+                while cap < max(cl, rl) and cap < top_cap:
+                    cap *= 2
                 tr = cl > cap or rl > cap
                 c, r = ct[:cap], rt[:cap]
                 if not c or not r:

@@ -616,6 +616,7 @@ def x_anti_join_unreturned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from kafka_dead_letter_analyzer_spark.operators import dedup as D  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import multimodal as MM  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import retrieval as RV  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import similarity as S  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import text as TX  # noqa: E402
 
@@ -10967,6 +10968,98 @@ def x_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("source",),
     )
     return TX.corpus_eval_rollup(stats, group_cols=("source",))
+
+
+# deterministic probe queries over the synthetic documents vocabulary
+# (TESTDATA.md) — duplicated literally in the oracle's VALUES clause
+_BM25_QUERY_ROWS = [
+    (1, "fast table scan"),
+    (2, "spark stream window"),
+    (3, "hash join merge batch"),
+    (4, "customer order data query"),
+]
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _BM25_QUERY_ROWS, "query_id long, query_text string"
+    )
+
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in _BM25_QUERY_ROWS
+)
+
+
+@_register(
+    "x_bm25_stats",
+    f"""
+    WITH q(query_id, query_text) AS (
+      VALUES {_BM25_QUERY_VALUES}
+    ), qterms AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_extract_all(lower(coalesce(query_text, '')),
+                                       '[a-z0-9]+')) AS term
+      FROM q
+    ), toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(sum(len(t)), 0) AS BIGINT) AS sum_dl
+      FROM toks
+    ), doc_terms AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(max(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM doc_terms GROUP BY 1
+    )
+    SELECT qt.query_id, dt.doc_id, dt.term, dt.tf, d.df, dt.dl,
+           c.n_docs, c.sum_dl
+    FROM doc_terms dt
+    JOIN qterms qt USING (term)
+    JOIN dfreq d USING (term), corpus c
+    """,
+)
+def x_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sufficient statistics (operators/retrieval.py::bm25_stats)
+    for four deterministic probe queries over the documents corpus —
+    the ORACLE-HASHABLE retrieval substrate: per-(query, doc, term)
+    tf, corpus-wide df, doc length, and the corpus scalars, all
+    int64; any idf/tf weighting (BM25, TF-IDF) is a caller expression
+    (the bleu_stats discipline applied to IR).  Plan: the query
+    vocabulary broadcast-semi-prunes the exploded token stream BEFORE
+    the one (doc, term) contraction; df and the corpus 1-row
+    aggregate broadcast back — at 100 TB every non-query token dies
+    pre-shuffle."""
+    return RV.bm25_stats(
+        load_table(spark, sf_dir, "documents"), _bm25_queries_df(spark)
+    )
+
+
+@_register("x_bm25_topk")  # rows-only: ln() is libm-dependent cross-engine
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per probe query by BM25
+    (operators/retrieval.py::bm25_topk, Lucene idf, k1=1.2 b=0.75):
+    rows-only because the score is a float with a transcendental ln
+    (the semdedup_clustered / KLL precedent — cross-engine float
+    nondeterminism, not missing semantics); gated instead by the
+    from-scratch differential test (exact rank sets + round-6 scores
+    vs a pure-Python replica) and the salted two-phase top-k plan pin
+    (NO corpus-wide window — phase 1 ranks within (query, salt)
+    buckets, phase 2 ranks <= n_salts*k survivors)."""
+    return RV.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _bm25_queries_df(spark),
+        k=10,
+    )
 
 
 @_register("x_rouge_l_pairs")  # rows-only: LCS is not SQL-expressible

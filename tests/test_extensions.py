@@ -2631,6 +2631,53 @@ def test_rouge_l_matches_quadratic_dp(spark):
         TX.rouge_l_stats(df, max_tokens=0)
 
 
+def test_rouge_l_escalation_exact_past_max_tokens(spark):
+    """The sharded-exact recipe (r10 VERDICT #5): with escalations=K,
+    a pair LONGER than max_tokens still gets its EXACT LCS as long as
+    both sides fit max_tokens * 2**K — per-row cap escalates along
+    the ladder (pair's own length squared, not the global top cap) —
+    while pairs past the TOP rung still truncate there, flagged.
+    escalations=0 stays bit-identical to the single-cap behavior."""
+    import re as _re
+
+    cand = " ".join(f"w{i}" for i in range(300))
+    ref = " ".join(f"w{i}" for i in range(0, 300, 2))  # every other token
+    huge = " ".join(f"w{i}" for i in range(5000))
+    rows = [
+        (1, cand, ref),          # 300 tokens: needs one escalation
+        (2, "a b c", "a c"),     # short: base rung, exact either way
+        (3, huge, cand),         # 5000 tokens: past top rung at K=2
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    got = {
+        r["pair_id"]: (r["cand_len"], r["lcs_len"], r["truncated"])
+        for r in TX.rouge_l_stats(df, max_tokens=128, escalations=2).collect()
+    }
+    # pair 1: 300 <= 128*4=512 -> exact, not truncated
+    ct = _re.findall(r"[a-z0-9]+", cand.lower())
+    rt = _re.findall(r"[a-z0-9]+", ref.lower())
+    assert got[1] == (300, _brute_lcs(ct, rt), False)
+    assert got[2] == (3, 2, False)
+    # pair 3: 5000 > 512 -> truncated at the TOP rung (512), flagged;
+    # the kept 512-prefix of huge vs the 300-token cand share w0..w299
+    assert got[3] == (5000, 300, True)
+    # escalations=0 == today's single-cap behavior, bit-identical
+    a = sorted(
+        map(tuple, TX.rouge_l_stats(df, max_tokens=128).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            TX.rouge_l_stats(df, max_tokens=128, escalations=0).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="escalations"):
+        TX.rouge_l_stats(df, escalations=9)
+
+
 def test_eval_family_swap_symmetry(spark):
     """Exact structural symmetry: swapping candidate and reference
     leaves the clipped match counts (bleu/chrf) and the LCS length

@@ -1492,6 +1492,25 @@ def test_corpus_bleu_rollup_adds_one_exchange_only(spark, Q):
     assert "REPARTITION_BY_NUM" in s
 
 
+def test_bm25_stats_broadcast_prune_before_contraction(spark, Q):
+    """The retrieval substrate's 100 TB contract: the query vocabulary
+    reaches the exploded token stream through BROADCAST joins only (a
+    SortMergeJoin would shuffle the full token stream to meet a
+    handful of query terms), and the semi-prune sits UPSTREAM of the
+    (doc, term) contraction so unmatched tokens never shuffle.  The
+    second documents scan is the corpus-scalar aggregate — the
+    documented default; corpus_stats=(N, S) removes it at scale."""
+    import re
+
+    s = plan_of(Q.x_bm25_stats(spark, SF))
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+    # left_semi prune present as a broadcast join
+    assert "LeftSemi" in s
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", s)))
+    assert scans <= 2
+
+
 def test_chrf_pairs_same_plan_contract_as_bleu(spark, Q):
     """chrF inherits bleu's plan contract: ONE scan, ONE Generate for
     both sides x all n, no side-to-side join, two exchanges (window
