@@ -80,8 +80,14 @@ def bm25_stats(
     Plan: tokenize docs once (dl computed BEFORE the explosion and
     carried), explode, broadcast-semi-prune against the query
     vocabulary, then ONE (doc, term) contraction of the matched stream
-    — the only full-data exchange.  df contracts from that same pruned
-    stream (query-vocab terms only, tiny) and broadcasts back;
+    — the only full-data exchange.  The contracted doc_terms is
+    PERSISTED (cache_registry-tracked, released by the session owner —
+    the e3/minhash precedent): its two consumers prune different
+    columns, so ReusedExchange never fires and an unpersisted df
+    branch re-scans and re-explodes the whole corpus (measured 3
+    scans -> 2 with the persist; the persisted form is the COMPACT
+    one — query-vocab terms only, one row per (doc, term)).  df
+    contracts from it (tiny) and broadcasts back;
     (n_docs, sum_dl) is a 1-row global aggregate broadcast-cross-joined
     on.  The query side explodes client-small and broadcasts
     everywhere.  At 100 TB the unmatched tokens — almost everything —
@@ -124,6 +130,18 @@ def bm25_stats(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.max("dl").alias("dl"),
     )
+    # doc_terms feeds BOTH the output join and the df contraction; the
+    # two branches prune different columns, so Spark builds two
+    # non-identical subplans and ReusedExchange never fires — without
+    # a persist the df branch RE-SCANS and RE-EXPLODES the whole
+    # corpus (measured: 3 scans).  doc_terms is the natural
+    # materialization boundary: pruned to query-vocab terms and
+    # contracted to one row per (doc, term) — the compact form, and
+    # the cache_registry owner releases it at the consumption boundary
+    # (the e3 / minhash-collapse precedent).
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    doc_terms = cache_registry.track(doc_terms.persist())
     dfreq = doc_terms.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

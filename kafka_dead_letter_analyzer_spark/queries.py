@@ -11021,7 +11021,8 @@ _BM25_QUERY_VALUES = ", ".join(
       SELECT term, CAST(count(*) AS BIGINT) AS df
       FROM doc_terms GROUP BY 1
     )
-    SELECT qt.query_id, dt.doc_id, dt.term, dt.tf, d.df, dt.dl,
+    SELECT CAST(qt.query_id AS BIGINT) AS query_id,
+           dt.doc_id, dt.term, dt.tf, d.df, dt.dl,
            c.n_docs, c.sum_dl
     FROM doc_terms dt
     JOIN qterms qt USING (term)

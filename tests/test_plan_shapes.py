@@ -1498,8 +1498,13 @@ def test_bm25_stats_broadcast_prune_before_contraction(spark, Q):
     SortMergeJoin would shuffle the full token stream to meet a
     handful of query terms), and the semi-prune sits UPSTREAM of the
     (doc, term) contraction so unmatched tokens never shuffle.  The
-    second documents scan is the corpus-scalar aggregate — the
-    documented default; corpus_stats=(N, S) removes it at scale."""
+    contracted doc_terms is PERSISTED (registered with cache_registry)
+    because its two consumers — the output join and the df contraction
+    — prune different columns, defeating ReusedExchange; unpersisted,
+    the df branch re-scanned and re-exploded the whole corpus
+    (measured: 3 scans -> 2).  The remaining second documents scan is
+    the corpus-scalar aggregate — the documented default;
+    corpus_stats=(N, S) removes it at scale."""
     import re
 
     s = plan_of(Q.x_bm25_stats(spark, SF))
@@ -1509,6 +1514,11 @@ def test_bm25_stats_broadcast_prune_before_contraction(spark, Q):
     assert "LeftSemi" in s
     scans = len(set(re.findall(r"\((\d+)\) Scan parquet", s)))
     assert scans <= 2
+    assert "InMemoryTableScan" in s  # the load-bearing persist
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    assert cache_registry.tracked_count() >= 1
+    cache_registry.release_all()
 
 
 def test_chrf_pairs_same_plan_contract_as_bleu(spark, Q):
