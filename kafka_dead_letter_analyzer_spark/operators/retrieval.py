@@ -43,7 +43,7 @@ from kafka_dead_letter_analyzer_spark.operators.text import (
     TYPICALITY_TOKEN_RE,
 )
 
-__all__ = ["bm25_stats", "bm25_topk"]
+__all__ = ["bm25_stats", "bm25_topk", "rrf_fuse"]
 
 
 def _tokens(col: str) -> Column:
@@ -292,3 +292,67 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine multiple rankers' top-k lists into one ranking
+    using ONLY the ranks — ``rrf(d) = sum over rankers of
+    1 / (k + rank_i(d))`` — the standard way to fuse BM25 with an
+    embedding retriever (hybrid search) without score calibration.
+
+    Integer-exact by construction, unlike the scores it fuses: each
+    contribution is ``floor(1e9 / (k + rank))`` (parts-per-billion —
+    fine enough that distinct rank multisets stay distinct for any
+    practical k) and the fusion is an int64 sum, so the operator is
+    cross-engine hash-exact end-to-end even when the upstream rankers
+    were float-scored.  Output: ``(query_col, id_col, n_rankers
+    BIGINT, rrf_ppb BIGINT, fused_rank INT)`` — fused_rank ordered by
+    rrf_ppb desc with ascending-id tiebreak; ``top_k`` truncates.
+
+    Input contract: ``rankings`` is the UNION of the rankers' top-k
+    outputs (each row one (query, doc, rank) claim; a ranker column
+    is unnecessary — RRF only uses ranks).  Scale shape: the input is
+    already top-k-truncated per ranker, so a query's partition holds
+    at most ``sum of the rankers' k`` rows — the per-query window
+    here is BOUNDED BY CONSTRUCTION, not by data (contrast bm25_topk,
+    which salts precisely because its candidate set is unbounded).
+    One contraction on (query, doc) + one bounded window."""
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k={k} must be >= 1")
+    from pyspark.sql import Window
+
+    scored = (
+        rankings.filter(
+            F.col(query_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.col(rank_col).isNotNull()
+        )
+        .groupBy(query_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rankers"),
+            F.sum(
+                F.expr(
+                    f"CAST(1000000000 DIV ({k} + {rank_col}) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_ppb"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_ppb").desc(), F.col(id_col).asc()
+    )
+    out = scored.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+    if top_k is not None:
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out

@@ -11045,6 +11045,98 @@ def x_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_rrf_fuse",
+    f"""
+    WITH q(query_id, query_text) AS (
+      VALUES {_BM25_QUERY_VALUES}
+    ), qterms AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_extract_all(lower(coalesce(query_text, '')),
+                                       '[a-z0-9]+')) AS term
+      FROM q
+    ), toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), doc_terms AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(max(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT qt.query_id, dt.doc_id,
+             CAST(sum(dt.tf) AS BIGINT) AS tfs,
+             CAST(max(dt.dl) AS BIGINT) AS dl
+      FROM doc_terms dt JOIN qterms qt USING (term)
+      GROUP BY 1, 2
+    ), ra AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY tfs DESC, doc_id) AS rank
+      FROM per_doc
+    ), rb AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dl ASC, doc_id) AS rank
+      FROM per_doc
+    ), unioned AS (
+      SELECT * FROM ra WHERE rank <= 10
+      UNION ALL
+      SELECT * FROM rb WHERE rank <= 10
+    ), fused AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(count(*) AS BIGINT) AS n_rankers,
+             CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb
+      FROM unioned GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_rankers, rrf_ppb,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_ppb DESC, doc_id)
+                AS INTEGER) AS fused_rank
+    FROM fused
+    """,
+)
+def x_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/retrieval.py::rrf_fuse, k=60)
+    of two integer-deterministic rankers built from the bm25_stats
+    surface — per probe query, top-10 by total matched tf (desc) and
+    top-10 by doc length (asc), both doc-id-tiebroken — so the WHOLE
+    hybrid-retrieval chain is hash-exact: integer stats, integer
+    ranks, floor-ppb reciprocal contributions, int64 fusion sum
+    (fusing float-scored rankers like bm25_topk gives the same
+    fused_rank surface; the integer rankers here exist to keep the
+    oracle gate airtight).  The operator's per-query window is
+    bounded BY CONSTRUCTION (input = top-k-truncated lists); the
+    candidate windows in THIS fixture's rankers are bounded by the
+    probe vocabulary's match set."""
+    from pyspark.sql import Window
+
+    stats = RV.bm25_stats(
+        load_table(spark, sf_dir, "documents"), _bm25_queries_df(spark)
+    )
+    per_doc = stats.groupBy("query_id", "doc_id").agg(
+        F.sum("tf").cast("bigint").alias("tfs"),
+        F.max("dl").cast("bigint").alias("dl"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("tfs").desc(), F.col("doc_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("dl").asc(), F.col("doc_id")
+    )
+    ra = per_doc.select(
+        "query_id", "doc_id", F.row_number().over(wa).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    rb = per_doc.select(
+        "query_id", "doc_id", F.row_number().over(wb).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return RV.rrf_fuse(ra.unionByName(rb), k=60)
+
+
 @_register("x_bm25_topk")  # rows-only: ln() is libm-dependent cross-engine
 def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents per probe query by BM25

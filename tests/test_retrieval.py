@@ -160,3 +160,61 @@ def test_bm25_topk_no_corpus_wide_window(spark, frames):
     # phase 1, so just assert both key sets appear
     assert "_salt" in s
     assert s.count("row_number()") >= 2
+
+
+def test_rrf_fuse_matches_brute_force(spark):
+    """Floor-ppb reciprocal contributions and fused ranks against a
+    pure-Python replica: docs ranked by several lists, docs present in
+    only one list, k sensitivity, top_k truncation, NULL exclusion,
+    deterministic id tiebreak on equal sums."""
+    rankings = [
+        # (query, doc, rank): two rankers for q1, one for q2
+        (1, 100, 1), (1, 101, 2), (1, 102, 3),
+        (1, 101, 1), (1, 100, 2), (1, 103, 3),
+        (2, 200, 1), (2, 201, 2),
+    ]
+    rows = rankings + [(None, 1, 1), (1, None, 1), (1, 104, None)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long"
+    )
+
+    def brute(k=60, top_k=None):
+        agg = {}
+        for q, d, r in rankings:
+            key = (q, d)
+            n, s = agg.get(key, (0, 0))
+            agg[key] = (n + 1, s + 1_000_000_000 // (k + r))
+        out = {}
+        for (q, d), (n, s) in agg.items():
+            out.setdefault(q, []).append((d, n, s))
+        res = {}
+        for q, lst in out.items():
+            lst.sort(key=lambda x: (-x[2], x[0]))
+            if top_k is not None:
+                lst = lst[:top_k]
+            res[q] = [
+                (d, n, s, i + 1) for i, (d, n, s) in enumerate(lst)
+            ]
+        return res
+
+    def read(out):
+        res = {}
+        for r in out.collect():
+            res.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["n_rankers"], r["rrf_ppb"],
+                 r["fused_rank"])
+            )
+        return {
+            q: sorted(v, key=lambda x: x[3]) for q, v in res.items()
+        }
+
+    assert read(RV.rrf_fuse(df)) == brute()
+    assert read(RV.rrf_fuse(df, k=7)) == brute(k=7)
+    assert read(RV.rrf_fuse(df, top_k=2)) == brute(top_k=2)
+    # doc 100 and 101 both have ranks {1,2} for q1 -> equal sums ->
+    # ascending-id tiebreak must put 100 first
+    fused = read(RV.rrf_fuse(df))[1]
+    assert fused[0][0] == 100 and fused[1][0] == 101
+    assert fused[0][2] == fused[1][2]
+    with pytest.raises(ValueError, match="k="):
+        RV.rrf_fuse(df, k=0)
