@@ -2758,3 +2758,130 @@ def streaming_rater_agreement(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus eval (live twin of corpus_eval_rollup over bleu_stats)
+# ---------------------------------------------------------------------------
+
+
+def _make_corpus_eval_fn(max_n: int):
+    def _eval_fn(key, pdfs, state) -> Iterator:
+        """Per-group live corpus-eval monitor: state = the corpus
+        rollup contraction itself — (n_pairs, cand_len, ref_len,
+        clipped_1..max_n, total_1..max_n, ref_total_1..max_n) as
+        3*max_n + 3 longs, the SAME int64 sums batch
+        corpus_eval_rollup(bleu_stats(prefix)) reduces to, so every
+        emission is bit-equal to the batch pair over the stream
+        prefix regardless of arrival order or batch boundaries (a
+        commutative fold of per-pair integer stats).  The per-pair
+        clipped counts are computed row-locally with a Counter — the
+        exact semantics of the batch gram pipeline (lowercase alnum
+        tokens, clipped_n = sum of min(cand_count, ref_count)) without
+        its shuffles, which streaming could not chain anyway (two
+        stateful aggregations)."""
+        import re as _re
+        from collections import Counter
+
+        import pandas as pd
+
+        width = 3 * max_n + 3
+        vals = list(state.get[0]) if state.exists else [0] * width
+        for pdf in pdfs:
+            for c, r in zip(pdf["c"], pdf["r"]):
+                ct = _re.findall(
+                    r"[a-z0-9]+", c.lower() if isinstance(c, str) else ""
+                )
+                rt = _re.findall(
+                    r"[a-z0-9]+", r.lower() if isinstance(r, str) else ""
+                )
+                cl, rl = len(ct), len(rt)
+                vals[0] += 1
+                vals[1] += cl
+                vals[2] += rl
+                for n in range(1, max_n + 1):
+                    cg = Counter(
+                        " ".join(ct[i : i + n])
+                        for i in range(cl - n + 1)
+                    )
+                    rg = Counter(
+                        " ".join(rt[i : i + n])
+                        for i in range(rl - n + 1)
+                    )
+                    vals[2 + n] += sum(
+                        min(v, rg[g]) for g, v in cg.items()
+                    )
+                    vals[2 + max_n + n] += max(cl - n + 1, 0)
+                    vals[2 + 2 * max_n + n] += max(rl - n + 1, 0)
+        state.update((vals,))
+        cols = (
+            ["group_key", "n_pairs", "cand_len", "ref_len"]
+            + [f"clipped_{n}" for n in range(1, max_n + 1)]
+            + [f"total_{n}" for n in range(1, max_n + 1)]
+            + [f"ref_total_{n}" for n in range(1, max_n + 1)]
+        )
+        yield pd.DataFrame(
+            {c: [v] for c, v in zip(cols, [key[0]] + vals)}
+        )
+
+    return _eval_fn
+
+
+def streaming_corpus_eval(
+    df: DataFrame,
+    max_n: int = 4,
+    group_col: str | None = None,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+) -> DataFrame:
+    """Live corpus-BLEU/ROUGE-N monitor — the streaming twin of
+    ``corpus_eval_rollup(bleu_stats(...))``: per group, every trigger
+    re-emits the RUNNING int64 corpus stats (n_pairs, summed lengths,
+    summed clipped_n / total_n / ref_total_n) in update mode; the one
+    float step (geometric mean x brevity penalty, or ROUGE-N recall)
+    stays caller-side, exactly like batch.  The canonical use: a
+    generation service streams (candidate, reference) pairs and the
+    corpus score converges live instead of after a batch backfill.
+
+    EXACTNESS (tested): after any micro-batch sequence a group's
+    emission EQUALS batch ``corpus_eval_rollup(bleu_stats(prefix),
+    group)`` — per-pair stats are integers and the rollup is their
+    sum, a commutative fold; tokens are lowercase ASCII-alnum runs
+    (TYPICALITY_TOKEN_RE), identical in the row-local Counter and the
+    batch gram pipeline.  State per group is FIXED: 3*max_n + 3
+    longs, independent of traffic.  NULL pair ids are excluded and a
+    NULL candidate/reference is an empty text (zero grams, counted) —
+    the batch contract.  Row-local Python is the right shape here:
+    the batch plan's two chained contractions cannot run in one
+    streaming query anyway (multiple stateful aggregations), and the
+    per-row cost is the pair's own gram count."""
+    if max_n < 1:
+        raise ValueError(
+            f"streaming_corpus_eval: max_n={max_n} must be >= 1"
+        )
+    gk = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    keyed = df.filter(F.col(id_col).isNotNull()).select(
+        gk.alias("group_key"),
+        F.col(cand_col).cast("string").alias("c"),
+        F.col(ref_col).cast("string").alias("r"),
+    )
+    out_schema = (
+        "group_key string, n_pairs long, cand_len long, ref_len long, "
+        + ", ".join(
+            [f"clipped_{n} long" for n in range(1, max_n + 1)]
+            + [f"total_{n} long" for n in range(1, max_n + 1)]
+            + [f"ref_total_{n} long" for n in range(1, max_n + 1)]
+        )
+    )
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_corpus_eval_fn(int(max_n)),
+        outputStructType=out_schema,
+        stateStructType="vals array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

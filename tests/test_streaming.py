@@ -3802,3 +3802,81 @@ def test_streaming_rater_agreement_end_to_end(spark, tmp_path):
         assert (
             got["n"], got["agree"], got["po_ppm"], got["pe_ppm"]
         ) == (want["n"], want["agree"], want["po_ppm"], want["pe_ppm"]), g
+
+
+def test_streaming_corpus_eval_end_to_end(spark, tmp_path):
+    """File-source e2e across three triggers: the max-n_pairs row per
+    group is BIT-EQUAL to batch corpus_eval_rollup(bleu_stats(...))
+    over all rows — pair stats split across micro-batches fold
+    commutatively; NULL ids excluded, NULL texts = empty (counted)."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_corpus_eval,
+    )
+
+    rng = random.Random(0xC0E)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "a"]
+    rows = [
+        (
+            i,
+            "g1" if i % 2 else "g2",
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            if i % 7
+            else None,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            if i % 5
+            else None,
+        )
+        for i in range(90)
+    ] + [(None, "g1", "x y", "x y")]
+    schema = "pair_id long, src string, candidate string, reference string"
+    srcdir = str(tmp_path / "ce_src")
+    third = 30
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : None if i == 2 else (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(srcdir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(srcdir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(srcdir)
+    q = (
+        streaming_corpus_eval(stream, max_n=4, group_col="src")
+        .writeStream.format("memory")
+        .queryName("ce_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM ce_sink ORDER BY n_pairs"
+    ).collect():
+        final[r["group_key"]] = r
+    batch_df = spark.createDataFrame(rows, schema)
+    batch = {
+        r["src"]: r
+        for r in TX.corpus_eval_rollup(
+            TX.bleu_stats(batch_df, max_n=4, group_cols=("src",)),
+            group_cols=("src",),
+        ).collect()
+    }
+    stat_cols = (
+        ["n_pairs", "cand_len", "ref_len"]
+        + [f"clipped_{n}" for n in range(1, 5)]
+        + [f"total_{n}" for n in range(1, 5)]
+        + [f"ref_total_{n}" for n in range(1, 5)]
+    )
+    for g in ("g1", "g2"):
+        got, want = final[g], batch[g]
+        assert tuple(got[c] for c in stat_cols) == tuple(
+            want[c] for c in stat_cols
+        ), g
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_n"):
+        streaming_corpus_eval(batch_df, max_n=0)
