@@ -43,7 +43,7 @@ from kafka_dead_letter_analyzer_spark.operators.text import (
     TYPICALITY_TOKEN_RE,
 )
 
-__all__ = ["bm25_stats", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_stats", "bm25_topk", "rrf_fuse", "retrieval_metrics"]
 
 
 def _tokens(col: str) -> Column:
@@ -356,3 +356,80 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("fused_rank") <= top_k)
     return out
+
+
+def retrieval_metrics(
+    rankings: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality against binary relevance judgments
+    — the eval step that closes the retrieval loop (stats -> rank ->
+    fuse -> EVALUATE), integer-exact throughout: reciprocal rank is
+    rational (``floor(1e9 / first_rel_rank)``) and recall is the
+    repo's exact floor-ppm, so unlike nDCG (log2 discount) the whole
+    surface is cross-engine hash-exact.  Corpus MRR / mean recall are
+    caller-side means over the returned per-query rows (sum int64,
+    divide once).
+
+    Inputs: ``rankings`` — (query, doc, rank) from any ranker or
+    fusion; ``qrels`` — (query, doc) binary relevance pairs.  Output
+    per query (queries present in EITHER input):
+    ``(query_col, n_ranked BIGINT, n_rel BIGINT, first_rel_rank
+    BIGINT nullable, rr_ppb BIGINT, hits_at_k BIGINT, recall_at_k_ppm
+    BIGINT nullable)`` — ``rr_ppb = 0`` and ``first_rel_rank`` NULL
+    when no relevant doc was ranked; ``recall_at_k_ppm`` NULL when
+    the query has no judgments (0/0 is undefined, not zero).
+
+    Scale shape: one (query, doc) equi-join (both sides pre-keyed;
+    AQE splits a skewed query), then ONE (query) contraction whose
+    per-group state is five longs — no window, no per-query task
+    bound.  Judgments joined on the COMPOSITE key never fan out."""
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k={k} must be >= 1")
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    r = rankings.filter(
+        F.col(query_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(rank_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("bigint").alias("_r"),
+    )
+    j = qrels.filter(
+        F.col(query_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.lit(True).alias("_rel"),
+    ).distinct()
+    joined = r.join(j, ["_q", "_d"], "full_outer")
+    per_q = joined.groupBy("_q").agg(
+        F.count(F.col("_r")).cast("bigint").alias("n_ranked"),
+        F.count(F.when(F.col("_rel"), 1)).cast("bigint").alias("n_rel"),
+        F.min(F.when(F.col("_rel"), F.col("_r")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.count(
+            F.when(F.col("_rel") & (F.col("_r") <= k), 1)
+        ).cast("bigint").alias("hits_at_k"),
+    )
+    return per_q.select(
+        F.col("_q").alias(query_col),
+        "n_ranked",
+        "n_rel",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("1000000000 DIV first_rel_rank"), F.lit(0)
+        ).cast("bigint").alias("rr_ppb"),
+        "hits_at_k",
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE {ppm2('hits_at_k', 'n_rel')} END"
+        ).cast("bigint").alias("recall_at_k_ppm"),
+    )

@@ -11113,6 +11113,17 @@ def x_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded BY CONSTRUCTION (input = top-k-truncated lists); the
     candidate windows in THIS fixture's rankers are bounded by the
     probe vocabulary's match set."""
+    ra, rb = _bm25_int_rankers(spark, sf_dir)
+    return RV.rrf_fuse(ra.unionByName(rb), k=60)
+
+
+def _bm25_int_rankers(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two integer-deterministic top-10 rankers off the bm25_stats
+    surface (total matched tf desc; doc length asc), both
+    doc-id-tiebroken — shared by x_rrf_fuse and x_retrieval_metrics
+    so the fused ranking and its judgments come from one chain."""
     from pyspark.sql import Window
 
     stats = RV.bm25_stats(
@@ -11134,7 +11145,107 @@ def x_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = per_doc.select(
         "query_id", "doc_id", F.row_number().over(wb).alias("rank")
     ).filter(F.col("rank") <= 10)
-    return RV.rrf_fuse(ra.unionByName(rb), k=60)
+    return ra, rb
+
+
+@_register(
+    "x_retrieval_metrics",
+    f"""
+    WITH q(query_id, query_text) AS (
+      VALUES {_BM25_QUERY_VALUES}
+    ), qterms AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_extract_all(lower(coalesce(query_text, '')),
+                                       '[a-z0-9]+')) AS term
+      FROM q
+    ), toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), doc_terms AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(max(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT qt.query_id, dt.doc_id,
+             CAST(sum(dt.tf) AS BIGINT) AS tfs,
+             CAST(max(dt.dl) AS BIGINT) AS dl
+      FROM doc_terms dt JOIN qterms qt USING (term)
+      GROUP BY 1, 2
+    ), ra AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY tfs DESC, doc_id) AS rank
+      FROM per_doc
+    ), rb AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dl ASC, doc_id) AS rank
+      FROM per_doc
+    ), unioned AS (
+      SELECT * FROM ra WHERE rank <= 10
+      UNION ALL
+      SELECT * FROM rb WHERE rank <= 10
+    ), fused AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb
+      FROM unioned GROUP BY 1, 2
+    ), rk AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppb DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM fused
+    ), qr AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id
+      FROM ra WHERE rank <= 5
+    ), j AS (
+      SELECT COALESCE(rk.query_id, qr.query_id) AS query_id,
+             rk.rank, qr.query_id IS NOT NULL AS rel
+      FROM rk FULL OUTER JOIN qr
+        ON qr.query_id = rk.query_id AND qr.doc_id = rk.doc_id
+    ), per_q AS (
+      SELECT query_id,
+             CAST(count(rank) AS BIGINT) AS n_ranked,
+             CAST(count(CASE WHEN rel THEN 1 END) AS BIGINT) AS n_rel,
+             CAST(min(CASE WHEN rel THEN rank END) AS BIGINT)
+               AS first_rel_rank,
+             CAST(count(CASE WHEN rel AND rank <= 10 THEN 1 END)
+                  AS BIGINT) AS hits_at_k
+      FROM j GROUP BY 1
+    )
+    SELECT query_id, n_ranked, n_rel, first_rel_rank,
+           CAST(COALESCE(1000000000 // first_rel_rank, 0) AS BIGINT)
+             AS rr_ppb,
+           hits_at_k,
+           CASE WHEN n_rel = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(((hits_at_k * 1000) // n_rel) * 1000
+               + (((hits_at_k * 1000) % n_rel) * 1000) // n_rel
+               AS BIGINT)
+           END AS recall_at_k_ppm
+    FROM per_q
+    """,
+)
+def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact retrieval evaluation
+    (operators/retrieval.py::retrieval_metrics, k=10) closing the
+    retrieval loop end-to-end under the hash gate: judgments = the
+    tf-ranker's top-5 per probe query, rankings = the RRF fusion from
+    x_rrf_fuse — so the metrics answer 'does fusion retain the
+    tf-ranker's head?' with reciprocal rank in exact ppb (rational,
+    unlike nDCG's log2 discount) and recall@k in exact floor-ppm.
+    One composite-key join + one five-long (query) contraction — no
+    window, no per-query task bound."""
+    ra, rb = _bm25_int_rankers(spark, sf_dir)
+    fused = RV.rrf_fuse(ra.unionByName(rb), k=60).select(
+        "query_id", "doc_id", F.col("fused_rank").alias("rank")
+    )
+    qrels = ra.filter(F.col("rank") <= 5).select("query_id", "doc_id")
+    return RV.retrieval_metrics(fused, qrels, k=10)
 
 
 @_register("x_bm25_topk")  # rows-only: ln() is libm-dependent cross-engine

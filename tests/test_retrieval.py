@@ -218,3 +218,39 @@ def test_rrf_fuse_matches_brute_force(spark):
     assert fused[0][2] == fused[1][2]
     with pytest.raises(ValueError, match="k="):
         RV.rrf_fuse(df, k=0)
+
+
+def test_retrieval_metrics_matches_brute_force(spark):
+    """MRR/recall sufficient statistics against a hand-computed
+    fixture: relevant-but-unranked docs count toward n_rel only,
+    ranked-but-unjudged queries get NULL recall (0/0 is undefined),
+    judged-but-unranked queries appear with n_ranked 0 and rr_ppb 0,
+    hits respect the k cutoff, and the reciprocal rank is the exact
+    floor ppb of 1/first_rel_rank."""
+    rankings = [
+        (1, 100, 1), (1, 101, 2), (1, 102, 3),
+        (2, 200, 1), (2, 201, 2),
+        (4, 400, 1),
+    ]
+    qrels = [
+        (1, 101), (1, 102), (1, 999),  # 999 never ranked
+        (3, 300),                      # query 3 never ranked
+        # query 2 ranked but unjudged; query 4 judged irrelevant-free
+    ]
+    rdf = spark.createDataFrame(
+        rankings, "query_id long, doc_id long, rank long"
+    )
+    qdf = spark.createDataFrame(qrels, "query_id long, doc_id long")
+    got = {
+        r["query_id"]: (
+            r["n_ranked"], r["n_rel"], r["first_rel_rank"],
+            r["rr_ppb"], r["hits_at_k"], r["recall_at_k_ppm"],
+        )
+        for r in RV.retrieval_metrics(rdf, qdf, k=2).collect()
+    }
+    assert got[1] == (3, 3, 2, 1_000_000_000 // 2, 1, 333333)
+    assert got[2] == (2, 0, None, 0, 0, None)
+    assert got[3] == (0, 1, None, 0, 0, 0)
+    assert got[4] == (1, 0, None, 0, 0, None)
+    with pytest.raises(ValueError, match="k="):
+        RV.retrieval_metrics(rdf, qdf, k=0)
