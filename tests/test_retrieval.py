@@ -254,3 +254,22 @@ def test_retrieval_metrics_matches_brute_force(spark):
     assert got[4] == (1, 0, None, 0, 0, None)
     with pytest.raises(ValueError, match="k="):
         RV.retrieval_metrics(rdf, qdf, k=0)
+
+
+def test_retrieval_metrics_plan_no_window(spark):
+    """The metrics contraction has NO window (a per-query window would
+    reintroduce the single-task bound the salted ranker avoided) —
+    just the composite-key join and the (query) aggregate."""
+    import contextlib
+    import io
+
+    rdf = spark.createDataFrame(
+        [(1, 100, 1)], "query_id long, doc_id long, rank long"
+    )
+    qdf = spark.createDataFrame([(1, 100)], "query_id long, doc_id long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        RV.retrieval_metrics(rdf, qdf).explain("formatted")
+    s = buf.getvalue()
+    assert "Window" not in s
+    assert "HashAggregate" in s
