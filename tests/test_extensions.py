@@ -2730,3 +2730,32 @@ def test_eval_family_swap_symmetry(spark):
         map(tuple, TX.ngram_typicality(one.repartition(13)).collect())
     )
     assert r1 == r13
+
+
+def test_corpus_eval_rollup_additive_over_concatenation(spark):
+    """Corpus additivity (the property that MAKES it corpus-BLEU): the
+    rollup of a concatenated pair table equals the column-wise int64
+    sum of the parts' rollups, per group — no float, no
+    order-sensitivity."""
+    a = [(1, "g", "the cat sat", "the cat"), (2, "g", "a b", "b a")]
+    b = [(3, "g", "cat cat cat", "cat"), (4, "h", "x y z", "x z")]
+    schema = "pair_id long, grp string, candidate string, reference string"
+
+    def roll(rows):
+        df = spark.createDataFrame(rows, schema)
+        out = TX.corpus_eval_rollup(
+            TX.bleu_stats(df, max_n=3, group_cols=("grp",)),
+            group_cols=("grp",),
+        )
+        cols = [c for c in out.columns if c != "grp"]
+        return {r["grp"]: [r[c] for c in cols] for r in out.collect()}
+
+    ra, rb, rab = roll(a), roll(b), roll(a + b)
+    for g in rab:
+        want = [
+            x + y
+            for x, y in zip(
+                ra.get(g, [0] * len(rab[g])), rb.get(g, [0] * len(rab[g]))
+            )
+        ]
+        assert rab[g] == want, g

@@ -273,3 +273,22 @@ def test_retrieval_metrics_plan_no_window(spark):
     s = buf.getvalue()
     assert "Window" not in s
     assert "HashAggregate" in s
+
+
+def test_rrf_fuse_partitioning_independent(spark):
+    """Physical layout invariance: the fused ranking is identical at 1
+    and 13 input partitions (int64 sums commute; the window orders by
+    (rrf_ppb, id) totally)."""
+    rankings = [
+        (q, d, r)
+        for q in (1, 2, 3)
+        for r, d in enumerate(
+            [(q * 100 + i) % 17 + 100 for i in range(10)], start=1
+        )
+    ]
+    df = spark.createDataFrame(
+        rankings, "query_id long, doc_id long, rank long"
+    )
+    one = sorted(map(tuple, RV.rrf_fuse(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, RV.rrf_fuse(df.repartition(13)).collect()))
+    assert one == many
