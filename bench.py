@@ -96,6 +96,13 @@ def machine_context() -> dict:
     par = _cpu_calibration_parallel_ms()
     if par is not None:
         ctx["calib_par_ms"] = par
+        # self-labeling contention flag: on an idle 32-core host the
+        # all-core probe runs ~1.3-1.6x the single-thread one (turbo
+        # droop under full occupancy); ratios past 2.2 mean external
+        # load is eating cores and the run's timings are suspect.
+        # Stamped into the artifact so a noisy run can never pass as
+        # a clean one in a later forensic argument.
+        ctx["contended"] = bool(par / ctx["calib_md5_ms"] > 2.2)
     return ctx
 
 

@@ -1529,6 +1529,149 @@ def cohens_kappa(
     )
 
 
+_AC1_N_MAX = 48_000_000
+
+
+def gwet_ac1(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gwet's AC1 sufficient statistics (Gwet 2008, "Computing
+    inter-rater reliability and its variance in the presence of high
+    agreement") — the chance-corrected agreement that stays STABLE
+    under skewed label prevalence, where Cohen's kappa collapses (the
+    'kappa paradox': two raters agreeing 99% on a 99%-one-class task
+    get near-zero kappa; AC1 reports the high agreement an auditor
+    expects).  Output per group: ``(*group_cols, n BIGINT, agree
+    BIGINT, q_cats BIGINT, po_ppm BIGINT, pe_ppm BIGINT)`` with
+    ``pe = sum_k pi_k (1 - pi_k) / (q - 1)``, ``pi_k = (a_k + b_k) /
+    (2n)`` over the UNION of both raters' categories — computed as
+    the exact integer ``sum_k m_k (2n - m_k) / (4 n^2 (q - 1))`` in
+    two-step floor ppm; ``AC1 = (po - pe)/(1 - pe)`` stays
+    caller-side (can be negative — the repo's non-negative declared
+    surface rule, same as kappa).  ``pe_ppm`` is NULL when the group
+    has a single category (q < 2: the formula divides by zero and
+    agreement is degenerate).
+
+    Plan shape: identical to :func:`cohens_kappa` — ONE (groups, a,
+    b) contraction, marginal aggregations FULL-OUTER-joined on the
+    category (unlike kappa's product, AC1's ``m_k`` needs categories
+    present on only ONE side).  Exactness bound: ``4 n^2 (q - 1)``
+    must fit the ppm2 ``nt * 1000`` ceiling — a raise_error CASE
+    fires past ``n > 4.8e7`` (q = 2) or the joint n/q bound, with a
+    sharding hint.  NULL labels excluded; NULL group keys are real
+    groups."""
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(rater_a).cast("string").alias("a"),
+        F.col(rater_b).cast("string").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = base.groupBy(*groups, "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    cells = cells.persist()
+    cache_registry.track(cells)
+    tot = cells.groupBy(*groups).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rows_m = cells.groupBy(*groups, "a").agg(
+        F.sum("c").cast("bigint").alias("r")
+    ).withColumnRenamed("a", "cat")
+    cols_m = cells.groupBy(*groups, "b").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    ).withColumnRenamed("b", "cat")
+    # FULL outer on the category: a label used by only one rater still
+    # contributes m_k = r_k + 0 to pi_k (kappa's r*c product made the
+    # inner join correct there; AC1's SUM does not)
+    join_keys = groups + ["cat"]
+    if groups:
+        cond = [rows_m[k].eqNullSafe(cols_m[k]) for k in groups] + [
+            rows_m["cat"] == cols_m["cat"]
+        ]
+        marg = rows_m.alias("L").join(
+            cols_m.alias("R"), cond, "full_outer"
+        ).select(
+            *[
+                F.coalesce(F.col(f"L.{g}"), F.col(f"R.{g}")).alias(g)
+                for g in groups
+            ],
+            F.coalesce(F.col("L.cat"), F.col("R.cat")).alias("cat"),
+            (
+                F.coalesce(F.col("L.r"), F.lit(0))
+                + F.coalesce(F.col("R.cc"), F.lit(0))
+            ).cast("bigint").alias("m"),
+        )
+    else:
+        marg = rows_m.join(cols_m, join_keys, "full_outer").select(
+            "cat",
+            (
+                F.coalesce(F.col("r"), F.lit(0))
+                + F.coalesce(F.col("cc"), F.lit(0))
+            ).cast("bigint").alias("m"),
+        )
+    # s_m needs n; n is per group — join tot's n onto the marginals
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        mn = null_safe_group_join(
+            marg, tot.select(*groups, "n"), groups
+        )
+    else:
+        mn = marg.crossJoin(
+            F.broadcast(tot.select("n").filter(F.col("n").isNotNull()))
+        )
+    s = mn.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("q_cats"),
+        F.sum(F.expr("m * (2 * n - m)")).cast("bigint").alias("s_m"),
+    )
+    if groups:
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join as _nsgj,
+        )
+
+        joined = _nsgj(tot, s, groups, how="left")
+    else:
+        joined = tot.crossJoin(F.broadcast(s)).filter(
+            F.col("n").isNotNull()
+        )
+    joined = joined.withColumn(
+        "q_cats", F.coalesce("q_cats", F.lit(0).cast("bigint"))
+    ).withColumn("s_m", F.coalesce("s_m", F.lit(0).cast("bigint")))
+    from kafka_dead_letter_analyzer_spark.operators.common import ppm2
+
+    # nt * 1000 <= 2^63: 4n^2(q-1) <= 9.2e15; n-only bound at q = 2
+    guard = (
+        f"n > {_AC1_N_MAX} OR (q_cats > 1 AND"
+        " (q_cats - 1) > 9200000000000000 DIV (4 * n * n))"
+    )
+    return joined.select(
+        *groups,
+        "n",
+        "agree",
+        "q_cats",
+        F.expr(ppm2("agree", "n")).cast("bigint").alias("po_ppm"),
+        F.expr(
+            "CASE WHEN q_cats < 2 THEN CAST(NULL AS BIGINT)"
+            f" WHEN {guard} THEN CAST(raise_error('gwet_ac1: a group"
+            " exceeds the exact-ppm bound (4*n^2*(q-1) must fit the"
+            " int64 ppm ceiling; n <= ~4.8e7 rows per group at q=2);"
+            " shard the input and report the per-shard AC1"
+            " distribution') AS BIGINT)"
+            f" ELSE {ppm2('s_m', '(4 * n * n * (q_cats - 1))')} END"
+        ).cast("bigint").alias("pe_ppm"),
+    )
+
+
 def fleiss_kappa(
     df: DataFrame,
     item_col: str,

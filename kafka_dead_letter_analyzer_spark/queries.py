@@ -8132,6 +8132,90 @@ def x_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _register_gwet_ac1():
+    sql = f"""
+    WITH base AS (
+      SELECT source, lang AS a, {TX.lang_id_sql('text')} AS b
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+        AND text IS NOT NULL
+    ), cells AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells GROUP BY 1
+    ), rm AS (
+      SELECT source, a AS cat, CAST(sum(c) AS BIGINT) AS r
+      FROM cells GROUP BY 1, 2
+    ), cm AS (
+      SELECT source, b AS cat, CAST(sum(c) AS BIGINT) AS cc
+      FROM cells GROUP BY 1, 2
+    ), marg AS (
+      SELECT COALESCE(rm.source, cm.source) AS source,
+             COALESCE(rm.cat, cm.cat) AS cat,
+             CAST(COALESCE(rm.r, 0) + COALESCE(cm.cc, 0) AS BIGINT)
+               AS m
+      FROM rm FULL OUTER JOIN cm
+        ON cm.source = rm.source AND cm.cat = rm.cat
+    ), s AS (
+      SELECT mg.source,
+             CAST(count(*) AS BIGINT) AS q_cats,
+             CAST(sum(mg.m * (2 * t.n - mg.m)) AS BIGINT) AS s_m
+      FROM marg mg JOIN tot t ON t.source = mg.source
+      GROUP BY 1
+    )
+    SELECT t.source, t.n, t.agree,
+           CAST(COALESCE(s.q_cats, 0) AS BIGINT) AS q_cats,
+           CAST(((t.agree * 1000) // t.n) * 1000
+             + (((t.agree * 1000) % t.n) * 1000) // t.n AS BIGINT)
+             AS po_ppm,
+           CASE WHEN COALESCE(s.q_cats, 0) < 2 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(
+               ((COALESCE(s.s_m, 0) * 1000)
+                 // (4 * t.n * t.n * (s.q_cats - 1))) * 1000
+               + (((COALESCE(s.s_m, 0) * 1000)
+                 % (4 * t.n * t.n * (s.q_cats - 1))) * 1000)
+                 // (4 * t.n * t.n * (s.q_cats - 1))
+               AS BIGINT)
+           END AS pe_ppm
+    FROM tot t LEFT JOIN s ON s.source = t.source
+    """
+
+    @_register("x_gwet_ac1", sql)
+    def x_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gwet's AC1 sufficient statistics between the documents'
+        lang column and the heuristic lang-id prediction, per source
+        (operators/ranking.py::gwet_ac1) — the prevalence-robust
+        companion of x_rater_agreement: on a skewed label mix kappa
+        collapses toward zero while AC1 tracks the observed agreement
+        (the 'kappa paradox', Gwet 2008); same fixture, so the two
+        audits are directly comparable row-for-row.  pe uses the
+        UNION of both raters' categories (full-outer marginal join);
+        exact floor-ppm; AC1 = (po - pe)/(1 - pe) caller-side."""
+        from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("text").isNotNull()
+        )
+        pred = TX.with_lang_id(docs.select("source", "lang", "text"))
+        return RK.gwet_ac1(
+            pred, rater_a="lang", rater_b="pred_lang",
+            group_cols=["source"],
+        )
+
+    return x_gwet_ac1
+
+
+x_gwet_ac1 = _register_gwet_ac1()
+
+
+
 @_register(
     "x_fleiss_agreement",
     f"""

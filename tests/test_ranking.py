@@ -1774,3 +1774,76 @@ def test_agreement_family_invariances(spark):
     c1 = R.cohens_kappa(spdf, "ra", "rb").collect()[0]
     c2 = R.cohens_kappa(spdf, "rb", "ra").collect()[0]
     assert tuple(c1) == tuple(c2)
+
+
+def test_gwet_ac1_matches_brute_force_and_paradox(spark):
+    """AC1 against a pure-Python Fraction replica (exact floor ppm),
+    including: the kappa-paradox fixture where skewed prevalence
+    collapses kappa but AC1 tracks the high observed agreement; a
+    label used by only ONE rater (the union-marginal full-outer
+    join); a single-category group (pe NULL); ungrouped mode; NULL
+    exclusion."""
+    from fractions import Fraction
+
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    def brute(rows):
+        # rows: [(a, b)] -> (n, agree, q, po_ppm, pe_ppm|None)
+        n = len(rows)
+        agree = sum(1 for a, b in rows if a == b)
+        cats = sorted({a for a, _ in rows} | {b for _, b in rows})
+        q = len(cats)
+        po = (agree * 1_000_000) // n
+        if q < 2:
+            return (n, agree, q, po, None)
+        s_m = 0
+        for k in cats:
+            m = sum(1 for a, _ in rows if a == k) + sum(
+                1 for _, b in rows if b == k
+            )
+            s_m += m * (2 * n - m)
+        pe = int(Fraction(s_m * 1_000_000, 4 * n * n * (q - 1)))
+        return (n, agree, q, po, pe)
+
+    # paradox group 'skew': 98 yes/yes, 1 yes/no, 1 no/yes
+    skew = [("y", "y")] * 98 + [("y", "n"), ("n", "y")]
+    # balanced group with a label only rater b uses
+    bal = [("x", "x"), ("x", "z"), ("w", "x"), ("w", "w")]
+    # degenerate single-category group
+    mono = [("only", "only")] * 5
+    rows = (
+        [("skew", a, b) for a, b in skew]
+        + [("bal", a, b) for a, b in bal]
+        + [("mono", a, b) for a, b in mono]
+        + [("skew", None, "y"), ("skew", "y", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {
+        r["g"]: (r["n"], r["agree"], r["q_cats"], r["po_ppm"], r["pe_ppm"])
+        for r in RK.gwet_ac1(df, "a", "b", group_cols=["g"]).collect()
+    }
+    assert got["skew"] == brute(skew)
+    assert got["bal"] == brute(bal)
+    assert got["mono"] == brute(mono)
+    assert got["mono"][4] is None  # q < 2 -> pe undefined
+    # the paradox, numerically: kappa near zero, AC1 near one
+    n, agree, q, po, pe = got["skew"]
+    ac1 = (po - pe) / (1_000_000 - pe)
+    kap = {
+        r["g"]: (r["po_ppm"], r["pe_ppm"])
+        for r in RK.cohens_kappa(df, "a", "b", group_cols=["g"]).collect()
+    }["skew"]
+    kappa = (kap[0] - kap[1]) / (1_000_000 - kap[1])
+    assert ac1 > 0.9 and kappa < 0.1
+    # ungrouped mode equals the single-group contraction
+    one = RK.gwet_ac1(
+        spark.createDataFrame(skew, "a string, b string"), "a", "b"
+    ).collect()
+    assert len(one) == 1
+    assert (
+        one[0]["n"], one[0]["agree"], one[0]["q_cats"],
+        one[0]["po_ppm"], one[0]["pe_ppm"],
+    ) == brute(skew)
+    # empty input -> empty output (the crossJoin sentinel filter)
+    empty = spark.createDataFrame([], "a string, b string")
+    assert RK.gwet_ac1(empty, "a", "b").count() == 0
