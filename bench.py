@@ -212,13 +212,53 @@ def compare_to_reference(
         cur_all = sorted(calibs_cur + mid)
         if not (ref_q and calibs_ref and cur_all and timings):
             return None
-        m = len(cur_all) // 2
-        cur_est = (
-            cur_all[m]
-            if len(cur_all) % 2
-            else (cur_all[m - 1] + cur_all[m]) / 2
-        )
+
+        def _median(xs):
+            xs = sorted(xs)
+            m = len(xs) // 2
+            return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+        cur_est = _median(cur_all)
         ratio = cur_est / (sum(calibs_ref) / len(calibs_ref))
+        calib_basis = "single_thread_md5"
+        # PREFER the all-core probe when BOTH sides carry it (r11:
+        # run-4 showed the single-thread md5 and actual 32-thread
+        # Spark throughput DECOUPLE — the probe read the host 27%
+        # slow while the Spark work ran at REF speed; an all-core
+        # probe shares the workload's contention profile).  Older REF
+        # artifacts lack calib_par_ms, so this engages from the first
+        # round whose REF is a parallel-probe run.
+        ref_par = [
+            c
+            for c in (
+                [
+                    ref.get(k, {}).get("calib_par_ms")
+                    for k in ("machine_start", "machine_end")
+                ]
+                + [
+                    s.get("calib_par_ms")
+                    for s in ref.get("calib_samples", [])
+                ]
+            )
+            if c
+        ]
+        cur_par = [
+            c
+            for c in (
+                [
+                    ctx_start.get("calib_par_ms"),
+                    ctx_end.get("calib_par_ms"),
+                ]
+                + [
+                    s.get("calib_par_ms")
+                    for s in (calib_samples or [])
+                ]
+            )
+            if c
+        ]
+        if ref_par and cur_par:
+            ratio = _median(cur_par) / _median(ref_par)
+            calib_basis = "all_core_parallel"
         common = sorted(set(timings) & set(ref_q))
         if not common:
             return None
@@ -259,6 +299,7 @@ def compare_to_reference(
             "ref": os.path.basename(ref_path),
             "ref_name": ref.get("ref_name"),
             "calib_ratio": round(ratio, 4),
+            "calib_basis": calib_basis,
             "calib_cur_n_samples": len(cur_all),
             "calib_cur_spread_ms": [
                 round(cur_all[0], 2), round(cur_all[-1], 2)
