@@ -183,6 +183,12 @@ def main() -> None:
         r9_med = med(
             [r["exec"][q] for r in runs if r["label"] == "r9" and q in r["exec"]]
         )
+        # a query missing from EVERY run of one label passes the
+        # common-set test (common is unioned across pairs) but yields a
+        # None median here — skip it rather than round(None) after all
+        # the expensive runs completed
+        if head_med is None or r9_med is None:
+            continue
         table.append(
             {
                 "query": q,

@@ -259,6 +259,7 @@ def compare_to_reference(
         if ref_par and cur_par:
             ratio = _median(cur_par) / _median(ref_par)
             calib_basis = "all_core_parallel"
+        cur_par_sorted = sorted(cur_par)
         common = sorted(set(timings) & set(ref_q))
         if not common:
             return None
@@ -295,15 +296,32 @@ def compare_to_reference(
 
         cur_canon = _canon(timings, calibs_cur)
         ref_canon = _canon(ref_q, calibs_ref)
-        return {
+        out = {
             "ref": os.path.basename(ref_path),
             "ref_name": ref.get("ref_name"),
+            # HEADLINE cross-round number (r11 verdict What's-wrong #3:
+            # the calib renorm proved a ±30% instrument on this host —
+            # raw-common and the paired A/B harness are authoritative;
+            # renorm_* below is a diagnostic, not the verdict)
+            "raw_vs_ref": round(raw / ref_total, 4) if ref_total else None,
             "calib_ratio": round(ratio, 4),
             "calib_basis": calib_basis,
-            "calib_cur_n_samples": len(cur_all),
-            "calib_cur_spread_ms": [
+            # BOTH probes' sample spreads, explicitly labeled, so the
+            # recorded spread always describes the probe the renorm
+            # ratio actually used (driver-ADVICE r11: the old fields
+            # described the single-thread probe even under the
+            # all-core basis)
+            "calib_st_cur_n_samples": len(cur_all),
+            "calib_st_cur_spread_ms": [
                 round(cur_all[0], 2), round(cur_all[-1], 2)
             ],
+            "calib_par_cur_n_samples": len(cur_par_sorted),
+            "calib_par_cur_spread_ms": [
+                round(cur_par_sorted[0], 2),
+                round(cur_par_sorted[-1], 2),
+            ]
+            if cur_par_sorted
+            else None,
             "common_queries": len(common),
             "new_queries": sorted(set(timings) - set(ref_q)),
             "ref_common_total_sec": round(ref_total, 3),
@@ -320,6 +338,7 @@ def compare_to_reference(
                 {"query": q, "delta": d} for d, q in per_q[:5]
             ],
         }
+        return out
     except Exception:
         return None
 
@@ -681,9 +700,12 @@ def format_final_line(
     if streaming:
         out["streaming_rps"] = streaming["records_per_sec"]
     if vs_ref:
-        # the one-number cross-round verdict: warm total over the
-        # common query set, host-speed-renormalized, as a ratio to the
-        # committed reference run (1.0 = flat; full detail in vs_ref)
+        # the one-number cross-round verdict: RAW warm total over the
+        # common query set as a ratio to the committed reference run
+        # (1.0 = flat).  Headline is raw (r11: the calib renorm proved
+        # a ±30% instrument on this host); renorm_vs_ref stays as a
+        # diagnostic with its basis + spreads in vs_ref.
+        out["raw_vs_ref"] = vs_ref.get("raw_vs_ref")
         out["renorm_vs_ref"] = vs_ref["renorm_vs_ref"]
         out["calib_ratio"] = vs_ref["calib_ratio"]
     line = json.dumps(dict(out, queries=timings))

@@ -184,8 +184,15 @@ def test_compare_to_reference_renormalizes_and_never_raises(tmp_path):
         assert got["common_queries"] == 2
         assert got["new_queries"] == ["brand_new"]
         assert got["raw_common_total_sec"] == 6.0
+        # HEADLINE is the raw ratio (r11: renorm demoted to diagnostic)
+        assert got["raw_vs_ref"] == 2.0
         assert got["renorm_common_total_sec"] == 3.0
         assert got["renorm_vs_ref"] == 1.0
+        # no parallel probe on either side: single-thread basis, par
+        # spread explicitly absent (not mislabeled single-thread data)
+        assert got["calib_basis"] == "single_thread_md5"
+        assert got["calib_st_cur_n_samples"] == 2
+        assert got["calib_par_cur_spread_ms"] is None
         assert {r["query"] for r in got["top_renorm_regressions_sec"]} == {
             "q1", "q2"
         }
@@ -194,8 +201,30 @@ def test_compare_to_reference_renormalizes_and_never_raises(tmp_path):
             {"q1": 2.0}, {}, {}, "0.1", None, got
         )
         parsed = _json.loads(line)
+        assert parsed["raw_vs_ref"] == 2.0
         assert parsed["renorm_vs_ref"] == 1.0
         assert parsed["calib_ratio"] == 2.0
+        # all-core probe on BOTH sides: parallel basis engages and the
+        # recorded spread describes the probe the ratio actually used
+        # (driver-ADVICE r11: the old fields described the
+        # single-thread samples under the all-core basis)
+        ref_par = dict(
+            ref,
+            machine_start={"calib_md5_ms": 100.0, "calib_par_ms": 150.0},
+            machine_end={"calib_md5_ms": 100.0, "calib_par_ms": 150.0},
+        )
+        rp.write_text(_json.dumps(ref_par))
+        got_par = bench.compare_to_reference(
+            {"q1": 2.0, "q2": 4.0},
+            {"calib_md5_ms": 200.0, "calib_par_ms": 600.0},
+            {"calib_md5_ms": 200.0, "calib_par_ms": 610.0},
+        )
+        assert got_par["calib_basis"] == "all_core_parallel"
+        assert got_par["calib_ratio"] == round(605.0 / 150.0, 4)
+        assert got_par["calib_par_cur_n_samples"] == 2
+        assert got_par["calib_par_cur_spread_ms"] == [600.0, 610.0]
+        assert got_par["calib_st_cur_spread_ms"] == [200.0, 200.0]
+        assert got_par["raw_vs_ref"] == 2.0
         # malformed / missing refs -> None, never an exception
         rp.write_text("{not json")
         assert bench.compare_to_reference(
