@@ -43,7 +43,15 @@ from kafka_dead_letter_analyzer_spark.operators.text import (
     TYPICALITY_TOKEN_RE,
 )
 
-__all__ = ["bm25_stats", "bm25_topk", "rrf_fuse", "retrieval_metrics"]
+__all__ = [
+    "bm25_stats",
+    "bm25_topk",
+    "corpus_token_stats",
+    "ndcg_at_k",
+    "retrieval_metrics",
+    "rrf_fuse",
+    "salted_topk",
+]
 
 
 def _tokens(col: str) -> Column:
@@ -51,6 +59,92 @@ def _tokens(col: str) -> Column:
         f"regexp_extract_all(lower(coalesce({col}, '')),"
         f" '{TYPICALITY_TOKEN_RE}', 0)"
     )
+
+
+def corpus_token_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int]:
+    """The ``(n_docs, sum_dl)`` corpus snapshot constants that
+    :func:`bm25_stats` needs, computed in ONE pass (count + token-count
+    sum, no explode) and returned as Python ints — a bounded 2-scalar
+    collect, the documented production pattern: compute once per corpus
+    snapshot, pass ``corpus_stats=`` to every retrieval call against
+    that snapshot, and every call is single-scan.  Tokenization
+    (TYPICALITY_TOKEN_RE over lowercased text) and the NULL-exclusion
+    contract match :func:`bm25_stats` exactly."""
+    row = (
+        docs.filter(
+            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size(_tokens(text_col))), F.lit(0))
+            .cast("bigint")
+            .alias("sum_dl"),
+        )
+        .first()
+    )
+    return int(row["n_docs"]), int(row["sum_dl"])
+
+
+def salted_topk(
+    df: DataFrame,
+    k: int,
+    partition_by: list[str],
+    order_by: list[Column],
+    salt_src: str,
+    n_salts: int | None = None,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k WITHOUT a group-wide window — the salted
+    two-phase pattern shared by :func:`bm25_topk`, :func:`ndcg_at_k`'s
+    ideal-gain stage, and the declared-query fixture rankers.  Phase 1
+    ranks within ``(partition_by..., salt)`` where ``salt =
+    xxhash64(salt_src) % n_salts`` — a group whose candidate set is a
+    constant fraction of the corpus (a stopword query) spreads across
+    ``n_salts`` bounded tasks instead of ONE window task AQE cannot
+    split — and phase 2 ranks the surviving ``<= n_salts * k`` rows per
+    group.
+
+    ``order_by`` must be a TOTAL order within each group (tiebreak on a
+    unique column, conventionally ``salt_src`` ascending): every true
+    global top-k row then survives its salt bucket's top-k, phase 2
+    sees all of them, and the output is BIT-IDENTICAL to a single
+    group-wide window for any ``n_salts`` (salt-count independence is
+    tested).  ``n_salts`` defaults to the session's shuffle-partition
+    count.  Output = input columns + ``rank_name`` (int, 1-based,
+    ``<= k``)."""
+    if k < 1:
+        raise ValueError(f"salted_topk: k={k} must be >= 1")
+    if n_salts is None:
+        from kafka_dead_letter_analyzer_spark.operators.io import (
+            shuffle_partitions,
+        )
+
+        n_salts = shuffle_partitions(df.sparkSession)
+    if n_salts < 1:
+        raise ValueError(
+            f"salted_topk: n_salts={n_salts} must be >= 1"
+        )
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "_skt_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*partition_by, "_skt_salt").orderBy(
+        *order_by
+    )
+    survivors = (
+        salted.withColumn("_skt_r1", F.row_number().over(w1))
+        .filter(F.col("_skt_r1") <= k)
+        .drop("_skt_salt", "_skt_r1")
+    )
+    w2 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_name, F.row_number().over(w2).cast("int")
+    ).filter(F.col(rank_name) <= k)
 
 
 def bm25_stats(
@@ -185,6 +279,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    corpus_stats: tuple | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25 (Lucene idf variant):
     ``(query_id, doc_id, rank INT, score DOUBLE)`` with ``score``
@@ -211,18 +306,14 @@ def bm25_topk(
     ``<= n_salts * k`` rows per query.  ``n_salts`` defaults to the
     session's shuffle-partition count (scales with configured cluster
     width); correctness is salt-count-independent (every true top-k
-    row survives its salt bucket)."""
+    row survives its salt bucket).
+
+    ``corpus_stats``: forwarded to :func:`bm25_stats` — pass the
+    :func:`corpus_token_stats` snapshot constants and the whole ranker
+    is single-scan (by default the (n_docs, sum_dl) branch re-scans
+    and re-tokenizes the corpus)."""
     if k < 1:
         raise ValueError(f"bm25_topk: k={k} must be >= 1")
-    if n_salts is None:
-        from kafka_dead_letter_analyzer_spark.operators.io import (
-            shuffle_partitions,
-        )
-
-        n_salts = shuffle_partitions(docs.sparkSession)
-    if n_salts < 1:
-        raise ValueError(f"bm25_topk: n_salts={n_salts} must be >= 1")
-    from pyspark.sql import Window
 
     stats = bm25_stats(
         docs,
@@ -231,6 +322,7 @@ def bm25_topk(
         text_col=text_col,
         query_id_col=query_id_col,
         query_text_col=query_text_col,
+        corpus_stats=corpus_stats,
     )
     idf = F.log(
         F.lit(1.0)
@@ -270,28 +362,14 @@ def bm25_topk(
             F.round("_score", 6).alias("score"),
         )
     )
-    salted = scored.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
-    )
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    survivors = salted.withColumn(
-        "_r1", F.row_number().over(w1)
-    ).filter(F.col("_r1") <= k)
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            id_col,
-            F.col("rank").cast("int").alias("rank"),
-            "score",
-        )
-    )
+    return salted_topk(
+        scored,
+        k,
+        partition_by=["query_id"],
+        order_by=[F.col("score").desc(), F.col(id_col).asc()],
+        salt_src=id_col,
+        n_salts=n_salts,
+    ).select("query_id", id_col, "rank", "score")
 
 
 def rrf_fuse(
@@ -329,6 +407,19 @@ def rrf_fuse(
         raise ValueError(f"rrf_fuse: k={k} must be >= 1")
     from pyspark.sql import Window
 
+    # contribution built from Column expressions, never an interpolated
+    # identifier (driver-ADVICE r11: a rank_col needing backticks broke
+    # the raw-SQL string, and a non-integral rank type failed on DIV):
+    # rank is validated-cast to bigint first, then exact integer
+    # division via try_divide-free arithmetic — floor(a/b) over int64s
+    # <= 1e9 is exact in double only by accident, so keep true DIV
+    # semantics with (a - pmod(a, b)) / b on bigints.
+    rank_big = F.col(rank_col).cast("bigint")
+    denom = F.lit(k).cast("bigint") + rank_big
+    num = F.lit(1_000_000_000).cast("bigint")
+    contribution = (
+        (num - F.pmod(num, denom)) / denom
+    ).cast("bigint")
     scored = (
         rankings.filter(
             F.col(query_col).isNotNull()
@@ -338,13 +429,7 @@ def rrf_fuse(
         .groupBy(query_col, id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rankers"),
-            F.sum(
-                F.expr(
-                    f"CAST(1000000000 DIV ({k} + {rank_col}) AS BIGINT)"
-                )
-            )
-            .cast("bigint")
-            .alias("rrf_ppb"),
+            F.sum(contribution).cast("bigint").alias("rrf_ppb"),
         )
     )
     w = Window.partitionBy(query_col).orderBy(
@@ -356,6 +441,156 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("fused_rank") <= top_k)
     return out
+
+
+def ndcg_at_k(
+    rankings: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    exponential: bool = False,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Per-query nDCG@k against GRADED relevance judgments — the third
+    leg of the standard IR eval triple (MRR / recall@k in
+    :func:`retrieval_metrics` are integer-exact; nDCG's log2 discount
+    makes this one irreducibly float, so the declared query is
+    rows-only with a from-scratch differential, the bm25_topk
+    precedent).  ``dcg = sum over ranked positions i <= k of
+    gain(rel_i) / log2(i + 1)`` with unjudged documents contributing
+    0; ``idcg`` is the dcg of the query's judgments re-ranked ideally
+    (gain desc), truncated at k; ``ndcg = dcg / idcg``.  ``gain`` is
+    linear (``rel``) by default, ``2^rel - 1`` with
+    ``exponential=True`` (both standard; Järvelin & Kekäläinen 2002).
+
+    Output per query (queries present in EITHER input):
+    ``(query_col, n_ranked BIGINT, n_judged BIGINT, dcg DOUBLE, idcg
+    DOUBLE, ndcg DOUBLE)`` — dcg/idcg/ndcg rounded to 6 places; ndcg
+    NULL when the query has no positive-gain judgments (0/0 is
+    undefined — unjudged queries), 0.0 when judged but nothing
+    relevant was ranked.  Duplicate judgments collapse to max rel.
+
+    Determinism: both float sums run in rank order via
+    ``aggregate(array_sort(collect_list(struct(rank, contrib))))`` —
+    <= k addends each, fixed order, partitioning-independent.
+
+    Scale shape: the dcg side is one (query, doc) equi-join (rankings
+    are top-k lists by contract) + one (query) contraction; the ideal
+    side ranks the judgment table with :func:`salted_topk` — NO
+    group-wide window even for a query with millions of judgments —
+    then the same bounded contraction.  No corpus scan anywhere: both
+    inputs are already reduced surfaces."""
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k={k} must be >= 1")
+
+    def _gain(col: Column) -> Column:
+        g = col.cast("double")
+        return (
+            F.pow(F.lit(2.0), g) - F.lit(1.0) if exponential else g
+        )
+
+    def _ordered_sum(pairs: Column) -> Column:
+        # fixed-order float sum: sort by (position, value) and fold
+        return F.aggregate(
+            F.array_sort(pairs), F.lit(0.0), lambda a, s: a + s["c"]
+        )
+
+    j = (
+        qrels.filter(
+            F.col(query_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.col(rel_col).isNotNull()
+        )
+        .groupBy(
+            F.col(query_col).alias("_q"), F.col(id_col).alias("_d")
+        )
+        .agg(F.max(F.col(rel_col)).alias("_rel"))
+    )
+    r = rankings.filter(
+        F.col(query_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(rank_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("bigint").alias("_r"),
+    )
+    # dcg: judged docs actually ranked within k; unjudged contribute 0
+    dcg_q = (
+        r.filter(F.col("_r") <= k)
+        .join(j, ["_q", "_d"])
+        .select(
+            "_q",
+            "_r",
+            (_gain(F.col("_rel")) / F.log2(F.col("_r") + 1)).alias(
+                "_c"
+            ),
+        )
+        .groupBy("_q")
+        .agg(
+            _ordered_sum(
+                F.collect_list(F.struct(F.col("_r").alias("r"),
+                                        F.col("_c").alias("c")))
+            ).alias("_dcg")
+        )
+    )
+    # ideal side: top-k judgments by gain desc WITHOUT a group-wide
+    # window (a well-judged query can carry an unbounded judgment set)
+    ideal = salted_topk(
+        j,
+        k,
+        partition_by=["_q"],
+        order_by=[F.col("_rel").desc(), F.col("_d").asc()],
+        salt_src="_d",
+        n_salts=n_salts,
+        rank_name="_ir",
+    )
+    idcg_q = (
+        ideal.select(
+            "_q",
+            F.col("_ir").cast("bigint").alias("_r"),
+            (_gain(F.col("_rel")) / F.log2(F.col("_ir") + 1)).alias(
+                "_c"
+            ),
+        )
+        .groupBy("_q")
+        .agg(
+            _ordered_sum(
+                F.collect_list(F.struct(F.col("_r").alias("r"),
+                                        F.col("_c").alias("c")))
+            ).alias("_idcg")
+        )
+    )
+    n_judged_q = j.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_judged")
+    )
+    n_ranked_q = r.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked")
+    )
+    out = (
+        n_ranked_q.join(n_judged_q, "_q", "full_outer")
+        .join(dcg_q, "_q", "left")
+        .join(idcg_q, "_q", "left")
+    )
+    dcg = F.coalesce(F.col("_dcg"), F.lit(0.0))
+    idcg = F.col("_idcg")
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.coalesce(F.col("n_ranked"), F.lit(0)).cast("bigint").alias(
+            "n_ranked"
+        ),
+        F.coalesce(F.col("n_judged"), F.lit(0)).cast("bigint").alias(
+            "n_judged"
+        ),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(
+            idcg.isNotNull() & (idcg > 0), F.round(dcg / idcg, 6)
+        ).alias("ndcg"),
+    )
 
 
 def retrieval_metrics(

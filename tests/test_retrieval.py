@@ -292,3 +292,225 @@ def test_rrf_fuse_partitioning_independent(spark):
     one = sorted(map(tuple, RV.rrf_fuse(df.coalesce(1)).collect()))
     many = sorted(map(tuple, RV.rrf_fuse(df.repartition(13)).collect()))
     assert one == many
+
+
+def test_corpus_token_stats_one_pass_constants(spark, frames):
+    """The snapshot-constant helper returns exactly the (n_docs,
+    sum_dl) bm25_stats computes internally — same tokenizer, same
+    NULL exclusion — so passing them back is output-neutral (the
+    single-scan contract's correctness half)."""
+    docs, qs = frames
+    n_docs, sum_dl = RV.corpus_token_stats(docs)
+    assert n_docs == len(DOCS)
+    assert sum_dl == sum(len(_tok(t)) for _, t in DOCS)
+    row = RV.bm25_stats(docs, qs).select("n_docs", "sum_dl").first()
+    assert (row["n_docs"], row["sum_dl"]) == (n_docs, sum_dl)
+    # NULL rows excluded on both paths
+    docs_n = spark.createDataFrame(
+        DOCS + [(None, "xx"), (9, None)], "doc_id long, text string"
+    )
+    assert RV.corpus_token_stats(docs_n) == (n_docs, sum_dl)
+
+
+def test_salted_topk_bit_identical_to_global_window(spark):
+    """The shared two-phase pattern equals a single group-wide window
+    for ANY salt count when order_by is total — exact ranks, exact
+    survivors, at 1/4/64 salts and under input repartitioning."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [
+        (q, d, (d * 7 + q * 3) % 13)
+        for q in (1, 2) for d in range(40)
+    ] + [(3, 0, 5)]  # singleton group
+    df = spark.createDataFrame(rows, "q long, d long, v long")
+    w = Window.partitionBy("q").orderBy(F.col("v").desc(), F.col("d"))
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .collect(),
+        )
+    )
+    for n_salts in (1, 4, 64):
+        got = sorted(
+            map(
+                tuple,
+                RV.salted_topk(
+                    df.repartition(7),
+                    5,
+                    partition_by=["q"],
+                    order_by=[F.col("v").desc(), F.col("d")],
+                    salt_src="d",
+                    n_salts=n_salts,
+                ).collect(),
+            )
+        )
+        assert got == want, n_salts
+    with pytest.raises(ValueError, match="k="):
+        RV.salted_topk(df, 0, ["q"], [F.col("v")], "d")
+    with pytest.raises(ValueError, match="n_salts"):
+        RV.salted_topk(df, 1, ["q"], [F.col("v")], "d", n_salts=0)
+
+
+def test_bm25_topk_single_scan_with_corpus_stats(spark, frames):
+    """corpus_stats forwards through the ranker (driver-ADVICE r11):
+    identical output, and the plan drops to one distinct scan of the
+    docs source."""
+    docs, qs = frames
+    n_docs, sum_dl = RV.corpus_token_stats(docs)
+    base = sorted(map(tuple, RV.bm25_topk(docs, qs, k=10).collect()))
+    single = sorted(
+        map(
+            tuple,
+            RV.bm25_topk(
+                docs, qs, k=10, corpus_stats=(n_docs, sum_dl)
+            ).collect(),
+        )
+    )
+    assert single == base
+
+
+def test_rrf_fuse_awkward_rank_column_names_and_types(spark):
+    """The contribution is built from Column expressions (driver-ADVICE
+    r11): a rank column whose name needs backticks works, and a
+    non-bigint (int/double-integral) rank type is cast, not a DIV
+    analysis error."""
+    df = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)],
+        "query_id long, doc_id long, `rank order` int",
+    )
+    got = {
+        (r["doc_id"], r["rrf_ppb"])
+        for r in RV.rrf_fuse(df, rank_col="rank order").collect()
+    }
+    assert got == {
+        (100, 1_000_000_000 // 61),
+        (101, 1_000_000_000 // 62),
+    }
+    dfd = spark.createDataFrame(
+        [(1, 100, 1.0)], "query_id long, doc_id long, rank double"
+    )
+    assert RV.rrf_fuse(dfd).first()["rrf_ppb"] == 1_000_000_000 // 61
+
+
+def _brute_ndcg(rankings, qrels, k=10, exponential=False):
+    """From-scratch nDCG replica: dict (query) -> row tuple."""
+    import math as _m
+
+    best = {}
+    for q, d, rel in qrels:
+        if q is None or d is None or rel is None:
+            continue
+        best[(q, d)] = max(best.get((q, d), rel), rel)
+    ranked = [
+        (q, d, r)
+        for q, d, r in rankings
+        if q is not None and d is not None and r is not None
+    ]
+    queries = {q for q, _, _ in ranked} | {q for (q, _) in best}
+
+    def g(rel):
+        return (2.0 ** rel - 1.0) if exponential else float(rel)
+
+    out = {}
+    for q in queries:
+        mine = sorted(
+            (r, d) for (qq, d, r) in ranked if qq == q
+        )
+        n_ranked = len(mine)
+        judged = {d: rel for (qq, d), rel in best.items() if qq == q}
+        dcg = 0.0
+        for r, d in mine:
+            if r <= k and d in judged:
+                dcg += g(judged[d]) / _m.log2(r + 1)
+        ideal = sorted(
+            judged.items(), key=lambda x: (-x[1], x[0])
+        )[:k]
+        idcg = sum(
+            g(rel) / _m.log2(i + 2) for i, (_, rel) in enumerate(ideal)
+        )
+        ndcg = round(dcg / idcg, 6) if idcg > 0 else None
+        out[q] = (
+            n_ranked, len(judged), round(dcg, 6),
+            round(idcg, 6) if judged else None, ndcg,
+        )
+    return out
+
+
+def test_ndcg_matches_python_replica(spark):
+    """Graded-relevance nDCG@k against a from-scratch replica: linear
+    and exponential gain, duplicate judgments collapse to max rel,
+    unjudged-query NULL, judged-but-unranked 0.0, k cutoff on both
+    the dcg and ideal sides, salt-count independence, NULL-row
+    exclusion."""
+    rankings = [
+        (1, 100, 1), (1, 101, 2), (1, 102, 3), (1, 103, 4),
+        (2, 200, 1), (2, 201, 2),
+        (4, 400, 1),
+        (None, 1, 1), (1, None, 1), (1, 998, None),
+    ]
+    qrels = [
+        (1, 101, 3), (1, 102, 1), (1, 999, 2),  # 999 unranked
+        (1, 101, 1),                            # dup -> max(3, 1)
+        (3, 300, 2),                            # judged, never ranked
+        (4, 400, 0),                            # zero-gain judgment
+        (None, 1, 1), (2, None, 1), (1, 997, None),
+    ]
+    rdf = spark.createDataFrame(
+        rankings, "query_id long, doc_id long, rank long"
+    )
+    qdf = spark.createDataFrame(
+        qrels, "query_id long, doc_id long, rel long"
+    )
+    for expo in (False, True):
+        want = _brute_ndcg(
+            [r for r in rankings if None not in r],
+            [r for r in qrels if None not in r],
+            k=3, exponential=expo,
+        )
+        got = {
+            r["query_id"]: (
+                r["n_ranked"], r["n_judged"], r["dcg"], r["idcg"],
+                r["ndcg"],
+            )
+            for r in RV.ndcg_at_k(
+                rdf, qdf, k=3, exponential=expo
+            ).collect()
+        }
+        # judged-set-empty queries carry idcg NULL in Spark; replica
+        # encodes the same contract
+        assert got == want, expo
+    # salt independence: n_salts=1 vs 16 bit-identical
+    a = sorted(map(tuple, RV.ndcg_at_k(rdf, qdf, k=3, n_salts=1).collect()))
+    b = sorted(map(tuple, RV.ndcg_at_k(rdf, qdf, k=3, n_salts=16).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="k="):
+        RV.ndcg_at_k(rdf, qdf, k=0)
+
+
+def test_ndcg_semantics_hand_checked(spark):
+    """One fully hand-computed case: perfect ranking -> ndcg 1.0;
+    reversed ranking -> the known closed-form value."""
+    import math as _m
+
+    qrels = [(1, 10, 3), (1, 11, 2), (1, 12, 1)]
+    perfect = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    reverse = [(1, 12, 1), (1, 11, 2), (1, 10, 3)]
+    qdf = spark.createDataFrame(
+        qrels, "query_id long, doc_id long, rel long"
+    )
+
+    def run(rk):
+        rdf = spark.createDataFrame(
+            rk, "query_id long, doc_id long, rank long"
+        )
+        return RV.ndcg_at_k(rdf, qdf, k=10).first()
+
+    p = run(perfect)
+    assert p["ndcg"] == 1.0 and p["dcg"] == p["idcg"]
+    r = run(reverse)
+    idcg = 3 / _m.log2(2) + 2 / _m.log2(3) + 1 / _m.log2(4)
+    dcg = 1 / _m.log2(2) + 2 / _m.log2(3) + 3 / _m.log2(4)
+    assert r["ndcg"] == round(dcg / idcg, 6)
