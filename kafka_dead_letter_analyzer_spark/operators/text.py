@@ -1119,7 +1119,7 @@ def _check_group_cols(pairs, group_cols, id_col: str, max_n: int) -> None:
     surface."""
     reserved = {id_col, "_pid", "_ct", "_rt", "_cs", "_rs", "_s",
                 "_n", "_side", "_g", "_cc", "_cr",
-                "cand_len", "ref_len"}
+                "cand_len", "ref_len", "lcs_len", "truncated"}
     for n in range(1, max_n + 1):
         reserved |= {f"clipped_{n}", f"total_{n}",
                      f"cand_total_{n}", f"ref_total_{n}"}
@@ -1500,6 +1500,7 @@ def rouge_l_stats(
     ref_col: str = "reference",
     max_tokens: int = 512,
     escalations: int = 0,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """ROUGE-L sufficient statistics (Lin 2004) per (candidate,
     reference) pair — the longest-common-SUBSEQUENCE eval companion
@@ -1544,7 +1545,15 @@ def rouge_l_stats(
     AQE sizes partitions by BYTES, and a pair row's cost here is its
     quadratic DP, not its bytes, so a windowed input coalesced to one
     task serializes all the CPU (measured: sf0.1 ran 1-task without
-    it).  NULL ids excluded, NULL text = empty (lcs 0, kept)."""
+    it).  NULL ids excluded, NULL text = empty (lcs 0, kept).
+
+    ``group_cols`` (r12, closing the eval-family passthrough): extra
+    per-pair columns (functionally dependent on the id — e.g. the
+    source) echoed onto the stats surface so
+    :func:`corpus_eval_rollup` can group WITHOUT a join back to the
+    pair table; they ride the Arrow batches through the same
+    mapInPandas (no extra pass, no shuffle — the map is narrow), the
+    bleu_stats/chrf_stats contract."""
     if max_tokens < 1:
         raise ValueError(
             f"rouge_l_stats: max_tokens={max_tokens} must be >= 1"
@@ -1557,8 +1566,10 @@ def rouge_l_stats(
         )
     import pandas as pd
 
+    _check_group_cols(pairs, group_cols, id_col, max_n=0)
     base = pairs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_pid"),
+        *[F.col(c) for c in group_cols],
         F.expr(
             f"regexp_extract_all(lower(coalesce({cand_col}, '')),"
             f" '{TYPICALITY_TOKEN_RE}', 0)"
@@ -1570,9 +1581,11 @@ def rouge_l_stats(
     )
     n_parts = shuffle_partitions(pairs.sparkSession)
     base = base.repartition(n_parts, "_pid")
+    pair_types = dict(pairs.dtypes)
     out_schema = (
         f"{id_col} bigint, cand_len bigint, ref_len bigint,"
         " lcs_len bigint, truncated boolean"
+        + "".join(f", {c} {pair_types[c]}" for c in group_cols)
     )
     base_cap = int(max_tokens)
     top_cap = base_cap * (2 ** int(escalations))
@@ -1618,7 +1631,7 @@ def rouge_l_stats(
                 rls.append(rl)
                 lcss.append(lcs)
                 trs.append(tr)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="int64"),
                     "cand_len": pd.array(cls, dtype="int64"),
@@ -1627,5 +1640,10 @@ def rouge_l_stats(
                     "truncated": pd.array(trs, dtype="bool"),
                 }
             )
+            # passthrough columns: one output row per input row, in
+            # input order, so the batch's series carry over directly
+            for c in group_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
     return base.mapInPandas(lcs_rows, out_schema)

@@ -11054,6 +11054,29 @@ def x_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_eval_rollup(stats, group_cols=("source",))
 
 
+@_register("x_corpus_rouge_l")  # rows-only: LCS is not SQL-expressible
+def x_corpus_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-L sufficient statistics per source — the LCS
+    companion of x_corpus_bleu/x_corpus_chrf, closing the eval
+    family's rollup surface (r11 verdict #5): rouge_l_stats carries
+    the source through the Arrow batches via group_cols (NO join back
+    to the pair table — the map is narrow), then corpus_eval_rollup
+    sums (cand_len, ref_len, lcs_len) per source with ONE tiny
+    group-key exchange; corpus P/R/F stay caller-side on |sources|
+    rows.  The truncated flag rolls up as n_truncated (truncation is
+    never silent, even aggregated).  ROWS-ONLY — LCS has no
+    relational formulation (the x_rouge_l_pairs precedent); gated by
+    the from-scratch corpus differential in tests plus the rollup
+    additivity property."""
+    stats = TX.rouge_l_stats(
+        _eval_pairs_with_source(spark, sf_dir), group_cols=("source",)
+    )
+    stats = stats.withColumn(
+        "n_truncated", F.col("truncated").cast("bigint")
+    ).drop("truncated")
+    return TX.corpus_eval_rollup(stats, group_cols=("source",))
+
+
 # deterministic probe queries over the synthetic documents vocabulary
 # (TESTDATA.md) — duplicated literally in the oracle's VALUES clause
 _BM25_QUERY_ROWS = [

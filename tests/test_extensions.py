@@ -2759,3 +2759,65 @@ def test_corpus_eval_rollup_additive_over_concatenation(spark):
             )
         ]
         assert rab[g] == want, g
+
+
+def test_rouge_l_group_cols_passthrough_and_corpus_rollup(spark):
+    """r12 (r11 VERDICT #5): rouge_l_stats carries per-pair-constant
+    columns through the Arrow batches like bleu/chrf — per-pair stats
+    bit-identical to the passthrough-free run, the group value echoed
+    per row — and corpus_eval_rollup over the surface equals the
+    column-wise sums per group (with the truncated flag rolled up as
+    a count, never silently dropped)."""
+    rows = [
+        (1, "g1", "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "g1", "the the the the", "the cat"),
+        (3, "g2", "hello world", ""),
+        (4, "g2", None, "some reference text"),
+        (5, "g2", "exact match here", "exact match here"),
+        (6, "g2", " ".join(f"w{i}" for i in range(600)), "w5 w6"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, grp string, candidate string, reference string"
+    )
+    grp_of = {i: g for i, g, _, _ in rows}
+    base = {
+        r["pair_id"]: (
+            r["cand_len"], r["ref_len"], r["lcs_len"], r["truncated"]
+        )
+        for r in TX.rouge_l_stats(df).collect()
+    }
+    stats = TX.rouge_l_stats(df, group_cols=("grp",))
+    got = stats.collect()
+    assert len(got) == len(base)
+    for r in got:
+        assert (
+            r["cand_len"], r["ref_len"], r["lcs_len"], r["truncated"]
+        ) == base[r["pair_id"]], r["pair_id"]
+        assert r["grp"] == grp_of[r["pair_id"]]
+    # corpus rollup: column-wise sums per group + truncation count
+    rolled = {
+        r["grp"]: (
+            r["n_pairs"], r["cand_len"], r["ref_len"], r["lcs_len"],
+            r["n_truncated"],
+        )
+        for r in TX.corpus_eval_rollup(
+            stats.withColumn(
+                "n_truncated", F.col("truncated").cast("bigint")
+            ).drop("truncated"),
+            group_cols=("grp",),
+        ).collect()
+    }
+    want = {}
+    for pid, (cl, rl, lcs, tr) in base.items():
+        g = grp_of[pid]
+        n, c, rr, l, t = want.get(g, (0, 0, 0, 0, 0))
+        want[g] = (n + 1, c + cl, rr + rl, l + lcs, t + int(tr))
+    assert rolled == want
+    # validation mirrors bleu/chrf, including the rouge stat names
+    with pytest.raises(ValueError, match="not a column"):
+        TX.rouge_l_stats(df, group_cols=("nope",))
+    with pytest.raises(ValueError, match="collides"):
+        TX.rouge_l_stats(
+            df.withColumnRenamed("grp", "lcs_len"),
+            group_cols=("lcs_len",),
+        )
