@@ -1493,6 +1493,47 @@ def corpus_eval_rollup(
     )
 
 
+def _lcs_capped(
+    ct: list, rt: list, base_cap: int, top_cap: int
+) -> tuple:
+    """One pair's capped-LCS row: the escalation-ladder cap choice,
+    truncation flag, vocab interning and vectorized prefix-max DP in
+    one place — shared verbatim by :func:`rouge_l_stats`'s
+    mapInPandas and the streaming twin
+    (``streaming/engine.py::streaming_corpus_rouge_l``), so
+    batch/streaming bit-equality holds by construction.  Returns
+    ``(cand_len, ref_len, lcs_len, truncated)``."""
+    import numpy as np
+
+    cl, rl = len(ct), len(rt)
+    # smallest ladder rung covering both sides, capped at the top
+    # rung; rows past the top rung truncate there
+    cap = base_cap
+    while cap < max(cl, rl) and cap < top_cap:
+        cap *= 2
+    tr = cl > cap or rl > cap
+    c, r = ct[:cap], rt[:cap]
+    if not c or not r:
+        return cl, rl, 0, tr
+    # intern to int codes once; mismatched vocab never matches
+    vocab = {t: k for k, t in enumerate(set(c) | set(r))}
+    a = np.fromiter(
+        (vocab[t] for t in c), dtype=np.int32, count=len(c)
+    )
+    b = np.fromiter(
+        (vocab[t] for t in r), dtype=np.int32, count=len(r)
+    )
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    curr = np.empty_like(prev)
+    for tok in a:
+        curr[0] = 0
+        curr[1:] = np.maximum.accumulate(
+            np.where(b == tok, prev[:-1] + 1, prev[1:])
+        )
+        prev, curr = curr, prev
+    return cl, rl, int(prev[-1]), tr
+
+
 def rouge_l_stats(
     pairs: DataFrame,
     id_col: str = "pair_id",
@@ -1591,41 +1632,12 @@ def rouge_l_stats(
     top_cap = base_cap * (2 ** int(escalations))
 
     def lcs_rows(batches):
-        import numpy as np
-
         for pdf in batches:
             ids, cls, rls, lcss, trs = [], [], [], [], []
             for pid, ct, rt in zip(pdf["_pid"], pdf["_ct"], pdf["_rt"]):
-                ct, rt = list(ct), list(rt)
-                cl, rl = len(ct), len(rt)
-                # smallest ladder rung covering both sides, capped at
-                # the top rung; rows past the top rung truncate there
-                cap = base_cap
-                while cap < max(cl, rl) and cap < top_cap:
-                    cap *= 2
-                tr = cl > cap or rl > cap
-                c, r = ct[:cap], rt[:cap]
-                if not c or not r:
-                    lcs = 0
-                else:
-                    # intern to int codes once; mismatched vocab
-                    # never matches, code -1 vs -2 sentinel unused
-                    vocab = {t: k for k, t in enumerate(set(c) | set(r))}
-                    a = np.fromiter(
-                        (vocab[t] for t in c), dtype=np.int32, count=len(c)
-                    )
-                    b = np.fromiter(
-                        (vocab[t] for t in r), dtype=np.int32, count=len(r)
-                    )
-                    prev = np.zeros(len(b) + 1, dtype=np.int32)
-                    curr = np.empty_like(prev)
-                    for tok in a:
-                        curr[0] = 0
-                        curr[1:] = np.maximum.accumulate(
-                            np.where(b == tok, prev[:-1] + 1, prev[1:])
-                        )
-                        prev, curr = curr, prev
-                    lcs = int(prev[-1])
+                cl, rl, lcs, tr = _lcs_capped(
+                    list(ct), list(rt), base_cap, top_cap
+                )
                 ids.append(pid)
                 cls.append(cl)
                 rls.append(rl)

@@ -2885,3 +2885,117 @@ def streaming_corpus_eval(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ROUGE-L (live twin of corpus_eval_rollup over
+# rouge_l_stats)
+# ---------------------------------------------------------------------------
+
+
+def _make_corpus_rouge_fn(base_cap: int, top_cap: int):
+    def _rouge_fn(key, pdfs, state) -> Iterator:
+        """Per-group live corpus-ROUGE-L monitor: state = the rollup
+        contraction itself — (n_pairs, cand_len, ref_len, lcs_len,
+        n_truncated) as FIVE longs, the same int64 sums batch
+        ``corpus_eval_rollup(rouge_l_stats(prefix))`` reduces to, so
+        every emission is bit-equal to the batch pair over the stream
+        prefix regardless of arrival order or batch boundaries.  The
+        per-pair LCS runs the SHARED ``text._lcs_capped`` row kernel
+        (cap ladder, truncation flag, vectorized prefix-max DP) —
+        bit-equality by construction, not by parallel reimplementation."""
+        import re as _re
+
+        import pandas as pd
+
+        from kafka_dead_letter_analyzer_spark.operators.text import (
+            _lcs_capped,
+        )
+
+        vals = list(state.get[0]) if state.exists else [0] * 5
+        for pdf in pdfs:
+            for c, r in zip(pdf["c"], pdf["r"]):
+                ct = _re.findall(
+                    r"[a-z0-9]+", c.lower() if isinstance(c, str) else ""
+                )
+                rt = _re.findall(
+                    r"[a-z0-9]+", r.lower() if isinstance(r, str) else ""
+                )
+                cl, rl, lcs, tr = _lcs_capped(ct, rt, base_cap, top_cap)
+                vals[0] += 1
+                vals[1] += cl
+                vals[2] += rl
+                vals[3] += lcs
+                vals[4] += int(tr)
+        state.update((vals,))
+        cols = [
+            "group_key", "n_pairs", "cand_len", "ref_len",
+            "lcs_len", "n_truncated",
+        ]
+        yield pd.DataFrame(
+            {c: [v] for c, v in zip(cols, [key[0]] + vals)}
+        )
+
+    return _rouge_fn
+
+
+def streaming_corpus_rouge_l(
+    df: DataFrame,
+    group_col: str | None = None,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_tokens: int = 512,
+    escalations: int = 0,
+) -> DataFrame:
+    """Live corpus-ROUGE-L monitor — the streaming twin of
+    ``corpus_eval_rollup(rouge_l_stats(...))`` (r12, completing the
+    eval family's batch/streaming symmetry alongside
+    :func:`streaming_corpus_eval`): per group, every trigger re-emits
+    the RUNNING int64 corpus stats ``(n_pairs, cand_len, ref_len,
+    lcs_len, n_truncated)`` in update mode; corpus P/R/F stay
+    caller-side, exactly like batch.
+
+    EXACTNESS (tested): after any micro-batch sequence a group's
+    emission EQUALS the batch rollup over the stream prefix — per-pair
+    stats are integers summed commutatively, and the per-pair LCS is
+    the same shared row kernel batch uses (``max_tokens`` cap,
+    ``escalations`` ladder, truncation counted, never silent).  State
+    per group is FIXED: five longs, independent of traffic.  NULL
+    pair ids are excluded; NULL candidate/reference is an empty text
+    (lcs 0, counted) — the batch contract.  Row-local Python is the
+    right shape: the LCS is inherently per-pair compute, and the
+    per-row cost is bounded by the same visible ``(max_tokens *
+    2**escalations)**2`` ceiling as batch."""
+    if max_tokens < 1:
+        raise ValueError(
+            f"streaming_corpus_rouge_l: max_tokens={max_tokens}"
+            " must be >= 1"
+        )
+    if not (0 <= int(escalations) <= 8):
+        raise ValueError(
+            f"streaming_corpus_rouge_l: escalations={escalations}"
+            " must be in 0..8"
+        )
+    gk = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    keyed = df.filter(F.col(id_col).isNotNull()).select(
+        gk.alias("group_key"),
+        F.col(cand_col).cast("string").alias("c"),
+        F.col(ref_col).cast("string").alias("r"),
+    )
+    base_cap = int(max_tokens)
+    top_cap = base_cap * (2 ** int(escalations))
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_corpus_rouge_fn(base_cap, top_cap),
+        outputStructType=(
+            "group_key string, n_pairs long, cand_len long,"
+            " ref_len long, lcs_len long, n_truncated long"
+        ),
+        stateStructType="vals array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -3880,3 +3880,89 @@ def test_streaming_corpus_eval_end_to_end(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_n"):
         streaming_corpus_eval(batch_df, max_n=0)
+
+
+def test_streaming_corpus_rouge_l_end_to_end(spark, tmp_path):
+    """File-source e2e across three triggers: the max-n_pairs row per
+    group is BIT-EQUAL to batch corpus_eval_rollup(rouge_l_stats(...))
+    over all rows — the shared _lcs_capped row kernel plus commutative
+    int64 sums make the twin exact, including the truncation count
+    under a small max_tokens cap."""
+    import random
+
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_corpus_rouge_l,
+    )
+
+    rng = random.Random(0x20125)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "a"]
+    rows = [
+        (
+            i,
+            "g1" if i % 2 else "g2",
+            " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+            if i % 7
+            else None,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+            if i % 5
+            else None,
+        )
+        for i in range(90)
+    ] + [(None, "g1", "x y", "x y")]
+    schema = "pair_id long, src string, candidate string, reference string"
+    srcdir = str(tmp_path / "cr_src")
+    third = 30
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : None if i == 2 else (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(srcdir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(srcdir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(srcdir)
+    # max_tokens=16: plenty of pairs exceed it, exercising the
+    # truncation path on BOTH sides of the equality
+    q = (
+        streaming_corpus_rouge_l(stream, group_col="src", max_tokens=16)
+        .writeStream.format("memory")
+        .queryName("cr_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM cr_sink ORDER BY n_pairs"
+    ).collect():
+        final[r["group_key"]] = r
+    batch_df = spark.createDataFrame(rows, schema)
+    stats = TX.rouge_l_stats(
+        batch_df, max_tokens=16, group_cols=("src",)
+    )
+    batch = {
+        r["src"]: r
+        for r in TX.corpus_eval_rollup(
+            stats.withColumn(
+                "n_truncated", F.col("truncated").cast("bigint")
+            ).drop("truncated"),
+            group_cols=("src",),
+        ).collect()
+    }
+    stat_cols = [
+        "n_pairs", "cand_len", "ref_len", "lcs_len", "n_truncated",
+    ]
+    for g in ("g1", "g2"):
+        got, want = final[g], batch[g]
+        assert tuple(got[c] for c in stat_cols) == tuple(
+            want[c] for c in stat_cols
+        ), g
+    assert any(batch[g]["n_truncated"] > 0 for g in ("g1", "g2"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        streaming_corpus_rouge_l(batch_df, max_tokens=0)
+    with _pytest.raises(ValueError, match="escalations"):
+        streaming_corpus_rouge_l(batch_df, escalations=9)
