@@ -617,6 +617,7 @@ def x_anti_join_unreturned(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kafka_dead_letter_analyzer_spark.operators import dedup as D  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import multimodal as MM  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import retrieval as RV  # noqa: E402
+from kafka_dead_letter_analyzer_spark.operators import selection as SEL  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import similarity as S  # noqa: E402
 from kafka_dead_letter_analyzer_spark.operators import text as TX  # noqa: E402
 
@@ -11052,6 +11053,84 @@ def x_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("source",),
     )
     return TX.corpus_eval_rollup(stats, group_cols=("source",))
+
+
+# md5-u32 nibble powers for the DSIR oracle (the simhash md5-prefix
+# trick, 8 hex chars -> the same u32 Spark's conv(substring(md5,1,8))
+# computes)
+_DSIR_POWS = ", ".join(str(16 ** (8 - i)) for i in range(1, 9))
+
+
+@_register(
+    "x_dsir_hashed_counts",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+') AS tk
+      FROM documents WHERE doc_id IS NOT NULL
+    ), g AS (
+      SELECT doc_id, unnest(tk) AS gram FROM t
+      UNION ALL
+      SELECT doc_id,
+             unnest([tk[i] || ' ' || tk[i + 1]
+                     for i in range(1, len(tk))]) AS gram
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [(strpos('0123456789abcdef', md5(gram)[i]) - 1)::BIGINT
+                * ([{_DSIR_POWS}][i])::BIGINT
+                for i in range(1, 9)]) % 256 AS INTEGER) AS bucket
+      FROM g
+    )
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM h GROUP BY 1, 2
+    """,
+)
+def x_dsir_hashed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram feature counts
+    (operators/selection.py::hashed_ngram_counts, n_max=2, 256
+    buckets, md5-u32 bucket hash) — the ORACLE-HASHABLE substrate of
+    the DSIR selection family (Xie et al. 2023): per-(doc, bucket)
+    int64 counts over uni+bigrams in a fixed bounded feature space;
+    distributions and importance weights are downstream expressions
+    over this surface.  md5 mode is the cross-engine-reproducible
+    oracle configuration (the simhash precedent); xxhash64 is the
+    scale default, pinned equivalent on bucket-invariant totals in
+    pytest.  Plan: one scan, the pre-explosion rebalance, one
+    Generate, ONE (doc, bucket) map-side-combined contraction."""
+    return SEL.hashed_ngram_counts(
+        load_table(spark, sf_dir, "documents"),
+        n_max=2,
+        num_buckets=256,
+        bucket_hash="md5",
+    )
+
+
+@_register("x_dsir_weights")  # rows-only: ln() is libm-dependent
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights
+    (operators/selection.py::dsir_log_weights): every document
+    weighted by how much more it looks like the TARGET slice (the
+    'en' documents — a stand-in for a curated quality corpus) than
+    like the raw-corpus average, via Laplace-smoothed hashed-bigram
+    bucket distributions.  ROWS-ONLY — ln is transcendental (the
+    bm25_topk/ndcg precedent); gated by the from-scratch differential
+    in tests/test_selection.py (exact round-6 weights vs a pure-
+    Python md5-bucket replica) plus partitioning-invariance.  Plan:
+    the raw corpus featurizes ONCE (persisted contraction feeding
+    both the distribution and the weight join), both distributions
+    and the log-ratio table are <= 256 rows and broadcast — no
+    corpus-side shuffle beyond the feature contraction (pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SEL.dsir_log_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n_max=2,
+        num_buckets=256,
+        bucket_hash="md5",
+    )
 
 
 @_register("x_corpus_rouge_l")  # rows-only: LCS is not SQL-expressible

@@ -1,0 +1,258 @@
+"""DSIR selection family: from-scratch differentials and contracts.
+
+hashed_ngram_counts is oracle-gated by the driver
+(x_dsir_hashed_counts); these tests are the independent replica for the
+counts AND the full gate for the float weight ranker (x_dsir_weights is
+rows-only — ln() is libm-dependent cross-engine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dead_letter_analyzer_spark.operators import selection as SEL
+
+RAW = [
+    (1, "the fast cat sat on the fast table"),
+    (2, "a slow scan of the big table"),
+    (3, "fast fast fast scan scan"),
+    (4, "nothing relevant whatsoever here"),
+    (5, ""),        # zero features: excluded from every surface
+    (6, None),      # NULL text: same
+    (7, "fast table scan fast table"),
+]
+TARGET = [
+    (100, "fast table"),
+    (101, "fast scan table table"),
+]
+B = 64
+NMAX = 2
+
+
+def _tok(s):
+    return re.findall(r"[a-z0-9]+", (s or "").lower())
+
+
+def _grams(toks, n_max=NMAX):
+    out = []
+    for n in range(1, n_max + 1):
+        out += [
+            " ".join(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        ]
+    return out
+
+
+def _bucket(gram, b=B):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % b
+
+
+def _brute_counts(rows, b=B):
+    out = {}
+    for i, t in rows:
+        if i is None:
+            continue
+        for g in _grams(_tok(t)):
+            key = (i, _bucket(g, b))
+            out[key] = out.get(key, 0) + 1
+    return {(i, bk, c) for (i, bk), c in out.items()}
+
+
+def _brute_weights(raw, target, b=B, alpha=1.0):
+    rc, tc = {}, {}
+    for i, t in raw:
+        if i is None:
+            continue
+        for g in _grams(_tok(t)):
+            rc[_bucket(g, b)] = rc.get(_bucket(g, b), 0) + 1
+    for _, t in target:
+        for g in _grams(_tok(t)):
+            tc[_bucket(g, b)] = tc.get(_bucket(g, b), 0) + 1
+    R, T = sum(rc.values()), sum(tc.values())
+    out = {}
+    for i, t in raw:
+        if i is None:
+            continue
+        per_doc = {}
+        for g in _grams(_tok(t)):
+            per_doc[_bucket(g, b)] = per_doc.get(_bucket(g, b), 0) + 1
+        if not per_doc:
+            continue
+        # fixed order: sorted buckets, like the engine's array_sort
+        w = 0.0
+        for bk in sorted(per_doc):
+            lr = math.log((tc.get(bk, 0) + alpha) / (T + alpha * b)) - \
+                 math.log((rc.get(bk, 0) + alpha) / (R + alpha * b))
+            w += per_doc[bk] * lr
+        out[i] = (sum(per_doc.values()), round(w, 6))
+    return out
+
+
+@pytest.fixture()
+def frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    return raw, tgt
+
+
+def test_hashed_ngram_counts_matches_replica(spark, frames):
+    """md5-bucket counts against a pure-Python replica: uni+bigram
+    generation, bucket collisions summed, NULL id/text exclusion,
+    empty docs emit nothing; validation raises."""
+    raw, _ = frames
+    got = {
+        tuple(r)
+        for r in SEL.hashed_ngram_counts(
+            raw, n_max=NMAX, num_buckets=B, bucket_hash="md5"
+        ).collect()
+    }
+    assert got == _brute_counts(RAW)
+    rows_n = RAW + [(None, "xx yy")]
+    dfn = spark.createDataFrame(rows_n, "doc_id long, text string")
+    got_n = {
+        tuple(r)
+        for r in SEL.hashed_ngram_counts(
+            dfn, n_max=NMAX, num_buckets=B, bucket_hash="md5"
+        ).collect()
+    }
+    assert got_n == got
+    with pytest.raises(ValueError, match="n_max"):
+        SEL.hashed_ngram_counts(raw, n_max=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        SEL.hashed_ngram_counts(raw, num_buckets=0)
+    with pytest.raises(ValueError, match="bucket_hash"):
+        SEL.hashed_ngram_counts(raw, bucket_hash="sha1")
+
+
+def test_hashed_ngram_counts_xxhash_mode_bucket_invariants(spark, frames):
+    """The scale-default xxhash64 mode can't be replicated in pure
+    Python, but bucketing never changes the TOTAL feature count: per-
+    doc sum(cnt) equals the md5 mode's (and the gram count), and every
+    bucket is in [0, B)."""
+    raw, _ = frames
+    a = SEL.hashed_ngram_counts(
+        raw, n_max=NMAX, num_buckets=B, bucket_hash="xxhash64"
+    )
+    per_doc = {
+        r["doc_id"]: r["tot"]
+        for r in a.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("tot"))
+        .collect()
+    }
+    want = {
+        i: len(_grams(_tok(t)))
+        for i, t in RAW
+        if i is not None and _grams(_tok(t))
+    }
+    assert per_doc == want
+    assert a.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") >= B)
+    ).count() == 0
+
+
+def test_dsir_log_weights_matches_replica(spark, frames):
+    """Per-doc log importance weights against the from-scratch replica
+    (exact round-6): Laplace smoothing over the full bucket space,
+    featureless docs excluded, and a doc made of target-typical grams
+    outweighs an unrelated doc.  Partitioning-independent (fixed
+    bucket-order summation)."""
+    raw, tgt = frames
+    want = _brute_weights(RAW, TARGET)
+
+    def read(df):
+        return {
+            r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in df.collect()
+        }
+
+    got = read(
+        SEL.dsir_log_weights(
+            raw, tgt, n_max=NMAX, num_buckets=B, bucket_hash="md5"
+        )
+    )
+    assert got == want
+    assert 5 not in got and 6 not in got  # featureless: excluded
+    # doc 7 is built from target-typical grams; doc 4 shares nothing
+    # with the target — per-FEATURE (the weight is a sum over the
+    # doc's features, so raw totals scale with length)
+    assert got[7][1] / got[7][0] > got[4][1] / got[4][0]
+    # physical-layout invariance
+    got13 = read(
+        SEL.dsir_log_weights(
+            raw.repartition(13),
+            tgt.repartition(3),
+            n_max=NMAX,
+            num_buckets=B,
+            bucket_hash="md5",
+        )
+    )
+    assert got13 == got
+    with pytest.raises(ValueError, match="alpha"):
+        SEL.dsir_log_weights(raw, tgt, alpha=0.0)
+
+
+def test_dsir_select_is_the_weight_head(spark, frames):
+    """dsir_select == the top-k of dsir_log_weights under (weight
+    desc, id asc), exact ranks, salt-count-independent."""
+    raw, tgt = frames
+    want = sorted(
+        _brute_weights(RAW, TARGET).items(),
+        key=lambda kv: (-kv[1][1], kv[0]),
+    )
+
+    def read(df):
+        return [
+            (r["doc_id"], r["rank"], r["n_features"], r["log_weight"])
+            for r in df.orderBy("rank").collect()
+        ]
+
+    got = read(
+        SEL.dsir_select(
+            raw, tgt, k=3, n_max=NMAX, num_buckets=B, bucket_hash="md5"
+        )
+    )
+    assert got == [
+        (i, rk + 1, nf, w)
+        for rk, (i, (nf, w)) in enumerate(want[:3])
+    ]
+    assert read(
+        SEL.dsir_select(
+            raw, tgt, k=3, n_max=NMAX, num_buckets=B,
+            bucket_hash="md5", n_salts=1,
+        )
+    ) == got
+    with pytest.raises(ValueError, match="k="):
+        SEL.dsir_select(raw, tgt, k=0)
+
+
+def test_dsir_weights_plan_broadcast_ratio_single_featurize(spark, frames):
+    """The 100 TB contract: the log-ratio table reaches the per-doc
+    features through a BROADCAST join (<= num_buckets rows — a
+    SortMergeJoin would shuffle the corpus-side features against a
+    256-row dim), the raw featurization is persisted (InMemoryTableScan
+    present; its two consumers would otherwise re-explode the corpus),
+    and no window exists anywhere in the weight plan."""
+    import contextlib
+    import io
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    raw, tgt = frames
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        SEL.dsir_log_weights(
+            raw, tgt, n_max=NMAX, num_buckets=B
+        ).explain("formatted")
+    s = buf.getvalue()
+    assert "BroadcastHashJoin" in s
+    assert "InMemoryTableScan" in s
+    assert "Window" not in s
+    # the corpus-side feature stream must never SortMergeJoin the
+    # bounded ratio dim
+    assert "SortMergeJoin" not in s
+    cache_registry.release_all()
