@@ -1,4 +1,4 @@
-"""Interleaved A/B bench: r9 tree vs HEAD, paired per-query ratios.
+"""Interleaved A/B bench: a baseline tree vs HEAD, paired per-query ratios.
 
 The r10 round closed with one unresolved number: renorm_vs_ref 1.3033 on
 the 198 common queries vs r9's REF run, on a diff that only APPENDED
@@ -22,6 +22,14 @@ state.
 Usage:
     python ab_bench.py [--pairs 3] [--sf-dir /root/testdata/sf0.1]
                        [--out bench_runs/ab_r11_r9_vs_head.json]
+                       [--baseline .ab_r9 --baseline-label r9]
+
+r12 generalization: --baseline points at ANY git worktree of a past
+closing commit (git worktree add .ab_rN <sha>), --baseline-label names
+it in the artifact keys — the default reproduces the original r9-vs-HEAD
+schema byte-for-byte.  This is now the standing cross-round performance
+instrument (raw-common vs REF is the cheap every-run number; this is
+the authoritative one when a delta needs attribution).
 
 Writes one JSON artifact with per-run metadata, per-pair totals, the
 paired per-query ratio table, and the flagged (>1.2x median, >0.2 s
@@ -39,7 +47,6 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-R9_TREE = os.path.join(HERE, ".ab_r9")
 
 
 def _declared_queries(tree: str) -> set[str]:
@@ -106,23 +113,27 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join("bench_runs", "ab_r11_r9_vs_head.json")
     )
+    ap.add_argument("--baseline", default=os.path.join(HERE, ".ab_r9"))
+    ap.add_argument("--baseline-label", default="r9")
     args = ap.parse_args()
 
-    if not os.path.isdir(R9_TREE):
+    base_tree = os.path.abspath(args.baseline)
+    base = args.baseline_label
+    if not os.path.isdir(base_tree):
         raise SystemExit(
-            f"missing r9 worktree at {R9_TREE}: "
-            "git worktree add .ab_r9 <r9-closing-commit>"
+            f"missing baseline worktree at {base_tree}: "
+            "git worktree add <dir> <closing-commit>"
         )
-    r9_sha = subprocess.run(
+    base_sha = subprocess.run(
         ["git", "rev-parse", "HEAD"],
-        cwd=R9_TREE, capture_output=True, text=True,
+        cwd=base_tree, capture_output=True, text=True,
     ).stdout.strip()
     head_sha = subprocess.run(
         ["git", "rev-parse", "HEAD"],
         cwd=HERE, capture_output=True, text=True,
     ).stdout.strip()
 
-    common = sorted(_declared_queries(R9_TREE) & _declared_queries(HERE))
+    common = sorted(_declared_queries(base_tree) & _declared_queries(HERE))
     print(f"common queries: {len(common)}", flush=True)
 
     tmp = "/tmp/ab_bench_detail.json"
@@ -130,9 +141,9 @@ def main() -> None:
     # order swap per pair: A-B, B-A, A-B, ... cancels first/second bias
     for k in range(args.pairs):
         order = (
-            [("r9", R9_TREE), ("head", HERE)]
+            [(base, base_tree), ("head", HERE)]
             if k % 2 == 0
-            else [("head", HERE), ("r9", R9_TREE)]
+            else [("head", HERE), (base, base_tree)]
         )
         for label, tree in order:
             print(f"pair {k + 1}/{args.pairs}: running {label} ...", flush=True)
@@ -147,16 +158,16 @@ def main() -> None:
     pair_totals = []
     per_query_ratios: dict[str, list[float]] = {q: [] for q in common}
     for k in range(args.pairs):
-        a = next(r for r in runs if r["pair"] == k and r["label"] == "r9")
+        a = next(r for r in runs if r["pair"] == k and r["label"] == base)
         b = next(r for r in runs if r["pair"] == k and r["label"] == "head")
         ta = sum(a["exec"].get(q, 0.0) for q in common)
         tb = sum(b["exec"].get(q, 0.0) for q in common)
         pair_totals.append(
             {
                 "pair": k,
-                "r9_total_sec": round(ta, 3),
+                f"{base}_total_sec": round(ta, 3),
                 "head_total_sec": round(tb, 3),
-                "head_over_r9": round(tb / ta, 4) if ta else None,
+                f"head_over_{base}": round(tb / ta, 4) if ta else None,
             }
         )
         for q in common:
@@ -180,22 +191,22 @@ def main() -> None:
         head_med = med(
             [r["exec"][q] for r in runs if r["label"] == "head" and q in r["exec"]]
         )
-        r9_med = med(
-            [r["exec"][q] for r in runs if r["label"] == "r9" and q in r["exec"]]
+        base_med = med(
+            [r["exec"][q] for r in runs if r["label"] == base and q in r["exec"]]
         )
         # a query missing from EVERY run of one label passes the
         # common-set test (common is unioned across pairs) but yields a
         # None median here — skip it rather than round(None) after all
         # the expensive runs completed
-        if head_med is None or r9_med is None:
+        if head_med is None or base_med is None:
             continue
         table.append(
             {
                 "query": q,
                 "median_ratio": round(mr, 3),
-                "r9_median_sec": round(r9_med, 3),
+                f"{base}_median_sec": round(base_med, 3),
                 "head_median_sec": round(head_med, 3),
-                "delta_sec": round(head_med - r9_med, 3),
+                "delta_sec": round(head_med - base_med, 3),
                 "ratios": [round(x, 3) for x in ratios],
             }
         )
@@ -205,12 +216,14 @@ def main() -> None:
         for r in table
         if r["median_ratio"] > 1.2 and r["delta_sec"] > 0.2
     ]
-    total_ratios = [p["head_over_r9"] for p in pair_totals if p["head_over_r9"]]
+    total_ratios = [
+        p[f"head_over_{base}"] for p in pair_totals if p[f"head_over_{base}"]
+    ]
     artifact = {
-        "what": "interleaved A/B exec-tier bench, r9 closing tree vs HEAD"
-                " (r10 verdict item #1: settle the 1.30 renorm as"
-                " host-vs-code with paired same-window measurements)",
-        "r9_sha": r9_sha,
+        "what": f"interleaved A/B exec-tier bench, {base} closing tree vs"
+                " HEAD (paired same-window measurements cancel host"
+                " drift; the standing cross-round perf instrument)",
+        f"{base}_sha": base_sha,
         "head_sha": head_sha,
         "sf_dir": args.sf_dir,
         "pairs": args.pairs,

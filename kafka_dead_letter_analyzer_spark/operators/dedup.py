@@ -204,6 +204,62 @@ def _minhash_band_udf(num_hashes: int, bands: int):
     return bands_of
 
 
+def lsh_tune(
+    threshold: float,
+    num_hashes: int = 64,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for MinHash LSH from the target
+    Jaccard ``threshold`` — the classic S-curve optimizer (Leskovec,
+    Rajaraman & Ullman, *Mining of Massive Datasets* §3.4; the same
+    recipe the public datasketch library ships): a candidate pair with
+    similarity ``s`` collides with probability ``1 - (1 - s^r)^b``,
+    so the tuner scans every (b, r) with ``b*r <= num_hashes`` and
+    minimizes ``fp_weight * integral_0^t P(s) ds + fn_weight *
+    integral_t^1 (1 - P(s)) ds`` by deterministic midpoint quadrature
+    (1000 points, pure driver-side float math — no RNG, no Spark job).
+
+    Returns the (bands, rows) to pass to :func:`dedup_near_minhash`.
+    Raising ``fn_weight`` pushes the S-curve left (catch more true
+    pairs, verify more false candidates); raising ``fp_weight`` does
+    the reverse.  The verify join makes false positives a COST knob,
+    not a correctness one — emitted pairs are always exact-Jaccard
+    checked — while false negatives are unrecoverable, so pipelines
+    that must not miss near-dups should weight fn higher."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(
+            f"lsh_tune: threshold={threshold} must be in (0, 1)"
+        )
+    if num_hashes < 2:
+        raise ValueError(
+            f"lsh_tune: num_hashes={num_hashes} must be >= 2"
+        )
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
+        raise ValueError(
+            "lsh_tune: weights must be >= 0 and not both zero"
+        )
+    n_pts = 1000
+    best = None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r < 1:
+            break
+        fp = fn = 0.0
+        for i in range(n_pts):
+            s = (i + 0.5) / n_pts
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / n_pts
+        # deterministic tiebreak: fewer bands (cheaper banding pass)
+        if best is None or err < best[0] - 1e-12:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def dedup_near_minhash(
     docs: DataFrame,
     id_col: str = "doc_id",

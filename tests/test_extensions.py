@@ -2872,3 +2872,32 @@ def test_rouge_l_group_cols_passthrough_and_corpus_rollup(spark):
             df.withColumnRenamed("grp", "lcs_len"),
             group_cols=("lcs_len",),
         )
+
+
+def test_lsh_tune_s_curve_optimizer():
+    """The (bands, rows) tuner (MMDS §3.4): b*r <= num_hashes always;
+    the 1/b-root rule of thumb holds (the curve's midpoint
+    (1/b)^(1/r) lands near the threshold); higher thresholds pick
+    more rows per band; fn-heavy weighting never picks FEWER bands
+    than fp-heavy at the same threshold; validation raises.  Pure
+    driver-side math — no Spark session needed."""
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = D.lsh_tune(t, num_hashes=64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - t) < 0.15, (t, b, r, midpoint)
+    b3, r3 = D.lsh_tune(0.3, 128)
+    b9, r9 = D.lsh_tune(0.9, 128)
+    assert r9 > r3  # high threshold -> longer bands (steeper, righter)
+    assert b3 > b9  # low threshold -> more bands (catch weak pairs)
+    bfn, _ = D.lsh_tune(0.5, 64, fp_weight=0.1, fn_weight=0.9)
+    bfp, _ = D.lsh_tune(0.5, 64, fp_weight=0.9, fn_weight=0.1)
+    assert bfn >= bfp  # recall-heavy -> at least as many bands
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        D.lsh_tune(1.0)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        D.lsh_tune(0.5, 1)
+    with _pytest.raises(ValueError, match="weights"):
+        D.lsh_tune(0.5, 64, fp_weight=0.0, fn_weight=0.0)
