@@ -11343,15 +11343,31 @@ def _bm25_int_rankers(
     split.  The salted two-phase ranks are BIT-IDENTICAL (both orders
     are total via the doc_id tiebreak), keeping the DuckDB oracles
     untouched.  Single-scan like the headline: the corpus constants
-    come from the memoized snapshot pass."""
+    come from the memoized snapshot pass.
+
+    The shared frames are PERSISTED (cache_registry-tracked, the
+    funnel/e3 precedent): per_doc feeds BOTH rankers, and ra feeds
+    both the fusion union and the qrels slice of every consumer query
+    (x_retrieval_metrics reads ra twice, x_ndcg_at_k's operator reads
+    its judgments three times) — unpersisted, each consumer re-ran
+    the candidate contraction and both ranker windows per read
+    (measured: x_ndcg_at_k exec 3.3 s -> the persisted chain runs the
+    corpus work once; ra/rb are <= 10*|probes| rows, the cheapest
+    possible cache)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
     stats = RV.bm25_stats(
         load_table(spark, sf_dir, "documents"),
         _bm25_queries_df(spark),
         corpus_stats=_bm25_corpus_stats(spark, sf_dir),
     )
-    per_doc = stats.groupBy("query_id", "doc_id").agg(
-        F.sum("tf").cast("bigint").alias("tfs"),
-        F.max("dl").cast("bigint").alias("dl"),
+    per_doc = cache_registry.track(
+        stats.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tfs"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+        .persist()
     )
     ra = RV.salted_topk(
         per_doc,
@@ -11367,7 +11383,10 @@ def _bm25_int_rankers(
         order_by=[F.col("dl").asc(), F.col("doc_id").asc()],
         salt_src="doc_id",
     ).select("query_id", "doc_id", F.col("rank").cast("long"))
-    return ra, rb
+    return (
+        cache_registry.track(ra.persist()),
+        cache_registry.track(rb.persist()),
+    )
 
 
 @_register(
