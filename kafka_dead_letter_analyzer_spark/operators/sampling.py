@@ -185,6 +185,54 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-LEAKAGE-safe train/val/test assignment — the strong
+    form of :func:`hash_split`: every member of a near-duplicate
+    cluster receives the SAME split, because the hash draw is taken on
+    the cluster REPRESENTATIVE (the connected component's min id over
+    the ``pairs`` edge set — any dedup family output: minhash, simhash,
+    embedding, winnowing), not on the row's own id.  Key-level splits
+    leak evaluation signal whenever a test document has a near-twin in
+    train (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — test-set near-dups inflate eval);
+    splitting by component closes exactly that channel, with a
+    verifiable guarantee: ``pair in pairs => split(a) == split(b)``.
+
+    Documents in no pair are their own representative, so their
+    assignment is IDENTICAL to ``hash_split(df, id_col, fractions,
+    salt)`` — adding edges never reshuffles untouched rows, which
+    keeps eval sets stable as dedup coverage improves.  Output = input
+    columns + ``cluster_rep`` (the representative id) + ``split``.
+
+    Scale shape: one connected-components pass over the PAIR set (the
+    dedup output, far smaller than the corpus; distributed label
+    propagation with the bounded driver fast path), one equi-join of
+    the corpus against the |docs-in-any-pair| component table (AQE
+    broadcasts it when small), then the same pure-projection range
+    assignment as hash_split — no window, no corpus shuffle beyond
+    the one join."""
+    from kafka_dead_letter_analyzer_spark.operators.graph import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs, src=src, dst=dst).select(
+        F.col("id").alias(id_col), "component"
+    )
+    withrep = df.join(comps, id_col, "left").withColumn(
+        "cluster_rep",
+        F.coalesce(F.col("component"), F.col(id_col)),
+    ).drop("component")
+    return hash_split(withrep, "cluster_rep", fractions, salt=salt)
+
+
 def global_order_index(
     df: DataFrame,
     key: str,

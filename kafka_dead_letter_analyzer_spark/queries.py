@@ -2027,6 +2027,82 @@ def x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cluster-safe split thresholds: the hash_split cumulative md5-u32
+# ranges for {train: 0.8, val: 0.1, test: 0.1}, duplicated literally in
+# the oracle (insertion order defines range order, exactly hash_split)
+_CSS_HI1 = int(0.8 * (1 << 32))
+_CSS_HI2 = _CSS_HI1 + int(0.1 * (1 << 32))
+_CSS_POWS = ", ".join(str(16 ** (8 - i)) for i in range(1, 9))
+
+
+@_register(
+    "x_cluster_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    cc(id, lab) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.d, cc.lab FROM cc JOIN e ON e.s = cc.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM cc GROUP BY id),
+    sel AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
+               AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    h AS (
+      SELECT doc_id, cluster_rep,
+             list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(cluster_rep AS VARCHAR)
+                                   || ':split')[i]) - 1)
+                       * ([{_CSS_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) AS hv
+      FROM sel
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN hv < {_CSS_HI1} THEN 'train'
+                WHEN hv < {_CSS_HI2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split
+    (operators/sampling.py::cluster_safe_split): the md5-u32 range
+    draw of hash_split taken on the CONNECTED-COMPONENT representative
+    of the exact-verified minhash pair set, so every member of a
+    near-dup cluster lands in the same split (the Lee et al. 2021
+    test-leak channel closed with a verifiable guarantee) while
+    singletons keep their plain hash_split assignment (eval sets stay
+    stable as dedup coverage improves).  Fully oracle-checked
+    end-to-end: recursive-CTE label propagation (the x_dup_clusters
+    oracle) + the md5-nibble u32 ranges (the x_hash_sample trick).
+    Plan: CC over the pair set, ONE corpus-vs-components equi-join,
+    then a pure projection — no window, no second corpus shuffle."""
+    pairs = D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return SA.cluster_safe_split(
+        docs,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select(
+        "doc_id", F.col("cluster_rep").cast("bigint"), "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (operators/sampling.py): md5-rank quota per
 # stratum — reproducible under any partitioning, and bit-identical in

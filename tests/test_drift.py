@@ -1262,3 +1262,61 @@ def test_null_group_kept_across_timeline_operators(spark):
     # both groups present with identical summaries
     assert set(out) == {"x", None}
     assert out["x"] == out[None]
+
+
+def test_cluster_safe_split_operator_contract(spark):
+    """r12: the packaged cluster_safe_split equals the manual
+    CC-rep + hash_split composition the leakage test above builds by
+    hand, guarantees zero straddling pairs, and leaves singletons on
+    their plain hash_split assignment (eval stability: adding edges
+    never reshuffles untouched rows)."""
+    import pyspark.sql.functions as SF
+
+    from kafka_dead_letter_analyzer_spark.operators import (
+        dedup as D,
+        sampling as SA,
+    )
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=64, bands=32, threshold=0.5,
+    ).cache()
+    assert pairs.count() > 0
+    out = SA.cluster_safe_split(docs, pairs, fracs).cache()
+    # every near-dup pair lands in ONE split — the leakage guarantee
+    a = out.select(SF.col("doc_id").alias("id_a"),
+                   SF.col("split").alias("sa"),
+                   SF.col("cluster_rep").alias("ra"))
+    b = out.select(SF.col("doc_id").alias("id_b"),
+                   SF.col("split").alias("sb"),
+                   SF.col("cluster_rep").alias("rb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    assert joined.filter("sa <> sb").count() == 0
+    assert joined.filter("ra <> rb").count() == 0
+    # singletons (docs in no pair) keep the PLAIN hash_split draw on
+    # their own id — rep == id and split == hash_split's
+    ids_in_pairs = (
+        pairs.select(SF.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(SF.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    singles = out.join(ids_in_pairs, "doc_id", "left_anti")
+    assert singles.filter("cluster_rep <> doc_id").count() == 0
+    plain = SA.hash_split(docs, key="doc_id", fractions=fracs).select(
+        "doc_id", SF.col("split").alias("plain_split")
+    )
+    diverging = (
+        singles.join(plain, "doc_id")
+        .filter("split <> plain_split")
+        .count()
+    )
+    assert diverging == 0
+    # rep salt-draws differ from the member's own-id draw, so at least
+    # one clustered member changed split vs plain (the fix is visible)
+    assert out.count() == docs.count()
+    pairs.unpersist()
+    out.unpersist()
