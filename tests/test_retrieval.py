@@ -514,3 +514,107 @@ def test_ndcg_semantics_hand_checked(spark):
     idcg = 3 / _m.log2(2) + 2 / _m.log2(3) + 1 / _m.log2(4)
     dcg = 1 / _m.log2(2) + 2 / _m.log2(3) + 3 / _m.log2(4)
     assert r["ndcg"] == round(dcg / idcg, 6)
+
+
+def test_salted_topk_global_window_equivalence_property(spark):
+    """Property (r12): for random (group, value) datasets and random
+    salt counts, salted_topk is BIT-IDENTICAL to the single group-wide
+    window under the same total order — the correctness claim every
+    consumer (bm25_topk, ndcg ideal side, dsir_select, the fixture
+    rankers) rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # group
+                st.integers(min_value=-50, max_value=50),  # value
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=40),  # n_salts
+        st.integers(min_value=1, max_value=7),   # k
+    )
+    def check(rows, n_salts, k):
+        data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g long, d long, v long")
+        order = [F.col("v").desc(), F.col("d").asc()]
+        w = Window.partitionBy("g").orderBy(*order)
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn(
+                    "rank", F.row_number().over(w).cast("int")
+                ).filter(F.col("rank") <= k).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                RV.salted_topk(
+                    df, k, ["g"], order, "d", n_salts=n_salts
+                ).collect(),
+            )
+        )
+        assert got == want, (n_salts, k)
+
+    check()
+
+
+def test_ndcg_replica_property(spark):
+    """Property (r12): ndcg_at_k equals the from-scratch replica on
+    random rankings/qrels with duplicate judgments, partial overlap,
+    and graded 0..3 relevance — both gains."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(  # rankings: (query, doc); rank = position+1
+            st.tuples(st.integers(0, 2), st.integers(0, 15)),
+            min_size=0, max_size=30, unique=True,
+        ),
+        st.lists(  # qrels: (query, doc, rel)
+            st.tuples(
+                st.integers(0, 2), st.integers(0, 15), st.integers(0, 3)
+            ),
+            min_size=0, max_size=30,
+        ),
+        st.booleans(),
+    )
+    def check(ranked_pairs, qrels, expo):
+        # per-query consecutive ranks from the pair order
+        seen: dict = {}
+        rankings = []
+        for q, d in ranked_pairs:
+            seen[q] = seen.get(q, 0) + 1
+            rankings.append((q, d, seen[q]))
+        if not rankings and not qrels:
+            return
+        rdf = spark.createDataFrame(
+            rankings or [(None, None, None)],
+            "query_id long, doc_id long, rank long",
+        )
+        qdf = spark.createDataFrame(
+            qrels or [(None, None, None)],
+            "query_id long, doc_id long, rel long",
+        )
+        want = _brute_ndcg(rankings, qrels, k=5, exponential=expo)
+        got = {
+            r["query_id"]: (
+                r["n_ranked"], r["n_judged"], r["dcg"], r["idcg"],
+                r["ndcg"],
+            )
+            for r in RV.ndcg_at_k(
+                rdf, qdf, k=5, exponential=expo
+            ).collect()
+        }
+        assert got == want
+
+    check()

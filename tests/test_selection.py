@@ -256,3 +256,38 @@ def test_dsir_weights_plan_broadcast_ratio_single_featurize(spark, frames):
     # bounded ratio dim
     assert "SortMergeJoin" not in s
     cache_registry.release_all()
+
+
+def test_dsir_weights_replica_property(spark):
+    """Property (r12): dsir_log_weights equals the from-scratch
+    md5-bucket replica on random corpora — random vocab mixes, random
+    bucket counts (collisions), random smoothing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    text = st.lists(st.sampled_from(words), max_size=10).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(text, min_size=1, max_size=8),
+        st.lists(text, min_size=1, max_size=4),
+        st.integers(min_value=2, max_value=32),
+        st.floats(min_value=0.25, max_value=4.0),
+    )
+    def check(raw_texts, tgt_texts, b, alpha):
+        raw = [(i, t) for i, t in enumerate(raw_texts)]
+        tgt = [(100 + i, t) for i, t in enumerate(tgt_texts)]
+        rdf = spark.createDataFrame(raw, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+        want = _brute_weights(raw, tgt, b=b, alpha=alpha)
+        got = {
+            r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in SEL.dsir_log_weights(
+                rdf, tdf, n_max=NMAX, num_buckets=b, alpha=alpha,
+                bucket_hash="md5",
+            ).collect()
+        }
+        assert got == want, (b, alpha)
+
+    check()
