@@ -154,6 +154,95 @@ def mixture_sample(
     return df.filter(hash_uniform_u32(F.col(key), salt) < thresh)
 
 
+def mixture_rates_for_budget(
+    available: dict[str, int],
+    target: dict[str, float],
+    budget: int,
+    max_rate: float = 1.0,
+) -> dict:
+    """Solve the per-component keep-rates that :func:`mixture_sample`
+    needs, from a token budget and target mixture proportions — the
+    planning step of every pre-training data build ("30% web, 30%
+    code, 40% books into a 500B-token budget") with the constraint
+    real corpora always violate: a component can only supply
+    ``available * max_rate`` tokens.  Classic WATER-FILLING: allocate
+    the budget proportionally to the target mix over UNSATURATED
+    components, cap any component at its supply, redistribute the
+    deficit over the remaining headroom by renormalized proportions,
+    repeat — terminates in <= len(components) rounds, and the result
+    is the unique allocation that is target-proportional among
+    unsaturated components (tested as an exact invariant).
+
+    Exact rational arithmetic throughout (``fractions.Fraction`` — no
+    float drift in the solver; only the RETURNED rates are floats for
+    mixture_sample's threshold).  Pure driver-side math over the
+    component table (bounded by construction: sources/domains number
+    thousands, not billions) — the lsh_tune precedent.
+
+    Returns ``{"rates": {comp: float}, "allocated": {comp: int},
+    "shortfall": int}`` — ``allocated`` the integer token allocation
+    (floor), ``shortfall`` > 0 when total capacity cannot fill the
+    budget (every component saturated).  ``max_rate`` < 1 reserves
+    headroom (e.g. 0.9 keeps a holdout margin); upsampling (> 1
+    epochs) is out of scope for a SAMPLER — repeat-epoch planning is a
+    training-loop concern."""
+    from fractions import Fraction
+
+    if budget < 0:
+        raise ValueError(f"budget={budget} must be >= 0")
+    if not (0.0 < max_rate <= 1.0):
+        raise ValueError(f"max_rate={max_rate} must be in (0, 1]")
+    if set(target) - set(available):
+        raise ValueError(
+            "target components missing from available: "
+            f"{sorted(set(target) - set(available))}"
+        )
+    if any(v < 0 for v in available.values()):
+        raise ValueError("available counts must be >= 0")
+    if any(v < 0 for v in target.values()) or sum(target.values()) <= 0:
+        raise ValueError("target proportions must be >= 0, sum > 0")
+
+    mr = Fraction(max_rate).limit_denominator(10**9)
+    cap = {c: Fraction(available[c]) * mr for c in target}
+    alloc = {c: Fraction(0) for c in target}
+    remaining = Fraction(budget)
+    open_set = {c for c in target if target[c] > 0 and cap[c] > 0}
+    while remaining > 0 and open_set:
+        tot_prop = sum(Fraction(target[c]).limit_denominator(10**9)
+                       for c in open_set)
+        saturated = set()
+        spent = Fraction(0)
+        for c in open_set:
+            share = remaining * Fraction(
+                target[c]
+            ).limit_denominator(10**9) / tot_prop
+            room = cap[c] - alloc[c]
+            take = min(share, room)
+            alloc[c] += take
+            spent += take
+            if alloc[c] >= cap[c]:
+                saturated.add(c)
+        remaining -= spent
+        if not saturated:
+            break  # everyone took the full share: budget satisfied
+        open_set -= saturated
+    allocated = {c: int(alloc[c]) for c in target}
+    rates = {
+        c: float(alloc[c] / Fraction(available[c]))
+        if available[c]
+        else 0.0
+        for c in target
+    }
+    # shortfall from the EXACT unallocated remainder, not the floored
+    # per-component ints (flooring a fully-filled fractional split
+    # must not read as a shortfall)
+    return {
+        "rates": rates,
+        "allocated": allocated,
+        "shortfall": int(remaining),
+    }
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -1320,3 +1320,84 @@ def test_cluster_safe_split_operator_contract(spark):
     assert out.count() == docs.count()
     pairs.unpersist()
     out.unpersist()
+
+
+def test_mixture_rates_for_budget_water_filling():
+    """r12: the mixing-rate solver's exact invariants — total
+    allocation = min(budget, capacity); per-component allocation never
+    exceeds available*max_rate; allocation is target-proportional
+    among UNSATURATED components; saturated deficit redistributes;
+    impossible budgets report the shortfall; validation raises.  Pure
+    driver math, no Spark session."""
+    from fractions import Fraction
+
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        mixture_rates_for_budget,
+    )
+
+    # no saturation: plain proportional split
+    r = mixture_rates_for_budget(
+        {"web": 10_000, "code": 10_000}, {"web": 0.75, "code": 0.25}, 4_000
+    )
+    assert r["allocated"] == {"web": 3_000, "code": 1_000}
+    assert r["shortfall"] == 0
+    assert abs(r["rates"]["web"] - 0.3) < 1e-12
+
+    # saturation + redistribution: code can only supply 1_000 of its
+    # 2_000 share; the deficit flows to web
+    r = mixture_rates_for_budget(
+        {"web": 100_000, "code": 1_000}, {"web": 0.5, "code": 0.5}, 4_000
+    )
+    assert r["allocated"]["code"] == 1_000
+    assert r["allocated"]["web"] == 3_000
+    assert r["rates"]["code"] == 1.0
+    assert r["shortfall"] == 0
+
+    # max_rate headroom caps supply
+    r = mixture_rates_for_budget(
+        {"web": 100_000, "code": 1_000}, {"web": 0.5, "code": 0.5},
+        4_000, max_rate=0.5,
+    )
+    assert r["allocated"]["code"] == 500
+    assert r["allocated"]["web"] == 3_500
+    assert r["rates"]["code"] == 0.5
+
+    # impossible budget: everything saturates, shortfall reported
+    r = mixture_rates_for_budget(
+        {"web": 1_000, "code": 1_000}, {"web": 0.5, "code": 0.5}, 10_000
+    )
+    assert r["allocated"] == {"web": 1_000, "code": 1_000}
+    assert r["shortfall"] == 8_000
+    assert r["rates"] == {"web": 1.0, "code": 1.0}
+
+    # proportionality among unsaturated components (3-way, one cap)
+    r = mixture_rates_for_budget(
+        {"a": 10**9, "b": 10**9, "c": 100},
+        {"a": 0.5, "b": 0.3, "c": 0.2},
+        1_000_000,
+    )
+    assert r["allocated"]["c"] == 100
+    ra = Fraction(r["allocated"]["a"], 5)
+    rb = Fraction(r["allocated"]["b"], 3)
+    assert abs(ra - rb) <= 1  # proportional to 0.5 : 0.3 (floor slack)
+    assert sum(r["allocated"].values()) >= 1_000_000 - 2  # floor slack
+    assert r["shortfall"] == 0
+
+    # fractional thirds: floors must not read as shortfall
+    r = mixture_rates_for_budget(
+        {"a": 10**6, "b": 10**6, "c": 10**6},
+        {"a": 1, "b": 1, "c": 1},
+        100,
+    )
+    assert r["shortfall"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        mixture_rates_for_budget({"a": 1}, {"a": 1.0}, -1)
+    with _pytest.raises(ValueError, match="max_rate"):
+        mixture_rates_for_budget({"a": 1}, {"a": 1.0}, 1, max_rate=0.0)
+    with _pytest.raises(ValueError, match="missing"):
+        mixture_rates_for_budget({"a": 1}, {"b": 1.0}, 1)
+    with _pytest.raises(ValueError, match="proportions"):
+        mixture_rates_for_budget({"a": 1}, {"a": 0.0}, 1)
