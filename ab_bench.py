@@ -115,9 +115,22 @@ def main() -> None:
     )
     ap.add_argument("--baseline", default=os.path.join(HERE, ".ab_r9"))
     ap.add_argument("--baseline-label", default="r9")
+    ap.add_argument(
+        "--head",
+        default=HERE,
+        help="tree to measure as 'head' (default: this repo's working tree;"
+        " point at a frozen worktree to keep editing while the A/B runs)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query subset (default: all common queries) —"
+        " the r12 verdict's single-query high-powered A/B mode",
+    )
     args = ap.parse_args()
 
     base_tree = os.path.abspath(args.baseline)
+    head_tree = os.path.abspath(args.head)
     base = args.baseline_label
     if not os.path.isdir(base_tree):
         raise SystemExit(
@@ -130,10 +143,16 @@ def main() -> None:
     ).stdout.strip()
     head_sha = subprocess.run(
         ["git", "rev-parse", "HEAD"],
-        cwd=HERE, capture_output=True, text=True,
+        cwd=head_tree, capture_output=True, text=True,
     ).stdout.strip()
 
-    common = sorted(_declared_queries(base_tree) & _declared_queries(HERE))
+    common = sorted(_declared_queries(base_tree) & _declared_queries(head_tree))
+    if args.queries:
+        want = {q.strip() for q in args.queries.split(",") if q.strip()}
+        missing = want - set(common)
+        if missing:
+            raise SystemExit(f"--queries not in common set: {sorted(missing)}")
+        common = sorted(want)
     print(f"common queries: {len(common)}", flush=True)
 
     tmp = "/tmp/ab_bench_detail.json"
@@ -141,9 +160,9 @@ def main() -> None:
     # order swap per pair: A-B, B-A, A-B, ... cancels first/second bias
     for k in range(args.pairs):
         order = (
-            [(base, base_tree), ("head", HERE)]
+            [(base, base_tree), ("head", head_tree)]
             if k % 2 == 0
-            else [("head", HERE), (base, base_tree)]
+            else [("head", head_tree), (base, base_tree)]
         )
         for label, tree in order:
             print(f"pair {k + 1}/{args.pairs}: running {label} ...", flush=True)

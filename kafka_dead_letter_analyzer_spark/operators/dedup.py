@@ -241,22 +241,26 @@ def lsh_tune(
         )
     n_pts = 1000
     best = None
+    # full integer scan: EVERY (b, r) with b*r <= num_hashes, not just
+    # the maximal r per b — a non-maximal r can win for some
+    # threshold/weight mixes (fewer hash rows steepen nothing, but the
+    # S-curve midpoint (1/b)^(1/r) moves, and the error integral with
+    # asymmetric weights is not monotone in r at fixed b)
     for b in range(1, num_hashes + 1):
-        r = num_hashes // b
-        if r < 1:
-            break
-        fp = fn = 0.0
-        for i in range(n_pts):
-            s = (i + 0.5) / n_pts
-            p = 1.0 - (1.0 - s**r) ** b
-            if s < threshold:
-                fp += p
-            else:
-                fn += 1.0 - p
-        err = (fp_weight * fp + fn_weight * fn) / n_pts
-        # deterministic tiebreak: fewer bands (cheaper banding pass)
-        if best is None or err < best[0] - 1e-12:
-            best = (err, b, r)
+        for r in range(1, num_hashes // b + 1):
+            fp = fn = 0.0
+            for i in range(n_pts):
+                s = (i + 0.5) / n_pts
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            err = (fp_weight * fp + fn_weight * fn) / n_pts
+            # deterministic tiebreak: first (b asc, r asc) win kept —
+            # fewer bands = cheaper banding pass
+            if best is None or err < best[0] - 1e-12:
+                best = (err, b, r)
     return best[1], best[2]
 
 

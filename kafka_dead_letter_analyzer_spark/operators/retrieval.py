@@ -128,6 +128,16 @@ def salted_topk(
         raise ValueError(
             f"salted_topk: n_salts={n_salts} must be >= 1"
         )
+    # withColumn REPLACES same-named columns, so a collision on the
+    # internal scratch names (or the output rank) would silently
+    # corrupt caller data — refuse loudly, like _check_group_cols
+    clash = {"_skt_salt", "_skt_r1", rank_name} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_topk: input columns {sorted(clash)} collide with"
+            " reserved scratch/output names ('_skt_salt', '_skt_r1',"
+            f" rank_name={rank_name!r}) — rename them first"
+        )
     from pyspark.sql import Window
 
     salted = df.withColumn(
@@ -239,10 +249,22 @@ def bm25_stats(
     dfreq = doc_terms.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    out = doc_terms.join(F.broadcast(qterms), "term").join(
+        F.broadcast(dfreq), "term"
+    )
     if corpus_stats is not None:
+        # known snapshot constants enter as LITERAL columns — no join
+        # at all.  (r12 shipped these via createDataFrame, which plans
+        # as Scan ExistingRDD: a Python-RDD-backed leaf OUTSIDE
+        # whole-stage codegen that pays Python serialization setup on
+        # EVERY execution — the r13 ab_r13_bm25_isolated.json A/B
+        # measured it at ~0.25 s/exec, the entire r12 bm25 regression.)
         n_docs, sum_dl = corpus_stats
-        corpus = docs.sparkSession.createDataFrame(
-            [(int(n_docs), int(sum_dl))], "n_docs bigint, sum_dl bigint"
+        out = out.withColumns(
+            {
+                "n_docs": F.lit(int(n_docs)).cast("bigint"),
+                "sum_dl": F.lit(int(sum_dl)).cast("bigint"),
+            }
         )
     else:
         corpus = toks.agg(
@@ -251,10 +273,9 @@ def bm25_stats(
             .cast("bigint")
             .alias("sum_dl"),
         )
+        out = out.crossJoin(F.broadcast(corpus))
     return (
-        doc_terms.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
+        out
         .select(
             "query_id",
             F.col("_did").alias(id_col),
@@ -372,6 +393,30 @@ def bm25_topk(
     ).select("query_id", id_col, "rank", "score")
 
 
+def _validated_rank(rank_col: str) -> Column:
+    """Non-null ``rank_col`` as bigint, RAISING at runtime (inside the
+    codegen'd CASE, lazily per row) on ranks that would otherwise
+    corrupt silently: non-integral values (1.5 would truncate to 1)
+    and non-positive values (rank <= -k nulls rrf denominators; rank
+    <= 0 makes ndcg's log2 discount 0 or undefined).  Shared by
+    :func:`rrf_fuse` and :func:`ndcg_at_k` (driver-ADVICE r12: the
+    old cast was commented 'validated' but validated nothing)."""
+    raw = F.col(rank_col)
+    big = raw.cast("bigint")
+    ok = raw.isNotNull() & (big >= 1) & (big.cast("double") == raw.cast("double"))
+    return F.when(ok, big).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"rank column {rank_col!r} must be a positive"
+                    " integer, got: "
+                ),
+                F.coalesce(raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint")
+    )
+
+
 def rrf_fuse(
     rankings: DataFrame,
     k: int = 60,
@@ -410,11 +455,13 @@ def rrf_fuse(
     # contribution built from Column expressions, never an interpolated
     # identifier (driver-ADVICE r11: a rank_col needing backticks broke
     # the raw-SQL string, and a non-integral rank type failed on DIV):
-    # rank is validated-cast to bigint first, then exact integer
-    # division via try_divide-free arithmetic — floor(a/b) over int64s
-    # <= 1e9 is exact in double only by accident, so keep true DIV
-    # semantics with (a - pmod(a, b)) / b on bigints.
-    rank_big = F.col(rank_col).cast("bigint")
+    # rank is VALIDATED-cast to bigint (raises on fractional or
+    # non-positive ranks — _validated_rank, r12 ADVICE), then exact
+    # integer division via try_divide-free arithmetic — floor(a/b) over
+    # int64s <= 1e9 is exact in double only by accident, so keep true
+    # DIV semantics with (a - pmod(a, b)) / b on bigints.  NULL ranks
+    # are filtered (not raised) below, the documented contract.
+    rank_big = _validated_rank(rank_col)
     denom = F.lit(k).cast("bigint") + rank_big
     num = F.lit(1_000_000_000).cast("bigint")
     contribution = (
@@ -516,7 +563,8 @@ def ndcg_at_k(
     ).select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_d"),
-        F.col(rank_col).cast("bigint").alias("_r"),
+        # raises on fractional / non-positive ranks (_validated_rank)
+        _validated_rank(rank_col).alias("_r"),
     )
     # dcg: judged docs actually ranked within k; unjudged contribute 0
     dcg_q = (
@@ -634,7 +682,8 @@ def retrieval_metrics(
     ).select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_d"),
-        F.col(rank_col).cast("bigint").alias("_r"),
+        # raises on fractional / non-positive ranks (_validated_rank)
+        _validated_rank(rank_col).alias("_r"),
     )
     j = qrels.filter(
         F.col(query_col).isNotNull() & F.col(id_col).isNotNull()

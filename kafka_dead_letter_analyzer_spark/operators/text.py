@@ -12,6 +12,7 @@ is generated from the same constants (regex sets, stopword lists).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1502,9 +1503,10 @@ def _lcs_capped(
     mapInPandas and the streaming twin
     (``streaming/engine.py::streaming_corpus_rouge_l``), so
     batch/streaming bit-equality holds by construction.  Returns
-    ``(cand_len, ref_len, lcs_len, truncated)``."""
-    import numpy as np
-
+    ``(cand_len, ref_len, lcs_len, truncated)``.  numpy is imported
+    at module scope (not per-call): this kernel runs once per PAIR
+    inside the Arrow batch loops, so per-call import lookups would be
+    hot-path overhead on million-pair corpora."""
     cl, rl = len(ct), len(rt)
     # smallest ladder rung covering both sides, capped at the top
     # rung; rows past the top rung truncate there

@@ -2909,17 +2909,22 @@ def _make_corpus_rouge_fn(base_cap: int, top_cap: int):
         import pandas as pd
 
         from kafka_dead_letter_analyzer_spark.operators.text import (
+            TYPICALITY_TOKEN_RE,
             _lcs_capped,
         )
 
+        # tokenizer = the SHARED batch constant, compiled once per
+        # state-function call — a batch-side regex change cannot
+        # silently desynchronize this twin
+        tok_re = _re.compile(TYPICALITY_TOKEN_RE)
         vals = list(state.get[0]) if state.exists else [0] * 5
         for pdf in pdfs:
             for c, r in zip(pdf["c"], pdf["r"]):
-                ct = _re.findall(
-                    r"[a-z0-9]+", c.lower() if isinstance(c, str) else ""
+                ct = tok_re.findall(
+                    c.lower() if isinstance(c, str) else ""
                 )
-                rt = _re.findall(
-                    r"[a-z0-9]+", r.lower() if isinstance(r, str) else ""
+                rt = tok_re.findall(
+                    r.lower() if isinstance(r, str) else ""
                 )
                 cl, rl, lcs, tr = _lcs_capped(ct, rt, base_cap, top_cap)
                 vals[0] += 1
