@@ -45,7 +45,12 @@ from kafka_dead_letter_analyzer_spark.operators.text import (
     TYPICALITY_TOKEN_RE,
 )
 
-__all__ = ["dsir_log_weights", "dsir_select", "hashed_ngram_counts"]
+__all__ = [
+    "dsir_log_weights",
+    "dsir_resample",
+    "dsir_select",
+    "hashed_ngram_counts",
+]
 
 
 def _bucket_expr(g: Column, num_buckets: int, bucket_hash: str) -> Column:
@@ -289,9 +294,14 @@ def dsir_select(
     tiebreak.  The top-k runs the shared salted two-phase pattern
     (:func:`retrieval.salted_topk`): the candidate set is the WHOLE
     raw corpus, exactly the unbounded case a bare window would
-    single-task.  (The paper's stochastic Gumbel-top-k resampling is
-    the composition with sampling.py's weighted samplers; this is the
-    deterministic head used for fixed selection budgets.)"""
+    single-task.  Phase 1 spreads the corpus over ``n_salts`` bounded
+    tasks; phase 2 IS one task, but over only the ``<= n_salts * k``
+    salt-bucket survivors — O(n_salts * k) by construction, trivially
+    small for default n_salts (shuffle partitions) and practical k —
+    so "no corpus-wide window" means phase 2's single task is bounded
+    by the salt arithmetic, never by corpus size.  (The paper's
+    stochastic Gumbel-top-k resampling is :func:`dsir_resample`; this
+    is the deterministic head used for fixed selection budgets.)"""
     if k < 1:
         raise ValueError(f"dsir_select: k={k} must be >= 1")
     from kafka_dead_letter_analyzer_spark.operators.retrieval import (
@@ -317,3 +327,91 @@ def dsir_select(
         salt_src=id_col,
         n_salts=n_salts,
     ).select(id_col, "rank", "n_features", "log_weight")
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_max: int = 2,
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    bucket_hash: str = "xxhash64",
+    salt: str = "dsir",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """STOCHASTIC DSIR selection — the paper's actual importance
+    RESAMPLING step (Xie et al. 2023 §2: sample k documents without
+    replacement with probability proportional to the importance
+    weights), completing the family next to :func:`dsir_select`'s
+    deterministic head.  Implemented as the Gumbel-top-k trick
+    (Vieira 2014; Kool, van Hoof & Welling, ICML 2019): each doc
+    draws ``g = -ln(-ln u)`` with ``u`` uniform in (0, 1) and the k
+    largest ``log_weight + g`` are EXACTLY a weight-proportional
+    sample without replacement from ``softmax(log_weight)`` — no
+    rejection loop, no sequential pass, one ranking.
+
+    The draw is DETERMINISTIC-seeded, the house md5-rank discipline
+    (``sampling.hash_uniform_u32``): ``u = (md5_u32(id :salt) + 0.5)
+    / 2^32`` — strictly inside (0, 1) so both logs are finite — so
+    the sample is a pure function of (data, salt), reproducible under
+    any partitioning, cluster size, or retry; change ``salt`` to
+    redraw.  ``ln`` is libm-dependent cross-engine, so the declared
+    query is rows-only with a from-scratch differential (the
+    dsir_log_weights / bm25_topk precedent).
+
+    Output: ``(id_col, rank INT, n_features BIGINT, log_weight
+    DOUBLE, gumbel_key DOUBLE)`` — rank 1-based by gumbel key desc
+    with ascending-id tiebreak; gumbel_key rounded to 6 places (the
+    ranking uses the unrounded key).
+
+    Scale shape: :func:`dsir_log_weights`'s single-featurization plan
+    (ONE corpus scan, broadcast ratio table), then the shared salted
+    two-phase top-k over the whole weighted corpus — phase 1 bounded
+    per (salt) bucket, phase 2 one task over <= n_salts * k
+    survivors, never a corpus-wide window."""
+    if k < 1:
+        raise ValueError(f"dsir_resample: k={k} must be >= 1")
+    from kafka_dead_letter_analyzer_spark.operators.retrieval import (
+        salted_topk,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        hash_uniform_u32,
+    )
+
+    w = dsir_log_weights(
+        docs,
+        target,
+        n_max=n_max,
+        num_buckets=num_buckets,
+        alpha=alpha,
+        id_col=id_col,
+        text_col=text_col,
+        target_text_col=target_text_col,
+        bucket_hash=bucket_hash,
+    )
+    # u in (0,1) strictly: (u32 + 0.5) / 2^32 — both endpoints
+    # excluded, so -ln(-ln u) is always finite
+    u = (
+        hash_uniform_u32(F.col(id_col), salt).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gk = F.col("log_weight") - F.log(-F.log(u))
+    ranked = salted_topk(
+        w.withColumn("_gk", gk),
+        k,
+        partition_by=[],
+        order_by=[F.col("_gk").desc(), F.col(id_col).asc()],
+        salt_src=id_col,
+        n_salts=n_salts,
+    )
+    return ranked.select(
+        id_col,
+        "rank",
+        "n_features",
+        "log_weight",
+        F.round("_gk", 6).alias("gumbel_key"),
+    )

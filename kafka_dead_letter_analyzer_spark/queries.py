@@ -4991,6 +4991,177 @@ def x_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_mixture_budget_sample",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS avail,
+             CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) = 0
+                  THEN 100 ELSE 1 END AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(avail) AS BIGINT) AS cap_tot,
+             CAST(sum(w) AS BIGINT) AS w_tot,
+             CAST(sum(avail) // 2 AS BIGINT) AS b
+      FROM per
+    ),
+    -- closed-form water-filling: sorted by avail/w ascending (weights
+    -- divide 100, so avail*100//w orders the ratios exactly), the
+    -- saturated set is a PREFIX, and row k saturates iff its capacity
+    -- is <= its proportional share of what remains after the earlier
+    -- (smaller-ratio) rows took their full capacity — all integer
+    -- cross-multiplications, the same fixed point the engine's
+    -- exact-rational iterative solver converges to
+    ordered AS (
+      SELECT p.*, t.w_tot, t.b,
+             CAST(coalesce(sum(p.w) OVER win, 0) AS BIGINT) AS w_before,
+             CAST(coalesce(sum(p.avail) OVER win, 0) AS BIGINT)
+               AS cap_before
+      FROM per p CROSS JOIN tot t
+      WINDOW win AS (ORDER BY p.avail * 100 // p.w, p.source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    cls AS (
+      SELECT *,
+             CAST(avail AS HUGEINT) * (w_tot - w_before)
+               <= CAST(b - cap_before AS HUGEINT) * w AS sat
+      FROM ordered
+    ),
+    fin AS (
+      SELECT CAST(coalesce(sum(CASE WHEN sat THEN avail END), 0)
+                  AS HUGEINT) AS cap_sat,
+             CAST(coalesce(sum(CASE WHEN sat THEN w END), 0)
+                  AS HUGEINT) AS w_sat
+      FROM cls
+    ),
+    plan AS (
+      SELECT c.source,
+             CAST(c.avail AS BIGINT) AS available_tokens,
+             CAST(CASE WHEN c.sat THEN CAST(c.avail AS HUGEINT)
+                  ELSE CAST(c.b - f.cap_sat AS HUGEINT) * c.w
+                       // (c.w_tot - f.w_sat)
+                  END AS BIGINT) AS allocated_tokens,
+             CAST(trunc(
+               CASE WHEN c.sat THEN 4294967296.0
+                    ELSE CAST(CAST(c.b - f.cap_sat AS HUGEINT) * c.w
+                              AS DOUBLE)
+                         / CAST(CAST(c.w_tot - f.w_sat AS HUGEINT)
+                                * c.avail AS DOUBLE)
+                         * 4294967296.0
+               END) AS BIGINT) AS threshold_u32
+      FROM cls c CROSS JOIN fin f
+    ),
+    keep AS (
+      SELECT d.source,
+             {TX.token_count_sql('text')} AS tks,
+             list_sum([(strpos('0123456789abcdef',
+                               md5(CAST(doc_id AS VARCHAR))[i]) - 1)
+                       * ([{_HEX8_POWS}][i])::BIGINT
+                       for i in range(1, 9)]) AS h
+      FROM documents d
+    ),
+    acct AS (
+      SELECT k.source,
+             CAST(count(*) AS BIGINT) AS n_docs_kept,
+             CAST(sum(k.tks) AS BIGINT) AS sampled_tokens
+      FROM keep k JOIN plan p USING (source)
+      WHERE k.h < p.threshold_u32
+      GROUP BY 1
+    )
+    SELECT p.source, p.available_tokens, p.allocated_tokens,
+           p.threshold_u32,
+           CAST(coalesce(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(a.sampled_tokens, 0) AS BIGINT)
+             AS sampled_tokens
+    FROM plan p LEFT JOIN acct a USING (source)
+    """,
+)
+def x_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture build END-TO-END (r12 verdict #3): per-
+    source supply -> :func:`sampling.mixture_rates_for_budget` (the
+    exact-rational water-filling solver; target weights 100 for src0,
+    1 for everyone else — src0's share of the half-corpus budget
+    vastly exceeds its supply, so the SATURATED branch and the
+    redistribution rounds run on real data) -> :func:`mixture_sample`
+    at the solved rates -> per-source sampled accounting vs the
+    allocation.  Output all-integer: ``(source, available_tokens,
+    allocated_tokens, threshold_u32, n_docs_kept, sampled_tokens)``
+    — threshold_u32 is the EXACT md5 threshold mixture_sample
+    codegens (``int(rate * 2**32)``), so the whole chain solver ->
+    rate -> threshold -> kept set hash-gates end-to-end; the oracle
+    reproduces the solver via the sorted-prefix closed form (the
+    saturated set is a prefix of the capacity/weight order; pinned
+    equivalent to the iterative solver by a hypothesis differential
+    in tests/test_extensions.py).
+
+    Plan: ONE scan for the per-source supply contraction (a bounded
+    driver collect — components number thousands at most, the
+    lsh_tune/driver-side-solver precedent), then mixture_sample's
+    filter-only pass (codegen'd CASE thresholds, no rates join) +
+    one per-source contraction, left-joined to the broadcast plan
+    literals so zero-kept sources still report."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = {
+        r["source"]: int(r["tokens"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(TX.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("tokens")
+        )
+        .collect()
+    }
+    target = {
+        s: 100 if int(s[3:]) == 0 else 1 for s in per
+    }
+    budget = sum(per.values()) // 2
+    plan = SA.mixture_rates_for_budget(per, target, budget)
+    rates, alloc = plan["rates"], plan["allocated"]
+    plan_df = spark.createDataFrame(
+        [
+            (
+                s,
+                per[s],
+                alloc[s],
+                int(rates[s] * (1 << 32)),
+            )
+            for s in sorted(per)
+        ],
+        "source string, available_tokens long, allocated_tokens long,"
+        " threshold_u32 long",
+    )
+    acct = (
+        SA.mixture_sample(
+            docs,
+            key="doc_id",
+            mix_col="source",
+            rates=rates,
+            default_rate=0.0,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum(TX.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+    )
+    return F.broadcast(plan_df).join(acct, "source", "left").select(
+        "source",
+        "available_tokens",
+        "allocated_tokens",
+        "threshold_u32",
+        F.coalesce(F.col("n_docs_kept"), F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.coalesce(F.col("sampled_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )
+
+
 def _kmeans_int_sql(k: int = 4, iters: int = 2, scale: int = 1024, d: int = 64) -> str:
     """Unrolled relational Lloyd for the x_kmeans_int oracle: every
     iteration is one assignment (argmin by integer squared distance,
@@ -11203,6 +11374,33 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.dsir_log_weights(
         docs,
         docs.filter(F.col("lang") == "en"),
+        n_max=2,
+        num_buckets=256,
+        bucket_hash="md5",
+    )
+
+
+@_register("x_dsir_resample")  # rows-only: ln() is libm-dependent
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic DSIR importance resampling
+    (operators/selection.py::dsir_resample) — the paper's actual
+    selection step (Xie et al. 2023 §2): 50 documents drawn without
+    replacement with probability proportional to softmax(log_weight)
+    toward the 'en' target slice, via the Gumbel-top-k trick with the
+    house deterministic md5 draw (u = (md5_u32(doc_id:'dsir') + 0.5)
+    / 2^32, g = -ln(-ln u), rank by log_weight + g).  ROWS-ONLY — ln
+    is transcendental twice over (the x_dsir_weights precedent);
+    gated by the from-scratch differential in
+    tests/test_selection.py (exact round-6 gumbel keys + exact
+    selected-set equality vs a pure-Python replica) plus salt-count
+    invariance.  Plan: the single-featurization dsir_log_weights plan
+    + the shared salted two-phase top-k — phase 2 is ONE task over
+    <= n_salts * k survivors, never a corpus-wide window (pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SEL.dsir_resample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=50,
         n_max=2,
         num_buckets=256,
         bucket_hash="md5",

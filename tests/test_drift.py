@@ -1401,3 +1401,87 @@ def test_mixture_rates_for_budget_water_filling():
         mixture_rates_for_budget({"a": 1}, {"b": 1.0}, 1)
     with _pytest.raises(ValueError, match="proportions"):
         mixture_rates_for_budget({"a": 1}, {"a": 0.0}, 1)
+
+
+def test_mixture_budget_closed_form_equals_iterative_solver():
+    """r13 (the x_mixture_budget_sample oracle's soundness): the
+    sorted-prefix closed form the DuckDB oracle transcribes — sort by
+    capacity/weight ascending, a row saturates iff its capacity <= its
+    proportional share of what remains after ALL earlier rows' full
+    capacities (integer cross-multiplication; unsat rows provably
+    propagate false down the order) — computes EXACTLY the iterative
+    exact-rational water-filling fixed point: identical integer
+    allocations AND identical float rates (so identical u32
+    thresholds), on random instances including budget > capacity
+    (every row saturated) and budget 0."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_dead_letter_analyzer_spark.operators.sampling import (
+        mixture_rates_for_budget,
+    )
+
+    def closed_form(avail, w, budget):
+        comps = sorted(
+            avail, key=lambda c: (Fraction(avail[c], w[c]), c)
+        )
+        w_tot = sum(w.values())
+        cap_before = w_before = 0
+        sat = set()
+        for c in comps:
+            if (
+                avail[c] * (w_tot - w_before)
+                <= (budget - cap_before) * w[c]
+            ):
+                sat.add(c)
+            cap_before += avail[c]
+            w_before += w[c]
+        cap_sat = sum(avail[c] for c in sat)
+        w_rem = w_tot - sum(w[c] for c in sat)
+        alloc, rates = {}, {}
+        for c in comps:
+            if c in sat:
+                alloc[c] = avail[c]
+                rates[c] = 1.0
+            else:
+                fr = Fraction((budget - cap_sat) * w[c], w_rem)
+                alloc[c] = int(fr)
+                rates[c] = float(fr / avail[c])
+        return alloc, rates
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=10**7),
+                st.integers(min_value=1, max_value=100),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=3 * 10**7),
+    )
+    def check(rows, budget):
+        avail = {f"s{i}": a for i, (a, _) in enumerate(rows)}
+        w = {f"s{i}": wt for i, (_, wt) in enumerate(rows)}
+        got = mixture_rates_for_budget(avail, w, budget)
+        cap = sum(avail.values())
+        if budget >= cap:
+            # everything saturates; the closed form's unsat branch
+            # never runs (w_rem may be 0) — check directly
+            assert got["allocated"] == avail
+            assert got["rates"] == {c: 1.0 for c in avail}
+            assert got["shortfall"] == budget - cap
+            return
+        alloc, rates = closed_form(avail, w, budget)
+        assert got["allocated"] == alloc
+        assert got["rates"] == rates
+        assert got["shortfall"] == 0
+        # thresholds (what mixture_sample codegens) match too
+        assert {
+            c: int(r * (1 << 32)) for c, r in got["rates"].items()
+        } == {c: int(r * (1 << 32)) for c, r in rates.items()}
+
+    check()
