@@ -468,41 +468,70 @@ def simhash64_frame(
     )
 
 
-def dedup_near_simhash(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hash64_hamming_pairs(
+    frame: DataFrame,
+    id_col: str = "_id",
+    hash_col: str = "_sh",
     max_hamming: int = 3,
-    token_hash=F.xxhash64,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """All pairs with ``Hamming(hash64) <= max_hamming`` from an
+    (id, int64-fingerprint) frame — the banding machinery behind
+    :func:`dedup_near_simhash`, factored out (r13) so OTHER 64-bit
+    locality hashes (perceptual image dHash/aHash,
+    ``multimodal.dhash64``) share it.
 
-    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair within
-    Hamming <= 3 agrees exactly on >= 1 band, so a 4-way band-equality join
-    finds all such pairs without O(n²). Returns (id_a, id_b, hamming).
+    Pigeonhole banding: 64 bits split into ``n_bands`` near-equal
+    contiguous bands (band b = bits ``[b*64//n, (b+1)*64//n)``); a
+    pair within Hamming ``h < n_bands`` cannot differ in every band,
+    so a band-equality self-join has GUARANTEED full recall — the
+    all-pairs answer without O(n²).  ``n_bands`` defaults to
+    ``max_hamming + 1`` (the minimum guaranteeing recall; more bands
+    = fewer bits per band = more candidates).  Returns
+    ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
 
-    The (id, simhash) frame is persisted: both sides of the band self-join
-    consume it, and it is 16 bytes/doc — persisting beats re-running the
-    tokenize+hash+vote lineage twice (same rationale as
-    :func:`dedup_near_minhash`).
-    """
+    The frame is persisted (MEMORY_AND_DISK, cache_registry-tracked):
+    both sides of the self-join consume it at 16 bytes/doc — cheaper
+    than re-running the fingerprint lineage twice."""
+    if max_hamming < 0:
+        raise ValueError(
+            f"hash64_hamming_pairs: max_hamming={max_hamming} must"
+            " be >= 0"
+        )
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (max_hamming < n_bands <= 64):
+        raise ValueError(
+            f"hash64_hamming_pairs: n_bands={n_bands} must satisfy"
+            f" max_hamming < n_bands <= 64 (pigeonhole recall needs"
+            " more bands than flips)"
+        )
     from pyspark import StorageLevel
 
     sh = cache_registry.track(
-        simhash64_frame(docs, id_col, text_col, token_hash).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        frame.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # static 4-band unroll (shift amounts must be python ints)
+    def _mask(width: int) -> int:
+        # two's-complement int64 literal (width 64 -> all-ones -> -1)
+        m = (1 << width) - 1
+        return m - (1 << 64) if m >= 1 << 63 else m
+
+    # static band unroll (shift amounts must be python ints)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).cast("int").alias("band"),
-                F.shiftrightunsigned(F.col("_sh"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                F.shiftrightunsigned(F.col("_sh"), b * 64 // n_bands)
+                .bitwiseAND(
+                    F.lit(
+                        _mask((b + 1) * 64 // n_bands - b * 64 // n_bands)
+                    ).cast("long")
+                )
                 .alias("bits"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     banded = sh.select("_id", "_sh", F.explode(band_structs).alias("_b"))
@@ -523,6 +552,28 @@ def dedup_near_simhash(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def dedup_near_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    token_hash=F.xxhash64,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding via :func:`hash64_hamming_pairs` (4 x 16-bit
+    bands for the default max_hamming=3; any pair within Hamming <= 3
+    agrees exactly on >= 1 band, so the band-equality join finds all
+    such pairs without O(n²)).  Returns (id_a, id_b, hamming).
+    """
+    return hash64_hamming_pairs(
+        simhash64_frame(docs, id_col, text_col, token_hash),
+        id_col="_id",
+        hash_col="_sh",
+        max_hamming=max_hamming,
+    )
 
 
 # ---------------------------------------------------------------------------
