@@ -890,6 +890,117 @@ def duplicate_spans(
     )
 
 
+def exact_substring_cut(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The exact-substring DEDUP DECISION (Lee et al. 2022 §4, the
+    ExactSubstr tool's output side; r12 verdict #5): where
+    :func:`duplicate_spans` reports the duplicated passages as PAIRS,
+    this returns what the pipeline actually applies — per-document
+    merged CUT intervals ``(doc_id, cut_start BIGINT, cut_end BIGINT)``
+    (1-based token positions, inclusive) covering every k-token gram
+    whose exact text occurs EARLIER in the corpus order
+    ``(doc_id, pos)``.  Keep-first-occurrence semantics, corpus-wide
+    AND within-document: of all occurrences of a duplicated k-gram,
+    exactly the lexicographically-first ``(doc, pos)`` survives; every
+    other occurrence contributes its ``[pos, pos + k - 1]`` token
+    range, and overlapping/adjacent ranges merge into maximal
+    intervals.  Removing the intervals from each document leaves a
+    corpus where no cut token was part of a non-canonical duplicated
+    k-gram (recall is exact — tested against brute force).
+
+    Plan (NO pair join anywhere — unlike the span-pair surface, the
+    cut decision is LINEAR): one scan -> the (doc, pos, gram-hash)
+    seed projection (JVM shifted-slice grams, 60-bit md5 idiom shared
+    with :func:`duplicate_spans` so the oracle reproduces hashes) ->
+    ONE (gram) contraction to the min (doc, pos) struct (map-side
+    partial min, so boilerplate grams in millions of documents are
+    skew-safe — the heavy key reduces, never fans out) -> broadcast-
+    or shuffle-join back (id+hash rows only) -> per-DOC interval
+    merge: gaps-and-islands with a running-max-end window partitioned
+    by doc — bounded by one document's token count, never corpus-wide.
+    """
+    if k < 1:
+        raise ValueError(f"exact_substring_cut: k={k} must be >= 1")
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        spread_for_cpu,
+    )
+
+    toks = _tokens(F.col(text_col))
+    L = F.size(toks)
+    seeds = (
+        spread_for_cpu(docs.filter(L >= k))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(token_grams(F.col(text_col), k)).alias(
+                "p0", "g"
+            ),
+        )
+        .select(
+            "doc",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    first = seeds.groupBy("g").agg(
+        F.min(F.struct("doc", "pos")).alias("_f")
+    )
+    marked = (
+        seeds.join(first, "g")
+        .filter(
+            (F.col("doc") != F.col("_f.doc"))
+            | (F.col("pos") != F.col("_f.pos"))
+        )
+        .select("doc", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = marked.select(
+        "doc",
+        "pos",
+        # new island iff this range neither overlaps NOR touches the
+        # running max end (adjacent cut ranges merge — one interval)
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.lit(k - 1)).over(w_prev),
+                F.lit(-2).cast("bigint"),
+            )
+            + F.lit(1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).select(
+        "doc", "pos", F.sum("_new").over(w_run).alias("_isl")
+    )
+    return (
+        flagged.groupBy("doc", "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("cut_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("cut_end"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "cut_start", "cut_end"
+        )
+    )
+
+
 def setsim_join_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",

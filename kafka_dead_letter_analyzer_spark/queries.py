@@ -6153,6 +6153,71 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_exact_substring_dups",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, p.pos AS pos,
+             {_duck_u60("p.g")} AS g
+      FROM (SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'g': array_to_string(toks[i : i + 7], ' ')}}
+                           for i in range(1, len(toks) - 6)]) AS p
+            FROM t WHERE len(toks) >= 8)
+    ), fm AS (
+      SELECT g, min(doc_id) AS fd FROM pos GROUP BY g
+    ), fp AS (
+      SELECT p.g, fm.fd, min(p.pos) AS fpos
+      FROM pos p JOIN fm ON p.g = fm.g AND p.doc_id = fm.fd
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT p.doc_id, p.pos
+      FROM pos p JOIN fp ON p.g = fp.g
+      WHERE NOT (p.doc_id = fp.fd AND p.pos = fp.fpos)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM m
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS cut_start,
+           CAST(max(pos) + 7 AS BIGINT) AS cut_end
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def x_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring DEDUP (Lee et al. 2022 §4 ExactSubstr;
+    r12 verdict #5) — the keep-first CUT decision the pipeline
+    applies, complementing x_dup_spans' pair surface: per document,
+    the merged token intervals covering every 8-gram whose exact text
+    occurs earlier in (doc_id, pos) order, corpus-wide and
+    within-document (operators/dedup.py::exact_substring_cut).
+    LINEAR plan — no pair join: the (doc, pos, 60-bit md5 gram) seed
+    projection (hash idiom shared with x_dup_spans, so the oracle
+    reproduces it), ONE map-side-combined min-(doc,pos) contraction
+    per gram (boilerplate grams REDUCE instead of fanning out — the
+    scale contrast to the span-pair path), a hash-only join back, and
+    a per-DOC gaps-and-islands interval merge whose window is bounded
+    by one document's token count."""
+    return D.exact_substring_cut(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+@_register(
     "x_setsim_join",
     r"""
     WITH t0 AS (

@@ -174,15 +174,13 @@ def test_dhash_ahash_match_replica(spark):
     rows.append((100, asc))
     df = spark.createDataFrame(rows, "media_id long, grid array<int>")
     got = {
-        r["media_id"]: (r["dh"], r["ah"])
+        r["media_id"]: r["dh"]
         for r in df.select(
-            "media_id",
-            MM.dhash64("grid").alias("dh"),
-            MM.ahash64("grid"[:4] if False else "grid").alias("ah"),
+            "media_id", MM.dhash64("grid").alias("dh")
         ).collect()
     }
     for mid, grid in rows:
-        assert got[mid][0] == _py_dhash(grid), mid
+        assert got[mid] == _py_dhash(grid), mid
     # ahash needs a 64-cell grid; check separately
     rows64 = [(s, g[:64]) for s, g in rows]
     df64 = spark.createDataFrame(rows64, "media_id long, grid array<int>")
@@ -195,7 +193,7 @@ def test_dhash_ahash_match_replica(spark):
     for mid, grid in rows64:
         assert got64[mid] == _py_ahash(grid), mid
     # ascending grid sets every dhash bit -> -1 (all ones, signed)
-    assert _py_dhash(asc) == -1 and got[100][0] == -1
+    assert _py_dhash(asc) == -1 and got[100] == -1
     with pytest.raises(ValueError, match="dhash64"):
         MM.dhash64("grid", cols=5, rows=5)
     with pytest.raises(ValueError, match="ahash64"):
@@ -275,3 +273,117 @@ def test_image_phash_pipeline_matches_pixel_replica(spark):
         assert got[mid][1] == want_grid, mid
         assert got[mid][2] == _py_dhash(want_grid), mid
         assert got[mid][0] == len(MM.png_encode_gray(px, w, h))
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_cut (r13): keep-first cut decision, planted spans
+# ---------------------------------------------------------------------------
+
+
+def _brute_cut(rows, k=8):
+    """From-scratch keep-first cut replica: every k-gram occurrence
+    that is not the lexicographically-first (doc, pos) for its exact
+    text contributes [pos, pos+k-1]; per-doc ranges merge when they
+    overlap or touch."""
+    occ = {}
+    grams = {}
+    for did, text in rows:
+        toks = (text or "").strip().lower().split()
+        grams[did] = [
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        ]
+    for did in sorted(grams):
+        for p0, g in enumerate(grams[did]):
+            occ.setdefault(g, []).append((did, p0 + 1))
+    marked = {}
+    for g, places in occ.items():
+        for did, pos in sorted(places)[1:]:
+            marked.setdefault(did, set()).add(pos)
+    out = set()
+    for did, poss in marked.items():
+        cur = None
+        for pos in sorted(poss):
+            lo, hi = pos, pos + k - 1
+            if cur and lo <= cur[1] + 1:
+                cur = (cur[0], max(cur[1], hi))
+            else:
+                if cur:
+                    out.add((did, cur[0], cur[1]))
+                cur = (lo, hi)
+        if cur:
+            out.add((did, cur[0], cur[1]))
+    return out
+
+
+def test_exact_substring_cut_planted_spans(spark):
+    """Planted-span recall (the r12 verdict's done-bar): a span shared
+    by three documents survives only at its first (doc, pos); a
+    within-document repeat is cut; overlapping plants merge into one
+    interval; a unique document emits nothing; and the whole output
+    equals the brute-force keep-first replica."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    span2 = "one two three four five six seven eight nine ten"
+    filler = lambda s, n: " ".join(f"{s}{i}" for i in range(n))
+    rows = [
+        (1, filler("a", 5) + " " + span + " " + filler("b", 5)),
+        # same span later in corpus order -> cut here
+        (2, filler("c", 3) + " " + span + " " + filler("d", 4)),
+        # two plants in one doc: the corpus-first is in doc 1, so BOTH
+        # occurrences here are cut; they are disjoint -> two intervals
+        (3, span + " " + filler("e", 6) + " " + span),
+        # overlapping duplicated region: span2 twice, shifted by less
+        # than its length inside doc 5 -> merged single interval
+        (4, filler("f", 2) + " " + span2 + " " + filler("g", 3)),
+        (5, span2 + " " + span2),
+        (6, filler("unique", 12)),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["cut_start"], r["cut_end"])
+        for r in D.exact_substring_cut(df, k=8).collect()
+    }
+    want = _brute_cut(rows, k=8)
+    assert got == want
+    # structure spot-checks, independent of the replica
+    docs_cut = {d for d, _, _ in got}
+    assert 1 not in docs_cut          # first occurrence survives
+    assert 6 not in docs_cut and 7 not in docs_cut
+    assert len([t for t in got if t[0] == 3]) == 2   # disjoint plants
+    assert len([t for t in got if t[0] == 5]) == 1   # merged overlap
+    # recall invariant: every non-first duplicated gram occurrence is
+    # fully covered by some cut interval of its doc
+    k = 8
+    grams = {}
+    for did, text in rows:
+        toks = (text or "").strip().lower().split()
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(
+                " ".join(toks[i:i + k]), []
+            ).append((did, i + 1))
+    for g, places in grams.items():
+        for did, pos in sorted(places)[1:]:
+            assert any(
+                d == did and s <= pos and pos + k - 1 <= e
+                for d, s, e in got
+            ), (g, did, pos)
+    with pytest.raises(ValueError, match="k="):
+        D.exact_substring_cut(df, k=0)
+
+
+def test_exact_substring_cut_partitioning_invariance(spark):
+    """The cut list is a pure function of the corpus — identical under
+    any input partitioning (min-(doc,pos) contraction + per-doc
+    windows are both layout-independent)."""
+    span = "p q r s t u v w x y z"
+    rows = [(i, f"head{i} " + span + f" tail{i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        tuple(r) for r in D.exact_substring_cut(df, k=8).collect()
+    }
+    assert base == _brute_cut(rows, k=8)
+    got13 = {
+        tuple(r)
+        for r in D.exact_substring_cut(df.repartition(13), k=8).collect()
+    }
+    assert got13 == base
