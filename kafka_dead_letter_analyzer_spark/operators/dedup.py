@@ -1192,9 +1192,15 @@ def sorted_neighborhood_pairs(
     for bx, c in counts:
         offsets[bx] = acc
         acc += c
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
     off_df = F.broadcast(
-        keys.sparkSession.createDataFrame(
-            [(bx, off) for bx, off in offsets.items()], "_bx string, _off long"
+        local_relation_df(
+            keys.sparkSession,
+            [(bx, int(off)) for bx, off in offsets.items()],
+            "_bx string, _off long",
         )
     )
     ranked = (

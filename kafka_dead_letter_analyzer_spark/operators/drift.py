@@ -738,8 +738,12 @@ def leadlag_spearman(
     a = _dense(cat_a, "xa")
     b = _dense(cat_b, "xb")
     spark = df.sparkSession
-    lags = spark.createDataFrame(
-        [(int(l),) for l in range(max_lag + 1)], "lag bigint"
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    lags = local_relation_df(
+        spark, [(int(l),) for l in range(max_lag + 1)], "lag bigint"
     )
     # a and b both derive from the same timeline frame: qualify every
     # side explicitly or Spark's same-lineage resolution can collapse

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "estimated_plan_bytes",
+    "local_relation_df",
     "spread_for_cpu",
     "read_jsonl",
     "write_bucketed",
@@ -301,3 +302,51 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+def local_relation_df(spark, rows, schema: str):
+    """Small driver-known table as a VALUES-backed LocalRelation —
+    the fast replacement for ``spark.createDataFrame(list)`` on
+    broadcast dims and fixture tables.  createDataFrame plans as
+    ``Scan ExistingRDD``: a Python-RDD leaf OUTSIDE whole-stage
+    codegen that pays Python-serializer setup on EVERY execution —
+    the r13 bm25 A/B measured it at ~0.25 s/exec at sf0.1, pure
+    overhead for a table of constants.  A SQL ``VALUES`` literal
+    plans as LocalRelation: materialized once at analysis, free at
+    execution, broadcastable without touching Python.
+
+    ``schema`` is a DDL string ("name type, ..."); values support
+    int/float/str/bool/None (literal-rendered, str single-quote
+    escaped).  Rows are CAST column-by-column so the result schema
+    matches the DDL exactly.  Empty ``rows`` falls back to
+    createDataFrame (no VALUES syntax for zero tuples — cold path)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        raise TypeError(
+            f"local_relation_df: unsupported literal {type(v).__name__}"
+        )
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f"_c{i}" for i in range(len(cols)))
+    proj = ", ".join(
+        f"CAST(_c{i} AS {typ}) AS {name}"
+        for i, (name, typ) in enumerate(cols)
+    )
+    return spark.sql(
+        f"SELECT {proj} FROM (VALUES {values}) AS _lrd({names})"
+    )

@@ -381,9 +381,17 @@ def global_order_index(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    # VALUES-backed LocalRelation (not createDataFrame): this is a
+    # broadcast dim re-built per execution as an ExistingRDD otherwise
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _off bigint"
+        local_relation_df(
+            spark,
+            [(int(b), int(o)) for b, o in offsets.items()],
+            "_bkt int, _off bigint",
         )
     )
     clustered = (

@@ -5219,7 +5219,8 @@ def x_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = sum(per.values()) // 2
     plan = SA.mixture_rates_for_budget(per, target, budget)
     rates, alloc = plan["rates"], plan["allocated"]
-    plan_df = spark.createDataFrame(
+    plan_df = IO.local_relation_df(
+        spark,
         [
             (
                 s,
@@ -11606,8 +11607,12 @@ _BM25_QUERY_ROWS = [
 
 
 def _bm25_queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        _BM25_QUERY_ROWS, "query_id long, query_text string"
+    # VALUES-backed LocalRelation, not createDataFrame: this frame is
+    # the broadcast side of every retrieval query, and an ExistingRDD
+    # leaf would re-pay Python-serializer setup per execution (the r13
+    # bm25 A/B finding)
+    return IO.local_relation_df(
+        spark, _BM25_QUERY_ROWS, "query_id long, query_text string"
     )
 
 
