@@ -468,6 +468,51 @@ def simhash64_frame(
     )
 
 
+def _hash64_bands(n_bands: int):
+    """Band array expression over the ``_sh`` int64 column: n_bands
+    near-equal contiguous bit ranges as (band, bits) structs — shared
+    by the self-join (:func:`hash64_hamming_pairs`) and the
+    incremental join (:func:`hash64_hamming_join`)."""
+
+    def _mask(width: int) -> int:
+        # two's-complement int64 literal (width 64 -> all-ones -> -1)
+        m = (1 << width) - 1
+        return m - (1 << 64) if m >= 1 << 63 else m
+
+    # static band unroll (shift amounts must be python ints)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(F.col("_sh"), b * 64 // n_bands)
+                .bitwiseAND(
+                    F.lit(
+                        _mask((b + 1) * 64 // n_bands - b * 64 // n_bands)
+                    ).cast("long")
+                )
+                .alias("bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def _check_banding(max_hamming: int, n_bands: int | None, who: str) -> int:
+    if max_hamming < 0:
+        raise ValueError(
+            f"{who}: max_hamming={max_hamming} must be >= 0"
+        )
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (max_hamming < n_bands <= 64):
+        raise ValueError(
+            f"{who}: n_bands={n_bands} must satisfy"
+            " max_hamming < n_bands <= 64 (pigeonhole recall needs"
+            " more bands than flips)"
+        )
+    return n_bands
+
+
 def hash64_hamming_pairs(
     frame: DataFrame,
     id_col: str = "_id",
@@ -493,19 +538,7 @@ def hash64_hamming_pairs(
     The frame is persisted (MEMORY_AND_DISK, cache_registry-tracked):
     both sides of the self-join consume it at 16 bytes/doc — cheaper
     than re-running the fingerprint lineage twice."""
-    if max_hamming < 0:
-        raise ValueError(
-            f"hash64_hamming_pairs: max_hamming={max_hamming} must"
-            " be >= 0"
-        )
-    if n_bands is None:
-        n_bands = max_hamming + 1
-    if not (max_hamming < n_bands <= 64):
-        raise ValueError(
-            f"hash64_hamming_pairs: n_bands={n_bands} must satisfy"
-            f" max_hamming < n_bands <= 64 (pigeonhole recall needs"
-            " more bands than flips)"
-        )
+    n_bands = _check_banding(max_hamming, n_bands, "hash64_hamming_pairs")
     from pyspark import StorageLevel
 
     sh = cache_registry.track(
@@ -513,28 +546,9 @@ def hash64_hamming_pairs(
             F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    def _mask(width: int) -> int:
-        # two's-complement int64 literal (width 64 -> all-ones -> -1)
-        m = (1 << width) - 1
-        return m - (1 << 64) if m >= 1 << 63 else m
-
-    # static band unroll (shift amounts must be python ints)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.shiftrightunsigned(F.col("_sh"), b * 64 // n_bands)
-                .bitwiseAND(
-                    F.lit(
-                        _mask((b + 1) * 64 // n_bands - b * 64 // n_bands)
-                    ).cast("long")
-                )
-                .alias("bits"),
-            )
-            for b in range(n_bands)
-        ]
+    banded = sh.select(
+        "_id", "_sh", F.explode(_hash64_bands(n_bands)).alias("_b")
     )
-    banded = sh.select("_id", "_sh", F.explode(band_structs).alias("_b"))
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_b").alias("b")
     )
@@ -552,6 +566,61 @@ def hash64_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def hash64_hamming_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "_id",
+    hash_col: str = "_sh",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL Hamming join: every (new, corpus) pair within
+    ``max_hamming`` of a 64-bit fingerprint — the production arrival
+    path for any hash64 surface (simhash text, perceptual image
+    dHash/aHash), mirroring :func:`dedup_near_minhash_incremental`:
+    a daily batch lands and is checked AGAINST the standing index,
+    never re-pairing the corpus with itself.  Returns
+    ``(new_id, corpus_id, hamming INT)``.
+
+    Same pigeonhole banding as :func:`hash64_hamming_pairs` (recall
+    is guaranteed, so the result equals brute-force filtering of the
+    cross product), but the join is new x corpus only: shuffle volume
+    is ``n_bands * (|new| + |corpus|)`` 16-byte rows, and the
+    corpus-side fingerprint frame is exactly the artifact a standing
+    index stores — at 100 TB the corpus side reads a precomputed
+    (id, hash) parquet, never re-hashes payloads.  Identical ids on
+    both sides are allowed (re-submitted items) and excluded from the
+    output (a row is not its own near-dup)."""
+    n_bands = _check_banding(max_hamming, n_bands, "hash64_hamming_join")
+    from pyspark import StorageLevel
+
+    def _prep(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(hash_col).alias("_sh"),
+        ).select(
+            f"{side}_id",
+            F.col("_sh").alias(f"_sh_{side}"),
+            F.explode(_hash64_bands(n_bands)).alias("_b"),
+        )
+
+    n = _prep(new, "new")
+    c = _prep(corpus, "corpus")
+    return (
+        n.join(c, n["_b"] == c["_b"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_sh_new").bitwiseXOR(F.col("_sh_corpus"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
 
 
 def dedup_near_simhash(

@@ -6153,6 +6153,104 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16x16 variant of the synthetic images for the aHash (8x8-cell)
+# incremental query — same cluster/noise construction as _PHASH_SQL
+_AHASH_CELL_SUM = " + ".join(
+    "(((doc_id % 101 + 1)"
+    f" * (3 * (2 * (j % 8) + {dx}) + 5 * (2 * (j // 8) + {dy}) + 7)"
+    " + (doc_id % 101) * (doc_id % 101)"
+    " + CASE WHEN j // 8 = ((doc_id * 37 + 11) % 64) // 8"
+    "        AND j % 8 = ((doc_id * 37 + 11) % 64) % 8"
+    "   THEN 97 ELSE 0 END) % 251)"
+    for dy in (0, 1)
+    for dx in (0, 1)
+)
+_AHASH_PIXELS_EXPR = (
+    "transform(sequence(0, 255), k -> CAST(("
+    " (doc_id % 101 + 1)"
+    "   * (3 * (k % 16) + 5 * (k div 16) + 7)"
+    " + (doc_id % 101) * (doc_id % 101)"
+    " + IF((k div 16) div 2 = ((doc_id * 37 + 11) % 64) div 8"
+    "      AND (k % 16) div 2 = ((doc_id * 37 + 11) % 64) % 8,"
+    "      97, 0)"
+    ") % 251 AS INT))"
+)
+_AHASH_INCR_SQL = f"""
+    WITH g AS (
+      SELECT doc_id,
+             [CAST(({_AHASH_CELL_SUM}) // 4 AS BIGINT)
+              for j in range(0, 64)] AS grid
+      FROM documents WHERE doc_id IS NOT NULL
+    ), f AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN grid[k + 1] > list_sum(grid) // 64
+                            THEN ([{_BIT_POWS}][k + 1])::HUGEINT
+                            ELSE 0::HUGEINT END
+                       for k in range(0, 64)]) AS u
+      FROM g
+    ), s AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= {2**63}::HUGEINT
+                       THEN u - {2**64}::HUGEINT
+                       ELSE u END AS BIGINT) AS sh
+      FROM f
+    )
+    SELECT new_id, corpus_id, hamming FROM (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM s a, s b
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+    ) WHERE hamming <= 4
+    """
+
+
+@_register("x_phash_incremental", _AHASH_INCR_SQL)
+def x_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual-hash near-dup — the ARRIVAL path: the
+    'new batch' slice (doc_id % 5 == 0) of the synthetic image corpus
+    checked against the standing index (the other 4/5), never
+    re-pairing the corpus with itself
+    (operators/dedup.py::hash64_hamming_join, the
+    dedup_near_minhash_incremental pattern applied to 64-bit
+    fingerprints).  This one runs the aHash leg (multimodal.ahash64,
+    8x8 mean-threshold grid over 16x16 real PNG round-tripped
+    pixels), so BOTH perceptual hashes are oracle-gated end-to-end
+    through the real codec.  Pigeonhole recall is guaranteed (5
+    bands, Hamming <= 4), so the banded join's answer equals the
+    oracle's brute-force new x corpus filter.
+
+    Plan: one scan + the two Arrow codec maps + JVM hash fold, then
+    the banded new x corpus equi-join — shuffle volume is
+    n_bands * (|new| + |corpus|) 16-byte rows; at 100 TB the corpus
+    side is a precomputed (id, hash) parquet, not re-decoded
+    payloads."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.expr(_AHASH_PIXELS_EXPR).alias("pixels"),
+        )
+    )
+    media = MM.encode_gray_media(base, width=16, height=16)
+    grid = MM.image_gray_grid(media, cols=8, rows=8)
+    # persist the 16-byte/doc fingerprint frame: both join sides
+    # filter it, and an unpersisted lineage would run the codec maps
+    # twice (in production the corpus side IS this persisted artifact)
+    ah = cache_registry.track(
+        grid.select(
+            "media_id", MM.ahash64("grid").alias("_sh")
+        ).persist()
+    )
+    return D.hash64_hamming_join(
+        ah.filter(F.col("media_id") % 5 == 0),
+        ah.filter(F.col("media_id") % 5 != 0),
+        id_col="media_id",
+        hash_col="_sh",
+        max_hamming=4,
+    )
+
+
 @_register(
     "x_exact_substring_dups",
     rf"""

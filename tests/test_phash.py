@@ -387,3 +387,57 @@ def test_exact_substring_cut_partitioning_invariance(spark):
         for r in D.exact_substring_cut(df.repartition(13), k=8).collect()
     }
     assert got13 == base
+
+
+def test_hash64_hamming_join_incremental_vs_bruteforce(spark):
+    """Incremental new-vs-corpus Hamming join equals brute-force
+    filtering of the cross product (pigeonhole recall), excludes
+    re-submitted identical ids, and never pairs corpus with itself."""
+    base = 0x0123456789ABCDEF
+    mk = lambda h: h - (1 << 64) if h >= 1 << 63 else h
+    corpus = [(i, mk((base ^ (1 << (i * 5))) & 0xFFFFFFFFFFFFFFFF))
+              for i in range(10)]
+    new = (
+        [(100 + i, mk((base ^ (0b11 << (i * 7))) & 0xFFFFFFFFFFFFFFFF))
+         for i in range(6)]
+        # re-submitted item: same id AND hash as corpus row 3
+        + [corpus[3]]
+    )
+    ndf = spark.createDataFrame(new, "id long, h long")
+    cdf = spark.createDataFrame(corpus, "id long, h long")
+
+    def brute(max_h):
+        out = set()
+        for ni, nh in new:
+            for ci, ch in corpus:
+                if ni == ci:
+                    continue
+                d = bin((nh ^ ch) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_h:
+                    out.add((ni, ci, d))
+        return out
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    for max_h, n_bands in ((0, 1), (2, 3), (3, 4), (4, 5), (6, 8)):
+        got = {
+            (r["new_id"], r["corpus_id"], r["hamming"])
+            for r in D.hash64_hamming_join(
+                ndf, cdf, "id", "h",
+                max_hamming=max_h, n_bands=n_bands,
+            ).collect()
+        }
+        assert got == brute(max_h), (max_h, n_bands)
+        cache_registry.release_all()
+    # the re-submitted id pairs with NOTHING at hamming 0 but itself,
+    # and that self-pair is excluded
+    got0 = {
+        (r["new_id"], r["corpus_id"])
+        for r in D.hash64_hamming_join(
+            ndf, cdf, "id", "h", max_hamming=0
+        ).collect()
+    }
+    assert (3, 3) not in got0
+    with pytest.raises(ValueError, match="n_bands"):
+        D.hash64_hamming_join(ndf, cdf, "id", "h",
+                              max_hamming=3, n_bands=2)
