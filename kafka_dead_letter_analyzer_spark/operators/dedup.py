@@ -1070,6 +1070,76 @@ def exact_substring_cut(
     )
 
 
+def apply_substring_cuts(
+    docs: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`exact_substring_cut` intervals — the final step of
+    the ExactSubstr pipeline: remove the cut token ranges from each
+    document and return ``(id_col, n_tokens BIGINT, cut_tokens
+    BIGINT, kept_tokens BIGINT, cleaned_text STRING)``.  Documents
+    with no cuts pass through whole; cleaning operates on the same
+    NORMALIZED token stream the cut positions index (trim + lower +
+    whitespace split — the `_tokens` contract), and ``cleaned_text``
+    is the kept tokens re-joined with single spaces.  NULL/blank
+    documents yield ``n_tokens = 0`` and an empty cleaned_text.
+
+    Plan: the cuts table contracts to one array-of-ranges row per cut
+    document (bounded: a doc's cut list is at most its token count),
+    ONE left equi-join on the id, and a pure-JVM higher-order filter
+    (position NOT inside any range) — no Python, no window, no second
+    scan of the text."""
+    ranges = cuts.groupBy(F.col(id_col).alias("_cid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("cut_start").alias("s"),
+                F.col("cut_end").alias("e"),
+            )
+        ).alias("_ranges")
+    )
+    toks = _tokens(F.col(text_col))
+    joined = docs.join(
+        ranges, docs[id_col] == ranges["_cid"], "left"
+    ).withColumn(
+        "_r",
+        F.coalesce(
+            F.col("_ranges"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ),
+    )
+    zipped = F.arrays_zip(
+        toks.alias("t"),
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+        .alias("p"),
+    )
+    # guard the empty doc: sequence(1, 0) would run BACKWARDS (Spark
+    # defaults step to -1 when start > stop), so build the zip only
+    # for non-empty token lists
+    kept = F.when(
+        F.size(toks) > 0,
+        F.filter(
+            zipped,
+            lambda x: ~F.exists(
+                F.col("_r"),
+                lambda r: (x["p"] >= r["s"]) & (x["p"] <= r["e"]),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<t:string,p:int>>"))
+    n_tok = F.size(toks).cast("bigint")
+    kept_tok = F.size(kept).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (n_tok - kept_tok).alias("cut_tokens"),
+        kept_tok.alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda x: x["t"]), " "
+        ).alias("cleaned_text"),
+    )
+
+
 def setsim_join_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -6317,6 +6317,90 @@ def x_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_exact_substring_clean",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, p.pos AS pos,
+             {_duck_u60("p.g")} AS g
+      FROM (SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'g': array_to_string(toks[i : i + 7], ' ')}}
+                           for i in range(1, len(toks) - 6)]) AS p
+            FROM t WHERE len(toks) >= 8)
+    ), fm AS (
+      SELECT g, min(doc_id) AS fd FROM pos GROUP BY g
+    ), fp AS (
+      SELECT p.g, fm.fd, min(p.pos) AS fpos
+      FROM pos p JOIN fm ON p.g = fm.g AND p.doc_id = fm.fd
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT p.doc_id, p.pos
+      FROM pos p JOIN fp ON p.g = fp.g
+      WHERE NOT (p.doc_id = fp.fd AND p.pos = fp.fpos)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM m
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl
+    ), cut AS (
+      SELECT doc_id, min(pos) AS cs, max(pos) + 7 AS ce
+      FROM isl GROUP BY doc_id, isl
+    ), ranges AS (
+      SELECT doc_id, list({{'s': cs, 'e': ce}}) AS rl
+      FROM cut GROUP BY doc_id
+    ), sel AS (
+      SELECT t.doc_id, t.toks,
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                 i -> len(list_filter(
+                        coalesce(ranges.rl,
+                                 []::STRUCT(s BIGINT, e BIGINT)[]),
+                        x -> x.s <= i AND i <= x.e)) = 0),
+               i -> t.toks[i]) AS kept
+      FROM t LEFT JOIN ranges USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS cut_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM sel
+    """,
+)
+def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr pipeline CLOSED end-to-end: cut intervals
+    (x_exact_substring_dups' keep-first decision) APPLIED to the
+    corpus — every document back with its duplicated token ranges
+    removed and integer accounting
+    (operators/dedup.py::apply_substring_cuts over
+    exact_substring_cut, k=8).  The whole chain — seed hashes,
+    min-(doc,pos) canonicalization, interval merge, token filtering,
+    re-joined cleaned text — hash-gates as one declared surface.
+    Plan: the linear cut plan + one ranges contraction (bounded per
+    doc) + ONE left equi-join + a pure-JVM higher-order position
+    filter; the text is scanned twice total (once for seeds, once
+    for the apply side), never more."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.apply_substring_cuts(
+        docs, D.exact_substring_cut(docs, k=8)
+    )
+
+
+@_register(
     "x_setsim_join",
     r"""
     WITH t0 AS (

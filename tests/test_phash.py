@@ -441,3 +441,38 @@ def test_hash64_hamming_join_incremental_vs_bruteforce(spark):
     with pytest.raises(ValueError, match="n_bands"):
         D.hash64_hamming_join(ndf, cdf, "id", "h",
                               max_hamming=3, n_bands=2)
+
+
+def test_apply_substring_cuts_planted(spark):
+    """Cut application: hand-checkable expectations — first occurrence
+    intact, later occurrences excised, a fully-duplicated doc cleans
+    to empty, docs without cuts (and NULL/blank docs) pass through
+    whole, and the accounting columns add up."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, span + " tail1 tail2"),
+        (2, "head1 head2 " + span),       # cut -> "head1 head2"
+        (3, span),                        # fully duplicated -> ""
+        (4, "totally unrelated content here"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cuts = D.exact_substring_cut(df, k=8)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["cut_tokens"], r["kept_tokens"],
+            r["cleaned_text"],
+        )
+        for r in D.apply_substring_cuts(df, cuts).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == (10, 0, 10, span + " tail1 tail2")
+    assert got[2] == (10, 8, 2, "head1 head2")
+    assert got[3] == (8, 8, 0, "")
+    assert got[4] == (4, 0, 4, "totally unrelated content here")
+    assert got[5] == (0, 0, 0, "")
+    assert got[6] == (0, 0, 0, "")
+    for n, c, kk, txt in got.values():
+        assert n == c + kk
+        assert kk == (len(txt.split()) if txt else 0)
