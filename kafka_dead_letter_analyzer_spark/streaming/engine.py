@@ -3004,3 +3004,139 @@ def streaming_corpus_rouge_l(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming 64-bit fingerprint near-dup (live twin of
+# dedup.hash64_hamming_pairs / hash64_hamming_join)
+# ---------------------------------------------------------------------------
+
+
+def _make_hamming_fn(max_hamming: int, n_bands: int):
+    def _hamming_fn(key, pdfs, state) -> Iterator:
+        """One band BUCKET's slice of the standing fingerprint index:
+        state = every (id, hash) whose band-``key[0]`` bits equal
+        ``key[1]`` — the same sharding the batch banded join shuffles
+        on, so state size is the index itself (n_bands x corpus x
+        16 B), not traffic.  Each arriving row pairs against the
+        bucket's index (and earlier rows of its own batch, processed
+        in ascending-id order), emitting ``(new_id, corpus_id,
+        hamming)`` for matches within ``max_hamming``.
+
+        ONCE-ONLY emission without cross-bucket coordination: a pair
+        within Hamming < n_bands matches in >= 1 band (pigeonhole),
+        possibly several; every bucket can decide locally whether it
+        is the FIRST matching band (a pure function of the two
+        hashes), and only that one emits.  Re-submitted ids are
+        dropped (first fingerprint wins — fingerprints are immutable
+        by contract), so the emitted set over any stream prefix
+        EQUALS the batch pair set over the distinct rows of that
+        prefix (convergence-tested)."""
+        import pandas as pd
+
+        band = int(key[0])
+        u64 = 0xFFFFFFFFFFFFFFFF
+        starts = [b * 64 // n_bands for b in range(n_bands + 1)]
+
+        def band_bits(h: int, b: int) -> int:
+            w = starts[b + 1] - starts[b]
+            return ((h & u64) >> starts[b]) & ((1 << w) - 1)
+
+        if state.exists:
+            ids, hs = list(state.get[0]), list(state.get[1])
+        else:
+            ids, hs = [], []
+        known = set(ids)
+        out: list[tuple] = []
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(h)) for i, h in zip(pdf["id"], pdf["h"])
+            )
+        rows.sort()
+        for rid, rh in rows:
+            if rid in known:
+                continue
+            for cid, ch in zip(ids, hs):
+                d = bin((rh ^ ch) & u64).count("1")
+                if d <= max_hamming:
+                    first = next(
+                        b
+                        for b in range(n_bands)
+                        if band_bits(rh, b) == band_bits(ch, b)
+                    )
+                    if first == band:
+                        out.append((rid, cid, d))
+            ids.append(rid)
+            hs.append(rh)
+            known.add(rid)
+        state.update((ids, hs))
+        yield pd.DataFrame(
+            out, columns=["new_id", "corpus_id", "hamming"]
+        ) if out else pd.DataFrame(
+            {"new_id": [], "corpus_id": [], "hamming": []}
+        )
+
+    return _hamming_fn
+
+
+def streaming_hash64_near_dup(
+    df: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Live 64-bit fingerprint near-dup — the streaming twin of the
+    banded Hamming joins (``dedup.hash64_hamming_pairs`` /
+    ``hash64_hamming_join``), closing the arrival loop for every
+    hash64 surface (simhash text, perceptual image dHash/aHash): as
+    each fingerprint arrives it is checked against the STANDING INDEX
+    and appended to it, emitting ``(new_id BIGINT, corpus_id BIGINT,
+    hamming INT)`` matches in append mode.
+
+    The pre-banding runs JVM-side (the shared ``_hash64_bands``
+    split), the state function holds one bucket's (id, hash) slice —
+    exactly what the batch join shuffles — and once-only emission is
+    decided locally per bucket (first-matching-band rule, a pure
+    function of the two hashes; no cross-bucket dedup pass).
+
+    EXACTNESS (tested): after any micro-batch sequence the emitted
+    pair set equals ``hash64_hamming_pairs`` over the distinct rows
+    seen so far, with ``new_id`` the later arrival.  State never
+    expires (the index IS the product); bound it upstream by routing
+    only the retention window's fingerprints, or snapshot-compact to
+    the batch artifact and restart."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        _check_banding,
+        _hash64_bands,
+    )
+
+    n_bands = _check_banding(
+        max_hamming, n_bands, "streaming_hash64_near_dup"
+    )
+    keyed = (
+        df.filter(F.col(id_col).isNotNull() & F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(hash_col).cast("long").alias("_sh"),
+        )
+        .select(
+            "id",
+            F.col("_sh").alias("h"),
+            F.explode(_hash64_bands(n_bands)).alias("_b"),
+        )
+        .select(
+            "id",
+            "h",
+            F.col("_b.band").alias("band"),
+            F.col("_b.bits").alias("bits"),
+        )
+    )
+    return keyed.groupBy("band", "bits").applyInPandasWithState(
+        _make_hamming_fn(max_hamming, n_bands),
+        outputStructType="new_id long, corpus_id long, hamming int",
+        stateStructType="ids array<long>, hs array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

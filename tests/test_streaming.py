@@ -3966,3 +3966,74 @@ def test_streaming_corpus_rouge_l_end_to_end(spark, tmp_path):
         streaming_corpus_rouge_l(batch_df, max_tokens=0)
     with _pytest.raises(ValueError, match="escalations"):
         streaming_corpus_rouge_l(batch_df, escalations=9)
+
+
+def test_streaming_hash64_near_dup_converges_to_batch(spark, tmp_path):
+    """r13: the fingerprint-index twin — after any micro-batch split
+    the emitted pair set equals the batch banded self-join over the
+    distinct fingerprints seen, with new_id the later arrival;
+    within-batch pairs, cross-batch pairs, once-only emission across
+    multiple matching bands (hamming 0 matches in EVERY band), sign-
+    bit hashes, and re-submitted ids are all exercised."""
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        hash64_hamming_pairs,
+    )
+    from kafka_dead_letter_analyzer_spark.streaming.engine import (
+        streaming_hash64_near_dup,
+    )
+
+    mk = lambda h: h - (1 << 64) if h >= 1 << 63 else h
+    base = 0xDEADBEEF12345678
+    rows = [
+        (1, mk(base)),
+        (2, mk(base ^ 1)),            # within-batch pair with 1
+        (3, mk(base ^ (0b111 << 40))),  # hamming 3 from 1
+        (10, mk(0x0F0F0F0F0F0F0F0F)),   # unrelated
+    ]
+    rows2 = [
+        (4, mk(base)),                # hamming 0 vs 1 (all bands match)
+        (2, mk(base ^ 1)),            # re-submitted id: ignored
+        (11, mk(0xF0F0F0F0F0F0F0F0)),  # unrelated, sign bit set
+    ]
+    src = str(tmp_path / "fps")
+    spark.createDataFrame(rows, "id long, h long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, h long").parquet(src)
+    q = (
+        streaming_hash64_near_dup(stream, max_hamming=3)
+        .writeStream.format("memory")
+        .queryName("h64dup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows2, "id long, h long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = [
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in spark.table("h64dup").collect()
+    ]
+    # once-only even for multi-band matches
+    assert len(emitted) == len(set(emitted))
+    got = {(min(a, b), max(a, b), d) for a, b, d in emitted}
+    distinct = {r for r in rows + rows2}
+    batch = spark.createDataFrame(
+        sorted(distinct), "id long, h long"
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash64_hamming_pairs(
+            batch, "id", "h", max_hamming=3
+        ).collect()
+    }
+    assert got == want and len(want) >= 4
+    # arrival orientation: the batch-2 arrival 4 is new vs corpus 1
+    assert (4, 1, 0) in set(emitted)
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    cache_registry.release_all()
