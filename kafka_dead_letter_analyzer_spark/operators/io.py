@@ -333,7 +333,15 @@ def local_relation_df(spark, rows, schema: str):
             return "true" if v else "false"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return repr(v)
+        if isinstance(v, int):
             return repr(v)
         raise TypeError(
             f"local_relation_df: unsupported literal {type(v).__name__}"

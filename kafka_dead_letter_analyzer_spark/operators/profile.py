@@ -409,7 +409,12 @@ def benford_audit(
     group, derivable from the emitted rows."""
     groups = list(group_cols or [])
     spark = df.sparkSession
-    const = spark.createDataFrame(
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    const = local_relation_df(
+        spark,
         [(d, p) for d, p in sorted(BENFORD_PPM.items())],
         "digit bigint, exp_ppm bigint",
     )

@@ -468,8 +468,15 @@ def kll_quantiles(
         (int(round(q * 1000)), float(merged.quantile(q)), int(merged.n))
         for q in probs
     ]
-    return spark.createDataFrame(
-        out, schema="q_permille bigint, est double, n bigint"
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    # VALUES-backed result frame (bounded: |probs| rows) — a
+    # createDataFrame result would re-pay the ExistingRDD Python leaf
+    # on every downstream execution
+    return local_relation_df(
+        spark, out, "q_permille bigint, est double, n bigint"
     )
 
 
@@ -622,9 +629,14 @@ def kll_quantiles_grouped(
                 (*gv, int(round(q * 1000)), float(merged.quantile(q)),
                  int(merged.n))
             )
-    return spark.createDataFrame(
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    return local_relation_df(
+        spark,
         out,
-        schema=", ".join(
+        ", ".join(
             [*gschema, "q_permille bigint", "est double", "n bigint"]
         ),
     )
