@@ -321,6 +321,13 @@ def local_relation_df(spark, rows, schema: str):
     createDataFrame (no VALUES syntax for zero tuples — cold path)."""
     if not rows:
         return spark.createDataFrame([], schema)
+    if "<" in schema:
+        # the comma-split below would shred "array<struct<a:int,b:int>>";
+        # complex-typed local tables are not this helper's job
+        raise ValueError(
+            "local_relation_df: only flat scalar column types are"
+            f" supported, got {schema!r}"
+        )
     cols = []
     for part in schema.split(","):
         name, typ = part.strip().split(None, 1)

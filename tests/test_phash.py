@@ -476,3 +476,40 @@ def test_apply_substring_cuts_planted(spark):
     for n, c, kk, txt in got.values():
         assert n == c + kk
         assert kk == (len(txt.split()) if txt else 0)
+
+
+def test_local_relation_df_contract(spark):
+    """VALUES-backed local frames: LocalTableScan plan (the whole
+    point — no Python-RDD leaf), exact schema, literal escaping,
+    NaN/Infinity doubles, empty fallback, complex-type refusal."""
+    import contextlib
+    import io as _io
+
+    from kafka_dead_letter_analyzer_spark.operators.io import (
+        local_relation_df,
+    )
+
+    df = local_relation_df(
+        spark,
+        [(1, "it's", 0.5, None, True),
+         (2, "x", float("nan"), 7, False),
+         (3, "y", float("inf"), -1, None)],
+        "id long, s string, f double, n bigint, b boolean",
+    )
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,s:string,f:double,n:bigint,b:boolean>"
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["s"] == "it's" and rows[1]["n"] is None
+    assert rows[2]["f"] != rows[2]["f"]          # NaN
+    assert rows[3]["f"] == float("inf")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    s = buf.getvalue()
+    assert "LocalTableScan" in s and "ExistingRDD" not in s
+    assert local_relation_df(spark, [], "a long").count() == 0
+    with pytest.raises(ValueError, match="flat scalar"):
+        local_relation_df(spark, [(1,)], "a array<int>")
+    with pytest.raises(TypeError, match="unsupported literal"):
+        local_relation_df(spark, [((1, 2),)], "a string")
