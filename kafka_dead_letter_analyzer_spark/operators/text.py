@@ -1136,6 +1136,141 @@ def _check_group_cols(pairs, group_cols, id_col: str, max_n: int) -> None:
             )
 
 
+def _clipped_ngram_counts(cand_grams_by_n, ref_grams_by_n):
+    """Per-pair clipped n-gram matches: for each n (list index),
+    ``sum over grams g of min(count_cand(g), count_ref(g))`` — the
+    BLEU/chrF clipped numerator, computed with C-backed Counters.
+    Inputs are per-n iterables of hashable grams (strings or tuples);
+    returns a list of ints, one per n."""
+    from collections import Counter
+
+    out = []
+    for cg, rg in zip(cand_grams_by_n, ref_grams_by_n):
+        cc = Counter(cg)
+        if not cc:
+            out.append(0)
+            continue
+        cr = Counter(rg)
+        if not cr:
+            out.append(0)
+            continue
+        if len(cc) > len(cr):
+            cc, cr = cr, cc
+        s = 0
+        for g, c in cc.items():
+            r = cr.get(g)
+            if r:
+                s += c if c < r else r
+        out.append(s)
+    return out
+
+
+def _eval_stats_arrow(
+    pairs: DataFrame,
+    max_n: int,
+    id_col: str,
+    group_cols: tuple,
+    prepared,  # (cand_expr_sql, ref_expr_sql) producing the kernel input
+    grams_of,  # python fn(value, n) -> iterable of grams for one side
+    len_of,  # python fn(value) -> int length (tokens or chars)
+    total_names: tuple,  # (cand_total prefix, ref_total prefix)
+) -> DataFrame:
+    """Shared Arrow-batched driver for the BLEU/chrF sufficient-stats
+    kernels (guide §4.2: per-pair counting is a pure per-row map — the
+    exploded-gram formulation shuffles/aggregates ~2*max_n*len rows per
+    pair to compute something each row can compute locally).  ONE scan,
+    the pinned pre-kernel rebalance for CPU spread (the rouge_l_stats
+    rationale: per-row cost is compute, not bytes), one MapInPandas, no
+    Generate, no aggregation at all.  Output schema and values are
+    bit-identical to the expression path (differential-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    cand_sql, ref_sql = prepared
+    base = pairs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"),
+        *[F.col(c) for c in group_cols],
+        F.expr(cand_sql).alias("_c"),
+        F.expr(ref_sql).alias("_r"),
+    )
+    n_parts = shuffle_partitions(pairs.sparkSession)
+    base = base.repartition(n_parts, "_pid")
+    from pyspark.sql import types as T
+
+    cand_total, ref_total = total_names
+    # nullability mirrors the expression path exactly (schema_match is
+    # part of the driver's gate): id/lens/group_cols nullable, counts not
+    long_t = T.LongType()
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, pairs.schema[id_col].dataType, True),
+            T.StructField("cand_len", long_t, True),
+            T.StructField("ref_len", long_t, True),
+        ]
+        + [
+            T.StructField(f"clipped_{n}", long_t, False)
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            T.StructField(f"{cand_total}_{n}", long_t, False)
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            T.StructField(f"{ref_total}_{n}", long_t, False)
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            T.StructField(c, pairs.schema[c].dataType, True)
+            for c in group_cols
+        ]
+    )
+
+    def stats_rows(batches):
+        rng = range(1, max_n + 1)
+        for pdf in batches:
+            n_rows = len(pdf)
+            cls = [0] * n_rows
+            rls = [0] * n_rows
+            clipped = [[0] * n_rows for _ in rng]
+            for i, (cv, rv) in enumerate(zip(pdf["_c"], pdf["_r"])):
+                cls[i] = len_of(cv)
+                rls[i] = len_of(rv)
+                row = _clipped_ngram_counts(
+                    (grams_of(cv, n) for n in rng),
+                    (grams_of(rv, n) for n in rng),
+                )
+                for j in range(max_n):
+                    clipped[j][i] = row[j]
+            out = pd.DataFrame({id_col: pdf["_pid"].reset_index(drop=True)})
+            cl = np.asarray(cls, dtype=np.int64)
+            rl = np.asarray(rls, dtype=np.int64)
+            out["cand_len"] = cl
+            out["ref_len"] = rl
+            for n in rng:
+                out[f"clipped_{n}"] = np.asarray(
+                    clipped[n - 1], dtype=np.int64
+                )
+            for n in rng:
+                out[f"{cand_total}_{n}"] = np.maximum(cl - (n - 1), 0)
+            for n in rng:
+                out[f"{ref_total}_{n}"] = np.maximum(rl - (n - 1), 0)
+            for c in group_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
+
+    res = base.mapInPandas(stats_rows, out_schema)
+    # column ORDER must match the expression path exactly
+    return res.select(
+        id_col,
+        *group_cols,
+        "cand_len",
+        "ref_len",
+        *[f"clipped_{n}" for n in range(1, max_n + 1)],
+        *[f"{cand_total}_{n}" for n in range(1, max_n + 1)],
+        *[f"{ref_total}_{n}" for n in range(1, max_n + 1)],
+    )
+
+
 def bleu_stats(
     pairs: DataFrame,
     max_n: int = 4,
@@ -1143,6 +1278,7 @@ def bleu_stats(
     cand_col: str = "candidate",
     ref_col: str = "reference",
     group_cols: tuple = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """BLEU sufficient statistics (Papineni et al. 2002) per
     (candidate, reference) pair — the eval-pipeline primitive for
@@ -1200,6 +1336,8 @@ def bleu_stats(
     outcome)."""
     if max_n < 1:
         raise ValueError(f"bleu_stats: max_n={max_n} must be >= 1")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"bleu_stats: impl={impl!r} must be arrow|expr")
 
     def toks(col: str) -> str:
         return (
@@ -1218,6 +1356,25 @@ def bleu_stats(
         )
 
     _check_group_cols(pairs, group_cols, id_col, max_n)
+    if impl == "arrow":
+        # tokenization stays a JVM expression (same lower/regexp
+        # semantics as the expr path and the oracle); the kernel only
+        # counts — list slicing + C-backed Counters per pair, one
+        # output row per input row, NO gram explosion and NO
+        # aggregation (guide §4.2; measured vs the expr path in
+        # OPTIMIZATION_r13.md).
+        return _eval_stats_arrow(
+            pairs,
+            max_n,
+            id_col,
+            group_cols,
+            (toks(cand_col), toks(ref_col)),
+            lambda v, n: zip(*(list(v)[i:] for i in range(n)))
+            if len(v) >= n
+            else (),
+            len,
+            ("total", "ref_total"),
+        )
     base = pairs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_pid"),
         *[F.col(c) for c in group_cols],
@@ -1321,6 +1478,7 @@ def chrf_stats(
     cand_col: str = "candidate",
     ref_col: str = "reference",
     group_cols: tuple = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """chrF sufficient statistics (Popović 2015) per (candidate,
     reference) pair — the character-level eval companion of
@@ -1350,6 +1508,8 @@ def chrf_stats(
     kept)."""
     if max_n < 1:
         raise ValueError(f"chrf_stats: max_n={max_n} must be >= 1")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"chrf_stats: impl={impl!r} must be arrow|expr")
 
     def chars(col: str) -> str:
         # sacrebleu chrF: whitespace removed entirely, case-folded
@@ -1368,6 +1528,26 @@ def chrf_stats(
         )
 
     _check_group_cols(pairs, group_cols, id_col, max_n)
+    if impl == "arrow":
+        # normalization (lower + whitespace strip) stays a JVM
+        # expression — identical semantics to the expr path and the
+        # oracle; the kernel counts char n-grams via str slices +
+        # C-backed Counters, one output row per input row, NO gram
+        # explosion (guide §4.2; measured in OPTIMIZATION_r13.md).
+        return _eval_stats_arrow(
+            pairs,
+            max_n,
+            id_col,
+            group_cols,
+            (chars(cand_col), chars(ref_col)),
+            lambda s, n: (
+                (s[i : i + n] for i in range(len(s) - n + 1))
+                if len(s) >= n
+                else ()
+            ),
+            len,
+            ("cand_total", "ref_total"),
+        )
     base = pairs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_pid"),
         *[F.col(c) for c in group_cols],

@@ -29,6 +29,38 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --- relation-metadata memos (optimization r13) -------------------------
+#
+# load_table is called 1-5x per declared query and the bench's warm tier
+# re-invokes every query fn, so at 229 queries the leaf setup cost is paid
+# ~600x per run. Three memos cut it:
+#   _CONFS_DONE     one-time engine-conf application per SparkSession
+#   _FOOTER_CACHE   the Python-side pyarrow footer read (nanos detection),
+#                   keyed by (path, mtime_ns, size) so a rewritten file
+#                   re-reads its footer
+#   _RELATION_CACHE the *unresolved relation* DataFrame itself, keyed by
+#                   (session identity, path, mtime_ns, size)
+#
+# The relation memo stores ONLY plan metadata — an unresolved logical scan
+# + the normalization projection. No rows, no results: every execution
+# still reads the parquet from disk (the noop-sink force and the oracle
+# compare are unaffected), which keeps the bench's "compute from the
+# parquet inputs every run" contract intact. This is the catalog pattern:
+# a real deployment resolves a table reference once per session, not once
+# per query. Session identity = (id(wrapper), JVM object id) — the cached
+# DataFrame holds a reference to its session wrapper, so the Python id
+# cannot be reused while the entry is alive; a stopped-and-recreated
+# session gets a fresh JVM object id and therefore a fresh cache row.
+_CONFS_DONE: set = set()
+_FOOTER_CACHE: dict = {}
+_RELATION_CACHE: dict = {}
+_RELATION_CACHE_MAX = 128  # tests touch many tmp dirs; bound the memo
+
+
+def _session_key(spark: SparkSession):
+    jsession = getattr(spark, "_jsparkSession", None)
+    return (id(spark), getattr(jsession, "_target_id", None))
+
 
 def _ensure_engine_confs(spark: SparkSession) -> None:
     """Apply the engine's runtime-settable SQL confs defensively.
@@ -84,10 +116,28 @@ def _nanos_timestamp_columns(path: str) -> set[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_engine_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
+    skey = _session_key(spark)
+    try:
+        st = os.stat(path)
+        rkey = (skey, path, st.st_mtime_ns, st.st_size)
+        fkey = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        rkey = fkey = None  # let spark.read.parquet raise its own error
+    if rkey is not None:
+        cached = _RELATION_CACHE.get(rkey)
+        if cached is not None:
+            return cached
+    if skey not in _CONFS_DONE:
+        _ensure_engine_confs(spark)
+        _CONFS_DONE.add(skey)
     df = spark.read.parquet(path)
-    nanos_cols = _nanos_timestamp_columns(path)
+    if fkey is not None and fkey in _FOOTER_CACHE:
+        nanos_cols = _FOOTER_CACHE[fkey]
+    else:
+        nanos_cols = _nanos_timestamp_columns(path)
+        if fkey is not None:
+            _FOOTER_CACHE[fkey] = nanos_cols
     # Timestamp normalization: the driver regenerates the synthetic tables
     # per round and the parquet writer's physical timestamp type has varied
     # (TIMESTAMP(NANOS) in round 2; TIMESTAMP(MICROS, isAdjustedToUTC=false)
@@ -95,18 +145,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TimestampType (UTC, set above) everywhere — half the temporal surface
     # (unix_micros, session_window, lag over micros) requires it, and the
     # DuckDB oracle's naive timestamps carry the same UTC wall values.
+    # Built as ONE select (not a withColumn chain): each withColumn is a
+    # full py4j round trip + plan node.
+    proj = []
+    dirty = False
     for col_name, dtype in df.dtypes:
         if col_name in nanos_cols and dtype == "bigint":
             # NANOS read as long ns (legacy conf): truncate to micros with
             # integer division — float math would lose precision at 1.7e18.
-            df = df.withColumn(
-                col_name,
-                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
+            proj.append(
+                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")).alias(
+                    col_name
+                )
             )
+            dirty = True
         elif dtype == "timestamp_ntz":
             # naive UTC wall time -> session-zone timestamp; with the session
             # pinned to UTC this changes the type, not the instant.
-            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+            proj.append(F.col(col_name).cast("timestamp").alias(col_name))
+            dirty = True
+        else:
+            proj.append(F.col(col_name))
+    if dirty:
+        df = df.select(*proj)
+    if rkey is not None:
+        if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+            _RELATION_CACHE.clear()
+        _RELATION_CACHE[rkey] = df
     return df
 
 

@@ -2568,6 +2568,52 @@ def test_chrf_stats_matches_brute_force(spark):
         TX.chrf_stats(df, max_n=0)
 
 
+def test_eval_stats_arrow_matches_expr_impl(spark):
+    """The r13 Arrow kernel (declared-query default) is bit-identical
+    to the retained expression path — schema (incl. nullability) and
+    every int64 count — across bleu and chrf, with and without the
+    group_cols passthrough, on edge rows (NULL text, empty text,
+    clipping, NULL ids) plus a randomized batch."""
+    import random
+
+    rng = random.Random(0xA44)
+    vocab = ["the", "cat", "sat", "on", "mat", "a", "dog", "ran"]
+    rows = [
+        (1, "g1", "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "g1", "the the the the", "the cat"),
+        (3, "g2", "hello world", ""),
+        (4, "g2", None, "some reference text"),
+        (5, "g2", "", None),
+        (None, "g2", "x", "x"),
+    ] + [
+        (
+            10 + k,
+            f"g{k % 3}",
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+        )
+        for k in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, src string, candidate string, reference string"
+    )
+    for fn, kw in (
+        (TX.bleu_stats, dict(max_n=4)),
+        (TX.chrf_stats, dict(max_n=6)),
+    ):
+        for gc in ((), ("src",)):
+            a = fn(df, group_cols=gc, impl="arrow", **kw)
+            b = fn(df, group_cols=gc, impl="expr", **kw)
+            assert a.schema == b.schema
+            assert sorted(map(tuple, a.collect())) == sorted(
+                map(tuple, b.collect())
+            )
+    with pytest.raises(ValueError, match="impl"):
+        TX.bleu_stats(df, impl="nope")
+    with pytest.raises(ValueError, match="impl"):
+        TX.chrf_stats(df, impl="nope")
+
+
 def test_corpus_eval_rollup_sums_per_pair_stats(spark):
     """The corpus rollup is exactly the column-wise int64 sum of the
     per-pair stats per group plus n_pairs (the corpus/sentence

@@ -1420,29 +1420,58 @@ def test_weighted_kappa_single_scan_contraction(spark, Q):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
 
 
-def test_bleu_pairs_single_scan_single_generate_no_join(spark, Q):
-    """BLEU's both-sides-tagged-structs design: ONE scan, ONE
-    Generate carrying candidate AND reference grams for all n, no
-    join between the sides (a cand-counts-to-ref-counts join would
-    shuffle two full gram streams), and exactly TWO exchanges: the
-    source window lead, then the PINNED pre-explosion rebalance on
-    the pair id — without it AQE coalesces the compact pair table to
-    a few partitions and the explosion runs near-serial (measured
-    7.5 -> 1.8 s at sf0.1); WITH it, hashpartitioning(_pid) already
-    satisfies ClusteredDistribution for BOTH downstream contractions
-    ((pid, n, gram) and (pid) are _pid-subsumed), so the gram stream
-    never shuffles at all."""
+def test_bleu_pairs_single_scan_arrow_kernel_no_join(spark, Q):
+    """BLEU's r13-optimization plan: the per-pair clipped counts are a
+    pure per-row map, so the declared query runs the Arrow kernel —
+    ONE scan, ONE MapInPandas, NO Generate (no gram explosion), no
+    aggregation at all, no join between the sides, and exactly TWO
+    exchanges: the source window lead, then the PINNED pre-kernel
+    rebalance on the pair id (per-row cost is compute, not bytes —
+    the rouge_l_stats rationale).  The expression path keeps its old
+    contract in test_eval_stats_expr_path_plan_contract."""
     import re
 
     s = plan_of(Q.x_bleu_pairs(spark, SF))
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
-    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "MapInPandas" in s
+    assert "Generate" not in s
     assert "Join" not in s
+    assert "HashAggregate" not in s
     assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
-    # the rebalance is REPARTITION_BY_NUM (pinned against AQE
-    # re-coalescing) and the 2M-row gram stream has no exchange of
-    # its own
     assert "REPARTITION_BY_NUM" in s
+
+
+def test_eval_stats_expr_path_plan_contract(spark):
+    """The retained expression path (impl='expr' — the differential
+    witness for the Arrow kernel) keeps its pinned pre-r13 shape:
+    ONE scan, ONE Generate carrying both sides' grams for all n, no
+    side-to-side join, two exchanges (window lead + the pinned
+    pre-explosion rebalance; both contractions' exchanges are
+    pid-subsumed)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.lead("text").over(w).alias("reference"),
+    )
+    for fn in (TX.bleu_stats, TX.chrf_stats):
+        s = plan_of(fn(pairs, impl="expr"))
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
+        assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+        assert "Join" not in s
+        assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
+        assert "REPARTITION_BY_NUM" in s
 
 
 def test_ngram_typicality_headline_is_skew_robust_join(spark, Q):
@@ -1486,7 +1515,8 @@ def test_corpus_bleu_rollup_adds_one_exchange_only(spark, Q):
 
     s = plan_of(Q.x_corpus_bleu(spark, SF))
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
-    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "MapInPandas" in s
+    assert "Generate" not in s
     assert "Join" not in s
     assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 3
     assert "REPARTITION_BY_NUM" in s
@@ -1574,15 +1604,17 @@ def test_retrieval_declared_windows_salted_or_bounded(spark, Q):
 
 
 def test_chrf_pairs_same_plan_contract_as_bleu(spark, Q):
-    """chrF inherits bleu's plan contract: ONE scan, ONE Generate for
-    both sides x all n, no side-to-side join, two exchanges (window
-    lead + the pinned pre-explosion rebalance; both contractions'
-    exchanges are pid-subsumed)."""
+    """chrF inherits bleu's r13 plan contract: ONE scan, ONE
+    MapInPandas kernel, NO Generate/aggregation, no side-to-side
+    join, two exchanges (window lead + the pinned pre-kernel
+    rebalance)."""
     import re
 
     s = plan_of(Q.x_chrf_pairs(spark, SF))
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", s))) == 1
-    assert len(re.findall(r"\(\d+\) Generate", s)) == 1
+    assert "MapInPandas" in s
+    assert "Generate" not in s
     assert "Join" not in s
+    assert "HashAggregate" not in s
     assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 2
     assert "REPARTITION_BY_NUM" in s
