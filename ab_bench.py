@@ -67,13 +67,14 @@ def _declared_queries(tree: str) -> set[str]:
 
 
 def _run_exec_tier(
-    tree: str, names: list[str], sf_dir: str, detail_path: str
+    tree: str, names: list[str], sf_dir: str, detail_path: str,
+    tier: str = "exec",
 ) -> dict:
     env = dict(os.environ)
     env.update(
         {
             "SPARK_GRAFT_SF_DIR": sf_dir,
-            "SPARK_GRAFT_BENCH_TIERS": "exec",
+            "SPARK_GRAFT_BENCH_TIERS": tier,
             "SPARK_GRAFT_BENCH_QUERIES": ",".join(names),
             "SPARK_GRAFT_BENCH_DETAIL": detail_path,
         }
@@ -97,7 +98,7 @@ def _run_exec_tier(
     return {
         "tree": tree,
         "wall_sec": wall,
-        "exec": detail["queries_exec"],
+        "exec": detail["queries_exec" if tier == "exec" else "queries"],
         "machine_start": detail.get("machine_start", {}),
         "machine_end": detail.get("machine_end", {}),
     }
@@ -126,6 +127,14 @@ def main() -> None:
         default=None,
         help="comma-separated query subset (default: all common queries) —"
         " the r12 verdict's single-query high-powered A/B mode",
+    )
+    ap.add_argument(
+        "--tier",
+        default="exec",
+        choices=["exec", "warm"],
+        help="bench tier to pair: exec (pure data path, the default) or"
+        " warm (construct+force — the headline tier; needed when a change"
+        " moves work that driver-bounded queries pay at construction)",
     )
     args = ap.parse_args()
 
@@ -166,7 +175,7 @@ def main() -> None:
         )
         for label, tree in order:
             print(f"pair {k + 1}/{args.pairs}: running {label} ...", flush=True)
-            r = _run_exec_tier(tree, common, args.sf_dir, tmp)
+            r = _run_exec_tier(tree, common, args.sf_dir, tmp, args.tier)
             r["pair"] = k
             r["label"] = label
             runs.append(r)
@@ -239,9 +248,10 @@ def main() -> None:
         p[f"head_over_{base}"] for p in pair_totals if p[f"head_over_{base}"]
     ]
     artifact = {
-        "what": f"interleaved A/B exec-tier bench, {base} closing tree vs"
-                " HEAD (paired same-window measurements cancel host"
-                " drift; the standing cross-round perf instrument)",
+        "what": f"interleaved A/B {args.tier}-tier bench, {base} closing"
+                " tree vs HEAD (paired same-window measurements cancel"
+                " host drift; the standing cross-round perf instrument)",
+        "tier": args.tier,
         f"{base}_sha": base_sha,
         "head_sha": head_sha,
         "sf_dir": args.sf_dir,

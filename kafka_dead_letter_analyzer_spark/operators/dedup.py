@@ -360,12 +360,40 @@ def dedup_near_minhash(
     banded = base.select("_id", bands_of("_hashes").alias("_bands"))
     ex = banded.select("_id", F.posexplode("_bands").alias("band", "bucket"))
 
-    left = ex.select(F.col("_id").alias("id_a"), "band", "bucket")
-    right = ex.select(F.col("_id").alias("id_b"), "band", "bucket")
+    # Candidate pairs via ONE (band, bucket) grouping instead of the
+    # banded frame self-joined on the bucket key: the self-join evaluated
+    # the banding-UDF subtree twice (both join branches) and shuffled the
+    # id/band/bucket rows twice; grouping shuffles them once, runs the
+    # UDF once, and expands each bucket's sorted id list to its i<j pairs
+    # in-task. Identical pair set (ids sort exactly as the old id_a <
+    # id_b filter ordered them; cross-band repeats still collapse in the
+    # dropDuplicates). Scale: a degenerate hot bucket is one-task
+    # quadratic under EITHER shape — a sort-merge join cannot split a
+    # single key any more than the grouped expansion can (guide §2.5),
+    # and collapse_exact above is the armor that keeps buckets small on
+    # adversarial corpora; per-task memory is O(bucket), same as the
+    # join's buffered key group.
+    buckets = (
+        ex.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("_ids"), i + 2, F.size(F.col("_ids")) - i - 1
+                ),
+                lambda b: F.struct(
+                    a.alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
+    )
     candidates = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

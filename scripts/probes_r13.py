@@ -1,0 +1,384 @@
+"""Probe bodies for probe_r13.py — each fn(spark, sf_dir, reps)."""
+
+from pyspark.sql import functions as F
+
+from probe_r13 import run_ab
+
+
+def exact_substring(spark, sf_dir, reps):
+    """x_exact_substring_clean: status-quo (seeds tree evaluated twice,
+    once per join branch) vs a persisted-seeds variant."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        _tokens,
+        token_grams,
+    )
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    k = 8
+
+    def cut_persisted(docs, id_col="doc_id", text_col="text"):
+        toks = _tokens(F.col(text_col))
+        L = F.size(toks)
+        seeds = (
+            spread_for_cpu(docs.filter(L >= k))
+            .select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(token_grams(F.col(text_col), k)).alias("p0", "g"),
+            )
+            .select(
+                "doc",
+                (F.col("p0") + 1).cast("bigint").alias("pos"),
+                F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("g"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cache_registry.track(seeds)
+        first = seeds.groupBy("g").agg(F.min(F.struct("doc", "pos")).alias("_f"))
+        marked = (
+            seeds.join(first, "g")
+            .filter(
+                (F.col("doc") != F.col("_f.doc"))
+                | (F.col("pos") != F.col("_f.pos"))
+            )
+            .select("doc", "pos")
+        )
+        w_prev = (
+            Window.partitionBy("doc").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("doc").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        flagged = marked.select(
+            "doc",
+            "pos",
+            F.when(
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + F.lit(k - 1)).over(w_prev),
+                    F.lit(-2).cast("bigint"),
+                )
+                + F.lit(1),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("_new"),
+        ).select("doc", "pos", F.sum("_new").over(w_run).alias("_isl"))
+        return (
+            flagged.groupBy("doc", "_isl")
+            .agg(
+                F.min("pos").cast("bigint").alias("cut_start"),
+                (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("cut_end"),
+            )
+            .select(F.col("doc").alias(id_col), "cut_start", "cut_end")
+        )
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+
+    run_ab(
+        spark,
+        [
+            (
+                "cut+apply status-quo",
+                lambda: D.apply_substring_cuts(
+                    docs, D.exact_substring_cut(docs, k=k)
+                ),
+            ),
+            (
+                "cut+apply seeds-persist",
+                lambda: D.apply_substring_cuts(docs, cut_persisted(docs)),
+            ),
+        ],
+        reps,
+    )
+
+
+def dsir(spark, sf_dir, reps):
+    """Decompose x_dsir_weights (md5/256 config): featurization alone,
+    featurization+distribution join (no final ordered sum), and the full
+    weights — locates the dominant stage."""
+    from kafka_dead_letter_analyzer_spark import queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import selection as SEL
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+
+    def feats_only():
+        return SEL.hashed_ngram_counts(
+            docs, n_max=2, num_buckets=256, bucket_hash="md5"
+        )
+
+    def full():
+        return SEL.dsir_log_weights(
+            docs, target, n_max=2, num_buckets=256, bucket_hash="md5"
+        )
+
+    run_ab(
+        spark,
+        [
+            ("feats md5/256", feats_only),
+            ("full weights", full),
+        ],
+        reps,
+    )
+
+
+def setsim(spark, sf_dir, reps):
+    """x_setsim_join: status-quo prefix self-join candidates vs grouped
+    posting-list expansion (the minhash r13.3 shape)."""
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        _tokens,
+        token_shingles,
+    )
+
+    num, den, shingle_k = 7, 10, 3
+
+    def grouped(docs, id_col="doc_id", text_col="text"):
+        elems = token_shingles(F.col(text_col), shingle_k)
+        base = docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_sort(elems).alias("set"),
+        ).filter(F.size("set") > 0)
+        base = base.persist()
+        cache_registry.track(base)
+        tok = base.select(
+            "doc", F.size("set").alias("sz"), F.explode("set").alias("tk")
+        )
+        df_tbl = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tok.join(df_tbl, "tk").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "tk")
+            ),
+        )
+        prefix_len = F.col("sz") - F.expr(
+            f"(({num} * sz) + {den} - 1) DIV {den}"
+        ) + 1
+        prefix = ranked.filter(F.col("rn") <= prefix_len)
+        postings = (
+            prefix.groupBy("tk")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc", "sz"))
+                ).alias("_l")
+            )
+            .filter(F.size("_l") >= 2)
+        )
+        pair_expr = F.flatten(
+            F.transform(
+                F.col("_l"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("_l"), i + 2, F.size(F.col("_l")) - i - 1),
+                    lambda b: F.struct(
+                        a["doc"].alias("da"),
+                        a["sz"].alias("sza"),
+                        b["doc"].alias("db"),
+                        b["sz"].alias("szb"),
+                    ),
+                ),
+            )
+        )
+        cands = (
+            postings.select(F.explode(pair_expr).alias("_p"))
+            .filter(
+                (F.lit(num) * F.col("_p.sza") <= F.lit(den) * F.col("_p.szb"))
+                & (F.lit(num) * F.col("_p.szb") <= F.lit(den) * F.col("_p.sza"))
+            )
+            .select("_p.da", "_p.db")
+            .distinct()
+        )
+        sa = base.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+        sb = base.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+        verified = (
+            cands.join(sa, "da")
+            .join(sb, "db")
+            .select(
+                "da", "db",
+                F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+                (F.size("set_a") + F.size("set_b")).alias("s"),
+            )
+            .select("da", "db", "i", (F.col("s") - F.col("i")).alias("u"))
+            .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+        )
+        return verified.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").cast("bigint").alias("inter_sz"),
+            F.col("u").cast("bigint").alias("union_sz"),
+            F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
+        )
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+
+    # correctness first: identical result sets
+    cur = {
+        tuple(r)
+        for r in D.setsim_join_prefix(
+            docs, threshold_num=num, threshold_den=den, shingle_k=shingle_k
+        ).collect()
+    }
+    new = {tuple(r) for r in grouped(docs).collect()}
+    print(f"result sets equal: {cur == new} ({len(cur)} rows)")
+    assert cur == new
+
+    run_ab(
+        spark,
+        [
+            (
+                "setsim status-quo",
+                lambda: D.setsim_join_prefix(
+                    docs,
+                    threshold_num=num,
+                    threshold_den=den,
+                    shingle_k=shingle_k,
+                ),
+            ),
+            ("setsim grouped", lambda: grouped(docs)),
+        ],
+        reps,
+    )
+
+
+def spearman(spark, sf_dir, reps):
+    """x_spearman_qty_price: status quo vs probe-gated broadcast of the
+    centered-rank value maps in the join-back (both maps are value
+    contractions — the probe already knows their distinct counts)."""
+    import functools
+
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark import queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    li0 = Q.load_table(spark, sf_dir, "lineitem")
+    li = li0.select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    groups = ["l_returnflag"]
+
+    def bcast_variant():
+        base0 = li.select(
+            *[li[g] for g in groups],
+            F.col("l_quantity").alias("x0"),
+            F.col("price_cents").alias("y0"),
+        ).filter(F.col("x0").isNotNull() & F.col("y0").isNotNull())
+        base = base0.select(
+            *[base0[g] for g in groups],
+            F.col("x0").cast("bigint").alias("x"),
+            F.col("y0").cast("bigint").alias("y"),
+        ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+        def centered(col, out):
+            counts = base.groupBy(*groups, col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("c")
+            )
+            wg = Window.partitionBy(*groups)
+            w_lt = wg.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+            w_all = wg.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            return counts.withColumn(
+                "cum_lt",
+                F.coalesce(F.sum("c").over(w_lt), F.lit(0).cast("bigint")),
+            ).withColumn("nn", F.sum("c").over(w_all)).select(
+                *groups,
+                F.col(col).alias(f"{col}v"),
+                F.expr("2 * cum_lt + c - nn").alias(out),
+            )
+
+        xm = centered("x", "dx")
+        ym = centered("y", "dy")
+
+        def _conj(conds):
+            return functools.reduce(lambda a, c: a & c, conds)
+
+        joined = base.alias("b").join(
+            F.broadcast(xm.alias("xm")),
+            _conj([*(F.col(f"b.{g}").eqNullSafe(F.col(f"xm.{g}"))
+                     for g in groups),
+                   F.col("b.x") == F.col("xm.xv")]),
+            "inner",
+        ).join(
+            F.broadcast(ym.alias("ym")),
+            _conj([*(F.col(f"b.{g}").eqNullSafe(F.col(f"ym.{g}"))
+                     for g in groups),
+                   F.col("b.y") == F.col("ym.yv")]),
+            "inner",
+        )
+        agg = joined.groupBy(*[F.col(f"b.{g}") for g in groups]).agg(
+            F.sum(F.expr("dx * dy")).cast("bigint").alias("num"),
+            F.sum(F.expr("dx * dx")).cast("bigint").alias("den_x"),
+            F.sum(F.expr("dy * dy")).cast("bigint").alias("den_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        return agg.filter(
+            (F.col("den_x") > 0) & (F.col("den_y") > 0)
+        ).select(
+            *groups,
+            "num",
+            "den_x",
+            "den_y",
+            "n",
+            F.expr(
+                "CAST(floor(num * 1000000.0 /"
+                " (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS"
+                " DOUBLE))) + 0.5) AS BIGINT)"
+            ).alias("rho_e6"),
+        )
+
+    # correctness: identical rows
+    cur = {
+        tuple(r)
+        for r in RK.spearman_exact(
+            li, x_col="l_quantity", y_col="price_cents", group_cols=groups
+        ).collect()
+    }
+    new = {tuple(r) for r in bcast_variant().collect()}
+    print(f"result sets equal: {cur == new} ({sorted(cur)})")
+    assert cur == new
+
+    run_ab(
+        spark,
+        [
+            (
+                "spearman status-quo",
+                lambda: RK.spearman_exact(
+                    li,
+                    x_col="l_quantity",
+                    y_col="price_cents",
+                    group_cols=groups,
+                ),
+            ),
+            (
+                # prices the construction probe: same plan as status-quo
+                # at this SF (probe chooses the window for both columns)
+                # minus the probe scan
+                "spearman noprobe-window",
+                lambda: RK.spearman_exact(
+                    li,
+                    x_col="l_quantity",
+                    y_col="price_cents",
+                    group_cols=groups,
+                    two_phase=False,
+                ),
+            ),
+            ("spearman bcast-maps", bcast_variant),
+        ],
+        reps,
+    )
