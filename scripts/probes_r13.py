@@ -251,6 +251,86 @@ def setsim(spark, sf_dir, reps):
     )
 
 
+def spearman_persist(spark, sf_dir, reps):
+    """status quo vs persist-base0 variant: the construction probe's
+    eager scan populates the cache that the three base consumers then
+    read — one parquet scan total instead of four."""
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+
+    li0 = Q.load_table(spark, sf_dir, "lineitem")
+
+    def li():
+        return li0.select(
+            "l_returnflag",
+            "l_quantity",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+
+    groups = ["l_returnflag"]
+
+    def persist_variant():
+        from pyspark import StorageLevel
+
+        src = li()
+        base0 = src.select(
+            *[src[g] for g in groups],
+            F.col("l_quantity").alias("x0"),
+            F.col("price_cents").alias("y0"),
+        ).filter(F.col("x0").isNotNull() & F.col("y0").isNotNull())
+        base0 = base0.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.track(base0)
+        # replicate the operator's probe (fractional check on x0 only:
+        # y0 is bigint) — its collect materializes the cache
+        checks = {"x0": "x0 != floor(x0)"}
+        probe = RK._distinct_probe(base0, groups, ["x0", "y0"], checks)
+        assert probe["f_x0"] == 0 and probe["n"] <= RK._SPEARMAN_N_MAX
+        # pass the cached base0 on under explicit two_phase so the
+        # operator path skips its own probe; spearman_exact re-derives
+        # base from base0 — here we just call it on the persisted frame
+        return RK.spearman_exact(
+            base0.select(*groups, F.col("x0").alias("l_quantity"),
+                         F.col("y0").alias("price_cents")),
+            x_col="l_quantity",
+            y_col="price_cents",
+            group_cols=groups,
+            two_phase=False,
+        )
+
+    cur = {
+        tuple(r)
+        for r in RK.spearman_exact(
+            li(), x_col="l_quantity", y_col="price_cents", group_cols=groups
+        ).collect()
+    }
+    new = {tuple(r) for r in persist_variant().collect()}
+    from kafka_dead_letter_analyzer_spark import cache_registry as CR
+
+    CR.release_all()
+    spark.catalog.clearCache()
+    print(f"result sets equal: {cur == new}")
+    assert cur == new
+
+    run_ab(
+        spark,
+        [
+            (
+                "spearman status-quo",
+                lambda: RK.spearman_exact(
+                    li(),
+                    x_col="l_quantity",
+                    y_col="price_cents",
+                    group_cols=groups,
+                ),
+            ),
+            ("spearman persist-base0", persist_variant),
+        ],
+        reps,
+    )
+
+
 def spearman(spark, sf_dir, reps):
     """x_spearman_qty_price: status quo vs probe-gated broadcast of the
     centered-rank value maps in the join-back (both maps are value
