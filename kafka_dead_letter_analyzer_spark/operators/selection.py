@@ -142,7 +142,7 @@ def hashed_ngram_counts(
 
 def dsir_log_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_max: int = 2,
     num_buckets: int = 8192,
     alpha: float = 1.0,
@@ -150,6 +150,7 @@ def dsir_log_weights(
     text_col: str = "text",
     target_text_col: str | None = None,
     bucket_hash: str = "xxhash64",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weights —
     ``(id_col, n_features BIGINT, log_weight DOUBLE)`` with
@@ -201,22 +202,54 @@ def dsir_log_weights(
         F.sum("cnt").cast("bigint").alias("_rc")
     )
     # the target needs no per-doc resolution — only its bucket
-    # distribution; a synthetic constant id keeps one code path and
-    # the (doc, bucket) pre-contraction stays correct because the
-    # final distribution re-sums anyway
-    tgt_dist = (
-        hashed_ngram_counts(
-            target.select(F.lit(0).cast("bigint").alias("_tid"),
-                          F.col(tcol).alias("_ttext")),
-            n_max=n_max,
-            num_buckets=num_buckets,
-            id_col="_tid",
-            text_col="_ttext",
-            bucket_hash=bucket_hash,
+    # distribution.  Two sources for it:
+    # * ``target_ids`` (the target is a SUBSET of ``docs``, named by
+    #   id): derive it from the single persisted featurization — the
+    #   per-doc counts summed over the subset equal the subset corpus's
+    #   bucket counts exactly, so the whole second gram-explosion pass
+    #   (and its hashing) disappears.  ``feats`` is already hash-
+    #   partitioned by ``_id``, so the semi-join shuffles only the id
+    #   set, and the (bucket) re-sum collapses map-side to
+    #   <= num_buckets rows.  (Measured at sf0.1: the separate target
+    #   featurization was +0.75 s of 2.6 — and single-task, see below.)
+    # * ``target`` (arbitrary corpus): featurize it separately.  The
+    #   synthetic id keeps one code path (the final distribution
+    #   re-sums anyway) but must VARY per row: a constant id would make
+    #   hashed_ngram_counts' pre-explosion rebalance hash every target
+    #   row to one partition and run the explode+hash single-task
+    #   (guide §2.5 synthetic-key skew); xxhash64 of the text spreads
+    #   it, and collisions are harmless under the re-sum.
+    if (target is None) == (target_ids is None):
+        raise ValueError(
+            "dsir_log_weights: pass exactly one of target / target_ids"
         )
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("bigint").alias("_tc"))
-    )
+    if target_ids is not None:
+        tgt_dist = (
+            feats.join(
+                target_ids.select(
+                    F.col(id_col).alias("_id")
+                ).distinct(),
+                "_id",
+            )
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("_tc"))
+        )
+    else:
+        tgt_dist = (
+            hashed_ngram_counts(
+                target.select(
+                    F.xxhash64(F.col(tcol)).alias("_tid"),
+                    F.col(tcol).alias("_ttext"),
+                ),
+                n_max=n_max,
+                num_buckets=num_buckets,
+                id_col="_tid",
+                text_col="_ttext",
+                bucket_hash=bucket_hash,
+            )
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("_tc"))
+        )
     raw_tot = raw_dist.agg(
         F.coalesce(F.sum("_rc"), F.lit(0)).cast("bigint").alias("_rt")
     )
@@ -277,7 +310,7 @@ def dsir_log_weights(
 
 def dsir_select(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     n_max: int = 2,
     num_buckets: int = 8192,
@@ -287,6 +320,7 @@ def dsir_select(
     target_text_col: str | None = None,
     bucket_hash: str = "xxhash64",
     n_salts: int | None = None,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic DSIR selection: the ``k`` raw documents most like
     the target distribution — ``(id_col, rank INT, n_features BIGINT,
@@ -318,6 +352,7 @@ def dsir_select(
         text_col=text_col,
         target_text_col=target_text_col,
         bucket_hash=bucket_hash,
+        target_ids=target_ids,
     )
     return salted_topk(
         w,
@@ -331,7 +366,7 @@ def dsir_select(
 
 def dsir_resample(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     n_max: int = 2,
     num_buckets: int = 8192,
@@ -342,6 +377,7 @@ def dsir_resample(
     bucket_hash: str = "xxhash64",
     salt: str = "dsir",
     n_salts: int | None = None,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """STOCHASTIC DSIR selection — the paper's actual importance
     RESAMPLING step (Xie et al. 2023 §2: sample k documents without
@@ -392,6 +428,7 @@ def dsir_resample(
         text_col=text_col,
         target_text_col=target_text_col,
         bucket_hash=bucket_hash,
+        target_ids=target_ids,
     )
     # u in (0,1) strictly: (u32 + 0.5) / 2^32 — both endpoints
     # excluded, so -ln(-ln u) is always finite

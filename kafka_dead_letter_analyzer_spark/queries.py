@@ -11723,7 +11723,7 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SEL.dsir_log_weights(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_ids=docs.filter(F.col("lang") == "en").select("doc_id"),
         n_max=2,
         num_buckets=256,
         bucket_hash="md5",
@@ -11749,11 +11749,12 @@ def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SEL.dsir_resample(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        None,
         k=50,
         n_max=2,
         num_buckets=256,
         bucket_hash="md5",
+        target_ids=docs.filter(F.col("lang") == "en").select("doc_id"),
     )
 
 

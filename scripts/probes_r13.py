@@ -131,6 +131,118 @@ def dsir(spark, sf_dir, reps):
     )
 
 
+def dsir2(spark, sf_dir, reps):
+    """Finer dsir_log_weights decomposition: raw feats; raw+target
+    feats; the per-bucket weighted join (no final sum); the full
+    operator (ordered-sum finish)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import selection as SEL
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    kw = dict(n_max=2, num_buckets=256, bucket_hash="md5")
+
+    def feats(d, id_col="doc_id", text_col="text"):
+        return SEL.hashed_ngram_counts(
+            d, id_col=id_col, text_col=text_col, **kw
+        )
+
+    def both():
+        a = feats(docs)
+        b = feats(
+            target.select(
+                F.lit(0).cast("bigint").alias("_tid"),
+                F.col("text").alias("_ttext"),
+            ),
+            id_col="_tid",
+            text_col="_ttext",
+        )
+        return a.select("bucket", "cnt").unionByName(
+            b.select("bucket", "cnt")
+        )
+
+    def per_bucket_no_sum():
+        # dsir_log_weights minus the groupBy ordered sum: group and do a
+        # cheap unordered float sum instead (prices the collect_list/
+        # array_sort/aggregate finish by contrast)
+        w = SEL.dsir_log_weights(docs, target, **kw)
+        return w  # placeholder, replaced below
+
+    # rebuild the internals to stop before the ordered sum
+    def weights_plain_sum():
+        from kafka_dead_letter_analyzer_spark.operators.selection import (
+            hashed_ngram_counts,
+        )
+
+        feats_df = hashed_ngram_counts(docs, **kw).select(
+            F.col("doc_id").alias("_id"), "bucket", "cnt"
+        )
+        feats_df = cache_registry.track(feats_df.persist())
+        raw_dist = feats_df.groupBy("bucket").agg(
+            F.sum("cnt").cast("bigint").alias("_rc")
+        )
+        tgt_dist = (
+            hashed_ngram_counts(
+                target.select(
+                    F.lit(0).cast("bigint").alias("_tid"),
+                    F.col("text").alias("_ttext"),
+                ),
+                id_col="_tid",
+                text_col="_ttext",
+                **kw,
+            )
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("_tc"))
+        )
+        raw_tot = raw_dist.agg(
+            F.coalesce(F.sum("_rc"), F.lit(0)).cast("bigint").alias("_rt")
+        )
+        tgt_tot = tgt_dist.agg(
+            F.coalesce(F.sum("_tc"), F.lit(0)).cast("bigint").alias("_tt")
+        )
+        a, nb = 1.0, 256
+        ab = a * nb
+        ratio = (
+            raw_dist.join(F.broadcast(tgt_dist), "bucket", "left")
+            .crossJoin(F.broadcast(raw_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .select(
+                "bucket",
+                (
+                    F.log(
+                        (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(a))
+                        / (F.col("_tt") + F.lit(ab))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(a))
+                        / (F.col("_rt") + F.lit(ab))
+                    )
+                ).alias("_lr"),
+            )
+        )
+        per_bucket = feats_df.join(F.broadcast(ratio), "bucket").select(
+            "_id", "bucket", "cnt", (F.col("cnt") * F.col("_lr")).alias("_c")
+        )
+        return per_bucket.groupBy("_id").agg(
+            F.sum("cnt").cast("bigint").alias("n_features"),
+            F.sum("_c").alias("_w"),  # UNORDERED sum — timing contrast only
+        )
+
+    run_ab(
+        spark,
+        [
+            ("raw feats", lambda: feats(docs)),
+            ("raw+tgt feats", both),
+            ("weights plain-sum", weights_plain_sum),
+            (
+                "weights full",
+                lambda: SEL.dsir_log_weights(docs, target, **kw),
+            ),
+        ],
+        reps,
+    )
+
+
 def setsim(spark, sf_dir, reps):
     """x_setsim_join: status-quo prefix self-join candidates vs grouped
     posting-list expansion (the minhash r13.3 shape)."""
