@@ -1312,9 +1312,16 @@ def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate, a fixed slice at bench scale) the same way the
     bounded all-pairs Jaccard query is. On a cluster with the spark-avro
     jar the same cascade runs the codegen'd JVM `from_avro` branch
-    (decode_kafka_records use_avro=True) with no bound needed."""
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") < 30000
+    (decode_kafka_records use_avro=True) with no bound needed.
+
+    The bounded slice lands in ONE scan task (parquet splits by bytes),
+    so without a spread the whole Python encode+decode cascade runs on
+    one core — spread_for_cpu parallelizes it (measured 2.61 -> 1.74 s
+    median at sf0.1); at real scale the guard makes it a no-op."""
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    events = spread_for_cpu(
+        load_table(spark, sf_dir, "events").filter(F.col("event_id") < 30000)
     )
     enc = avro_wire_encode_udf()
     dl_json = F.to_json(
@@ -1384,7 +1391,11 @@ def s2_avro_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec tier is exercised on a fixed slice; the JVM-side frame
     prefilter keeps every non-framed key out of the Arrow round trip,
     and with the spark-avro jar the dispatch lowers to a codegen'd
-    from_avro when-chain."""
+    from_avro when-chain.  NO spread here, deliberately: unlike
+    s2_avro_wire's full DeadLetter payloads, the framed keys are tiny
+    TestRecords — the r13 paired A/B measured the spread variant 1.4x
+    SLOWER on this query (the extra exchange outweighs parallelizing
+    the light codec work) while wire/multischema won 0.61/0.75."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 30000
     )
@@ -1444,9 +1455,12 @@ def s2_avro_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier classification in the output is derived from the DECODE RESULT
     (struct hit / JSON render / raw text), not the input mod — so a
     dispatch defect (wrong schema for an id, fallthrough to the wrong
-    tier) flips the oracle red."""
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") < 30000
+    tier) flips the oracle red.  Spread before the codec UDFs: the
+    bounded slice is one scan task (the s2_avro_wire measurement)."""
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+
+    events = spread_for_cpu(
+        load_table(spark, sf_dir, "events").filter(F.col("event_id") < 30000)
     )
     enc_dl = avro_wire_encode_udf()
     enc_tr = avro_wire_encode_generic_udf(_TEST_RECORD_SCHEMA, 7)

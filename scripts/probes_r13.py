@@ -243,6 +243,72 @@ def dsir2(spark, sf_dir, reps):
     )
 
 
+def avro_spread(spark, sf_dir, reps):
+    """s2_avro_wire: the whole Python encode+decode cascade runs in the
+    ONE scan task the 30k-row filtered parquet split produces (plan
+    read: no exchange below either ArrowEvalPython). Probe: round-robin
+    spread before the encode UDF."""
+    from kafka_dead_letter_analyzer_spark import queries as Q
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+    from kafka_dead_letter_analyzer_spark.streaming.kafka import (
+        avro_wire_encode_udf,
+        decode_kafka_records,
+    )
+
+    def build(spread):
+        events = Q.load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") < 30000
+        )
+        if spread:
+            events = spread_for_cpu(events)
+        enc = avro_wire_encode_udf()
+        dl_json = F.to_json(
+            F.struct(
+                F.col("event_type").alias("input_value"),
+                (F.col("user_id") % 4).cast("int").alias("partition"),
+                F.concat(F.lit("orig-"), F.col("event_type")).alias("topic"),
+                F.col("event_id").alias("offset"),
+                F.concat(F.lit("Error in "), F.col("event_type")).alias(
+                    "description"
+                ),
+                F.struct(
+                    F.lit("java.lang.RuntimeException").alias("error_class"),
+                    F.col("props").alias("message"),
+                ).alias("cause"),
+                F.unix_millis(F.col("ts")).alias("input_timestamp"),
+            )
+        )
+        val = F.when(F.col("event_id") % 3 != 0, enc(dl_json)).otherwise(
+            F.encode(F.col("props"), "UTF-8")
+        )
+        kafka_shaped = events.select(
+            F.encode(F.col("event_id").cast("string"), "UTF-8").alias("key"),
+            val.alias("value"),
+            F.lit(None)
+            .cast("array<struct<key:string,value:binary>>")
+            .alias("headers"),
+            F.lit("events-dead-letters").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.col("ts").alias("timestamp"),
+        )
+        decoded = decode_kafka_records(kafka_shaped, use_avro="python")
+        return decoded.select(
+            F.col("offset").alias("event_id"),
+            F.col("value_deadletter").isNotNull().alias("is_avro"),
+            F.col("value_deadletter.description").alias("description"),
+        )
+
+    run_ab(
+        spark,
+        [
+            ("s2_avro_wire no-spread", lambda: build(False)),
+            ("s2_avro_wire spread", lambda: build(True)),
+        ],
+        reps,
+    )
+
+
 def setsim(spark, sf_dir, reps):
     """x_setsim_join: status-quo prefix self-join candidates vs grouped
     posting-list expansion (the minhash r13.3 shape)."""
