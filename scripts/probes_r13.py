@@ -640,3 +640,240 @@ def spearman(spark, sf_dir, reps):
         ],
         reps,
     )
+
+
+def setsim_ppjoin(spark, sf_dir, reps):
+    """x_setsim_join / kcore's setsim@0.5: status-quo prefix candidates
+    vs PPJoin POSITIONAL filter (Xiao et al. WWW'08): a candidate row at
+    prefix ranks (rna, rnb) can only reach overlap 1 + min(sza-rna,
+    szb-rnb); the threshold needs inter >= ceil(num*(sza+szb)/(num+den)),
+    so rows below that bound are dropped pre-distinct.  Exact: the pair's
+    FIRST shared token (global (df,tk) order) sits in both prefixes and
+    satisfies the bound whenever the pair qualifies."""
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+
+    def build(docs, num, den, shingle_k, positional, count_only=False):
+        elems = token_shingles(F.col("text"), shingle_k)
+        base = docs.select(
+            F.col("doc_id").alias("doc"),
+            F.array_sort(elems).alias("set"),
+        ).filter(F.size("set") > 0)
+        base = base.persist()
+        cache_registry.track(base)
+        tok = base.select(
+            "doc", F.size("set").alias("sz"), F.explode("set").alias("tk")
+        )
+        df_tbl = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tok.join(df_tbl, "tk").withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "tk")),
+        )
+        prefix_len = F.col("sz") - F.expr(
+            f"(({num} * sz) + {den} - 1) DIV {den}"
+        ) + 1
+        prefix = ranked.filter(F.col("rn") <= prefix_len)
+        pa = prefix.select(
+            F.col("tk").alias("tka"), F.col("doc").alias("da"),
+            F.col("sz").alias("sza"), F.col("rn").alias("rna"),
+        )
+        pb = prefix.select(
+            F.col("tk").alias("tkb"), F.col("doc").alias("db"),
+            F.col("sz").alias("szb"), F.col("rn").alias("rnb"),
+        )
+        cond = (
+            (F.col("tka") == F.col("tkb"))
+            & (F.col("da") < F.col("db"))
+            & (F.lit(num) * F.col("sza") <= F.lit(den) * F.col("szb"))
+            & (F.lit(num) * F.col("szb") <= F.lit(den) * F.col("sza"))
+        )
+        if positional:
+            cond = cond & (
+                F.lit(num + den)
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("sza") - F.col("rna"),
+                        F.col("szb") - F.col("rnb"),
+                    )
+                )
+                >= F.lit(num) * (F.col("sza") + F.col("szb"))
+            )
+        raw = pa.join(pb, cond).select("da", "db")
+        if count_only:
+            return raw
+        cands = raw.distinct()
+        sa = base.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+        sb = base.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+        verified = (
+            cands.join(sa, "da")
+            .join(sb, "db")
+            .select(
+                "da", "db",
+                F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+                (F.size("set_a") + F.size("set_b")).alias("s"),
+            )
+            .select("da", "db", "i", (F.col("s") - F.col("i")).alias("u"))
+            .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+        )
+        return verified.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").cast("bigint").alias("inter_sz"),
+            F.col("u").cast("bigint").alias("union_sz"),
+            F.expr("(1000000 * i) DIV u").cast("bigint").alias("jaccard_ppm"),
+        )
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+
+    for num, den in ((7, 10), (1, 2)):
+        n_raw = build(docs, num, den, 3, False, count_only=True).count()
+        n_pos = build(docs, num, den, 3, True, count_only=True).count()
+        cache_registry.release_all()
+        spark.catalog.clearCache()
+        print(f"t={num}/{den}: raw cand rows {n_raw} -> positional {n_pos}"
+              f" ({100.0 * n_pos / max(n_raw, 1):.1f}%)")
+        cur = {
+            tuple(r)
+            for r in D.setsim_join_prefix(
+                docs, threshold_num=num, threshold_den=den, shingle_k=3
+            ).collect()
+        }
+        new = {tuple(r) for r in build(docs, num, den, 3, True).collect()}
+        cache_registry.release_all()
+        spark.catalog.clearCache()
+        print(f"t={num}/{den}: result sets equal: {cur == new} ({len(cur)} rows)")
+        assert cur == new
+
+        run_ab(
+            spark,
+            [
+                (
+                    f"setsim t={num}/{den} status-quo",
+                    lambda num=num, den=den: D.setsim_join_prefix(
+                        docs, threshold_num=num, threshold_den=den, shingle_k=3
+                    ),
+                ),
+                (
+                    f"setsim t={num}/{den} positional",
+                    lambda num=num, den=den: build(docs, num, den, 3, True),
+                ),
+            ],
+            reps,
+        )
+
+
+def containment_ppjoin(spark, sf_dir, reps):
+    """x_containment_join: status-quo (no positional filter, inline
+    re-implementation) vs the committed positional-filtered operator —
+    sf0.1 result-identity check + candidate-count prune ratio + A/B."""
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+
+    num, den, shingle_k, permille = 7, 10, 3, 4
+
+    def old(docs, count_only=False):
+        elems = token_shingles(F.col("text"), shingle_k)
+        base = docs.select(
+            F.col("doc_id").alias("doc"), F.array_sort(elems).alias("set")
+        ).filter(F.size("set") > 0)
+        base = base.persist()
+        cache_registry.track(base)
+        tok_raw = base.select("doc", F.explode("set").alias("tk"))
+        df_tbl = tok_raw.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+        ndocs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+        df_tbl = (
+            df_tbl.crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.lit(1000) * F.col("df")
+                <= F.lit(int(permille)) * F.col("n_docs")
+            )
+            .select("tk", "df")
+        )
+        tok = tok_raw.join(df_tbl, "tk")
+        agg = tok.groupBy("doc").agg(
+            F.array_sort(F.collect_list(F.struct("df", "tk"))).alias("toks")
+        )
+        agg = agg.persist()
+        cache_registry.track(agg)
+        sz = F.size("toks")
+        prefix_len = sz - F.expr(
+            f"(({num} * size(toks)) + {den} - 1) DIV {den}"
+        ) + 1
+        pa = agg.select(
+            F.col("doc").alias("da"), sz.alias("sza"),
+            F.explode(F.slice(F.col("toks"), F.lit(1), prefix_len)).alias("p"),
+        ).select("da", "sza", F.col("p.tk").alias("tka"))
+        pb = agg.select(
+            F.col("doc").alias("db"), sz.alias("szb"),
+            F.explode("toks").alias("p"),
+        ).select("db", "szb", F.col("p.tk").alias("tkb"))
+        raw = pa.join(
+            pb,
+            (F.col("tka") == F.col("tkb"))
+            & (F.col("da") != F.col("db"))
+            & (F.lit(den) * F.col("szb") >= F.lit(num) * F.col("sza")),
+        ).select("da", "db")
+        if count_only:
+            return raw
+        cands = raw.distinct()
+        sets_f = agg.select(
+            "doc",
+            F.array_sort(
+                F.transform("toks", lambda s: s.getField("tk"))
+            ).alias("set"),
+        )
+        sa = sets_f.select(F.col("doc").alias("da"), F.col("set").alias("set_a"))
+        sb = sets_f.select(F.col("doc").alias("db"), F.col("set").alias("set_b"))
+        verified = (
+            cands.join(sa, "da")
+            .join(sb, "db")
+            .select(
+                "da", "db",
+                F.size(F.array_intersect("set_a", "set_b")).alias("i"),
+                F.size("set_a").alias("asz"),
+            )
+            .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("asz"))
+        )
+        return verified.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").cast("bigint").alias("inter_sz"),
+            F.col("asz").cast("bigint").alias("a_sz"),
+            F.expr("(1000000 * i) DIV asz").cast("bigint").alias(
+                "containment_ppm"
+            ),
+        )
+
+    def new(docs):
+        return D.containment_join_prefix(
+            docs, threshold_num=num, threshold_den=den, shingle_k=shingle_k,
+            max_df_permille=permille,
+        )
+
+    docs = Q.load_table(spark, sf_dir, "documents")
+    n_old = old(docs, count_only=True).count()
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    cur = {tuple(r) for r in old(docs).collect()}
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    upd = {tuple(r) for r in new(docs).collect()}
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    print(f"old cand rows {n_old}; result sets equal: {cur == upd}"
+          f" ({len(cur)} rows)")
+    assert cur == upd
+
+    run_ab(
+        spark,
+        [
+            ("containment status-quo", lambda: old(docs)),
+            ("containment positional", lambda: new(docs)),
+        ],
+        reps,
+    )

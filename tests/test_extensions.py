@@ -2947,3 +2947,103 @@ def test_lsh_tune_s_curve_optimizer():
         D.lsh_tune(0.5, 1)
     with _pytest.raises(ValueError, match="weights"):
         D.lsh_tune(0.5, 64, fp_weight=0.0, fn_weight=0.0)
+
+
+def test_setsim_positional_filter_boundary_pairs(spark):
+    """Adversarial corner for the PPJoin POSITIONAL filter in
+    setsim_join_prefix: per-pair-disjoint vocabularies make every
+    shared token df=2 and every unshared token df=1, so the (df, tk)
+    order puts ALL shared tokens at the tail of each doc — the first
+    shared token lands at the LAST rank the completeness proof allows
+    (rn = sz - inter + 1), where any off-by-one in the integer bound
+    (num+den)*(1+min(sza-rna, szb-rnb)) >= num*(sza+szb) would drop a
+    true pair.  Overlaps are chosen exactly AT the threshold ceiling
+    and one below it, differentially checked against brute force."""
+    import itertools
+
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        setsim_join_prefix,
+    )
+
+    for num, den in [(1, 2), (7, 10)]:
+        rows = []
+        sets = {}
+        doc = 0
+        pair_id = 0
+        for sza, szb in [(6, 6), (6, 8), (8, 9), (10, 12), (5, 7), (9, 9)]:
+            # minimum qualifying overlap: den*i >= num*(sza+szb-i)
+            # <=> i >= num*(sza+szb)/(num+den)
+            alpha = -(-(num * (sza + szb)) // (num + den))
+            for o in (alpha, alpha - 1):
+                if o < 1 or o > min(sza, szb):
+                    continue
+                shared = [f"p{pair_id}s{i}" for i in range(o)]
+                a = set(shared + [f"p{pair_id}a{i}" for i in range(sza - o)])
+                b = set(shared + [f"p{pair_id}b{i}" for i in range(szb - o)])
+                for s in (a, b):
+                    sets[doc] = s
+                    rows.append((doc, " ".join(sorted(s))))
+                    doc += 1
+                pair_id += 1
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        expected = set()
+        for x, y in itertools.combinations(sorted(sets), 2):
+            i = len(sets[x] & sets[y])
+            u = len(sets[x] | sets[y])
+            if den * i >= num * u:
+                expected.add((x, y, i, u, 1_000_000 * i // u))
+        got = {
+            tuple(r)
+            for r in setsim_join_prefix(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == expected, (num, den, got ^ expected)
+        # the at-threshold pairs must actually be present (non-vacuous)
+        assert any(den * i == num * u for (_, _, i, u, _) in expected), (
+            num, den,
+        )
+
+
+def test_containment_positional_filter_boundary_pairs(spark):
+    """Same adversarial geometry for containment_join_prefix: shared
+    tokens (df=2) sort after unshared (df=1), the A-side first shared
+    token sits at rank sza - inter + 1, and inter is chosen exactly at
+    ceil(num*sza/den) and one below; differential vs brute force."""
+    import itertools
+
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+
+    num, den = 7, 10
+    rows = []
+    sets = {}
+    doc = 0
+    pair_id = 0
+    for sza, szb in [(5, 9), (10, 10), (6, 14), (10, 30), (7, 8)]:
+        alpha = -(-(num * sza) // den)
+        for o in (alpha, alpha - 1):
+            if o < 1 or o > min(sza, szb):
+                continue
+            shared = [f"p{pair_id}s{i}" for i in range(o)]
+            a = set(shared + [f"p{pair_id}a{i}" for i in range(sza - o)])
+            b = set(shared + [f"p{pair_id}b{i}" for i in range(szb - o)])
+            for s in (a, b):
+                sets[doc] = s
+                rows.append((doc, " ".join(sorted(s))))
+                doc += 1
+            pair_id += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    expected = set()
+    for x, y in itertools.permutations(sorted(sets), 2):
+        i = len(sets[x] & sets[y])
+        a_sz = len(sets[x])
+        if den * i >= num * a_sz:
+            expected.add((x, y, i, a_sz, 1_000_000 * i // a_sz))
+    got = {
+        tuple(r)
+        for r in D.containment_join_prefix(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    assert got == expected, (got ^ expected)
+    assert any(den * i == num * a for (_, _, i, a, _) in expected)
