@@ -55,6 +55,7 @@ from kafka_dead_letter_analyzer_spark.operators.common import (
 )
 
 __all__ = [
+    "bucket_counts",
     "cusum_changepoint",
     "tvd_drift",
     "wasserstein_drift",
@@ -85,12 +86,79 @@ def _ppm2(num: str, nt: str) -> str:
     return ppm2(num, nt)
 
 
+def bucket_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """The sparse per-bucket event-count contraction every timeline
+    detector in this module starts from —
+    ``(*group_cols, t BIGINT, x BIGINT)`` with
+    ``t = unix_micros(ts) DIV bucket_us`` over non-NULL timestamps
+    (``DIV`` truncates toward zero, so ``t * bucket_us`` is exactly
+    the ``unix_micros - unix_micros % bucket_us`` bucket start the
+    CUSUM detector keys by).
+
+    Callers composing SEVERAL detectors over the same timeline
+    (queries.py::x_drift_report joins four) can build this once,
+    persist it, and pass it to each detector's ``counts_df`` — paying
+    the full-data scan and (group, bucket) shuffle ONCE instead of
+    per detector, and letting the span-probe driver actions
+    (theilsen/hampel/mann-kendall run one each at construction time)
+    hit the cache instead of re-scanning the raw input."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"bucket_counts: bucket must be one of {sorted(_BUCKET_US)},"
+            f" got {bucket!r}"
+        )
+    return _bucket_counts(df, ts_col, list(group_cols or []), _BUCKET_US[bucket])
+
+
+def _bucket_counts(
+    df: DataFrame, ts_col: str, groups: list, bus: int
+) -> DataFrame:
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *[df[g] for g in groups],
+            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
+        )
+        .groupBy(*groups, "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+
+def _counts_or(
+    df: DataFrame,
+    counts_df: DataFrame | None,
+    ts_col: str,
+    groups: list,
+    bus: int,
+    who: str,
+) -> DataFrame:
+    """Resolve a detector's contraction: the caller-supplied
+    ``counts_df`` (contract: built by :func:`bucket_counts` with the
+    SAME ts_col/group_cols/bucket — only the column shape is checkable
+    here) or the detector's own from-scratch build."""
+    if counts_df is None:
+        return _bucket_counts(df, ts_col, groups, bus)
+    expect = groups + ["t", "x"]
+    if list(counts_df.columns) != expect:
+        raise ValueError(
+            f"{who}: counts_df must have columns {expect}"
+            f" (bucket_counts output), got {list(counts_df.columns)}"
+        )
+    return counts_df
+
+
 def cusum_changepoint(
     df: DataFrame,
     ts_col: str = "ts",
     group_cols: Sequence[str] | None = None,
     bucket: str = "hour",
     weight_expr: str | None = None,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact CUSUM (Page 1954) change-point scan of event RATE per
     group —
@@ -146,24 +214,40 @@ def cusum_changepoint(
     bus = _BUCKET_US[bucket]
     groups = list(group_cols or [])
 
-    base = df.filter(F.col(ts_col).isNotNull())
-    if weight_expr is not None:
-        base = base.filter(
-            F.expr(f"({weight_expr}) IS NOT NULL AND ({weight_expr}) >= 0")
+    if counts_df is not None:
+        if weight_expr is not None:
+            raise ValueError(
+                "cusum_changepoint: counts_df carries plain row counts"
+                " and cannot be combined with weight_expr"
+            )
+        # bucket_counts keys by t = unix_micros DIV bus; both DIV and %
+        # truncate toward zero, so t * bus == unix_micros - unix_micros
+        # % bus exactly — the same bucket starts as the inline build.
+        counts = _counts_or(
+            df, counts_df, ts_col, groups, bus, "cusum_changepoint"
+        ).select(
+            *groups, (F.col("t") * F.lit(bus)).alias("bus"), "x"
         )
-    counts = (
-        base.select(
-            *[base[g] for g in groups],
-            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(ts_col)) % bus)
-            .alias("bus"),
-            *( [F.expr(weight_expr).alias("__w")] if weight_expr else [] ),
+    else:
+        base = df.filter(F.col(ts_col).isNotNull())
+        if weight_expr is not None:
+            base = base.filter(
+                F.expr(f"({weight_expr}) IS NOT NULL AND ({weight_expr}) >= 0")
+            )
+        counts = (
+            base.select(
+                *[base[g] for g in groups],
+                (F.unix_micros(F.col(ts_col))
+                 - F.unix_micros(F.col(ts_col)) % bus)
+                .alias("bus"),
+                *([F.expr(weight_expr).alias("__w")] if weight_expr else []),
+            )
+            .groupBy(*groups, "bus")
+            .agg(
+                (F.sum(F.expr("CAST(__w AS BIGINT)")) if weight_expr
+                 else F.count(F.lit(1))).cast("bigint").alias("x")
+            )
         )
-        .groupBy(*groups, "bus")
-        .agg(
-            (F.sum(F.expr("CAST(__w AS BIGINT)")) if weight_expr
-             else F.count(F.lit(1))).cast("bigint").alias("x")
-        )
-    )
 
     wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
     w_ord = wg.orderBy("bus")
@@ -530,6 +614,7 @@ def theilsen_trend(
     group_cols: Sequence[str] | None = None,
     bucket: str = "day",
     max_buckets: int = 4000,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Theil-Sen (Theil 1950; Sen 1968) robust trend of the event
     rate per group —
@@ -567,15 +652,7 @@ def theilsen_trend(
     bus = _BUCKET_US[bucket]
     groups = list(group_cols or [])
 
-    counts = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(
-            *[df[g] for g in groups],
-            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
-        )
-        .groupBy(*groups, "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    )
+    counts = _counts_or(df, counts_df, ts_col, groups, bus, "theilsen_trend")
 
     span = counts.groupBy(*groups).agg(
         F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
@@ -779,6 +856,7 @@ def hampel_outliers(
     k_num: int = 3,
     k_den: int = 1,
     max_buckets: int = 100_000,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hampel filter (Hampel 1974's robust location/scale pair as the
     classic moving-window detector) over per-bucket event counts —
@@ -815,15 +893,7 @@ def hampel_outliers(
     bus = _BUCKET_US[bucket]
     groups = list(group_cols or [])
 
-    counts = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(
-            *[df[g] for g in groups],
-            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
-        )
-        .groupBy(*groups, "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    )
+    counts = _counts_or(df, counts_df, ts_col, groups, bus, "hampel_outliers")
     span = counts.groupBy(*groups).agg(
         F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
     )
@@ -881,6 +951,7 @@ def mann_kendall(
     group_cols: Sequence[str] | None = None,
     bucket: str = "day",
     max_buckets: int = 4000,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Mann-Kendall trend TEST statistics per group —
     ``(*group_cols, s_stat BIGINT, var18 BIGINT, n_buckets BIGINT,
@@ -908,15 +979,7 @@ def mann_kendall(
     bus = _BUCKET_US[bucket]
     groups = list(group_cols or [])
 
-    counts = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(
-            *[df[g] for g in groups],
-            F.expr(f"unix_micros({ts_col}) DIV {bus}").alias("t"),
-        )
-        .groupBy(*groups, "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    )
+    counts = _counts_or(df, counts_df, ts_col, groups, bus, "mann_kendall")
     span = counts.groupBy(*groups).agg(
         F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
     )

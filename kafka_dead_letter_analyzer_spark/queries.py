@@ -10723,18 +10723,46 @@ def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently oracle-verified query; the report reuses them
     verbatim (the oracle literally joins the registered oracle SQLs as
     subqueries), and the join keys on the handful of event types —
-    broadcast-sized by construction."""
-    cusum = x_cusum_changepoint(spark, sf_dir).select(
-        "event_type", "n", "up_ppm", "down_ppm"
+    broadcast-sized by construction.
+
+    Scale/warm shape: the four timeline detectors all start from the
+    SAME (event_type, day, n) contraction, so the report builds it
+    once (operators/drift.py::bucket_counts), persists it, and hands
+    it to each detector via ``counts_df`` — one events scan + one
+    (type, day) shuffle instead of four, and the three span-probe
+    driver actions (theilsen/hampel/mann-kendall, construction-time)
+    hit the cache instead of re-scanning events.  Identical output by
+    construction: the shared contraction is byte-for-byte the frame
+    each detector previously built inline (cusum's micros bucket key
+    is ``t * day_us``, exact under truncation-toward-zero), and each
+    standalone detector query stays on its own inline build.
+    x_seasonal_anomaly contracts by hour-of-day, not day — it keeps
+    its own scan."""
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = cache_registry.track(
+        DR.bucket_counts(
+            ev, ts_col="ts", group_cols=["event_type"], bucket="day"
+        ).persist()
     )
-    trend = x_theilsen_trend(spark, sf_dir).select(
-        "event_type", "slope_num", "slope_den"
-    )
-    mk = x_mann_kendall(spark, sf_dir).select(
-        "event_type", "s_stat", "var18"
-    )
+    cusum = DR.cusum_changepoint(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+        counts_df=daily,
+    ).select("event_type", "n", "up_ppm", "down_ppm")
+    trend = DR.theilsen_trend(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+        counts_df=daily,
+    ).select("event_type", "slope_num", "slope_den")
+    mk = DR.mann_kendall(
+        ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+        counts_df=daily,
+    ).select("event_type", "s_stat", "var18")
     hampel = (
-        x_hampel_outliers(spark, sf_dir)
+        DR.hampel_outliers(
+            ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+            half_window=3, k_num=3, k_den=1, counts_df=daily,
+        )
         .groupBy("event_type")
         .agg(
             F.sum(F.when(F.col("flagged"), 1).otherwise(0))

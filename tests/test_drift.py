@@ -1485,3 +1485,82 @@ def test_mixture_budget_closed_form_equals_iterative_solver():
         } == {c: int(r * (1 << 32)) for c, r in rates.items()}
 
     check()
+
+
+def test_counts_df_passthrough_identical_all_detectors(spark):
+    """counts_df (the x_drift_report shared-contraction path): each of
+    the four timeline detectors must return byte-identical rows when
+    fed bucket_counts output instead of building its own contraction —
+    including cusum, whose internal bucket key is micros
+    (t * bucket_us) rather than the shared t index; exercised on a
+    multi-group timeline with gaps, ties, and a pre-1970 timestamp
+    (negative micros: DIV and % both truncate toward zero, the
+    equivalence the cusum branch relies on)."""
+    import datetime as _dt
+
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        bucket_counts,
+        hampel_outliers,
+        mann_kendall,
+        theilsen_trend,
+    )
+
+    rows = []
+    for g, hours in (
+        ("a", [0, 0, 1, 5, 5, 5, 9]),
+        ("b", [2, 3, 3, 4]),
+    ):
+        rows += [(g, _ts(h)) for h in hours]
+    # negative-micros group (before the 1970 epoch), kept to its own
+    # small span so the per-group max_buckets probes stay tiny
+    for h in (5, 5.5, 7):
+        rows.append(
+            ("c", _dt.datetime(1969, 12, 30, int(h), int(h % 1 * 60),
+                               tzinfo=_dt.timezone.utc))
+        )
+    rows.append(("a", None))  # null ts excluded on both paths
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+
+    counts = bucket_counts(df, ts_col="ts", group_cols=["grp"], bucket="hour")
+    for op, kw in (
+        (cusum_changepoint, {}),
+        (theilsen_trend, {"max_buckets": 100_000}),
+        (mann_kendall, {"max_buckets": 100_000}),
+        (hampel_outliers, {"half_window": 3, "max_buckets": 1_000_000}),
+    ):
+        inline = {
+            tuple(r)
+            for r in op(
+                df, ts_col="ts", group_cols=["grp"], bucket="hour", **kw
+            ).collect()
+        }
+        shared = {
+            tuple(r)
+            for r in op(
+                df, ts_col="ts", group_cols=["grp"], bucket="hour",
+                counts_df=counts, **kw
+            ).collect()
+        }
+        assert inline == shared, (op.__name__, inline ^ shared)
+
+
+def test_counts_df_validation_raises(spark):
+    """counts_df with the wrong column shape must raise, and cusum must
+    reject the counts_df + weight_expr combination."""
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        bucket_counts,
+        theilsen_trend,
+    )
+
+    df = _events(spark, [0, 1, 2])
+    good = bucket_counts(df, ts_col="ts", group_cols=["grp"], bucket="hour")
+    bad = good.withColumnRenamed("x", "n")
+    with pytest.raises(ValueError, match="counts_df must have columns"):
+        theilsen_trend(
+            df, ts_col="ts", group_cols=["grp"], bucket="hour", counts_df=bad
+        ).collect()
+    with pytest.raises(ValueError, match="weight_expr"):
+        cusum_changepoint(
+            df, ts_col="ts", group_cols=["grp"], bucket="hour",
+            counts_df=good, weight_expr="1",
+        )
