@@ -877,3 +877,45 @@ def containment_ppjoin(spark, sf_dir, reps):
         ],
         reps,
     )
+
+
+def drift_counts_persist(spark, sf_dir, reps):
+    """Standalone theilsen/mk/hampel: status-quo (counts rebuilt for
+    the span probe AND re-expanded twice in the final plan) vs counts
+    persisted so the probe doubles as the cache fill (the r13.5
+    spearman pattern), emulated via bucket_counts + counts_df."""
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import drift as DR
+
+    ev = Q.load_table(spark, sf_dir, "events")
+
+    def persisted(op, **kw):
+        def build():
+            c = DR.bucket_counts(
+                ev, ts_col="ts", group_cols=["event_type"], bucket="day"
+            ).persist()
+            cache_registry.track(c)
+            return op(
+                ev, ts_col="ts", group_cols=["event_type"], bucket="day",
+                counts_df=c, **kw
+            )
+        return build
+
+    def plain(op, **kw):
+        return lambda: op(
+            ev, ts_col="ts", group_cols=["event_type"], bucket="day", **kw
+        )
+
+    for name, op, kw in (
+        ("theilsen", DR.theilsen_trend, {}),
+        ("mann_kendall", DR.mann_kendall, {}),
+        ("hampel", DR.hampel_outliers, {"half_window": 3}),
+    ):
+        run_ab(
+            spark,
+            [
+                (f"{name} status-quo", plain(op, **kw)),
+                (f"{name} persisted-counts", persisted(op, **kw)),
+            ],
+            reps,
+        )
