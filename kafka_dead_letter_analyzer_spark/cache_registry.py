@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import threading
 
-__all__ = ["track", "release_all", "tracked_count"]
+__all__ = ["track", "release_all", "snapshot", "tracked_count"]
 
 _lock = threading.Lock()
 _tracked: list = []
@@ -45,6 +45,15 @@ def track(df):
 def tracked_count() -> int:
     with _lock:
         return len(_tracked)
+
+
+def snapshot() -> list:
+    """Copy of the currently tracked frames (identity list) — lets a
+    plan-memoizing caller diff before/after an operator call to learn
+    which internal persists that operator registered, so a memo hit can
+    re-arm them after a release boundary."""
+    with _lock:
+        return _tracked[:]
 
 
 def release_all(blocking: bool = False) -> int:

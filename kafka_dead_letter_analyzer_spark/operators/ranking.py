@@ -866,152 +866,90 @@ def kendall_tau_exact(
     )
 
 
-def kendall_tau_quantized(
-    df: DataFrame,
-    x_col: str,
-    y_col: str,
-    group_cols: list[str] | None = None,
-    x_buckets: int = 0,
-    y_buckets: int = 256,
-    max_grid: int = 1_000_000,
+def _kendall_grid_kernel_stats(
+    cells: DataFrame, groups: list[str], max_grid: int
 ) -> DataFrame:
-    """Kendall tau-b over QUANTIZED near-continuous columns — the same
-    output schema as :func:`kendall_tau_exact` (``nc nd tx_pairs
-    ty_pairs n tau_e6``), exact for the quantized data, computed by
-    GRID-PREFIX dominance counting instead of the cell-pair self-join:
-    O(grid) per group where the exact operator is O(cells^2).
+    """Per-group (nc, nd, tx_pairs, ty_pairs, n) from the (x, y) cell
+    contraction in ONE grouped Arrow kernel: the dense int64 count
+    matrix M (|xs| x |ys| <= max_grid, re-checked in-worker) gives
+    A = exclusive cumsum along x, D_ll/D_lg = exclusive cumsums of A
+    along +/-y, nc = sum(M*D_ll), nd = sum(M*D_lg); marginal tie
+    masses are the row/column sums.  Bit-identical to the densified
+    grid windows (same int64 ops in the same C(n,2) < 2^63 envelope;
+    pinned by the cross-impl differential test and the declared
+    query's DuckDB oracle)."""
+    from pyspark.sql.types import StructType
 
-    Why it exists: ``kendall_tau_exact`` RAISES past ``max_cells``
-    because its concordance self-join is quadratic in the joint value
-    domain — correct for genuinely ordinal columns (a 50 x 11 grid),
-    hopeless for a price-in-cents column where cells ~ n.  Quantizing
-    the continuous column into ``y_buckets`` equi-width buckets over
-    each group's own [min, max] span (``q = ((v - lo) * B) DIV
-    (hi - lo + 1)``, integer-exact, q in [0, B-1]) bounds the grid at
-    ``D_x * B``; the dominance masses then come from PREFIX SUMS over
-    the densified (x-value x y-bucket) grid rather than cell pairs:
+    out_schema = StructType([cells.schema[g] for g in groups])
+    for cname in ("nc", "nd", "tx_pairs", "ty_pairs", "n"):
+        out_schema = out_schema.add(cname, "long")
 
-    * ``A(x, yb)`` = points with x' < x in column yb — one cumulative
-      window partitioned by (group, yb) ordered by x;
-    * ``D_ll(x, yb) = sum_{yb' < yb} A(x, yb')`` (concordant-below
-      mass) and ``D_lg`` (discordant-above, the reversed window) —
-      windows partitioned by (group, x) over the B-bounded bucket
-      axis;
-    * ``nc = sum c * D_ll``, ``nd = sum c * D_lg`` — every pair
-      counted once at its greater-x cell; equal-x and equal-bucket
-      pairs are ties, handled by tau-b's marginal corrections.
+    def _grid_kernel(pdf):
+        import numpy as np
+        import pandas as pd
 
-    Every stage is grid-wide (<= ``max_grid``, probed and RAISED past
-    — same contract as theilsen_trend), never pair-wide: the plan
-    survives any row count the buckets can absorb.
-
-    Bias bound (quantization is MONOTONE, so no pair's order ever
-    inverts — near pairs can only merge into ties): with ``S = nc -
-    nd`` and ``D`` the tau-b denominator, only pairs sharing a bucket
-    change status, so ``|S_q - S| <= P_w`` (the within-bucket pair
-    count) and ``|tau_q - tau| <= P_w / D_q + |tau| * (D - D_q) / D_q
-    <= 2 * P_w / D_q``.  For B equi-width buckets over a
-    density-bounded column, ``P_w / C(n,2) = O(1/B)`` — at the default
-    B = 256 the bias is under ~1% of the pair mass, and doubling B
-    halves it.  ``x_buckets = 0`` (default) leaves x unquantized (use
-    for an already-ordinal x); int64 bound is kendall_tau_exact's
-    ``C(n,2) < 2^63`` with the same raise_error backstop.
-
-    Reference scope note: like the rest of this module, an extension —
-    the reference (bakdata kafka-dead-letter-analyzer) has no
-    evaluation-metric surface."""
-    if y_buckets < 2 and x_buckets < 2:
-        raise ValueError(
-            "kendall_tau_quantized: need at least one of"
-            " x_buckets/y_buckets >= 2 (else use kendall_tau_exact)"
-        )
-    groups = list(group_cols or [])
-    base = df.select(
-        *[df[g] for g in groups],
-        F.col(x_col).cast("bigint").alias("x"),
-        F.col(y_col).cast("bigint").alias("y"),
-    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-
-    def _quantize(frame: DataFrame, col: str, b: int) -> DataFrame:
-        if b < 2:
-            return frame
-        mm = frame.groupBy(*groups).agg(
-            F.min(col).alias("_lo"), F.max(col).alias("_hi")
-        )
-        # broadcast-sized per-group span table joined back BEFORE the
-        # contraction, so quantization is map-side and the contraction
-        # shuffle is already bucket-width
-        if groups:
-            from kafka_dead_letter_analyzer_spark.operators.common import (
-                null_safe_group_join,
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        c = pdf["c"].to_numpy(dtype=np.int64)
+        xs_u, xi = np.unique(x, return_inverse=True)
+        ys_u, yi = np.unique(y, return_inverse=True)
+        if len(xs_u) * len(ys_u) > max_grid:
+            raise ValueError(
+                f"kendall_tau_quantized: a group has a"
+                f" {len(xs_u) * len(ys_u)}-point (x, y-bucket) grid"
+                f" (> max_grid={max_grid}); quantize x too (x_buckets)"
+                " or lower the bucket counts"
             )
-
-            # null-safe: a NULL group key is a real group under groupBy
-            joined = null_safe_group_join(frame, mm, groups)
+        m = np.zeros((len(xs_u), len(ys_u)), dtype=np.int64)
+        m[xi, yi] = c  # cells are unique per (x, y) by construction
+        a = np.cumsum(m, axis=0) - m  # points with x' < x in column yb
+        d_ll = np.cumsum(a, axis=1) - a
+        rev = a[:, ::-1]
+        d_lg = (np.cumsum(rev, axis=1) - rev)[:, ::-1]
+        nc = int((m * d_ll).sum())
+        nd = int((m * d_lg).sum())
+        rx = m.sum(axis=1)
+        ry = m.sum(axis=0)
+        # marginal C(cc,2): vectorized int64 is exact while cc*(cc-1)
+        # fits (cc < ~3.04e9); past that use Python ints — same values
+        # the SQL path's guarded envelope documents
+        if rx.size and int(rx.max()) >= 3_000_000_000:
+            tx = sum(int(v) * (int(v) - 1) // 2 for v in rx)
         else:
-            joined = frame.crossJoin(F.broadcast(mm))
-        # the guard must not form the span itself: _hi - _lo wraps
-        # int64 when _lo is very negative and _hi very positive, and a
-        # wrapped (possibly negative) span would sail past the
-        # comparison.  Wrap is only possible when the signs differ, so
-        # arm 1 catches span > int64 without any subtraction that can
-        # overflow ({_I64_MAX} + _lo is exact for _lo < 0); once arm 1
-        # is false the span fits int64 and arm 2's `_hi - _lo > T-1`
-        # phrasing (no +1) is exact.  CASE arms evaluate sequentially,
-        # so arm 2's subtraction never runs on a wrapping pair.
-        msg = (
-            f"kendall_tau_quantized: value span of {col} too wide for"
-            f" {b} buckets (span * buckets must fit int64); rescale"
-            " the column first"
+            tx = int((rx * (rx - 1) // 2).sum())
+        if ry.size and int(ry.max()) >= 3_000_000_000:
+            ty = sum(int(v) * (int(v) - 1) // 2 for v in ry)
+        else:
+            ty = int((ry * (ry - 1) // 2).sum())
+        head = {g: [pdf[g].iloc[0]] for g in groups}
+        head.update(
+            nc=[nc],
+            nd=[nd],
+            tx_pairs=[tx],
+            ty_pairs=[ty],
+            n=[int(m.sum())],
         )
-        raise_b = f"CAST(raise_error('{msg}') AS BIGINT)"
-        q = (
-            f"CASE WHEN _lo < 0 AND _hi > {_I64_MAX} + _lo THEN {raise_b}"
-            f" WHEN _hi - _lo > {_I64_MAX // b - 1} THEN {raise_b}"
-            f" ELSE (({col} - _lo) * {b}) DIV (_hi - _lo + 1) END"
-        )
-        return joined.withColumn(col, F.expr(q)).drop("_lo", "_hi")
+        return pd.DataFrame(head)
 
-    q = _quantize(_quantize(base, "y", int(y_buckets)), "x", int(x_buckets))
-
-    cells = q.groupBy(*groups, "x", "y").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    return cells.groupBy(*groups).applyInPandas(
+        _grid_kernel, schema=out_schema
     )
-    # the grid-size probe materializes cells anyway, and FIVE downstream
-    # consumers (grid x/y distincts, the dominance windows, both tie
-    # masses) re-derive it — without the persist each re-derivation is
-    # a full base scan + quantize join (measured 2.5 s at sf0.1, ~6
-    # scans); with it, one scan builds the bucket-bounded contraction
-    # and everything after is contraction-sized
-    from kafka_dead_letter_analyzer_spark import cache_registry
 
-    cells = cells.persist()
-    cache_registry.track(cells)
-    xs = cells.select(*groups, "x").distinct()
-    ys = cells.select(*groups, "y").distinct()
+
+def _kendall_grid_sql_stats(
+    cells: DataFrame, xs: DataFrame, ys: DataFrame, groups: list[str]
+) -> DataFrame:
+    """The original relational dominance algebra (retained as the
+    impl='sql' differential path): densified grid, three cumulative
+    windows, two marginal tie contractions, null-safe assembly."""
     if groups:
-        # null-safe on the group key: a NULL group survives the
-        # quantize join (null_safe_group_join) and must survive here
-        # too, or its grid — and the whole group — silently vanishes
+        # null-safe on the group key: a NULL group is a real group
+        # under the contraction groupBys and must survive every join
         from kafka_dead_letter_analyzer_spark.operators.common import (
             null_safe_group_join,
         )
 
         grid = null_safe_group_join(xs, ys, groups)
-    else:
-        grid = xs.crossJoin(ys)
-
-    probe = (
-        grid.groupBy(*groups).count().agg(F.max("count").alias("m"))
-    ).collect()[0]["m"]
-    if probe is not None and probe > max_grid:
-        raise ValueError(
-            f"kendall_tau_quantized: a group has a {probe}-point"
-            f" (x, y-bucket) grid (> max_grid={max_grid}); quantize x"
-            " too (x_buckets) or lower the bucket counts"
-        )
-
-    if groups:
         # same NULL-group hazard as the grid build: plain equality on
         # the group columns would leave every cell of a NULL-keyed
         # group unmatched (c=0 across the board — a silent wrong tau)
@@ -1022,6 +960,7 @@ def kendall_tau_quantized(
             F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
         )
     else:
+        grid = xs.crossJoin(ys)
         gridc = grid.join(cells, ["x", "y"], "left").select(
             "x", "y",
             F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
@@ -1087,7 +1026,190 @@ def kendall_tau_quantized(
         )
     else:
         joined = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-    out = joined.withColumnRenamed("_n_tx_pairs", "n").withColumn(
+    return joined.withColumnRenamed("_n_tx_pairs", "n")
+
+
+def kendall_tau_quantized(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    x_buckets: int = 0,
+    y_buckets: int = 256,
+    max_grid: int = 1_000_000,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Kendall tau-b over QUANTIZED near-continuous columns — the same
+    output schema as :func:`kendall_tau_exact` (``nc nd tx_pairs
+    ty_pairs n tau_e6``), exact for the quantized data, computed by
+    GRID-PREFIX dominance counting instead of the cell-pair self-join:
+    O(grid) per group where the exact operator is O(cells^2).
+
+    Why it exists: ``kendall_tau_exact`` RAISES past ``max_cells``
+    because its concordance self-join is quadratic in the joint value
+    domain — correct for genuinely ordinal columns (a 50 x 11 grid),
+    hopeless for a price-in-cents column where cells ~ n.  Quantizing
+    the continuous column into ``y_buckets`` equi-width buckets over
+    each group's own [min, max] span (``q = ((v - lo) * B) DIV
+    (hi - lo + 1)``, integer-exact, q in [0, B-1]) bounds the grid at
+    ``D_x * B``; the dominance masses then come from PREFIX SUMS over
+    the densified (x-value x y-bucket) grid rather than cell pairs:
+
+    * ``A(x, yb)`` = points with x' < x in column yb — one cumulative
+      window partitioned by (group, yb) ordered by x;
+    * ``D_ll(x, yb) = sum_{yb' < yb} A(x, yb')`` (concordant-below
+      mass) and ``D_lg`` (discordant-above, the reversed window) —
+      windows partitioned by (group, x) over the B-bounded bucket
+      axis;
+    * ``nc = sum c * D_ll``, ``nd = sum c * D_lg`` — every pair
+      counted once at its greater-x cell; equal-x and equal-bucket
+      pairs are ties, handled by tau-b's marginal corrections.
+
+    Every stage is grid-wide (<= ``max_grid``, probed and RAISED past
+    — same contract as theilsen_trend), never pair-wide: the plan
+    survives any row count the buckets can absorb.
+
+    Bias bound (quantization is MONOTONE, so no pair's order ever
+    inverts — near pairs can only merge into ties): with ``S = nc -
+    nd`` and ``D`` the tau-b denominator, only pairs sharing a bucket
+    change status, so ``|S_q - S| <= P_w`` (the within-bucket pair
+    count) and ``|tau_q - tau| <= P_w / D_q + |tau| * (D - D_q) / D_q
+    <= 2 * P_w / D_q``.  For B equi-width buckets over a
+    density-bounded column, ``P_w / C(n,2) = O(1/B)`` — at the default
+    B = 256 the bias is under ~1% of the pair mass, and doubling B
+    halves it.  ``x_buckets = 0`` (default) leaves x unquantized (use
+    for an already-ordinal x); int64 bound is kendall_tau_exact's
+    ``C(n,2) < 2^63`` with the same raise_error backstop.
+
+    ``impl`` (r13 optimization): ``'kernel'`` (default) runs the whole
+    dominance algebra downstream of the persisted cells contraction in
+    ONE grouped Arrow kernel — the per-group dense (x, y-bucket) int64
+    matrix (<= ``max_grid`` cells, the probed bound) with two exclusive
+    ``cumsum`` passes IS ``A``/``D_ll``/``D_lg``, and the marginal tie
+    masses are its row/column sums (bleu/chrf r13.1 precedent: the
+    relational form cost 13 exchanges and ~20 broadcast-joined
+    grid-sized frames per evaluation, pure plan overhead at any scale
+    because everything below the contraction is grid-bounded).
+    ``'sql'`` keeps the original densified-grid window formulation —
+    retained as the cross-implementation differential; both emit
+    bit-identical integers (tested).  Task memory: 8 bytes x
+    ``max_grid`` = 8 MB at the default cap, parallel across groups
+    (the global form is one grid-bounded task, like the windows'
+    per-axis tasks it replaces).
+
+    Reference scope note: like the rest of this module, an extension —
+    the reference (bakdata kafka-dead-letter-analyzer) has no
+    evaluation-metric surface."""
+    if y_buckets < 2 and x_buckets < 2:
+        raise ValueError(
+            "kendall_tau_quantized: need at least one of"
+            " x_buckets/y_buckets >= 2 (else use kendall_tau_exact)"
+        )
+    if impl not in ("kernel", "sql"):
+        raise ValueError(
+            f"kendall_tau_quantized: impl={impl!r} must be kernel|sql"
+        )
+    groups = list(group_cols or [])
+    base = df.select(
+        *[df[g] for g in groups],
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def _quantize(frame: DataFrame, col: str, b: int) -> DataFrame:
+        if b < 2:
+            return frame
+        mm = frame.groupBy(*groups).agg(
+            F.min(col).alias("_lo"), F.max(col).alias("_hi")
+        )
+        # broadcast-sized per-group span table joined back BEFORE the
+        # contraction, so quantization is map-side and the contraction
+        # shuffle is already bucket-width
+        if groups:
+            from kafka_dead_letter_analyzer_spark.operators.common import (
+                null_safe_group_join,
+            )
+
+            # null-safe: a NULL group key is a real group under groupBy
+            joined = null_safe_group_join(frame, mm, groups)
+        else:
+            joined = frame.crossJoin(F.broadcast(mm))
+        # the guard must not form the span itself: _hi - _lo wraps
+        # int64 when _lo is very negative and _hi very positive, and a
+        # wrapped (possibly negative) span would sail past the
+        # comparison.  Wrap is only possible when the signs differ, so
+        # arm 1 catches span > int64 without any subtraction that can
+        # overflow ({_I64_MAX} + _lo is exact for _lo < 0); once arm 1
+        # is false the span fits int64 and arm 2's `_hi - _lo > T-1`
+        # phrasing (no +1) is exact.  CASE arms evaluate sequentially,
+        # so arm 2's subtraction never runs on a wrapping pair.
+        msg = (
+            f"kendall_tau_quantized: value span of {col} too wide for"
+            f" {b} buckets (span * buckets must fit int64); rescale"
+            " the column first"
+        )
+        raise_b = f"CAST(raise_error('{msg}') AS BIGINT)"
+        q = (
+            f"CASE WHEN _lo < 0 AND _hi > {_I64_MAX} + _lo THEN {raise_b}"
+            f" WHEN _hi - _lo > {_I64_MAX // b - 1} THEN {raise_b}"
+            f" ELSE (({col} - _lo) * {b}) DIV (_hi - _lo + 1) END"
+        )
+        return joined.withColumn(col, F.expr(q)).drop("_lo", "_hi")
+
+    q = _quantize(_quantize(base, "y", int(y_buckets)), "x", int(x_buckets))
+
+    cells = q.groupBy(*groups, "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # the grid-size probe materializes cells anyway, and FIVE downstream
+    # consumers (grid x/y distincts, the dominance windows, both tie
+    # masses) re-derive it — without the persist each re-derivation is
+    # a full base scan + quantize join (measured 2.5 s at sf0.1, ~6
+    # scans); with it, one scan builds the bucket-bounded contraction
+    # and everything after is contraction-sized
+    from kafka_dead_letter_analyzer_spark import cache_registry
+
+    cells = cells.persist()
+    cache_registry.track(cells)
+    xs = cells.select(*groups, "x").distinct()
+    ys = cells.select(*groups, "y").distinct()
+    # grid-size probe WITHOUT materializing grid rows: per-group
+    # |xs| * |ys| products (doubles for the compare — exact to 2^53,
+    # far past any sane max_grid, and wrap-proof where a bigint
+    # product of two huge axis counts is not); doubles as the cache
+    # fill for the persisted cells both paths then consume
+    xc = xs.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("double").alias("_nx")
+    )
+    yc = ys.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("double").alias("_ny")
+    )
+    if groups:
+        # null-safe on the group key: a NULL group survives the
+        # quantize join (null_safe_group_join) and must survive here
+        # too, or its grid — and the whole group — silently vanishes
+        from kafka_dead_letter_analyzer_spark.operators.common import (
+            null_safe_group_join,
+        )
+
+        gsz = null_safe_group_join(xc, yc, groups)
+    else:
+        gsz = xc.crossJoin(F.broadcast(yc))
+    probe = gsz.agg(F.max(F.expr("_nx * _ny")).alias("m")).collect()[0][
+        "m"
+    ]
+    if probe is not None and probe > max_grid:
+        raise ValueError(
+            f"kendall_tau_quantized: a group has a {int(probe)}-point"
+            f" (x, y-bucket) grid (> max_grid={max_grid}); quantize x"
+            " too (x_buckets) or lower the bucket counts"
+        )
+
+    if impl == "kernel":
+        stats = _kendall_grid_kernel_stats(cells, groups, int(max_grid))
+    else:
+        stats = _kendall_grid_sql_stats(cells, xs, ys, groups)
+    out = stats.withColumn(
         "n0",
         F.expr(
             f"CASE WHEN n > {_KENDALL_N_MAX} THEN"

@@ -12024,40 +12024,84 @@ def _bm25_int_rankers(
     the candidate contraction and both ranker windows per read
     (measured: x_ndcg_at_k exec 3.3 s -> the persisted chain runs the
     corpus work once; ra/rb are <= 10*|probes| rows, the cheapest
-    possible cache)."""
-    from kafka_dead_letter_analyzer_spark import cache_registry
+    possible cache).
 
-    stats = RV.bm25_stats(
-        load_table(spark, sf_dir, "documents"),
-        _bm25_queries_df(spark),
-        corpus_stats=_bm25_corpus_stats(spark, sf_dir),
-    )
-    per_doc = cache_registry.track(
-        stats.groupBy("query_id", "doc_id")
-        .agg(
+    The BUILT PLANS are memoized per (session, documents.parquet
+    mtime/size) — the load_table relation-memo pattern (r13.1) one
+    level up: three declared queries each rebuilt and re-analyzed this
+    same three-frame chain on every invocation.  Plan metadata only —
+    no row data crosses invocations: the persist marking below is
+    re-applied per call because the session owner's
+    release_all()/clearCache() boundary unpersists the frames between
+    queries, so every forced action still computes from the parquet
+    inputs."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.sources.batch import _session_key
+
+    key = None
+    try:
+        st = _os.stat(f"{sf_dir}/documents.parquet")
+        key = (_session_key(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # let load_table below surface the reader's own error
+    got = _BM25_RANKERS_MEMO.get(key) if key is not None else None
+    if got is None:
+        # diff the registry around the build so the memo learns which
+        # INTERNAL persists the chain registered (bm25_stats persists its
+        # doc_terms contraction — the single-scan pin depends on it being
+        # re-armed on every memo hit, not just the three outer frames)
+        before = {id(f) for f in cache_registry.snapshot()}
+        stats = RV.bm25_stats(
+            load_table(spark, sf_dir, "documents"),
+            _bm25_queries_df(spark),
+            corpus_stats=_bm25_corpus_stats(spark, sf_dir),
+        )
+        per_doc = stats.groupBy("query_id", "doc_id").agg(
             F.sum("tf").cast("bigint").alias("tfs"),
             F.max("dl").cast("bigint").alias("dl"),
         )
-        .persist()
-    )
-    ra = RV.salted_topk(
-        per_doc,
-        10,
-        partition_by=["query_id"],
-        order_by=[F.col("tfs").desc(), F.col("doc_id").asc()],
-        salt_src="doc_id",
-    ).select("query_id", "doc_id", F.col("rank").cast("long"))
-    rb = RV.salted_topk(
-        per_doc,
-        10,
-        partition_by=["query_id"],
-        order_by=[F.col("dl").asc(), F.col("doc_id").asc()],
-        salt_src="doc_id",
-    ).select("query_id", "doc_id", F.col("rank").cast("long"))
-    return (
-        cache_registry.track(ra.persist()),
-        cache_registry.track(rb.persist()),
-    )
+        ra = RV.salted_topk(
+            per_doc,
+            10,
+            partition_by=["query_id"],
+            order_by=[F.col("tfs").desc(), F.col("doc_id").asc()],
+            salt_src="doc_id",
+        ).select("query_id", "doc_id", F.col("rank").cast("long"))
+        rb = RV.salted_topk(
+            per_doc,
+            10,
+            partition_by=["query_id"],
+            order_by=[F.col("dl").asc(), F.col("doc_id").asc()],
+            salt_src="doc_id",
+        ).select("query_id", "doc_id", F.col("rank").cast("long"))
+        internal = [
+            f for f in cache_registry.snapshot() if id(f) not in before
+        ]
+        arm = [(f, f.storageLevel) for f in internal] + [
+            (f, StorageLevel.MEMORY_AND_DISK_DESER)
+            for f in (per_doc, ra, rb)
+        ]
+        got = (ra, rb, arm)
+        if key is not None:
+            if len(_BM25_RANKERS_MEMO) >= 64:  # tests touch many tmp dirs
+                _BM25_RANKERS_MEMO.clear()
+            _BM25_RANKERS_MEMO[key] = got
+    ra, rb, arm = got
+    # (re-)mark every frame in the chain for caching at its original
+    # level: storageLevel is NONE both on first build (the outer three)
+    # and after a consumption boundary's unpersist/clearCache; the check
+    # keeps repeat calls from spamming CacheManager already-cached warns
+    for frame, level in arm:
+        if frame.storageLevel == StorageLevel.NONE:
+            cache_registry.track(frame.persist(level))
+    return ra, rb
+
+
+_BM25_RANKERS_MEMO: dict = {}
 
 
 @_register(

@@ -919,3 +919,158 @@ def drift_counts_persist(spark, sf_dir, reps):
             ],
             reps,
         )
+
+
+def spearman_restructure(spark, sf_dir, reps):
+    """x_spearman_qty_price: status quo (base joined back to BOTH
+    centered maps row-level, then one agg) vs the pivot restructure:
+    den_x/den_y/n computed join-free from the (group, value) count
+    contractions (den = sum c*d^2), and num via ONE row-level join
+    (base x ym on the near-continuous column) contracted onto the
+    BOUNDED column's domain (50 quantities) then broadcast-joined to
+    xm.  Removes one full-width row-level shuffle+join; exact integer
+    equality asserted before timing."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    def base_df():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("bigint").alias("x"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+        return li.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def centered(base, col):
+        counts = base.groupBy("g", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        wg = Window.partitionBy("g")
+        w_lt = wg.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        w_all = wg.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            counts.withColumn(
+                "cum_lt",
+                F.coalesce(F.sum("c").over(w_lt), F.lit(0).cast("bigint")),
+            )
+            .withColumn("nn", F.sum("c").over(w_all))
+            .select(
+                "g",
+                F.col(col).alias(f"{col}v"),
+                "c",
+                F.expr("2 * cum_lt + c - nn").alias(f"d{col}"),
+            )
+        )
+
+    def candidate():
+        base = base_df().persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.track(base)
+        xm = centered(base, "x")
+        ym = centered(base, "y")
+        denx = xm.groupBy("g").agg(
+            F.sum(F.expr("c * dx * dx")).cast("bigint").alias("den_x"),
+            F.sum("c").cast("bigint").alias("n"),
+        )
+        deny = ym.groupBy("g").agg(
+            F.sum(F.expr("c * dy * dy")).cast("bigint").alias("den_y"),
+        )
+        t = (
+            base.alias("b")
+            .join(
+                ym.alias("ym"),
+                (F.col("b.g") == F.col("ym.g"))
+                & (F.col("b.y") == F.col("ym.yv")),
+            )
+            .groupBy(F.col("b.g").alias("g"), F.col("b.x").alias("x"))
+            .agg(F.sum("dy").cast("bigint").alias("sdy"))
+        )
+        num = (
+            t.alias("t")
+            .join(
+                F.broadcast(xm.alias("xm")),
+                (F.col("t.g") == F.col("xm.g"))
+                & (F.col("t.x") == F.col("xm.xv")),
+            )
+            .groupBy(F.col("t.g").alias("g"))
+            .agg(F.sum(F.expr("sdy * dx")).cast("bigint").alias("num"))
+        )
+        out = (
+            num.join(denx, "g").join(deny, "g")
+            .filter((F.col("den_x") > 0) & (F.col("den_y") > 0))
+            .select(
+                F.col("g").alias("l_returnflag"),
+                "num",
+                "den_x",
+                "den_y",
+                "n",
+                F.expr(
+                    "CAST(floor(num * 1000000.0 /"
+                    " (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS"
+                    " DOUBLE))) + 0.5) AS BIGINT)"
+                ).alias("rho_e6"),
+            )
+        )
+        return out
+
+    # correctness first: identical rows
+    sq = {tuple(r) for r in Q.x_spearman_qty_price(spark, sf_dir).collect()}
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    ca = {tuple(r) for r in candidate().collect()}
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    assert sq == ca, (sorted(sq)[:2], sorted(ca)[:2])
+    print(f"result sets identical ({len(sq)} rows)")
+
+    run_ab(
+        spark,
+        [
+            ("status_quo", lambda: Q.x_spearman_qty_price(spark, sf_dir)),
+            ("pivot_restructure", candidate),
+        ],
+        reps,
+    )
+
+
+def kendall_kernel(spark, sf_dir, reps):
+    """x_kendall_price_quantized: impl='sql' (densified grid windows +
+    assembly joins) vs impl='kernel' (one grouped Arrow kernel) on the
+    declared config; result equality asserted first."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators import ranking as RK
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    def build(impl):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_quantity",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        return RK.kendall_tau_quantized(
+            li, x_col="l_quantity", y_col="price_cents",
+            group_cols=["l_returnflag"], y_buckets=256, impl=impl,
+        )
+
+    a = {tuple(r) for r in build("sql").collect()}
+    cache_registry.release_all(); spark.catalog.clearCache()
+    b = {tuple(r) for r in build("kernel").collect()}
+    cache_registry.release_all(); spark.catalog.clearCache()
+    assert a == b, (sorted(a), sorted(b))
+    print(f"result sets identical ({len(a)} rows)")
+    run_ab(
+        spark,
+        [
+            ("sql_grid", lambda: build("sql")),
+            ("kernel", lambda: build("kernel")),
+        ],
+        reps,
+    )

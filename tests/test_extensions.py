@@ -198,6 +198,49 @@ def test_knn_join_rank_bounded(spark, embs):
     assert (pdf["id_a"] != pdf["id_b"]).all()
 
 
+def test_knn_join_tie_heavy_matches_bruteforce(spark):
+    """Adversarial tie case for the threshold preselect (r13): vectors
+    drawn from a 3-word vocabulary so MANY candidates tie exactly at the
+    k-th similarity — the preselect must keep the whole tie band and
+    break it on ascending right id, bit-identical to brute force."""
+    import numpy as np
+
+    vocab = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.6, 0.8, 0.0, 0.0],
+    ]
+    rows = [(i, vocab[i % 3]) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    k = 4
+    got = sorted(
+        tuple(r)
+        for r in S.pairwise_topk_join(df, df, k=k, planes=0).collect()
+    )
+    # brute force under the exact operator order (round-6 sims,
+    # sim desc then right id asc, self excluded)
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    expect = []
+    for a, va in vecs.items():
+        cands = []
+        for b, vb in vecs.items():
+            if b == a:
+                continue
+            s = float(
+                np.round(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)), 6
+                )
+            )
+            cands.append((-s, b))
+        cands.sort()
+        for rank, (negs, b) in enumerate(cands[:k], start=1):
+            expect.append((a, b, -negs, rank))
+    assert got == sorted(expect)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

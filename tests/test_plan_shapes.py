@@ -1235,10 +1235,15 @@ def test_roc_curve_single_contraction_no_cartesian(spark, Q):
 def test_kendall_quantized_grid_windows_partition_on_group(spark, Q):
     s = plan_of(Q.x_kendall_price_quantized(spark, SF))
     assert "CartesianProduct" not in s
-    # every window partitions on (group, axis) — no single-task stage
+    # no single-task stage (the kernel parallelizes across groups)
     assert "SinglePartition" not in s
     # the bounded contraction is materialized once (persisted cells)
     assert "InMemoryTableScan" in s or "InMemoryRelation" in s
+    # r13: the dominance algebra downstream of the persisted cells runs
+    # in ONE grouped Arrow kernel — no densified-grid windows, none of
+    # the ~20 broadcast-joined grid-sized assembly frames
+    assert "FlatMapGroupsInPandas" in s
+    assert "Window" not in s
 
 
 def test_funnel_windows_are_unordered_single_key_exchange(spark, Q):

@@ -609,6 +609,40 @@ def test_kendall_quantized_grid_prefix_matches_cell_pair(spark):
         assert got == want, (trial, b)
 
 
+def test_kendall_quantized_kernel_bitequal_sql(spark):
+    """r13 optimization: the grouped Arrow grid kernel (impl='kernel',
+    the default) must be BIT-IDENTICAL to the retained densified-grid
+    window formulation (impl='sql') — grouped, global, and with a NULL
+    group key (the null-safe-join hazard the SQL path guards)."""
+    rng = random.Random(86)
+    rows = [
+        (
+            rng.choice(["g0", "g1", None]),
+            rng.randint(1, 15),
+            rng.randint(0, 9999),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    for kwargs in (
+        {"group_cols": ["g"], "y_buckets": 7},
+        {"group_cols": ["g"], "y_buckets": 64, "x_buckets": 4},
+        {"y_buckets": 16},  # global: one grid-bounded kernel task
+    ):
+        kern = sorted(
+            tuple(r)
+            for r in R.kendall_tau_quantized(df, "x", "y", **kwargs).collect()
+        )
+        sql = sorted(
+            tuple(r)
+            for r in R.kendall_tau_quantized(
+                df, "x", "y", impl="sql", **kwargs
+            ).collect()
+        )
+        assert kern == sql, kwargs
+        assert kern, kwargs  # non-degenerate: groups actually emitted
+
+
 def test_kendall_quantized_injective_buckets_equal_exact(spark):
     """With bucket count >= the value span, quantization is strictly
     monotone (injective) and tau-b is invariant — the quantized
