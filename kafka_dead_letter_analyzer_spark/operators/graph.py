@@ -418,6 +418,42 @@ def triangle_counts(
     )
 
 
+def _driver_pagerank(
+    edge_rows,
+    iters: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+) -> list:
+    """In-process integer power iteration over a bounded edge list —
+    the bounded-driver-action twin of :func:`_driver_union_find` /
+    :func:`_driver_kcore`.  Bit-identical to the distributed recurrence:
+    same truncating divisions in the same order (all quantities are
+    non-negative, so Python ``//`` and SQL ``DIV`` agree).  Returns
+    sorted ``(node, rank_int)`` tuples."""
+    from collections import defaultdict
+
+    od: dict = defaultdict(int)
+    nodes = set()
+    edge_list = []
+    for u, v in edge_rows:
+        od[u] += 1
+        nodes.add(u)
+        nodes.add(v)
+        edge_list.append((u, v))
+    base = (scale * (damping_den - damping_num)) // damping_den
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        s: dict = defaultdict(int)
+        for u, v in edge_list:
+            s[v] += rank[u] // od[u]
+        rank = {
+            n: base + (damping_num * s.get(n, 0)) // damping_den
+            for n in nodes
+        }
+    return sorted(rank.items())
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "id_a",
@@ -426,6 +462,7 @@ def pagerank_int(
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    driver_pair_limit: int | None = 250_000,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge table —
     ``(node, rank_int BIGINT)`` after a FIXED number of power
@@ -452,6 +489,19 @@ def pagerank_int(
     is fixed and small, so the lineage stays bounded without
     checkpointing.  Nodes with no in-edges keep ``base`` via the
     left join back onto the node set.
+
+    Two physical strategies behind one contract (r13 optimization, the
+    :func:`connected_components` / :func:`kcore_nodes` pattern): when
+    the edge list is at most ``2 * driver_pair_limit`` rows, ONE
+    bounded localize (Arrow ``toPandas`` via ``limit(cap+1)``, which
+    doubles as the strategy probe) runs the same integer recurrence
+    in-process and returns one Arrow-backed local frame — the unrolled
+    distributed plan re-evaluated the edge derivation once per
+    iteration per branch (38 Exchange + 9 BroadcastExchange at 3
+    iterations, the plan-sweep maximum over all declared queries) for
+    a |V|-row result.  Above the bound, or ``driver_pair_limit=None``,
+    the distributed iteration below is the 100 TB shape; the two paths
+    are differential-tested bit-equal.
     """
     # NO persist here, deliberately: e/nodes/outdeg have many consumers,
     # but x_pagerank_int's upstream edge derivation is one cheap scan —
@@ -461,6 +511,30 @@ def pagerank_int(
     # co-occurrence upstream is expensive and wins from the persist —
     # the rule is the upstream's cost, not the consumer count.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if driver_pair_limit is not None:
+        cap = 2 * driver_pair_limit
+        head = e.limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            id_type = edges.schema[src].dataType
+            labels = _driver_pagerank(
+                head.itertuples(index=False, name=None),
+                iters,
+                scale,
+                damping_num,
+                damping_den,
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("node", id_type, False),
+                    T.StructField("rank_int", T.LongType(), False),
+                ]
+            )
+            pdf = pd.DataFrame(labels or [], columns=["node", "rank_int"])
+            return spark.createDataFrame(pdf, schema)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

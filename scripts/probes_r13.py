@@ -1074,3 +1074,39 @@ def kendall_kernel(spark, sf_dir, reps):
         ],
         reps,
     )
+
+
+def pagerank_driver(spark, sf_dir, reps):
+    """x_pagerank_int: distributed unrolled iteration
+    (driver_pair_limit=None) vs the bounded driver power iteration
+    (default); result equality asserted first."""
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark.operators import graph as GR
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+    from kafka_dead_letter_analyzer_spark.sources.batch import load_table
+
+    def build(limit):
+        pc = TX.cooccurrence_counts(
+            load_table(spark, sf_dir, "documents"), text_col="text", window=2
+        )
+        edges = pc.filter(
+            (F.col("n") >= 2) & (F.col("center") != F.col("context"))
+        ).select(F.col("center").alias("id_a"), F.col("context").alias("id_b"))
+        return GR.pagerank_int(
+            edges, "id_a", "id_b", iters=3, driver_pair_limit=limit
+        )
+
+    a = {tuple(r) for r in build(None).collect()}
+    cache_registry.release_all(); spark.catalog.clearCache()
+    b = {tuple(r) for r in build(250_000).collect()}
+    cache_registry.release_all(); spark.catalog.clearCache()
+    assert a == b, (len(a), len(b))
+    print(f"result sets identical ({len(a)} rows)")
+    run_ab(
+        spark,
+        [
+            ("distributed", lambda: build(None)),
+            ("driver_bounded", lambda: build(250_000)),
+        ],
+        reps,
+    )

@@ -1380,6 +1380,15 @@ def test_pagerank_int_matches_scratch_and_properties(spark):
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         df = spark.createDataFrame(edges, "id_a int, id_b int")
         got = {r["node"]: r["rank_int"] for r in pagerank_int(df, iters=3).collect()}
+        # r13: the bounded driver path (default) and the distributed
+        # iteration must be bit-equal (the connected_components twin)
+        dist = {
+            r["node"]: r["rank_int"]
+            for r in pagerank_int(
+                df, iters=3, driver_pair_limit=None
+            ).collect()
+        }
+        assert got == dist, seed
         outd: dict = defaultdict(int)
         nodes = set()
         for u, v in edges:
