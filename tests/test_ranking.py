@@ -624,23 +624,37 @@ def test_kendall_quantized_kernel_bitequal_sql(spark):
         for _ in range(500)
     ]
     df = spark.createDataFrame(rows, "g string, x long, y long")
+    def nskey(t):  # None-safe tuple sort (the NULL group row)
+        return tuple((x is None, x) for x in t)
+
     for kwargs in (
         {"group_cols": ["g"], "y_buckets": 7},
         {"group_cols": ["g"], "y_buckets": 64, "x_buckets": 4},
         {"y_buckets": 16},  # global: one grid-bounded kernel task
     ):
         kern = sorted(
-            tuple(r)
-            for r in R.kendall_tau_quantized(df, "x", "y", **kwargs).collect()
+            (
+                tuple(r)
+                for r in R.kendall_tau_quantized(
+                    df, "x", "y", **kwargs
+                ).collect()
+            ),
+            key=nskey,
         )
         sql = sorted(
-            tuple(r)
-            for r in R.kendall_tau_quantized(
-                df, "x", "y", impl="sql", **kwargs
-            ).collect()
+            (
+                tuple(r)
+                for r in R.kendall_tau_quantized(
+                    df, "x", "y", impl="sql", **kwargs
+                ).collect()
+            ),
+            key=nskey,
         )
         assert kern == sql, kwargs
         assert kern, kwargs  # non-degenerate: groups actually emitted
+        if "group_cols" in kwargs:
+            # the NULL group key must survive both implementations
+            assert any(t[0] is None for t in kern), kwargs
 
 
 def test_kendall_quantized_injective_buckets_equal_exact(spark):
