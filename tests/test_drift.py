@@ -1544,6 +1544,44 @@ def test_counts_df_passthrough_identical_all_detectors(spark):
         assert inline == shared, (op.__name__, inline ^ shared)
 
 
+def test_span_probe_memo_guard_still_fires_on_memo_hit(spark):
+    """r13: the worst-span guard probe memoizes per shared counts frame
+    (3 collects -> 1 in x_drift_report's construction); a LATER
+    detector with a TIGHTER max_buckets cap must still raise off the
+    memoized scalar, and a fresh counts frame must get a fresh probe."""
+    from kafka_dead_letter_analyzer_spark.operators.drift import (
+        bucket_counts,
+        mann_kendall,
+        theilsen_trend,
+    )
+
+    df = _events(spark, list(range(30)))  # 30 hourly buckets
+    shared = bucket_counts(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour"
+    )
+    # first detector primes the memo (generous cap: no raise)
+    theilsen_trend(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour",
+        counts_df=shared,
+    ).collect()
+    # second detector, SAME frame, tighter cap: must raise from the
+    # memoized scalar (the guard is per-caller even on a memo hit)
+    with pytest.raises(ValueError, match="max_buckets=5"):
+        mann_kendall(
+            df, ts_col="ts", group_cols=["grp"], bucket="hour",
+            counts_df=shared, max_buckets=5,
+        ).collect()
+    # a FRESH frame re-probes and passes its own generous cap
+    fresh = bucket_counts(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour"
+    )
+    got = mann_kendall(
+        df, ts_col="ts", group_cols=["grp"], bucket="hour",
+        counts_df=fresh,
+    ).collect()
+    assert got  # non-degenerate
+
+
 def test_counts_df_validation_raises(spark):
     """counts_df with the wrong column shape must raise, and cusum must
     reject the counts_df + weight_expr combination."""
