@@ -1625,6 +1625,80 @@ def _events_envelope(events: DataFrame) -> DataFrame:
     return events.select(*_cached_cols("events_envelope", _build))
 
 
+def _analyzer_topology(spark: SparkSession, sf_dir: str):
+    """Memoized ``build_topology(_events_envelope(load_table(events)))``
+    per (session, events.parquet mtime/size) — the r13.17 ranker-memo
+    pattern applied to the analyzer core: m1_topology_main and
+    e3_feedback_stats each rebuilt the same union topology per
+    invocation (~0.5 s of pure py4j/analysis chatter; build_topology
+    registers no persists, so there is nothing to re-arm here).  Plan
+    metadata only — every forced action still computes from parquet."""
+    import os as _os
+
+    from kafka_dead_letter_analyzer_spark.sources.batch import _session_key
+
+    key = None
+    try:
+        st = _os.stat(f"{sf_dir}/events.parquet")
+        key = (_session_key(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # let load_table surface the reader's own error
+    got = _TOPOLOGY_MEMO.get(key) if key is not None else None
+    if got is None:
+        got = build_topology(
+            _events_envelope(load_table(spark, sf_dir, "events"))
+        )
+        if key is not None:
+            if len(_TOPOLOGY_MEMO) >= 64:  # tests touch many tmp dirs
+                _TOPOLOGY_MEMO.clear()
+            _TOPOLOGY_MEMO[key] = got
+    return got
+
+
+def _analyzer_feedback(spark: SparkSession, sf_dir: str):
+    """Memoized ``error_feedback_pass`` over the memoized topology —
+    separate stage so m1 never pays the feedback build.  The pass
+    PERSISTS the error-topic boundary internally, so the memo
+    registry-diffs the build and re-arms those frames per call (the
+    r13.17 snapshot pattern: release_all()/clearCache() unpersists
+    them between bench queries)."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from kafka_dead_letter_analyzer_spark.sources.batch import _session_key
+
+    key = None
+    try:
+        st = _os.stat(f"{sf_dir}/events.parquet")
+        key = (_session_key(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # let load_table surface the reader's own error
+    got = _FEEDBACK_MEMO.get(key) if key is not None else None
+    if got is None:
+        before = {id(f) for f in cache_registry.snapshot()}
+        out2 = error_feedback_pass(_analyzer_topology(spark, sf_dir))
+        internal = [
+            f for f in cache_registry.snapshot() if id(f) not in before
+        ]
+        arm = [(f, f.storageLevel) for f in internal]
+        got = (out2, arm)
+        if key is not None:
+            if len(_FEEDBACK_MEMO) >= 64:
+                _FEEDBACK_MEMO.clear()
+            _FEEDBACK_MEMO[key] = got
+    out2, arm = got
+    for frame, level in arm:
+        if frame.storageLevel == StorageLevel.NONE:
+            cache_registry.track(frame.persist(level))
+    return out2
+
+
+_TOPOLOGY_MEMO: dict = {}
+_FEEDBACK_MEMO: dict = {}
+
+
+
 @_register(
     "m1_topology_main",
     f"""
@@ -1648,7 +1722,7 @@ def m1_topology_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     Records with a NULL stack trace (every 11th) must be absent here — they
     took the error branch. The classified type, elastic document key, and
     formatted timestamp are all asserted against the oracle."""
-    out = build_topology(_events_envelope(load_table(spark, sf_dir, "events")))
+    out = _analyzer_topology(spark, sf_dir)
     f = out.full_dead_letters
     return f.select(
         "kafka_key",
@@ -1683,8 +1757,7 @@ def e3_feedback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must classify every one of them (self-analysis e2e,
     DeadLetterAnalyzerTopologyTest.java:320-383). Timestamp columns are
     excluded: feedback arrival time is not a function of the data."""
-    out1 = build_topology(_events_envelope(load_table(spark, sf_dir, "events")))
-    out2 = error_feedback_pass(out1)
+    out2 = _analyzer_feedback(spark, sf_dir)
     return out2.error_statistics.select("kafka_key", "count", "topic", "type")
 
 
