@@ -677,8 +677,55 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    for perq_line in format_perq_lines(timings, execs):
+        print(perq_line)
     print(format_final_line(timings, cold, execs, sf, streaming, vs_ref))
     spark.stop()
+
+
+def format_perq_lines(
+    timings: dict, execs: dict | None = None, limit: int = 1500
+) -> list[str]:
+    """Chunked compact per-query stdout lines (r13 verdict What's-wrong
+    #1 / next-#2: the driver's PERF builder was per-query blind because
+    the final line drops ``queries`` at >= 1800 chars and 229 query
+    names can never fit a ~2,000-char stdout tail).  Each ``PERQ`` line
+    is a self-describing chunk under ``limit`` chars — CENTISECOND ints
+    keyed by query name, tier-tagged, part i of n — so any stdout
+    suffix still yields whole parseable chunks; warm chunks print LAST
+    (nearest the tail) because warm is the headline tier.  Purely
+    additive: the DETAIL line and the final one-JSON-line contract are
+    byte-unchanged, and the full-resolution per-query record stays in
+    BENCH_DETAIL.json."""
+    out: list[str] = []
+    tiers = []
+    if execs:
+        tiers.append(("exec", execs))
+    if timings:
+        tiers.append(("warm", timings))
+    for tier, qdict in tiers:
+        chunks: list[dict] = []
+        cur: dict = {}
+        cur_len = 0
+        for name, sec in qdict.items():
+            cs = int(round(sec * 100))
+            entry_len = len(name) + len(str(cs)) + 5  # "name":cs,
+            if cur and cur_len + entry_len > limit - 80:
+                chunks.append(cur)
+                cur, cur_len = {}, 0
+            cur[name] = cs
+            cur_len += entry_len
+        if cur:
+            chunks.append(cur)
+        n = len(chunks)
+        for i, chunk in enumerate(chunks):
+            line = "PERQ " + json.dumps(
+                {"tier": tier, "unit": "cs", "part": i + 1, "parts": n,
+                 "q": chunk},
+                separators=(",", ":"),
+            )
+            out.append(line)
+    return out
 
 
 def format_final_line(

@@ -36,9 +36,15 @@ _tracked: list = []
 
 def track(df):
     """Register a persisted DataFrame for deferred release; returns it
-    unchanged (chainable around ``.persist()``)."""
+    unchanged (chainable around ``.persist()``).  Identity-deduped
+    (r13 driver advice): memo re-arm paths call ``track`` on the same
+    frame object after every ``clearCache()`` boundary — clearCache
+    unpersists but does not drain ``_tracked``, so without the dedup
+    the list grows one duplicate entry per re-arm until the next
+    ``release_all``."""
     with _lock:
-        _tracked.append(df)
+        if not any(t is df for t in _tracked):
+            _tracked.append(df)
     return df
 
 

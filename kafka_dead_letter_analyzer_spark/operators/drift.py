@@ -144,7 +144,15 @@ def _worst_span_buckets(counts: DataFrame, span: DataFrame, groups: list):
     detector's own inline build is a fresh object every call, so
     standalone behavior is unchanged and entries die with the frame;
     the memoized value only feeds the max_buckets guard (each caller
-    compares against its own cap), never the statistics."""
+    compares against its own cap), never the statistics.
+
+    Staleness assumption (r13 driver advice): identity keying presumes
+    the frame's underlying data does not change while the object lives
+    — true here because frames are rebuilt through the mtime/size-keyed
+    ``load_table`` relation, so a rewritten source yields a NEW frame
+    object; re-collecting a live unpersisted frame over an in-place
+    rewritten file would reuse the stale span scalar (guard only, never
+    the statistics)."""
     import weakref
 
     global _WORST_SPAN_MEMO

@@ -148,7 +148,12 @@ def connected_components(
         # over-limit probe leaves the persist primed for the hops below.
         cap = 2 * driver_pair_limit
         head = edges.limit(cap + 1).toPandas()
-        if len(head) <= cap:
+        # NULL-endpoint guard (r13 driver advice): pandas promotes a
+        # nullable int id column containing NULLs to float64/NaN, which
+        # the in-process recurrence would propagate where the
+        # distributed joins drop them — fall back to the distributed
+        # branch so both strategies agree.
+        if len(head) <= cap and not head.isnull().values.any():
             spark = pairs.sparkSession
             from pyspark.sql import types as T
 
@@ -485,10 +490,12 @@ def pagerank_int(
 
     Scale shape: each iteration is one equi-join (ranks ⋈ edges on src
     — ranks is |V| rows and BROADCASTS when small; hash join otherwise)
-    plus one groupBy(dst) with map-side partial sums; iteration count
-    is fixed and small, so the lineage stays bounded without
-    checkpointing.  Nodes with no in-edges keep ``base`` via the
-    left join back onto the node set.
+    plus one groupBy(dst) with map-side partial sums; the edge list,
+    node set and out-degrees persist ONCE (registry-tracked) and the
+    rank frame lineage is truncated per iteration with a lazy
+    ``localCheckpoint``, so the plan reads each invariant from cache
+    instead of re-deriving it per iteration per branch.  Nodes with no
+    in-edges keep ``base`` via the left join back onto the node set.
 
     Two physical strategies behind one contract (r13 optimization, the
     :func:`connected_components` / :func:`kcore_nodes` pattern): when
@@ -503,18 +510,17 @@ def pagerank_int(
     the distributed iteration below is the 100 TB shape; the two paths
     are differential-tested bit-equal.
     """
-    # NO persist here, deliberately: e/nodes/outdeg have many consumers,
-    # but x_pagerank_int's upstream edge derivation is one cheap scan —
-    # measured (sf0.1, same-session A/B, best of 5 warm reps) persisting
-    # all three LOSES 1.15 -> 1.37 s: the materialization barriers cost
-    # more than the recompute.  Contrast triangle_counts, whose
-    # co-occurrence upstream is expensive and wins from the persist —
-    # the rule is the upstream's cost, not the consumer count.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if driver_pair_limit is not None:
         cap = 2 * driver_pair_limit
         head = e.limit(cap + 1).toPandas()
-        if len(head) <= cap:
+        # NULL-endpoint guard (r13 driver advice): a NULL src/dst id
+        # becomes NaN under the pandas localize and _driver_pagerank
+        # would feed it through the recurrence (and createDataFrame
+        # then rejects the nullable=False node field) — the
+        # distributed branch's null-unsafe joins drop those
+        # contributions, so fall through to it and stay bit-equal.
+        if len(head) <= cap and not head.isnull().values.any():
             import pandas as pd
             from pyspark.sql import types as T
 
@@ -535,15 +541,32 @@ def pagerank_int(
             )
             pdf = pd.DataFrame(labels or [], columns=["node", "rank_int"])
             return spark.createDataFrame(pdf, schema)
+    # Distributed path — the 100 TB shape (r14, VERDICT r13 next-#3).
+    # The unrolled loop otherwise re-derives e/outdeg/nodes once per
+    # iteration per branch (38 Exchange + 18 BroadcastExchange at 3
+    # iterations — the r13 plan-sweep maximum): persist the
+    # per-iteration INVARIANTS once (registry-tracked, released at the
+    # session owner's boundary) and truncate the rank lineage each
+    # iteration with a LAZY localCheckpoint (LogicalRDD cuts the plan
+    # immediately; materialization happens on first force, so
+    # construction stays action-free).  The sf0.1 bench never takes
+    # this branch (the bounded driver path covers it); the old "persist
+    # LOSES 1.15 -> 1.37 s" A/B predates the driver path and priced
+    # exactly that small-scale regime.
+    e = e.persist()
+    cache_registry.track(e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
+        .persist()
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    cache_registry.track(nodes)
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("od")).persist()
+    cache_registry.track(outdeg)
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_int"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             ranks.join(e, ranks.node == e.u)
             .join(outdeg, "u")
@@ -568,6 +591,12 @@ def pagerank_int(
                 .alias("rank_int"),
             )
         )
+        # truncate lineage BETWEEN iterations only — the returned
+        # frame keeps the last iteration's real plan (auditable, and
+        # consumers see the true shape), while every earlier iteration
+        # is one bounded LogicalRDD instead of a re-derivation chain.
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -657,7 +686,8 @@ def kcore_nodes(
         # one short-circuiting job, 16 B/edge on the driver, never
         # cap+1 Python Row objects.
         head = sym.limit(cap + 1).toPandas()
-        if len(head) <= cap:
+        # NULL-endpoint guard: same rationale as connected_components.
+        if len(head) <= cap and not head.isnull().values.any():
             spark = pairs.sparkSession
             from pyspark.sql import types as T
 
@@ -807,7 +837,8 @@ def bfs_hops(
     if driver_pair_limit is not None:
         cap = 2 * driver_pair_limit
         head = sym.limit(cap + 1).toPandas()
-        if len(head) <= cap:
+        # NULL-endpoint guard: same rationale as connected_components.
+        if len(head) <= cap and not head.isnull().values.any():
             from pyspark.sql import types as T
 
             seed_ids = [r[0] for r in seeds.select("node").toPandas().itertuples(index=False, name=None)]
