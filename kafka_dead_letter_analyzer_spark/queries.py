@@ -10784,8 +10784,50 @@ _DRIFT_REPORT_ORACLE = f"""
 """
 
 
-@_register("x_drift_report", _DRIFT_REPORT_ORACLE)
-def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+_DRIFT_REPORT_MEMO: dict = {}
+
+
+def _drift_report_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized x_drift_report plan per (session, events.parquet
+    mtime/size) — the r13.17 ranker / r13.21 topology memo pattern on
+    the report composition: each warm invocation rebuilt five detector
+    plans over the shared contraction (~1.1 s of py4j plan-building)
+    plus the worst-span guard probe.  Plan metadata only — the daily
+    contraction persist is re-armed per call via the registry snapshot
+    diff, and every forced action recomputes from parquet."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from kafka_dead_letter_analyzer_spark.sources.batch import _session_key
+
+    key = None
+    try:
+        st = _os.stat(f"{sf_dir}/events.parquet")
+        key = (_session_key(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # let load_table surface the reader's own error
+    got = _DRIFT_REPORT_MEMO.get(key) if key is not None else None
+    if got is None:
+        before = {id(f) for f in cache_registry.snapshot()}
+        out = _build_drift_report(spark, sf_dir)
+        internal = [
+            f for f in cache_registry.snapshot() if id(f) not in before
+        ]
+        arm = [(f, f.storageLevel) for f in internal]
+        got = (out, arm)
+        if key is not None:
+            if len(_DRIFT_REPORT_MEMO) >= 64:  # tests touch many tmp dirs
+                _DRIFT_REPORT_MEMO.clear()
+            _DRIFT_REPORT_MEMO[key] = got
+    out, arm = got
+    for frame, level in arm:
+        if frame.storageLevel == StorageLevel.NONE:
+            cache_registry.track(frame.persist(level))
+    return out
+
+
+def _build_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row-per-type drift DASHBOARD joining the four detectors the
     library ships — the capstone composition: CUSUM's strongest
     up/down level shift (x_cusum_changepoint), the Theil-Sen robust
@@ -10854,6 +10896,19 @@ def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hampel, "event_type")
         .join(seasonal, "event_type")
     )
+
+
+@_register("x_drift_report", _DRIFT_REPORT_ORACLE)
+def x_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared surface for the drift dashboard — the composition
+    itself lives in ``_build_drift_report`` (docstring there); this
+    wrapper memoizes the BUILT PLAN per (session, events.parquet
+    mtime/size) via ``_drift_report_frame`` (the r13.17 ranker-chain
+    pattern): five detector plans over the shared daily contraction
+    cost ~1.1 s of py4j plan-building per warm invocation.  Plan
+    metadata only — the contraction persist is re-armed per call and
+    every forced action recomputes from parquet."""
+    return _drift_report_frame(spark, sf_dir)
 
 
 @_register(
