@@ -2752,11 +2752,18 @@ def x_contamination_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     words-bounded regardless, so corpus grams prune against a
     broadcast BEFORE any gram string reaches the exact join's
     shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return CN.ngram_overlap_prefiltered(
-        corpus=docs.filter(F.col("source") != "src0"),
-        benchmark=docs.filter(F.col("source") == "src0"),
-        n=8,
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return CN.ngram_overlap_prefiltered(
+            corpus=docs.filter(F.col("source") != "src0"),
+            benchmark=docs.filter(F.col("source") == "src0"),
+            n=8,
+        )
+
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # the bitmap sizing count plus the k-lookup plan build (~0.9 s)
+    return _memo_plan(
+        spark, sf_dir, "x_contamination_prefiltered", ["documents"], build
     )
 
 
@@ -8563,44 +8570,53 @@ def x_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     then cohens_kappa's single contingency contraction."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
-    )
-    fp = docs.select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.regexp_replace(
-                F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                "[^a-z0-9]",
-                "",
-            )
-        ).alias("f"),
-    )
-    fc = fp.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
-    pairs = D.dedup_near_minhash(
-        docs, num_hashes=64, bands=32, threshold=0.5
-    )
-    flagged = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("_fl", F.lit(1))
-    )
-    base = (
-        fp.join(fc, "f")
-        .join(flagged, "doc_id", "left")
-        .select(
-            "source",
-            F.when(F.col("nc") > 1, F.lit("dup"))
-            .otherwise(F.lit("uniq"))
-            .alias("a"),
-            F.when(F.col("_fl").isNotNull(), F.lit("dup"))
-            .otherwise(F.lit("uniq"))
-            .alias("b"),
+    def build():
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isNotNull()
         )
+        fp = docs.select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    "[^a-z0-9]",
+                    "",
+                )
+            ).alias("f"),
+        )
+        fc = fp.groupBy("f").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nc")
+        )
+        pairs = D.dedup_near_minhash(
+            docs, num_hashes=64, bands=32, threshold=0.5
+        )
+        flagged = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .withColumn("_fl", F.lit(1))
+        )
+        base = (
+            fp.join(fc, "f")
+            .join(flagged, "doc_id", "left")
+            .select(
+                "source",
+                F.when(F.col("nc") > 1, F.lit("dup"))
+                .otherwise(F.lit("uniq"))
+                .alias("a"),
+                F.when(F.col("_fl").isNotNull(), F.lit("dup"))
+                .otherwise(F.lit("uniq"))
+                .alias("b"),
+            )
+        )
+        return RK.cohens_kappa(base, "a", "b", group_cols=["source"])
+
+    # r14: built plan memoized (see _memo_plan) — the minhash banding
+    # UDF + kappa plan build dominated repeat construction
+    return _memo_plan(
+        spark, sf_dir, "x_dedup_agreement", ["documents"], build
     )
-    return RK.cohens_kappa(base, "a", "b", group_cols=["source"])
 
 
 @_register(
@@ -9977,16 +9993,23 @@ def x_kendall_price_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_quantity",
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("price_cents"),
-    )
-    return RK.kendall_tau_quantized(
-        li, x_col="l_quantity", y_col="price_cents",
-        group_cols=["l_returnflag"], y_buckets=256,
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_quantity",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        return RK.kendall_tau_quantized(
+            li, x_col="l_quantity", y_col="price_cents",
+            group_cols=["l_returnflag"], y_buckets=256,
+        )
+
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # the grid guard probe + kernel plan build (~0.8 s) per invocation
+    return _memo_plan(
+        spark, sf_dir, "x_kendall_price_quantized", ["lineitem"], build
     )
 
 
@@ -10275,10 +10298,18 @@ def x_leadlag_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     group column."""
     from kafka_dead_letter_analyzer_spark.operators import drift as DR
 
-    ev = load_table(spark, sf_dir, "events")
-    return DR.leadlag_spearman(
-        ev, ts_col="ts", cat_col="event_type",
-        cat_a="purchase", cat_b="error", max_lag=5, bucket="day",
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # leadlag's worst-span guard probe per invocation
+    return _memo_plan(
+        spark,
+        sf_dir,
+        "x_leadlag_purchase_error",
+        ["events"],
+        lambda: DR.leadlag_spearman(
+            load_table(spark, sf_dir, "events"),
+            ts_col="ts", cat_col="event_type",
+            cat_a="purchase", cat_b="error", max_lag=5, bucket="day",
+        ),
     )
 
 
@@ -10750,10 +10781,18 @@ def x_rate_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME series; only the offset join differs per lag)."""
     from kafka_dead_letter_analyzer_spark.operators import drift as DR
 
-    ev = load_table(spark, sf_dir, "events")
-    return DR.leadlag_spearman(
-        ev, ts_col="ts", cat_col="event_type",
-        cat_a="error", cat_b="error", max_lag=7, bucket="day",
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # leadlag's worst-span guard probe per invocation
+    return _memo_plan(
+        spark,
+        sf_dir,
+        "x_rate_autocorr",
+        ["events"],
+        lambda: DR.leadlag_spearman(
+            load_table(spark, sf_dir, "events"),
+            ts_col="ts", cat_col="event_type",
+            cat_a="error", cat_b="error", max_lag=7, bucket="day",
+        ),
     )
 
 
@@ -10784,17 +10823,26 @@ _DRIFT_REPORT_ORACLE = f"""
 """
 
 
-_DRIFT_REPORT_MEMO: dict = {}
+_PLAN_MEMO: dict = {}
 
 
-def _drift_report_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized x_drift_report plan per (session, events.parquet
-    mtime/size) — the r13.17 ranker / r13.21 topology memo pattern on
-    the report composition: each warm invocation rebuilt five detector
-    plans over the shared contraction (~1.1 s of py4j plan-building)
-    plus the worst-span guard probe.  Plan metadata only — the daily
-    contraction persist is re-armed per call via the registry snapshot
-    diff, and every forced action recomputes from parquet."""
+def _memo_plan(spark, sf_dir, name, tables, build):
+    """Generic BUILT-PLAN memo — the r13.17 bm25-ranker / r13.21
+    topology / r14 drift-report pattern factored out for the remaining
+    construction-heavy declared queries: memoizes the DataFrame
+    ``build()`` returns per (session, sf_dir, query name, and the
+    mtime_ns/size of every input parquet in ``tables``), so a warm
+    re-invocation skips the Python/py4j plan re-build and any
+    construction-time guard probes (their outcome is a function of the
+    keyed inputs).  PLAN METADATA ONLY — no row data crosses
+    invocations: internal persists the build registers with
+    cache_registry are captured by a registry snapshot diff and
+    re-armed on every hit (the bench's release_all()/clearCache()
+    boundary unpersists them between queries), so every forced action
+    still computes from the parquet inputs.  NOT applicable to queries
+    whose construction embeds computed data in the returned plan
+    (driver-localized CC/kmeans/pagerank/KLL results) — memoizing
+    those would cache results, which the bench forbids."""
     import os as _os
 
     from pyspark import StorageLevel
@@ -10803,28 +10851,46 @@ def _drift_report_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = None
     try:
-        st = _os.stat(f"{sf_dir}/events.parquet")
-        key = (_session_key(spark), sf_dir, st.st_mtime_ns, st.st_size)
+        stats = tuple(
+            (t, st.st_mtime_ns, st.st_size)
+            for t in tables
+            for st in (_os.stat(f"{sf_dir}/{t}.parquet"),)
+        )
+        key = (_session_key(spark), sf_dir, name, stats)
     except OSError:
         pass  # let load_table surface the reader's own error
-    got = _DRIFT_REPORT_MEMO.get(key) if key is not None else None
+    got = _PLAN_MEMO.get(key) if key is not None else None
     if got is None:
         before = {id(f) for f in cache_registry.snapshot()}
-        out = _build_drift_report(spark, sf_dir)
+        out = build()
         internal = [
             f for f in cache_registry.snapshot() if id(f) not in before
         ]
         arm = [(f, f.storageLevel) for f in internal]
         got = (out, arm)
         if key is not None:
-            if len(_DRIFT_REPORT_MEMO) >= 64:  # tests touch many tmp dirs
-                _DRIFT_REPORT_MEMO.clear()
-            _DRIFT_REPORT_MEMO[key] = got
+            if len(_PLAN_MEMO) >= 256:  # tests touch many tmp dirs
+                _PLAN_MEMO.clear()
+            _PLAN_MEMO[key] = got
     out, arm = got
     for frame, level in arm:
         if frame.storageLevel == StorageLevel.NONE:
             cache_registry.track(frame.persist(level))
     return out
+
+
+def _drift_report_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized x_drift_report plan per (session, events.parquet
+    mtime/size): each warm invocation rebuilt five detector plans over
+    the shared contraction (~1.1 s of py4j plan-building) plus the
+    worst-span guard probe.  See ``_memo_plan``."""
+    return _memo_plan(
+        spark,
+        sf_dir,
+        "x_drift_report",
+        ["events"],
+        lambda: _build_drift_report(spark, sf_dir),
+    )
 
 
 def _build_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:

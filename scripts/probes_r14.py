@@ -770,3 +770,306 @@ def containment_accum(spark, sf_dir, reps):
         ],
         reps,
     )
+
+
+def minhash_decomp(spark, sf_dir, reps):
+    """dedup_near_minhash stage decomposition at the declared-query
+    parameters (num_hashes=64, bands=32, k=3, t=0.5): which stage
+    dominates the ~1.0 s exec that 8 query paths pay — base
+    materialization (tokenize+shingle+xxhash -> persist), banding UDF +
+    bucket groupBy + pair expansion, or the verify join?"""
+    from pyspark import StorageLevel
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import dedup as D
+    from kafka_dead_letter_analyzer_spark.operators.dedup import (
+        shingle_hashes,
+        token_shingles,
+        _minhash_band_udf,
+    )
+
+    docs0 = Q.load_table(spark, sf_dir, "documents")
+
+    def build(upto):
+        docs = docs0
+        nonblank = F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+        base = (
+            docs.filter(nonblank)
+            .select(
+                F.col("doc_id").alias("_id"),
+                shingle_hashes(token_shingles(F.col("text"), 3)).alias(
+                    "_hashes"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cache_registry.track(base)
+        if upto == "base":
+            return base.select("_id")
+        bands_of = _minhash_band_udf(64, 32)
+        banded = base.select("_id", bands_of("_hashes").alias("_bands"))
+        ex = banded.select(
+            "_id", F.posexplode("_bands").alias("band", "bucket")
+        )
+        if upto == "banded":
+            return ex.select("band")
+        buckets = (
+            ex.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        pair_expr = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda a, i: F.transform(
+                    F.slice(
+                        F.col("_ids"), i + 2, F.size(F.col("_ids")) - i - 1
+                    ),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+        candidates = (
+            buckets.select(F.explode(pair_expr).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        if upto == "cands":
+            return candidates
+        pairs = candidates.join(
+            base.withColumnsRenamed({"_id": "id_a", "_hashes": "h_a"}),
+            on="id_a",
+        ).join(
+            base.withColumnsRenamed({"_id": "id_b", "_hashes": "h_b"}),
+            on="id_b",
+        )
+        inter = F.size(F.array_intersect("h_a", "h_b"))
+        union = F.size("h_a") + F.size("h_b") - inter
+        return (
+            pairs.withColumn(
+                "jaccard",
+                F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    full = build("full")
+    op = D.dedup_near_minhash(
+        docs0, num_hashes=64, bands=32, threshold=0.5
+    )
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, op.collect()))
+    assert a == b, f"probe rebuild diverges from operator: {len(a)} vs {len(b)}"
+    print(f"pair set identical to operator: {len(a)} pairs", flush=True)
+
+    run_ab(
+        spark,
+        [
+            ("mh 1 base persist", lambda: build("base")),
+            ("mh 2 + banding+explode", lambda: build("banded")),
+            ("mh 3 + buckets+cands", lambda: build("cands")),
+            ("mh 4 full (verify join)", lambda: build("full")),
+        ],
+        reps,
+    )
+
+
+def contamination_inline_bloom(spark, sf_dir, reps):
+    """x_contamination_prefiltered (guide §3/§6): the current operator
+    probes the bloom via bloom_probe (distinct shuffle over corpus gram
+    strings + per-gram groupBy) and then SEMI-JOINS the survivors back
+    against a SECOND expansion of the corpus gram explode.  Variant:
+    probe the broadcast bitmap with num_hashes INLINE left-joins (no
+    row fan-out, no distinct, no semi join) and filter gram instances
+    map-side — zero corpus-gram shuffles, one explode."""
+    import math
+
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import contamination as CN
+    from kafka_dead_letter_analyzer_spark.operators.dedup import token_shingles
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+    from kafka_dead_letter_analyzer_spark.operators.sketches import (
+        _BLOOM_BITS_PER_WORD,
+        bloom_sketch,
+        md5_u60,
+    )
+
+    docs0 = Q.load_table(spark, sf_dir, "documents")
+
+    def current():
+        return CN.ngram_overlap_prefiltered(
+            corpus=docs0.filter(F.col("source") != "src0"),
+            benchmark=docs0.filter(F.col("source") == "src0"),
+            n=8,
+        )
+
+    def inline():
+        corpus = docs0.filter(F.col("source") != "src0")
+        benchmark = docs0.filter(F.col("source") == "src0")
+        k, target_fp = 4, 0.01
+        c = spread_for_cpu(corpus).select(
+            "doc_id", F.explode(token_shingles(F.col("text"), 8)).alias("sh")
+        )
+        b = (
+            benchmark.select(
+                F.explode(token_shingles(F.col("text"), 8)).alias("sh")
+            )
+            .distinct()
+            .persist()
+        )
+        cache_registry.track(b)
+        n_grams = b.count()
+        if n_grams == 0:
+            num_words = 1
+        else:
+            bits = -k * n_grams / math.log(1.0 - target_fp ** (1.0 / k))
+            num_words = max(1, int(math.ceil(bits / _BLOOM_BITS_PER_WORD)))
+        sk = bloom_sketch(b, key="sh", num_hashes=k, num_words=num_words)
+        # the bitmap feeds num_hashes broadcast lookups below; unpersisted,
+        # Catalyst re-expands the sketch build per lookup join
+        sk = sk.persist()
+        cache_registry.track(sk)
+        m = _BLOOM_BITS_PER_WORD * num_words
+        pruned = c
+        for d in range(k):
+            salted = F.concat(
+                F.col("sh").cast("string"),
+                F.lit("!"),
+                F.lit(d).cast("string"),
+            )
+            pruned = pruned.withColumn(f"_h{d}", md5_u60(salted) % m)
+            pruned = pruned.withColumn(
+                f"_w{d}", F.expr(f"CAST(_h{d} DIV {_BLOOM_BITS_PER_WORD} AS INT)")
+            ).withColumn(
+                f"_b{d}", F.expr(f"CAST(_h{d} % {_BLOOM_BITS_PER_WORD} AS INT)")
+            )
+            skd = sk.select(
+                F.col("word").alias(f"_skw{d}"),
+                F.col("bits").alias(f"_bits{d}"),
+            )
+            pruned = pruned.join(
+                F.broadcast(skd),
+                F.col(f"_w{d}") == F.col(f"_skw{d}"),
+                "left",
+            )
+            # filter IMMEDIATELY: a miss on hash d short-circuits the
+            # remaining (k-1-d) md5 evaluations for that gram instance
+            pruned = pruned.filter(
+                F.expr(
+                    f"CAST(shiftright(coalesce(_bits{d}, CAST(0 AS BIGINT)),"
+                    f" _b{d}) & 1 AS INT) = 1"
+                )
+            )
+        pruned = pruned.select("doc_id", "sh")
+        return (
+            pruned.join(F.broadcast(b), "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        )
+
+    def inline_xx():
+        """Same shape as inline() but the bloom family is xxhash64
+        (codegen, no md5 string digest): build and probe must share the
+        family; the exact join downstream makes the bitmap content
+        internal (oracle checks only the final counts)."""
+        corpus = docs0.filter(F.col("source") != "src0")
+        benchmark = docs0.filter(F.col("source") == "src0")
+        k, target_fp = 4, 0.01
+        c = spread_for_cpu(corpus).select(
+            "doc_id", F.explode(token_shingles(F.col("text"), 8)).alias("sh")
+        )
+        b = (
+            benchmark.select(
+                F.explode(token_shingles(F.col("text"), 8)).alias("sh")
+            )
+            .distinct()
+            .persist()
+        )
+        cache_registry.track(b)
+        import math
+        n_grams = b.count()
+        if n_grams == 0:
+            num_words = 1
+        else:
+            bits = -k * n_grams / math.log(1.0 - target_fp ** (1.0 / k))
+            num_words = max(1, int(math.ceil(bits / _BLOOM_BITS_PER_WORD)))
+        m = _BLOOM_BITS_PER_WORD * num_words
+        seeds = F.array(*[F.lit(i) for i in range(k)])
+        sk = (
+            b.select(F.explode(seeds).alias("d"), "sh")
+            .select(F.pmod(F.xxhash64("sh", "d"), F.lit(m)).alias("h"))
+            .select(
+                F.expr(f"CAST(h DIV {_BLOOM_BITS_PER_WORD} AS INT)").alias("word"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(h % {_BLOOM_BITS_PER_WORD} AS INT))"
+                ).alias("bword"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(bword)").cast("bigint").alias("bits"))
+            .persist()
+        )
+        cache_registry.track(sk)
+        pruned = c
+        for d in range(k):
+            pruned = pruned.withColumn(
+                f"_h{d}", F.pmod(F.xxhash64("sh", F.lit(d)), F.lit(m))
+            )
+            pruned = pruned.withColumn(
+                f"_w{d}", F.expr(f"CAST(_h{d} DIV {_BLOOM_BITS_PER_WORD} AS INT)")
+            ).withColumn(
+                f"_b{d}", F.expr(f"CAST(_h{d} % {_BLOOM_BITS_PER_WORD} AS INT)")
+            )
+            skd = sk.select(
+                F.col("word").alias(f"_skw{d}"),
+                F.col("bits").alias(f"_bits{d}"),
+            )
+            pruned = pruned.join(
+                F.broadcast(skd),
+                F.col(f"_w{d}") == F.col(f"_skw{d}"),
+                "left",
+            )
+            pruned = pruned.filter(
+                F.expr(
+                    f"CAST(shiftright(coalesce(_bits{d}, CAST(0 AS BIGINT)),"
+                    f" _b{d}) & 1 AS INT) = 1"
+                )
+            )
+        pruned = pruned.select("doc_id", "sh")
+        return (
+            pruned.join(F.broadcast(b), "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        )
+
+    a = sorted(map(tuple, current().collect()))
+    cache_registry.release_all(); spark.catalog.clearCache()
+    bres = sorted(map(tuple, inline().collect()))
+    assert a == bres, f"inline variant diverges: {len(a)} vs {len(bres)}"
+    cache_registry.release_all(); spark.catalog.clearCache()
+    xres = sorted(map(tuple, inline_xx().collect()))
+    assert a == xres, f"inline_xx variant diverges: {len(a)} vs {len(xres)}"
+    print(f"results identical: {len(a)} rows", flush=True)
+
+    import io, contextlib
+    for label, fn in [("current", current), ("inline", inline)]:
+        cache_registry.release_all(); spark.catalog.clearCache()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn().explain("formatted")
+        p = buf.getvalue()
+        print(
+            f"plan {label}: Exchange={p.count('Exchange')}"
+            f" BHJ={p.count('BroadcastHashJoin')}"
+            f" Generate={p.count('Generate')}",
+            flush=True,
+        )
+
+    run_ab(
+        spark,
+        [("ctm current (bloom_probe+semi)", current),
+         ("ctm inline bloom", inline),
+         ("ctm inline xxhash bloom", inline_xx)],
+        reps,
+    )
