@@ -4962,8 +4962,19 @@ def x_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-count vectors, computed SPARSELY through a day-keyed inverted
     index (dist2 = n_u + n_v - 2*dot; the join carries (day, key,
     count) triples, never dense vectors) — all int64, bit-exact
-    (operators/temporal.py::series_similarity_topk)."""
-    return T.series_similarity_topk(load_table(spark, sf_dir, "events"))
+    (operators/temporal.py::series_similarity_topk).
+
+    r14: built plan memoized (see _memo_plan) — construction re-paid
+    the operator's 3-long bounds probe per invocation."""
+    return _memo_plan(
+        spark,
+        sf_dir,
+        "x_series_knn",
+        ["events"],
+        lambda: T.series_similarity_topk(
+            load_table(spark, sf_dir, "events")
+        ),
+    )
 
 
 @_register(
@@ -6113,13 +6124,24 @@ def x_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (operators/graph.py::triangle_counts)."""
     from kafka_dead_letter_analyzer_spark.operators import graph as GR
 
-    pc = TX.cooccurrence_counts(
-        load_table(spark, sf_dir, "documents"), text_col="text", window=2
+    def build():
+        pc = TX.cooccurrence_counts(
+            load_table(spark, sf_dir, "documents"), text_col="text",
+            window=2,
+        )
+        edges = pc.filter(
+            (F.col("n") >= 2) & (F.col("center") != F.col("context"))
+        ).select(
+            F.col("center").alias("id_a"), F.col("context").alias("id_b")
+        )
+        return GR.triangle_counts(edges, "id_a", "id_b")
+
+    # r14: built plan memoized (see _memo_plan) — the oriented-wedge
+    # plan build (~0.4 s of py4j) re-paid per invocation; no
+    # construction actions (persists re-armed via the registry diff)
+    return _memo_plan(
+        spark, sf_dir, "x_triangle_counts", ["documents"], build
     )
-    edges = pc.filter(
-        (F.col("n") >= 2) & (F.col("center") != F.col("context"))
-    ).select(F.col("center").alias("id_a"), F.col("context").alias("id_b"))
-    return GR.triangle_counts(edges, "id_a", "id_b")
 
 
 @_register(
@@ -8040,15 +8062,20 @@ def x_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort.  Groups with an empty class drop (AUC undefined there)."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang").isNotNull() & F.col("source").isNotNull()
-    )
-    return RK.auc_exact(
-        docs.withColumn("is_en", F.col("lang") == "en"),
-        score_col="n_chars",
-        label_col="is_en",
-        group_cols=["source"],
-    )
+    def build():
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull() & F.col("source").isNotNull()
+        )
+        return RK.auc_exact(
+            docs.withColumn("is_en", F.col("lang") == "en"),
+            score_col="n_chars",
+            label_col="is_en",
+            group_cols=["source"],
+        )
+
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # auc_exact's strategy probe scan per invocation
+    return _memo_plan(spark, sf_dir, "x_auc_by_source", ["documents"], build)
 
 
 @_register(
@@ -8992,34 +9019,41 @@ def x_fleiss_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and contraction-sized group reductions."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang").isNotNull()
-        & F.col("source").isNotNull()
-        & F.col("text").isNotNull()
-        & F.col("doc_id").isNotNull()
-        & F.col("n_chars").isNotNull()
-    )
-    pred = TX.with_lang_id(
-        docs.select("source", "doc_id", "lang", "text", "n_chars")
-    ).select("source", "doc_id", "lang", "pred_lang", "n_chars")
-    ratings = pred.select(
-        "source",
-        "doc_id",
-        F.explode(
-            F.array(
-                F.col("lang"),
-                F.col("pred_lang"),
-                F.when(
-                    F.col("n_chars") % 5 != 0,
-                    F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
-                    .otherwise(F.col("pred_lang")),
-                ),  # every 5th doc: rater 3 abstains (NULL label)
-            )
-        ).alias("lab"),
-    )
-    return RK.fleiss_kappa(
-        ratings, item_col="doc_id", label_col="lab",
-        group_cols=["source"], n_raters=3,
+    def build():
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        pred = TX.with_lang_id(
+            docs.select("source", "doc_id", "lang", "text", "n_chars")
+        ).select("source", "doc_id", "lang", "pred_lang", "n_chars")
+        ratings = pred.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.col("lang"),
+                    F.col("pred_lang"),
+                    F.when(
+                        F.col("n_chars") % 5 != 0,
+                        F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
+                        .otherwise(F.col("pred_lang")),
+                    ),  # every 5th doc: rater 3 abstains (NULL label)
+                )
+            ).alias("lab"),
+        )
+        return RK.fleiss_kappa(
+            ratings, item_col="doc_id", label_col="lab",
+            group_cols=["source"], n_raters=3,
+        )
+
+    # r14: built plan memoized (see _memo_plan) — the lang-id + panel
+    # plan build re-paid per invocation; no construction actions
+    return _memo_plan(
+        spark, sf_dir, "x_fleiss_agreement", ["documents"], build
     )
 
 
@@ -9827,16 +9861,23 @@ def x_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     on renamed value keys, one map-side-combined aggregate."""
     from kafka_dead_letter_analyzer_spark.operators import ranking as RK
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_quantity",
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("price_cents"),
-    )
-    return RK.spearman_exact(
-        li, x_col="l_quantity", y_col="price_cents",
-        group_cols=["l_returnflag"],
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_quantity",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        return RK.spearman_exact(
+            li, x_col="l_quantity", y_col="price_cents",
+            group_cols=["l_returnflag"],
+        )
+
+    # r14: built plan memoized (see _memo_plan) — construction re-paid
+    # the strategy/exactness probe scan per invocation
+    return _memo_plan(
+        spark, sf_dir, "x_spearman_qty_price", ["lineitem"], build
     )
 
 
@@ -12433,16 +12474,22 @@ def x_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded head?'.  Plan shape matches retrieval_metrics: equi-joins
     + bounded (query) contractions; the ideal-gain side ranks via
     salted_topk, NO group-wide window (pinned)."""
-    ra, rb = _bm25_int_rankers(spark, sf_dir)
-    fused = RV.rrf_fuse(ra.unionByName(rb), k=60).select(
-        "query_id", "doc_id", F.col("fused_rank").alias("rank")
-    )
-    qrels = ra.filter(F.col("rank") <= 5).select(
-        "query_id",
-        "doc_id",
-        (F.lit(6) - F.col("rank")).cast("bigint").alias("rel"),
-    )
-    return RV.ndcg_at_k(fused, qrels, k=10)
+    def build():
+        ra, rb = _bm25_int_rankers(spark, sf_dir)
+        fused = RV.rrf_fuse(ra.unionByName(rb), k=60).select(
+            "query_id", "doc_id", F.col("fused_rank").alias("rank")
+        )
+        qrels = ra.filter(F.col("rank") <= 5).select(
+            "query_id",
+            "doc_id",
+            (F.lit(6) - F.col("rank")).cast("bigint").alias("rel"),
+        )
+        return RV.ndcg_at_k(fused, qrels, k=10)
+
+    # r14: built plan memoized (see _memo_plan) — the fuse/qrels/ndcg
+    # plan build on top of the (already memoized) ranker chain re-paid
+    # ~0.4 s of py4j per invocation
+    return _memo_plan(spark, sf_dir, "x_ndcg_at_k", ["documents"], build)
 
 
 @_register("x_rouge_l_pairs")  # rows-only: LCS is not SQL-expressible
