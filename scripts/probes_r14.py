@@ -1073,3 +1073,59 @@ def contamination_inline_bloom(spark, sf_dir, reps):
          ("ctm inline xxhash bloom", inline_xx)],
         reps,
     )
+
+
+def bigram_zip(spark, sf_dir, reps):
+    """x_bigram_memorization: the bigram array build uses the
+    per-position transform (element_at per i) — the formulation
+    token_grams' own comment measured 5.7x slower than the
+    shifted-slice arrays_zip.  Variant: same strings via
+    arrays_zip(slice(toks,1,m), slice(toks,2,m)); the n<2 -> [] branch
+    is preserved (token_grams itself differs there: whole-seq gram)."""
+    from kafka_dead_letter_analyzer_spark import cache_registry, queries as Q
+    from kafka_dead_letter_analyzer_spark.operators import text as TX
+    from kafka_dead_letter_analyzer_spark.operators.dedup import _tokens
+    from kafka_dead_letter_analyzer_spark.operators.io import spread_for_cpu
+    from pyspark.sql import Window
+
+    docs0 = Q.load_table(spark, sf_dir, "documents")
+
+    def current():
+        return TX.bigram_memorization_ppm(docs0)
+
+    def zipv():
+        docs = spread_for_cpu(docs0)
+        toks = _tokens(F.col("text"))
+        n = F.size(toks)
+        m = F.greatest(n - 1, F.lit(0))
+        z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+        grams = F.transform(
+            z, lambda s: F.concat_ws(" ", s["0"], s["1"])
+        )
+        bigrams = F.when(n >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        db = docs.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(bigrams)).alias("bg"),
+        )
+        w = Window.partitionBy("bg")
+        dfed = db.withColumn("df", F.count(F.lit(1)).over(w))
+        return dfed.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) "
+                "* 1000000 DIV count(*) AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+
+    a = sorted(map(tuple, current().collect()))
+    b = sorted(map(tuple, zipv().collect()))
+    assert a == b, f"zip variant diverges: {len(a)} vs {len(b)}"
+    print(f"results identical: {len(a)} rows", flush=True)
+    run_ab(
+        spark,
+        [("bigram current (element_at)", current),
+         ("bigram arrays_zip", zipv)],
+        reps,
+    )
