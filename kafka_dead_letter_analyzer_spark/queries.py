@@ -64,6 +64,27 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _memo_plan_query(name: str, tables: list[str]):
+    """Decorator form of ``_memo_plan`` (defined below; resolved at
+    call time): memoize the decorated declared query's BUILT PLAN per
+    (session, sf_dir, name, input-parquet mtime/size).  Apply ONLY to
+    queries whose construction is guard/strategy probes + py4j plan
+    building — never where construction embeds driver-computed data
+    (see _memo_plan's docstring)."""
+    import functools
+
+    def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _memo_plan(
+                spark, sf_dir, name, tables, lambda: fn(spark, sf_dir)
+            )
+
+        return wrapper
+
+    return deco
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
@@ -1294,6 +1315,7 @@ def s2_decode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id < 30000
     """,
 )
+@_memo_plan_query("s2_avro_wire", ["events"])
 def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 Avro tier EXECUTED over real Confluent-framed wire bytes.
 
@@ -1375,6 +1397,7 @@ def s2_avro_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id < 30000
     """,
 )
+@_memo_plan_query("s2_avro_key", ["events"])
 def s2_avro_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 brute-force decode of record KEYS over real Confluent-framed
     wire bytes — the reference applies BruteForceSerde as the key serde
@@ -1443,6 +1466,7 @@ def s2_avro_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id < 30000
     """,
 )
+@_memo_plan_query("s2_avro_multischema", ["events"])
 def s2_avro_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 Avro tier with Schema-Registry MULTI-SCHEMA semantics: two
     writer schemas are live on the same stream — DeadLetter (id 1) and
@@ -1521,6 +1545,7 @@ def s2_avro_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
+@_memo_plan_query("p1_streams_parse", ["events"])
 def p1_streams_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P4+E1+E2: bakdata-Streams header parsing with reference error
     semantics over synthesized header multimaps.
@@ -6550,6 +6575,7 @@ def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs WHERE 10 * i >= 7 * (sza + szb - i)
     """,
 )
+@_memo_plan_query("x_setsim_join", ["documents"])
 def x_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.7 self-join over distinct 3-token-SHINGLE
     sets via PREFIX FILTERING (AllPairs/PPJoin): only each document's
@@ -7476,6 +7502,7 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 10 * i >= 7 * s.sz
     """,
 )
+@_memo_plan_query("x_containment_join", ["documents"])
 def x_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment >= 0.7 self-join over 3-shingle sets — the
     quote/subset-detection geometry Jaccard cannot surface (a short doc
@@ -8416,6 +8443,7 @@ def x_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
 )
+@_memo_plan_query("x_f1_threshold", ["documents"])
 def x_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-optimal gating threshold per source — the decision layer on
     top of x_roc_curve: for each source, the score threshold whose
@@ -9167,6 +9195,7 @@ def x_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
 )
+@_memo_plan_query("x_precision_at_recall", ["documents"])
 def x_precision_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision-at-recall threshold selection per source — the
     OTHER deployment rule next to x_f1_threshold: "keep at least 90%
@@ -9509,6 +9538,7 @@ def x_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
 )
+@_memo_plan_query("x_cusum_changepoint", ["events"])
 def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact CUSUM change-point per event type, day buckets — WHERE did
     each type's event rate most decisively rise above / fall below its
@@ -9711,6 +9741,7 @@ def x_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM med m JOIN totals USING (event_type)
     """,
 )
+@_memo_plan_query("x_theilsen_trend", ["events"])
 def x_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust daily-rate trend per event type
     (operators/drift.py::theilsen_trend): the median pairwise slope
@@ -9927,6 +9958,7 @@ def x_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM joined WHERE n0 > tx_pairs AND n0 > ty_pairs
     """,
 )
+@_memo_plan_query("x_kendall_qty_discount", ["lineitem"])
 def x_kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kendall tau-b between quantity and discount per return
     flag (operators/ranking.py::kendall_tau_exact) — the ordinal
@@ -10519,6 +10551,7 @@ def x_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored2
     """,
 )
+@_memo_plan_query("x_hampel_outliers", ["events"])
 def x_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel point-outlier filter over per-type daily counts
     (operators/drift.py::hampel_outliers, ±3-day window, k=3): flags
@@ -10585,6 +10618,7 @@ def x_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s_agg s JOIN ties USING (event_type) JOIN totals USING (event_type)
     """,
 )
+@_memo_plan_query("x_mann_kendall", ["events"])
 def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test per event type
     (operators/drift.py::mann_kendall) — the hypothesis-test companion
@@ -11160,6 +11194,7 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN scc s ON s.source = g.source
     """,
 )
+@_memo_plan_query("x_krippendorff", ["documents"])
 def x_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha sufficient statistics over a 3-annotator
     panel WITH MISSING RATINGS per source
@@ -12489,7 +12524,14 @@ def x_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: built plan memoized (see _memo_plan) — the fuse/qrels/ndcg
     # plan build on top of the (already memoized) ranker chain re-paid
     # ~0.4 s of py4j per invocation
-    return _memo_plan(spark, sf_dir, "x_ndcg_at_k", ["documents"], build)
+    out = _memo_plan(spark, sf_dir, "x_ndcg_at_k", ["documents"], build)
+    # re-arm the NESTED ranker-chain memo explicitly: if the chain was
+    # already armed when this memo's build ran, the registry snapshot
+    # diff missed ra/rb/per_doc, so a later hit would leave them
+    # unpersisted (single-scan plan contract broken).  A hit here is
+    # the cheap re-arm path.
+    _bm25_int_rankers(spark, sf_dir)
+    return out
 
 
 @_register("x_rouge_l_pairs")  # rows-only: LCS is not SQL-expressible

@@ -91,3 +91,32 @@ def test_memo_busts_on_input_rewrite(spark, sf_dir):
         0
     ]["n"]
     assert n2 == 25  # fresh key -> fresh build, never a stale result
+
+
+def test_nested_memo_rearms_even_when_build_saw_armed_chain(spark):
+    """Composition hazard (r14): if an outer memo's build runs while a
+    NESTED memoized chain is already armed, the registry snapshot diff
+    misses the nested frames — the outer query must re-arm the nested
+    memo explicitly so a post-release_all hit keeps the single-scan
+    plan contract (x_ndcg_at_k over _bm25_int_rankers)."""
+    import contextlib
+    import io
+    import re
+
+    from kafka_dead_letter_analyzer_spark import cache_registry
+    from kafka_dead_letter_analyzer_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # adversarial ordering: arm the ranker chain FIRST
+    Q._bm25_int_rankers(spark, sf)
+    Q.queries()["x_ndcg_at_k"](spark, sf).collect()
+    cache_registry.release_all()
+    spark.catalog.clearCache()
+    df = Q.queries()["x_ndcg_at_k"](spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue())))
+    assert scans == 1, scans
+    cache_registry.release_all()
+    spark.catalog.clearCache()
