@@ -10951,7 +10951,15 @@ def _memo_plan(spark, sf_dir, name, tables, build):
     for frame, level in arm:
         if frame.storageLevel == StorageLevel.NONE:
             cache_registry.track(frame.persist(level))
-    return out
+    # Return a FRESH thin projection per call, not the memoized object:
+    # a DataFrame's queryExecution (physical plan, explain text) is
+    # computed once and frozen, so handing out the same object makes
+    # its plan text depend on whatever cache state existed at its first
+    # use (a plan-pin test elsewhere saw a salted window disappear into
+    # an abbreviated cached-subtree print).  select("*") re-plans
+    # against the CURRENT (just re-armed) cache state — pure JVM
+    # analysis over the already-analyzed child, no py4j tree rebuild.
+    return out.select("*")
 
 
 def _drift_report_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,8 +58,9 @@ def test_memo_hit_rearms_persists_and_repeats_bit_equal(spark, sf_dir):
     assert builds[0].storageLevel == StorageLevel.NONE
 
     out2 = _memo_plan(spark, sf_dir, "t_memo", ["documents"], build)
-    assert out2 is out1  # memo hit: no rebuild
-    assert len(builds) == 1
+    assert len(builds) == 1  # memo hit: no rebuild (a fresh thin
+    # projection is returned so explain/planning reflect current
+    # cache state, but the memoized plan underneath is reused)
     # the internal persist was re-armed on the hit
     assert builds[0].storageLevel != StorageLevel.NONE
     assert sorted(map(tuple, out2.collect())) == r1
